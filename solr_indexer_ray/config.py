@@ -1,0 +1,71 @@
+"""Engine configuration.
+
+Reference analogue: the YAML run config of solr-indexer
+(``solrindexer/search.py:143-163`` parse_cfg; ``etc/cfg-template.yml``) — batch
+size, worker counts, feature toggles. Here the knobs are the ones that matter
+for a distributed inverted-index build: BM25 parameters, posting-block layout,
+doc-range salting granularity, and Ray stage sizing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """All tunables of the index build + query engine.
+
+    BM25 parameters are pinned to the Lucene/Solr defaults the reference
+    relies on (Solr default similarity, k1=1.2 b=0.75; reference consumes it
+    via ``solrindexer/search.py:125-140``).
+    """
+
+    # --- BM25 / scoring ---------------------------------------------------
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- posting layout ---------------------------------------------------
+    #: postings are chunked into fixed-size blocks carrying block-max
+    #: metadata (last_doc_id, max_tf, min_norm) for WAND-style pruning.
+    block_size: int = 128
+
+    #: doc-range salting granularity: postings are grouped by
+    #: (term, doc_id // docs_per_range).  This (a) bounds the memory of any
+    #: single groupby-merge group — a stop-word-heavy term at 10^12 docs
+    #: never lands on one worker — and (b) yields doc-range-partitioned
+    #: posting rows, so query-time scoring can fan out per range.  Ranges are
+    #: disjoint and ordered, so the full posting list is the concatenation of
+    #: its range rows: no re-merge needed (explicit skew handling per the
+    #: north rule; reference has none — ``SURVEY.md §4``).
+    docs_per_range: int = 1 << 20
+
+    #: number of hash buckets for the postings parquet layout; query-time
+    #: term lookup only touches the bucket file(s) of the query terms.
+    term_buckets: int = 16
+
+    # --- analyzer ---------------------------------------------------------
+    #: name of the default analyzer for langs without a registered one.
+    default_analyzer: str = "simple"
+
+    # --- ray stage sizing -------------------------------------------------
+    #: rows per batch in tokenize/doc-prep map_batches stages.
+    batch_size: int = 4096
+    #: actor-pool size for stateful stages; None = let Ray size task
+    #: parallelism (stateless).  Tests override with small values.
+    concurrency: int | None = None
+
+    # --- build behaviour --------------------------------------------------
+    #: write per-unit checkpoints (docs + raw postings + manifest) so an
+    #: interrupted build resumes without recomputing completed units.
+    checkpoint: bool = True
+
+    #: extra metadata recorded into the manifest.
+    tags: dict = field(default_factory=dict)
+
+    @property
+    def k1_times_one_minus_b(self) -> float:
+        return self.k1 * (1.0 - self.b)
+
+
+DEFAULT_CONFIG = IndexConfig()

@@ -1,0 +1,1 @@
+"""Pure, vectorizable kernels used inside ``map_batches`` stages."""

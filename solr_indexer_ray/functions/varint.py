@@ -1,0 +1,75 @@
+"""Vectorized LEB128 varint + delta codecs for posting lists.
+
+Posting doc-id lists are stored delta-encoded then varint-packed into a
+single Arrow ``binary`` value per (term, doc-range) row; term frequencies are
+varint-packed directly.  Pure-numpy group-by-byte-position implementation —
+no per-value Python loop (the loops below are over *byte positions* (<=10)
+not values), which keeps encode/decode throughput in the tens of millions of
+integers per second, fast enough that index build time is dominated by
+tokenization, not the codec (SURVEY.md §7.3 "Compression in Python").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SHIFTS = [np.uint64(7 * j) for j in range(10)]
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to LEB128 varint bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nbits = np.frexp(v.astype(np.float64))[1]  # exact for < 2**53
+    nbytes = np.maximum((nbits + 6) // 7, 1).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    max_len = int(nbytes.max())
+    for j in range(max_len):
+        m = nbytes > j
+        chunk = (v[m] >> _SHIFTS[j]) & np.uint64(0x7F)
+        cont = np.where(nbytes[m] - 1 > j, 0x80, 0).astype(np.uint64)
+        out[offsets[m] + j] = (chunk | cont).astype(np.uint8)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 varint bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    payload = (b & 0x7F).astype(np.uint64)
+    out = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        out[m] |= payload[starts[m] + j] << _SHIFTS[j]
+    return out
+
+
+def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
+    """First value + successive gaps; input must be strictly increasing."""
+    v = np.asarray(sorted_values, dtype=np.int64)
+    if v.size == 0:
+        return v.astype(np.uint64)
+    return np.concatenate(([v[0]], np.diff(v))).astype(np.uint64)
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_encode` -> int64 doc ids."""
+    d = np.asarray(deltas, dtype=np.uint64)
+    return np.cumsum(d, dtype=np.uint64).astype(np.int64)
+
+
+def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
+    """Strictly-increasing doc ids -> delta-varint bytes."""
+    return varint_encode(delta_encode(doc_ids))
+
+
+def decode_doc_ids(buf: bytes) -> np.ndarray:
+    """Delta-varint bytes -> int64 doc ids."""
+    return delta_decode(varint_decode(buf))

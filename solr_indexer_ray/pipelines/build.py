@@ -1,0 +1,426 @@
+"""Distributed inverted-index build — the flagship pipeline.
+
+Reference analogue: ``indexdata`` bulk ingestion
+(``/root/reference/solrindexer/cli.py`` + ``solrindexer/indexer.py:470-690``)
+— but where the reference converts documents and POSTs them to Solr (which
+owns the inverted index), this pipeline builds the index itself:
+
+Stage 1 (``map_batches`` over read units, stateful actor pool):
+    one task per parquet row group; reads the unit, computes per-row
+    ``sha256(content)`` (the per-row integrity invariant; reference
+    analogue: checksum field ``solrindexer/mmd.py:851-858``), tokenizes with
+    the per-lang analyzer, writes the unit's slice of the ``docs`` table
+    (stored fields + doclen + Lucene SmallFloat norm byte), and writes
+    SPIMI-style *partial postings* grouped by ``(term, doc-range)`` —
+    in-memory term->postings dict per unit, flushed sorted, exactly the
+    SPIMI discipline (reference precedent: per-chunk buffered flush,
+    ``solrindexer/indexer.py:517-551``).  Every output is written atomically
+    (tmp+rename) and recorded in a per-unit manifest entry with lineage +
+    metrics, so an interrupted build **resumes** by skipping complete units.
+
+Stage 2 (shuffle):
+    ``read_parquet(postings_raw) -> groupby(shard, range_id) ->
+    map_groups(merge)``.  The merge concatenates each term's partial lists
+    (disjoint, per-unit doc-id intervals -> sort-by-first + concat, no full
+    re-sort), delta-varint-packs doc ids, varint-packs tfs, and attaches
+    per-block block-max metadata ``(last_doc_id, max_tf, min_norm)`` for
+    WAND pruning.  Grouping by ``(hash(term) % S, doc-range)`` rather than
+    raw term (a) amortizes per-group overhead over many terms and (b) caps
+    any group's memory at one doc-range — the salted-shuffle skew handling
+    the north rule demands for stop-word-heavy terms.
+
+Commit:
+    corpus stats (N, avgdl as exact ``sum_dl / N`` — Lucene semantics:
+    sumTotalTermFreq / docCount) + analyzer pin are published atomically via
+    ``stats.json`` (reference analogue: explicit Solr hard commit,
+    ``solrindexer/mmd.py:1303-1304``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from solr_indexer_ray.config import DEFAULT_CONFIG, IndexConfig
+from solr_indexer_ray.functions.smallfloat import encode_lengths
+from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+from solr_indexer_ray.functions.varint import encode_doc_ids, varint_encode
+from solr_indexer_ray.sources.parquet_units import list_units, read_unit
+from solr_indexer_ray.state.manifest import BuildManifest
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("sha256", pa.string()),
+        ("doclen", pa.int32()),
+        ("norm", pa.uint8()),
+    ]
+)
+
+RAW_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("range_id", pa.int64()),
+        ("shard", pa.int64()),
+        ("doc_ids", pa.list_(pa.int64())),
+        ("tfs", pa.list_(pa.int32())),
+        ("norms", pa.list_(pa.int32())),
+    ]
+)
+
+MERGED_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("range_id", pa.int64()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("doc_ids", pa.binary()),
+        ("tfs", pa.binary()),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_norm", pa.list_(pa.int32())),
+    ]
+)
+
+
+def term_shard(term: str, n_shards: int) -> int:
+    """Deterministic, process-stable term shard (NOT Python ``hash``)."""
+    return zlib.crc32(term.encode("utf-8")) % n_shards
+
+
+def _atomic_write_table(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+class UnitIndexer:
+    """Stage-1 actor: tokenizer state built once per actor (SURVEY.md ST1/ST6).
+
+    ``__call__`` consumes a batch of unit-descriptor rows (batch_size=1 ->
+    one row group per task) and returns one manifest/metrics row per unit.
+    """
+
+    def __init__(self, index_dir: str, config: IndexConfig | None = None,
+                 registry: AnalyzerRegistry | None = None):
+        self.config = config or DEFAULT_CONFIG
+        self.registry = registry or AnalyzerRegistry(self.config.default_analyzer)
+        self.manifest = BuildManifest(index_dir)
+        self.index_dir = os.fspath(index_dir)
+
+    def __call__(self, batch: dict) -> pa.Table:
+        rows_out = []
+        n = len(batch["unit_id"])
+        for i in range(n):
+            unit = {k: batch[k][i] for k in batch}
+            rows_out.append(self._process_unit(unit))
+        return pa.Table.from_pylist(rows_out)
+
+    # -- per-unit work -----------------------------------------------------
+    def _process_unit(self, unit: dict) -> dict:
+        uid = int(unit["unit_id"])
+        t0 = time.perf_counter()
+        if self.config.checkpoint and self.manifest.unit_complete(uid):
+            entry = self.manifest.read_unit(uid)
+            entry["skipped"] = True
+            return _entry_to_row(entry)
+
+        n_shards = int(unit["n_shards"])
+        table = read_unit(unit, columns=["repo", "path", "commit", "lang", "content"])
+        contents = table["content"].to_pylist()
+        langs = table["lang"].to_pylist()
+        doc_ids = table["doc_id"].to_numpy()
+
+        # per-row integrity invariant: sha256(content)
+        shas = [
+            hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in contents
+        ]
+
+        # tokenize + per-unit SPIMI postings buffer
+        tokenize = self.registry.tokenize
+        doclens = np.zeros(len(contents), dtype=np.int32)
+        buffer: dict = {}  # (term, range_id) -> [doc_ids, tfs, norms]
+        counts_per_doc = []
+        for i, (text, lang) in enumerate(zip(contents, langs)):
+            toks = tokenize(text or "", lang)
+            doclens[i] = len(toks)
+            counts: dict = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            counts_per_doc.append(counts)
+
+        norms = encode_lengths(doclens)
+
+        dpr = self.config.docs_per_range
+        for i, counts in enumerate(counts_per_doc):
+            did = int(doc_ids[i])
+            rid = did // dpr
+            nrm = int(norms[i])
+            for term, tf in counts.items():
+                key = (term, rid)
+                slot = buffer.get(key)
+                if slot is None:
+                    buffer[key] = slot = ([], [], [])
+                slot[0].append(did)
+                slot[1].append(tf)
+                slot[2].append(nrm)
+
+        # docs slice
+        docs_table = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "repo": table["repo"],
+                "path": table["path"],
+                "commit": table["commit"],
+                "lang": table["lang"],
+                "sha256": pa.array(shas, pa.string()),
+                "doclen": pa.array(doclens, pa.int32()),
+                "norm": pa.array(norms, pa.uint8()),
+            },
+            schema=DOCS_SCHEMA,
+        )
+        docs_rel = f"docs/part-{uid:06d}.parquet"
+        _atomic_write_table(docs_table, os.path.join(self.index_dir, docs_rel))
+
+        # raw postings slice, sorted by (term, range) for deterministic output
+        keys = sorted(buffer.keys())
+        post_table = pa.table(
+            {
+                "term": pa.array([k[0] for k in keys], pa.string()),
+                "range_id": pa.array([k[1] for k in keys], pa.int64()),
+                "shard": pa.array(
+                    [term_shard(k[0], n_shards) for k in keys], pa.int64()
+                ),
+                "doc_ids": pa.array([buffer[k][0] for k in keys], pa.list_(pa.int64())),
+                "tfs": pa.array([buffer[k][1] for k in keys], pa.list_(pa.int32())),
+                "norms": pa.array([buffer[k][2] for k in keys], pa.list_(pa.int32())),
+            },
+            schema=RAW_POSTINGS_SCHEMA,
+        )
+        post_rel = f"postings_raw/part-{uid:06d}.parquet"
+        _atomic_write_table(post_table, os.path.join(self.index_dir, post_rel))
+
+        entry = {
+            "lineage": {
+                "file": str(unit["file"]),
+                "row_group": int(unit["row_group"]),
+                "row_offset": int(unit["row_offset"]),
+                "num_rows": int(unit["num_rows"]),
+                "content_digest": hashlib.sha256(
+                    "".join(shas).encode()
+                ).hexdigest(),
+            },
+            "outputs": [docs_rel, post_rel],
+            "n_docs": len(contents),
+            "sum_dl": int(doclens.sum()),
+            "n_terms_partial": len(buffer),
+            "metrics": {
+                "wall_s": round(time.perf_counter() - t0, 4),
+                "n_tokens": int(doclens.sum()),
+            },
+            "skipped": False,
+        }
+        if self.config.checkpoint:
+            self.manifest.write_unit(uid, entry)
+        return _entry_to_row(dict(entry, unit_id=uid))
+
+
+def _entry_to_row(entry: dict) -> dict:
+    return {
+        "unit_id": int(entry["unit_id"]),
+        "n_docs": int(entry["n_docs"]),
+        "sum_dl": int(entry["sum_dl"]),
+        "skipped": bool(entry.get("skipped", False)),
+        "wall_s": float(entry.get("metrics", {}).get("wall_s", 0.0)),
+    }
+
+
+def merge_postings_group(group: pa.Table, block_size: int) -> pa.Table:
+    """Merge all partial lists of one (shard, range) group.
+
+    Vectorized per term: partials from different units cover disjoint,
+    internally-sorted doc-id intervals, so ordering partials by first doc id
+    and concatenating yields the sorted posting list without a re-sort.
+    """
+    terms = np.asarray(group["term"].to_pylist(), dtype=object)
+    order = np.argsort(terms, kind="stable")
+    terms = terms[order]
+    rid = group["range_id"].to_numpy()[order[0]] if len(order) else 0
+    ids_col = group["doc_ids"].combine_chunks()
+    tfs_col = group["tfs"].combine_chunks()
+    norms_col = group["norms"].combine_chunks()
+
+    out = {k: [] for k in (
+        "term", "range_id", "df", "cf", "doc_ids", "tfs",
+        "block_last", "block_max_tf", "block_min_norm",
+    )}
+
+    # group row indices by term
+    uniq, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, len(terms))
+    for t_i, term in enumerate(uniq):
+        row_idx = order[bounds[t_i]:bounds[t_i + 1]]
+        parts = [
+            (
+                np.asarray(ids_col[int(j)].values),
+                np.asarray(tfs_col[int(j)].values),
+                np.asarray(norms_col[int(j)].values),
+            )
+            for j in row_idx
+        ]
+        parts.sort(key=lambda p: int(p[0][0]))
+        doc_ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        norms = np.concatenate([p[2] for p in parts])
+        if doc_ids.size > 1 and not (np.diff(doc_ids) > 0).all():
+            # overlapping units should not happen; fall back to full sort
+            srt = np.argsort(doc_ids, kind="stable")
+            doc_ids, tfs, norms = doc_ids[srt], tfs[srt], norms[srt]
+
+        nb = (doc_ids.size + block_size - 1) // block_size
+        block_last = [int(doc_ids[min((b + 1) * block_size, doc_ids.size) - 1])
+                      for b in range(nb)]
+        block_max_tf = [int(tfs[b * block_size:(b + 1) * block_size].max())
+                        for b in range(nb)]
+        block_min_norm = [int(norms[b * block_size:(b + 1) * block_size].min())
+                          for b in range(nb)]
+
+        out["term"].append(str(term))
+        out["range_id"].append(int(rid))
+        out["df"].append(int(doc_ids.size))
+        out["cf"].append(int(tfs.sum()))
+        out["doc_ids"].append(encode_doc_ids(doc_ids))
+        out["tfs"].append(varint_encode(tfs))
+        out["block_last"].append(block_last)
+        out["block_max_tf"].append(block_max_tf)
+        out["block_min_norm"].append(block_min_norm)
+
+    return pa.table(
+        {
+            "term": pa.array(out["term"], pa.string()),
+            "range_id": pa.array(out["range_id"], pa.int64()),
+            "df": pa.array(out["df"], pa.int64()),
+            "cf": pa.array(out["cf"], pa.int64()),
+            "doc_ids": pa.array(out["doc_ids"], pa.binary()),
+            "tfs": pa.array(out["tfs"], pa.binary()),
+            "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
+            "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int32())),
+            "block_min_norm": pa.array(out["block_min_norm"], pa.list_(pa.int32())),
+        },
+        schema=MERGED_POSTINGS_SCHEMA,
+    )
+
+
+def build_index(
+    input_paths,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    registry: AnalyzerRegistry | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """Run the full build; returns the committed stats dict.
+
+    Resume semantics: with ``config.checkpoint`` (default), rerunning after
+    an interruption skips completed stage-1 units; stage 2 re-runs from the
+    checkpointed raw postings.  ``overwrite=True`` clears the index dir.
+    """
+    config = config or DEFAULT_CONFIG
+    registry = registry or AnalyzerRegistry(config.default_analyzer)
+    index_dir = os.fspath(index_dir)
+    if overwrite and os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    manifest = BuildManifest(index_dir)
+    manifest.ensure_dirs()
+
+    t0 = time.perf_counter()
+    units = list_units(input_paths)
+    if not units:
+        raise ValueError(f"no parquet inputs under {input_paths!r}")
+
+    # shard count for the stage-2 shuffle: enough groups for parallelism,
+    # few enough that per-group overhead stays amortized.
+    n_shards = max(16, min(256, len(units) * 2))
+
+    import ray
+
+    concurrency = config.concurrency or max(
+        1, min(len(units), int(ray.cluster_resources().get("CPU", 4)))
+    )
+    unit_rows = [dict(u.to_row(), n_shards=n_shards) for u in units]
+    stage1 = rd.from_items(unit_rows).map_batches(
+        UnitIndexer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "config": config, "registry": registry,
+        },
+        batch_size=1,
+        batch_format="numpy",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    unit_results = stage1.take_all()  # small: one row per unit
+    t1 = time.perf_counter()
+
+    n_docs = sum(r["n_docs"] for r in unit_results)
+    sum_dl = sum(r["sum_dl"] for r in unit_results)
+
+    # ---- stage 2: shuffle-merge postings --------------------------------
+    postings_dir = os.path.join(index_dir, "postings")
+    tmp_postings = os.path.join(index_dir, "_tmp_postings")
+    if os.path.isdir(tmp_postings):
+        shutil.rmtree(tmp_postings)
+    if os.path.isdir(postings_dir):
+        shutil.rmtree(postings_dir)
+
+    block_size = config.block_size
+    merged = (
+        rd.read_parquet(os.path.join(index_dir, "postings_raw"))
+        .groupby(["shard", "range_id"])
+        .map_groups(
+            lambda g: merge_postings_group(g, block_size),
+            batch_format="pyarrow",
+        )
+    )
+    merged.write_parquet(tmp_postings)
+    os.replace(tmp_postings, postings_dir)
+    t2 = time.perf_counter()
+
+    # ---- commit ---------------------------------------------------------
+    n_term_rows = 0
+    term_count = 0
+    for f in sorted(os.listdir(postings_dir)):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(postings_dir, f))
+            n_term_rows += md.metadata.num_rows
+    stats = {
+        "n_docs": int(n_docs),
+        "sum_dl": int(sum_dl),
+        "avgdl": (float(sum_dl) / n_docs) if n_docs else 0.0,
+        "n_term_rows": int(n_term_rows),
+        "n_units": len(units),
+        "n_shards": n_shards,
+        "docs_per_range": config.docs_per_range,
+        "block_size": config.block_size,
+        "k1": config.k1,
+        "b": config.b,
+        "analyzer_default": registry.default,
+        "analyzer_lang_map": registry.lang_map,
+        "timings": {
+            "stage1_s": round(t1 - t0, 3),
+            "stage2_s": round(t2 - t1, 3),
+            "total_s": round(t2 - t0, 3),
+        },
+    }
+    manifest.commit(stats)
+    return manifest.read_stats()

@@ -1,0 +1,118 @@
+"""Brute-force, single-process, Lucene-faithful BM25 oracle.
+
+Used ONLY in tests (SURVEY.md §5 / FIXTURES.md §3): an independent
+implementation — no postings, no varint, no Ray — that tokenizes the corpus
+with the same pinned analyzers and scores every document for every query in
+plain Python/numpy.  The engine must be **rank-identical** (same doc ids,
+same float64 scores, ties by ascending doc_id) to this oracle; the oracle
+itself implements the published Lucene BM25 semantics (k1=1.2, b=0.75,
+SmallFloat-quantized document lengths, idf = ln(1 + (N-df+0.5)/(df+0.5)),
+no (k1+1) numerator per LUCENE-8563).
+
+Reference analogue of the role (not the code): Solr is the reference's
+scoring oracle, consumed over HTTP in
+``/root/reference/solrindexer/search.py:211-237``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from solr_indexer_ray.functions.queryparse import parse_query
+from solr_indexer_ray.functions.smallfloat import byte4_to_int, int_to_byte4
+from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+
+
+class BruteForceBM25:
+    """In-memory oracle over a corpus table (pyarrow or dict of lists)."""
+
+    def __init__(self, corpus, k1: float = 1.2, b: float = 0.75,
+                 registry: AnalyzerRegistry | None = None):
+        registry = registry or AnalyzerRegistry()
+        self.registry = registry
+        self.k1, self.b = k1, b
+
+        contents = _col(corpus, "content")
+        langs = _col(corpus, "lang")
+        self.meta = {
+            name: _col(corpus, name) for name in ("repo", "path", "commit", "lang")
+            if _has_col(corpus, name)
+        }
+        if _has_col(corpus, "doc_id"):
+            self.doc_ids = list(_col(corpus, "doc_id"))
+        else:
+            self.doc_ids = list(range(len(contents)))
+
+        self.tokens = [
+            registry.tokenize(c or "", langs[i]) for i, c in enumerate(contents)
+        ]
+        self.tf = [
+            {t: toks.count(t) for t in set(toks)} for toks in self.tokens
+        ]
+        self.df: dict = {}
+        for tfs in self.tf:
+            for t in tfs:
+                self.df[t] = self.df.get(t, 0) + 1
+        self.n_docs = len(contents)
+        self.sum_dl = sum(len(t) for t in self.tokens)
+        self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 0.0
+        # Lucene lossy norms
+        self.dl_decoded = np.array(
+            [byte4_to_int(int_to_byte4(len(t))) for t in self.tokens],
+            dtype=np.float64,
+        )
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query: str, k: int = 10):
+        """Returns [(doc_id, score), ...] — top-k, ties by ascending doc_id."""
+        parsed = parse_query(query, self.registry.analyzer_for(None))
+        K = self.k1 * (1.0 - self.b + self.b * self.dl_decoded / self.avgdl)
+
+        hits = []
+        q_terms = sorted(set(parsed.terms))
+        for i in range(self.n_docs):
+            if parsed.filters and any(
+                self.meta.get(f, [None] * self.n_docs)[i] != v
+                for f, v in parsed.filters.items()
+            ):
+                continue
+            if parsed.prohibited and any(
+                p in self.tf[i] for p in parsed.prohibited
+            ):
+                continue
+            nmatch = 0
+            score = 0.0
+            for t in q_terms:  # ascending-term order — same float order as engine
+                tf = self.tf[i].get(t, 0)
+                if tf:
+                    nmatch += 1
+                    score += self.idf(t) * (tf / (tf + K[i]))
+            if q_terms:
+                need = len(q_terms) if parsed.conjunctive else 1
+                if nmatch < need:
+                    continue
+                hits.append((self.doc_ids[i], score))
+            else:
+                hits.append((self.doc_ids[i], 0.0))
+
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
+
+def _has_col(corpus, name: str) -> bool:
+    try:
+        return name in corpus.column_names
+    except AttributeError:
+        return name in corpus
+
+
+def _col(corpus, name: str):
+    try:
+        return corpus[name].to_pylist()
+    except AttributeError:
+        return corpus[name]

@@ -1,0 +1,490 @@
+"""BM25 top-k query engine over the built index.
+
+Reference analogue: the ``searchindex`` CLI (``/root/reference/
+solrindexer/search.py``) — query (default BM25 relevance ranking, rows=10),
+field projection ``fl``, realtime get by id (``solrindexer/tools.py:68-85``),
+delete by id / by query (``solrindexer/search.py:201-209, 306-328``).  Solr
+performs the ranking there; here the engine scores natively:
+
+- **Scoring model** (Lucene/Solr BM25, k1=1.2 b=0.75; LUCENE-8563 form
+  without the rank-neutral (k1+1) numerator constant):
+  ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+  ``score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl(d)/avgdl))``
+  with ``dl(d)`` the **lossy SmallFloat-decoded** length and
+  ``avgdl = sumTotalTermFreq/docCount`` exact — the quantization Lucene
+  applies, required for rank-identity (SURVEY.md §7.0).
+  Ties broken by ascending doc_id.  Per-doc term contributions are summed
+  in ascending-term order in *every* scorer (TAAT, BMW, oracle) so float64
+  results are bit-identical across methods.
+
+- ``method="taat"`` — vectorized term-at-a-time: a dense numpy score
+  accumulator per doc range; the fast path (numpy kernels, no per-doc
+  Python).  At 10^12-doc scale this runs per doc-range partition and the
+  per-range top-k heaps k-way merge (the doc-range layout from the build
+  makes that fan-out trivial).
+- ``method="bmw"`` — document-at-a-time Block-Max WAND using the per-block
+  ``(last_doc_id, max_tf, min_norm)`` metadata written at merge time; skips
+  blocks whose upper bound cannot enter the current top-k (the north-star
+  pruning path; validated rank-identical to TAAT in tests).
+
+Term lookup reads only the postings parquet row groups whose stats may
+contain the query terms (predicate pushdown on the ``term`` column).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from solr_indexer_ray.functions.queryparse import ParsedQuery, parse_query
+from solr_indexer_ray.functions.smallfloat import DECODE_TABLE
+from solr_indexer_ray.functions.varint import decode_doc_ids, varint_decode
+from solr_indexer_ray.state.manifest import BuildManifest
+
+STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
+
+
+class TermPostings:
+    """Decoded posting list of one term (all doc ranges concatenated)."""
+
+    __slots__ = ("term", "df", "cf", "doc_ids", "tfs",
+                 "block_last", "block_max_tf", "block_min_norm")
+
+    def __init__(self, term, df, cf, doc_ids, tfs,
+                 block_last, block_max_tf, block_min_norm):
+        self.term = term
+        self.df = df
+        self.cf = cf
+        self.doc_ids = doc_ids
+        self.tfs = tfs
+        self.block_last = block_last
+        self.block_max_tf = block_max_tf
+        self.block_min_norm = block_min_norm
+
+
+class SearchEngine:
+    """Read-side handle on a committed index directory.
+
+    Loads small state eagerly (stats, norms) and postings lazily per query —
+    the analogue of the reference's one-session-per-process Solr client
+    (``solrindexer/indexer.py:83-88``); in Ray pipelines one engine instance
+    lives per actor (built once in ``__init__``).
+    """
+
+    def __init__(self, index_dir: str):
+        self.index_dir = os.fspath(index_dir)
+        self.manifest = BuildManifest(index_dir)
+        if not self.manifest.is_committed():
+            # reference analogue: ping failure exits (solrindexer/cli.py:108-110)
+            raise FileNotFoundError(f"index at {index_dir} is not committed")
+        stats = self.manifest.read_stats()
+        self.stats = stats
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.k1 = float(stats["k1"])
+        self.b = float(stats["b"])
+        from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+
+        self.registry = AnalyzerRegistry(
+            stats.get("analyzer_default", "simple"),
+            overrides=stats.get("analyzer_lang_map") or {},
+        )
+        self._postings_ds = pads.dataset(os.path.join(self.index_dir, "postings"))
+        self._docs_ds = pads.dataset(os.path.join(self.index_dir, "docs"))
+        self._norms = None          # doc_id -> norm byte (dense)
+        self._tombstones = None     # set[int] or None
+        self._overlays = None       # doc_id -> {col: value}
+
+    # ------------------------------------------------------------------ #
+    # small state
+    # ------------------------------------------------------------------ #
+    @property
+    def norms(self) -> np.ndarray:
+        if self._norms is None:
+            t = self._docs_ds.to_table(columns=["doc_id", "norm"])
+            arr = np.zeros(self.n_docs, dtype=np.uint8)
+            arr[t["doc_id"].to_numpy()] = t["norm"].to_numpy()
+            self._norms = arr
+        return self._norms
+
+    @property
+    def tombstones(self) -> set:
+        if self._tombstones is None:
+            path = os.path.join(self.index_dir, "tombstones.parquet")
+            if os.path.exists(path):
+                import pyarrow.parquet as pq
+
+                self._tombstones = set(
+                    pq.read_table(path, columns=["doc_id"])["doc_id"].to_pylist()
+                )
+            else:
+                self._tombstones = set()
+        return self._tombstones
+
+    def invalidate_caches(self) -> None:
+        self._tombstones = None
+        self._overlays = None
+
+    # ------------------------------------------------------------------ #
+    # postings access
+    # ------------------------------------------------------------------ #
+    def lookup_postings(self, terms) -> dict:
+        """Fetch + decode postings for terms (predicate-pushdown read)."""
+        terms = sorted(set(terms))
+        if not terms:
+            return {}
+        tbl = self._postings_ds.to_table(
+            filter=pc.field("term").isin(terms)
+        )
+        by_term: dict = {}
+        for i in range(tbl.num_rows):
+            term = tbl["term"][i].as_py()
+            by_term.setdefault(term, []).append(
+                (
+                    tbl["range_id"][i].as_py(),
+                    decode_doc_ids(tbl["doc_ids"][i].as_py()),
+                    varint_decode(tbl["tfs"][i].as_py()).astype(np.int64),
+                    np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
+                    np.asarray(tbl["block_max_tf"][i].as_py(), dtype=np.int64),
+                    np.asarray(tbl["block_min_norm"][i].as_py(), dtype=np.int64),
+                )
+            )
+        out = {}
+        for term, rows in by_term.items():
+            rows.sort(key=lambda r: r[0])  # doc-range order -> global order
+            out[term] = TermPostings(
+                term,
+                df=int(sum(len(r[1]) for r in rows)),
+                cf=int(sum(int(r[2].sum()) for r in rows)),
+                doc_ids=np.concatenate([r[1] for r in rows]),
+                tfs=np.concatenate([r[2] for r in rows]),
+                block_last=np.concatenate([r[3] for r in rows]),
+                block_max_tf=np.concatenate([r[4] for r in rows]),
+                block_min_norm=np.concatenate([r[5] for r in rows]),
+            )
+        return out
+
+    # ------------------------------------------------------------------ #
+    # scoring
+    # ------------------------------------------------------------------ #
+    def idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _norm_factor(self, norm_bytes: np.ndarray) -> np.ndarray:
+        """K(d) = k1 * (1 - b + b * decoded_dl / avgdl) as float64."""
+        dl = DECODE_TABLE[norm_bytes]
+        return self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+
+    def _excluded_mask(self, parsed: ParsedQuery) -> np.ndarray | None:
+        """Boolean mask of docs excluded by filters/prohibitions/tombstones."""
+        mask = None
+
+        def ensure():
+            nonlocal mask
+            if mask is None:
+                mask = np.zeros(self.n_docs, dtype=bool)
+            return mask
+
+        if self.tombstones:
+            m = ensure()
+            m[np.fromiter(self.tombstones, dtype=np.int64)] = True
+        if parsed.prohibited:
+            for tp in self.lookup_postings(parsed.prohibited).values():
+                ensure()[tp.doc_ids] = True
+        if parsed.filters:
+            t = self._docs_ds.to_table(
+                columns=["doc_id"], filter=~self._filters_expr(parsed.filters)
+            )
+            ensure()[t["doc_id"].to_numpy()] = True
+        return mask
+
+    @staticmethod
+    def _filters_expr(filters: dict):
+        expr = None
+        for fld, val in filters.items():
+            e = pc.field(fld) == val
+            expr = e if expr is None else expr & e
+        return expr
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        fl=None,
+        method: str = "taat",
+    ) -> pa.Table:
+        """Top-k BM25 search; returns a table of stored fields + score.
+
+        ``k=10`` mirrors Solr's default ``rows=10``; ``fl`` mirrors the
+        field-projection parameter (``solrindexer/search.py:129-140``).
+        """
+        parsed = parse_query(query, self.registry.analyzer_for(None))
+        postings = self.lookup_postings(parsed.terms)
+        excluded = self._excluded_mask(parsed)
+
+        if not parsed.terms:
+            # pure-filter query: filter match, score 0, doc_id order
+            hits = self._match_all(parsed, excluded, k)
+        elif method == "bmw":
+            hits = self._score_bmw(parsed, postings, excluded, k)
+        else:
+            hits = self._score_taat(parsed, postings, excluded, k)
+
+        return self._resolve(hits, fl)
+
+    def _match_all(self, parsed, excluded, k):
+        expr = self._filters_expr(parsed.filters) if parsed.filters else None
+        t = self._docs_ds.to_table(columns=["doc_id"], filter=expr)
+        ids = np.sort(t["doc_id"].to_numpy())
+        if excluded is not None:
+            ids = ids[~excluded[ids]]
+        return [(int(i), 0.0) for i in ids[:k]]
+
+    def _score_taat(self, parsed, postings, excluded, k):
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        seen = np.zeros(self.n_docs, dtype=np.int32)
+        n_terms = 0
+        for term in sorted(postings):  # ascending-term order: pinned float order
+            tp = postings[term]
+            w = self.idf(tp.df)
+            K = self._norm_factor(self.norms[tp.doc_ids])
+            scores[tp.doc_ids] += w * (tp.tfs / (tp.tfs + K))
+            seen[tp.doc_ids] += 1
+            n_terms += 1
+        if n_terms == 0:
+            return []
+        required = n_terms if parsed.conjunctive else 1
+        cand = np.flatnonzero(seen >= required)
+        if excluded is not None:
+            cand = cand[~excluded[cand]]
+        if cand.size == 0:
+            return []
+        s = scores[cand]
+        if cand.size > k:
+            # exact top-k with (-score, doc_id) tie-break: find the k-th
+            # score, keep everything >= it (so boundary ties are resolved by
+            # doc_id, not by argpartition's arbitrary choice), then lexsort
+            kth = -np.partition(-s, k - 1)[k - 1]
+            idx = np.flatnonzero(s >= kth)
+            order = np.lexsort((cand[idx], -s[idx]))[:k]
+            sel = idx[order]
+        else:
+            sel = np.lexsort((cand, -s))
+        return [(int(cand[i]), float(s[i])) for i in sel]
+
+    # -- Block-Max WAND ------------------------------------------------- #
+    def _score_bmw(self, parsed, postings, excluded, k):
+        if not postings:
+            return []
+        terms = sorted(postings)
+        iters = []
+        for t in terms:
+            tp = postings[t]
+            w = self.idf(tp.df)
+            iters.append(_BMWIter(tp, w, self))
+        required = len(terms) if parsed.conjunctive else 1
+
+        heap: list = []  # (score, -doc_id) min-heap of top-k
+        theta = -math.inf
+
+        while True:
+            live = [it for it in iters if not it.exhausted]
+            if len(live) < required:
+                break
+            live.sort(key=lambda it: it.current)
+            # WAND pivot: smallest prefix whose global UB sum exceeds theta
+            acc = 0.0
+            pivot_idx = None
+            for i, it in enumerate(live):
+                # >= so exact-tie candidates still get scored (doc-id
+                # tie-break could admit them into the heap)
+                acc += it.global_ub
+                if acc >= theta and i + 1 >= required:
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break
+            pivot_doc = live[pivot_idx].current
+
+            if live[0].current == pivot_doc:
+                # block-max refinement
+                block_ub = sum(
+                    it.block_ub(pivot_doc)
+                    for it in live
+                    if it.current <= pivot_doc
+                )
+                if block_ub >= theta:
+                    score = 0.0
+                    nmatch = 0
+                    for it in iters:  # ascending-term order: pinned float order
+                        if not it.exhausted and it.current == pivot_doc:
+                            score += it.score_current()
+                            nmatch += 1
+                    ok = nmatch >= required and (
+                        excluded is None or not excluded[pivot_doc]
+                    )
+                    if ok:
+                        item = (score, -pivot_doc)
+                        if len(heap) < k:
+                            heapq.heappush(heap, item)
+                            if len(heap) == k:
+                                theta = heap[0][0]
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
+                            theta = heap[0][0]
+                for it in live:
+                    if it.current == pivot_doc:
+                        it.advance()
+            else:
+                # skip the lagging iterators up to the pivot
+                for it in live[:pivot_idx]:
+                    it.advance_to(pivot_doc)
+
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(int(-nd), float(s)) for s, nd in out]
+
+    # ------------------------------------------------------------------ #
+    # resolution / projection (reference: fl field lists, realtime get)
+    # ------------------------------------------------------------------ #
+    def _resolve(self, hits, fl=None) -> pa.Table:
+        fl = list(fl) if fl else STORED_FIELDS
+        ids = [d for d, _ in hits]
+        scores = {d: s for d, s in hits}
+        cols = sorted(set(fl) | {"doc_id"})
+        if not ids:
+            t = self._docs_ds.to_table(columns=cols,
+                                       filter=pc.field("doc_id") == -1)
+            return t.append_column("score", pa.array([], pa.float64())).select(
+                [*fl, "score"]
+            )
+        t = self._docs_ds.to_table(
+            columns=cols, filter=pc.field("doc_id").isin(ids)
+        )
+        # restore ranking order
+        pos = {d: i for i, d in enumerate(ids)}
+        order = np.argsort([pos[d] for d in t["doc_id"].to_pylist()])
+        t = t.take(order)
+        t = t.append_column(
+            "score", pa.array([scores[d] for d in t["doc_id"].to_pylist()])
+        )
+        t = self._apply_overlays(t)
+        return t.select([*fl, "score"])
+
+    def _apply_overlays(self, t: pa.Table) -> pa.Table:
+        overlays = self._load_overlays()
+        if not overlays:
+            return t
+        extra_cols: dict = {}
+        for did in t["doc_id"].to_pylist():
+            for col, val in overlays.get(did, {}).items():
+                extra_cols.setdefault(col, {})[did] = val
+        for col, vals in extra_cols.items():
+            arr = [vals.get(d) for d in t["doc_id"].to_pylist()]
+            if col in t.column_names:
+                t = t.drop_columns([col])
+            t = t.append_column(col, pa.array(arr))
+        return t
+
+    def _load_overlays(self) -> dict:
+        if self._overlays is None:
+            path = os.path.join(self.index_dir, "overlays.parquet")
+            self._overlays = {}
+            if os.path.exists(path):
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(path)
+                for row in t.to_pylist():
+                    self._overlays.setdefault(row["doc_id"], {})[row["column"]] = (
+                        row["value"]
+                    )
+        return self._overlays
+
+    def get(self, doc_id: int, fl=None) -> dict | None:
+        """Realtime-get analogue (``solrindexer/tools.py:68-85``): point
+        lookup via parquet predicate pushdown on the docs table."""
+        if doc_id in self.tombstones:
+            return None
+        t = self._docs_ds.to_table(filter=pc.field("doc_id") == doc_id)
+        if t.num_rows == 0:
+            return None
+        t = self._apply_overlays(t)
+        row = t.to_pylist()[0]
+        if fl:
+            row = {k: v for k, v in row.items() if k in fl}
+        return row
+
+    def count(self) -> int:
+        """Live doc count (reference: ``get_status`` doc counts)."""
+        return self.n_docs - len(self.tombstones)
+
+    def status(self) -> dict:
+        st = self.manifest.status()
+        st["live_docs"] = self.count()
+        st["deleted_docs"] = len(self.tombstones)
+        return st
+
+
+class _BMWIter:
+    """Posting-list cursor with block-max skipping for one term."""
+
+    __slots__ = ("tp", "w", "eng", "pos", "n", "exhausted", "_global_ub")
+
+    def __init__(self, tp: TermPostings, w: float, eng: SearchEngine):
+        self.tp = tp
+        self.w = w
+        self.eng = eng
+        self.pos = 0
+        self.n = tp.doc_ids.size
+        self.exhausted = self.n == 0
+        # global upper bound: max over blocks of the block bound
+        ub = 0.0
+        for btf, bnorm in zip(tp.block_max_tf, tp.block_min_norm):
+            ub = max(ub, self._impact_bound(int(btf), int(bnorm)))
+        self._global_ub = w * ub
+
+    def _impact_bound(self, max_tf: int, min_norm: int) -> float:
+        dl = float(DECODE_TABLE[min_norm])
+        K = self.eng.k1 * (1.0 - self.eng.b + self.eng.b * dl / self.eng.avgdl)
+        return max_tf / (max_tf + K)
+
+    @property
+    def current(self) -> int:
+        return int(self.tp.doc_ids[self.pos])
+
+    @property
+    def global_ub(self) -> float:
+        return self._global_ub
+
+    def block_ub(self, doc: int) -> float:
+        """Upper bound of the block containing/after ``doc`` for this term."""
+        bi = int(np.searchsorted(self.tp.block_last, doc))
+        if bi >= self.tp.block_last.size:
+            return 0.0
+        return self.w * self._impact_bound(
+            int(self.tp.block_max_tf[bi]), int(self.tp.block_min_norm[bi])
+        )
+
+    def score_current(self) -> float:
+        tf = float(self.tp.tfs[self.pos])
+        norm = self.eng.norms[self.current]
+        dl = float(DECODE_TABLE[norm])
+        K = self.eng.k1 * (1.0 - self.eng.b + self.eng.b * dl / self.eng.avgdl)
+        return self.w * (tf / (tf + K))
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= self.n:
+            self.exhausted = True
+
+    def advance_to(self, doc: int) -> None:
+        self.pos = int(
+            np.searchsorted(self.tp.doc_ids, doc, side="left")
+        )
+        if self.pos >= self.n:
+            self.exhausted = True

@@ -1,0 +1,113 @@
+"""Per-partition checkpoint manifest with lineage + metrics.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics".  The reference has **no** checkpointing (a crashed run
+restarts from scratch; SURVEY.md §4) — its closest precedents are Solr's
+idempotent upsert-by-id and the vocabulary disk cache
+(``/root/reference/solrindexer/vocabulary.py:345-394``).
+
+Design: one JSON file per completed build unit under
+``<index>/_manifest/unit-NNNNNN.json``, written atomically (tmp + rename).
+An entry records lineage (input file, row group, row counts, content
+digest) and metrics (wall seconds, token counts).  Resume = skip units whose
+manifest entry exists and whose outputs exist.  The final ``commit`` — the
+analogue of the reference's explicit Solr hard commit
+(``solrindexer/mmd.py:1303-1304``) — atomically publishes ``stats.json``,
+which is what marks the index readable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class BuildManifest:
+    """Manifest directory handle for one index build."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = os.fspath(index_dir)
+        self.manifest_dir = os.path.join(self.index_dir, "_manifest")
+
+    # -- layout ------------------------------------------------------------
+    def unit_entry_path(self, unit_id: int) -> str:
+        return os.path.join(self.manifest_dir, f"unit-{unit_id:06d}.json")
+
+    @property
+    def stats_path(self) -> str:
+        return os.path.join(self.index_dir, "stats.json")
+
+    def ensure_dirs(self) -> None:
+        for sub in ("_manifest", "docs", "postings_raw"):
+            os.makedirs(os.path.join(self.index_dir, sub), exist_ok=True)
+
+    # -- unit entries ------------------------------------------------------
+    def unit_complete(self, unit_id: int) -> bool:
+        path = self.unit_entry_path(unit_id)
+        if not os.path.exists(path):
+            return False
+        try:
+            entry = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            return False
+        return all(
+            os.path.exists(os.path.join(self.index_dir, out))
+            for out in entry.get("outputs", [])
+        )
+
+    def read_unit(self, unit_id: int) -> dict:
+        return json.load(open(self.unit_entry_path(unit_id)))
+
+    def write_unit(self, unit_id: int, entry: dict) -> None:
+        entry = dict(entry, unit_id=unit_id, written_at=time.time())
+        _atomic_write_json(self.unit_entry_path(unit_id), entry)
+
+    def read_all_units(self) -> list:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("unit-") and name.endswith(".json"):
+                try:
+                    out.append(json.load(open(os.path.join(self.manifest_dir, name))))
+                except (json.JSONDecodeError, OSError):
+                    continue
+        return out
+
+    # -- publish / status --------------------------------------------------
+    def commit(self, stats: dict) -> None:
+        """Atomic publish: the index is readable iff stats.json exists."""
+        _atomic_write_json(self.stats_path, dict(stats, committed_at=time.time()))
+
+    def is_committed(self) -> bool:
+        """Reference analogue: ``ping`` (``solrindexer/mmd.py:1289-1300``)."""
+        return os.path.exists(self.stats_path)
+
+    def read_stats(self) -> dict:
+        return json.load(open(self.stats_path))
+
+    def status(self) -> dict:
+        """Index health summary (reference: ``get_status``,
+        ``solrindexer/mmd.py:1306-1332``)."""
+        units = self.read_all_units()
+        stats = self.read_stats() if self.is_committed() else {}
+        return {
+            "committed": self.is_committed(),
+            "units_complete": len(units),
+            "n_docs": stats.get("n_docs"),
+            "n_terms": stats.get("n_terms"),
+            "avgdl": stats.get("avgdl"),
+            "wall_s_total": round(
+                sum(u.get("metrics", {}).get("wall_s", 0.0) for u in units), 3
+            ),
+        }

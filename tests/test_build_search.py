@@ -1,0 +1,145 @@
+"""End-to-end: index build over the synthetic corpus + BM25 search,
+verified rank-identical against the brute-force Lucene-faithful oracle."""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+from solr_indexer_ray.pipelines.search import SearchEngine
+
+QUERIES = [
+    # stop-word-heavy (df ~ N) — exercises salting/skew machinery
+    "def",
+    "the",
+    # multi-term OR
+    "parse index query",
+    # code sub-token (only produced by the code analyzer)
+    "buffer merge",
+    # fielded filter + terms
+    "lang:python def return",
+    "repo:org0/proj0 index",
+    # conjunction
+    "index AND merge",
+    # negation
+    "index -merge",
+    # zero-hit
+    "zzzzqqqq",
+    # pure filter
+    "lang:go",
+]
+
+
+@pytest.fixture(scope="module")
+def engine(built_index):
+    index_dir, _ = built_index
+    return SearchEngine(index_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle(small_corpus):
+    import pyarrow as pa
+
+    corpus = small_corpus.append_column(
+        "doc_id", pa.array(range(small_corpus.num_rows), pa.int64())
+    )
+    return BruteForceBM25(corpus)
+
+
+class TestBuildArtifacts:
+    def test_stats(self, built_index, small_corpus, oracle):
+        _, stats = built_index
+        assert stats["n_docs"] == small_corpus.num_rows
+        assert stats["sum_dl"] == oracle.sum_dl
+        assert stats["avgdl"] == pytest.approx(oracle.avgdl)
+
+    def test_docs_table_sha256_invariant(self, built_index, small_corpus):
+        """Per-row integrity: sha256(content) in the docs table equals an
+        independently computed hash (BASELINE.json input_hint)."""
+        index_dir, _ = built_index
+        docs = (
+            pads.dataset(os.path.join(index_dir, "docs"))
+            .to_table()
+            .sort_by("doc_id")
+        )
+        contents = small_corpus["content"].to_pylist()
+        shas = docs["sha256"].to_pylist()
+        ids = docs["doc_id"].to_pylist()
+        assert ids == list(range(small_corpus.num_rows))
+        for i in (0, 1, 7, 42, len(contents) - 1):
+            expect = hashlib.sha256(contents[i].encode()).hexdigest()
+            assert shas[i] == expect
+
+    def test_doc_ids_deterministic_and_dense(self, built_index):
+        index_dir, stats = built_index
+        docs = pads.dataset(os.path.join(index_dir, "docs")).to_table()
+        ids = np.sort(docs["doc_id"].to_numpy())
+        assert (ids == np.arange(stats["n_docs"])).all()
+
+    def test_postings_df_matches_oracle(self, engine, oracle):
+        for term in ["def", "the", "index", "merge", "nonexistenttoken"]:
+            tp = engine.lookup_postings([term]).get(term)
+            df = tp.df if tp else 0
+            assert df == oracle.df.get(term, 0), term
+
+    def test_posting_lists_sorted(self, engine):
+        for term, tp in engine.lookup_postings(["def", "index"]).items():
+            assert (np.diff(tp.doc_ids) > 0).all(), term
+
+
+class TestRankIdentity:
+    """Engine top-k must be rank-identical (ids AND float64 scores) to the
+    brute-force oracle — the core north-rule correctness gate."""
+
+    @pytest.mark.parametrize("query", QUERIES)
+    @pytest.mark.parametrize("k", [10, 100])
+    def test_taat_vs_oracle(self, engine, oracle, query, k):
+        got = engine.search(query, k=k, fl=["doc_id"], method="taat")
+        expect = oracle.search(query, k=k)
+        got_pairs = list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist()))
+        assert [d for d, _ in got_pairs] == [d for d, _ in expect], query
+        for (gd, gs), (ed, es) in zip(got_pairs, expect):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (query, gd)
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_bmw_vs_taat(self, engine, query):
+        a = engine.search(query, k=10, fl=["doc_id"], method="taat")
+        b = engine.search(query, k=10, fl=["doc_id"], method="bmw")
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), query
+        assert a["score"].to_pylist() == pytest.approx(
+            b["score"].to_pylist()
+        ), query
+
+    def test_tie_break_by_doc_id(self, engine, oracle):
+        """Docs with identical content tie on score -> ascending doc_id."""
+        got = engine.search("def parse", k=300, fl=["doc_id"])
+        scores = got["score"].to_pylist()
+        ids = got["doc_id"].to_pylist()
+        for i in range(1, len(scores)):
+            if scores[i] == scores[i - 1]:
+                assert ids[i] > ids[i - 1]
+
+
+class TestSearchAPI:
+    def test_default_k_is_10(self, engine):
+        assert engine.search("def").num_rows <= 10
+
+    def test_fl_projection(self, engine):
+        t = engine.search("def", fl=["doc_id", "repo", "path"])
+        assert t.column_names == ["doc_id", "repo", "path", "score"]
+
+    def test_realtime_get(self, engine):
+        row = engine.get(0)
+        assert row["doc_id"] == 0
+        assert len(row["sha256"]) == 64
+        assert engine.get(10**9) is None
+
+    def test_count_and_status(self, engine, built_index):
+        _, stats = built_index
+        assert engine.count() == stats["n_docs"]
+        st = engine.status()
+        assert st["committed"] is True
+        assert st["live_docs"] == stats["n_docs"]
