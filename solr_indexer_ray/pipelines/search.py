@@ -398,10 +398,12 @@ class SearchEngine:
             if os.path.exists(path):
                 import pyarrow.parquet as pq
 
+                import json
+
                 t = pq.read_table(path)
-                for row in t.to_pylist():
+                for row in t.to_pylist():  # later rows win (append order)
                     self._overlays.setdefault(row["doc_id"], {})[row["column"]] = (
-                        row["value"]
+                        json.loads(row["value"])
                     )
         return self._overlays
 

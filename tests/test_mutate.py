@@ -1,0 +1,149 @@
+"""Mutations: tombstone deletes, overlays/parent flags, upsert dedup.
+
+These tests build their own small index (module-scoped) because they mutate
+it — the session-scoped ``built_index`` stays pristine for search tests.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.pipelines import mutate
+from solr_indexer_ray.pipelines.build import build_index
+from solr_indexer_ray.pipelines.search import SearchEngine
+
+
+@pytest.fixture()
+def mut_index(small_corpus_path, built_index, tmp_path):
+    """Copy of the session index, safe to mutate per-test."""
+    src, stats = built_index
+    dst = str(tmp_path / "idx")
+    shutil.copytree(src, dst)
+    return dst, stats
+
+
+class TestDelete:
+    def test_delete_by_id(self, mut_index):
+        index_dir, stats = mut_index
+        res = mutate.delete_by_id(index_dir, [0, 1, 10**9])
+        assert res["deleted"] == [0, 1]
+        assert res["missing"] == [10**9]
+        eng = SearchEngine(index_dir)
+        assert eng.get(0) is None
+        assert eng.count() == stats["n_docs"] - 2
+        # deleted docs never surface in search results
+        t = eng.search("def the index", k=stats["n_docs"], fl=["doc_id"])
+        assert 0 not in t["doc_id"].to_pylist()
+        # idempotent
+        res2 = mutate.delete_by_id(index_dir, [0])
+        assert res2["already_deleted"] == [0]
+
+    def test_delete_by_query(self, mut_index):
+        index_dir, stats = mut_index
+        eng = SearchEngine(index_dir)
+        n_go = len(mutate.match_ids(eng, "lang:go"))
+        assert n_go > 0
+        res = mutate.delete_by_query(index_dir, "lang:go")
+        assert res["deleted"] == n_go
+        eng2 = SearchEngine(index_dir)
+        assert len(mutate.match_ids(eng2, "lang:go")) == 0
+        assert eng2.count() == stats["n_docs"] - n_go
+
+
+class TestParentFlags:
+    def test_mark_parents(self, mut_index, small_corpus):
+        index_dir, _ = mut_index
+        repo = small_corpus["repo"][0].as_py()
+        path = small_corpus["path"][0].as_py()
+        res = mutate.mark_parents(
+            index_dir, [(repo, path), ("nosuch/repo", "nope.py")]
+        )
+        assert res["flagged"] >= 1
+        assert res["unresolved"] == [("nosuch/repo", "nope.py")]
+        eng = SearchEngine(index_dir)
+        flagged_doc = [
+            d for d, o in eng._load_overlays().items()
+            if o.get("isParent") is True
+        ]
+        row = eng.get(flagged_doc[0])
+        assert row["isParent"] is True
+        # second pass: already flagged, no new overlay
+        res2 = mutate.mark_parents(index_dir, [(repo, path)])
+        assert res2["flagged"] == 0
+        assert res2["already_flagged"] >= 1
+
+
+class TestUpsert:
+    def test_last_write_wins(self, mut_index, small_corpus):
+        index_dir, _ = mut_index
+        # the synthetic corpus contains duplicate (repo, path) edge rows
+        res = mutate.apply_upsert_semantics(index_dir)
+        assert res["shadowed"] >= 1
+        eng = SearchEngine(index_dir)
+        # for every (repo,path) key only the max doc_id survives
+        import pyarrow.dataset as pads
+
+        docs = pads.dataset(os.path.join(index_dir, "docs")).to_table(
+            columns=["doc_id", "repo", "path"]
+        )
+        latest = {}
+        for d, r, p in zip(
+            docs["doc_id"].to_pylist(),
+            docs["repo"].to_pylist(),
+            docs["path"].to_pylist(),
+        ):
+            latest[(r, p)] = max(latest.get((r, p), -1), d)
+        for d, r, p in zip(
+            docs["doc_id"].to_pylist(),
+            docs["repo"].to_pylist(),
+            docs["path"].to_pylist(),
+        ):
+            if d != latest[(r, p)]:
+                assert d in eng.tombstones
+
+
+class TestResume:
+    def test_interrupted_build_resumes(self, small_corpus_path, tmp_path):
+        """Kill-mid-build simulation: first build, then destroy stage-2
+        output + some stage-1 units; rebuild must redo only the damage and
+        produce an identical index (north rule: checkpoint/resume)."""
+        index_dir = str(tmp_path / "idx")
+        config = IndexConfig(docs_per_range=128, block_size=16, concurrency=2)
+        stats1 = build_index(small_corpus_path, index_dir, config=config)
+        eng = SearchEngine(index_dir)
+        before = eng.search("def index merge", k=20, fl=["doc_id"])
+
+        # simulate interruption: stats (commit marker) + postings gone,
+        # one unit's outputs and manifest entry gone
+        os.remove(os.path.join(index_dir, "stats.json"))
+        shutil.rmtree(os.path.join(index_dir, "postings"))
+        os.remove(os.path.join(index_dir, "docs", "part-000000.parquet"))
+        os.remove(os.path.join(index_dir, "_manifest", "unit-000000.json"))
+
+        kept_unit = os.path.join(index_dir, "docs", "part-000001.parquet")
+        mtime_before = os.path.getmtime(kept_unit)
+
+        stats2 = build_index(small_corpus_path, index_dir, config=config)
+        # untouched units were skipped, not recomputed
+        assert os.path.getmtime(kept_unit) == mtime_before
+        for key in ("n_docs", "sum_dl", "avgdl", "n_term_rows"):
+            assert stats1[key] == stats2[key], key
+
+        eng2 = SearchEngine(index_dir)
+        after = eng2.search("def index merge", k=20, fl=["doc_id"])
+        assert before["doc_id"].to_pylist() == after["doc_id"].to_pylist()
+        assert before["score"].to_pylist() == after["score"].to_pylist()
+
+    def test_missing_output_invalidates_unit(self, small_corpus_path, tmp_path):
+        """A manifest entry whose outputs vanished is not 'complete'."""
+        from solr_indexer_ray.state.manifest import BuildManifest
+
+        index_dir = str(tmp_path / "idx")
+        config = IndexConfig(docs_per_range=128, block_size=16, concurrency=2)
+        build_index(small_corpus_path, index_dir, config=config)
+        m = BuildManifest(index_dir)
+        assert m.unit_complete(0)
+        os.remove(os.path.join(index_dir, "postings_raw", "part-000000.parquet"))
+        assert not m.unit_complete(0)
