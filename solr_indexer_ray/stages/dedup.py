@@ -1,0 +1,435 @@
+"""Deduplication operators over a document Dataset.
+
+Five dedup modes, each expressed Ray-Data-first (hash-partitioned groupbys,
+broadcast small sides, no driver-side row loops on the large input):
+
+- :func:`exact_dedup`           sha256(content) hash-partition + first-wins
+- :func:`ngram_jaccard_pairs`   exact n-gram Jaccard via shingle equi-join
+- :func:`minhash_lsh_pairs`     shingle→minhash→band→bucket groupby
+- :func:`simhash_pairs`         simhash + banded buckets + hamming verify
+- :func:`embedding_dup_pairs`   cosine near-dup via broadcast matrix
+
+Reference precedent: exact identity dedup exists only as Solr upsert-by-id
+(SURVEY.md §2.8); the content-level modes are the training-data extensions
+the north brief requires.  All hashing primitives are in
+:mod:`solr_indexer_ray.functions.hashing` (deterministic, seeded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from solr_indexer_ray.functions.hashing import (
+    band_keys,
+    hamming64,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    sha256_hex,
+    shingle_hashes,
+    simhash64,
+    simhash_band_keys,
+)
+from solr_indexer_ray.functions.tokenize import simple_analyzer
+
+PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("similarity", pa.float64())]
+)
+
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Survivors of exact-content dedup: min id per sha256(content).
+
+    hash-partition by content hash (``groupby`` shuffle) + per-group
+    first-wins; returns a Dataset of (sha256, doc_id) survivors.
+    """
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [sha256_hex(t) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {"sha256": pa.array(hashes, pa.string()), id_col: batch[id_col]}
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        return pa.table(
+            {
+                "sha256": group["sha256"][:1],
+                id_col: pa.array([int(ids.min())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("sha256")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------- #
+# shingle explode (shared by jaccard + minhash verify)
+# --------------------------------------------------------------------- #
+class _ShingleExploder:
+    """doc rows -> (shingle_hash, doc_id, n_shingles) rows."""
+
+    def __init__(self, text_col: str, id_col: str, n: int):
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh_out, id_out, cnt_out = [], [], []
+        for text, did in zip(
+            batch[self.text_col].to_pylist(), batch[self.id_col].to_pylist()
+        ):
+            sh = shingle_hashes(simple_analyzer(text or ""), self.n)
+            sh_out.append(sh.astype(np.int64))
+            id_out.append(np.full(sh.size, did, dtype=np.int64))
+            cnt_out.append(np.full(sh.size, sh.size, dtype=np.int64))
+        if not sh_out:
+            sh_all = np.empty(0, np.int64)
+            id_all = cnt_all = sh_all
+        else:
+            sh_all = np.concatenate(sh_out)
+            id_all = np.concatenate(id_out)
+            cnt_all = np.concatenate(cnt_out)
+        return pa.table(
+            {
+                "shingle": pa.array(sh_all, pa.int64()),
+                "doc_id": pa.array(id_all, pa.int64()),
+                "n_shingles": pa.array(cnt_all, pa.int64()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    hot_shingle_cap: int | None = None,
+):
+    """EXACT n-gram Jaccard near-dup pairs via shingle equi-join.
+
+    No LSH approximation: docs sharing >=1 shingle become candidate pairs
+    (``groupby(shingle)``), pair intersection counts come from a second
+    grouped count, and union sizes from the carried per-doc shingle counts —
+    so the result is exactly ``{(a,b): J(a,b) >= threshold}``.  This is the
+    oracle-checkable dedup mode (the SQL oracle runs the same equi-join).
+
+    ``hot_shingle_cap``: at scale, shingles appearing in more than this many
+    docs can be skipped (they generate O(df²) candidate pairs while adding
+    only common-boilerplate evidence) — documented approximation, default
+    off so small-scale results stay exact.
+    """
+    exploded = ds.map_batches(
+        _ShingleExploder,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy())
+        counts = dict(
+            zip(group["doc_id"].to_pylist(), group["n_shingles"].to_pylist())
+        )
+        if ids.size < 2 or (
+            hot_shingle_cap is not None and ids.size > hot_shingle_cap
+        ):
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "n_a": pa.array([], pa.int64()),
+                 "n_b": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia], pa.int64()),
+                "id_b": pa.array(ids[ib], pa.int64()),
+                "n_a": pa.array([counts[int(i)] for i in ids[ia]], pa.int64()),
+                "n_b": pa.array([counts[int(i)] for i in ids[ib]], pa.int64()),
+            }
+        )
+
+    candidate_pairs = exploded.groupby("shingle").map_groups(
+        pairs_in_group, batch_format="pyarrow"
+    )
+
+    def score_pairs(group: pa.Table) -> pa.Table:
+        inter = group.num_rows  # one row per shared shingle
+        n_a = group["n_a"][0].as_py()
+        n_b = group["n_b"][0].as_py()
+        union = n_a + n_b - inter
+        sim = inter / union if union else 1.0
+        if sim < threshold:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "similarity": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "id_a": group["id_a"][:1],
+                "id_b": group["id_b"][:1],
+                "similarity": pa.array([sim], pa.float64()),
+            }
+        )
+
+    return candidate_pairs.groupby(["id_a", "id_b"]).map_groups(
+        score_pairs, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------- #
+class _MinHasher:
+    """doc rows -> (band_key, doc_id) rows; permutation params built once
+    per actor (stateful stage, SURVEY.md ST2 pattern)."""
+
+    def __init__(self, text_col, id_col, n, num_perm, bands, seed):
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self.bands = bands
+        self.a, self.b = minhash_params(num_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, ids = [], []
+        for text, did in zip(
+            batch[self.text_col].to_pylist(), batch[self.id_col].to_pylist()
+        ):
+            sh = shingle_hashes(simple_analyzer(text or ""), self.n)
+            sig = minhash_signature(sh, self.a, self.b)
+            for key in band_keys(sig, self.bands):
+                keys.append(key)
+                ids.append(did)
+        return pa.table(
+            {"band_key": pa.array(keys, pa.string()),
+             "doc_id": pa.array(ids, pa.int64())}
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+):
+    """MinHash+LSH near-dup candidates with exact-Jaccard verification.
+
+    shingle→minhash→band→bucket ``groupby(band_key)`` produces candidate
+    pairs; each candidate is then verified with exact Jaccard computed from
+    a second shingle pass over just the candidate docs (broadcast of the
+    candidate id set — tiny next to the corpus).  Returns verified pairs
+    ``(id_a, id_b, similarity >= threshold)``.  Unlike
+    :func:`ngram_jaccard_pairs` this can miss pairs (LSH recall < 1), but
+    candidate generation is O(docs), not O(shared-shingle df²) — the scale
+    path.  Band/row choice: P(candidate) = 1-(1-J^r)^b with r=num_perm/bands.
+    """
+    hashed = ds.map_batches(
+        _MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col, "id_col": id_col, "n": n,
+            "num_perm": num_perm, "bands": bands, "seed": 1,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {"id_a": pa.array(ids[ia], pa.int64()),
+             "id_b": pa.array(ids[ib], pa.int64())}
+        )
+
+    cand = (
+        hashed.groupby("band_key")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    cand_rows = cand.take_all()  # candidate set: small by construction
+    if not cand_rows:
+        return pa.Table.from_pylist([], schema=PAIR_SCHEMA)
+
+    need_ids = sorted({r["id_a"] for r in cand_rows} | {r["id_b"] for r in cand_rows})
+
+    # exact-verify pass over candidate docs only (broadcast id set filter)
+    import pyarrow.compute as pc
+
+    shingle_sets = {}
+    need_arr = pa.array(need_ids, pa.int64())
+    cand_ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=need_arr)),
+        batch_format="pyarrow",
+    )
+    for batch in cand_ds.iter_batches(batch_format="pyarrow"):
+        for text, did in zip(
+            batch[text_col].to_pylist(), batch[id_col].to_pylist()
+        ):
+            shingle_sets[did] = set(
+                shingle_hashes(simple_analyzer(text or ""), n).tolist()
+            )
+
+    out = []
+    for r in cand_rows:
+        sim = jaccard(shingle_sets[r["id_a"]], shingle_sets[r["id_b"]])
+        if sim >= threshold:
+            out.append(
+                {"id_a": r["id_a"], "id_b": r["id_b"], "similarity": sim}
+            )
+    out.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.Table.from_pylist(out, schema=PAIR_SCHEMA)
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+class _SimHasher:
+    def __init__(self, text_col, id_col, bands):
+        self.text_col, self.id_col, self.bands = text_col, id_col, bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, ids, sigs = [], [], []
+        for text, did in zip(
+            batch[self.text_col].to_pylist(), batch[self.id_col].to_pylist()
+        ):
+            toks = simple_analyzer(text or "")
+            counts: dict = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            sig = simhash64(counts)
+            for key in simhash_band_keys(sig, self.bands):
+                keys.append(key)
+                ids.append(did)
+                sigs.append(sig - (1 << 63))  # store as signed int64
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.int64()),
+            }
+        )
+
+
+def simhash_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+):
+    """SimHash near-dup pairs: banded bucket groupby + hamming verification.
+
+    Pigeonhole guarantee: any pair within hamming distance < ``bands``
+    shares at least one band bucket, so recall is exact for
+    ``max_hamming < bands``.
+    """
+    hashed = ds.map_batches(
+        _SimHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col, "id_col": id_col, "bands": bands,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        sigs = group["sig"].to_numpy()
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        uniq, first = np.unique(ids, return_index=True)
+        sigs = sigs[first]
+        out_a, out_b, out_s = [], [], []
+        for i in range(uniq.size):
+            for j in range(i + 1, uniq.size):
+                d = hamming64(
+                    int(sigs[i]) + (1 << 63), int(sigs[j]) + (1 << 63)
+                )
+                if d <= max_hamming:
+                    out_a.append(int(uniq[i]))
+                    out_b.append(int(uniq[j]))
+                    out_s.append(1.0 - d / 64.0)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "similarity": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return (
+        hashed.groupby("band_key")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------- #
+# embedding cosine near-dup
+# --------------------------------------------------------------------- #
+def embedding_dup_pairs(
+    embeddings_ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+):
+    """Cosine near-dup pairs over an embedding column.
+
+    Pattern: materialize the (small: N×dim float32) embedding matrix ONCE,
+    broadcast it via ``ray.put``, then fan the O(N²) similarity work out as
+    ``map_batches`` over row chunks — each task matmuls its chunk against
+    the broadcast matrix (O(N²/P) per task), emitting only pairs with
+    ``id_a < id_b`` and cosine >= threshold.  At corpus scale the broadcast
+    side becomes an LSH/IVF-bucketed index (see stages.ann) — same stage
+    shape, different candidate generation.
+    """
+    import ray
+
+    rows = embeddings_ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    ref = ray.put((ids, unit))
+
+    def chunk_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_unit = ray.get(ref)
+        pos = {int(v): i for i, v in enumerate(all_ids)}
+        rows_idx = np.array([pos[int(v)] for v in batch[id_col].to_pylist()])
+        sims = all_unit[rows_idx] @ all_unit.T  # (chunk, N)
+        out_a, out_b, out_s = [], [], []
+        for r, gi in enumerate(rows_idx):
+            mask = sims[r] >= threshold
+            for gj in np.flatnonzero(mask):
+                if all_ids[gi] < all_ids[gj]:
+                    out_a.append(int(all_ids[gi]))
+                    out_b.append(int(all_ids[gj]))
+                    out_s.append(float(sims[r, gj]))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "similarity": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return embeddings_ds.select_columns([id_col]).map_batches(
+        chunk_pairs, batch_format="pyarrow", batch_size=256
+    )

@@ -1,0 +1,173 @@
+"""Validation stage + errors dataset + failure analytics.
+
+Reference analogues:
+
+- ``check_mmd`` required-element + controlled-vocabulary validation
+  (``/root/reference/solrindexer/mmd.py:273-336`` M1) and the ``mmd2solr``
+  post-checks (``solrindexer/indexer.py:132-389`` M23): warn-don't-block
+  semantics, suppressed parse errors, invalid rows routed to a failure
+  tracker rather than raised.
+- FailureTracker side-channel + analytics
+  (``solrindexer/failure_tracker.py:29-47, 109-171``): here the errors are
+  **data** — a status column produced by the same ``map_batches`` pass,
+  split into an errors Dataset (no shared mutable object, SURVEY.md §1.3).
+- exit-code contract (``solrindexer/cli.py:270-276``): 0 all ok / 3 partial
+  failures / 1 everything failed.
+
+Checks transposed onto the corpus schema (FIXTURES.md §1 negative corpus):
+
+==============  =========  ==========================================
+stage           severity   predicate
+==============  =========  ==========================================
+required        fail       repo/path/commit non-empty
+id-format       fail       commit is 40-char lowercase hex
+empty-content   fail       content has at least one analyzable token
+vocabulary      warn       lang within the controlled language set
+==============  =========  ==========================================
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+
+_HEX40 = re.compile(r"^[0-9a-f]{40}$")
+
+#: controlled language vocabulary (reference CONTROLLED_ELEMENTS pattern,
+#: solrindexer/mmd.py:116-123; membership check J5 via broadcast set)
+KNOWN_LANGS = frozenset(
+    {"python", "java", "go", "javascript", "c", "cpp", "rust", "typescript",
+     "markdown", "text", "en", "de", "es", "fr", "zh"}
+)
+
+
+class ControlledVocabulary:
+    """A named term set with membership checks — the reference's vocabulary
+    backend boiled down to its engine-relevant core (ST2: loaded once per
+    worker, queried per value; ``solrindexer/vocabulary.py:104-153``)."""
+
+    def __init__(self, name: str, terms):
+        self.name = name
+        self.terms = frozenset(terms)
+        self._arr = pa.array(sorted(self.terms))
+
+    def contains(self, value) -> bool:
+        return value in self.terms
+
+    def is_in(self, column: pa.Array) -> pa.Array:
+        """Vectorized membership (``pc.is_in`` with broadcast value set)."""
+        return pc.is_in(column, value_set=self._arr)
+
+
+class CorpusValidator:
+    """Stateful ``map_batches`` stage: vocab + analyzer built once per actor
+    (reference: XSD schema compiled once per worker, ST1
+    ``solrindexer/mmd.py:46-94``).
+
+    Appends columns ``valid:bool, stage:string, message:string,
+    warning:string`` to each batch.
+    """
+
+    def __init__(self, registry: AnalyzerRegistry | None = None,
+                 lang_vocab: ControlledVocabulary | None = None):
+        self.registry = registry or AnalyzerRegistry()
+        self.lang_vocab = lang_vocab or ControlledVocabulary("lang", KNOWN_LANGS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        repo = batch["repo"].to_pylist()
+        path = batch["path"].to_pylist()
+        commit = batch["commit"].to_pylist()
+        lang = batch["lang"].to_pylist()
+        content = batch["content"].to_pylist()
+
+        valid = np.ones(n, dtype=bool)
+        stage = [None] * n
+        message = [None] * n
+        warning = [None] * n
+
+        for i in range(n):
+            if not repo[i] or not path[i] or not commit[i]:
+                valid[i], stage[i] = False, "required"
+                message[i] = "missing required field repo/path/commit"
+                continue
+            if not _HEX40.match(commit[i]):
+                valid[i], stage[i] = False, "id-format"
+                message[i] = f"commit not 40-hex: {commit[i][:50]!r}"
+                continue
+            toks = self.registry.tokenize(content[i] or "", lang[i])
+            if not toks:
+                valid[i], stage[i] = False, "empty-content"
+                message[i] = "no analyzable tokens in content"
+                continue
+            if lang[i] is not None and not self.lang_vocab.contains(lang[i]):
+                # warn-don't-block (reference GCMD advisory warnings)
+                warning[i] = f"lang {lang[i]!r} outside controlled vocabulary"
+
+        for name, arr in (
+            ("valid", pa.array(valid)),
+            ("stage", pa.array(stage, pa.string())),
+            ("message", pa.array(message, pa.string())),
+            ("warning", pa.array(warning, pa.string())),
+        ):
+            batch = batch.append_column(name, arr)
+        return batch
+
+
+def validate_corpus(ds, registry=None, batch_size: int = 4096):
+    """Attach validation columns (one fused pass, zero-copy Arrow)."""
+    return ds.map_batches(
+        CorpusValidator,
+        fn_constructor_kwargs={"registry": registry},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=2,
+    )
+
+
+def split_errors(validated_ds):
+    """(valid_ds, errors_ds) — the index path and the failure side-channel."""
+    valid = validated_ds.map_batches(
+        lambda t: t.filter(pc.field("valid")), batch_format="pyarrow"
+    )
+    errors = validated_ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.field("valid"))).select(
+            ["repo", "path", "commit", "stage", "message"]
+        ),
+        batch_format="pyarrow",
+    )
+    return valid, errors
+
+
+def failure_summary(errors_ds) -> "object":
+    """Failure analytics (A3, ``solrindexer/failure_tracker.py:152-171``):
+    per-stage record counts, distinct files, fraction of total failures.
+    Returns a small pandas DataFrame (grouped aggregate -> tiny result)."""
+    import pandas as pd
+
+    rows = errors_ds.select_columns(["stage", "repo", "path"]).take_all()
+    if not rows:
+        return pd.DataFrame(columns=["stage", "n_records", "n_files", "fraction"])
+    df = pd.DataFrame(rows)
+    df["file"] = df["repo"] + "/" + df["path"]
+    g = (
+        df.groupby("stage")
+        .agg(n_records=("file", "size"), n_files=("file", "nunique"))
+        .reset_index()
+    )
+    g["fraction"] = g["n_records"] / g["n_records"].sum()
+    return g.sort_values("n_records", ascending=False).reset_index(drop=True)
+
+
+def determine_exit_code(n_ok: int, n_failed: int) -> int:
+    """Exit-code contract (``solrindexer/cli.py:270-276``)."""
+    if n_failed == 0:
+        return 0
+    if n_ok == 0:
+        return 1
+    return 3

@@ -1,0 +1,234 @@
+"""Stage tests: validation/errors, dedup family, ANN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from solr_indexer_ray.functions.hashing import jaccard, shingle_hashes
+from solr_indexer_ray.functions.tokenize import simple_analyzer
+
+
+def _docs_ds(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+class TestValidate:
+    @pytest.fixture()
+    def validated(self, small_corpus):
+        from solr_indexer_ray.stages.validate import split_errors, validate_corpus
+
+        ds = rd.from_arrow(small_corpus)
+        v = validate_corpus(ds)
+        return split_errors(v)
+
+    def test_split(self, validated, small_corpus):
+        valid, errors = validated
+        n_ok, n_err = valid.count(), errors.count()
+        assert n_ok + n_err == small_corpus.num_rows
+        assert n_err >= 3  # empty, whitespace, punct-only edge rows
+
+    def test_error_stages(self, validated):
+        _, errors = validated
+        stages = set(r["stage"] for r in errors.take_all())
+        assert "empty-content" in stages
+
+    def test_failure_summary(self, validated):
+        from solr_indexer_ray.stages.validate import failure_summary
+
+        _, errors = validated
+        g = failure_summary(errors)
+        assert set(g.columns) == {"stage", "n_records", "n_files", "fraction"}
+        assert g["fraction"].sum() == pytest.approx(1.0)
+
+    def test_warn_dont_block(self):
+        from solr_indexer_ray.stages.validate import split_errors, validate_corpus
+
+        ds = _docs_ds(
+            [{"repo": "r", "path": "p", "commit": "a" * 40,
+              "lang": "klingon", "content": "some tokens here"}]
+        )
+        valid, errors = split_errors(validate_corpus(ds))
+        rows = valid.take_all()
+        assert len(rows) == 1 and errors.count() == 0
+        assert "klingon" in rows[0]["warning"]
+
+
+class TestExactDedup:
+    def test_survivors(self):
+        from solr_indexer_ray.stages.dedup import exact_dedup
+
+        ds = _docs_ds(
+            [
+                {"doc_id": 0, "text": "same text"},
+                {"doc_id": 1, "text": "same text"},
+                {"doc_id": 2, "text": "other"},
+            ]
+        )
+        out = {r["doc_id"] for r in exact_dedup(ds).take_all()}
+        assert out == {0, 2}
+
+
+class TestJaccardPairs:
+    ROWS = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 2, "text": "completely different content about databases"},
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog"},
+    ]
+
+    def brute_force(self, n=3, threshold=0.4):
+        sets = {
+            r["doc_id"]: set(shingle_hashes(simple_analyzer(r["text"]), n).tolist())
+            for r in self.ROWS
+        }
+        out = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                j = jaccard(sets[a], sets[b])
+                if j >= threshold:
+                    out[(a, b)] = j
+        return out
+
+    def test_exact_equi_join_matches_brute_force(self):
+        from solr_indexer_ray.stages.dedup import ngram_jaccard_pairs
+
+        got = {
+            (r["id_a"], r["id_b"]): r["similarity"]
+            for r in ngram_jaccard_pairs(
+                _docs_ds(self.ROWS), threshold=0.4
+            ).take_all()
+        }
+        expect = self.brute_force()
+        assert set(got) == set(expect)
+        for k in got:
+            assert got[k] == pytest.approx(expect[k])
+
+    def test_minhash_lsh_finds_high_sim_pairs(self):
+        from solr_indexer_ray.stages.dedup import minhash_lsh_pairs
+
+        got = minhash_lsh_pairs(
+            _docs_ds(self.ROWS), threshold=0.8, num_perm=128, bands=32
+        ).to_pylist()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert (0, 3) in pairs  # exact dup -> jaccard 1.0
+        for r in got:
+            assert r["similarity"] >= 0.8
+
+    def test_simhash_pairs(self):
+        from solr_indexer_ray.stages.dedup import simhash_pairs
+
+        got = simhash_pairs(_docs_ds(self.ROWS), max_hamming=3).take_all()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert (0, 3) in pairs
+        assert all(r["similarity"] >= 1 - 3 / 64 for r in got)
+
+
+class TestEmbeddingOps:
+    @pytest.fixture(scope="class")
+    def emb_ds(self):
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(20, 8))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append({"vec_id": i, "embedding": v.tolist()})
+        # a near-duplicate of vector 0
+        rows.append(
+            {"vec_id": 99, "embedding": (base[0] + 1e-4).tolist()}
+        )
+        return rd.from_arrow(pa.Table.from_pylist(rows))
+
+    def test_embedding_dup_pairs(self, emb_ds):
+        from solr_indexer_ray.stages.dedup import embedding_dup_pairs
+
+        got = embedding_dup_pairs(emb_ds, threshold=0.999).take_all()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert (0, 99) in pairs
+
+    def test_brute_force_topk_matches_numpy(self, emb_ds):
+        from solr_indexer_ray.stages.ann import brute_force_topk
+
+        rows = emb_ds.take_all()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows])
+        unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+        q = mat[:2]
+        got = brute_force_topk(emb_ds, q, k=5).to_pylist()
+        qunit = q / np.linalg.norm(q, axis=1)[:, None]
+        sims = qunit @ unit.T
+        for qi in range(2):
+            expect_idx = np.lexsort((ids, -sims[qi]))[:5]
+            expect = [int(ids[j]) for j in expect_idx]
+            mine = [r["vec_id"] for r in got if r["query_id"] == qi]
+            assert mine == expect
+
+    def test_ivf_recall(self, emb_ds):
+        from solr_indexer_ray.stages.ann import IvfIndex, brute_force_topk
+
+        rows = emb_ds.take_all()
+        q = np.array([r["embedding"] for r in rows[:5]])
+        exact = brute_force_topk(emb_ds, q, k=5).to_pylist()
+        ivf = IvfIndex(n_buckets=4, nprobe=2).build(emb_ds)
+        approx = ivf.search(q, k=5).to_pylist()
+        # recall@5 over 5 queries must be high for tiny data
+        hits = 0
+        for qi in range(5):
+            e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+            a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+            hits += len(e & a)
+        assert hits / 25 >= 0.6
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self):
+        from solr_indexer_ray.stages import multimodal
+
+        table = multimodal.fake_media_table(10)
+        ds = rd.from_arrow(table)
+        out = multimodal.decode_media(ds, concurrency=2, batch_size=4)
+        rows = sorted(out.take_all(), key=lambda r: r["media_id"])
+        assert len(rows) == 10
+        for r in rows:
+            assert r["width"] >= 8 and r["height"] >= 8
+            assert len(r["features"]) == multimodal.FEATURE_BINS
+            assert abs(sum(r["features"]) - 1.0) < 1e-3
+            assert "data" not in r  # heavy bytes dropped after decode
+
+    def test_decode_deterministic(self):
+        from solr_indexer_ray.stages import multimodal
+
+        t1 = multimodal.fake_media_table(5)
+        t2 = multimodal.fake_media_table(5)
+        assert t1.equals(t2)
+        stage = multimodal.DecodeImageStage()
+        assert stage(t1).equals(stage(t2))
+
+    def test_strict_raises_on_unknown_blob(self):
+        from solr_indexer_ray.stages.multimodal import DecodeImageStage
+
+        stage = DecodeImageStage(strict=True)
+        if stage.pil is None:
+            import pyarrow as pa
+
+            bad = pa.table(
+                {"media_id": [0], "kind": ["image"], "mime": ["x"],
+                 "data": [b"not-a-real-image"]}
+            )
+            with pytest.raises(NotImplementedError):
+                stage(bad)
+
+    def test_resize_stub(self):
+        from solr_indexer_ray.stages import multimodal
+
+        table = multimodal.fake_media_table(3)
+        stage = multimodal.ResizeImageStage(16, 16)
+        if stage.pil is None:
+            out = stage(table)
+            for blob in out["data"].to_pylist():
+                import struct
+
+                w, h = struct.unpack(
+                    "<II", blob[len(multimodal.MAGIC):len(multimodal.MAGIC) + 8]
+                )
+                assert (w, h) == (16, 16)
