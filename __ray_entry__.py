@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 search)
+on sf0.001; ``queries()``/``oracle_sql()`` expose every operator family from
+SURVEY.md §2 plus the training-data extensions, checked against DuckDB at
+sf0.01.  Ray is initialised by the driver before import — nothing here (or
+in the library) calls ``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +14,51 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the inverted
+    index over the documents corpus, then run the pinned BM25 query set."""
+    from solr_indexer_ray.contract import q_bm25_topk
+
+    table = q_bm25_topk("/root/testdata/sf0.001")
+    return table.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from solr_indexer_ray import contract as c
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # inverted-index / BM25 family (SURVEY §2.6 A6, §2.7 O3-O5)
+        "term_df": c.q_term_df,
+        "doc_stats": c.q_doc_stats,
+        "top_terms": c.q_top_terms,
+        "bm25_topk": c.q_bm25_topk,
+        "delete_by_query_remaining": c.q_delete_by_query_remaining,
+        "doc_get": c.q_doc_get,
+        # per-row invariants / projections (§2.2-2.3)
+        "doc_sha256": c.q_doc_sha256,
+        "text_quality": c.q_text_quality,
+        "lang_counts": c.q_lang_counts,
+        # dedup family (§2.8 + training-data extensions)
+        "exact_dedup": c.q_exact_dedup,
+        "upsert_latest": c.q_upsert_latest,
+        "ngram_jaccard_dups": c.q_ngram_jaccard_dups,
+        "minhash_dups": c.q_minhash_dups,           # rows-only (LSH)
+        "simhash_dups": c.q_simhash_dups,           # rows-only
+        "fingerprints": c.q_fingerprints,           # rows-only
+        # embeddings
+        "ann_topk": c.q_ann_topk,
+        "embedding_dups": c.q_embedding_dups,
+        # multimodal plumbing (rows-only; synthetic media)
+        "multimodal_decode": c.q_multimodal_decode,
+        # relational machinery (§2.5 J2, §2.6 A1-A3, §2.7, §2.9)
+        "parent_flags": c.q_parent_flags,
+        "unresolved_refs": c.q_unresolved_refs,
+        "pricing_summary": c.q_pricing_summary,
+        "top_customers": c.q_top_customers,
+        "events_window": c.q_events_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from solr_indexer_ray.contract_sql import oracle_sql_dict
+
+    return oracle_sql_dict()

@@ -1,0 +1,648 @@
+"""Driver-contract query implementations + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 (and the training-data extensions)
+is exposed as a named query callable over an ``sf_dir`` of driver testdata,
+paired — where ANSI-SQL-expressible — with an oracle SQL string that DuckDB
+runs over the same parquet tables.  **Column names and value types match
+bit-for-bit by construction**: both sides pin the same tokenization
+(``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` == ``simple_analyzer``),
+the same Lucene SmallFloat length quantization, the same discrete formulas,
+and round float aggregates to fixed decimals before ranking/compare so
+summation-order ulps cannot flip results.
+
+Non-SQL-expressible ops (MinHash/SimHash signatures, rolling-hash
+fingerprints, multimodal decode) are registered without oracle SQL — the
+driver records a rows-only check, and their correctness lives in pytest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from solr_indexer_ray.functions.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+)
+from solr_indexer_ray.functions.tokenize import simple_analyzer
+
+K1, B = 1.2, 0.75
+BM25_K = 10
+BM25_QUERIES = [
+    "window",
+    "spark merge",
+    "the batch join stream",
+    "lang:en spark window",
+    "sort AND merge",
+    "key -join",
+    "zzzznotaterm",
+    "lang:zh the",
+]
+ANN_N_QUERIES = 5
+ANN_K = 10
+
+#: the DuckDB-exact tokenizer expression (must mirror simple_analyzer)
+SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+# ===================================================================== #
+# helpers
+# ===================================================================== #
+def _documents(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """Round half away from zero — DuckDB's ROUND semantics (numpy rounds
+    half to even, which would diverge exactly on .5 boundaries)."""
+    x = np.asarray(x, dtype=np.float64)
+    factor = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * factor + 0.5) / factor
+
+
+def _py_round(x: float, decimals: int) -> float:
+    return float(_round_half_away(np.array([x]), decimals)[0])
+
+
+class _TokenExploder:
+    """documents rows -> (doc_id, term, tf) rows + per-doc length."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            counts: dict = {}
+            for t in simple_analyzer(text or ""):
+                counts[t] = counts.get(t, 0) + 1
+            for t in sorted(counts):
+                doc_ids.append(did)
+                terms.append(t)
+                tfs.append(counts[t])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+
+def _token_table(sf_dir: str):
+    """(doc_id, term, tf) Dataset via vectorized-per-batch explode."""
+    return _documents(sf_dir).map_batches(
+        _TokenExploder, batch_format="pyarrow", concurrency=2
+    )
+
+
+# ===================================================================== #
+# text / index queries
+# ===================================================================== #
+def q_term_df(sf_dir: str):
+    """Term document frequencies (SURVEY A6: postings df stats).
+
+    Partial pre-aggregation inside map_batches (one (term, partial) row per
+    batch) before the small groupby — the combiner pattern for shuffles.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, counts = np.unique(
+            np.asarray(batch["term"].to_pylist(), dtype=object),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "term": pa.array(list(terms), pa.string()),
+                "partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    # one row per (doc, term) -> df = row count per term
+    return (
+        _token_table(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial", alias_name="df"))
+    )
+
+
+def q_doc_stats(sf_dir: str):
+    """Corpus stats: N, sum_dl, avgdl (Lucene avgdl semantics)."""
+    docs = _documents(sf_dir)
+
+    def lens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dl": pa.array(
+                    [len(simple_analyzer(t or ""))
+                     for t in batch["text"].to_pylist()],
+                    pa.int64(),
+                )
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = docs.map_batches(lens, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl")
+    )
+    n, s = int(agg["n_docs"]), int(agg["sum_dl"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "sum_dl": pa.array([s], pa.int64()),
+            "avgdl": pa.array([s / n], pa.float64()),
+        }
+    )
+
+
+def q_top_terms(sf_dir: str):
+    """Top 20 terms by df (deterministic total order: df desc, term asc)."""
+    df = q_term_df(sf_dir)
+    t = pa.Table.from_pylist(df.take_all())
+    order = pc.sort_indices(
+        t, sort_keys=[("df", "descending"), ("term", "ascending")]
+    )
+    return t.take(order[:20])
+
+
+def q_doc_sha256(sf_dir: str):
+    """Per-row integrity invariant (BASELINE.json input_hint)."""
+    def sha(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sha256": pa.array(
+                    [hashlib.sha256((t or "").encode()).hexdigest()
+                     for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(sha, batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    """Text analysis: token counts, punct/stopword ratios, quality gates,
+    marker-word language ID (functions.textstats)."""
+    def stats(batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": batch["doc_id"].to_pylist(),
+            "n_tokens": [], "punct_ratio": [], "stopword_ratio": [],
+            "quality_score": [], "lang_guess": [],
+        }
+        for text in batch["text"].to_pylist():
+            toks = simple_analyzer(text or "")
+            p, s = punct_ratio(text or ""), stopword_ratio(toks)
+            out["n_tokens"].append(len(toks))
+            out["punct_ratio"].append(p)
+            out["stopword_ratio"].append(s)
+            out["quality_score"].append(quality_score(len(toks), p, s))
+            out["lang_guess"].append(lang_id(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+                "punct_ratio": pa.array(out["punct_ratio"], pa.float64()),
+                "stopword_ratio": pa.array(out["stopword_ratio"], pa.float64()),
+                "quality_score": pa.array(out["quality_score"], pa.float64()),
+                "lang_guess": pa.array(out["lang_guess"], pa.string()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _documents(sf_dir).groupby("lang").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    from solr_indexer_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_documents(sf_dir), text_col="text", id_col="doc_id")
+
+
+def q_upsert_latest(sf_dir: str):
+    """Last-write-wins upsert analogue: max doc_id per (source, lang)."""
+    from ray.data.aggregate import Max
+
+    return (
+        _documents(sf_dir)
+        .groupby(["source", "lang"])
+        .aggregate(Max("doc_id", alias_name="doc_id"))
+    )
+
+
+def q_doc_get(sf_dir: str):
+    """Realtime-get analogue (J1): point lookup with predicate pushdown."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        filter=pc.field("doc_id") == 42
+    )
+
+
+def q_ngram_jaccard_dups(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5, n=3)."""
+    from solr_indexer_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _documents(sf_dir), text_col="text", id_col="doc_id", n=3, threshold=0.5
+    )
+    t = pa.Table.from_pylist(pairs.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "similarity": pa.array([], pa.float64())}
+        )
+    order = pc.sort_indices(t, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
+    return t.take(order).select(["id_a", "id_b", "similarity"])
+
+
+def q_minhash_dups(sf_dir: str):
+    """MinHash+LSH candidates, exact-verified (rows-only oracle check)."""
+    from solr_indexer_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _documents(sf_dir), text_col="text", id_col="doc_id",
+        n=3, num_perm=128, bands=32, threshold=0.5,
+    )
+
+
+def q_simhash_dups(sf_dir: str):
+    from solr_indexer_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _documents(sf_dir), text_col="text", id_col="doc_id", max_hamming=3
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only check)."""
+    from solr_indexer_ray.functions.textstats import fingerprint
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(
+                    [fingerprint(simple_analyzer(t or ""))
+                     for t in batch["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing demo: deterministic fake media -> decoded
+    metadata + features (rows-only check; no media in testdata)."""
+    from solr_indexer_ray.stages import multimodal
+
+    ds = rd.from_arrow(multimodal.fake_media_table(64, seed=11))
+    out = multimodal.decode_media(ds, concurrency=2, batch_size=16)
+    return out.drop_columns(["features"])  # list<float> hashes poorly; keep scalars
+
+
+# ===================================================================== #
+# BM25 over the documents corpus (the flagship contract query)
+# ===================================================================== #
+_INDEX_CACHE: dict = {}
+
+
+def _bm25_index(sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the inverted index over the
+    documents table mapped onto the corpus schema; simple analyzer for all
+    langs so the SQL oracle can reproduce tokenization exactly."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.sources.corpus import documents_to_corpus_table
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    os.makedirs(work, exist_ok=True)
+    corpus_path = os.path.join(work, "corpus.parquet")
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    # engine doc ids are positional; the contract requires them to equal
+    # the documents.doc_id column (driver data is dense + sorted — assert)
+    ids = docs["doc_id"].to_numpy()
+    assert (ids == np.arange(len(ids))).all(), "documents.doc_id not dense"
+    pq.write_table(
+        documents_to_corpus_table(docs), corpus_path, row_group_size=4096
+    )
+    index_dir = os.path.join(work, "index")
+    registry = AnalyzerRegistry("simple", overrides={})
+    config = IndexConfig(concurrency=2)
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    if not BuildManifest(index_dir).is_committed():
+        build_index(corpus_path, index_dir, config=config, registry=registry,
+                    overwrite=True)
+    _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-k BM25 over the documents corpus for the pinned query set.
+
+    Ranking key is (round(score, 4) desc, doc_id) in BOTH the engine path
+    and the SQL oracle, so float summation order cannot flip ranks."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q in BM25_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_delete_by_query_remaining(sf_dir: str):
+    """Tombstone delete-by-query (S9): doc ids remaining after deleting
+    every doc matching 'spark'."""
+    from solr_indexer_ray.pipelines.mutate import match_ids
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    dead = set(match_ids(engine, "spark").tolist())
+    alive = [d for d in range(engine.n_docs) if d not in dead]
+    return pa.table({"doc_id": pa.array(alive, pa.int64())})
+
+
+# ===================================================================== #
+# embeddings
+# ===================================================================== #
+def _embeddings(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: first ANN_N_QUERIES vectors as queries.
+
+    Rank key (round(sim,4) desc, vec_id) pinned on both sides."""
+    from solr_indexer_ray.stages.ann import brute_force_topk
+
+    emb = _embeddings(sf_dir)
+    q_rows = sorted(
+        (r for r in emb.take_all() if r["vec_id"] < ANN_N_QUERIES),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    n = emb.count()
+    full = brute_force_topk(emb, queries, k=n).to_pylist()
+    out = []
+    by_q: dict = {}
+    for r in full:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi in sorted(by_q):
+        cand = by_q[qi]
+        for r in cand:
+            r["similarity"] = _py_round(r["similarity"], 4)
+        cand.sort(key=lambda r: (-r["similarity"], r["vec_id"]))
+        out.extend(cand[:ANN_K])
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()),
+             ("similarity", pa.float64())]
+        ),
+    )
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs at rounded threshold 0.45."""
+    from solr_indexer_ray.stages.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(_embeddings(sf_dir), threshold=0.40).take_all()
+    out = []
+    for r in pairs:
+        sim = _py_round(r["similarity"], 4)
+        if sim >= 0.45:
+            out.append({"id_a": r["id_a"], "id_b": r["id_b"], "similarity": sim})
+    out.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("similarity", pa.float64())]
+        ),
+    )
+
+
+# ===================================================================== #
+# relational machinery (TPC-H-ish + events) — SURVEY A1-A3, J2, O3
+# ===================================================================== #
+def q_parent_flags(sf_dir: str):
+    """Broadcast semi-join (J2 analogue): customers having >=1 order."""
+    import ray
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    ref_keys = set()
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        ref_keys.update(b["o_custkey"].to_pylist())
+    ref = ray.put(pa.array(sorted(ref_keys), pa.int64()))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "is_parent": pc.is_in(batch["c_custkey"], value_set=keys),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(flag, batch_format="pyarrow")
+
+
+def q_unresolved_refs(sf_dir: str):
+    """Anti-join side of the integrity pass: order custkeys with no
+    customer row (unresolved parent warnings)."""
+    import ray
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    have = set()
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        have.update(b["c_custkey"].to_pylist())
+    have_ref = ray.put(have)
+
+    def missing(batch: pa.Table) -> pa.Table:
+        known = ray.get(have_ref)
+        vals = sorted(
+            {v for v in batch["o_custkey"].to_pylist() if v not in known}
+        )
+        return pa.table({"o_custkey": pa.array(vals, pa.int64())})
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        )
+        .map_batches(missing, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    # materialize with an explicit schema: an all-rows-filtered Dataset
+    # otherwise loses its column types (and TPC-H data usually yields none)
+    return pa.Table.from_pylist(
+        out.take_all(), schema=pa.schema([("o_custkey", pa.int64())])
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate (A1/A2 counters analogue).
+
+    Float sums rounded to 2 decimals (money) / 6 (ratios) on both sides."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    out = (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n"),
+        )
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(
+                _round_half_away(t["sum_qty"].to_numpy(), 2), pa.float64()
+            ),
+            "sum_price": pa.array(
+                _round_half_away(t["sum_price"].to_numpy(), 2), pa.float64()
+            ),
+            "avg_disc": pa.array(
+                _round_half_away(t["avg_disc"].to_numpy(), 6), pa.float64()
+            ),
+            "n": t["n"],
+        }
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Join + grouped sum + top-k (O3 top-k over an aggregate)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    spend = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spend"))
+    )
+    rows = spend.take_all()
+    for r in rows:
+        r["total_spend"] = _py_round(r["total_spend"], 2)
+    rows.sort(key=lambda r: (-r["total_spend"], r["o_custkey"]))
+    top = rows[:10]
+    # broadcast-join customer names for the top keys (small side lookup)
+    keys = [r["o_custkey"] for r in top]
+    import pyarrow.dataset as pads
+
+    cust = pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pc.field("c_custkey").isin(keys),
+    )
+    names = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([names.get(k) for k in keys], pa.string()),
+            "total_spend": pa.array(
+                [r["total_spend"] for r in top], pa.float64()
+            ),
+        }
+    )
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 5-minute windows per event_type (streaming-shaped op over
+    the ordered events log; SURVEY §2.9 — reference has none, the guide's
+    groupby-window pattern applies)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(batch["ts"], multiple=5, unit="minute")
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": ws,
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n": t["n"],
+            "sum_value": pa.array(
+                _round_half_away(t["sum_value"].to_numpy(), 4), pa.float64()
+            ),
+        }
+    )

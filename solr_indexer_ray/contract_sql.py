@@ -1,0 +1,311 @@
+"""DuckDB oracle SQL for the driver contract (pairs with contract.py).
+
+Every string here is ANSI-ish SQL DuckDB 1.0 runs over the pre-registered
+views (region nation customer supplier part orders lineitem events documents
+embeddings).  The SQL mirrors the Ray implementations *exactly*:
+
+- tokenization: ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``
+  == ``simple_analyzer`` (tested in tests/test_tokenize.py);
+- Lucene SmallFloat length quantization expressed as pure bit math
+  (``(v >> shift) << shift`` with shift = floor(log2(v)) - 3 — validated
+  exhaustively against the Python implementation in tests);
+- identical rounding (ROUND = half-away-from-zero on both sides) applied
+  BEFORE ranking/threshold so float summation order cannot flip results;
+- identical tie-breaks (ascending id) in every top-k.
+"""
+
+from __future__ import annotations
+
+from solr_indexer_ray.contract import (
+    ANN_K,
+    ANN_N_QUERIES,
+    B,
+    BM25_K,
+    BM25_QUERIES,
+    K1,
+    SQL_TOKS,
+)
+from solr_indexer_ray.functions.queryparse import parse_query
+from solr_indexer_ray.functions.textstats import LANG_MARKERS, STOPWORDS
+from solr_indexer_ray.functions.tokenize import simple_analyzer
+
+
+def _sql_list(values) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+
+
+# --------------------------------------------------------------------- #
+# BM25 (programmatically generated from the same parsed queries)
+# --------------------------------------------------------------------- #
+_BM25_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+dlq AS (
+  SELECT doc_id,
+    CASE WHEN dl < 24 THEN dl
+      ELSE 24 + (CASE WHEN (dl-24) < 8 THEN dl-24
+        ELSE ((dl-24) >> (CAST(floor(log2(greatest(dl-24,1))) AS INT) - 3))
+             << (CAST(floor(log2(greatest(dl-24,1))) AS INT) - 3) END)
+    END AS dlq
+  FROM dl
+),
+stats AS (SELECT count(*) AS n_docs, sum(dl)*1.0/count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
+def _bm25_query_block(q: str) -> str:
+    parsed = parse_query(q, simple_analyzer)
+    terms = sorted(set(parsed.terms))
+    if not terms:
+        return (
+            f"SELECT '{q}' AS query, doc_id, 0.0 AS score_r "
+            "FROM documents WHERE 1=0"
+        )
+    conds = [f"t.term IN ({_sql_list(terms)})"]
+    if parsed.filters:
+        fexpr = " AND ".join(
+            f"{fld} = '{val}'" for fld, val in sorted(parsed.filters.items())
+        )
+        conds.append(
+            f"t.doc_id IN (SELECT doc_id FROM documents WHERE {fexpr})"
+        )
+    if parsed.prohibited:
+        conds.append(
+            "t.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN "
+            f"({_sql_list(sorted(set(parsed.prohibited)))}))"
+        )
+    having = (
+        f"HAVING count(DISTINCT t.term) = {len(terms)}"
+        if parsed.conjunctive
+        else ""
+    )
+    qq = q.replace("'", "''")
+    return f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT t.doc_id AS doc_id,
+    round(sum(
+      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {K1} * (1 - {B} + {B} * q.dlq / st.avgdl)))
+    ), 4) AS score_r
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN dlq q ON q.doc_id = t.doc_id
+  CROSS JOIN stats st
+  WHERE {' AND '.join(conds)}
+  GROUP BY t.doc_id
+  {having}
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, t.doc_id) <= {BM25_K}
+)"""
+
+
+def bm25_topk_sql() -> str:
+    blocks = "\nUNION ALL\n".join(_bm25_query_block(q) for q in BM25_QUERIES)
+    return _BM25_CTES + blocks
+
+
+# --------------------------------------------------------------------- #
+# text / stats / dedup
+# --------------------------------------------------------------------- #
+TERM_DF_SQL = f"""
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+GROUP BY term
+"""
+
+DOC_STATS_SQL = f"""
+WITH dl AS (SELECT len({SQL_TOKS}) AS dl FROM documents)
+SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+       sum(dl)*1.0/count(*) AS avgdl
+FROM dl
+"""
+
+TOP_TERMS_SQL = f"""
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 20
+"""
+
+DOC_SHA256_SQL = "SELECT doc_id, sha256(coalesce(text, '')) AS sha256 FROM documents"
+
+_MARKER_COLS = ",\n    ".join(
+    f"len(list_intersect(list_distinct(toks), [{_sql_list(LANG_MARKERS[lang])}]))"
+    f" AS h_{lang}"
+    for lang in sorted(LANG_MARKERS)
+)
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+      ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+           * 1.0 / length(text) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+      ELSE len(list_filter(toks, x -> x IN ({_sql_list(STOPWORDS)})))
+           * 1.0 / len(toks) END AS stopword_ratio,
+    {_MARKER_COLS}
+  FROM t
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END
+   + CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+  ) AS quality_score,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM s
+"""
+
+LANG_COUNTS_SQL = "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
+
+EXACT_DEDUP_SQL = """
+SELECT sha256(coalesce(text, '')) AS sha256, min(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY 1
+"""
+
+UPSERT_LATEST_SQL = """
+SELECT source, lang, max(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY source, lang
+"""
+
+DOC_GET_SQL = "SELECT * FROM documents WHERE doc_id = 42"
+
+NGRAM_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    END) AS shingle
+  FROM t
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter * 1.0 / (ca.n + cb.n - inter) AS similarity
+FROM pairs
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
+"""
+
+DELETE_BY_QUERY_SQL = f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+  WHERE term = 'spark'
+)
+"""
+
+# --------------------------------------------------------------------- #
+# embeddings
+# --------------------------------------------------------------------- #
+ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {ANN_N_QUERIES}
+)
+SELECT query_id, vec_id, similarity FROM (
+  SELECT q.query_id, e.vec_id,
+    round(list_cosine_similarity(
+      q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS similarity
+  FROM q CROSS JOIN embeddings e
+)
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY similarity DESC, vec_id) <= {ANN_K}
+"""
+
+EMBEDDING_DUPS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(
+    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS similarity
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(
+    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
+"""
+
+# --------------------------------------------------------------------- #
+# relational machinery
+# --------------------------------------------------------------------- #
+PARENT_FLAGS_SQL = """
+SELECT c_custkey,
+  c_custkey IN (SELECT o_custkey FROM orders) AS is_parent
+FROM customer
+"""
+
+UNRESOLVED_REFS_SQL = """
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+TOP_CUSTOMERS_SQL = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS c_custkey, c_name, total_spend
+FROM spend LEFT JOIN customer ON c_custkey = o_custkey
+QUALIFY row_number() OVER (ORDER BY total_spend DESC, o_custkey) <= 10
+"""
+
+EVENTS_WINDOW_SQL = """
+SELECT event_type,
+  time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+  count(*)::BIGINT AS n,
+  round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, window_start
+"""
+
+
+def oracle_sql_dict() -> dict:
+    """name -> SQL for every SQL-expressible query in contract.queries()."""
+    return {
+        "term_df": TERM_DF_SQL,
+        "doc_stats": DOC_STATS_SQL,
+        "top_terms": TOP_TERMS_SQL,
+        "doc_sha256": DOC_SHA256_SQL,
+        "text_quality": TEXT_QUALITY_SQL,
+        "lang_counts": LANG_COUNTS_SQL,
+        "exact_dedup": EXACT_DEDUP_SQL,
+        "upsert_latest": UPSERT_LATEST_SQL,
+        "doc_get": DOC_GET_SQL,
+        "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+        "bm25_topk": bm25_topk_sql(),
+        "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+        "embedding_dups": EMBEDDING_DUPS_SQL,
+        "parent_flags": PARENT_FLAGS_SQL,
+        "unresolved_refs": UNRESOLVED_REFS_SQL,
+        "pricing_summary": PRICING_SUMMARY_SQL,
+        "top_customers": TOP_CUSTOMERS_SQL,
+        "events_window": EVENTS_WINDOW_SQL,
+    }

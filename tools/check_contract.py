@@ -1,0 +1,133 @@
+"""Local replica of the driver's correctness check.
+
+Runs every ``queries()`` callable and its ``oracle_sql()`` twin at the given
+sf dir, compares row count, schema (column names), and order-insensitive
+values (sorted columns, sorted rows, exact equality).  Everything in the
+pipeline is deterministic, so a pass here predicts a pass in the driver.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list:
+    problems = []
+    if sorted(mine.columns) != sorted(oracle.columns):
+        problems.append(
+            f"schema: mine={sorted(mine.columns)} oracle={sorted(oracle.columns)}"
+        )
+        return problems
+    if len(mine) != len(oracle):
+        problems.append(f"rows: mine={len(mine)} oracle={len(oracle)}")
+    a, b = canon(mine), canon(oracle)
+    if len(a) == len(b):
+        for col in a.columns:
+            av, bv = a[col], b[col]
+            try:
+                same = av.equals(bv) or (av.astype(object) == bv.astype(object)).all()
+            except (TypeError, ValueError):
+                same = False
+            if not same:
+                bad = (av.astype(object) != bv.astype(object))
+                idx = bad[bad].index[:3].tolist()
+                examples = [
+                    (i, av.iloc[i], bv.iloc[i]) for i in idx
+                ]
+                problems.append(f"col {col!r} differs, e.g. {examples}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok*   {name}: rows={len(mine)} ({dt:.1f}s, rows-only)")
+            continue
+        try:
+            oracle = con.execute(sqls[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle SQL raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, mine, oracle)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name}: rows={len(mine)} ({dt:.1f}s)")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            print(f"ok    {name}: rows={len(mine)} ({dt:.1f}s)")
+    ray.shutdown()
+    print("FAILURES:", n_fail)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
