@@ -11,12 +11,19 @@ for training-data pipelines.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 
 from solr_indexer_ray.functions.textstats import fnv1a64
 
 MERSENNE61 = (1 << 61) - 1
+
+
+def term_shard(term: str, n_shards: int) -> int:
+    """Deterministic, process-stable term shard (NOT Python ``hash``, which
+    is salted per process) — the postings shuffle/layout key."""
+    return zlib.crc32(term.encode("utf-8")) % n_shards
 
 
 def sha256_hex(text: str) -> str:

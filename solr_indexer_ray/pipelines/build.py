@@ -42,14 +42,13 @@ import hashlib
 import os
 import shutil
 import time
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
 from solr_indexer_ray.config import DEFAULT_CONFIG, IndexConfig
+from solr_indexer_ray.functions.hashing import term_shard
 from solr_indexer_ray.functions.smallfloat import encode_lengths
 from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
 from solr_indexer_ray.functions.varint import encode_doc_ids, varint_encode
@@ -73,7 +72,6 @@ RAW_POSTINGS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("range_id", pa.int64()),
-        ("shard", pa.int64()),
         ("doc_ids", pa.list_(pa.int64())),
         ("tfs", pa.list_(pa.int32())),
         ("norms", pa.list_(pa.int32())),
@@ -95,14 +93,9 @@ MERGED_POSTINGS_SCHEMA = pa.schema(
 )
 
 
-def term_shard(term: str, n_shards: int) -> int:
-    """Deterministic, process-stable term shard (NOT Python ``hash``)."""
-    return zlib.crc32(term.encode("utf-8")) % n_shards
-
-
-def _atomic_write_table(table: pa.Table, path: str) -> None:
+def _atomic_write_table(table: pa.Table, path: str, **kw) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, **kw)
     os.replace(tmp, path)
 
 
@@ -194,23 +187,36 @@ class UnitIndexer:
         docs_rel = f"docs/part-{uid:06d}.parquet"
         _atomic_write_table(docs_table, os.path.join(self.index_dir, docs_rel))
 
-        # raw postings slice, sorted by (term, range) for deterministic output
-        keys = sorted(buffer.keys())
-        post_table = pa.table(
-            {
-                "term": pa.array([k[0] for k in keys], pa.string()),
-                "range_id": pa.array([k[1] for k in keys], pa.int64()),
-                "shard": pa.array(
-                    [term_shard(k[0], n_shards) for k in keys], pa.int64()
-                ),
-                "doc_ids": pa.array([buffer[k][0] for k in keys], pa.list_(pa.int64())),
-                "tfs": pa.array([buffer[k][1] for k in keys], pa.list_(pa.int32())),
-                "norms": pa.array([buffer[k][2] for k in keys], pa.list_(pa.int32())),
-            },
-            schema=RAW_POSTINGS_SCHEMA,
-        )
-        post_rel = f"postings_raw/part-{uid:06d}.parquet"
-        _atomic_write_table(post_table, os.path.join(self.index_dir, post_rel))
+        # raw postings spill, partitioned by term shard (the map side of the
+        # postings shuffle): one sorted file per shard this unit touches.
+        by_shard: dict = {}
+        for k in sorted(buffer.keys()):
+            by_shard.setdefault(term_shard(k[0], n_shards), []).append(k)
+        post_rels = []
+        for s, skeys in sorted(by_shard.items()):
+            post_table = pa.table(
+                {
+                    "term": pa.array([k[0] for k in skeys], pa.string()),
+                    "range_id": pa.array([k[1] for k in skeys], pa.int64()),
+                    "doc_ids": pa.array(
+                        [buffer[k][0] for k in skeys], pa.list_(pa.int64())
+                    ),
+                    "tfs": pa.array(
+                        [buffer[k][1] for k in skeys], pa.list_(pa.int32())
+                    ),
+                    "norms": pa.array(
+                        [buffer[k][2] for k in skeys], pa.list_(pa.int32())
+                    ),
+                },
+                schema=RAW_POSTINGS_SCHEMA,
+            )
+            rel = f"postings_raw/shard={s}/unit-{uid:06d}.parquet"
+            os.makedirs(
+                os.path.join(self.index_dir, f"postings_raw/shard={s}"),
+                exist_ok=True,
+            )
+            _atomic_write_table(post_table, os.path.join(self.index_dir, rel))
+            post_rels.append(rel)
 
         entry = {
             "lineage": {
@@ -222,7 +228,7 @@ class UnitIndexer:
                     "".join(shas).encode()
                 ).hexdigest(),
             },
-            "outputs": [docs_rel, post_rel],
+            "outputs": [docs_rel, *post_rels],
             "n_docs": len(contents),
             "sum_dl": int(doclens.sum()),
             "n_terms_partial": len(buffer),
@@ -247,80 +253,119 @@ def _entry_to_row(entry: dict) -> dict:
     }
 
 
-def merge_postings_group(group: pa.Table, block_size: int) -> pa.Table:
-    """Merge all partial lists of one (shard, range) group.
+def _merge_term_parts(parts: list, block_size: int) -> dict:
+    """Merge one term's partial posting lists (one per unit) into a packed
+    row.  Partials cover disjoint, internally-sorted doc-id intervals, so
+    ordering partials by first doc id and concatenating yields the sorted
+    posting list without a re-sort."""
+    parts.sort(key=lambda p: int(p[0][0]))
+    doc_ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    norms = np.concatenate([p[2] for p in parts])
+    if doc_ids.size > 1 and not (np.diff(doc_ids) > 0).all():
+        # overlapping units should not happen; fall back to full sort
+        srt = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, norms = doc_ids[srt], tfs[srt], norms[srt]
 
-    Vectorized per term: partials from different units cover disjoint,
-    internally-sorted doc-id intervals, so ordering partials by first doc id
-    and concatenating yields the sorted posting list without a re-sort.
+    nb = (doc_ids.size + block_size - 1) // block_size
+    return {
+        "df": int(doc_ids.size),
+        "cf": int(tfs.sum()),
+        "doc_ids": encode_doc_ids(doc_ids),
+        "tfs": varint_encode(tfs),
+        "block_last": [
+            int(doc_ids[min((b + 1) * block_size, doc_ids.size) - 1])
+            for b in range(nb)
+        ],
+        "block_max_tf": [
+            int(tfs[b * block_size:(b + 1) * block_size].max())
+            for b in range(nb)
+        ],
+        "block_min_norm": [
+            int(norms[b * block_size:(b + 1) * block_size].min())
+            for b in range(nb)
+        ],
+    }
+
+
+class ShardMerger:
+    """Stage-2 task: the reduce side of the explicit postings shuffle.
+
+    One task per term shard; reads the shard's per-unit spill files (written
+    map-side by :class:`UnitIndexer` — no all-to-all through the object
+    store, the filesystem IS the shuffle, which also makes stage 2 trivially
+    resumable and node-local at scale), merges each (term, doc-range)'s
+    partial lists, and writes ``postings/shard=S/range-R.parquet`` with
+    terms sorted (parquet row-group stats then prune term lookups; the hive
+    ``shard=`` layout prunes across files).
     """
-    terms = np.asarray(group["term"].to_pylist(), dtype=object)
-    order = np.argsort(terms, kind="stable")
-    terms = terms[order]
-    rid = group["range_id"].to_numpy()[order[0]] if len(order) else 0
-    ids_col = group["doc_ids"].combine_chunks()
-    tfs_col = group["tfs"].combine_chunks()
-    norms_col = group["norms"].combine_chunks()
 
-    out = {k: [] for k in (
-        "term", "range_id", "df", "cf", "doc_ids", "tfs",
-        "block_last", "block_max_tf", "block_min_norm",
-    )}
+    def __init__(self, index_dir: str, block_size: int):
+        self.index_dir = os.fspath(index_dir)
+        self.block_size = block_size
 
-    # group row indices by term
-    uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, len(terms))
-    for t_i, term in enumerate(uniq):
-        row_idx = order[bounds[t_i]:bounds[t_i + 1]]
-        parts = [
-            (
-                np.asarray(ids_col[int(j)].values),
-                np.asarray(tfs_col[int(j)].values),
-                np.asarray(norms_col[int(j)].values),
-            )
-            for j in row_idx
-        ]
-        parts.sort(key=lambda p: int(p[0][0]))
-        doc_ids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        norms = np.concatenate([p[2] for p in parts])
-        if doc_ids.size > 1 and not (np.diff(doc_ids) > 0).all():
-            # overlapping units should not happen; fall back to full sort
-            srt = np.argsort(doc_ids, kind="stable")
-            doc_ids, tfs, norms = doc_ids[srt], tfs[srt], norms[srt]
+    def __call__(self, batch: dict) -> pa.Table:
+        rows = [self._merge_shard(int(s)) for s in batch["shard"]]
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("shard", pa.int64()), ("n_terms", pa.int64()),
+                 ("n_files", pa.int64())]
+            ),
+        )
 
-        nb = (doc_ids.size + block_size - 1) // block_size
-        block_last = [int(doc_ids[min((b + 1) * block_size, doc_ids.size) - 1])
-                      for b in range(nb)]
-        block_max_tf = [int(tfs[b * block_size:(b + 1) * block_size].max())
-                        for b in range(nb)]
-        block_min_norm = [int(norms[b * block_size:(b + 1) * block_size].min())
-                          for b in range(nb)]
+    def _merge_shard(self, shard: int) -> dict:
+        src = os.path.join(self.index_dir, "postings_raw", f"shard={shard}")
+        if not os.path.isdir(src):
+            return {"shard": shard, "n_terms": 0, "n_files": 0}
+        import pyarrow.dataset as pads
 
-        out["term"].append(str(term))
-        out["range_id"].append(int(rid))
-        out["df"].append(int(doc_ids.size))
-        out["cf"].append(int(tfs.sum()))
-        out["doc_ids"].append(encode_doc_ids(doc_ids))
-        out["tfs"].append(varint_encode(tfs))
-        out["block_last"].append(block_last)
-        out["block_max_tf"].append(block_max_tf)
-        out["block_min_norm"].append(block_min_norm)
+        tbl = pads.dataset(src).to_table()
+        import pyarrow.compute as pc
 
-    return pa.table(
-        {
-            "term": pa.array(out["term"], pa.string()),
-            "range_id": pa.array(out["range_id"], pa.int64()),
-            "df": pa.array(out["df"], pa.int64()),
-            "cf": pa.array(out["cf"], pa.int64()),
-            "doc_ids": pa.array(out["doc_ids"], pa.binary()),
-            "tfs": pa.array(out["tfs"], pa.binary()),
-            "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
-            "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int32())),
-            "block_min_norm": pa.array(out["block_min_norm"], pa.list_(pa.int32())),
-        },
-        schema=MERGED_POSTINGS_SCHEMA,
-    )
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[("range_id", "ascending"), ("term", "ascending")],
+        )
+        tbl = tbl.take(order)
+        terms = tbl["term"].to_pylist()
+        ranges = tbl["range_id"].to_pylist()
+        ids_col = tbl["doc_ids"].combine_chunks()
+        tfs_col = tbl["tfs"].combine_chunks()
+        norms_col = tbl["norms"].combine_chunks()
+
+        out_dir = os.path.join(self.index_dir, "postings", f"shard={shard}")
+        os.makedirs(out_dir, exist_ok=True)
+
+        n_terms = 0
+        n_files = 0
+        i = 0
+        n = tbl.num_rows
+        while i < n:  # per doc-range
+            rid = ranges[i]
+            rows: list = []
+            while i < n and ranges[i] == rid:  # per term run within range
+                term = terms[i]
+                parts = []
+                while i < n and ranges[i] == rid and terms[i] == term:
+                    parts.append(
+                        (
+                            np.asarray(ids_col[i].values),
+                            np.asarray(tfs_col[i].values),
+                            np.asarray(norms_col[i].values),
+                        )
+                    )
+                    i += 1
+                merged = _merge_term_parts(parts, self.block_size)
+                merged["term"] = term
+                merged["range_id"] = int(rid)
+                rows.append(merged)
+            range_tbl = pa.Table.from_pylist(rows, schema=MERGED_POSTINGS_SCHEMA)
+            rel = os.path.join(out_dir, f"range-{int(rid):06d}.parquet")
+            _atomic_write_table(range_tbl, rel, row_group_size=512)
+            n_terms += range_tbl.num_rows
+            n_files += 1
+        return {"shard": shard, "n_terms": n_terms, "n_files": n_files}
 
 
 def build_index(
@@ -349,15 +394,15 @@ def build_index(
     if not units:
         raise ValueError(f"no parquet inputs under {input_paths!r}")
 
-    # shard count for the stage-2 shuffle: enough groups for parallelism,
-    # few enough that per-group overhead stays amortized.
-    n_shards = max(16, min(256, len(units) * 2))
-
     import ray
 
-    concurrency = config.concurrency or max(
-        1, min(len(units), int(ray.cluster_resources().get("CPU", 4)))
-    )
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # shard count for the explicit postings shuffle: enough reduce tasks for
+    # parallelism, few enough that the map-side spill stays coarse
+    # (<= units × shards files total).
+    n_shards = max(8, min(64, cpus * 2, len(units) * 2))
+
+    concurrency = config.concurrency or max(1, min(len(units), cpus))
     unit_rows = [dict(u.to_row(), n_shards=n_shards) for u in units]
     stage1 = rd.from_items(unit_rows).map_batches(
         UnitIndexer,
@@ -375,34 +420,30 @@ def build_index(
     n_docs = sum(r["n_docs"] for r in unit_results)
     sum_dl = sum(r["sum_dl"] for r in unit_results)
 
-    # ---- stage 2: shuffle-merge postings --------------------------------
+    # ---- stage 2: per-shard reduce of the spilled postings ---------------
     postings_dir = os.path.join(index_dir, "postings")
-    tmp_postings = os.path.join(index_dir, "_tmp_postings")
-    if os.path.isdir(tmp_postings):
-        shutil.rmtree(tmp_postings)
     if os.path.isdir(postings_dir):
         shutil.rmtree(postings_dir)
+    os.makedirs(postings_dir, exist_ok=True)
 
-    block_size = config.block_size
-    merged = (
-        rd.read_parquet(os.path.join(index_dir, "postings_raw"))
-        .groupby(["shard", "range_id"])
-        .map_groups(
-            lambda g: merge_postings_group(g, block_size),
-            batch_format="pyarrow",
+    merge_conc = max(1, min(n_shards, cpus))
+    merged_manifest = (
+        rd.from_items([{"shard": s} for s in range(n_shards)])
+        .map_batches(
+            ShardMerger,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "block_size": config.block_size,
+            },
+            batch_size=1,
+            batch_format="numpy",
+            concurrency=merge_conc,
+            num_cpus=1,
         )
-    )
-    merged.write_parquet(tmp_postings)
-    os.replace(tmp_postings, postings_dir)
+    ).take_all()
     t2 = time.perf_counter()
 
     # ---- commit ---------------------------------------------------------
-    n_term_rows = 0
-    term_count = 0
-    for f in sorted(os.listdir(postings_dir)):
-        if f.endswith(".parquet"):
-            md = pq.ParquetFile(os.path.join(postings_dir, f))
-            n_term_rows += md.metadata.num_rows
+    n_term_rows = sum(r["n_terms"] for r in merged_manifest)
     stats = {
         "n_docs": int(n_docs),
         "sum_dl": int(sum_dl),

@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
+from solr_indexer_ray.functions.hashing import term_shard
 from solr_indexer_ray.functions.queryparse import ParsedQuery, parse_query
 from solr_indexer_ray.functions.smallfloat import DECODE_TABLE
 from solr_indexer_ray.functions.varint import decode_doc_ids, varint_decode
@@ -95,11 +96,15 @@ class SearchEngine:
             stats.get("analyzer_default", "simple"),
             overrides=stats.get("analyzer_lang_map") or {},
         )
-        self._postings_ds = pads.dataset(os.path.join(self.index_dir, "postings"))
+        self._postings_ds = pads.dataset(
+            os.path.join(self.index_dir, "postings"), partitioning="hive"
+        )
         self._docs_ds = pads.dataset(os.path.join(self.index_dir, "docs"))
         self._norms = None          # doc_id -> norm byte (dense)
         self._tombstones = None     # set[int] or None
         self._overlays = None       # doc_id -> {col: value}
+        self._term_cache: dict = {}  # decoded TermPostings LRU (insertion order)
+        self.term_cache_size = 1024
 
     # ------------------------------------------------------------------ #
     # small state
@@ -137,10 +142,15 @@ class SearchEngine:
     def lookup_postings(self, terms) -> dict:
         """Fetch + decode postings for terms (predicate-pushdown read)."""
         terms = sorted(set(terms))
+        cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
+        terms = [t for t in terms if t not in cached]
         if not terms:
-            return {}
+            return {t: tp for t, tp in cached.items() if tp is not None}
+        n_shards = int(self.stats["n_shards"])
+        shards = sorted({term_shard(t, n_shards) for t in terms})
+        # hive-partition pruning on shard + row-group stats on sorted terms
         tbl = self._postings_ds.to_table(
-            filter=pc.field("term").isin(terms)
+            filter=pc.field("shard").isin(shards) & pc.field("term").isin(terms)
         )
         by_term: dict = {}
         for i in range(tbl.num_rows):
@@ -168,6 +178,12 @@ class SearchEngine:
                 block_max_tf=np.concatenate([r[4] for r in rows]),
                 block_min_norm=np.concatenate([r[5] for r in rows]),
             )
+        # bounded decoded-postings cache (misses cached as None too)
+        for t in terms:
+            self._term_cache[t] = out.get(t)
+        while len(self._term_cache) > self.term_cache_size:
+            self._term_cache.pop(next(iter(self._term_cache)))
+        out.update({t: tp for t, tp in cached.items() if tp is not None})
         return out
 
     # ------------------------------------------------------------------ #
@@ -356,6 +372,15 @@ class SearchEngine:
         fl = list(fl) if fl else STORED_FIELDS
         ids = [d for d, _ in hits]
         scores = {d: s for d, s in hits}
+        if set(fl) <= {"doc_id"} and not self._load_overlays():
+            # fast path: the ranking already carries doc_id — no stored-field
+            # read needed (the hot path for bench + contract queries)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "score": pa.array([s for _, s in hits], pa.float64()),
+                }
+            )
         cols = sorted(set(fl) | {"doc_id"})
         if not ids:
             t = self._docs_ds.to_table(columns=cols,
@@ -430,6 +455,41 @@ class SearchEngine:
         st["live_docs"] = self.count()
         st["deleted_docs"] = len(self.tombstones)
         return st
+
+
+class BatchSearcher:
+    """Actor-pool query stage: one ``SearchEngine`` per actor (index stats +
+    norms loaded once in ``__init__``), scoring a batch of query strings per
+    call.  The distributed query path: ``rd.from_items(queries).map_batches(
+    BatchSearcher, fn_constructor_kwargs=..., concurrency=N)``.
+
+    Reference analogue: one pysolr session per worker process, reused across
+    requests (``solrindexer/indexer.py:83-88`` ST5).
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, method: str = "taat"):
+        self.engine = SearchEngine(index_dir)
+        self.engine.norms  # eager warm-up, once per actor
+        self.k = k
+        self.method = method
+
+    def __call__(self, batch: dict) -> pa.Table:
+        queries, hits, top_doc, top_score = [], [], [], []
+        for q in batch["query"]:
+            q = str(q)
+            t = self.engine.search(q, k=self.k, fl=["doc_id"], method=self.method)
+            queries.append(q)
+            hits.append(t.num_rows)
+            top_doc.append(t["doc_id"][0].as_py() if t.num_rows else None)
+            top_score.append(t["score"][0].as_py() if t.num_rows else None)
+        return pa.table(
+            {
+                "query": pa.array(queries, pa.string()),
+                "n_hits": pa.array(hits, pa.int32()),
+                "top_doc_id": pa.array(top_doc, pa.int64()),
+                "top_score": pa.array(top_score, pa.float64()),
+            }
+        )
 
 
 class _BMWIter:

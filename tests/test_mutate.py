@@ -145,5 +145,9 @@ class TestResume:
         build_index(small_corpus_path, index_dir, config=config)
         m = BuildManifest(index_dir)
         assert m.unit_complete(0)
-        os.remove(os.path.join(index_dir, "postings_raw", "part-000000.parquet"))
+        # remove one of unit 0's spill files (listed in its manifest outputs)
+        victim = next(
+            o for o in m.read_unit(0)["outputs"] if o.startswith("postings_raw/")
+        )
+        os.remove(os.path.join(index_dir, victim))
         assert not m.unit_complete(0)
