@@ -46,6 +46,26 @@ def simple_analyzer(text: str) -> list:
     return [t for t in toks if t]
 
 
+#: memoized identifier -> sub-token expansion.  Identifier vocabularies are
+#: small and Zipfian in real code, so the cache hit rate is high and the
+#: camel/snake regex work runs once per distinct identifier per worker.
+#: Bounded: cleared wholesale if it ever grows past the cap.
+_EXPAND_CACHE: dict = {}
+_EXPAND_CACHE_CAP = 200_000
+
+
+def _expand_identifier(tok: str) -> list:
+    out = _EXPAND_CACHE.get(tok)
+    if out is None:
+        if len(_EXPAND_CACHE) >= _EXPAND_CACHE_CAP:
+            _EXPAND_CACHE.clear()
+        split = _CAMEL_2.sub(r"\1 \2", tok)
+        split = _CAMEL_1.sub(r"\1 \2", split)
+        out = [p.lower() for p in split.replace("_", " ").split()]
+        _EXPAND_CACHE[tok] = out
+    return out
+
+
 def code_analyzer(text: str) -> list:
     """Code-aware tokenizer: identifier extraction + camel/snake splitting."""
     if not text:
@@ -53,10 +73,7 @@ def code_analyzer(text: str) -> list:
     out = []
     for tok in _CODE_TOKEN.findall(text):
         if "_" in tok or not tok.islower():
-            tok = _CAMEL_2.sub(r"\1 \2", tok)
-            tok = _CAMEL_1.sub(r"\1 \2", tok)
-            for part in tok.replace("_", " ").split():
-                out.append(part.lower())
+            out.extend(_expand_identifier(tok))
         else:
             out.append(tok)
     return out

@@ -402,16 +402,20 @@ def build_index(
     # (<= units × shards files total).
     n_shards = max(8, min(64, cpus * 2, len(units) * 2))
 
-    concurrency = config.concurrency or max(1, min(len(units), cpus))
     unit_rows = [dict(u.to_row(), n_shards=n_shards) for u in units]
+
+    # Stages run as Ray TASKS, not an actor pool: the expensive per-worker
+    # state (compiled regexes, identifier-expansion cache) lives at module
+    # level and survives across tasks on warm workers, while tasks avoid the
+    # per-execution actor-pool spawn cost and scale elastically.  Stage
+    # callables stay classes (UnitIndexer/ShardMerger) for direct testing.
+    def run_units(batch: dict) -> pa.Table:
+        return UnitIndexer(index_dir, config, registry)(batch)
+
     stage1 = rd.from_items(unit_rows).map_batches(
-        UnitIndexer,
-        fn_constructor_kwargs={
-            "index_dir": index_dir, "config": config, "registry": registry,
-        },
+        run_units,
         batch_size=1,
         batch_format="numpy",
-        concurrency=concurrency,
         num_cpus=1,
     )
     unit_results = stage1.take_all()  # small: one row per unit
@@ -426,19 +430,14 @@ def build_index(
         shutil.rmtree(postings_dir)
     os.makedirs(postings_dir, exist_ok=True)
 
-    merge_conc = max(1, min(n_shards, cpus))
+    block_size = config.block_size
+
+    def run_merge(batch: dict) -> pa.Table:
+        return ShardMerger(index_dir, block_size)(batch)
+
     merged_manifest = (
         rd.from_items([{"shard": s} for s in range(n_shards)])
-        .map_batches(
-            ShardMerger,
-            fn_constructor_kwargs={
-                "index_dir": index_dir, "block_size": config.block_size,
-            },
-            batch_size=1,
-            batch_format="numpy",
-            concurrency=merge_conc,
-            num_cpus=1,
-        )
+        .map_batches(run_merge, batch_size=1, batch_format="numpy", num_cpus=1)
     ).take_all()
     t2 = time.perf_counter()
 

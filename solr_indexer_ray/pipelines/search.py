@@ -52,10 +52,16 @@ STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
 
 class TermPostings:
-    """Decoded posting list of one term (all doc ranges concatenated)."""
+    """Decoded posting list of one term (all doc ranges concatenated).
+
+    ``score_vec`` memoizes the per-posting BM25 contribution
+    ``idf · tf/(tf + K(norm))`` — valid for the lifetime of the index
+    (N, avgdl, norms are immutable once committed), so repeated queries pay
+    one fancy-indexed add per term instead of recomputing the norm math.
+    """
 
     __slots__ = ("term", "df", "cf", "doc_ids", "tfs",
-                 "block_last", "block_max_tf", "block_min_norm")
+                 "block_last", "block_max_tf", "block_min_norm", "score_vec")
 
     def __init__(self, term, df, cf, doc_ids, tfs,
                  block_last, block_max_tf, block_min_norm):
@@ -67,6 +73,7 @@ class TermPostings:
         self.block_last = block_last
         self.block_max_tf = block_max_tf
         self.block_min_norm = block_min_norm
+        self.score_vec = None
 
 
 class SearchEngine:
@@ -105,6 +112,7 @@ class SearchEngine:
         self._overlays = None       # doc_id -> {col: value}
         self._term_cache: dict = {}  # decoded TermPostings LRU (insertion order)
         self.term_cache_size = 1024
+        self._mask_cache: dict = {}  # (filters, prohibited, n_tomb) -> mask
 
     # ------------------------------------------------------------------ #
     # small state
@@ -135,6 +143,7 @@ class SearchEngine:
     def invalidate_caches(self) -> None:
         self._tombstones = None
         self._overlays = None
+        self._mask_cache = {}
 
     # ------------------------------------------------------------------ #
     # postings access
@@ -198,7 +207,26 @@ class SearchEngine:
         return self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
 
     def _excluded_mask(self, parsed: ParsedQuery) -> np.ndarray | None:
-        """Boolean mask of docs excluded by filters/prohibitions/tombstones."""
+        """Boolean mask of docs excluded by filters/prohibitions/tombstones.
+
+        Memoized per (filters, prohibited, tombstone-count) — metadata
+        filters repeat across queries and the mask build reads the docs
+        table, which should happen once per distinct filter, not per query.
+        """
+        key = (
+            tuple(sorted(parsed.filters.items())),
+            tuple(sorted(set(parsed.prohibited))),
+            len(self.tombstones),
+        )
+        if key in self._mask_cache:
+            return self._mask_cache[key]
+        mask = self._build_excluded_mask(parsed)
+        if len(self._mask_cache) > 256:
+            self._mask_cache.clear()
+        self._mask_cache[key] = mask
+        return mask
+
+    def _build_excluded_mask(self, parsed: ParsedQuery) -> np.ndarray | None:
         mask = None
 
         def ensure():
@@ -262,21 +290,33 @@ class SearchEngine:
             ids = ids[~excluded[ids]]
         return [(int(i), 0.0) for i in ids[:k]]
 
-    def _score_taat(self, parsed, postings, excluded, k):
-        scores = np.zeros(self.n_docs, dtype=np.float64)
-        seen = np.zeros(self.n_docs, dtype=np.int32)
-        n_terms = 0
-        for term in sorted(postings):  # ascending-term order: pinned float order
-            tp = postings[term]
+    def _term_score_vec(self, tp: TermPostings) -> np.ndarray:
+        if tp.score_vec is None:
             w = self.idf(tp.df)
             K = self._norm_factor(self.norms[tp.doc_ids])
-            scores[tp.doc_ids] += w * (tp.tfs / (tp.tfs + K))
-            seen[tp.doc_ids] += 1
+            tp.score_vec = w * (tp.tfs / (tp.tfs + K))
+        return tp.score_vec
+
+    def _score_taat(self, parsed, postings, excluded, k):
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        n_terms = 0
+        seen = (
+            np.zeros(self.n_docs, dtype=np.int32) if parsed.conjunctive else None
+        )
+        for term in sorted(postings):  # ascending-term order: pinned float order
+            tp = postings[term]
+            scores[tp.doc_ids] += self._term_score_vec(tp)
+            if seen is not None:
+                seen[tp.doc_ids] += 1
             n_terms += 1
         if n_terms == 0:
             return []
-        required = n_terms if parsed.conjunctive else 1
-        cand = np.flatnonzero(seen >= required)
+        if seen is not None:
+            cand = np.flatnonzero(seen >= n_terms)
+        else:
+            # OR semantics: every contribution is > 0, so matches are
+            # exactly the docs with a positive score
+            cand = np.flatnonzero(scores > 0.0)
         if excluded is not None:
             cand = cand[~excluded[cand]]
         if cand.size == 0:
