@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": c.q_pricing_summary,
         "top_customers": c.q_top_customers,
         "events_window": c.q_events_window,
+        "events_props": c.q_events_props,
+        "user_sessions": c.q_user_sessions,
     }
 
 

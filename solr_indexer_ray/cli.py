@@ -1,0 +1,178 @@
+"""Command-line entry points — the ``indexdata`` / ``searchindex`` analogue.
+
+Reference: console scripts ``indexdata`` (``/root/reference/solrindexer/
+cli.py``) and ``searchindex`` (``solrindexer/search.py``).  Subcommands:
+
+    python -m solr_indexer_ray.cli index  -i CORPUS... -o INDEX [--config cfg.yml]
+    python -m solr_indexer_ray.cli search -o INDEX -q QUERY [-k N] [--fl f1,f2]
+    python -m solr_indexer_ray.cli get    -o INDEX --id DOC_ID
+    python -m solr_indexer_ray.cli delete -o INDEX [--id N ...] [--query Q]
+    python -m solr_indexer_ray.cli status -o INDEX
+
+Exit codes follow the reference contract (``solrindexer/cli.py:270-276``):
+0 = success, 1 = everything failed, 3 = partial failures.  This module is
+the only library entry point that may own a Ray session — and only when one
+isn't already running (driver/pytest own theirs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_index(args) -> int:
+    from solr_indexer_ray.config import DEFAULT_CONFIG, load_config
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.stages.validate import determine_exit_code
+
+    _ensure_ray()
+    config = load_config(args.config) if args.config else DEFAULT_CONFIG
+    t0 = time.time()
+    n_failed = 0
+    if args.validate:
+        import ray.data as rd
+
+        from solr_indexer_ray.stages.validate import (
+            failure_summary,
+            split_errors,
+            validate_corpus,
+        )
+
+        ds = rd.read_parquet(args.input)
+        _, errors = split_errors(validate_corpus(ds))
+        n_failed = errors.count()
+        if n_failed:
+            print(failure_summary(errors).to_string(index=False), file=sys.stderr)
+    stats = build_index(
+        args.input, args.output, config=config, overwrite=args.overwrite
+    )
+    # run telemetry (reference: solrindexer/cli.py:217-241)
+    print(
+        json.dumps(
+            {
+                "n_docs": stats["n_docs"],
+                "n_term_rows": stats["n_term_rows"],
+                "avgdl": round(stats["avgdl"], 3),
+                "wall_s": round(time.time() - t0, 3),
+                "failed_rows": n_failed,
+                **stats["timings"],
+            }
+        )
+    )
+    return determine_exit_code(stats["n_docs"], n_failed)
+
+
+def cmd_search(args) -> int:
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(args.output)
+    fl = args.fl.split(",") if args.fl else None
+    t = engine.search(args.query, k=args.k, fl=fl, method=args.method)
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
+    print(f"# {t.num_rows} hits", file=sys.stderr)
+    return 0
+
+
+def cmd_get(args) -> int:
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    row = SearchEngine(args.output).get(args.id)
+    if row is None:
+        print(f"# doc {args.id} not found", file=sys.stderr)
+        return 1
+    print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from solr_indexer_ray.pipelines import mutate
+
+    if args.id:
+        res = mutate.delete_by_id(args.output, args.id)
+    elif args.query:
+        res = mutate.delete_by_query(args.output, args.query)
+    else:
+        print("need --id or --query", file=sys.stderr)
+        return 2
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from solr_indexer_ray.pipelines.search import SearchEngine
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    manifest = BuildManifest(args.output)
+    if not manifest.is_committed():
+        # reference: ping failure exits non-zero (solrindexer/cli.py:108-110)
+        print(json.dumps({"committed": False}))
+        return 1
+    print(json.dumps(SearchEngine(args.output).status()))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="solr_indexer_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build the inverted index")
+    pi.add_argument("-i", "--input", nargs="+", required=True,
+                    help="corpus parquet file(s) or directory")
+    pi.add_argument("-o", "--output", required=True, help="index directory")
+    pi.add_argument("--config", help="YAML config (IndexConfig fields)")
+    pi.add_argument("--overwrite", action="store_true")
+    pi.add_argument("--validate", action="store_true",
+                    help="run corpus validation and report failures")
+    pi.set_defaults(fn=cmd_index)
+
+    ps = sub.add_parser("search", help="BM25 top-k query")
+    ps.add_argument("-o", "--output", required=True)
+    ps.add_argument("-q", "--query", required=True)
+    ps.add_argument("-k", type=int, default=10)  # Solr default rows=10
+    ps.add_argument("--fl", help="comma-separated field projection")
+    ps.add_argument("--method", default="taat", choices=["taat", "bmw"])
+    ps.set_defaults(fn=cmd_search)
+
+    pg = sub.add_parser("get", help="realtime get by doc id")
+    pg.add_argument("-o", "--output", required=True)
+    pg.add_argument("--id", type=int, required=True)
+    pg.set_defaults(fn=cmd_get)
+
+    pd = sub.add_parser("delete", help="delete by id(s) or query")
+    pd.add_argument("-o", "--output", required=True)
+    pd.add_argument("--id", type=int, nargs="*")
+    pd.add_argument("--query")
+    pd.set_defaults(fn=cmd_delete)
+
+    pst = sub.add_parser("status", help="index status / ping")
+    pst.add_argument("-o", "--output", required=True)
+    pst.set_defaults(fn=cmd_status)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -69,3 +69,20 @@ class IndexConfig:
 
 
 DEFAULT_CONFIG = IndexConfig()
+
+
+def load_config(path: str) -> IndexConfig:
+    """YAML config source (reference ``parse_cfg``,
+    ``solrindexer/search.py:143-163``): the file must parse to a mapping;
+    unknown keys are rejected so typos fail loudly."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    if not isinstance(data, dict):
+        raise ValueError(f"config {path!r} must be a YAML mapping")
+    valid = set(IndexConfig.__dataclass_fields__)
+    unknown = set(data) - valid
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return IndexConfig(**data)

@@ -609,6 +609,59 @@ def q_top_customers(sf_dir: str):
     )
 
 
+def q_events_props(sf_dir: str):
+    """Nested-structure flattening (the M11-M18 extractor pattern —
+    nested JSON -> typed flat columns, ``solrindexer/mmd.py:550-1085``):
+    parse the events ``props`` JSON string into a typed ``k`` column."""
+    import json as _json
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                obj = _json.loads(p) if p else {}
+            except ValueError:
+                obj = {}
+            ks.append(obj.get("k"))
+        return pa.table(
+            {"event_id": batch["event_id"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return ev.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_user_sessions(sf_dir: str):
+    """Per-user chronological aggregate (M5/O1: per-row list sorted by
+    time, earliest/latest picked from the ends — here per group):
+    ``groupby(user_id).map_groups`` sorts each user's events by ts."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+
+    def session(group) -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        g = group.sort_values("ts", kind="mergesort")
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"].iloc[0]], pa.int64()),
+                "n_events": pa.array([len(g)], pa.int64()),
+                "first_ts": pa.array([g["ts"].iloc[0]], pa.timestamp("us")),
+                "last_ts": pa.array([g["ts"].iloc[-1]], pa.timestamp("us")),
+                "sum_value": pa.array(
+                    [_py_round(float(g["value"].sum()), 4)], pa.float64()
+                ),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(session, batch_format="pandas")
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 5-minute windows per event_type (streaming-shaped op over
     the ordered events log; SURVEY §2.9 — reference has none, the guide's

@@ -277,6 +277,17 @@ FROM spend LEFT JOIN customer ON c_custkey = o_custkey
 QUALIFY row_number() OVER (ORDER BY total_spend DESC, o_custkey) <= 10
 """
 
+EVENTS_PROPS_SQL = """
+SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events
+"""
+
+USER_SESSIONS_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+  min(ts) AS first_ts, max(ts) AS last_ts,
+  round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+"""
+
 EVENTS_WINDOW_SQL = """
 SELECT event_type,
   time_bucket(INTERVAL '5 minutes', ts) AS window_start,
@@ -308,4 +319,6 @@ def oracle_sql_dict() -> dict:
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_customers": TOP_CUSTOMERS_SQL,
         "events_window": EVENTS_WINDOW_SQL,
+        "events_props": EVENTS_PROPS_SQL,
+        "user_sessions": USER_SESSIONS_SQL,
     }
