@@ -107,11 +107,17 @@ class UnitIndexer:
     """
 
     def __init__(self, index_dir: str, config: IndexConfig | None = None,
-                 registry: AnalyzerRegistry | None = None):
+                 registry: AnalyzerRegistry | None = None,
+                 doc_enricher=None):
         self.config = config or DEFAULT_CONFIG
         self.registry = registry or AnalyzerRegistry(self.config.default_analyzer)
         self.manifest = BuildManifest(index_dir)
         self.index_dir = os.fspath(index_dir)
+        #: optional stored-fields enrichment hook applied to each unit's
+        #: docs table before write (reference: thumbnail-generator class
+        #: injected into ``index_record``, ``solrindexer/mmd.py:1334-1390``
+        #: ST4).  Must return a table with the same row count.
+        self.doc_enricher = doc_enricher
 
     def __call__(self, batch: dict) -> pa.Table:
         rows_out = []
@@ -184,6 +190,10 @@ class UnitIndexer:
             },
             schema=DOCS_SCHEMA,
         )
+        if self.doc_enricher is not None:
+            docs_table = self.doc_enricher(docs_table)
+            if docs_table.num_rows != len(contents):
+                raise ValueError("doc_enricher must preserve row count")
         docs_rel = f"docs/part-{uid:06d}.parquet"
         _atomic_write_table(docs_table, os.path.join(self.index_dir, docs_rel))
 
@@ -374,6 +384,7 @@ def build_index(
     config: IndexConfig | None = None,
     registry: AnalyzerRegistry | None = None,
     overwrite: bool = False,
+    doc_enricher=None,
 ) -> dict:
     """Run the full build; returns the committed stats dict.
 
@@ -410,7 +421,7 @@ def build_index(
     # per-execution actor-pool spawn cost and scale elastically.  Stage
     # callables stay classes (UnitIndexer/ShardMerger) for direct testing.
     def run_units(batch: dict) -> pa.Table:
-        return UnitIndexer(index_dir, config, registry)(batch)
+        return UnitIndexer(index_dir, config, registry, doc_enricher)(batch)
 
     stage1 = rd.from_items(unit_rows).map_batches(
         run_units,

@@ -51,6 +51,43 @@ from solr_indexer_ray.state.manifest import BuildManifest
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
 
+class ScoringModel:
+    """Pluggable similarity (extension surface per SURVEY.md §2.10 — the
+    reference's ABC+factory pattern, ``solrindexer/vocabulary.py:49-77``).
+
+    Implementations provide ``idf(n_docs, df)`` and ``impact(tf, K)`` where
+    ``K = k1·(1 − b + b·dl/avgdl)`` is precomputed by the engine.  The
+    default is Lucene BM25; registry keyed by name.
+    """
+
+    name = "bm25"
+
+    def idf(self, n_docs: int, df: int) -> float:
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def impact(self, tf, K):
+        return tf / (tf + K)
+
+
+class TfIdfModel(ScoringModel):
+    """Classic ltc-style tf-idf — an alternative model proving the hook."""
+
+    name = "tfidf"
+
+    def idf(self, n_docs: int, df: int) -> float:
+        return math.log(1.0 + n_docs / (df + 1.0))
+
+    def impact(self, tf, K):
+        return 1.0 + np.log(tf)
+
+
+SCORING_MODELS = {"bm25": ScoringModel, "tfidf": TfIdfModel}
+
+
+def register_scoring_model(name: str, cls) -> None:
+    SCORING_MODELS[name] = cls
+
+
 class TermPostings:
     """Decoded posting list of one term (all doc ranges concatenated).
 
@@ -85,8 +122,11 @@ class SearchEngine:
     lives per actor (built once in ``__init__``).
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, scoring="bm25"):
         self.index_dir = os.fspath(index_dir)
+        if isinstance(scoring, str):
+            scoring = SCORING_MODELS[scoring]()
+        self.scoring = scoring
         self.manifest = BuildManifest(index_dir)
         if not self.manifest.is_committed():
             # reference analogue: ping failure exits (solrindexer/cli.py:108-110)
@@ -199,7 +239,7 @@ class SearchEngine:
     # scoring
     # ------------------------------------------------------------------ #
     def idf(self, df: int) -> float:
-        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        return self.scoring.idf(self.n_docs, df)
 
     def _norm_factor(self, norm_bytes: np.ndarray) -> np.ndarray:
         """K(d) = k1 * (1 - b + b * decoded_dl / avgdl) as float64."""
@@ -294,7 +334,7 @@ class SearchEngine:
         if tp.score_vec is None:
             w = self.idf(tp.df)
             K = self._norm_factor(self.norms[tp.doc_ids])
-            tp.score_vec = w * (tp.tfs / (tp.tfs + K))
+            tp.score_vec = w * self.scoring.impact(tp.tfs, K)
         return tp.score_vec
 
     def _score_taat(self, parsed, postings, excluded, k):
@@ -553,7 +593,7 @@ class _BMWIter:
     def _impact_bound(self, max_tf: int, min_norm: int) -> float:
         dl = float(DECODE_TABLE[min_norm])
         K = self.eng.k1 * (1.0 - self.eng.b + self.eng.b * dl / self.eng.avgdl)
-        return max_tf / (max_tf + K)
+        return float(self.eng.scoring.impact(max_tf, K))
 
     @property
     def current(self) -> int:
@@ -577,7 +617,7 @@ class _BMWIter:
         norm = self.eng.norms[self.current]
         dl = float(DECODE_TABLE[norm])
         K = self.eng.k1 * (1.0 - self.eng.b + self.eng.b * dl / self.eng.avgdl)
-        return self.w * (tf / (tf + K))
+        return self.w * float(self.eng.scoring.impact(tf, K))
 
     def advance(self) -> None:
         self.pos += 1

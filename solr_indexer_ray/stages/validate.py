@@ -74,9 +74,15 @@ class CorpusValidator:
     """
 
     def __init__(self, registry: AnalyzerRegistry | None = None,
-                 lang_vocab: ControlledVocabulary | None = None):
+                 lang_vocab: ControlledVocabulary | None = None,
+                 on_warning=None):
         self.registry = registry or AnalyzerRegistry()
         self.lang_vocab = lang_vocab or ControlledVocabulary("lang", KNOWN_LANGS)
+        #: per-document warning hook (reference: ``warning_callback(msg,
+        #: stage)`` threaded through conversion, ``solrindexer/mmd.py:
+        #: 166-175``).  Runs inside the worker — use for logging/metrics
+        #: side-channels, not driver state.
+        self.on_warning = on_warning
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -108,6 +114,10 @@ class CorpusValidator:
             if lang[i] is not None and not self.lang_vocab.contains(lang[i]):
                 # warn-don't-block (reference GCMD advisory warnings)
                 warning[i] = f"lang {lang[i]!r} outside controlled vocabulary"
+                if self.on_warning is not None:
+                    self.on_warning(
+                        f"{repo[i]}/{path[i]}", warning[i], "vocabulary"
+                    )
 
         for name, arr in (
             ("valid", pa.array(valid)),
