@@ -45,25 +45,25 @@ def cmd_index(args) -> int:
 
     _ensure_ray()
     config = load_config(args.config) if args.config else DEFAULT_CONFIG
+    if args.validate and not config.validate:
+        import dataclasses
+
+        config = dataclasses.replace(config, validate=True)
     t0 = time.time()
-    n_failed = 0
-    if args.validate:
-        import ray.data as rd
-
-        from solr_indexer_ray.stages.validate import (
-            failure_summary,
-            split_errors,
-            validate_corpus,
-        )
-
-        ds = rd.read_parquet(args.input)
-        _, errors = split_errors(validate_corpus(ds))
-        n_failed = errors.count()
-        if n_failed:
-            print(failure_summary(errors).to_string(index=False), file=sys.stderr)
     stats = build_index(
         args.input, args.output, config=config, overwrite=args.overwrite
     )
+    n_failed = stats.get("n_failed", 0)
+    if n_failed:
+        # failure analytics (reference: failure_tracker summary)
+        import os
+
+        import ray.data as rd
+
+        from solr_indexer_ray.stages.validate import failure_summary
+
+        errors = rd.read_parquet(os.path.join(args.output, "errors"))
+        print(failure_summary(errors).to_string(index=False), file=sys.stderr)
     # run telemetry (reference: solrindexer/cli.py:217-241)
     print(
         json.dumps(

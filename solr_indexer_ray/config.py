@@ -60,6 +60,12 @@ class IndexConfig:
     #: interrupted build resumes without recomputing completed units.
     checkpoint: bool = True
 
+    #: validate rows during ingestion (reference semantics: invalid rows are
+    #: recorded in the errors side-channel and skipped, never raised —
+    #: ``solrindexer/indexer.py:132-389``).  Invalid rows keep their doc-id
+    #: slot (determinism) but are excluded from docs + postings.
+    validate: bool = False
+
     #: extra metadata recorded into the manifest.
     tags: dict = field(default_factory=dict)
 

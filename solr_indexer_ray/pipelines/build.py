@@ -78,6 +78,17 @@ RAW_POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
+ERRORS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("stage", pa.string()),
+        ("message", pa.string()),
+    ]
+)
+
 MERGED_POSTINGS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -162,8 +173,36 @@ class UnitIndexer:
 
         norms = encode_lengths(doclens)
 
+        # inline validation (config.validate): invalid rows keep their
+        # doc-id slot but are routed to the errors side-channel and
+        # excluded from docs + postings (reference: warn-don't-block,
+        # failures recorded never raised).
+        valid = np.ones(len(contents), dtype=bool)
+        error_rows: list = []
+        if self.config.validate:
+            from solr_indexer_ray.stages.validate import validate_row
+
+            repos = table["repo"].to_pylist()
+            paths = table["path"].to_pylist()
+            commits = table["commit"].to_pylist()
+            for i in range(len(contents)):
+                st, msg = validate_row(
+                    repos[i], paths[i], commits[i], int(doclens[i])
+                )
+                if st is not None:
+                    valid[i] = False
+                    error_rows.append(
+                        {
+                            "doc_id": int(doc_ids[i]),
+                            "repo": repos[i], "path": paths[i],
+                            "commit": commits[i], "stage": st, "message": msg,
+                        }
+                    )
+
         dpr = self.config.docs_per_range
         for i, counts in enumerate(counts_per_doc):
+            if not valid[i]:
+                continue
             did = int(doc_ids[i])
             rid = did // dpr
             nrm = int(norms[i])
@@ -176,7 +215,7 @@ class UnitIndexer:
                 slot[1].append(tf)
                 slot[2].append(nrm)
 
-        # docs slice
+        # docs slice (valid rows only; invalid rows live in errors/)
         docs_table = pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -190,6 +229,8 @@ class UnitIndexer:
             },
             schema=DOCS_SCHEMA,
         )
+        if not valid.all():
+            docs_table = docs_table.filter(pa.array(valid))
         if self.doc_enricher is not None:
             docs_table = self.doc_enricher(docs_table)
             if docs_table.num_rows != len(contents):
@@ -228,6 +269,15 @@ class UnitIndexer:
             _atomic_write_table(post_table, os.path.join(self.index_dir, rel))
             post_rels.append(rel)
 
+        if error_rows:
+            os.makedirs(os.path.join(self.index_dir, "errors"), exist_ok=True)
+            err_rel = f"errors/part-{uid:06d}.parquet"
+            _atomic_write_table(
+                pa.Table.from_pylist(error_rows, schema=ERRORS_SCHEMA),
+                os.path.join(self.index_dir, err_rel),
+            )
+            post_rels.append(err_rel)
+
         entry = {
             "lineage": {
                 "file": str(unit["file"]),
@@ -239,8 +289,10 @@ class UnitIndexer:
                 ).hexdigest(),
             },
             "outputs": [docs_rel, *post_rels],
-            "n_docs": len(contents),
-            "sum_dl": int(doclens.sum()),
+            "n_docs": int(valid.sum()),
+            "n_rows": len(contents),
+            "n_failed": len(error_rows),
+            "sum_dl": int(doclens[valid].sum()),
             "n_terms_partial": len(buffer),
             "metrics": {
                 "wall_s": round(time.perf_counter() - t0, 4),
@@ -257,6 +309,8 @@ def _entry_to_row(entry: dict) -> dict:
     return {
         "unit_id": int(entry["unit_id"]),
         "n_docs": int(entry["n_docs"]),
+        "n_rows": int(entry.get("n_rows", entry["n_docs"])),
+        "n_failed": int(entry.get("n_failed", 0)),
         "sum_dl": int(entry["sum_dl"]),
         "skipped": bool(entry.get("skipped", False)),
         "wall_s": float(entry.get("metrics", {}).get("wall_s", 0.0)),
@@ -433,7 +487,10 @@ def build_index(
     t1 = time.perf_counter()
 
     n_docs = sum(r["n_docs"] for r in unit_results)
+    n_failed = sum(r["n_failed"] for r in unit_results)
     sum_dl = sum(r["sum_dl"] for r in unit_results)
+    doc_id_space = sum(u.num_rows for u in units) if units else 0
+    doc_id_space = max(doc_id_space, units[-1].row_offset + units[-1].num_rows)
 
     # ---- stage 2: per-shard reduce of the spilled postings ---------------
     postings_dir = os.path.join(index_dir, "postings")
@@ -456,6 +513,8 @@ def build_index(
     n_term_rows = sum(r["n_terms"] for r in merged_manifest)
     stats = {
         "n_docs": int(n_docs),
+        "n_failed": int(n_failed),
+        "doc_id_space": int(doc_id_space),
         "sum_dl": int(sum_dl),
         "avgdl": (float(sum_dl) / n_docs) if n_docs else 0.0,
         "n_term_rows": int(n_term_rows),

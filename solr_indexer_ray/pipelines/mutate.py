@@ -62,7 +62,8 @@ def delete_by_id(index_dir: str, doc_ids) -> dict:
     """
     engine = SearchEngine(index_dir)
     requested = set(int(d) for d in doc_ids)
-    existing = {d for d in requested if 0 <= d < engine.n_docs}
+    present = engine.present
+    existing = {d for d in requested if 0 <= d < engine.doc_space and present[d]}
     missing = sorted(requested - existing)
     tombs = _read_tombstones(index_dir)
     already = sorted(existing & tombs)
@@ -82,10 +83,10 @@ def match_ids(engine: SearchEngine, query: str) -> np.ndarray:
     parsed = parse_query(query, engine.registry.analyzer_for(None))
     excluded = engine._excluded_mask(parsed)
     if not parsed.terms:
-        hits = engine._match_all(parsed, excluded, k=engine.n_docs)
+        hits = engine._match_all(parsed, excluded, k=engine.doc_space)
         return np.array([d for d, _ in hits], dtype=np.int64)
     postings = engine.lookup_postings(parsed.terms)
-    seen = np.zeros(engine.n_docs, dtype=np.int32)
+    seen = np.zeros(engine.doc_space, dtype=np.int32)
     for tp in postings.values():
         seen[tp.doc_ids] += 1
     required = len(postings) if parsed.conjunctive else 1

@@ -133,7 +133,10 @@ class SearchEngine:
             raise FileNotFoundError(f"index at {index_dir} is not committed")
         stats = self.manifest.read_stats()
         self.stats = stats
-        self.n_docs = int(stats["n_docs"])
+        self.n_docs = int(stats["n_docs"])          # indexed (valid) docs
+        #: size of the dense doc-id address space (>= n_docs when
+        #: inline validation skipped rows but kept their id slots)
+        self.doc_space = int(stats.get("doc_id_space", stats["n_docs"]))
         self.avgdl = float(stats["avgdl"])
         self.k1 = float(stats["k1"])
         self.b = float(stats["b"])
@@ -148,6 +151,7 @@ class SearchEngine:
         )
         self._docs_ds = pads.dataset(os.path.join(self.index_dir, "docs"))
         self._norms = None          # doc_id -> norm byte (dense)
+        self._present = None        # doc_id -> row exists in docs table
         self._tombstones = None     # set[int] or None
         self._overlays = None       # doc_id -> {col: value}
         self._term_cache: dict = {}  # decoded TermPostings LRU (insertion order)
@@ -161,10 +165,21 @@ class SearchEngine:
     def norms(self) -> np.ndarray:
         if self._norms is None:
             t = self._docs_ds.to_table(columns=["doc_id", "norm"])
-            arr = np.zeros(self.n_docs, dtype=np.uint8)
-            arr[t["doc_id"].to_numpy()] = t["norm"].to_numpy()
+            arr = np.zeros(self.doc_space, dtype=np.uint8)
+            ids = t["doc_id"].to_numpy()
+            arr[ids] = t["norm"].to_numpy()
             self._norms = arr
+            present = np.zeros(self.doc_space, dtype=bool)
+            present[ids] = True
+            self._present = present
         return self._norms
+
+    @property
+    def present(self) -> np.ndarray:
+        """Dense doc_id -> exists-in-docs-table mask (False for id slots of
+        rows rejected by inline validation); independent of tombstones."""
+        self.norms  # built together
+        return self._present
 
     @property
     def tombstones(self) -> set:
@@ -272,7 +287,7 @@ class SearchEngine:
         def ensure():
             nonlocal mask
             if mask is None:
-                mask = np.zeros(self.n_docs, dtype=bool)
+                mask = np.zeros(self.doc_space, dtype=bool)
             return mask
 
         if self.tombstones:
@@ -338,10 +353,10 @@ class SearchEngine:
         return tp.score_vec
 
     def _score_taat(self, parsed, postings, excluded, k):
-        scores = np.zeros(self.n_docs, dtype=np.float64)
+        scores = np.zeros(self.doc_space, dtype=np.float64)
         n_terms = 0
         seen = (
-            np.zeros(self.n_docs, dtype=np.int32) if parsed.conjunctive else None
+            np.zeros(self.doc_space, dtype=np.int32) if parsed.conjunctive else None
         )
         for term in sorted(postings):  # ascending-term order: pinned float order
             tp = postings[term]

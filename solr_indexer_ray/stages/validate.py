@@ -64,6 +64,21 @@ class ControlledVocabulary:
         return pc.is_in(column, value_set=self._arr)
 
 
+def validate_row(repo, path, commit, n_tokens) -> tuple:
+    """Shared row predicate -> (stage, message) or (None, None) if valid.
+
+    Used both by the standalone :class:`CorpusValidator` stage and by the
+    index build's inline validation path (the reference validates during
+    ingestion, ``solrindexer/indexer.py:132-389``)."""
+    if not repo or not path or not commit:
+        return "required", "missing required field repo/path/commit"
+    if not _HEX40.match(commit):
+        return "id-format", f"commit not 40-hex: {str(commit)[:50]!r}"
+    if n_tokens == 0:
+        return "empty-content", "no analyzable tokens in content"
+    return None, None
+
+
 class CorpusValidator:
     """Stateful ``map_batches`` stage: vocab + analyzer built once per actor
     (reference: XSD schema compiled once per worker, ST1
@@ -98,18 +113,10 @@ class CorpusValidator:
         warning = [None] * n
 
         for i in range(n):
-            if not repo[i] or not path[i] or not commit[i]:
-                valid[i], stage[i] = False, "required"
-                message[i] = "missing required field repo/path/commit"
-                continue
-            if not _HEX40.match(commit[i]):
-                valid[i], stage[i] = False, "id-format"
-                message[i] = f"commit not 40-hex: {commit[i][:50]!r}"
-                continue
             toks = self.registry.tokenize(content[i] or "", lang[i])
-            if not toks:
-                valid[i], stage[i] = False, "empty-content"
-                message[i] = "no analyzable tokens in content"
+            st, msg = validate_row(repo[i], path[i], commit[i], len(toks))
+            if st is not None:
+                valid[i], stage[i], message[i] = False, st, msg
                 continue
             if lang[i] is not None and not self.lang_vocab.contains(lang[i]):
                 # warn-don't-block (reference GCMD advisory warnings)
