@@ -50,9 +50,14 @@ def cmd_index(args) -> int:
 
         config = dataclasses.replace(config, validate=True)
     t0 = time.time()
-    stats = build_index(
-        args.input, args.output, config=config, overwrite=args.overwrite
-    )
+    if args.extend:
+        from solr_indexer_ray.pipelines.build import extend_index
+
+        stats = extend_index(args.input, args.output, config=config)
+    else:
+        stats = build_index(
+            args.input, args.output, config=config, overwrite=args.overwrite
+        )
     n_failed = stats.get("n_failed", 0)
     if n_failed:
         # failure analytics (reference: failure_tracker summary)
@@ -140,6 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("-o", "--output", required=True, help="index directory")
     pi.add_argument("--config", help="YAML config (IndexConfig fields)")
     pi.add_argument("--overwrite", action="store_true")
+    pi.add_argument("--extend", action="store_true",
+                    help="incrementally add new inputs to a committed index")
     pi.add_argument("--validate", action="store_true",
                     help="run corpus validation and report failures")
     pi.set_defaults(fn=cmd_index)

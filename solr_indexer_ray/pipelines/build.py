@@ -364,9 +364,12 @@ class ShardMerger:
     ``shard=`` layout prunes across files).
     """
 
-    def __init__(self, index_dir: str, block_size: int):
+    def __init__(self, index_dir: str, block_size: int, min_range: int = 0):
         self.index_dir = os.fspath(index_dir)
         self.block_size = block_size
+        #: incremental extension: ranges below min_range are untouched on
+        #: disk and skipped; the boundary range re-merges old + new spills.
+        self.min_range = min_range
 
     def __call__(self, batch: dict) -> pa.Table:
         rows = [self._merge_shard(int(s)) for s in batch["shard"]]
@@ -384,7 +387,11 @@ class ShardMerger:
             return {"shard": shard, "n_terms": 0, "n_files": 0}
         import pyarrow.dataset as pads
 
-        tbl = pads.dataset(src).to_table()
+        flt = (
+            (pads.field("range_id") >= self.min_range)
+            if self.min_range > 0 else None
+        )
+        tbl = pads.dataset(src).to_table(filter=flt)
         import pyarrow.compute as pc
 
         order = pc.sort_indices(
@@ -432,6 +439,33 @@ class ShardMerger:
         return {"shard": shard, "n_terms": n_terms, "n_files": n_files}
 
 
+# Stages run as Ray TASKS, not actor pools: the expensive per-worker state
+# (compiled regexes, identifier-expansion cache) lives at module level and
+# survives across tasks on warm workers, while tasks avoid the
+# per-execution actor-pool spawn cost and scale elastically.  Stage
+# callables stay classes (UnitIndexer/ShardMerger) for direct testing.
+def _run_stage1(unit_rows, index_dir, config, registry, doc_enricher) -> list:
+    def run_units(batch: dict) -> pa.Table:
+        return UnitIndexer(index_dir, config, registry, doc_enricher)(batch)
+
+    return (
+        rd.from_items(unit_rows)
+        .map_batches(run_units, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()  # small: one row per unit
+    )
+
+
+def _run_stage2(index_dir, n_shards, block_size, min_range: int = 0) -> list:
+    def run_merge(batch: dict) -> pa.Table:
+        return ShardMerger(index_dir, block_size, min_range)(batch)
+
+    return (
+        rd.from_items([{"shard": s} for s in range(n_shards)])
+        .map_batches(run_merge, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+
+
 def build_index(
     input_paths,
     index_dir: str,
@@ -468,22 +502,8 @@ def build_index(
     n_shards = max(8, min(64, cpus * 2, len(units) * 2))
 
     unit_rows = [dict(u.to_row(), n_shards=n_shards) for u in units]
-
-    # Stages run as Ray TASKS, not an actor pool: the expensive per-worker
-    # state (compiled regexes, identifier-expansion cache) lives at module
-    # level and survives across tasks on warm workers, while tasks avoid the
-    # per-execution actor-pool spawn cost and scale elastically.  Stage
-    # callables stay classes (UnitIndexer/ShardMerger) for direct testing.
-    def run_units(batch: dict) -> pa.Table:
-        return UnitIndexer(index_dir, config, registry, doc_enricher)(batch)
-
-    stage1 = rd.from_items(unit_rows).map_batches(
-        run_units,
-        batch_size=1,
-        batch_format="numpy",
-        num_cpus=1,
-    )
-    unit_results = stage1.take_all()  # small: one row per unit
+    unit_results = _run_stage1(unit_rows, index_dir, config, registry,
+                               doc_enricher)
     t1 = time.perf_counter()
 
     n_docs = sum(r["n_docs"] for r in unit_results)
@@ -498,15 +518,7 @@ def build_index(
         shutil.rmtree(postings_dir)
     os.makedirs(postings_dir, exist_ok=True)
 
-    block_size = config.block_size
-
-    def run_merge(batch: dict) -> pa.Table:
-        return ShardMerger(index_dir, block_size)(batch)
-
-    merged_manifest = (
-        rd.from_items([{"shard": s} for s in range(n_shards)])
-        .map_batches(run_merge, batch_size=1, batch_format="numpy", num_cpus=1)
-    ).take_all()
+    merged_manifest = _run_stage2(index_dir, n_shards, config.block_size)
     t2 = time.perf_counter()
 
     # ---- commit ---------------------------------------------------------
@@ -532,5 +544,129 @@ def build_index(
             "total_s": round(t2 - t0, 3),
         },
     }
+    manifest.commit(stats)
+    return manifest.read_stats()
+
+
+def extend_index(
+    input_paths,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    doc_enricher=None,
+) -> dict:
+    """Incrementally index NEW inputs into a committed index.
+
+    The reference's primary operating mode is exactly this — continuously
+    adding documents to a live Solr core (``indexdata`` runs against an
+    existing core; upsert by id, ``solrindexer/indexer.py:470-690``).  Here:
+
+    - new units get doc ids continuing after the existing ``doc_id_space``
+      (deterministic: sorted new inputs, prefix sums);
+    - index-shape parameters (shards, doc ranges, block size, k1/b,
+      analyzer pin) come from the committed stats — they define the layout
+      and MUST NOT change between extensions;
+    - stage 2 re-merges only doc ranges >= the boundary range: fully-old
+      ranges are untouched on disk, the boundary range re-merges old + new
+      spills (kept in ``postings_raw``), new ranges are fresh.  Work is
+      proportional to the NEW data, not the index size.
+
+    Note: BM25 stats (N, avgdl, df) change with every extension, so scores
+    for old queries legitimately shift — same as a Solr commit.
+    """
+    config = config or DEFAULT_CONFIG
+    index_dir = os.fspath(index_dir)
+    manifest = BuildManifest(index_dir)
+    if not manifest.is_committed():
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    old = manifest.read_stats()
+    registry = AnalyzerRegistry(
+        old["analyzer_default"], overrides=old["analyzer_lang_map"]
+    )
+    import dataclasses
+
+    config = dataclasses.replace(
+        config,
+        docs_per_range=int(old["docs_per_range"]),
+        block_size=int(old["block_size"]),
+        k1=float(old["k1"]),
+        b=float(old["b"]),
+    )
+    n_shards = int(old["n_shards"])
+    base = int(old["doc_id_space"])
+
+    t0 = time.perf_counter()
+    units = list_units(input_paths)
+    if not units:
+        raise ValueError(f"no parquet inputs under {input_paths!r}")
+    prev_units = manifest.read_all_units()
+    if not prev_units and int(old.get("n_units", 0)) > 0:
+        raise ValueError(
+            "extend_index requires a checkpointed index "
+            "(built with config.checkpoint=True)"
+        )
+    # idempotence: inputs already in the index (by lineage) are skipped —
+    # extending twice with the same files must not duplicate docs.  A true
+    # re-index of changed content goes through upsert/rebuild instead.
+    seen_lineage = {
+        (u["lineage"]["file"], u["lineage"]["row_group"]) for u in prev_units
+    }
+    units = [u for u in units if (u.file, u.row_group) not in seen_lineage]
+    if not units:
+        return manifest.read_stats()
+    from solr_indexer_ray.sources.parquet_units import ReadUnit
+
+    # re-pack offsets over the surviving units (dense continuation after
+    # the existing doc-id space), fresh unit ids after the existing ones
+    next_uid = (
+        max(int(u["unit_id"]) for u in prev_units) + 1 if prev_units else 0
+    )
+    shifted = []
+    offset = 0
+    for i, u in enumerate(units):
+        shifted.append(
+            ReadUnit(next_uid + i, u.file, u.row_group, base + offset,
+                     u.num_rows)
+        )
+        offset += u.num_rows
+    unit_rows = [dict(u.to_row(), n_shards=n_shards) for u in shifted]
+    unit_results = _run_stage1(unit_rows, index_dir, config, registry,
+                               doc_enricher)
+    t1 = time.perf_counter()
+
+    min_range = base // config.docs_per_range
+    merged = _run_stage2(index_dir, n_shards, config.block_size, min_range)
+    t2 = time.perf_counter()
+
+    new_docs = sum(r["n_docs"] for r in unit_results)
+    new_failed = sum(r["n_failed"] for r in unit_results)
+    new_dl = sum(r["sum_dl"] for r in unit_results)
+    n_docs = int(old["n_docs"]) + new_docs
+    sum_dl = int(old["sum_dl"]) + new_dl
+
+    # recount term rows from parquet footers (metadata-only)
+    n_term_rows = 0
+    postings_dir = os.path.join(index_dir, "postings")
+    for root, _, files in os.walk(postings_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_term_rows += pq.ParquetFile(
+                    os.path.join(root, f)
+                ).metadata.num_rows
+
+    stats = dict(
+        old,
+        n_docs=n_docs,
+        n_failed=int(old.get("n_failed", 0)) + new_failed,
+        doc_id_space=base + sum(u.num_rows for u in units),
+        sum_dl=sum_dl,
+        avgdl=(float(sum_dl) / n_docs) if n_docs else 0.0,
+        n_term_rows=int(n_term_rows),
+        n_units=int(old["n_units"]) + len(units),
+        timings={
+            "stage1_s": round(t1 - t0, 3),
+            "stage2_s": round(t2 - t1, 3),
+            "total_s": round(t2 - t0, 3),
+        },
+    )
     manifest.commit(stats)
     return manifest.read_stats()

@@ -1,0 +1,86 @@
+"""Incremental index extension: new docs merge into a committed index and
+results stay rank-identical to a from-scratch build over the union."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.pipelines.build import build_index, extend_index
+from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+from solr_indexer_ray.pipelines.search import SearchEngine
+from solr_indexer_ray.sources.corpus import generate_corpus
+
+CFG = IndexConfig(docs_per_range=128, block_size=16, concurrency=2)
+
+
+@pytest.fixture(scope="module")
+def split_corpora(tmp_path_factory):
+    root = tmp_path_factory.mktemp("extend")
+    full = generate_corpus(200, seed=11, mean_tokens=50, with_edge_rows=False)
+    a, b = full.slice(0, 120), full.slice(120)
+    pa_dir = str(root / "a.parquet")
+    pb_dir = str(root / "b.parquet")
+    pq.write_table(a, pa_dir, row_group_size=48)
+    pq.write_table(b, pb_dir, row_group_size=48)
+    return full, pa_dir, pb_dir, str(root)
+
+
+class TestExtend:
+    def test_extension_matches_full_rebuild(self, split_corpora, tmp_path):
+        full, path_a, path_b, _ = split_corpora
+        inc_dir = str(tmp_path / "inc")
+        stats_a = build_index(path_a, inc_dir, config=CFG)
+        stats_ab = extend_index(path_b, inc_dir, config=CFG)
+        assert stats_ab["n_docs"] == full.num_rows
+        assert stats_ab["doc_id_space"] == full.num_rows
+        assert stats_ab["n_units"] > stats_a["n_units"]
+
+        # oracle over the union — the incremental index must be
+        # rank-identical to scoring the full corpus from scratch
+        corpus = full.append_column(
+            "doc_id", pa.array(range(full.num_rows), pa.int64())
+        )
+        oracle = BruteForceBM25(corpus)
+        eng = SearchEngine(inc_dir)
+        for q in ["def index", "parse merge buffer", "the", "lang:python def"]:
+            got = eng.search(q, k=20, fl=["doc_id"])
+            expect = oracle.search(q, k=20)
+            assert got["doc_id"].to_pylist() == [d for d, _ in expect], q
+            assert got["score"].to_pylist() == pytest.approx(
+                [s for _, s in expect]
+            ), q
+
+    def test_boundary_range_remerged_old_ranges_untouched(
+        self, split_corpora, tmp_path
+    ):
+        _, path_a, path_b, _ = split_corpora
+        inc_dir = str(tmp_path / "inc2")
+        build_index(path_a, inc_dir, config=CFG)  # 120 docs -> range 0 open
+        # record mtime of a fully-old range file? ranges: 120 docs,
+        # docs_per_range=128 -> all in range 0, so range 0 re-merges.
+        stats = extend_index(path_b, inc_dir, config=CFG)
+        # 200 docs / 128 -> ranges 0 and 1 exist
+        ranges = set()
+        for root, _, files in os.walk(os.path.join(inc_dir, "postings")):
+            for f in files:
+                if f.startswith("range-"):
+                    ranges.add(f)
+        assert {"range-000000.parquet", "range-000001.parquet"} <= ranges
+        assert stats["n_docs"] == 200
+
+    def test_extend_is_idempotent(self, split_corpora, tmp_path):
+        _, path_a, path_b, _ = split_corpora
+        inc_dir = str(tmp_path / "inc3")
+        build_index(path_a, inc_dir, config=CFG)
+        s1 = extend_index(path_b, inc_dir, config=CFG)
+        s2 = extend_index(path_b, inc_dir, config=CFG)  # same inputs again
+        assert s2["n_docs"] == s1["n_docs"]
+        assert s2["doc_id_space"] == s1["doc_id_space"]
+
+    def test_extend_requires_committed_index(self, split_corpora, tmp_path):
+        _, _, path_b, _ = split_corpora
+        with pytest.raises(FileNotFoundError):
+            extend_index(path_b, str(tmp_path / "nope"), config=CFG)
