@@ -552,6 +552,177 @@ class SearchEngine:
         return st
 
 
+class RangeScorer:
+    """Per-doc-range scoring task for the distributed query path.
+
+    The build's doc-range layout partitions both the postings
+    (``postings/shard=S/range-R.parquet``) and the docs table (unit files
+    cover contiguous doc-id intervals), so query evaluation fans out as one
+    task per doc range: each task reads only its range's postings rows and
+    norm bytes, scores with the globally-computed idf weights (passed in —
+    df is global state, tiny), and returns its local top-k.  Ranges are
+    disjoint, so the global top-k is a simple k-way merge of the partials.
+    Per-doc float addition order matches the single-process TAAT scorer
+    (ascending terms), so merged results are bit-identical to it.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.index_dir = os.fspath(index_dir)
+        self.manifest = BuildManifest(index_dir)
+        self.stats = self.manifest.read_stats()
+        self.k1 = float(self.stats["k1"])
+        self.b = float(self.stats["b"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.dpr = int(self.stats["docs_per_range"])
+        self.n_shards = int(self.stats["n_shards"])
+        self.k = k
+        self._postings = pads.dataset(
+            os.path.join(self.index_dir, "postings"), partitioning="hive"
+        )
+        self._docs = pads.dataset(os.path.join(self.index_dir, "docs"))
+
+    def __call__(self, batch: dict) -> pa.Table:
+        out = []
+        n = len(batch["range_id"])
+        for i in range(n):
+            out.extend(
+                self._score_range(
+                    int(batch["range_id"][i]),
+                    list(batch["terms"][i]),
+                    list(batch["idfs"][i]),
+                    list(batch["prohibited"][i]),
+                    dict(zip(batch["filter_keys"][i], batch["filter_vals"][i])),
+                    bool(batch["conjunctive"][i]),
+                )
+            )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+    def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive):
+        lo, hi = rid * self.dpr, (rid + 1) * self.dpr
+        shards = sorted({term_shard(t, self.n_shards) for t in set(terms) | set(prohibited)})
+        tbl = self._postings.to_table(
+            filter=pc.field("shard").isin(shards)
+            & pc.field("range_id").isin([rid])
+            & pc.field("term").isin(sorted(set(terms) | set(prohibited)))
+        )
+        rows = {tbl["term"][i].as_py(): i for i in range(tbl.num_rows)}
+
+        width = hi - lo
+        # range-local norms
+        docs_flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi)
+        dtab = self._docs.to_table(columns=["doc_id", "norm"], filter=docs_flt)
+        norms = np.zeros(width, dtype=np.uint8)
+        norms[dtab["doc_id"].to_numpy() - lo] = dtab["norm"].to_numpy()
+
+        scores = np.zeros(width, dtype=np.float64)
+        seen = np.zeros(width, dtype=np.int32) if conjunctive else None
+        n_terms = 0
+        for term, w in sorted(zip(terms, idfs)):  # ascending-term float order
+            ri = rows.get(term)
+            n_terms += 1
+            if ri is None:
+                continue
+            ids = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
+            tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64)
+            dl = DECODE_TABLE[norms[ids]]
+            K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+            scores[ids] += w * (tfs / (tfs + K))
+            if seen is not None:
+                seen[ids] += 1
+        if seen is not None:
+            cand = np.flatnonzero(seen >= n_terms)
+        else:
+            cand = np.flatnonzero(scores > 0.0)
+        if cand.size == 0:
+            return []
+        # prohibitions + metadata filters, range-local
+        dead = np.zeros(width, dtype=bool)
+        for term in prohibited:
+            ri = rows.get(term)
+            if ri is not None:
+                dead[decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo] = True
+        if filters:
+            expr = docs_flt
+            for fld, val in filters.items():
+                expr = expr & (pc.field(fld) != val)
+            bad = self._docs.to_table(columns=["doc_id"], filter=expr)
+            dead[bad["doc_id"].to_numpy() - lo] = True
+        cand = cand[~dead[cand]]
+        if cand.size == 0:
+            return []
+        s = scores[cand]
+        kk = min(self.k, cand.size)
+        kth = -np.partition(-s, kk - 1)[kk - 1]
+        idx = np.flatnonzero(s >= kth)
+        order = np.lexsort((cand[idx], -s[idx]))[:kk]
+        return [
+            {"doc_id": int(cand[idx[o]] + lo), "score": float(s[idx[o]])}
+            for o in order
+        ]
+
+
+def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
+    """Distributed top-k: fan out per doc range, merge local top-k.
+
+    Bit-identical to ``SearchEngine.search(..., method='taat')`` (tested);
+    this is the layout-parallel path a multi-node deployment uses — the
+    driver ships only (terms, global idf weights), each range task touches
+    only its partition's postings + norms, and the merge handles k·ranges
+    rows.
+    """
+    import ray.data as rd
+
+    engine = SearchEngine(index_dir)
+    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    if not parsed.terms:
+        return engine.search(query, k=k)
+    # global df -> idf (small driver-side scout over postings df column)
+    postings = engine.lookup_postings(parsed.terms)
+    terms = sorted(postings)
+    if not terms:  # no query term exists in the index -> zero hits
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    idfs = [engine.idf(postings[t].df) for t in terms]
+    n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
+        engine.stats["docs_per_range"]
+    )
+    items = [
+        {
+            "range_id": r,
+            "terms": terms,
+            "idfs": idfs,
+            "prohibited": sorted(set(parsed.prohibited)),
+            "filter_keys": sorted(parsed.filters),
+            "filter_vals": [parsed.filters[f] for f in sorted(parsed.filters)],
+            "conjunctive": parsed.conjunctive,
+        }
+        for r in range(n_ranges)
+    ]
+
+    def run(batch: dict) -> pa.Table:
+        return RangeScorer(index_dir, k)(batch)
+
+    partials = (
+        rd.from_items(items)
+        .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    if engine.tombstones:
+        partials = [r for r in partials if r["doc_id"] not in engine.tombstones]
+    partials.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    top = partials[:k]
+    return pa.Table.from_pylist(
+        top, schema=pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    )
+
+
 class BatchSearcher:
     """Actor-pool query stage: one ``SearchEngine`` per actor (index stats +
     norms loaded once in ``__init__``), scoring a batch of query strings per

@@ -113,6 +113,22 @@ class TestRankIdentity:
             b["score"].to_pylist()
         ), query
 
+    @pytest.mark.parametrize(
+        "query",
+        ["def", "parse index query", "lang:python def return",
+         "index AND merge", "index -merge", "zzzzqqqq"],
+    )
+    def test_partitioned_vs_taat(self, engine, built_index, query):
+        """Distributed per-range fan-out == single-process TAAT, bit-exact
+        (the built_index fixture spans 3 doc ranges)."""
+        from solr_indexer_ray.pipelines.search import search_partitioned
+
+        index_dir, _ = built_index
+        a = engine.search(query, k=10, fl=["doc_id"], method="taat")
+        b = search_partitioned(index_dir, query, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), query
+        assert a["score"].to_pylist() == b["score"].to_pylist(), query
+
     def test_tie_break_by_doc_id(self, engine, oracle):
         """Docs with identical content tie on score -> ascending doc_id."""
         got = engine.search("def parse", k=300, fl=["doc_id"])
