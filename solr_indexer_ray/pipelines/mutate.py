@@ -183,6 +183,164 @@ def mark_parents(index_dir: str, parent_keys) -> dict:
 
 
 # --------------------------------------------------------------------- #
+# compaction
+# --------------------------------------------------------------------- #
+def _purge_spill_file(path: str, dead_ids) -> bool:
+    """Drop tombstoned doc ids from one raw-postings spill file.
+
+    Returns True if the file changed.  Row arrays are filtered in numpy;
+    terms whose postings become empty are dropped entirely.
+    """
+    tbl = pq.read_table(path)
+    changed = False
+    new_rows = []
+    for i in range(tbl.num_rows):
+        ids = np.asarray(tbl["doc_ids"][i].as_py(), dtype=np.int64)
+        keep = ~np.isin(ids, dead_ids)
+        if keep.all():
+            new_rows.append(i)
+            continue
+        changed = True
+        if keep.any():
+            new_rows.append(
+                {
+                    "term": tbl["term"][i].as_py(),
+                    "range_id": tbl["range_id"][i].as_py(),
+                    "doc_ids": ids[keep].tolist(),
+                    "tfs": np.asarray(tbl["tfs"][i].as_py())[keep].tolist(),
+                    "norms": np.asarray(tbl["norms"][i].as_py())[keep].tolist(),
+                }
+            )
+    if not changed:
+        return False
+    kept_idx = [r for r in new_rows if isinstance(r, int)]
+    dict_rows = [r for r in new_rows if isinstance(r, dict)]
+    parts = [tbl.take(kept_idx)] if kept_idx else []
+    if dict_rows:
+        parts.append(pa.Table.from_pylist(dict_rows, schema=tbl.schema))
+    out = pa.concat_tables(parts) if parts else tbl.slice(0, 0)
+    # restore deterministic (term, range) order
+    order = pc.sort_indices(
+        out, sort_keys=[("term", "ascending"), ("range_id", "ascending")]
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(out.take(order), tmp)
+    os.replace(tmp, path)
+    return True
+
+
+def compact_index(index_dir: str) -> dict:
+    """Physically remove tombstoned docs (reference analogue: Solr deletes
+    become physical at segment merge).  Rewrites affected docs parts and
+    raw-postings spills (so later incremental extensions cannot resurrect
+    deleted docs), re-runs the per-shard merge, recomputes stats, clears
+    tombstones and dead overlays.  Doc ids keep their slots (gaps are fine
+    — the engine addresses by ``doc_id_space``); work is proportional to
+    the index, which is what compaction means.
+    """
+    import ray.data as rd
+
+    from solr_indexer_ray.pipelines.build import _run_stage2
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    manifest = BuildManifest(index_dir)
+    stats = manifest.read_stats()
+    tombs = _read_tombstones(index_dir)
+    if not tombs:
+        return {"removed": 0, "stats": stats}
+    dead = np.fromiter(tombs, dtype=np.int64)
+
+    # 1. rewrite docs parts dropping dead rows (parallel over part files)
+    docs_dir = os.path.join(index_dir, "docs")
+    doc_files = sorted(
+        os.path.join(docs_dir, f)
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet")
+    )
+
+    def purge_docs(batch: dict) -> pa.Table:
+        removed = 0
+        kept_docs = 0
+        kept_dl = 0
+        for path in batch["path"]:
+            t = pq.read_table(str(path))
+            keep = ~np.isin(t["doc_id"].to_numpy(), dead)
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+                tmp = f"{path}.tmp.{os.getpid()}"
+                pq.write_table(t, tmp)
+                os.replace(tmp, str(path))
+                removed += int((~keep).sum())
+            kept_docs += t.num_rows
+            kept_dl += int(pc.sum(t["doclen"]).as_py() or 0)
+        return pa.table(
+            {
+                "removed": pa.array([removed], pa.int64()),
+                "kept_docs": pa.array([kept_docs], pa.int64()),
+                "kept_dl": pa.array([kept_dl], pa.int64()),
+            }
+        )
+
+    res = (
+        rd.from_items([{"path": p} for p in doc_files])
+        .map_batches(purge_docs, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    removed = sum(r["removed"] for r in res)
+    n_docs = sum(r["kept_docs"] for r in res)
+    sum_dl = sum(r["kept_dl"] for r in res)
+
+    # 2. rewrite raw-postings spills (parallel over shard dirs)
+    raw_dir = os.path.join(index_dir, "postings_raw")
+    shard_dirs = sorted(
+        os.path.join(raw_dir, d)
+        for d in os.listdir(raw_dir)
+        if d.startswith("shard=")
+    )
+
+    def purge_shard(batch: dict) -> pa.Table:
+        n = 0
+        for d in batch["dir"]:
+            for f in sorted(os.listdir(str(d))):
+                if f.endswith(".parquet"):
+                    n += _purge_spill_file(os.path.join(str(d), f), dead)
+        return pa.table({"changed": pa.array([n], pa.int64())})
+
+    (
+        rd.from_items([{"dir": d} for d in shard_dirs])
+        .map_batches(purge_shard, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+
+    # 3. re-merge postings
+    merged = _run_stage2(index_dir, int(stats["n_shards"]), int(stats["block_size"]))
+    n_term_rows = sum(r["n_terms"] for r in merged)
+
+    # 4. drop dead overlays, clear tombstones, commit new stats
+    overlays_path = os.path.join(index_dir, OVERLAYS)
+    if os.path.exists(overlays_path):
+        t = pq.read_table(overlays_path)
+        keep = ~np.isin(t["doc_id"].to_numpy(), dead)
+        if not keep.all():
+            tmp = f"{overlays_path}.tmp.{os.getpid()}"
+            pq.write_table(t.filter(pa.array(keep)), tmp)
+            os.replace(tmp, overlays_path)
+    tomb_path = os.path.join(index_dir, TOMBSTONES)
+    if os.path.exists(tomb_path):
+        os.remove(tomb_path)
+
+    new_stats = dict(
+        stats,
+        n_docs=int(n_docs),
+        sum_dl=int(sum_dl),
+        avgdl=(float(sum_dl) / n_docs) if n_docs else 0.0,
+        n_term_rows=int(n_term_rows),
+    )
+    manifest.commit(new_stats)
+    return {"removed": int(removed), "stats": manifest.read_stats()}
+
+
+# --------------------------------------------------------------------- #
 # upsert semantics
 # --------------------------------------------------------------------- #
 def apply_upsert_semantics(index_dir: str, key_cols=("repo", "path")) -> dict:

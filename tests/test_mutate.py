@@ -104,6 +104,50 @@ class TestUpsert:
                 assert d in eng.tombstones
 
 
+class TestCompaction:
+    def test_compact_removes_docs_physically(self, mut_index, small_corpus):
+        import pyarrow as pa
+
+        from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+
+        index_dir, stats = mut_index
+        eng0 = SearchEngine(index_dir)
+        go_ids = set(mutate.match_ids(eng0, "lang:go").tolist())
+        mutate.delete_by_query(index_dir, "lang:go")
+        mutate.delete_by_id(index_dir, [0, 1])
+        dead = go_ids | {0, 1}
+
+        res = mutate.compact_index(index_dir)
+        assert res["removed"] == len(dead)
+        assert not os.path.exists(os.path.join(index_dir, "tombstones.parquet"))
+
+        eng = SearchEngine(index_dir)
+        assert eng.count() == stats["n_docs"] - len(dead)
+        assert len(eng.tombstones) == 0
+        for d in sorted(dead)[:5]:
+            assert eng.get(d) is None
+        assert len(mutate.match_ids(eng, "lang:go")) == 0
+
+        # rank-identity vs the oracle over the surviving corpus (N, avgdl,
+        # df all shrank — scores must reflect the compacted statistics)
+        corpus = small_corpus.append_column(
+            "doc_id", pa.array(range(small_corpus.num_rows), pa.int64())
+        )
+        keep = [i for i in range(small_corpus.num_rows) if i not in dead]
+        oracle = BruteForceBM25(corpus.take(keep))
+        for q in ["def index", "parse merge", "the buffer"]:
+            got = eng.search(q, k=15, fl=["doc_id"])
+            expect = oracle.search(q, k=15)
+            assert got["doc_id"].to_pylist() == [d for d, _ in expect], q
+            assert got["score"].to_pylist() == pytest.approx(
+                [s for _, s in expect]
+            ), q
+
+    def test_compact_noop_without_tombstones(self, mut_index):
+        index_dir, _ = mut_index
+        assert mutate.compact_index(index_dir)["removed"] == 0
+
+
 class TestResume:
     def test_interrupted_build_resumes(self, small_corpus_path, tmp_path):
         """Kill-mid-build simulation: first build, then destroy stage-2

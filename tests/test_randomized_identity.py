@@ -1,0 +1,72 @@
+"""Randomized rank-identity sweep: random corpora × random queries, engine
+vs brute-force oracle.  Deterministic seeds (reproducible), broad coverage
+of tf/df/doclen shapes the hand-written query set can't enumerate."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.pipelines.build import build_index
+from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+from solr_indexer_ray.pipelines.search import SearchEngine
+from solr_indexer_ray.sources.corpus import generate_corpus
+
+
+def random_queries(rng, vocab, n):
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(1, 4))
+        terms = [vocab[int(rng.integers(len(vocab)))] for _ in range(k)]
+        mode = int(rng.integers(4))
+        if mode == 0 and k > 1:
+            out.append(" AND ".join(terms))
+        elif mode == 1 and k > 1:
+            out.append(" ".join(terms[:-1]) + f" -{terms[-1]}")
+        elif mode == 2:
+            out.append("lang:python " + " ".join(terms))
+        else:
+            out.append(" ".join(terms))
+    return out
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_random_corpus_rank_identity(seed, tmp_path):
+    rng = np.random.default_rng(seed)
+    n_files = int(rng.integers(40, 160))
+    corpus = generate_corpus(
+        n_files, seed=seed, mean_tokens=int(rng.integers(15, 90))
+    )
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(corpus, path, row_group_size=max(8, n_files // 5))
+
+    index_dir = str(tmp_path / "idx")
+    config = IndexConfig(
+        docs_per_range=int(rng.choice([32, 64, 1 << 20])),
+        block_size=int(rng.choice([4, 16, 128])),
+        concurrency=2,
+    )
+    build_index(path, index_dir, config=config)
+
+    oracle = BruteForceBM25(
+        corpus.append_column(
+            "doc_id", pa.array(range(corpus.num_rows), pa.int64())
+        )
+    )
+    engine = SearchEngine(index_dir)
+
+    # vocabulary drawn from actual doc tokens (plus one absent term)
+    vocab = sorted(oracle.df)[:200] + ["notaterm"]
+    for q in random_queries(rng, vocab, 25):
+        for k in (3, 10):
+            got = engine.search(q, k=k, fl=["doc_id"])
+            expect = oracle.search(q, k=k)
+            assert got["doc_id"].to_pylist() == [d for d, _ in expect], (seed, q)
+            assert got["score"].to_pylist() == pytest.approx(
+                [s for _, s in expect], rel=1e-12, abs=1e-12
+            ), (seed, q)
+        # BMW agrees too
+        bmw = engine.search(q, k=10, fl=["doc_id"], method="bmw")
+        taat = engine.search(q, k=10, fl=["doc_id"], method="taat")
+        assert bmw["doc_id"].to_pylist() == taat["doc_id"].to_pylist(), (seed, q)
