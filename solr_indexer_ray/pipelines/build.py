@@ -448,22 +448,31 @@ def _run_stage1(unit_rows, index_dir, config, registry, doc_enricher) -> list:
     def run_units(batch: dict) -> pa.Table:
         return UnitIndexer(index_dir, config, registry, doc_enricher)(batch)
 
-    return (
-        rd.from_items(unit_rows)
-        .map_batches(run_units, batch_size=1, batch_format="numpy", num_cpus=1)
-        .take_all()  # small: one row per unit
+    ds = rd.from_items(unit_rows).map_batches(
+        run_units, batch_size=1, batch_format="numpy", num_cpus=1
     )
+    rows = ds.take_all()  # small: one row per unit
+    _LAST_STAGE_STATS["stage1"] = ds.stats()
+    return rows
 
 
 def _run_stage2(index_dir, n_shards, block_size, min_range: int = 0) -> list:
     def run_merge(batch: dict) -> pa.Table:
         return ShardMerger(index_dir, block_size, min_range)(batch)
 
-    return (
-        rd.from_items([{"shard": s} for s in range(n_shards)])
-        .map_batches(run_merge, batch_size=1, batch_format="numpy", num_cpus=1)
-        .take_all()
+    ds = rd.from_items([{"shard": s} for s in range(n_shards)]).map_batches(
+        run_merge, batch_size=1, batch_format="numpy", num_cpus=1
     )
+    rows = ds.take_all()
+    _LAST_STAGE_STATS["stage2"] = ds.stats()
+    return rows
+
+
+#: last run's ``Dataset.stats()`` per stage — recorded into the committed
+#: stats (truncated) so per-stage wall/cpu breakdowns are inspectable after
+#: the fact (reference analogue: per-stage timers, solrindexer/indexer.py:
+#: 674-682; also the brief's "read ds.stats() and iterate" discipline).
+_LAST_STAGE_STATS: dict = {}
 
 
 def build_index(
@@ -542,6 +551,9 @@ def build_index(
             "stage1_s": round(t1 - t0, 3),
             "stage2_s": round(t2 - t1, 3),
             "total_s": round(t2 - t0, 3),
+        },
+        "ray_stats": {
+            k: v[:1500] for k, v in _LAST_STAGE_STATS.items()
         },
     }
     manifest.commit(stats)
