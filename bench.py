@@ -155,6 +155,38 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     query_dist_s = time.perf_counter() - t0
     assert n_out == len(dist_queries)
 
+    # ---- phase 4: rank-identity rate vs the brute-force oracle ----------
+    # (the BASELINE metric includes "top-k rank-identity rate"; measured on
+    # a 2k-doc slice where the O(N·Q) oracle is affordable)
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+
+    small_n = min(2000, n_files)
+    small_path = os.path.join(BENCH_ROOT, f"corpus-{small_n}-{SEED}.parquet")
+    if not os.path.exists(small_path):
+        from solr_indexer_ray.sources.corpus import write_corpus
+
+        write_corpus(small_path, small_n, seed=SEED,
+                     row_group_size=max(256, small_n // 8))
+    small_idx = os.path.join(BENCH_ROOT, f"index-small-{small_n}")
+    if not os.path.exists(os.path.join(small_idx, "stats.json")):
+        build_index(small_path, small_idx, config=IndexConfig())
+    import pyarrow as pa
+
+    tbl = pq.read_table(small_path)
+    oracle = BruteForceBM25(
+        tbl.append_column("doc_id", pa.array(range(tbl.num_rows), pa.int64()))
+    )
+    small_eng = SearchEngine(small_idx)
+    ident = 0
+    id_queries = _query_set(50)
+    for q in id_queries:
+        got = small_eng.search(q, k=10, fl=["doc_id"])["doc_id"].to_pylist()
+        expect = [d for d, _ in oracle.search(q, k=10)]
+        ident += got == expect
+    rank_identity_rate = ident / len(id_queries)
+
     ray.shutdown()
 
     total = build_s + query_seq_s + query_dist_s
@@ -179,6 +211,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "seq_qps": round(len(queries) / query_seq_s, 1),
             "dist_qps": round(len(dist_queries) / query_dist_s, 1),
             "n_term_rows": stats["n_term_rows"],
+            "rank_identity_rate": rank_identity_rate,
         },
     }
 

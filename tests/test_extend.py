@@ -80,6 +80,30 @@ class TestExtend:
         assert s2["n_docs"] == s1["n_docs"]
         assert s2["doc_id_space"] == s1["doc_id_space"]
 
+    def test_range_partitioning_is_score_invariant(self, split_corpora, tmp_path):
+        """Doc-range salting is a layout choice: the same corpus built with
+        many small ranges vs one big range must return identical scores
+        (the skew-handling machinery cannot perturb results)."""
+        full, path_a, path_b, root = split_corpora
+        import pyarrow.parquet as pq
+
+        full_path = os.path.join(root, "full.parquet")
+        if not os.path.exists(full_path):
+            pq.write_table(full, full_path, row_group_size=48)
+
+        many = str(tmp_path / "many")
+        one = str(tmp_path / "one")
+        build_index(full_path, many,
+                    config=IndexConfig(docs_per_range=32, concurrency=2))
+        build_index(full_path, one,
+                    config=IndexConfig(docs_per_range=1 << 20, concurrency=2))
+        em, eo = SearchEngine(many), SearchEngine(one)
+        for q in ["def", "parse index merge", "the buffer", "index AND read"]:
+            a = em.search(q, k=25, fl=["doc_id"])
+            b = eo.search(q, k=25, fl=["doc_id"])
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
     def test_extend_requires_committed_index(self, split_corpora, tmp_path):
         _, _, path_b, _ = split_corpora
         with pytest.raises(FileNotFoundError):
