@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": c.q_events_window,
         "events_props": c.q_events_props,
         "user_sessions": c.q_user_sessions,
+        "session_windows": c.q_session_windows,
     }
 
 

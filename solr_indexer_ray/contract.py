@@ -662,6 +662,36 @@ def q_user_sessions(sf_dir: str):
     return ev.groupby("user_id").map_groups(session, batch_format="pandas")
 
 
+def q_session_windows(sf_dir: str):
+    """Session windows (30-minute inactivity gap) per user — the session
+    flavour of §2.9 streaming ops: ``groupby(user).map_groups`` over the
+    ts-sorted group, state = running gap comparison."""
+    import pandas as pd
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    gap = pd.Timedelta(minutes=30)
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="mergesort")
+        new_session = g["ts"].diff().isna() | (g["ts"].diff() > gap)
+        g["session_id"] = new_session.cumsum().astype("int64")
+        out = (
+            g.groupby("session_id")
+            .agg(
+                n_events=("ts", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ev.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 5-minute windows per event_type (streaming-shaped op over
     the ordered events log; SURVEY §2.9 — reference has none, the guide's

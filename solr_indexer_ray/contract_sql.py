@@ -288,6 +288,26 @@ SELECT user_id, count(*)::BIGINT AS n_events,
 FROM events GROUP BY user_id
 """
 
+SESSION_WINDOWS_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+        THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+      AS session_id
+  FROM e
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+  count(*)::BIGINT AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
 EVENTS_WINDOW_SQL = """
 SELECT event_type,
   time_bucket(INTERVAL '5 minutes', ts) AS window_start,
@@ -321,4 +341,5 @@ def oracle_sql_dict() -> dict:
         "events_window": EVENTS_WINDOW_SQL,
         "events_props": EVENTS_PROPS_SQL,
         "user_sessions": USER_SESSIONS_SQL,
+        "session_windows": SESSION_WINDOWS_SQL,
     }
