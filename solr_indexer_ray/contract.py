@@ -26,8 +26,6 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from solr_indexer_ray.functions.textstats import (
-    LANG_MARKERS,
-    STOPWORDS,
     lang_id,
     punct_ratio,
     quality_score,

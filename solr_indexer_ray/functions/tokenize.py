@@ -23,7 +23,7 @@ Two analyzers:
 from __future__ import annotations
 
 import re
-from typing import Callable, Iterable
+from typing import Callable
 
 Analyzer = Callable[[str], list]
 
