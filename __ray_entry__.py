@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": c.q_doc_stats,
         "top_terms": c.q_top_terms,
         "bm25_topk": c.q_bm25_topk,
+        "phrase_topk": c.q_phrase_topk,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         # per-row invariants / projections (§2.2-2.3)

@@ -45,10 +45,16 @@ def cmd_index(args) -> int:
 
     _ensure_ray()
     config = load_config(args.config) if args.config else DEFAULT_CONFIG
-    if args.validate and not config.validate:
+    if (args.validate and not config.validate) or getattr(
+        args, "positions", False
+    ):
         import dataclasses
 
-        config = dataclasses.replace(config, validate=True)
+        config = dataclasses.replace(
+            config,
+            validate=config.validate or args.validate,
+            store_positions=config.store_positions or args.positions,
+        )
     t0 = time.time()
     if args.extend:
         from solr_indexer_ray.pipelines.build import extend_index
@@ -149,6 +155,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="incrementally add new inputs to a committed index")
     pi.add_argument("--validate", action="store_true",
                     help="run corpus validation and report failures")
+    pi.add_argument("--positions", action="store_true",
+                    help="store token positions (enables phrase queries)")
     pi.set_defaults(fn=cmd_index)
 
     ps = sub.add_parser("search", help="BM25 top-k query")

@@ -44,6 +44,13 @@ class IndexConfig:
     #: term lookup only touches the bucket file(s) of the query terms.
     term_buckets: int = 16
 
+    #: store token positions in the postings (Lucene: positions are indexed
+    #: by default on text fields; Solr ``omitPositions=false``).  Enables
+    #: exact phrase queries (``"foo bar"``) at the cost of larger postings —
+    #: positions are delta-varint-packed per doc next to the tf stream.
+    #: Pinned at build time: extensions inherit it from the committed stats.
+    store_positions: bool = False
+
     # --- analyzer ---------------------------------------------------------
     #: name of the default analyzer for langs without a registered one.
     default_analyzer: str = "simple"

@@ -45,6 +45,19 @@ BM25_QUERIES = [
     "zzzznotaterm",
     "lang:zh the",
 ]
+#: phrase-query set (positions index): real bigrams/trigrams of the
+#: documents vocabulary + adversarial forms (repeated-term phrase, phrase
+#: under AND, prohibited phrase, filter+phrase, no-hit phrase)
+PHRASE_QUERIES = [
+    '"sort merge"',
+    '"batch batch"',
+    '"the batch" AND stream',
+    'spark "merge line"',
+    '-"sort merge" window',
+    'lang:en "data line"',
+    '"join stream" OR "key order"',
+    '"zz qq"',
+]
 ANN_N_QUERIES = 5
 ANN_K = 10
 
@@ -353,9 +366,10 @@ def _bm25_index(sf_dir: str) -> str:
     pq.write_table(
         documents_to_corpus_table(docs), corpus_path, row_group_size=4096
     )
-    index_dir = os.path.join(work, "index")
+    index_dir = os.path.join(work, "index_pos")
     registry = AnalyzerRegistry("simple", overrides={})
-    config = IndexConfig(concurrency=2)
+    # positions on: the same shared index serves bm25_topk AND phrase_topk
+    config = IndexConfig(concurrency=2, store_positions=True)
     from solr_indexer_ray.state.manifest import BuildManifest
 
     if not BuildManifest(index_dir).is_committed():
@@ -375,6 +389,34 @@ def q_bm25_topk(sf_dir: str):
     engine = SearchEngine(_bm25_index(sf_dir))
     rows = []
     for q in BM25_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_phrase_topk(sf_dir: str):
+    """Top-k BM25 with exact-phrase clauses (positional index; Lucene
+    PhraseQuery: tf = phrase frequency, weight = sum of member idfs).
+    Same (round(score,4) desc, doc_id) ranking key as q_bm25_topk."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q in PHRASE_QUERIES:
         full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
         ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
         scores = _round_half_away(

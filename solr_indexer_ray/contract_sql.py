@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from solr_indexer_ray.contract import (
     ANN_K,
+    PHRASE_QUERIES,
     ANN_N_QUERIES,
     B,
     BM25_K,
@@ -108,6 +109,110 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 
 def bm25_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(_bm25_query_block(q) for q in BM25_QUERIES)
+    return _BM25_CTES + blocks
+
+
+def _phrase_ptf_expr(ph) -> str:
+    """DuckDB expression: exact-phrase occurrence count over ``toks``.
+
+    Scans start positions 1..len-n+1 (1-based lists) and requires every
+    member at its offset — the same ExactPhraseMatcher count the engine
+    computes from positional postings."""
+    n = len(ph)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" if j else f"toks[i] = '{t}'"
+        for j, t in enumerate(ph)
+    )
+    return (
+        f"len(list_filter(range(1, greatest(len(toks) - {n} + 2, 1)), "
+        f"i -> {conds}))"
+    )
+
+
+def _phrase_w_expr(ph) -> str:
+    """Phrase weight: SUM of member idfs, duplicates kept (Lucene
+    BM25Similarity.idfExplain over the PhraseQuery term array)."""
+    vals = ", ".join(f"('{t}')" for t in ph)
+    return (
+        "(SELECT sum(ln(1 + (st2.n_docs - d2.df + 0.5) / (d2.df + 0.5))) "
+        f"FROM (VALUES {vals}) m(term) JOIN df d2 USING (term) "
+        "CROSS JOIN stats st2)"
+    )
+
+
+def _phrase_query_block(q: str) -> str:
+    """One UNION branch of the phrase oracle: term + phrase clause
+    contributions summed per doc, the engine's exact exclusion rules."""
+    parsed = parse_query(q, simple_analyzer)
+    terms = sorted(set(parsed.terms))
+    phrases = sorted(map(tuple, parsed.phrases))
+    kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
+
+    branches = []
+    if terms:
+        branches.append(f"""
+    SELECT t.doc_id AS doc_id, 't:' || t.term AS clause,
+      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {kexpr})) AS contrib
+    FROM tf t JOIN df d USING (term) JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE t.term IN ({_sql_list(terms)})""")
+    for pi, ph in enumerate(phrases):
+        branches.append(f"""
+    SELECT p.doc_id AS doc_id, 'p:{pi}' AS clause,
+      {_phrase_w_expr(ph)} * (p.ptf / (p.ptf + {kexpr})) AS contrib
+    FROM (SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) p
+    JOIN dlq q ON q.doc_id = p.doc_id CROSS JOIN stats st
+    WHERE p.ptf > 0""")
+    qq = q.replace("'", "''")
+    if not branches:
+        return (
+            f"SELECT '{qq}' AS query, doc_id, 0.0 AS score_r "
+            "FROM documents WHERE 1=0"
+        )
+
+    conds = ["1=1"]
+    for fld, val in sorted(parsed.filters.items()):
+        conds.append(
+            f"c.doc_id IN (SELECT doc_id FROM documents WHERE {fld} = '{val}')"
+        )
+    for fld, val in sorted(parsed.neg_filters.items()):
+        conds.append(
+            f"c.doc_id NOT IN (SELECT doc_id FROM documents WHERE {fld} = '{val}')"
+        )
+    if parsed.prohibited:
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN "
+            f"({_sql_list(sorted(set(parsed.prohibited)))}))"
+        )
+    for ph in parsed.prohibited_phrases:
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM "
+            f"(SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) "
+            "WHERE ptf > 0)"
+        )
+    n_clauses = len(terms) + len(phrases)
+    having = (
+        f"HAVING count(DISTINCT c.clause) = {n_clauses}"
+        if parsed.conjunctive else ""
+    )
+    union = "\n    UNION ALL\n".join(branches)
+    return f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT c.doc_id AS doc_id, round(sum(c.contrib), 4) AS score_r
+  FROM ({union}
+  ) c
+  WHERE {' AND '.join(conds)}
+  GROUP BY c.doc_id
+  {having}
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, c.doc_id) <= {BM25_K}
+)"""
+
+
+def phrase_topk_sql() -> str:
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in PHRASE_QUERIES
+    )
     return _BM25_CTES + blocks
 
 
@@ -331,6 +436,7 @@ def oracle_sql_dict() -> dict:
         "doc_get": DOC_GET_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "bm25_topk": bm25_topk_sql(),
+        "phrase_topk": phrase_topk_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

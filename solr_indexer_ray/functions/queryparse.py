@@ -8,23 +8,33 @@ documented usage is bare free-text over the default ``full_text`` field and
 Supported grammar (documented subset):
 
 - bare terms                -> scored (BM25, OR semantics; Lucene default)
-- ``term1 AND term2``       -> conjunction (all scoring terms required)
+- ``term1 AND term2``       -> conjunction (all scoring clauses required)
 - ``-term``                 -> prohibited (MUST_NOT)
-- ``field:value``           -> exact metadata filter for ``repo``, ``path``,
-                               ``commit``, ``lang``; any other field prefix
-                               (e.g. ``full_text:``/``content:``) analyzes
-                               the value as scoring terms.
+- ``"exact phrase"``        -> phrase clause (positions required; Lucene
+                               PhraseQuery: tf = phrase frequency, idf = sum
+                               of the member terms' idfs)
+- ``-"exact phrase"``       -> prohibited phrase
+- ``field:value`` / ``field:"multi word"`` -> exact metadata filter for
+                               ``repo``, ``path``, ``commit``, ``lang``; any
+                               other field prefix (e.g. ``full_text:``/
+                               ``content:``) analyzes the value as scoring
+                               terms (or a phrase when quoted).
 
-Phrases/positional queries are not supported (the index stores no positions);
-this divergence is documented in SURVEY.md §7.3.
+Wildcards/fuzzy are handled at the engine layer (prefix expansion); slop
+(``"a b"~2``) is not supported.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 FILTER_FIELDS = ("repo", "path", "commit", "lang")
 DEFAULT_FIELD_ALIASES = ("full_text", "content", "text")
+
+#: quoted segments, optionally negated and/or field-prefixed:
+#:   -field:"some words"   field:"v"   "a phrase"   -"a phrase"
+_QUOTED = re.compile(r'(-?)(?:([A-Za-z_][\w.]*):)?"([^"]*)"')
 
 
 @dataclass
@@ -33,16 +43,35 @@ class ParsedQuery:
     prohibited: list = field(default_factory=list)   # analyzed MUST_NOT terms
     filters: dict = field(default_factory=dict)      # field -> exact value
     conjunctive: bool = False                        # True when AND was used
+    phrases: list = field(default_factory=list)          # list[list[term]]
+    prohibited_phrases: list = field(default_factory=list)
+    neg_filters: dict = field(default_factory=dict)  # -field:value exclusions
 
     @property
     def is_match_all(self) -> bool:
-        return not self.terms and not self.filters
+        return not self.terms and not self.filters and not self.phrases
 
 
 def parse_query(q: str, analyze) -> ParsedQuery:
     """Parse a query string; ``analyze(text) -> list[str]`` pins the analyzer."""
     out = ParsedQuery()
-    for raw in (q or "").split():
+
+    def eat_quoted(m: re.Match) -> str:
+        neg, fld, text = m.group(1) == "-", m.group(2), m.group(3)
+        if fld in FILTER_FIELDS:
+            (out.neg_filters if neg else out.filters)[fld] = text
+            return " "
+        toks = analyze(text)
+        if not toks:
+            return " "
+        if len(toks) == 1:  # single-term phrase rewrites to a term (Lucene)
+            (out.prohibited if neg else out.terms).extend(toks)
+        else:
+            (out.prohibited_phrases if neg else out.phrases).append(toks)
+        return " "
+
+    q = _QUOTED.sub(eat_quoted, q or "")
+    for raw in q.split():
         if raw == "AND":
             out.conjunctive = True
             continue
@@ -58,7 +87,7 @@ def parse_query(q: str, analyze) -> ParsedQuery:
             fld, _, val = raw.partition(":")
             val = val.strip('"')
             if fld in FILTER_FIELDS:
-                out.filters[fld] = val
+                (out.neg_filters if neg else out.filters)[fld] = val
                 continue
             raw = val  # default-field alias or unknown field -> score terms
         toks = analyze(raw)

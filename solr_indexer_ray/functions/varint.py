@@ -73,3 +73,39 @@ def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
 def decode_doc_ids(buf: bytes) -> np.ndarray:
     """Delta-varint bytes -> int64 doc ids."""
     return delta_decode(varint_decode(buf))
+
+
+def encode_positions(counts: np.ndarray, flat: np.ndarray) -> bytes:
+    """Per-posting delta-encode concatenated position lists -> varint bytes.
+
+    ``flat`` is all positions concatenated in posting order; ``counts`` the
+    per-posting list lengths (== tfs).  Each segment restarts the delta at
+    its absolute first position.
+    """
+    flat = np.asarray(flat, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    deltas = np.empty_like(flat)
+    deltas[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    deltas[starts] = flat[starts]
+    return varint_encode(deltas)
+
+
+def decode_positions(buf: bytes, counts: np.ndarray):
+    """Inverse of :func:`encode_positions` -> (flat positions, offsets).
+
+    Fully vectorized: cumulative sum over the whole delta stream, then each
+    segment is rebased by subtracting the running total before its start.
+    """
+    deltas = varint_decode(buf).astype(np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    if deltas.size == 0:
+        return deltas, offsets
+    cs = np.cumsum(deltas)
+    starts = offsets[:-1]
+    base = cs[starts] - deltas[starts]
+    flat = cs - np.repeat(base, counts)
+    return flat, offsets

@@ -51,7 +51,11 @@ from solr_indexer_ray.config import DEFAULT_CONFIG, IndexConfig
 from solr_indexer_ray.functions.hashing import term_shard
 from solr_indexer_ray.functions.smallfloat import encode_lengths
 from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
-from solr_indexer_ray.functions.varint import encode_doc_ids, varint_encode
+from solr_indexer_ray.functions.varint import (
+    encode_doc_ids,
+    encode_positions,
+    varint_encode,
+)
 from solr_indexer_ray.sources.parquet_units import list_units, read_unit
 from solr_indexer_ray.state.manifest import BuildManifest
 
@@ -78,6 +82,12 @@ RAW_POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
+#: with ``config.store_positions``: per-doc token-position lists ride along
+#: (one inner list per posting; len(inner) == tf, so no separate counts).
+RAW_POSTINGS_POS_SCHEMA = RAW_POSTINGS_SCHEMA.append(
+    pa.field("positions", pa.list_(pa.list_(pa.int32())))
+)
+
 ERRORS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -97,11 +107,16 @@ MERGED_POSTINGS_SCHEMA = pa.schema(
         ("cf", pa.int64()),
         ("doc_ids", pa.binary()),
         ("tfs", pa.binary()),
+        #: delta-varint token positions, one segment per posting; segment
+        #: lengths are the tfs (tf == number of positions), so the stream
+        #: needs no count prefix.  NULL when built without positions.
+        ("positions", pa.binary()),
         ("block_last", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int32())),
         ("block_min_norm", pa.list_(pa.int32())),
     ]
 )
+
 
 
 def _atomic_write_table(table: pa.Table, path: str, **kw) -> None:
@@ -160,15 +175,24 @@ class UnitIndexer:
 
         # tokenize + per-unit SPIMI postings buffer
         tokenize = self.registry.tokenize
+        store_pos = self.config.store_positions
         doclens = np.zeros(len(contents), dtype=np.int32)
-        buffer: dict = {}  # (term, range_id) -> [doc_ids, tfs, norms]
+        buffer: dict = {}  # (term, range_id) -> [doc_ids, tfs, norms(, pos)]
         counts_per_doc = []
+        pos_per_doc: list = []  # term -> [token positions] (store_pos only)
         for i, (text, lang) in enumerate(zip(contents, langs)):
             toks = tokenize(text or "", lang)
             doclens[i] = len(toks)
-            counts: dict = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
+            if store_pos:
+                posmap: dict = {}
+                for p, t in enumerate(toks):
+                    posmap.setdefault(t, []).append(p)
+                pos_per_doc.append(posmap)
+                counts = {t: len(ps) for t, ps in posmap.items()}
+            else:
+                counts = {}
+                for t in toks:
+                    counts[t] = counts.get(t, 0) + 1
             counts_per_doc.append(counts)
 
         norms = encode_lengths(doclens)
@@ -210,10 +234,14 @@ class UnitIndexer:
                 key = (term, rid)
                 slot = buffer.get(key)
                 if slot is None:
-                    buffer[key] = slot = ([], [], [])
+                    buffer[key] = slot = (
+                        ([], [], [], []) if store_pos else ([], [], [])
+                    )
                 slot[0].append(did)
                 slot[1].append(tf)
                 slot[2].append(nrm)
+                if store_pos:
+                    slot[3].append(pos_per_doc[i][term])
 
         # docs slice (valid rows only; invalid rows live in errors/)
         docs_table = pa.table(
@@ -245,21 +273,28 @@ class UnitIndexer:
             by_shard.setdefault(term_shard(k[0], n_shards), []).append(k)
         post_rels = []
         for s, skeys in sorted(by_shard.items()):
+            cols = {
+                "term": pa.array([k[0] for k in skeys], pa.string()),
+                "range_id": pa.array([k[1] for k in skeys], pa.int64()),
+                "doc_ids": pa.array(
+                    [buffer[k][0] for k in skeys], pa.list_(pa.int64())
+                ),
+                "tfs": pa.array(
+                    [buffer[k][1] for k in skeys], pa.list_(pa.int32())
+                ),
+                "norms": pa.array(
+                    [buffer[k][2] for k in skeys], pa.list_(pa.int32())
+                ),
+            }
+            if store_pos:
+                cols["positions"] = pa.array(
+                    [buffer[k][3] for k in skeys],
+                    pa.list_(pa.list_(pa.int32())),
+                )
             post_table = pa.table(
-                {
-                    "term": pa.array([k[0] for k in skeys], pa.string()),
-                    "range_id": pa.array([k[1] for k in skeys], pa.int64()),
-                    "doc_ids": pa.array(
-                        [buffer[k][0] for k in skeys], pa.list_(pa.int64())
-                    ),
-                    "tfs": pa.array(
-                        [buffer[k][1] for k in skeys], pa.list_(pa.int32())
-                    ),
-                    "norms": pa.array(
-                        [buffer[k][2] for k in skeys], pa.list_(pa.int32())
-                    ),
-                },
-                schema=RAW_POSTINGS_SCHEMA,
+                cols,
+                schema=RAW_POSTINGS_POS_SCHEMA if store_pos
+                else RAW_POSTINGS_SCHEMA,
             )
             rel = f"postings_raw/shard={s}/unit-{uid:06d}.parquet"
             os.makedirs(
@@ -321,18 +356,30 @@ def _merge_term_parts(parts: list, block_size: int) -> dict:
     """Merge one term's partial posting lists (one per unit) into a packed
     row.  Partials cover disjoint, internally-sorted doc-id intervals, so
     ordering partials by first doc id and concatenating yields the sorted
-    posting list without a re-sort."""
+    posting list without a re-sort.  Each part is
+    ``(doc_ids, tfs, norms[, pos_flat])`` — ``pos_flat`` the part's
+    concatenated per-posting position lists (lengths == tfs)."""
     parts.sort(key=lambda p: int(p[0][0]))
+    with_pos = len(parts[0]) > 3
     doc_ids = np.concatenate([p[0] for p in parts])
     tfs = np.concatenate([p[1] for p in parts])
     norms = np.concatenate([p[2] for p in parts])
+    pos_flat = (
+        np.concatenate([p[3] for p in parts]) if with_pos else None
+    )
     if doc_ids.size > 1 and not (np.diff(doc_ids) > 0).all():
         # overlapping units should not happen; fall back to full sort
         srt = np.argsort(doc_ids, kind="stable")
+        if with_pos:  # reorder per-posting segments with the docs
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            pos_flat = np.concatenate(
+                [pos_flat[offs[j]:offs[j + 1]] for j in srt]
+            ) if pos_flat.size else pos_flat
         doc_ids, tfs, norms = doc_ids[srt], tfs[srt], norms[srt]
 
     nb = (doc_ids.size + block_size - 1) // block_size
     return {
+        "positions": encode_positions(tfs, pos_flat) if with_pos else None,
         "df": int(doc_ids.size),
         "cf": int(tfs.sum()),
         "doc_ids": encode_doc_ids(doc_ids),
@@ -404,6 +451,10 @@ class ShardMerger:
         ids_col = tbl["doc_ids"].combine_chunks()
         tfs_col = tbl["tfs"].combine_chunks()
         norms_col = tbl["norms"].combine_chunks()
+        pos_col = (
+            tbl["positions"].combine_chunks()
+            if "positions" in tbl.column_names else None
+        )
 
         out_dir = os.path.join(self.index_dir, "postings", f"shard={shard}")
         os.makedirs(out_dir, exist_ok=True)
@@ -419,13 +470,17 @@ class ShardMerger:
                 term = terms[i]
                 parts = []
                 while i < n and ranges[i] == rid and terms[i] == term:
-                    parts.append(
-                        (
-                            np.asarray(ids_col[i].values),
-                            np.asarray(tfs_col[i].values),
-                            np.asarray(norms_col[i].values),
-                        )
+                    part = (
+                        np.asarray(ids_col[i].values),
+                        np.asarray(tfs_col[i].values),
+                        np.asarray(norms_col[i].values),
                     )
+                    if pos_col is not None:
+                        flat = pc.list_flatten(
+                            pc.list_flatten(pos_col.slice(i, 1))
+                        )
+                        part = (*part, np.asarray(flat, dtype=np.int64))
+                    parts.append(part)
                     i += 1
                 merged = _merge_term_parts(parts, self.block_size)
                 merged["term"] = term
@@ -543,6 +598,7 @@ def build_index(
         "n_shards": n_shards,
         "docs_per_range": config.docs_per_range,
         "block_size": config.block_size,
+        "store_positions": bool(config.store_positions),
         "k1": config.k1,
         "b": config.b,
         "analyzer_default": registry.default,
@@ -602,6 +658,7 @@ def extend_index(
         block_size=int(old["block_size"]),
         k1=float(old["k1"]),
         b=float(old["b"]),
+        store_positions=bool(old.get("store_positions", False)),
     )
     n_shards = int(old["n_shards"])
     base = int(old["doc_id_space"])

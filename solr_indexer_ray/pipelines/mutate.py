@@ -192,6 +192,7 @@ def _purge_spill_file(path: str, dead_ids) -> bool:
     terms whose postings become empty are dropped entirely.
     """
     tbl = pq.read_table(path)
+    with_pos = "positions" in tbl.column_names
     changed = False
     new_rows = []
     for i in range(tbl.num_rows):
@@ -202,15 +203,19 @@ def _purge_spill_file(path: str, dead_ids) -> bool:
             continue
         changed = True
         if keep.any():
-            new_rows.append(
-                {
-                    "term": tbl["term"][i].as_py(),
-                    "range_id": tbl["range_id"][i].as_py(),
-                    "doc_ids": ids[keep].tolist(),
-                    "tfs": np.asarray(tbl["tfs"][i].as_py())[keep].tolist(),
-                    "norms": np.asarray(tbl["norms"][i].as_py())[keep].tolist(),
-                }
-            )
+            row = {
+                "term": tbl["term"][i].as_py(),
+                "range_id": tbl["range_id"][i].as_py(),
+                "doc_ids": ids[keep].tolist(),
+                "tfs": np.asarray(tbl["tfs"][i].as_py())[keep].tolist(),
+                "norms": np.asarray(tbl["norms"][i].as_py())[keep].tolist(),
+            }
+            if with_pos:
+                plists = tbl["positions"][i].as_py()
+                row["positions"] = [
+                    p for p, k in zip(plists, keep) if k
+                ]
+            new_rows.append(row)
     if not changed:
         return False
     kept_idx = [r for r in new_rows if isinstance(r, int)]

@@ -68,6 +68,18 @@ class BruteForceBM25:
         df = self.df.get(term, 0)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    def phrase_freq(self, i: int, phrase) -> int:
+        """Exact-phrase occurrence count in doc i (Lucene ExactPhraseMatcher)."""
+        toks = self.tokens[i]
+        n = len(phrase)
+        if n == 0 or len(toks) < n:
+            return 0
+        return sum(
+            1
+            for p in range(len(toks) - n + 1)
+            if toks[p:p + n] == list(phrase)
+        )
+
     def search(self, query: str, k: int = 10):
         """Returns [(doc_id, score), ...] — top-k, ties by ascending doc_id."""
         parsed = parse_query(query, self.registry.analyzer_for(None))
@@ -75,14 +87,29 @@ class BruteForceBM25:
 
         hits = []
         q_terms = sorted(set(parsed.terms))
+        #: clause order pinned to the engine: terms ascending, then phrases
+        #: ascending by member tuple (same float64 addition order)
+        q_phrases = sorted(map(tuple, parsed.phrases))
+        need = (
+            (len(q_terms) + len(q_phrases)) if parsed.conjunctive else 1
+        )
         for i in range(self.n_docs):
             if parsed.filters and any(
                 self.meta.get(f, [None] * self.n_docs)[i] != v
                 for f, v in parsed.filters.items()
             ):
                 continue
+            if parsed.neg_filters and any(
+                self.meta.get(f, [None] * self.n_docs)[i] == v
+                for f, v in parsed.neg_filters.items()
+            ):
+                continue
             if parsed.prohibited and any(
                 p in self.tf[i] for p in parsed.prohibited
+            ):
+                continue
+            if parsed.prohibited_phrases and any(
+                self.phrase_freq(i, ph) for ph in parsed.prohibited_phrases
             ):
                 continue
             nmatch = 0
@@ -92,8 +119,14 @@ class BruteForceBM25:
                 if tf:
                     nmatch += 1
                     score += self.idf(t) * (tf / (tf + K[i]))
-            if q_terms:
-                need = len(q_terms) if parsed.conjunctive else 1
+            for ph in q_phrases:
+                ptf = self.phrase_freq(i, ph)
+                if ptf:
+                    nmatch += 1
+                    # Lucene PhraseQuery weight: sum of member idfs (dups kept)
+                    w = sum(self.idf(t) for t in ph)
+                    score += w * (ptf / (ptf + K[i]))
+            if q_terms or q_phrases:
                 if nmatch < need:
                     continue
                 hits.append((self.doc_ids[i], score))

@@ -45,7 +45,11 @@ import pyarrow.dataset as pads
 from solr_indexer_ray.functions.hashing import term_shard
 from solr_indexer_ray.functions.queryparse import ParsedQuery, parse_query
 from solr_indexer_ray.functions.smallfloat import DECODE_TABLE
-from solr_indexer_ray.functions.varint import decode_doc_ids, varint_decode
+from solr_indexer_ray.functions.varint import (
+    decode_doc_ids,
+    decode_positions,
+    varint_decode,
+)
 from solr_indexer_ray.state.manifest import BuildManifest
 
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
@@ -98,10 +102,12 @@ class TermPostings:
     """
 
     __slots__ = ("term", "df", "cf", "doc_ids", "tfs",
-                 "block_last", "block_max_tf", "block_min_norm", "score_vec")
+                 "block_last", "block_max_tf", "block_min_norm", "score_vec",
+                 "pos_flat", "pos_offsets")
 
     def __init__(self, term, df, cf, doc_ids, tfs,
-                 block_last, block_max_tf, block_min_norm):
+                 block_last, block_max_tf, block_min_norm,
+                 pos_flat=None, pos_offsets=None):
         self.term = term
         self.df = df
         self.cf = cf
@@ -111,6 +117,14 @@ class TermPostings:
         self.block_max_tf = block_max_tf
         self.block_min_norm = block_min_norm
         self.score_vec = None
+        #: token positions (store_positions indexes only): ``pos_flat`` is
+        #: every posting's position list concatenated;
+        #: ``pos_offsets[i]:pos_offsets[i+1]`` slices posting i's positions.
+        self.pos_flat = pos_flat
+        self.pos_offsets = pos_offsets
+
+    def positions_for(self, idx: int) -> np.ndarray:
+        return self.pos_flat[self.pos_offsets[idx]:self.pos_offsets[idx + 1]]
 
 
 class SearchEngine:
@@ -203,44 +217,87 @@ class SearchEngine:
     # ------------------------------------------------------------------ #
     # postings access
     # ------------------------------------------------------------------ #
-    def lookup_postings(self, terms) -> dict:
-        """Fetch + decode postings for terms (predicate-pushdown read)."""
+    @property
+    def has_positions(self) -> bool:
+        return bool(self.stats.get("store_positions", False))
+
+    def lookup_postings(self, terms, with_positions: bool = False) -> dict:
+        """Fetch + decode postings for terms (predicate-pushdown read).
+
+        ``with_positions=True`` also decodes the delta-varint position
+        stream (phrase queries); a cached entry decoded without positions
+        counts as a miss then.
+        """
+        if with_positions and not self.has_positions:
+            raise ValueError(
+                "index was built without positions "
+                "(IndexConfig.store_positions=False); phrase queries need a "
+                "rebuild with store_positions=True"
+            )
         terms = sorted(set(terms))
-        cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
+        cached = {
+            t: self._term_cache[t]
+            for t in terms
+            if t in self._term_cache
+            and not (
+                with_positions
+                and self._term_cache[t] is not None
+                and self._term_cache[t].pos_flat is None
+            )
+        }
         terms = [t for t in terms if t not in cached]
         if not terms:
             return {t: tp for t, tp in cached.items() if tp is not None}
         n_shards = int(self.stats["n_shards"])
         shards = sorted({term_shard(t, n_shards) for t in terms})
         # hive-partition pruning on shard + row-group stats on sorted terms
+        cols = [
+            "term", "range_id", "doc_ids", "tfs",
+            "block_last", "block_max_tf", "block_min_norm",
+        ]
+        if with_positions:
+            cols.append("positions")
         tbl = self._postings_ds.to_table(
-            filter=pc.field("shard").isin(shards) & pc.field("term").isin(terms)
+            columns=cols,
+            filter=pc.field("shard").isin(shards) & pc.field("term").isin(terms),
         )
         by_term: dict = {}
         for i in range(tbl.num_rows):
             term = tbl["term"][i].as_py()
-            by_term.setdefault(term, []).append(
-                (
-                    tbl["range_id"][i].as_py(),
-                    decode_doc_ids(tbl["doc_ids"][i].as_py()),
-                    varint_decode(tbl["tfs"][i].as_py()).astype(np.int64),
-                    np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
-                    np.asarray(tbl["block_max_tf"][i].as_py(), dtype=np.int64),
-                    np.asarray(tbl["block_min_norm"][i].as_py(), dtype=np.int64),
+            tfs_i = varint_decode(tbl["tfs"][i].as_py()).astype(np.int64)
+            row = [
+                tbl["range_id"][i].as_py(),
+                decode_doc_ids(tbl["doc_ids"][i].as_py()),
+                tfs_i,
+                np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
+                np.asarray(tbl["block_max_tf"][i].as_py(), dtype=np.int64),
+                np.asarray(tbl["block_min_norm"][i].as_py(), dtype=np.int64),
+            ]
+            if with_positions:
+                row.append(
+                    decode_positions(tbl["positions"][i].as_py() or b"",
+                                     tfs_i)[0]
                 )
-            )
+            by_term.setdefault(term, []).append(tuple(row))
         out = {}
         for term, rows in by_term.items():
             rows.sort(key=lambda r: r[0])  # doc-range order -> global order
+            tfs = np.concatenate([r[2] for r in rows])
+            pos_flat = pos_offsets = None
+            if with_positions:
+                pos_flat = np.concatenate([r[6] for r in rows])
+                pos_offsets = np.concatenate(([0], np.cumsum(tfs)))
             out[term] = TermPostings(
                 term,
                 df=int(sum(len(r[1]) for r in rows)),
                 cf=int(sum(int(r[2].sum()) for r in rows)),
                 doc_ids=np.concatenate([r[1] for r in rows]),
-                tfs=np.concatenate([r[2] for r in rows]),
+                tfs=tfs,
                 block_last=np.concatenate([r[3] for r in rows]),
                 block_max_tf=np.concatenate([r[4] for r in rows]),
                 block_min_norm=np.concatenate([r[5] for r in rows]),
+                pos_flat=pos_flat,
+                pos_offsets=pos_offsets,
             )
         # bounded decoded-postings cache (misses cached as None too)
         for t in terms:
@@ -249,6 +306,49 @@ class SearchEngine:
             self._term_cache.pop(next(iter(self._term_cache)))
         out.update({t: tp for t, tp in cached.items() if tp is not None})
         return out
+
+    # ------------------------------------------------------------------ #
+    # phrase matching (Lucene ExactPhraseMatcher semantics)
+    # ------------------------------------------------------------------ #
+    def eval_phrase(self, phrase) -> tuple:
+        """Docs containing the exact phrase -> ``(doc_ids, freqs, w)``.
+
+        ``freqs`` counts non-overlapping-start occurrences (phrase tf);
+        ``w`` is the Lucene PhraseQuery weight: the SUM of the member
+        terms' idfs (duplicates counted — BM25Similarity.idfExplain over
+        the term array).
+        """
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64), 0.0)
+        postings = self.lookup_postings(list(phrase), with_positions=True)
+        if any(t not in postings for t in phrase):
+            return empty
+        w = float(sum(self.idf(postings[t].df) for t in phrase))
+        uniq = list(dict.fromkeys(phrase))
+        docs = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            docs = np.intersect1d(docs, postings[t].doc_ids,
+                                  assume_unique=True)
+            if docs.size == 0:
+                return empty
+        idx = {
+            t: np.searchsorted(postings[t].doc_ids, docs) for t in uniq
+        }
+        out_docs, out_freqs = [], []
+        for j in range(docs.size):
+            cand = postings[phrase[0]].positions_for(int(idx[phrase[0]][j]))
+            for off, t in enumerate(phrase[1:], 1):
+                ptb = postings[t].positions_for(int(idx[t][j]))
+                cand = cand[np.isin(cand + off, ptb, assume_unique=True)]
+                if cand.size == 0:
+                    break
+            if cand.size:
+                out_docs.append(int(docs[j]))
+                out_freqs.append(int(cand.size))
+        return (
+            np.asarray(out_docs, dtype=np.int64),
+            np.asarray(out_freqs, dtype=np.int64),
+            w,
+        )
 
     # ------------------------------------------------------------------ #
     # scoring
@@ -270,7 +370,9 @@ class SearchEngine:
         """
         key = (
             tuple(sorted(parsed.filters.items())),
+            tuple(sorted(parsed.neg_filters.items())),
             tuple(sorted(set(parsed.prohibited))),
+            tuple(sorted(map(tuple, parsed.prohibited_phrases))),
             len(self.tombstones),
         )
         if key in self._mask_cache:
@@ -296,9 +398,18 @@ class SearchEngine:
         if parsed.prohibited:
             for tp in self.lookup_postings(parsed.prohibited).values():
                 ensure()[tp.doc_ids] = True
+        for ph in parsed.prohibited_phrases:
+            docs, _, _ = self.eval_phrase(ph)
+            if docs.size:
+                ensure()[docs] = True
         if parsed.filters:
             t = self._docs_ds.to_table(
                 columns=["doc_id"], filter=~self._filters_expr(parsed.filters)
+            )
+            ensure()[t["doc_id"].to_numpy()] = True
+        for fld, val in parsed.neg_filters.items():
+            t = self._docs_ds.to_table(
+                columns=["doc_id"], filter=pc.field(fld) == val
             )
             ensure()[t["doc_id"].to_numpy()] = True
         return mask
@@ -327,12 +438,15 @@ class SearchEngine:
         postings = self.lookup_postings(parsed.terms)
         excluded = self._excluded_mask(parsed)
 
-        if not parsed.terms:
+        if not parsed.terms and not parsed.phrases:
             # pure-filter query: filter match, score 0, doc_id order
             hits = self._match_all(parsed, excluded, k)
-        elif method == "bmw":
+        elif method == "bmw" and not parsed.phrases:
             hits = self._score_bmw(parsed, postings, excluded, k)
         else:
+            # phrase clauses always score TAAT (positional intersection has
+            # no block-max bound); rank-identical to BMW for pure-term
+            # queries anyway (tested)
             hits = self._score_taat(parsed, postings, excluded, k)
 
         return self._resolve(hits, fl)
@@ -354,20 +468,35 @@ class SearchEngine:
 
     def _score_taat(self, parsed, postings, excluded, k):
         scores = np.zeros(self.doc_space, dtype=np.float64)
-        n_terms = 0
+        #: conjunction requires every DISTINCT query clause — including
+        #: terms absent from the index (Lucene: AND with a non-existent
+        #: term matches nothing), so count from the parse, not the lookup.
+        required = len(set(parsed.terms)) + len(parsed.phrases)
         seen = (
             np.zeros(self.doc_space, dtype=np.int32) if parsed.conjunctive else None
         )
+        n_present = 0
         for term in sorted(postings):  # ascending-term order: pinned float order
             tp = postings[term]
             scores[tp.doc_ids] += self._term_score_vec(tp)
             if seen is not None:
                 seen[tp.doc_ids] += 1
-            n_terms += 1
-        if n_terms == 0:
+            n_present += 1
+        # phrase clauses after terms, ascending by tuple: pinned float order
+        for ph in sorted(map(tuple, parsed.phrases)):
+            docs, freqs, w = self.eval_phrase(list(ph))
+            if docs.size:
+                K = self._norm_factor(self.norms[docs])
+                scores[docs] += w * self.scoring.impact(
+                    freqs.astype(np.float64), K
+                )
+                if seen is not None:
+                    seen[docs] += 1
+                n_present += 1
+        if n_present == 0:
             return []
         if seen is not None:
-            cand = np.flatnonzero(seen >= n_terms)
+            cand = np.flatnonzero(seen >= required)
         else:
             # OR semantics: every contribution is > 0, so matches are
             # exactly the docs with a positive score
@@ -399,7 +528,9 @@ class SearchEngine:
             tp = postings[t]
             w = self.idf(tp.df)
             iters.append(_BMWIter(tp, w, self))
-        required = len(terms) if parsed.conjunctive else 1
+        # distinct PARSED terms, not found terms: AND with a term absent
+        # from the index matches nothing (same rule as _score_taat)
+        required = len(set(parsed.terms)) if parsed.conjunctive else 1
 
         heap: list = []  # (score, -doc_id) min-heap of top-k
         theta = -math.inf
@@ -582,6 +713,8 @@ class RangeScorer:
         self._docs = pads.dataset(os.path.join(self.index_dir, "docs"))
 
     def __call__(self, batch: dict) -> pa.Table:
+        import json
+
         out = []
         n = len(batch["range_id"])
         for i in range(n):
@@ -593,6 +726,8 @@ class RangeScorer:
                     list(batch["prohibited"][i]),
                     dict(zip(batch["filter_keys"][i], batch["filter_vals"][i])),
                     bool(batch["conjunctive"][i]),
+                    json.loads(str(batch["phrases_json"][i]))
+                    if "phrases_json" in batch else [],
                 )
             )
         return pa.Table.from_pylist(
@@ -602,13 +737,25 @@ class RangeScorer:
             ),
         )
 
-    def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive):
+    def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive,
+                     phrases=()):
+        """``phrases``: list of ``[member_terms, weight]`` — weights are the
+        global phrase idf sums, computed driver-side like the term idfs."""
         lo, hi = rid * self.dpr, (rid + 1) * self.dpr
-        shards = sorted({term_shard(t, self.n_shards) for t in set(terms) | set(prohibited)})
+        phrase_terms = {t for ph, _ in phrases for t in ph}
+        want = sorted(set(terms) | set(prohibited) | phrase_terms)
+        shards = sorted({term_shard(t, self.n_shards) for t in want})
+        cols = None
+        if phrase_terms:
+            cols = [
+                "term", "range_id", "doc_ids", "tfs", "positions",
+                "block_last", "block_max_tf", "block_min_norm",
+            ]
         tbl = self._postings.to_table(
+            columns=cols,
             filter=pc.field("shard").isin(shards)
             & pc.field("range_id").isin([rid])
-            & pc.field("term").isin(sorted(set(terms) | set(prohibited)))
+            & pc.field("term").isin(want)
         )
         rows = {tbl["term"][i].as_py(): i for i in range(tbl.num_rows)}
 
@@ -634,6 +781,17 @@ class RangeScorer:
             scores[ids] += w * (tfs / (tfs + K))
             if seen is not None:
                 seen[ids] += 1
+        # phrase clauses after terms, ascending by member tuple — the same
+        # pinned float order as SearchEngine._score_taat
+        for ph, w in sorted(phrases, key=lambda p: tuple(p[0])):
+            n_terms += 1
+            ids, freqs = self._eval_phrase_local(tbl, rows, ph, lo)
+            if ids.size:
+                dl = DECODE_TABLE[norms[ids]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                scores[ids] += w * (freqs / (freqs + K))
+                if seen is not None:
+                    seen[ids] += 1
         if seen is not None:
             cand = np.flatnonzero(seen >= n_terms)
         else:
@@ -665,6 +823,49 @@ class RangeScorer:
             for o in order
         ]
 
+    @staticmethod
+    def _eval_phrase_local(tbl, rows, phrase, lo):
+        """Exact-phrase match within one doc range -> (local ids, freqs)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        decoded = {}
+        for t in dict.fromkeys(phrase):
+            ri = rows.get(t)
+            if ri is None:
+                return empty
+            ids = decode_doc_ids(tbl["doc_ids"][ri].as_py())
+            tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.int64)
+            flat, offs = decode_positions(
+                tbl["positions"][ri].as_py() or b"", tfs
+            )
+            decoded[t] = (ids, flat, offs)
+        uniq = list(decoded)
+        docs = decoded[uniq[0]][0]
+        for t in uniq[1:]:
+            docs = np.intersect1d(docs, decoded[t][0], assume_unique=True)
+            if docs.size == 0:
+                return empty
+        idx = {t: np.searchsorted(decoded[t][0], docs) for t in uniq}
+        out_ids, out_freqs = [], []
+        for j in range(docs.size):
+            t0 = phrase[0]
+            ids0, flat0, offs0 = decoded[t0]
+            p0 = idx[t0][j]
+            cand = flat0[offs0[p0]:offs0[p0 + 1]]
+            for off, t in enumerate(phrase[1:], 1):
+                _, flatt, offst = decoded[t]
+                pt = idx[t][j]
+                ptb = flatt[offst[pt]:offst[pt + 1]]
+                cand = cand[np.isin(cand + off, ptb, assume_unique=True)]
+                if cand.size == 0:
+                    break
+            if cand.size:
+                out_ids.append(int(docs[j]) - lo)
+                out_freqs.append(float(cand.size))
+        return (
+            np.asarray(out_ids, dtype=np.int64),
+            np.asarray(out_freqs, dtype=np.float64),
+        )
+
 
 def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
@@ -675,20 +876,40 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
     only its partition's postings + norms, and the merge handles k·ranges
     rows.
     """
+    import json
+
     import ray.data as rd
 
     engine = SearchEngine(index_dir)
     parsed = parse_query(query, engine.registry.analyzer_for(None))
-    if not parsed.terms:
+    if (not parsed.terms and not parsed.phrases) or parsed.prohibited_phrases \
+            or parsed.neg_filters:
+        # match-all / rare negative forms: single-engine path
         return engine.search(query, k=k)
-    # global df -> idf (small driver-side scout over postings df column)
-    postings = engine.lookup_postings(parsed.terms)
-    terms = sorted(postings)
-    if not terms:  # no query term exists in the index -> zero hits
+
+    def _empty():
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "score": pa.array([], pa.float64())}
         )
+
+    # global df -> idf (small driver-side scout over postings df column;
+    # phrase member dfs come from the same lookup)
+    phrase_members = [t for ph in parsed.phrases for t in ph]
+    postings = engine.lookup_postings(list(parsed.terms) + phrase_members)
+    terms = sorted(t for t in set(parsed.terms) if t in postings)
+    if parsed.conjunctive and len(terms) < len(set(parsed.terms)):
+        return _empty()  # AND with a term absent from the index
+    phrases = []
+    for ph in parsed.phrases:
+        if all(t in postings for t in ph):
+            phrases.append(
+                [list(ph), float(sum(engine.idf(postings[t].df) for t in ph))]
+            )
+        elif parsed.conjunctive:
+            return _empty()  # AND with an unmatchable phrase
+    if not terms and not phrases:
+        return _empty()
     idfs = [engine.idf(postings[t].df) for t in terms]
     n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
         engine.stats["docs_per_range"]
@@ -702,6 +923,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
             "filter_keys": sorted(parsed.filters),
             "filter_vals": [parsed.filters[f] for f in sorted(parsed.filters)],
             "conjunctive": parsed.conjunctive,
+            "phrases_json": json.dumps(phrases),
         }
         for r in range(n_ranges)
     ]

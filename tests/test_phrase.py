@@ -1,0 +1,196 @@
+"""Positional postings + phrase queries (Lucene PhraseQuery semantics:
+tf = exact-phrase frequency, idf = sum of member-term idfs) — rank-identity
+vs the brute-force oracle, plus the positional lifecycle (extend, delete,
+compact) and the parser's quoted grammar."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.functions.queryparse import parse_query
+from solr_indexer_ray.functions.varint import decode_positions, encode_positions
+from solr_indexer_ray.pipelines import mutate
+from solr_indexer_ray.pipelines.build import build_index, extend_index
+from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+from solr_indexer_ray.pipelines.search import SearchEngine, search_partitioned
+from solr_indexer_ray.sources.corpus import generate_corpus
+
+CFG = IndexConfig(docs_per_range=64, block_size=16, store_positions=True)
+
+
+def _analyze(s):
+    return s.lower().split()
+
+
+class TestParser:
+    def test_phrase(self):
+        p = parse_query('"foo bar" baz', _analyze)
+        assert p.phrases == [["foo", "bar"]]
+        assert p.terms == ["baz"]
+
+    def test_single_term_phrase_rewrites_to_term(self):
+        p = parse_query('"foo"', _analyze)
+        assert p.terms == ["foo"] and not p.phrases
+
+    def test_prohibited_phrase(self):
+        p = parse_query('-"foo bar" baz', _analyze)
+        assert p.prohibited_phrases == [["foo", "bar"]]
+        assert p.terms == ["baz"]
+
+    def test_quoted_field_filter(self):
+        p = parse_query('lang:"go" x', _analyze)
+        assert p.filters == {"lang": "go"}
+
+    def test_negated_filter(self):
+        p = parse_query("-lang:go x", _analyze)
+        assert p.neg_filters == {"lang": "go"} and not p.filters
+        q = parse_query('-lang:"go go" x', _analyze)
+        assert q.neg_filters == {"lang": "go go"}
+
+    def test_unknown_field_phrase_scores(self):
+        p = parse_query('content:"foo bar"', _analyze)
+        assert p.phrases == [["foo", "bar"]]
+
+
+class TestPositionsCodec:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(5)
+        counts = rng.integers(1, 9, size=50)
+        segs = [np.sort(rng.choice(5000, size=c, replace=False)) for c in counts]
+        flat = np.concatenate(segs)
+        buf = encode_positions(counts, flat)
+        back, offs = decode_positions(buf, counts)
+        assert np.array_equal(back, flat)
+        assert np.array_equal(offs, np.concatenate(([0], np.cumsum(counts))))
+
+    def test_empty(self):
+        flat, offs = decode_positions(b"", np.array([], dtype=np.int64))
+        assert flat.size == 0 and offs.tolist() == [0]
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("posidx")
+    corpus = generate_corpus(150, seed=11, mean_tokens=40)
+    pq.write_table(corpus, str(d / "c.parquet"), row_group_size=32)
+    stats = build_index(str(d / "c.parquet"), str(d / "idx"), config=CFG)
+    ids = pa.array(range(corpus.num_rows), pa.int64())
+    return str(d / "idx"), corpus.append_column("doc_id", ids), stats
+
+
+def _phrase_queries(oracle):
+    """Real bigrams/trigrams drawn from the corpus + adversarial forms."""
+    qs = []
+    for doc, at in [(3, 5), (17, 2), (40, 9)]:
+        t = oracle.tokens[doc]
+        qs.append(f'"{t[at]} {t[at + 1]}"')
+    t = oracle.tokens[8]
+    qs.append(f'"{t[0]} {t[1]} {t[2]}"')            # trigram
+    qs += [
+        f'{qs[0]} AND read',                         # phrase AND term
+        f'parse {qs[1]}',                            # OR mix
+        f'-{qs[0]} parse',                           # prohibited phrase
+        f'lang:python {qs[2]}',                      # filter + phrase
+        '"the the"',                                 # repeated-term phrase
+        '"zzqq wwxx"',                               # no such phrase
+    ]
+    return qs
+
+
+class TestPhraseRankIdentity:
+    def test_vs_oracle(self, pos_index):
+        idx, corpus, stats = pos_index
+        assert stats["store_positions"] is True
+        oracle = BruteForceBM25(corpus)
+        eng = SearchEngine(idx)
+        for q in _phrase_queries(oracle):
+            got = eng.search(q, k=12, fl=["doc_id"])
+            exp = oracle.search(q, k=12)
+            assert got["doc_id"].to_pylist() == [d for d, _ in exp], q
+            assert got["score"].to_pylist() == [s for _, s in exp], q
+
+    def test_partitioned_identical(self, pos_index):
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        eng = SearchEngine(idx)
+        for q in _phrase_queries(oracle)[:6]:
+            s = eng.search(q, k=10, fl=["doc_id"])
+            p = search_partitioned(idx, q, k=10)
+            assert p["doc_id"].to_pylist() == s["doc_id"].to_pylist(), q
+            assert p["score"].to_pylist() == s["score"].to_pylist(), q
+
+    def test_missing_term_conjunction_matches_nothing(self, pos_index):
+        idx, corpus, _ = pos_index
+        eng = SearchEngine(idx)
+        for method in ("taat", "bmw"):
+            assert eng.search("zzqqnotaterm AND read",
+                              method=method).num_rows == 0
+        assert search_partitioned(idx, "zzqqnotaterm AND read").num_rows == 0
+
+    def test_bmw_method_with_phrase_falls_back(self, pos_index):
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        q = _phrase_queries(oracle)[0]
+        eng = SearchEngine(idx)
+        a = eng.search(q, k=8, fl=["doc_id"], method="bmw")
+        b = eng.search(q, k=8, fl=["doc_id"], method="taat")
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_negated_filter_query(self, pos_index):
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        eng = SearchEngine(idx)
+        got = eng.search("-lang:go read", k=15, fl=["doc_id", "lang"])
+        exp = oracle.search("-lang:go read", k=15)
+        assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+        assert all(v != "go" for v in got["lang"].to_pylist())
+
+
+class TestPositionalLifecycle:
+    def test_no_positions_index_rejects_phrases(self, tmp_path, ray_session):
+        corpus = generate_corpus(40, seed=2, mean_tokens=20)
+        pq.write_table(corpus, str(tmp_path / "c.parquet"))
+        cfg = IndexConfig(docs_per_range=64, block_size=16)
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "idx"),
+                    config=cfg)
+        eng = SearchEngine(str(tmp_path / "idx"))
+        with pytest.raises(ValueError, match="store_positions"):
+            eng.search('"def index"')
+
+    def test_extend_delete_compact_keep_positions(self, tmp_path, ray_session):
+        full = generate_corpus(160, seed=9, mean_tokens=35,
+                               with_edge_rows=False)
+        a, b = full.slice(0, 100), full.slice(100)
+        pq.write_table(a, str(tmp_path / "a.parquet"), row_group_size=32)
+        pq.write_table(b, str(tmp_path / "b.parquet"), row_group_size=32)
+        idx = str(tmp_path / "idx")
+        build_index(str(tmp_path / "a.parquet"), idx, config=CFG)
+        stats = extend_index(str(tmp_path / "b.parquet"), idx, config=CFG)
+        assert stats["store_positions"] is True
+
+        ids = pa.array(range(full.num_rows), pa.int64())
+        corpus_ids = full.append_column("doc_id", ids)
+        oracle = BruteForceBM25(corpus_ids)
+        t = oracle.tokens[120]  # doc from the extension
+        q = f'"{t[3]} {t[4]}"'
+        eng = SearchEngine(idx)
+        exp = oracle.search(q, k=10)
+        got = eng.search(q, k=10, fl=["doc_id"])
+        assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+
+        # delete + compact: phrase scores track the compacted statistics
+        mutate.delete_by_id(idx, [0, 1, 2, 120])
+        mutate.compact_index(idx)
+        keep = [i for i in range(full.num_rows) if i not in (0, 1, 2, 120)]
+        oracle2 = BruteForceBM25(corpus_ids.take(keep))
+        eng2 = SearchEngine(idx)
+        t = oracle2.tokens[50]
+        for q in (f'"{t[0]} {t[1]}"', '"def index" AND read'):
+            exp = oracle2.search(q, k=10)
+            got = eng2.search(q, k=10, fl=["doc_id"])
+            assert got["doc_id"].to_pylist() == [d for d, _ in exp], q
+            assert got["score"].to_pylist() == pytest.approx(
+                [s for _, s in exp]
+            ), q
