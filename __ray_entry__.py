@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": c.q_top_terms,
         "bm25_topk": c.q_bm25_topk,
         "phrase_topk": c.q_phrase_topk,
+        "wildcard_topk": c.q_wildcard_topk,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         # per-row invariants / projections (§2.2-2.3)

@@ -58,6 +58,18 @@ PHRASE_QUERIES = [
     '"join stream" OR "key order"',
     '"zz qq"',
 ]
+#: wildcard / match-all query set (constant-score prefix rewrite)
+WILDCARD_QUERIES = [
+    "win*",
+    "sp* merge",
+    "st* AND batch",
+    "-jo* window",
+    "lang:e* spark",
+    "win* jo*",
+    "zzz*",
+    "zzz* AND spark",
+    "*:*",
+]
 ANN_N_QUERIES = 5
 ANN_K = 10
 
@@ -423,6 +435,37 @@ def q_phrase_topk(sf_dir: str):
             np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
         )
         order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_wildcard_topk(sf_dir: str):
+    """Top-k with wildcard (prefix) clauses — Solr/Lucene CONSTANT_SCORE
+    multi-term rewrite: 1.0 per matching doc per clause; match-all ``*:*``.
+    Same ranking key as q_bm25_topk."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q in WILDCARD_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        if q == "*:*":  # match-all: ascending id, score 0 (Solr order)
+            order = np.argsort(ids)[:BM25_K]
+        else:
+            order = np.lexsort((ids, -scores))[:BM25_K]
         for i in order:
             rows.append(
                 {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}

@@ -19,6 +19,7 @@ from __future__ import annotations
 from solr_indexer_ray.contract import (
     ANN_K,
     PHRASE_QUERIES,
+    WILDCARD_QUERIES,
     ANN_N_QUERIES,
     B,
     BM25_K,
@@ -140,13 +141,32 @@ def _phrase_w_expr(ph) -> str:
     )
 
 
+def _fcond(fld: str, val: str) -> str:
+    """Metadata filter condition; trailing * prefix-matches (engine rule)."""
+    v = val.replace("'", "''")
+    if val.endswith("*") and len(val) > 1:
+        return f"{fld} LIKE '{v[:-1]}%'"
+    return f"{fld} = '{v}'"
+
+
 def _phrase_query_block(q: str) -> str:
-    """One UNION branch of the phrase oracle: term + phrase clause
-    contributions summed per doc, the engine's exact exclusion rules."""
+    """One UNION branch of the phrase/wildcard oracle: term + phrase +
+    constant-score prefix contributions summed per doc, the engine's exact
+    exclusion rules."""
     parsed = parse_query(q, simple_analyzer)
     terms = sorted(set(parsed.terms))
     phrases = sorted(map(tuple, parsed.phrases))
     kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
+    qq0 = q.replace("'", "''")
+    if parsed.is_match_all and not parsed.filters:
+        # Solr match-all: every doc, score 0, ascending id
+        return (
+            # subselect so the ORDER BY/LIMIT stays local to this block
+            # inside the UNION ALL chain
+            "SELECT query, doc_id, score_r FROM ("
+            f"SELECT '{qq0}' AS query, doc_id, 0.0 AS score_r FROM documents "
+            f"ORDER BY doc_id LIMIT {BM25_K})"
+        )
 
     branches = []
     if terms:
@@ -164,6 +184,11 @@ def _phrase_query_block(q: str) -> str:
     FROM (SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) p
     JOIN dlq q ON q.doc_id = p.doc_id CROSS JOIN stats st
     WHERE p.ptf > 0""")
+    for wi, pre in enumerate(parsed.prefixes):
+        # constant-score wildcard: 1.0 per doc containing any expansion
+        branches.append(f"""
+    SELECT DISTINCT t.doc_id AS doc_id, 'w:{wi}' AS clause, 1.0 AS contrib
+    FROM tf t WHERE t.term LIKE '{pre}%'""")
     qq = q.replace("'", "''")
     if not branches:
         return (
@@ -174,11 +199,12 @@ def _phrase_query_block(q: str) -> str:
     conds = ["1=1"]
     for fld, val in sorted(parsed.filters.items()):
         conds.append(
-            f"c.doc_id IN (SELECT doc_id FROM documents WHERE {fld} = '{val}')"
+            f"c.doc_id IN (SELECT doc_id FROM documents WHERE {_fcond(fld, val)})"
         )
     for fld, val in sorted(parsed.neg_filters.items()):
         conds.append(
-            f"c.doc_id NOT IN (SELECT doc_id FROM documents WHERE {fld} = '{val}')"
+            "c.doc_id NOT IN "
+            f"(SELECT doc_id FROM documents WHERE {_fcond(fld, val)})"
         )
     if parsed.prohibited:
         conds.append(
@@ -191,7 +217,11 @@ def _phrase_query_block(q: str) -> str:
             f"(SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) "
             "WHERE ptf > 0)"
         )
-    n_clauses = len(terms) + len(phrases)
+    for pre in parsed.prohibited_prefixes:
+        conds.append(
+            f"c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term LIKE '{pre}%')"
+        )
+    n_clauses = len(terms) + len(phrases) + len(parsed.prefixes)
     having = (
         f"HAVING count(DISTINCT c.clause) = {n_clauses}"
         if parsed.conjunctive else ""
@@ -212,6 +242,13 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 def phrase_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in PHRASE_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
+def wildcard_topk_sql() -> str:
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in WILDCARD_QUERIES
     )
     return _BM25_CTES + blocks
 
@@ -437,6 +474,7 @@ def oracle_sql_dict() -> dict:
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "bm25_topk": bm25_topk_sql(),
         "phrase_topk": phrase_topk_sql(),
+        "wildcard_topk": wildcard_topk_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

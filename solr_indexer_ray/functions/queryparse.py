@@ -19,9 +19,16 @@ Supported grammar (documented subset):
                                other field prefix (e.g. ``full_text:``/
                                ``content:``) analyzes the value as scoring
                                terms (or a phrase when quoted).
+- ``pre*``                  -> prefix (wildcard) clause.  Solr/Lucene
+                               default rewrite: CONSTANT_SCORE — every doc
+                               containing any expansion scores 1.0 for the
+                               clause.  ``-pre*`` prohibits; a trailing
+                               ``*`` on a filter field (``path:src*``)
+                               prefix-matches the metadata value.
+- ``*:*`` / ``*``           -> match-all (Solr's canonical match-all query)
 
-Wildcards/fuzzy are handled at the engine layer (prefix expansion); slop
-(``"a b"~2``) is not supported.
+Only trailing-``*`` prefixes are supported (no leading/infix wildcards, no
+fuzzy ``~``); slop (``"a b"~2``) is not supported.
 """
 
 from __future__ import annotations
@@ -46,10 +53,14 @@ class ParsedQuery:
     phrases: list = field(default_factory=list)          # list[list[term]]
     prohibited_phrases: list = field(default_factory=list)
     neg_filters: dict = field(default_factory=dict)  # -field:value exclusions
+    prefixes: list = field(default_factory=list)         # constant-score pre*
+    prohibited_prefixes: list = field(default_factory=list)
 
     @property
     def is_match_all(self) -> bool:
-        return not self.terms and not self.filters and not self.phrases
+        return not (
+            self.terms or self.filters or self.phrases or self.prefixes
+        )
 
 
 def parse_query(q: str, analyze) -> ParsedQuery:
@@ -77,6 +88,8 @@ def parse_query(q: str, analyze) -> ParsedQuery:
             continue
         if raw in ("OR", "||"):
             continue
+        if raw in ("*", "*:*"):  # Solr match-all
+            continue
         neg = raw.startswith("-") and len(raw) > 1
         if neg:
             raw = raw[1:]
@@ -87,9 +100,18 @@ def parse_query(q: str, analyze) -> ParsedQuery:
             fld, _, val = raw.partition(":")
             val = val.strip('"')
             if fld in FILTER_FIELDS:
+                # a trailing * on a filter value prefix-matches the
+                # metadata string (engine: starts_with pushdown)
                 (out.neg_filters if neg else out.filters)[fld] = val
                 continue
             raw = val  # default-field alias or unknown field -> score terms
+        if raw.endswith("*") and len(raw) > 1 and "*" not in raw[:-1]:
+            pre = analyze(raw[:-1])
+            if pre:  # analyzed prefix: last emitted token stem
+                (out.prohibited_prefixes if neg else out.prefixes).append(
+                    pre[-1]
+                )
+            continue
         toks = analyze(raw)
         (out.prohibited if neg else out.terms).extend(toks)
     return out

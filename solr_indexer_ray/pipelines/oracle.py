@@ -85,22 +85,30 @@ class BruteForceBM25:
         parsed = parse_query(query, self.registry.analyzer_for(None))
         K = self.k1 * (1.0 - self.b + self.b * self.dl_decoded / self.avgdl)
 
+        def _fmatch(meta_val, v):
+            """Filter value match; trailing * prefix-matches (engine rule)."""
+            if v.endswith("*") and len(v) > 1:
+                return (meta_val or "").startswith(v[:-1])
+            return meta_val == v
+
         hits = []
         q_terms = sorted(set(parsed.terms))
         #: clause order pinned to the engine: terms ascending, then phrases
-        #: ascending by member tuple (same float64 addition order)
+        #: ascending by member tuple (same float64 addition order); prefix
+        #: clauses add exact 1.0s so their order is immaterial
         q_phrases = sorted(map(tuple, parsed.phrases))
         need = (
-            (len(q_terms) + len(q_phrases)) if parsed.conjunctive else 1
+            (len(q_terms) + len(q_phrases) + len(parsed.prefixes))
+            if parsed.conjunctive else 1
         )
         for i in range(self.n_docs):
             if parsed.filters and any(
-                self.meta.get(f, [None] * self.n_docs)[i] != v
+                not _fmatch(self.meta.get(f, [None] * self.n_docs)[i], v)
                 for f, v in parsed.filters.items()
             ):
                 continue
             if parsed.neg_filters and any(
-                self.meta.get(f, [None] * self.n_docs)[i] == v
+                _fmatch(self.meta.get(f, [None] * self.n_docs)[i], v)
                 for f, v in parsed.neg_filters.items()
             ):
                 continue
@@ -110,6 +118,11 @@ class BruteForceBM25:
                 continue
             if parsed.prohibited_phrases and any(
                 self.phrase_freq(i, ph) for ph in parsed.prohibited_phrases
+            ):
+                continue
+            if parsed.prohibited_prefixes and any(
+                any(t.startswith(pre) for t in self.tf[i])
+                for pre in parsed.prohibited_prefixes
             ):
                 continue
             nmatch = 0
@@ -126,7 +139,12 @@ class BruteForceBM25:
                     # Lucene PhraseQuery weight: sum of member idfs (dups kept)
                     w = sum(self.idf(t) for t in ph)
                     score += w * (ptf / (ptf + K[i]))
-            if q_terms or q_phrases:
+            for pre in parsed.prefixes:
+                # constant-score wildcard: 1.0 if any doc term expands it
+                if any(t.startswith(pre) for t in self.tf[i]):
+                    nmatch += 1
+                    score += 1.0
+            if q_terms or q_phrases or parsed.prefixes:
                 if nmatch < need:
                     continue
                 hits.append((self.doc_ids[i], score))

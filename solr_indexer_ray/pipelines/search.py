@@ -170,6 +170,8 @@ class SearchEngine:
         self._overlays = None       # doc_id -> {col: value}
         self._term_cache: dict = {}  # decoded TermPostings LRU (insertion order)
         self.term_cache_size = 1024
+        #: wildcard-expansion cap (Lucene BooleanQuery.maxClauseCount)
+        self.max_expansions = 1024
         self._mask_cache: dict = {}  # (filters, prohibited, n_tomb) -> mask
 
     # ------------------------------------------------------------------ #
@@ -308,6 +310,39 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------------------ #
+    # wildcard / prefix (Solr MultiTermQuery CONSTANT_SCORE rewrite)
+    # ------------------------------------------------------------------ #
+    def expand_prefix(self, prefix: str) -> list:
+        """Index terms starting with ``prefix`` (term-dictionary range scan;
+        parquet row-group stats on the sorted term column prune the read)."""
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        tbl = self._postings_ds.to_table(
+            columns=["term"],
+            filter=(pc.field("term") >= prefix) & (pc.field("term") < hi),
+        )
+        terms = pc.unique(tbl["term"]).to_pylist()
+        if len(terms) > self.max_expansions:
+            # Lucene: TooManyClauses beyond maxClauseCount
+            raise ValueError(
+                f"wildcard {prefix}* expands to {len(terms)} terms "
+                f"(> max_expansions={self.max_expansions})"
+            )
+        return sorted(terms)
+
+    def eval_prefix(self, prefix: str) -> np.ndarray:
+        """Docs containing ANY expansion of ``prefix*`` (constant-score:
+        each matching doc scores 1.0 for the clause, the Solr/Lucene
+        default multi-term rewrite)."""
+        terms = self.expand_prefix(prefix)
+        if not terms:
+            return np.empty(0, np.int64)
+        postings = self.lookup_postings(terms)
+        if not postings:
+            return np.empty(0, np.int64)
+        docs = np.unique(np.concatenate([tp.doc_ids for tp in postings.values()]))
+        return docs
+
+    # ------------------------------------------------------------------ #
     # phrase matching (Lucene ExactPhraseMatcher semantics)
     # ------------------------------------------------------------------ #
     def eval_phrase(self, phrase) -> tuple:
@@ -373,6 +408,7 @@ class SearchEngine:
             tuple(sorted(parsed.neg_filters.items())),
             tuple(sorted(set(parsed.prohibited))),
             tuple(sorted(map(tuple, parsed.prohibited_phrases))),
+            tuple(sorted(set(parsed.prohibited_prefixes))),
             len(self.tombstones),
         )
         if key in self._mask_cache:
@@ -402,6 +438,10 @@ class SearchEngine:
             docs, _, _ = self.eval_phrase(ph)
             if docs.size:
                 ensure()[docs] = True
+        for pre in parsed.prohibited_prefixes:
+            docs = self.eval_prefix(pre)
+            if docs.size:
+                ensure()[docs] = True
         if parsed.filters:
             t = self._docs_ds.to_table(
                 columns=["doc_id"], filter=~self._filters_expr(parsed.filters)
@@ -409,16 +449,23 @@ class SearchEngine:
             ensure()[t["doc_id"].to_numpy()] = True
         for fld, val in parsed.neg_filters.items():
             t = self._docs_ds.to_table(
-                columns=["doc_id"], filter=pc.field(fld) == val
+                columns=["doc_id"], filter=self._filter_value_expr(fld, val)
             )
             ensure()[t["doc_id"].to_numpy()] = True
         return mask
 
     @staticmethod
-    def _filters_expr(filters: dict):
+    def _filter_value_expr(fld: str, val: str):
+        """One metadata filter; a trailing ``*`` prefix-matches the value."""
+        if val.endswith("*") and len(val) > 1:
+            return pc.starts_with(pc.field(fld), val[:-1])
+        return pc.field(fld) == val
+
+    @classmethod
+    def _filters_expr(cls, filters: dict):
         expr = None
         for fld, val in filters.items():
-            e = pc.field(fld) == val
+            e = cls._filter_value_expr(fld, val)
             expr = e if expr is None else expr & e
         return expr
 
@@ -438,15 +485,16 @@ class SearchEngine:
         postings = self.lookup_postings(parsed.terms)
         excluded = self._excluded_mask(parsed)
 
-        if not parsed.terms and not parsed.phrases:
-            # pure-filter query: filter match, score 0, doc_id order
+        if not (parsed.terms or parsed.phrases or parsed.prefixes):
+            # no scoring clause (match-all / pure-filter query):
+            # filter match, score 0, doc_id order
             hits = self._match_all(parsed, excluded, k)
-        elif method == "bmw" and not parsed.phrases:
+        elif method == "bmw" and not parsed.phrases and not parsed.prefixes:
             hits = self._score_bmw(parsed, postings, excluded, k)
         else:
-            # phrase clauses always score TAAT (positional intersection has
-            # no block-max bound); rank-identical to BMW for pure-term
-            # queries anyway (tested)
+            # phrase/prefix clauses always score TAAT (positional
+            # intersection / constant-score unions have no block-max
+            # bound); rank-identical to BMW for pure-term queries (tested)
             hits = self._score_taat(parsed, postings, excluded, k)
 
         return self._resolve(hits, fl)
@@ -471,7 +519,10 @@ class SearchEngine:
         #: conjunction requires every DISTINCT query clause — including
         #: terms absent from the index (Lucene: AND with a non-existent
         #: term matches nothing), so count from the parse, not the lookup.
-        required = len(set(parsed.terms)) + len(parsed.phrases)
+        required = (
+            len(set(parsed.terms)) + len(parsed.phrases)
+            + len(parsed.prefixes)
+        )
         seen = (
             np.zeros(self.doc_space, dtype=np.int32) if parsed.conjunctive else None
         )
@@ -490,6 +541,15 @@ class SearchEngine:
                 scores[docs] += w * self.scoring.impact(
                     freqs.astype(np.float64), K
                 )
+                if seen is not None:
+                    seen[docs] += 1
+                n_present += 1
+        # prefix clauses last, ascending: constant score 1.0 per matching
+        # doc (Solr CONSTANT_SCORE multi-term rewrite)
+        for pre in sorted(parsed.prefixes):
+            docs = self.eval_prefix(pre)
+            if docs.size:
+                scores[docs] += 1.0
                 if seen is not None:
                     seen[docs] += 1
                 n_present += 1
@@ -728,6 +788,8 @@ class RangeScorer:
                     bool(batch["conjunctive"][i]),
                     json.loads(str(batch["phrases_json"][i]))
                     if "phrases_json" in batch else [],
+                    json.loads(str(batch["prefix_groups_json"][i]))
+                    if "prefix_groups_json" in batch else [],
                 )
             )
         return pa.Table.from_pylist(
@@ -738,12 +800,15 @@ class RangeScorer:
         )
 
     def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive,
-                     phrases=()):
+                     phrases=(), prefix_groups=()):
         """``phrases``: list of ``[member_terms, weight]`` — weights are the
-        global phrase idf sums, computed driver-side like the term idfs."""
+        global phrase idf sums, computed driver-side like the term idfs.
+        ``prefix_groups``: driver-expanded wildcard term groups (each scores
+        1.0 per matching doc, Solr CONSTANT_SCORE rewrite)."""
         lo, hi = rid * self.dpr, (rid + 1) * self.dpr
         phrase_terms = {t for ph, _ in phrases for t in ph}
-        want = sorted(set(terms) | set(prohibited) | phrase_terms)
+        group_terms = {t for g in prefix_groups for t in g}
+        want = sorted(set(terms) | set(prohibited) | phrase_terms | group_terms)
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
         if phrase_terms:
@@ -790,6 +855,19 @@ class RangeScorer:
                 dl = DECODE_TABLE[norms[ids]]
                 K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
                 scores[ids] += w * (freqs / (freqs + K))
+                if seen is not None:
+                    seen[ids] += 1
+        # wildcard groups: union of the group's local postings, +1.0 each
+        for g in prefix_groups:
+            n_terms += 1
+            hit = []
+            for t in g:
+                ri = rows.get(t)
+                if ri is not None:
+                    hit.append(decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo)
+            if hit:
+                ids = np.unique(np.concatenate(hit))
+                scores[ids] += 1.0
                 if seen is not None:
                     seen[ids] += 1
         if seen is not None:
@@ -882,9 +960,14 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
 
     engine = SearchEngine(index_dir)
     parsed = parse_query(query, engine.registry.analyzer_for(None))
-    if (not parsed.terms and not parsed.phrases) or parsed.prohibited_phrases \
-            or parsed.neg_filters:
-        # match-all / rare negative forms: single-engine path
+    if (
+        not (parsed.terms or parsed.phrases or parsed.prefixes)
+        or parsed.prohibited_phrases
+        or parsed.neg_filters
+        or parsed.prohibited_prefixes
+        or any(v.endswith("*") for v in parsed.filters.values())
+    ):
+        # match-all / rare negative+wildcard-filter forms: single-engine path
         return engine.search(query, k=k)
 
     def _empty():
@@ -908,7 +991,16 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
             )
         elif parsed.conjunctive:
             return _empty()  # AND with an unmatchable phrase
-    if not terms and not phrases:
+    # wildcard clauses: expand once driver-side, ship the term groups —
+    # each range unions its local postings for the group (constant score)
+    prefix_groups = []
+    for pre in parsed.prefixes:
+        group = engine.expand_prefix(pre)
+        if group:
+            prefix_groups.append(group)
+        elif parsed.conjunctive:
+            return _empty()  # AND with an unmatchable wildcard
+    if not terms and not phrases and not prefix_groups:
         return _empty()
     idfs = [engine.idf(postings[t].df) for t in terms]
     n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
@@ -924,6 +1016,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
             "filter_vals": [parsed.filters[f] for f in sorted(parsed.filters)],
             "conjunctive": parsed.conjunctive,
             "phrases_json": json.dumps(phrases),
+            "prefix_groups_json": json.dumps(prefix_groups),
         }
         for r in range(n_ranges)
     ]
