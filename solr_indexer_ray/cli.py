@@ -99,6 +99,12 @@ def cmd_search(args) -> int:
     t = engine.search(args.query, k=args.k, fl=fl, method=args.method)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
+    if args.facet:
+        facets = engine.facet(
+            args.query, args.facet.split(","),
+            limit=args.facet_limit, mincount=args.facet_mincount,
+        )
+        print(json.dumps({"facets": facets}))
     print(f"# {t.num_rows} hits", file=sys.stderr)
     return 0
 
@@ -165,6 +171,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-k", type=int, default=10)  # Solr default rows=10
     ps.add_argument("--fl", help="comma-separated field projection")
     ps.add_argument("--method", default="taat", choices=["taat", "bmw"])
+    ps.add_argument("--facet", help="comma-separated facet fields")
+    ps.add_argument("--facet-limit", type=int, default=100)
+    ps.add_argument("--facet-mincount", type=int, default=0)
     ps.set_defaults(fn=cmd_search)
 
     pg = sub.add_parser("get", help="realtime get by doc id")

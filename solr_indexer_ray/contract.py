@@ -70,6 +70,9 @@ WILDCARD_QUERIES = [
     "zzz* AND spark",
     "*:*",
 ]
+#: facet contract: queries x fields (Solr facet.field over the match set)
+FACET_QUERIES = ["spark merge", "sort AND merge", "win*", "lang:en spark"]
+FACET_FIELDS = ["lang", "repo"]  # repo <- documents.source (FIXTURES map)
 ANN_N_QUERIES = 5
 ANN_K = 10
 
@@ -475,6 +478,30 @@ def q_wildcard_topk(sf_dir: str):
         schema=pa.schema(
             [("query", pa.string()), ("doc_id", pa.int64()),
              ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_facets(sf_dir: str):
+    """Field facets (Solr facet.field semantics: full match set, zero-count
+    buckets at mincount=0, count-desc/value-asc order) for a pinned set of
+    (query, field) pairs, via the distributed per-range facet path."""
+    from solr_indexer_ray.pipelines.search import facet_partitioned
+
+    idx = _bm25_index(sf_dir)
+    rows = []
+    for q in FACET_QUERIES:
+        facets = facet_partitioned(idx, q, FACET_FIELDS)
+        for fld in FACET_FIELDS:
+            for v, c in facets[fld]:
+                rows.append(
+                    {"query": q, "field": fld, "value": v, "count": c}
+                )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("field", pa.string()),
+             ("value", pa.string()), ("count", pa.int64())]
         ),
     )
 

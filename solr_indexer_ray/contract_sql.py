@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from solr_indexer_ray.contract import (
     ANN_K,
+    FACET_FIELDS,
+    FACET_QUERIES,
     PHRASE_QUERIES,
     WILDCARD_QUERIES,
     ANN_N_QUERIES,
@@ -253,6 +255,99 @@ def wildcard_topk_sql() -> str:
     return _BM25_CTES + blocks
 
 
+def _match_docs_sql(q: str) -> str:
+    """SELECT of ALL doc_ids matching ``q`` — the facet/delete match set
+    (same clause semantics as the top-k blocks, no scoring)."""
+    parsed = parse_query(q, simple_analyzer)
+    terms = sorted(set(parsed.terms))
+    phrases = sorted(map(tuple, parsed.phrases))
+
+    conds = ["1=1"]
+    for fld, val in sorted(parsed.filters.items()):
+        conds.append(
+            f"c.doc_id IN (SELECT doc_id FROM documents WHERE {_fcond(fld, val)})"
+        )
+    for fld, val in sorted(parsed.neg_filters.items()):
+        conds.append(
+            "c.doc_id NOT IN "
+            f"(SELECT doc_id FROM documents WHERE {_fcond(fld, val)})"
+        )
+    if parsed.prohibited:
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN "
+            f"({_sql_list(sorted(set(parsed.prohibited)))}))"
+        )
+    for ph in parsed.prohibited_phrases:
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM "
+            f"(SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) "
+            "WHERE ptf > 0)"
+        )
+    for pre in parsed.prohibited_prefixes:
+        conds.append(
+            f"c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term LIKE '{pre}%')"
+        )
+
+    branches = []
+    if terms:
+        branches.append(
+            "    SELECT doc_id, 't:' || term AS clause FROM tf "
+            f"WHERE term IN ({_sql_list(terms)})"
+        )
+    for pi, ph in enumerate(phrases):
+        branches.append(f"""    SELECT doc_id, 'p:{pi}' AS clause
+    FROM (SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks)
+    WHERE ptf > 0""")
+    for wi, pre in enumerate(parsed.prefixes):
+        branches.append(
+            f"    SELECT DISTINCT doc_id, 'w:{wi}' AS clause FROM tf "
+            f"WHERE term LIKE '{pre}%'"
+        )
+    if not branches:
+        # match-all / pure-filter: every doc passing the conds
+        return (
+            "SELECT c.doc_id FROM (SELECT doc_id FROM documents) c "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    n_clauses = len(terms) + len(phrases) + len(parsed.prefixes)
+    having = (
+        f"HAVING count(DISTINCT c.clause) = {n_clauses}"
+        if parsed.conjunctive else ""
+    )
+    union = "\n    UNION ALL\n".join(branches)
+    return f"""SELECT c.doc_id FROM (
+{union}
+  ) c
+  WHERE {' AND '.join(conds)}
+  GROUP BY c.doc_id
+  {having}"""
+
+
+#: facet field -> documents source column (FIXTURES.md map: repo <- source)
+_FACET_SRC = {"lang": "lang", "repo": "source"}
+
+
+def facets_sql() -> str:
+    """Facet buckets for every (FACET_QUERIES x FACET_FIELDS) pair:
+    count over the match set per distinct field value, zero buckets kept
+    (mincount=0), mirroring SearchEngine.facet / facet_partitioned."""
+    blocks = []
+    for q in FACET_QUERIES:
+        qq = q.replace("'", "''")
+        for fld in FACET_FIELDS:
+            src = _FACET_SRC[fld]
+            blocks.append(f"""
+SELECT '{qq}' AS query, '{fld}' AS field, f.value AS value,
+       coalesce(m.cnt, 0) AS count
+FROM (SELECT DISTINCT {src} AS value FROM documents) f
+LEFT JOIN (
+  SELECT {src} AS value, count(*) AS cnt
+  FROM documents JOIN ({_match_docs_sql(q)}) USING (doc_id)
+  GROUP BY 1
+) m USING (value)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 # --------------------------------------------------------------------- #
 # text / stats / dedup
 # --------------------------------------------------------------------- #
@@ -475,6 +570,7 @@ def oracle_sql_dict() -> dict:
         "bm25_topk": bm25_topk_sql(),
         "phrase_topk": phrase_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),
+        "facets": facets_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

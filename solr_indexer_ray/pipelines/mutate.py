@@ -77,23 +77,10 @@ def delete_by_id(index_dir: str, doc_ids) -> dict:
 
 
 def match_ids(engine: SearchEngine, query: str) -> np.ndarray:
-    """ALL doc ids matching a query (no top-k) — used by delete-by-query."""
-    from solr_indexer_ray.functions.queryparse import parse_query
-
-    parsed = parse_query(query, engine.registry.analyzer_for(None))
-    excluded = engine._excluded_mask(parsed)
-    if not parsed.terms:
-        hits = engine._match_all(parsed, excluded, k=engine.doc_space)
-        return np.array([d for d, _ in hits], dtype=np.int64)
-    postings = engine.lookup_postings(parsed.terms)
-    seen = np.zeros(engine.doc_space, dtype=np.int32)
-    for tp in postings.values():
-        seen[tp.doc_ids] += 1
-    required = len(postings) if parsed.conjunctive else 1
-    cand = np.flatnonzero(seen >= required) if postings else np.array([], np.int64)
-    if excluded is not None and cand.size:
-        cand = cand[~excluded[cand]]
-    return cand.astype(np.int64)
+    """ALL doc ids matching a query (no top-k) — used by delete-by-query.
+    Full clause semantics (terms/phrases/prefixes/filters) live on the
+    engine; kept as a module function for back-compat."""
+    return engine.match_ids(query)
 
 
 def delete_by_query(index_dir: str, query: str) -> dict:

@@ -718,6 +718,77 @@ class SearchEngine:
                     )
         return self._overlays
 
+    def match_ids(self, query: str) -> np.ndarray:
+        """ALL doc ids matching a query (no top-k) — delete-by-query and
+        faceting both consume the full match set.  Same clause semantics as
+        :meth:`search` (terms/phrases/prefixes/filters/prohibitions)."""
+        parsed = parse_query(query, self.registry.analyzer_for(None))
+        excluded = self._excluded_mask(parsed)
+        if not (parsed.terms or parsed.phrases or parsed.prefixes):
+            hits = self._match_all(parsed, excluded, k=self.doc_space)
+            return np.array([d for d, _ in hits], dtype=np.int64)
+        seen = np.zeros(self.doc_space, dtype=np.int32)
+        required = (
+            len(set(parsed.terms)) + len(parsed.phrases)
+            + len(parsed.prefixes)
+            if parsed.conjunctive else 1
+        )
+        for tp in self.lookup_postings(parsed.terms).values():
+            seen[tp.doc_ids] += 1
+        for ph in parsed.phrases:
+            docs, _, _ = self.eval_phrase(list(ph))
+            seen[docs] += 1
+        for pre in parsed.prefixes:
+            seen[self.eval_prefix(pre)] += 1
+        cand = np.flatnonzero(seen >= required)
+        if excluded is not None and cand.size:
+            cand = cand[~excluded[cand]]
+        return cand.astype(np.int64)
+
+    # ------------------------------------------------------------------ #
+    # faceting (Solr field facets)
+    # ------------------------------------------------------------------ #
+    def facet(self, query: str, fields, limit: int = 100,
+              mincount: int = 0) -> dict:
+        """Field facets over the FULL match set of ``query`` (Solr
+        semantics: buckets ordered count desc then value asc;
+        ``facet.limit`` / ``facet.mincount`` defaults 100 / 0 — with
+        mincount 0 every distinct value of the field appears, zero-count
+        buckets included, exactly Solr's string-field behavior).
+
+        Reference analogue: the ``*_facet`` copy-fields the reference
+        maintains for Solr's faceting UI (``solrindexer/mmd.py:623-627,
+        794, 1074-1076``; hidden from CLI output in
+        ``solrindexer/search.py:59``).
+
+        Single-node implementation scans the docs-table columns once; the
+        distributed equivalent is :func:`facet_partitioned` (per-file
+        partial counts -> driver sum — a pre-aggregated groupby, no
+        shuffle).
+        """
+        ids = self.match_ids(query)
+        mask = np.zeros(self.doc_space, dtype=bool)
+        mask[ids] = True
+        out = {}
+        for fld in fields:
+            t = self._docs_ds.to_table(columns=["doc_id", fld])
+            vals = t[fld]
+            hit = pa.array(mask[t["doc_id"].to_numpy()])
+            counted = pc.value_counts(vals.filter(hit))
+            counts = {
+                str(s["values"]): int(s["counts"])
+                for s in counted.to_pylist()
+            }
+            if mincount <= 0:
+                for v in pc.unique(vals).to_pylist():
+                    counts.setdefault(str(v), 0)
+            buckets = sorted(
+                ((v, c) for v, c in counts.items() if c >= mincount),
+                key=lambda b: (-b[1], b[0]),
+            )[:limit]
+            out[fld] = buckets
+        return out
+
     def get(self, doc_id: int, fl=None) -> dict | None:
         """Realtime-get analogue (``solrindexer/tools.py:68-85``): point
         lookup via parquet predicate pushdown on the docs table."""
@@ -801,7 +872,27 @@ class RangeScorer:
 
     def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive,
                      phrases=(), prefix_groups=()):
-        """``phrases``: list of ``[member_terms, weight]`` — weights are the
+        cand, scores, lo = self._candidates_range(
+            rid, terms, idfs, prohibited, filters, conjunctive,
+            phrases, prefix_groups,
+        )
+        if cand.size == 0:
+            return []
+        s = scores[cand]
+        kk = min(self.k, cand.size)
+        kth = -np.partition(-s, kk - 1)[kk - 1]
+        idx = np.flatnonzero(s >= kth)
+        order = np.lexsort((cand[idx], -s[idx]))[:kk]
+        return [
+            {"doc_id": int(cand[idx[o]] + lo), "score": float(s[idx[o]])}
+            for o in order
+        ]
+
+    def _candidates_range(self, rid, terms, idfs, prohibited, filters,
+                          conjunctive, phrases=(), prefix_groups=()):
+        """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
+
+        ``phrases``: list of ``[member_terms, weight]`` — weights are the
         global phrase idf sums, computed driver-side like the term idfs.
         ``prefix_groups``: driver-expanded wildcard term groups (each scores
         1.0 per matching doc, Solr CONSTANT_SCORE rewrite)."""
@@ -874,32 +965,21 @@ class RangeScorer:
             cand = np.flatnonzero(seen >= n_terms)
         else:
             cand = np.flatnonzero(scores > 0.0)
-        if cand.size == 0:
-            return []
-        # prohibitions + metadata filters, range-local
-        dead = np.zeros(width, dtype=bool)
-        for term in prohibited:
-            ri = rows.get(term)
-            if ri is not None:
-                dead[decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo] = True
-        if filters:
-            expr = docs_flt
-            for fld, val in filters.items():
-                expr = expr & (pc.field(fld) != val)
-            bad = self._docs.to_table(columns=["doc_id"], filter=expr)
-            dead[bad["doc_id"].to_numpy() - lo] = True
-        cand = cand[~dead[cand]]
-        if cand.size == 0:
-            return []
-        s = scores[cand]
-        kk = min(self.k, cand.size)
-        kth = -np.partition(-s, kk - 1)[kk - 1]
-        idx = np.flatnonzero(s >= kth)
-        order = np.lexsort((cand[idx], -s[idx]))[:kk]
-        return [
-            {"doc_id": int(cand[idx[o]] + lo), "score": float(s[idx[o]])}
-            for o in order
-        ]
+        if cand.size:
+            # prohibitions + metadata filters, range-local
+            dead = np.zeros(width, dtype=bool)
+            for term in prohibited:
+                ri = rows.get(term)
+                if ri is not None:
+                    dead[decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo] = True
+            if filters:
+                expr = docs_flt
+                for fld, val in filters.items():
+                    expr = expr & (pc.field(fld) != val)
+                bad = self._docs.to_table(columns=["doc_id"], filter=expr)
+                dead[bad["doc_id"].to_numpy() - lo] = True
+            cand = cand[~dead[cand]]
+        return cand, scores, lo
 
     @staticmethod
     def _eval_phrase_local(tbl, rows, phrase, lo):
@@ -945,6 +1025,53 @@ class RangeScorer:
         )
 
 
+def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery):
+    """Driver-side clause preparation shared by the distributed query and
+    facet paths.
+
+    Returns ``None`` when the query shape needs the single-engine path
+    (match-all / negative phrase-or-prefix / wildcard metadata filters),
+    the string ``"zero"`` when the query provably matches nothing (AND with
+    a clause absent from the index), else ``(terms, idfs, phrases,
+    prefix_groups)`` ready to ship to range tasks."""
+    if (
+        not (parsed.terms or parsed.phrases or parsed.prefixes)
+        or parsed.prohibited_phrases
+        or parsed.neg_filters
+        or parsed.prohibited_prefixes
+        or any(v.endswith("*") for v in parsed.filters.values())
+    ):
+        return None
+    # global df -> idf (small driver-side scout over postings df column;
+    # phrase member dfs come from the same lookup)
+    phrase_members = [t for ph in parsed.phrases for t in ph]
+    postings = engine.lookup_postings(list(parsed.terms) + phrase_members)
+    terms = sorted(t for t in set(parsed.terms) if t in postings)
+    if parsed.conjunctive and len(terms) < len(set(parsed.terms)):
+        return "zero"  # AND with a term absent from the index
+    phrases = []
+    for ph in parsed.phrases:
+        if all(t in postings for t in ph):
+            phrases.append(
+                [list(ph), float(sum(engine.idf(postings[t].df) for t in ph))]
+            )
+        elif parsed.conjunctive:
+            return "zero"  # AND with an unmatchable phrase
+    # wildcard clauses: expand once driver-side, ship the term groups —
+    # each range unions its local postings for the group (constant score)
+    prefix_groups = []
+    for pre in parsed.prefixes:
+        group = engine.expand_prefix(pre)
+        if group:
+            prefix_groups.append(group)
+        elif parsed.conjunctive:
+            return "zero"  # AND with an unmatchable wildcard
+    if not terms and not phrases and not prefix_groups:
+        return "zero"
+    idfs = [engine.idf(postings[t].df) for t in terms]
+    return terms, idfs, phrases, prefix_groups
+
+
 def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
 
@@ -960,15 +1087,6 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
 
     engine = SearchEngine(index_dir)
     parsed = parse_query(query, engine.registry.analyzer_for(None))
-    if (
-        not (parsed.terms or parsed.phrases or parsed.prefixes)
-        or parsed.prohibited_phrases
-        or parsed.neg_filters
-        or parsed.prohibited_prefixes
-        or any(v.endswith("*") for v in parsed.filters.values())
-    ):
-        # match-all / rare negative+wildcard-filter forms: single-engine path
-        return engine.search(query, k=k)
 
     def _empty():
         return pa.table(
@@ -976,33 +1094,13 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
              "score": pa.array([], pa.float64())}
         )
 
-    # global df -> idf (small driver-side scout over postings df column;
-    # phrase member dfs come from the same lookup)
-    phrase_members = [t for ph in parsed.phrases for t in ph]
-    postings = engine.lookup_postings(list(parsed.terms) + phrase_members)
-    terms = sorted(t for t in set(parsed.terms) if t in postings)
-    if parsed.conjunctive and len(terms) < len(set(parsed.terms)):
-        return _empty()  # AND with a term absent from the index
-    phrases = []
-    for ph in parsed.phrases:
-        if all(t in postings for t in ph):
-            phrases.append(
-                [list(ph), float(sum(engine.idf(postings[t].df) for t in ph))]
-            )
-        elif parsed.conjunctive:
-            return _empty()  # AND with an unmatchable phrase
-    # wildcard clauses: expand once driver-side, ship the term groups —
-    # each range unions its local postings for the group (constant score)
-    prefix_groups = []
-    for pre in parsed.prefixes:
-        group = engine.expand_prefix(pre)
-        if group:
-            prefix_groups.append(group)
-        elif parsed.conjunctive:
-            return _empty()  # AND with an unmatchable wildcard
-    if not terms and not phrases and not prefix_groups:
+    clauses = _distributed_clauses(engine, parsed)
+    if clauses is None:
+        # match-all / rare negative+wildcard-filter forms: single-engine path
+        return engine.search(query, k=k)
+    if clauses == "zero":
         return _empty()
-    idfs = [engine.idf(postings[t].df) for t in terms]
+    terms, idfs, phrases, prefix_groups = clauses
     n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
         engine.stats["docs_per_range"]
     )
@@ -1036,6 +1134,127 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pylist(
         top, schema=pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
     )
+
+
+class FacetRangeCounter:
+    """Per-doc-range facet task: compute the range-local match set (same
+    candidate logic as :class:`RangeScorer`), then value-count the facet
+    fields over the matched slice of the docs table.  The driver sums the
+    per-range partials — a pre-aggregated (combiner) groupby with no
+    shuffle, which is how faceting must run at 10^12 docs."""
+
+    def __init__(self, index_dir: str, fields):
+        self.scorer = RangeScorer(index_dir)
+        self.fields = list(fields)
+
+    def __call__(self, batch: dict) -> pa.Table:
+        import json
+
+        out: list = []
+        for i in range(len(batch["range_id"])):
+            rid = int(batch["range_id"][i])
+            cand, _, lo = self.scorer._candidates_range(
+                rid,
+                list(batch["terms"][i]),
+                list(batch["idfs"][i]),
+                list(batch["prohibited"][i]),
+                dict(zip(batch["filter_keys"][i], batch["filter_vals"][i])),
+                bool(batch["conjunctive"][i]),
+                json.loads(str(batch["phrases_json"][i])),
+                json.loads(str(batch["prefix_groups_json"][i])),
+            )
+            tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
+            if tombs.size and cand.size:
+                cand = cand[~np.isin(cand + lo, tombs)]
+            if cand.size == 0:
+                continue
+            hi = lo + self.scorer.dpr
+            t = self.scorer._docs.to_table(
+                columns=["doc_id", *self.fields],
+                filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi),
+            )
+            mask = np.zeros(self.scorer.dpr, dtype=bool)
+            mask[cand] = True
+            hit = pa.array(mask[t["doc_id"].to_numpy() - lo])
+            for fld in self.fields:
+                for s in pc.value_counts(t[fld].filter(hit)).to_pylist():
+                    out.append(
+                        {"field": fld, "value": str(s["values"]),
+                         "count": int(s["counts"])}
+                    )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [("field", pa.string()), ("value", pa.string()),
+                 ("count", pa.int64())]
+            ),
+        )
+
+
+def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
+                      mincount: int = 0) -> dict:
+    """Distributed field facets: per-range match + partial value counts,
+    summed on the driver (identical buckets to ``SearchEngine.facet``,
+    tested).  Tombstones are partitioned per range and shipped with the
+    task (the per-range slice of the delete set is tiny)."""
+    import json
+
+    import ray.data as rd
+
+    engine = SearchEngine(index_dir)
+    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    clauses = _distributed_clauses(engine, parsed)
+    if clauses is None:
+        return engine.facet(query, fields, limit=limit, mincount=mincount)
+    totals: dict = {}
+    if clauses != "zero":
+        terms, idfs, phrases, prefix_groups = clauses
+        dpr = int(engine.stats["docs_per_range"])
+        n_ranges = (engine.doc_space + dpr - 1) // dpr
+        tombs_by_range: dict = {}
+        for d in engine.tombstones:
+            tombs_by_range.setdefault(d // dpr, []).append(d)
+        items = [
+            {
+                "range_id": r,
+                "terms": terms,
+                "idfs": idfs,
+                "prohibited": sorted(set(parsed.prohibited)),
+                "filter_keys": sorted(parsed.filters),
+                "filter_vals": [
+                    parsed.filters[f] for f in sorted(parsed.filters)
+                ],
+                "conjunctive": parsed.conjunctive,
+                "phrases_json": json.dumps(phrases),
+                "prefix_groups_json": json.dumps(prefix_groups),
+                "tombs": sorted(tombs_by_range.get(r, [])),
+            }
+            for r in range(n_ranges)
+        ]
+
+        def run(batch: dict) -> pa.Table:
+            return FacetRangeCounter(index_dir, fields)(batch)
+
+        partials = (
+            rd.from_items(items)
+            .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+            .take_all()
+        )
+        for r in partials:
+            key = (r["field"], r["value"])
+            totals[key] = totals.get(key, 0) + r["count"]
+    out = {}
+    for fld in fields:
+        counts = {v: c for (f, v), c in totals.items() if f == fld}
+        if mincount <= 0:
+            vals = pc.unique(engine._docs_ds.to_table(columns=[fld])[fld])
+            for v in vals.to_pylist():
+                counts.setdefault(str(v), 0)
+        out[fld] = sorted(
+            ((v, c) for v, c in counts.items() if c >= mincount),
+            key=lambda b: (-b[1], b[0]),
+        )[:limit]
+    return out
 
 
 class BatchSearcher:
