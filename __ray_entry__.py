@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": c.q_phrase_topk,
         "wildcard_topk": c.q_wildcard_topk,
         "facets": c.q_facets,
+        "range_topk": c.q_range_topk,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         # per-row invariants / projections (§2.2-2.3)

@@ -72,6 +72,17 @@ WILDCARD_QUERIES = [
 ]
 #: facet contract: queries x fields (Solr facet.field over the match set)
 FACET_QUERIES = ["spark merge", "sort AND merge", "win*", "lang:en spark"]
+#: range-filter query set (doclen = analyzed token count; lang strings)
+RANGE_QUERIES = [
+    "doclen:[40 TO 120] spark",
+    "doclen:{40 TO 120} spark",
+    "doclen:[* TO 60] merge window",
+    "-doclen:[100 TO *] spark AND merge",
+    "lang:[de TO es] window",
+    "doclen:[40 TO 200]",
+    'doclen:[30 TO 300] "sort merge"',
+    "doclen:[40 TO 90] win*",
+]
 FACET_FIELDS = ["lang", "repo"]  # repo <- documents.source (FIXTURES map)
 ANN_N_QUERIES = 5
 ANN_K = 10
@@ -502,6 +513,34 @@ def q_facets(sf_dir: str):
         schema=pa.schema(
             [("query", pa.string()), ("field", pa.string()),
              ("value", pa.string()), ("count", pa.int64())]
+        ),
+    )
+
+
+def q_range_topk(sf_dir: str):
+    """Top-k with Lucene range filters (inclusive/exclusive/open bounds on
+    metadata strings and the numeric doclen field); same ranking key as
+    q_bm25_topk, pure-range queries return score-0 ascending ids."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q in RANGE_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
         ),
     )
 

@@ -21,6 +21,7 @@ from solr_indexer_ray.contract import (
     FACET_FIELDS,
     FACET_QUERIES,
     PHRASE_QUERIES,
+    RANGE_QUERIES,
     WILDCARD_QUERIES,
     ANN_N_QUERIES,
     B,
@@ -151,6 +152,41 @@ def _fcond(fld: str, val: str) -> str:
     return f"{fld} = '{v}'"
 
 
+def _range_cond_sql(rf, neg: bool = False) -> str:
+    """Lucene range filter -> doc_id membership condition.  ``doclen``
+    ranges run over the token-count CTE; string fields over documents
+    (``repo`` maps to ``source`` per the FIXTURES corpus mapping)."""
+    lo_op = ">=" if rf.lo_incl else ">"
+    hi_op = "<=" if rf.hi_incl else "<"
+    if rf.field == "doclen":
+        src, col = "dl", "dl"
+        lov, hiv = rf.lo, rf.hi
+        quote = ""
+    else:
+        src = "documents"
+        col = {"repo": "source"}.get(rf.field, rf.field)
+        lov, hiv = rf.lo, rf.hi
+        quote = "'"
+    parts = []
+    if lov is not None:
+        parts.append(f"{col} {lo_op} {quote}{lov}{quote}")
+    if hiv is not None:
+        parts.append(f"{col} {hi_op} {quote}{hiv}{quote}")
+    if not parts:
+        parts = [f"{col} IS NOT NULL"]
+    inop = "NOT IN" if neg else "IN"
+    return (
+        f"c.doc_id {inop} (SELECT doc_id FROM {src} "
+        f"WHERE {' AND '.join(parts)})"
+    )
+
+
+def _range_conds(parsed) -> list:
+    conds = [_range_cond_sql(rf) for rf in parsed.range_filters]
+    conds += [_range_cond_sql(rf, neg=True) for rf in parsed.neg_range_filters]
+    return conds
+
+
 def _phrase_query_block(q: str) -> str:
     """One UNION branch of the phrase/wildcard oracle: term + phrase +
     constant-score prefix contributions summed per doc, the engine's exact
@@ -160,7 +196,7 @@ def _phrase_query_block(q: str) -> str:
     phrases = sorted(map(tuple, parsed.phrases))
     kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
     qq0 = q.replace("'", "''")
-    if parsed.is_match_all and not parsed.filters:
+    if parsed.is_match_all and not parsed.filters and not parsed.range_filters:
         # Solr match-all: every doc, score 0, ascending id
         return (
             # subselect so the ORDER BY/LIMIT stays local to this block
@@ -193,12 +229,21 @@ def _phrase_query_block(q: str) -> str:
     FROM tf t WHERE t.term LIKE '{pre}%'""")
     qq = q.replace("'", "''")
     if not branches:
+        if parsed.filters or parsed.range_filters:
+            # pure-filter/range query: engine returns matches at score 0,
+            # ascending doc_id (Solr-style match-all within the filter)
+            return (
+                "SELECT query, doc_id, score_r FROM ("
+                f"SELECT '{qq}' AS query, m.doc_id AS doc_id, 0.0 AS score_r "
+                f"FROM ({_match_docs_sql(q)}) m "
+                f"ORDER BY m.doc_id LIMIT {BM25_K})"
+            )
         return (
             f"SELECT '{qq}' AS query, doc_id, 0.0 AS score_r "
             "FROM documents WHERE 1=0"
         )
 
-    conds = ["1=1"]
+    conds = ["1=1"] + _range_conds(parsed)
     for fld, val in sorted(parsed.filters.items()):
         conds.append(
             f"c.doc_id IN (SELECT doc_id FROM documents WHERE {_fcond(fld, val)})"
@@ -248,6 +293,13 @@ def phrase_topk_sql() -> str:
     return _BM25_CTES + blocks
 
 
+def range_topk_sql() -> str:
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in RANGE_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
 def wildcard_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in WILDCARD_QUERIES
@@ -262,7 +314,7 @@ def _match_docs_sql(q: str) -> str:
     terms = sorted(set(parsed.terms))
     phrases = sorted(map(tuple, parsed.phrases))
 
-    conds = ["1=1"]
+    conds = ["1=1"] + _range_conds(parsed)
     for fld, val in sorted(parsed.filters.items()):
         conds.append(
             f"c.doc_id IN (SELECT doc_id FROM documents WHERE {_fcond(fld, val)})"
@@ -571,6 +623,7 @@ def oracle_sql_dict() -> dict:
         "phrase_topk": phrase_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),
         "facets": facets_sql(),
+        "range_topk": range_topk_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

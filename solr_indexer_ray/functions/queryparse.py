@@ -26,6 +26,10 @@ Supported grammar (documented subset):
                                ``*`` on a filter field (``path:src*``)
                                prefix-matches the metadata value.
 - ``*:*`` / ``*``           -> match-all (Solr's canonical match-all query)
+- ``field:[lo TO hi]``      -> range filter on the metadata fields or the
+                               numeric ``doclen`` field; ``{`` / ``}``
+                               bounds are exclusive (Lucene), ``*`` is an
+                               open end; ``-field:[...]`` negates.
 
 Only trailing-``*`` prefixes are supported (no leading/infix wildcards, no
 fuzzy ``~``); slop (``"a b"~2``) is not supported.
@@ -43,6 +47,42 @@ DEFAULT_FIELD_ALIASES = ("full_text", "content", "text")
 #:   -field:"some words"   field:"v"   "a phrase"   -"a phrase"
 _QUOTED = re.compile(r'(-?)(?:([A-Za-z_][\w.]*):)?"([^"]*)"')
 
+#: range filters: field:[lo TO hi], exclusive {} bounds, * open ends
+_RANGE = re.compile(
+    r"(-?)([A-Za-z_][\w.]*):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])"
+)
+
+#: fields a range filter may target (metadata strings + token count)
+RANGE_FIELDS = (*FILTER_FIELDS, "doclen")
+
+
+@dataclass(frozen=True)
+class RangeFilter:
+    field: str
+    lo: str | None          # None = open end
+    hi: str | None
+    lo_incl: bool = True
+    hi_incl: bool = True
+
+    def bounds(self):
+        """Typed (lo, hi): ints for doclen, raw strings otherwise."""
+        if self.field == "doclen":
+            return (
+                None if self.lo is None else int(self.lo),
+                None if self.hi is None else int(self.hi),
+            )
+        return self.lo, self.hi
+
+    def matches(self, value) -> bool:
+        lo, hi = self.bounds()
+        if value is None:
+            return False
+        if lo is not None and (value < lo or (value == lo and not self.lo_incl)):
+            return False
+        if hi is not None and (value > hi or (value == hi and not self.hi_incl)):
+            return False
+        return True
+
 
 @dataclass
 class ParsedQuery:
@@ -55,11 +95,14 @@ class ParsedQuery:
     neg_filters: dict = field(default_factory=dict)  # -field:value exclusions
     prefixes: list = field(default_factory=list)         # constant-score pre*
     prohibited_prefixes: list = field(default_factory=list)
+    range_filters: list = field(default_factory=list)        # [RangeFilter]
+    neg_range_filters: list = field(default_factory=list)
 
     @property
     def is_match_all(self) -> bool:
         return not (
             self.terms or self.filters or self.phrases or self.prefixes
+            or self.range_filters
         )
 
 
@@ -81,7 +124,26 @@ def parse_query(q: str, analyze) -> ParsedQuery:
             (out.prohibited_phrases if neg else out.phrases).append(toks)
         return " "
 
+    def eat_range(m: re.Match) -> str:
+        neg, fld = m.group(1) == "-", m.group(2)
+        if fld not in RANGE_FIELDS:
+            raise ValueError(
+                f"range filter on unsupported field {fld!r} "
+                f"(supported: {', '.join(RANGE_FIELDS)})"
+            )
+        rf = RangeFilter(
+            fld,
+            None if m.group(4) == "*" else m.group(4),
+            None if m.group(5) == "*" else m.group(5),
+            lo_incl=m.group(3) == "[",
+            hi_incl=m.group(6) == "]",
+        )
+        rf.bounds()  # validate numeric bounds eagerly (doclen)
+        (out.neg_range_filters if neg else out.range_filters).append(rf)
+        return " "
+
     q = _QUOTED.sub(eat_quoted, q or "")
+    q = _RANGE.sub(eat_range, q)
     for raw in q.split():
         if raw == "AND":
             out.conjunctive = True

@@ -112,6 +112,18 @@ class BruteForceBM25:
                 for f, v in parsed.neg_filters.items()
             ):
                 continue
+            if parsed.range_filters or parsed.neg_range_filters:
+                def rf_val(rf):
+                    if rf.field == "doclen":
+                        return len(self.tokens[i])
+                    return self.meta.get(rf.field, [None] * self.n_docs)[i]
+
+                if any(not rf.matches(rf_val(rf))
+                       for rf in parsed.range_filters):
+                    continue
+                if any(rf.matches(rf_val(rf))
+                       for rf in parsed.neg_range_filters):
+                    continue
             if parsed.prohibited and any(
                 p in self.tf[i] for p in parsed.prohibited
             ):

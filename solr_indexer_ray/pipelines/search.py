@@ -406,6 +406,8 @@ class SearchEngine:
         key = (
             tuple(sorted(parsed.filters.items())),
             tuple(sorted(parsed.neg_filters.items())),
+            tuple(parsed.range_filters),
+            tuple(parsed.neg_range_filters),
             tuple(sorted(set(parsed.prohibited))),
             tuple(sorted(map(tuple, parsed.prohibited_phrases))),
             tuple(sorted(set(parsed.prohibited_prefixes))),
@@ -452,7 +454,34 @@ class SearchEngine:
                 columns=["doc_id"], filter=self._filter_value_expr(fld, val)
             )
             ensure()[t["doc_id"].to_numpy()] = True
+        for rf in parsed.range_filters:
+            t = self._docs_ds.to_table(
+                columns=["doc_id"], filter=~self._range_expr(rf)
+            )
+            ensure()[t["doc_id"].to_numpy()] = True
+        for rf in parsed.neg_range_filters:
+            t = self._docs_ds.to_table(
+                columns=["doc_id"], filter=self._range_expr(rf)
+            )
+            ensure()[t["doc_id"].to_numpy()] = True
         return mask
+
+    @staticmethod
+    def _range_expr(rf):
+        """Lucene range filter -> pyarrow dataset expression (row-group
+        stats prune on the sorted/stored column)."""
+        lo, hi = rf.bounds()
+        f = pc.field(rf.field)
+        expr = None
+        if lo is not None:
+            e = (f >= lo) if rf.lo_incl else (f > lo)
+            expr = e
+        if hi is not None:
+            e = (f <= hi) if rf.hi_incl else (f < hi)
+            expr = e if expr is None else expr & e
+        if expr is None:  # [* TO *]: any non-null value
+            expr = f.is_valid()
+        return expr
 
     @staticmethod
     def _filter_value_expr(fld: str, val: str):
@@ -501,6 +530,9 @@ class SearchEngine:
 
     def _match_all(self, parsed, excluded, k):
         expr = self._filters_expr(parsed.filters) if parsed.filters else None
+        for rf in parsed.range_filters:
+            e = self._range_expr(rf)
+            expr = e if expr is None else expr & e
         t = self._docs_ds.to_table(columns=["doc_id"], filter=expr)
         ids = np.sort(t["doc_id"].to_numpy())
         if excluded is not None:
@@ -1039,6 +1071,8 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery):
         or parsed.prohibited_phrases
         or parsed.neg_filters
         or parsed.prohibited_prefixes
+        or parsed.range_filters
+        or parsed.neg_range_filters
         or any(v.endswith("*") for v in parsed.filters.values())
     ):
         return None
