@@ -73,6 +73,13 @@ WILDCARD_QUERIES = [
 #: facet contract: queries x fields (Solr facet.field over the match set)
 FACET_QUERIES = ["spark merge", "sort AND merge", "win*", "lang:en spark"]
 #: range-filter query set (doclen = analyzed token count; lang strings)
+#: (query, solr sort spec) pairs for the sorted-browse contract
+SORT_CASES = [
+    ("spark merge", "doclen desc"),
+    ("window", "doclen asc"),
+    ("lang:en spark", "repo asc, doclen desc"),
+    ("doclen:[40 TO 120]", "doclen desc"),
+]
 RANGE_QUERIES = [
     "doclen:[40 TO 120] spark",
     "doclen:{40 TO 120} spark",
@@ -541,6 +548,33 @@ def q_range_topk(sf_dir: str):
         schema=pa.schema(
             [("query", pa.string()), ("doc_id", pa.int64()),
              ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_sorted_browse(sf_dir: str):
+    """Solr ``sort`` param: field-ranked retrieval over the full match set
+    (doclen/metadata keys, asc/desc, ascending-doc_id tie-break)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, spec in SORT_CASES:
+        t = engine.search(q, k=20, fl=["doc_id", "doclen"], sort=spec)
+        for rank, row in enumerate(t.to_pylist()):
+            rows.append(
+                {
+                    "case": f"{q} | {spec}",
+                    "rank": rank,
+                    "doc_id": int(row["doc_id"]),
+                    "doclen": int(row["doclen"]),
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("case", pa.string()), ("rank", pa.int64()),
+             ("doc_id", pa.int64()), ("doclen", pa.int64())]
         ),
     )
 

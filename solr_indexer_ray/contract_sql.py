@@ -22,6 +22,7 @@ from solr_indexer_ray.contract import (
     FACET_QUERIES,
     PHRASE_QUERIES,
     RANGE_QUERIES,
+    SORT_CASES,
     WILDCARD_QUERIES,
     ANN_N_QUERIES,
     B,
@@ -400,6 +401,35 @@ LEFT JOIN (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+#: sort-key -> SQL expression over (documents JOIN dl)
+_SORT_COLS = {"doclen": "dl.dl", "repo": "d.source", "lang": "d.lang",
+              "doc_id": "d.doc_id"}
+
+
+def sorted_browse_sql() -> str:
+    """Field-sorted retrieval: match set ordered by the sort keys with the
+    engine's ascending-doc_id tie-break, rank numbers included."""
+    blocks = []
+    for q, spec in SORT_CASES:
+        qq = f"{q} | {spec}".replace("'", "''")
+        order = []
+        for part in spec.split(","):
+            fld, *rest = part.split()
+            direction = (rest[0] if rest else "asc").upper()
+            order.append(f"{_SORT_COLS[fld]} {direction}")
+        order.append("d.doc_id ASC")
+        blocks.append(f"""
+SELECT '{qq}' AS "case", rank, doc_id, doclen FROM (
+  SELECT d.doc_id AS doc_id, dl.dl AS doclen,
+         row_number() OVER (ORDER BY {', '.join(order)}) - 1 AS rank
+  FROM documents d
+  JOIN dl ON dl.doc_id = d.doc_id
+  JOIN ({_match_docs_sql(q)}) m ON m.doc_id = d.doc_id
+  QUALIFY rank < 20
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 # --------------------------------------------------------------------- #
 # text / stats / dedup
 # --------------------------------------------------------------------- #
@@ -624,6 +654,7 @@ def oracle_sql_dict() -> dict:
         "wildcard_topk": wildcard_topk_sql(),
         "facets": facets_sql(),
         "range_topk": range_topk_sql(),
+        "sorted_browse": sorted_browse_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

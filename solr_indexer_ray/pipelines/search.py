@@ -55,6 +55,29 @@ from solr_indexer_ray.state.manifest import BuildManifest
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
 
+class _OrderKey:
+    """Comparison wrapper for one sort-key value: honors direction and
+    sorts missing values (None) last regardless of direction (Solr's
+    sortMissingLast-ish default for convenience)."""
+
+    __slots__ = ("v", "asc")
+
+    def __init__(self, v, asc):
+        self.v = v
+        self.asc = asc
+
+    def __lt__(self, other):
+        a, b = self.v, other.v
+        if a is None:
+            return False  # None sorts last
+        if b is None:
+            return True
+        return (a < b) if self.asc else (b < a)
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 class ScoringModel:
     """Pluggable similarity (extension surface per SURVEY.md §2.10 — the
     reference's ABC+factory pattern, ``solrindexer/vocabulary.py:49-77``).
@@ -504,13 +527,20 @@ class SearchEngine:
         k: int = 10,
         fl=None,
         method: str = "taat",
+        sort: str | None = None,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
         ``k=10`` mirrors Solr's default ``rows=10``; ``fl`` mirrors the
-        field-projection parameter (``solrindexer/search.py:129-140``).
+        field-projection parameter (``solrindexer/search.py:129-140``);
+        ``sort`` mirrors Solr's sort param (``"doclen desc, path asc"`` —
+        stored fields, ``score``, ``doc_id``; ascending ``doc_id`` is
+        always appended as the final tie-break).  Default ranking is
+        ``score desc`` (Solr default).
         """
         parsed = parse_query(query, self.registry.analyzer_for(None))
+        if sort is not None:
+            return self._search_sorted(parsed, query, k, fl, sort)
         postings = self.lookup_postings(parsed.terms)
         excluded = self._excluded_mask(parsed)
 
@@ -527,6 +557,58 @@ class SearchEngine:
             hits = self._score_taat(parsed, postings, excluded, k)
 
         return self._resolve(hits, fl)
+
+    def _search_sorted(self, parsed, query, k, fl, sort):
+        """Field-sorted retrieval (Solr ``sort=f1 desc, f2 asc``): rank the
+        FULL match set by the sort keys instead of relevance.  ``score`` as
+        a sort key uses the BM25 score; other keys read the stored fields
+        of the matched docs only (at cluster scale this is a per-range
+        top-k + k-way merge, same layout as ``search_partitioned``)."""
+        keys = []
+        for part in sort.split(","):
+            toks = part.split()
+            if not toks:
+                continue
+            fld = toks[0]
+            order = toks[1].lower() if len(toks) > 1 else "asc"
+            if order not in ("asc", "desc"):
+                raise ValueError(f"bad sort direction {order!r} in {sort!r}")
+            if fld != "score" and fld != "doc_id" and fld not in STORED_FIELDS:
+                raise ValueError(f"cannot sort on unknown field {fld!r}")
+            keys.append((fld, order == "asc"))
+        if not keys:
+            raise ValueError(f"empty sort spec {sort!r}")
+
+        # full match set with scores (score may itself be a sort key)
+        full = self.search(query, k=self.doc_space, fl=["doc_id"])
+        if full.num_rows == 0:
+            return self._resolve([], fl)
+        ids = full["doc_id"].to_pylist()
+        scores = dict(zip(ids, full["score"].to_pylist()))
+
+        need = [f for f, _ in keys if f not in ("score", "doc_id")]
+        vals: dict = {}
+        if need:
+            t = self._docs_ds.to_table(
+                columns=["doc_id", *need],
+                filter=pc.field("doc_id").isin(ids),
+            )
+            for f in need:
+                vals[f] = dict(zip(t["doc_id"].to_pylist(), t[f].to_pylist()))
+
+        def sort_key(d):
+            out = []
+            for f, asc in keys:
+                v = (
+                    scores[d] if f == "score"
+                    else d if f == "doc_id" else vals[f].get(d)
+                )
+                out.append(_OrderKey(v, asc))
+            out.append(d)  # final tie-break: ascending doc_id (stable)
+            return tuple(out)
+
+        ranked = sorted(ids, key=sort_key)[:k]
+        return self._resolve([(d, scores[d]) for d in ranked], fl)
 
     def _match_all(self, parsed, excluded, k):
         expr = self._filters_expr(parsed.filters) if parsed.filters else None

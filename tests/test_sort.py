@@ -1,0 +1,81 @@
+"""Solr ``sort`` param — field-ranked retrieval over the full match set:
+asc/desc keys on stored fields / score / doc_id, ascending-doc_id
+tie-break, None-last semantics."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.pipelines.build import build_index
+from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+from solr_indexer_ray.pipelines.search import SearchEngine
+from solr_indexer_ray.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def sidx(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("sidx")
+    corpus = generate_corpus(150, seed=11, mean_tokens=40)
+    pq.write_table(corpus, str(d / "c.parquet"), row_group_size=32)
+    cfg = IndexConfig(docs_per_range=64, block_size=16, store_positions=True)
+    build_index(str(d / "c.parquet"), str(d / "idx"), config=cfg)
+    ids = pa.array(range(corpus.num_rows), pa.int64())
+    corpus = corpus.append_column("doc_id", ids)
+    oracle = BruteForceBM25(corpus)
+    df = corpus.to_pandas()
+    df["doclen"] = [len(tk) for tk in oracle.tokens]
+    return str(d / "idx"), oracle, df
+
+
+def expected(oracle, df, q, cols, asc, k=8):
+    hits = {d for d, _ in oracle.search(q, k=10**9)}
+    sub = df[df.doc_id.isin(hits)].sort_values(
+        [*cols, "doc_id"], ascending=[*asc, True], kind="mergesort"
+    )
+    return sub.doc_id.tolist()[:k]
+
+
+CASES = [
+    ("def", "doclen desc", ["doclen"], [False]),
+    ("def", "doclen asc", ["doclen"], [True]),
+    ("def read", "lang asc, doclen desc", ["lang", "doclen"], [True, False]),
+    ("*:*", "path desc", ["path"], [False]),
+    ("doclen:[30 TO 90] def", "repo asc", ["repo"], [True]),
+    ('"def index"', "doclen asc", ["doclen"], [True]),
+    ("pars*", "doclen desc", ["doclen"], [False]),
+]
+
+
+class TestSort:
+    @pytest.mark.parametrize("q,spec,cols,asc", CASES)
+    def test_vs_pandas(self, sidx, q, spec, cols, asc):
+        idx, oracle, df = sidx
+        got = SearchEngine(idx).search(q, k=8, fl=["doc_id"], sort=spec)
+        assert got["doc_id"].to_pylist() == expected(oracle, df, q, cols, asc)
+
+    def test_score_sort_equals_default(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        a = eng.search("def read", k=8, fl=["doc_id"], sort="score desc")
+        b = eng.search("def read", k=8, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_doc_id_tiebreak_within_equal_keys(self, sidx):
+        idx, _, df = sidx
+        eng = SearchEngine(idx)
+        t = eng.search("*:*", k=df.shape[0], fl=["doc_id", "lang"],
+                       sort="lang asc")
+        rows = list(zip(t["lang"].to_pylist(), t["doc_id"].to_pylist()))
+        assert rows == sorted(rows)
+
+    def test_errors(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        with pytest.raises(ValueError, match="unknown field"):
+            eng.search("def", sort="nosuch asc")
+        with pytest.raises(ValueError, match="direction"):
+            eng.search("def", sort="doclen sideways")
+        with pytest.raises(ValueError, match="empty sort"):
+            eng.search("def", sort=" , ")
