@@ -187,6 +187,50 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ident += got == expect
     rank_identity_rate = ident / len(id_queries)
 
+    # ---- phase 5: extended query surface (positions index) --------------
+    # positional build overhead + phrase / wildcard latency + facet / sort
+    # wall over the same corpus (features beyond the headline BM25 path)
+    pos_idx = os.path.join(BENCH_ROOT, f"index-pos-{n_files}-{num_cpus}")
+    shutil.rmtree(pos_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(corpus_path, pos_idx,
+                config=IndexConfig(store_positions=True))
+    pos_build_s = time.perf_counter() - t0
+
+    peng = SearchEngine(pos_idx)
+    peng.norms
+    # deterministic phrase set: adjacent token pairs of sampled docs
+    corpus_tbl = pq.read_table(corpus_path, columns=["content", "lang"])
+    phrases = []
+    step = max(1, corpus_tbl.num_rows // 64)
+    for i in range(0, corpus_tbl.num_rows, step):
+        toks = peng.registry.tokenize(
+            corpus_tbl["content"][i].as_py() or "", None
+        )
+        if len(toks) > 9:
+            phrases.append(f'"{toks[4]} {toks[5]}"')
+        if len(phrases) >= 50:
+            break
+    plat = np.zeros(len(phrases))
+    for i, q in enumerate(phrases):
+        t = time.perf_counter()
+        peng.search(q, k=10, fl=["doc_id"])
+        plat[i] = time.perf_counter() - t
+    from solr_indexer_ray.sources.corpus import _IDENT_STEMS
+
+    wilds = [f"{s[:4]}*" for s in sorted(_IDENT_STEMS)][:50]
+    wlat = np.zeros(len(wilds))
+    for i, q in enumerate(wilds):
+        t = time.perf_counter()
+        peng.search(q, k=10, fl=["doc_id"])
+        wlat[i] = time.perf_counter() - t
+    t0 = time.perf_counter()
+    peng.facet("read", ["lang", "repo"])
+    facet_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    peng.search("read", k=10, fl=["doc_id"], sort="doclen desc")
+    sort_s = time.perf_counter() - t0
+
     ray.shutdown()
 
     total = build_s + query_seq_s + query_dist_s
@@ -212,6 +256,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "dist_qps": round(len(dist_queries) / query_dist_s, 1),
             "n_term_rows": stats["n_term_rows"],
             "rank_identity_rate": rank_identity_rate,
+            "pos_build_s": round(pos_build_s, 3),
+            "pos_build_overhead": round(pos_build_s / build_s, 2),
+            "phrase_p50_ms": round(float(np.percentile(plat, 50)) * 1000, 3),
+            "wildcard_p50_ms": round(float(np.percentile(wlat, 50)) * 1000, 3),
+            "facet_2fields_ms": round(facet_s * 1000, 1),
+            "sorted_browse_ms": round(sort_s * 1000, 1),
         },
     }
 

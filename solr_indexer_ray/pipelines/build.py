@@ -173,27 +173,24 @@ class UnitIndexer:
             hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in contents
         ]
 
-        # tokenize + per-unit SPIMI postings buffer
+        # tokenize into one flat token-id stream (vocab interning is the
+        # only per-token Python op; counting/grouping happens in numpy)
         tokenize = self.registry.tokenize
         store_pos = self.config.store_positions
         doclens = np.zeros(len(contents), dtype=np.int32)
-        buffer: dict = {}  # (term, range_id) -> [doc_ids, tfs, norms(, pos)]
-        counts_per_doc = []
-        pos_per_doc: list = []  # term -> [token positions] (store_pos only)
+        vocab: dict = {}  # term -> unit-local tid (insertion order)
+        tid_parts = []
+        vget = vocab.get
         for i, (text, lang) in enumerate(zip(contents, langs)):
             toks = tokenize(text or "", lang)
             doclens[i] = len(toks)
-            if store_pos:
-                posmap: dict = {}
-                for p, t in enumerate(toks):
-                    posmap.setdefault(t, []).append(p)
-                pos_per_doc.append(posmap)
-                counts = {t: len(ps) for t, ps in posmap.items()}
-            else:
-                counts = {}
-                for t in toks:
-                    counts[t] = counts.get(t, 0) + 1
-            counts_per_doc.append(counts)
+            ids = []
+            for t in toks:
+                v = vget(t)
+                if v is None:
+                    vocab[t] = v = len(vocab)
+                ids.append(v)
+            tid_parts.append(np.asarray(ids, dtype=np.int64))
 
         norms = encode_lengths(doclens)
 
@@ -223,25 +220,43 @@ class UnitIndexer:
                         }
                     )
 
+        # ---- vectorized SPIMI aggregation over the whole unit ------------
+        # postings = runs of equal (tid, doc) in the stably-sorted token
+        # stream; positions fall out of the same sort (stable -> ascending
+        # token position within each run).  No per-posting Python.
         dpr = self.config.docs_per_range
-        for i, counts in enumerate(counts_per_doc):
-            if not valid[i]:
-                continue
-            did = int(doc_ids[i])
-            rid = did // dpr
-            nrm = int(norms[i])
-            for term, tf in counts.items():
-                key = (term, rid)
-                slot = buffer.get(key)
-                if slot is None:
-                    buffer[key] = slot = (
-                        ([], [], [], []) if store_pos else ([], [], [])
-                    )
-                slot[0].append(did)
-                slot[1].append(tf)
-                slot[2].append(nrm)
-                if store_pos:
-                    slot[3].append(pos_per_doc[i][term])
+        ndocs = len(contents)
+        tids = (
+            np.concatenate(tid_parts) if tid_parts else np.empty(0, np.int64)
+        )
+        docidx = np.repeat(np.arange(ndocs, dtype=np.int64),
+                           doclens.astype(np.int64))
+        doc_off = np.concatenate(([0], np.cumsum(doclens, dtype=np.int64)))
+        pos_in_doc = (
+            np.arange(tids.size, dtype=np.int64)
+            - np.repeat(doc_off[:-1], doclens.astype(np.int64))
+        )
+        if not valid.all():
+            keep = valid[docidx]
+            tids, docidx, pos_in_doc = tids[keep], docidx[keep], pos_in_doc[keep]
+
+        key = tids * ndocs + docidx
+        order = np.argsort(key, kind="stable")
+        ksort = key[order]
+        if ksort.size:
+            bnd = np.empty(ksort.size, dtype=bool)
+            bnd[0] = True
+            np.not_equal(ksort[1:], ksort[:-1], out=bnd[1:])
+            pstart = np.flatnonzero(bnd)
+        else:
+            pstart = np.empty(0, np.int64)
+        p_tf = np.diff(np.append(pstart, ksort.size)).astype(np.int32)
+        p_tid = ksort[pstart] // ndocs if ndocs else ksort[pstart]
+        p_doc = ksort[pstart] % ndocs if ndocs else ksort[pstart]
+        p_docid = doc_ids[p_doc].astype(np.int64)
+        p_norm = norms[p_doc].astype(np.int32)
+        p_rid = p_docid // dpr
+        positions_flat = pos_in_doc[order].astype(np.int32)  # grouped by posting
 
         # docs slice (valid rows only; invalid rows live in errors/)
         docs_table = pa.table(
@@ -267,42 +282,104 @@ class UnitIndexer:
         _atomic_write_table(docs_table, os.path.join(self.index_dir, docs_rel))
 
         # raw postings spill, partitioned by term shard (the map side of the
-        # postings shuffle): one sorted file per shard this unit touches.
-        by_shard: dict = {}
-        for k in sorted(buffer.keys()):
-            by_shard.setdefault(term_shard(k[0], n_shards), []).append(k)
+        # postings shuffle): one file per shard this unit touches.  Rows are
+        # (term, doc-range) groups; list columns are built zero-copy from
+        # the sorted posting arrays (ListArray.from_arrays — no per-row
+        # Python list materialization).
         post_rels = []
-        for s, skeys in sorted(by_shard.items()):
-            cols = {
-                "term": pa.array([k[0] for k in skeys], pa.string()),
-                "range_id": pa.array([k[1] for k in skeys], pa.int64()),
-                "doc_ids": pa.array(
-                    [buffer[k][0] for k in skeys], pa.list_(pa.int64())
-                ),
-                "tfs": pa.array(
-                    [buffer[k][1] for k in skeys], pa.list_(pa.int32())
-                ),
-                "norms": pa.array(
-                    [buffer[k][2] for k in skeys], pa.list_(pa.int32())
-                ),
-            }
+        n_postings = int(p_tid.size)
+        if n_postings:
+            term_list = list(vocab)  # tid -> term (insertion order)
+            shards_by_tid = np.fromiter(
+                (term_shard(t, n_shards) for t in term_list),
+                np.int64, len(term_list),
+            )
+            p_shard = shards_by_tid[p_tid]
+            order2 = np.lexsort((p_rid, p_tid, p_shard))
+            s_tid = p_tid[order2]
+            s_rid = p_rid[order2]
+            s_shard = p_shard[order2]
+            s_tf = p_tf[order2]
+            s_docid = p_docid[order2]
+            s_norm = p_norm[order2]
             if store_pos:
-                cols["positions"] = pa.array(
-                    [buffer[k][3] for k in skeys],
-                    pa.list_(pa.list_(pa.int32())),
+                in_off = np.concatenate(
+                    ([0], np.cumsum(p_tf, dtype=np.int64))
                 )
-            post_table = pa.table(
-                cols,
-                schema=RAW_POSTINGS_POS_SCHEMA if store_pos
-                else RAW_POSTINGS_SCHEMA,
+                lengths = s_tf.astype(np.int64)
+                out_off = np.concatenate(([0], np.cumsum(lengths)))
+                w = (
+                    np.arange(int(lengths.sum()), dtype=np.int64)
+                    - np.repeat(out_off[:-1], lengths)
+                )
+                s_positions = positions_flat[
+                    np.repeat(in_off[order2], lengths) + w
+                ]
+            # (shard, term, range) group boundaries over sorted postings
+            gb = np.empty(n_postings, dtype=bool)
+            gb[0] = True
+            gb[1:] = (
+                (s_tid[1:] != s_tid[:-1])
+                | (s_rid[1:] != s_rid[:-1])
+                | (s_shard[1:] != s_shard[:-1])
             )
-            rel = f"postings_raw/shard={s}/unit-{uid:06d}.parquet"
-            os.makedirs(
-                os.path.join(self.index_dir, f"postings_raw/shard={s}"),
-                exist_ok=True,
-            )
-            _atomic_write_table(post_table, os.path.join(self.index_dir, rel))
-            post_rels.append(rel)
+            gstart = np.flatnonzero(gb)
+            gcount = np.diff(np.append(gstart, n_postings))
+            post_off = np.concatenate(([0], np.cumsum(gcount)))
+            g_tid, g_rid, g_shard = s_tid[gstart], s_rid[gstart], s_shard[gstart]
+            # shard runs are contiguous (primary sort key)
+            sb = np.empty(gstart.size, dtype=bool)
+            sb[0] = True
+            sb[1:] = g_shard[1:] != g_shard[:-1]
+            sstart = np.flatnonzero(sb)
+            for a, b in zip(sstart, np.append(sstart[1:], gstart.size)):
+                s = int(g_shard[a])
+                plo, phi = int(post_off[a]), int(post_off[b])
+                offs = (post_off[a:b + 1] - plo).astype(np.int32)
+                cols = {
+                    "term": pa.array(
+                        [term_list[t] for t in g_tid[a:b]], pa.string()
+                    ),
+                    "range_id": pa.array(g_rid[a:b], pa.int64()),
+                    "doc_ids": pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(s_docid[plo:phi], pa.int64()),
+                    ),
+                    "tfs": pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(s_tf[plo:phi], pa.int32()),
+                    ),
+                    "norms": pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(s_norm[plo:phi], pa.int32()),
+                    ),
+                }
+                if store_pos:
+                    vlo, vhi = int(out_off[plo]), int(out_off[phi])
+                    inner = pa.ListArray.from_arrays(
+                        pa.array(
+                            (out_off[plo:phi + 1] - vlo).astype(np.int32),
+                            pa.int32(),
+                        ),
+                        pa.array(s_positions[vlo:vhi], pa.int32()),
+                    )
+                    cols["positions"] = pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()), inner
+                    )
+                post_table = pa.table(
+                    cols,
+                    schema=RAW_POSTINGS_POS_SCHEMA if store_pos
+                    else RAW_POSTINGS_SCHEMA,
+                )
+                rel = f"postings_raw/shard={s}/unit-{uid:06d}.parquet"
+                os.makedirs(
+                    os.path.join(self.index_dir, f"postings_raw/shard={s}"),
+                    exist_ok=True,
+                )
+                _atomic_write_table(
+                    post_table, os.path.join(self.index_dir, rel)
+                )
+                post_rels.append(rel)
 
         if error_rows:
             os.makedirs(os.path.join(self.index_dir, "errors"), exist_ok=True)
@@ -328,7 +405,7 @@ class UnitIndexer:
             "n_rows": len(contents),
             "n_failed": len(error_rows),
             "sum_dl": int(doclens[valid].sum()),
-            "n_terms_partial": len(buffer),
+            "n_terms_partial": int(gstart.size) if n_postings else 0,
             "metrics": {
                 "wall_s": round(time.perf_counter() - t0, 4),
                 "n_tokens": int(doclens.sum()),

@@ -55,27 +55,58 @@ from solr_indexer_ray.state.manifest import BuildManifest
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
 
-class _OrderKey:
-    """Comparison wrapper for one sort-key value: honors direction and
-    sorts missing values (None) last regardless of direction (Solr's
-    sortMissingLast-ish default for convenience)."""
+def _gather_segments(flat, starts, lengths):
+    """Gather multiple [start, start+length) slices of ``flat`` into one
+    array (vectorized multi-segment take — no per-segment Python loop)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    out_offsets = np.concatenate(([0], np.cumsum(lengths)))
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype), out_offsets
+    w = np.arange(total, dtype=np.int64) - np.repeat(out_offsets[:-1], lengths)
+    idx = np.repeat(np.asarray(starts, dtype=np.int64), lengths) + w
+    return flat[idx], out_offsets
 
-    __slots__ = ("v", "asc")
 
-    def __init__(self, v, asc):
-        self.v = v
-        self.asc = asc
+def _sorted_isin(a, b):
+    """Membership of ``a`` in SORTED array ``b`` (both int64) — the
+    searchsorted form of np.isin, O((|a|+|b|)·log|b|) with no re-sort."""
+    if b.size == 0 or a.size == 0:
+        return np.zeros(a.size, dtype=bool)
+    pos = np.searchsorted(b, a)
+    pos[pos == b.size] = b.size - 1
+    return b[pos] == a
 
-    def __lt__(self, other):
-        a, b = self.v, other.v
-        if a is None:
-            return False  # None sorts last
-        if b is None:
-            return True
-        return (a < b) if self.asc else (b < a)
 
-    def __eq__(self, other):
-        return self.v == other.v
+def _phrase_freqs(docs, segments, phrase):
+    """Vectorized ExactPhraseMatcher over ALL candidate docs at once.
+
+    ``segments[t] = (flat_positions, lengths)`` aligned with ``docs`` (one
+    segment per doc).  Encodes (doc, position) into a single int64 key
+    (doc_index · stride + position); a phrase start survives when key+i is
+    present in member i's key set for every offset — plain sorted-membership
+    checks, no per-doc Python loop.  Returns (matched docs, phrase freqs).
+    """
+    n = docs.size
+    if n == 0:
+        return docs, np.empty(0, np.int64)
+    stride = 2 + len(phrase) + max(
+        (int(flat.max()) if flat.size else 0)
+        for flat, _ in segments.values()
+    )
+    keys = {}
+    for t, (flat, lengths) in segments.items():
+        docidx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        keys[t] = docidx * stride + flat  # ascending (docs asc, pos asc)
+    cand = keys[phrase[0]]
+    for off, t in enumerate(phrase[1:], 1):
+        cand = cand[_sorted_isin(cand + off, keys[t])]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    freqs = np.bincount(cand // stride, minlength=n)
+    mask = freqs > 0
+    return docs[mask], freqs[mask].astype(np.int64)
+
 
 
 class ScoringModel:
@@ -388,25 +419,16 @@ class SearchEngine:
                                   assume_unique=True)
             if docs.size == 0:
                 return empty
-        idx = {
-            t: np.searchsorted(postings[t].doc_ids, docs) for t in uniq
-        }
-        out_docs, out_freqs = [], []
-        for j in range(docs.size):
-            cand = postings[phrase[0]].positions_for(int(idx[phrase[0]][j]))
-            for off, t in enumerate(phrase[1:], 1):
-                ptb = postings[t].positions_for(int(idx[t][j]))
-                cand = cand[np.isin(cand + off, ptb, assume_unique=True)]
-                if cand.size == 0:
-                    break
-            if cand.size:
-                out_docs.append(int(docs[j]))
-                out_freqs.append(int(cand.size))
-        return (
-            np.asarray(out_docs, dtype=np.int64),
-            np.asarray(out_freqs, dtype=np.int64),
-            w,
-        )
+        segments = {}
+        for t in uniq:
+            tp = postings[t]
+            ti = np.searchsorted(tp.doc_ids, docs)
+            lengths = tp.tfs[ti]
+            flat, _ = _gather_segments(tp.pos_flat, tp.pos_offsets[ti],
+                                       lengths)
+            segments[t] = (flat, lengths)
+        out_docs, freqs = _phrase_freqs(docs, segments, phrase)
+        return out_docs, freqs, w
 
     # ------------------------------------------------------------------ #
     # scoring
@@ -583,32 +605,39 @@ class SearchEngine:
         full = self.search(query, k=self.doc_space, fl=["doc_id"])
         if full.num_rows == 0:
             return self._resolve([], fl)
-        ids = full["doc_id"].to_pylist()
-        scores = dict(zip(ids, full["score"].to_pylist()))
+        import pandas as pd
 
+        df = pd.DataFrame(
+            {"doc_id": full["doc_id"].to_numpy(),
+             "score": full["score"].to_numpy()}
+        )
         need = [f for f, _ in keys if f not in ("score", "doc_id")]
-        vals: dict = {}
         if need:
-            t = self._docs_ds.to_table(
-                columns=["doc_id", *need],
-                filter=pc.field("doc_id").isin(ids),
-            )
-            for f in need:
-                vals[f] = dict(zip(t["doc_id"].to_pylist(), t[f].to_pylist()))
-
-        def sort_key(d):
-            out = []
-            for f, asc in keys:
-                v = (
-                    scores[d] if f == "score"
-                    else d if f == "doc_id" else vals[f].get(d)
+            ids = df["doc_id"].to_numpy()
+            if ids.size > 10_000:
+                # large match set: a full column scan + dense mask beats an
+                # isin pushdown over a huge id list
+                t = self._docs_ds.to_table(columns=["doc_id", *need])
+                mask = np.zeros(self.doc_space, dtype=bool)
+                mask[ids] = True
+                t = t.filter(pa.array(mask[t["doc_id"].to_numpy()]))
+            else:
+                t = self._docs_ds.to_table(
+                    columns=["doc_id", *need],
+                    filter=pc.field("doc_id").isin(ids.tolist()),
                 )
-                out.append(_OrderKey(v, asc))
-            out.append(d)  # final tie-break: ascending doc_id (stable)
-            return tuple(out)
-
-        ranked = sorted(ids, key=sort_key)[:k]
-        return self._resolve([(d, scores[d]) for d in ranked], fl)
+            df = df.merge(t.to_pandas(), on="doc_id", how="left")
+        # vectorized multi-key sort; NaN/None always last (Solr
+        # sortMissingLast-ish), ascending doc_id as the final tie-break
+        df = df.sort_values(
+            [f for f, _ in keys] + ["doc_id"],
+            ascending=[asc for _, asc in keys] + [True],
+            kind="mergesort",
+            na_position="last",
+        ).head(k)
+        return self._resolve(
+            list(zip(df["doc_id"].tolist(), df["score"].tolist())), fl
+        )
 
     def _match_all(self, parsed, excluded, k):
         expr = self._filters_expr(parsed.filters) if parsed.filters else None
@@ -1109,34 +1138,22 @@ class RangeScorer:
             flat, offs = decode_positions(
                 tbl["positions"][ri].as_py() or b"", tfs
             )
-            decoded[t] = (ids, flat, offs)
+            decoded[t] = (ids, tfs, flat, offs)
         uniq = list(decoded)
         docs = decoded[uniq[0]][0]
         for t in uniq[1:]:
             docs = np.intersect1d(docs, decoded[t][0], assume_unique=True)
             if docs.size == 0:
                 return empty
-        idx = {t: np.searchsorted(decoded[t][0], docs) for t in uniq}
-        out_ids, out_freqs = [], []
-        for j in range(docs.size):
-            t0 = phrase[0]
-            ids0, flat0, offs0 = decoded[t0]
-            p0 = idx[t0][j]
-            cand = flat0[offs0[p0]:offs0[p0 + 1]]
-            for off, t in enumerate(phrase[1:], 1):
-                _, flatt, offst = decoded[t]
-                pt = idx[t][j]
-                ptb = flatt[offst[pt]:offst[pt + 1]]
-                cand = cand[np.isin(cand + off, ptb, assume_unique=True)]
-                if cand.size == 0:
-                    break
-            if cand.size:
-                out_ids.append(int(docs[j]) - lo)
-                out_freqs.append(float(cand.size))
-        return (
-            np.asarray(out_ids, dtype=np.int64),
-            np.asarray(out_freqs, dtype=np.float64),
-        )
+        segments = {}
+        for t in uniq:
+            ids, tfs, flat, offs = decoded[t]
+            ti = np.searchsorted(ids, docs)
+            lengths = tfs[ti]
+            seg_flat, _ = _gather_segments(flat, offs[ti], lengths)
+            segments[t] = (seg_flat, lengths)
+        out_docs, freqs = _phrase_freqs(docs, segments, phrase)
+        return out_docs - lo, freqs.astype(np.float64)
 
 
 def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery):
