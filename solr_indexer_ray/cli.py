@@ -97,7 +97,7 @@ def cmd_search(args) -> int:
     engine = SearchEngine(args.output)
     fl = args.fl.split(",") if args.fl else None
     t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
-                      sort=args.sort)
+                      sort=args.sort, start=args.start)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet:
@@ -172,6 +172,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-k", type=int, default=10)  # Solr default rows=10
     ps.add_argument("--fl", help="comma-separated field projection")
     ps.add_argument("--method", default="taat", choices=["taat", "bmw"])
+    ps.add_argument("--start", type=int, default=0,
+                    help="paging offset (Solr start)")
     ps.add_argument("--sort", help='Solr sort spec, e.g. "doclen desc"')
     ps.add_argument("--facet", help="comma-separated facet fields")
     ps.add_argument("--facet-limit", type=int, default=100)

@@ -550,6 +550,7 @@ class SearchEngine:
         fl=None,
         method: str = "taat",
         sort: str | None = None,
+        start: int = 0,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -558,11 +559,22 @@ class SearchEngine:
         ``sort`` mirrors Solr's sort param (``"doclen desc, path asc"`` —
         stored fields, ``score``, ``doc_id``; ascending ``doc_id`` is
         always appended as the final tie-break).  Default ranking is
-        ``score desc`` (Solr default).
+        ``score desc`` (Solr default).  ``start`` pages into the ranking
+        (Solr ``start``): rows [start, start+k) of the full ordering —
+        deep paging costs a deeper top-k, exactly like Solr.
         """
+        if start < 0:
+            raise ValueError("start must be >= 0")
         parsed = parse_query(query, self.registry.analyzer_for(None))
         if sort is not None:
-            return self._search_sorted(parsed, query, k, fl, sort)
+            return self._search_sorted(parsed, query, k, fl, sort, start)
+        if start:
+            deep = self.search(query, k=start + k, fl=["doc_id"],
+                               method=method)
+            hits = list(
+                zip(deep["doc_id"].to_pylist(), deep["score"].to_pylist())
+            )[start:]
+            return self._resolve(hits, fl)
         postings = self.lookup_postings(parsed.terms)
         excluded = self._excluded_mask(parsed)
 
@@ -580,7 +592,7 @@ class SearchEngine:
 
         return self._resolve(hits, fl)
 
-    def _search_sorted(self, parsed, query, k, fl, sort):
+    def _search_sorted(self, parsed, query, k, fl, sort, start: int = 0):
         """Field-sorted retrieval (Solr ``sort=f1 desc, f2 asc``): rank the
         FULL match set by the sort keys instead of relevance.  ``score`` as
         a sort key uses the BM25 score; other keys read the stored fields
@@ -634,7 +646,7 @@ class SearchEngine:
             ascending=[asc for _, asc in keys] + [True],
             kind="mergesort",
             na_position="last",
-        ).head(k)
+        ).iloc[start:start + k]
         return self._resolve(
             list(zip(df["doc_id"].tolist(), df["score"].tolist())), fl
         )

@@ -70,6 +70,36 @@ class TestSort:
         rows = list(zip(t["lang"].to_pylist(), t["doc_id"].to_pylist()))
         assert rows == sorted(rows)
 
+    def test_paging_relevance(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        full = eng.search("def read", k=9, fl=["doc_id"])
+        for start in (0, 3, 6):
+            page = eng.search("def read", k=3, fl=["doc_id"], start=start)
+            assert (
+                page["doc_id"].to_pylist()
+                == full["doc_id"].to_pylist()[start:start + 3]
+            )
+            assert (
+                page["score"].to_pylist()
+                == full["score"].to_pylist()[start:start + 3]
+            )
+
+    def test_paging_sorted(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        full = eng.search("def", k=9, fl=["doc_id"], sort="doclen desc")
+        page = eng.search("def", k=3, fl=["doc_id"], sort="doclen desc",
+                          start=3)
+        assert page["doc_id"].to_pylist() == full["doc_id"].to_pylist()[3:6]
+
+    def test_paging_past_end_is_empty(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        assert eng.search("def", k=5, start=10**6).num_rows == 0
+        with pytest.raises(ValueError, match="start"):
+            eng.search("def", start=-1)
+
     def test_errors(self, sidx):
         idx, _, _ = sidx
         eng = SearchEngine(idx)
