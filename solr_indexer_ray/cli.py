@@ -47,13 +47,14 @@ def cmd_index(args) -> int:
     config = load_config(args.config) if args.config else DEFAULT_CONFIG
     if (args.validate and not config.validate) or getattr(
         args, "positions", False
-    ):
+    ) or getattr(args, "store_content", False):
         import dataclasses
 
         config = dataclasses.replace(
             config,
             validate=config.validate or args.validate,
             store_positions=config.store_positions or args.positions,
+            store_content=config.store_content or args.store_content,
         )
     t0 = time.time()
     if args.extend:
@@ -97,7 +98,7 @@ def cmd_search(args) -> int:
     engine = SearchEngine(args.output)
     fl = args.fl.split(",") if args.fl else None
     t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
-                      sort=args.sort, start=args.start)
+                      sort=args.sort, start=args.start, hl=args.hl)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet:
@@ -164,6 +165,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run corpus validation and report failures")
     pi.add_argument("--positions", action="store_true",
                     help="store token positions (enables phrase queries)")
+    pi.add_argument("--store-content", action="store_true",
+                    help="store raw content (fl=content, highlighting)")
     pi.set_defaults(fn=cmd_index)
 
     ps = sub.add_parser("search", help="BM25 top-k query")
@@ -175,6 +178,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--start", type=int, default=0,
                     help="paging offset (Solr start)")
     ps.add_argument("--sort", help='Solr sort spec, e.g. "doclen desc"')
+    ps.add_argument("--hl", action="store_true",
+                    help="highlight snippets (needs store_content index)")
     ps.add_argument("--facet", help="comma-separated facet fields")
     ps.add_argument("--facet-limit", type=int, default=100)
     ps.add_argument("--facet-mincount", type=int, default=0)

@@ -51,6 +51,12 @@ class IndexConfig:
     #: Pinned at build time: extensions inherit it from the committed stats.
     store_positions: bool = False
 
+    #: store the raw ``content`` in the docs table (Solr ``stored="true"`` on
+    #: the body field; the reference keeps the full source document in Solr,
+    #: ``mmd_xml_file``).  Enables ``fl=content`` retrieval and search-time
+    #: highlighting at the cost of docs-table size.  Pinned at build time.
+    store_content: bool = False
+
     # --- analyzer ---------------------------------------------------------
     #: name of the default analyzer for langs without a registered one.
     default_analyzer: str = "simple"

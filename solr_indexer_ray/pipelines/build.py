@@ -259,19 +259,23 @@ class UnitIndexer:
         positions_flat = pos_in_doc[order].astype(np.int32)  # grouped by posting
 
         # docs slice (valid rows only; invalid rows live in errors/)
-        docs_table = pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "repo": table["repo"],
-                "path": table["path"],
-                "commit": table["commit"],
-                "lang": table["lang"],
-                "sha256": pa.array(shas, pa.string()),
-                "doclen": pa.array(doclens, pa.int32()),
-                "norm": pa.array(norms, pa.uint8()),
-            },
-            schema=DOCS_SCHEMA,
-        )
+        doc_cols = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "repo": table["repo"],
+            "path": table["path"],
+            "commit": table["commit"],
+            "lang": table["lang"],
+            "sha256": pa.array(shas, pa.string()),
+            "doclen": pa.array(doclens, pa.int32()),
+            "norm": pa.array(norms, pa.uint8()),
+        }
+        docs_schema = DOCS_SCHEMA
+        if self.config.store_content:
+            # Solr stored="true" body field (reference stores the full
+            # document in Solr: mmd_xml_file) — fl=content + highlighting
+            doc_cols["content"] = table["content"]
+            docs_schema = DOCS_SCHEMA.append(pa.field("content", pa.string()))
+        docs_table = pa.table(doc_cols, schema=docs_schema)
         if not valid.all():
             docs_table = docs_table.filter(pa.array(valid))
         if self.doc_enricher is not None:
@@ -676,6 +680,7 @@ def build_index(
         "docs_per_range": config.docs_per_range,
         "block_size": config.block_size,
         "store_positions": bool(config.store_positions),
+        "store_content": bool(config.store_content),
         "k1": config.k1,
         "b": config.b,
         "analyzer_default": registry.default,
@@ -736,6 +741,7 @@ def extend_index(
         k1=float(old["k1"]),
         b=float(old["b"]),
         store_positions=bool(old.get("store_positions", False)),
+        store_content=bool(old.get("store_content", False)),
     )
     n_shards = int(old["n_shards"])
     base = int(old["doc_id_space"])

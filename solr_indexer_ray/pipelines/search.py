@@ -551,6 +551,7 @@ class SearchEngine:
         method: str = "taat",
         sort: str | None = None,
         start: int = 0,
+        hl: bool = False,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -561,36 +562,87 @@ class SearchEngine:
         always appended as the final tie-break).  Default ranking is
         ``score desc`` (Solr default).  ``start`` pages into the ranking
         (Solr ``start``): rows [start, start+k) of the full ordering —
-        deep paging costs a deeper top-k, exactly like Solr.
+        deep paging costs a deeper top-k, exactly like Solr.  ``hl=True``
+        (Solr ``hl``) appends an ``hl`` snippet column — requires an index
+        built with ``store_content=True``.
         """
         if start < 0:
             raise ValueError("start must be >= 0")
         parsed = parse_query(query, self.registry.analyzer_for(None))
+        if hl and not self.stats.get("store_content"):
+            raise ValueError(
+                "highlighting needs stored content; rebuild with "
+                "IndexConfig(store_content=True)"
+            )
         if sort is not None:
-            return self._search_sorted(parsed, query, k, fl, sort, start)
-        if start:
+            t = self._search_sorted(parsed, query, k, fl, sort, start)
+        elif start:
             deep = self.search(query, k=start + k, fl=["doc_id"],
                                method=method)
             hits = list(
                 zip(deep["doc_id"].to_pylist(), deep["score"].to_pylist())
             )[start:]
-            return self._resolve(hits, fl)
-        postings = self.lookup_postings(parsed.terms)
-        excluded = self._excluded_mask(parsed)
-
-        if not (parsed.terms or parsed.phrases or parsed.prefixes):
-            # no scoring clause (match-all / pure-filter query):
-            # filter match, score 0, doc_id order
-            hits = self._match_all(parsed, excluded, k)
-        elif method == "bmw" and not parsed.phrases and not parsed.prefixes:
-            hits = self._score_bmw(parsed, postings, excluded, k)
+            t = self._resolve(hits, fl)
         else:
-            # phrase/prefix clauses always score TAAT (positional
-            # intersection / constant-score unions have no block-max
-            # bound); rank-identical to BMW for pure-term queries (tested)
-            hits = self._score_taat(parsed, postings, excluded, k)
+            postings = self.lookup_postings(parsed.terms)
+            excluded = self._excluded_mask(parsed)
 
-        return self._resolve(hits, fl)
+            if not (parsed.terms or parsed.phrases or parsed.prefixes):
+                # no scoring clause (match-all / pure-filter query):
+                # filter match, score 0, doc_id order
+                hits = self._match_all(parsed, excluded, k)
+            elif method == "bmw" and not parsed.phrases and not parsed.prefixes:
+                hits = self._score_bmw(parsed, postings, excluded, k)
+            else:
+                # phrase/prefix clauses always score TAAT (positional
+                # intersection / constant-score unions have no block-max
+                # bound); rank-identical to BMW for pure-term queries (tested)
+                hits = self._score_taat(parsed, postings, excluded, k)
+            t = self._resolve(hits, fl)
+        return self._add_highlights(parsed, t) if hl else t
+
+    def _add_highlights(self, parsed: ParsedQuery, t: pa.Table) -> pa.Table:
+        """Append an ``hl`` snippet column (Solr highlighting, best-effort):
+        a ~160-char window around the first query-term occurrence with all
+        occurrences wrapped in ``<em>`` (Solr's default tags).  Matching is
+        case-insensitive on the raw stored content; docs with no literal
+        occurrence (e.g. matched via identifier-splitting) get null."""
+        import re
+
+        words = set(parsed.terms) | {
+            w for ph in parsed.phrases for w in ph
+        } | set(parsed.prefixes)
+        if not words or t.num_rows == 0:
+            return t.append_column(
+                "hl", pa.array([None] * t.num_rows, pa.string())
+            )
+        pat = re.compile(
+            "|".join(
+                re.escape(w) + (r"\w*" if w in parsed.prefixes else "")
+                for w in sorted(words, key=len, reverse=True)
+            ),
+            re.IGNORECASE,
+        )
+        ids = t["doc_id"].to_pylist()
+        ct = self._docs_ds.to_table(
+            columns=["doc_id", "content"],
+            filter=pc.field("doc_id").isin(ids),
+        )
+        content = dict(zip(ct["doc_id"].to_pylist(), ct["content"].to_pylist()))
+        snippets = []
+        for d in ids:
+            text = content.get(d) or ""
+            m = pat.search(text)
+            if not m:
+                snippets.append(None)
+                continue
+            lo = max(0, m.start() - 60)
+            hi = min(len(text), m.end() + 100)
+            window = text[lo:hi]
+            snippets.append(
+                pat.sub(lambda mm: f"<em>{mm.group(0)}</em>", window)
+            )
+        return t.append_column("hl", pa.array(snippets, pa.string()))
 
     def _search_sorted(self, parsed, query, k, fl, sort, start: int = 0):
         """Field-sorted retrieval (Solr ``sort=f1 desc, f2 asc``): rank the
