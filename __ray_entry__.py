@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facets": c.q_facets,
         "range_topk": c.q_range_topk,
         "sorted_browse": c.q_sorted_browse,
+        "more_like_this": c.q_more_like_this,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         # per-row invariants / projections (§2.2-2.3)

@@ -111,6 +111,20 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_mlt(args) -> int:
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    t = SearchEngine(args.output).more_like_this(
+        args.id, k=args.k, fl=args.fl.split(",") if args.fl else None,
+        max_query_terms=args.max_query_terms,
+        min_term_freq=args.min_term_freq, min_doc_freq=args.min_doc_freq,
+    )
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
+    print(f"# {t.num_rows} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_get(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
@@ -185,6 +199,16 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--facet-mincount", type=int, default=0)
     ps.set_defaults(fn=cmd_search)
 
+    pm = sub.add_parser("mlt", help="more-like-this by doc id")
+    pm.add_argument("-o", "--output", required=True)
+    pm.add_argument("--id", type=int, required=True)
+    pm.add_argument("-k", type=int, default=10)
+    pm.add_argument("--fl", help="comma-separated field projection")
+    pm.add_argument("--max-query-terms", type=int, default=25)
+    pm.add_argument("--min-term-freq", type=int, default=2)
+    pm.add_argument("--min-doc-freq", type=int, default=5)
+    pm.set_defaults(fn=cmd_mlt)
+
     pg = sub.add_parser("get", help="realtime get by doc id")
     pg.add_argument("-o", "--output", required=True)
     pg.add_argument("--id", type=int, required=True)
@@ -204,7 +228,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (ValueError, FileNotFoundError) as e:
+        # user-input errors (bad query syntax, missing/incompatible index,
+        # unknown sort/facet field) print one line, no traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

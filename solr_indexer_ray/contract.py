@@ -73,6 +73,10 @@ WILDCARD_QUERIES = [
 #: facet contract: queries x fields (Solr facet.field over the match set)
 FACET_QUERIES = ["spark merge", "sort AND merge", "win*", "lang:en spark"]
 #: range-filter query set (doclen = analyzed token count; lang strings)
+#: MoreLikeThis sources (doc ids into the documents table)
+MLT_DOCS = [7, 123, 321]
+MLT_PARAMS = {"max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5}
+
 #: (query, solr sort spec) pairs for the sorted-browse contract
 SORT_CASES = [
     ("spark merge", "doclen desc"),
@@ -399,10 +403,12 @@ def _bm25_index(sf_dir: str) -> str:
     pq.write_table(
         documents_to_corpus_table(docs), corpus_path, row_group_size=4096
     )
-    index_dir = os.path.join(work, "index_pos")
+    index_dir = os.path.join(work, "index_full")
     registry = AnalyzerRegistry("simple", overrides={})
-    # positions on: the same shared index serves bm25_topk AND phrase_topk
-    config = IndexConfig(concurrency=2, store_positions=True)
+    # positions + stored content: ONE shared index serves bm25/phrase/
+    # wildcard/range/sort/facet/mlt contract queries
+    config = IndexConfig(concurrency=2, store_positions=True,
+                         store_content=True)
     from solr_indexer_ray.state.manifest import BuildManifest
 
     if not BuildManifest(index_dir).is_committed():
@@ -575,6 +581,36 @@ def q_sorted_browse(sf_dir: str):
         schema=pa.schema(
             [("case", pa.string()), ("rank", pa.int64()),
              ("doc_id", pa.int64()), ("doclen", pa.int64())]
+        ),
+    )
+
+
+def q_more_like_this(sf_dir: str):
+    """Solr MoreLikeThis: per source doc, top-10 similar docs via the
+    Lucene MLT term-selection discipline (tf·(1+ln(N/df)), 6dp-rounded,
+    term-asc ties) + unboosted BM25 OR query, source excluded."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for src in MLT_DOCS:
+        full = engine.more_like_this(src, k=engine.n_docs, fl=["doc_id"],
+                                     **MLT_PARAMS)
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"src": src, "doc_id": int(ids[i]),
+                 "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("src", pa.int64()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
         ),
     )
 

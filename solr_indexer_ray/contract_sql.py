@@ -21,6 +21,8 @@ from solr_indexer_ray.contract import (
     FACET_FIELDS,
     FACET_QUERIES,
     PHRASE_QUERIES,
+    MLT_DOCS,
+    MLT_PARAMS,
     RANGE_QUERIES,
     SORT_CASES,
     WILDCARD_QUERIES,
@@ -430,6 +432,38 @@ SELECT '{qq}' AS "case", rank, doc_id, doclen FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def more_like_this_sql() -> str:
+    """MoreLikeThis oracle: term selection (tf·(1+ln(N/df)) rounded 6dp,
+    sc desc / term asc, tf>=min_tf, df>=min_df, top max_terms) entirely in
+    SQL, then the standard BM25 OR scoring over the selected terms with the
+    source doc excluded."""
+    mqt = MLT_PARAMS["max_query_terms"]
+    mtf = MLT_PARAMS["min_term_freq"]
+    mdf = MLT_PARAMS["min_doc_freq"]
+    blocks = []
+    for src in MLT_DOCS:
+        sel = f"""(SELECT term FROM (
+      SELECT t2.term AS term,
+             round(t2.tf * (1 + ln(st2.n_docs * 1.0 / d2.df)), 6) AS sc
+      FROM tf t2 JOIN df d2 USING (term) CROSS JOIN stats st2
+      WHERE t2.doc_id = {src} AND t2.tf >= {mtf} AND d2.df >= {mdf}
+      ORDER BY sc DESC, term LIMIT {mqt}))"""
+        blocks.append(f"""
+SELECT {src} AS src, doc_id, score_r FROM (
+  SELECT t.doc_id AS doc_id,
+    round(sum(
+      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {K1} * (1 - {B} + {B} * q.dlq / st.avgdl)))
+    ), 4) AS score_r
+  FROM tf t JOIN df d USING (term) JOIN dlq q ON q.doc_id = t.doc_id
+  CROSS JOIN stats st
+  WHERE t.term IN {sel} AND t.doc_id <> {src}
+  GROUP BY t.doc_id
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, t.doc_id) <= {BM25_K}
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 # --------------------------------------------------------------------- #
 # text / stats / dedup
 # --------------------------------------------------------------------- #
@@ -655,6 +689,7 @@ def oracle_sql_dict() -> dict:
         "facets": facets_sql(),
         "range_topk": range_topk_sql(),
         "sorted_browse": sorted_browse_sql(),
+        "more_like_this": more_like_this_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

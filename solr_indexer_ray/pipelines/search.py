@@ -996,6 +996,55 @@ class SearchEngine:
             out[fld] = buckets
         return out
 
+    def more_like_this(self, doc_id: int, k: int = 10, fl=None,
+                       max_query_terms: int = 25, min_term_freq: int = 2,
+                       min_doc_freq: int = 5) -> pa.Table:
+        """Solr MoreLikeThis handler: find docs similar to ``doc_id``.
+
+        Lucene MLT discipline: rank the source doc's terms by classic
+        ``tf · (1 + ln(N/df))`` (selection score rounded to 6 decimals,
+        ties by ascending term — pinned so the DuckDB oracle reproduces the
+        exact term set), keep terms with ``tf >= min_term_freq`` and
+        ``df >= min_doc_freq``, take the top ``max_query_terms``, then run
+        them as an unboosted OR query (Solr ``mlt.boost=false`` default)
+        under the engine's BM25, excluding the source doc.  Requires
+        ``store_content=True`` (the term vector is re-derived from the
+        stored body with the pinned analyzer).
+        """
+        if not self.stats.get("store_content"):
+            raise ValueError(
+                "more_like_this needs stored content; rebuild with "
+                "IndexConfig(store_content=True)"
+            )
+        row = self.get(doc_id)
+        if row is None:
+            raise ValueError(f"doc {doc_id} not found")
+        toks = self.registry.tokenize(row.get("content") or "",
+                                      row.get("lang"))
+        tfm: dict = {}
+        for t in toks:
+            tfm[t] = tfm.get(t, 0) + 1
+        cand = sorted(t for t, c in tfm.items() if c >= min_term_freq)
+        postings = self.lookup_postings(cand)
+        scored = []
+        for t in cand:
+            tp = postings.get(t)
+            if tp is None or tp.df < min_doc_freq:
+                continue
+            sc = round(tfm[t] * (1.0 + math.log(self.n_docs / tp.df)), 6)
+            scored.append((-sc, t))
+        scored.sort()
+        sel = [t for _, t in scored[:max_query_terms]]
+        if not sel:
+            return self._resolve([], fl)
+        parsed = ParsedQuery(terms=sel)
+        hits = self._score_taat(
+            parsed, {t: postings[t] for t in sel},
+            self._excluded_mask(parsed), k + 1,
+        )
+        hits = [(d, s) for d, s in hits if d != doc_id][:k]
+        return self._resolve(hits, fl)
+
     def get(self, doc_id: int, fl=None) -> dict | None:
         """Realtime-get analogue (``solrindexer/tools.py:68-85``): point
         lookup via parquet predicate pushdown on the docs table."""
