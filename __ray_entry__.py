@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_topk": c.q_range_topk,
         "sorted_browse": c.q_sorted_browse,
         "more_like_this": c.q_more_like_this,
+        "terms_component": c.q_terms_component,
+        "field_stats": c.q_field_stats,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         # per-row invariants / projections (§2.2-2.3)

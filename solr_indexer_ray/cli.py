@@ -125,6 +125,16 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_terms(args) -> int:
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    for term, df in SearchEngine(args.output).terms(
+        prefix=args.prefix, limit=args.limit, mincount=args.mincount
+    ):
+        print(json.dumps({"term": term, "df": df}))
+    return 0
+
+
 def cmd_get(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
@@ -208,6 +218,13 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--min-term-freq", type=int, default=2)
     pm.add_argument("--min-doc-freq", type=int, default=5)
     pm.set_defaults(fn=cmd_mlt)
+
+    pt = sub.add_parser("terms", help="enumerate index terms (Solr /terms)")
+    pt.add_argument("-o", "--output", required=True)
+    pt.add_argument("--prefix", default="")
+    pt.add_argument("--limit", type=int, default=10)
+    pt.add_argument("--mincount", type=int, default=1)
+    pt.set_defaults(fn=cmd_terms)
 
     pg = sub.add_parser("get", help="realtime get by doc id")
     pg.add_argument("-o", "--output", required=True)

@@ -73,6 +73,12 @@ WILDCARD_QUERIES = [
 #: facet contract: queries x fields (Solr facet.field over the match set)
 FACET_QUERIES = ["spark merge", "sort AND merge", "win*", "lang:en spark"]
 #: range-filter query set (doclen = analyzed token count; lang strings)
+#: /terms component cases: (prefix, limit, mincount)
+TERMS_CASES = [("", 20, 1), ("s", 15, 1), ("wi", 10, 1), ("zz", 5, 1)]
+#: stats component cases: (query, numeric field)
+STATS_CASES = [("spark merge", "doclen"), ("*:*", "doclen"),
+               ("lang:en win*", "doclen")]
+
 #: MoreLikeThis sources (doc ids into the documents table)
 MLT_DOCS = [7, 123, 321]
 MLT_PARAMS = {"max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5}
@@ -611,6 +617,56 @@ def q_more_like_this(sf_dir: str):
         schema=pa.schema(
             [("src", pa.int64()), ("doc_id", pa.int64()),
              ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_terms_component(sf_dir: str):
+    """Solr /terms: term enumeration with df, count-desc/term-asc order,
+    prefix + mincount + limit."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for prefix, limit, mincount in TERMS_CASES:
+        for rank, (term, df) in enumerate(
+            engine.terms(prefix=prefix, limit=limit, mincount=mincount)
+        ):
+            rows.append(
+                {"prefix": prefix, "rank": rank, "term": term, "df": df}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("prefix", pa.string()), ("rank", pa.int64()),
+             ("term", pa.string()), ("df", pa.int64())]
+        ),
+    )
+
+
+def q_field_stats(sf_dir: str):
+    """Solr stats component: min/max/sum/mean/count over the full match
+    set's doclen (analyzed token count)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, fld in STATS_CASES:
+        st = engine.field_stats(q, fld)
+        for stat in ("count", "min", "max", "sum"):
+            rows.append(
+                {"case": f"{q}|{fld}", "stat": stat,
+                 "value": float(st[stat] if st[stat] is not None else -1)}
+            )
+        rows.append(
+            {"case": f"{q}|{fld}", "stat": "mean",
+             "value": round(st["mean"], 6) if st["mean"] is not None else -1.0}
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("case", pa.string()), ("stat", pa.string()),
+             ("value", pa.float64())]
         ),
     )
 

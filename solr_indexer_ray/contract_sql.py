@@ -25,6 +25,8 @@ from solr_indexer_ray.contract import (
     MLT_PARAMS,
     RANGE_QUERIES,
     SORT_CASES,
+    STATS_CASES,
+    TERMS_CASES,
     WILDCARD_QUERIES,
     ANN_N_QUERIES,
     B,
@@ -464,6 +466,34 @@ SELECT {src} AS src, doc_id, score_r FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def terms_component_sql() -> str:
+    blocks = []
+    for prefix, limit, mincount in TERMS_CASES:
+        cond = f"term LIKE '{prefix}%'" if prefix else "1=1"
+        blocks.append(f"""
+SELECT '{prefix}' AS prefix, rank, term, df FROM (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) - 1 AS rank
+  FROM df WHERE {cond} AND df >= {mincount}
+  QUALIFY rank < {limit}
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
+def field_stats_sql() -> str:
+    blocks = []
+    for q, fld in STATS_CASES:
+        case = f"{q}|{fld}".replace("'", "''")
+        m = f"(SELECT dl.dl AS v FROM dl JOIN ({_match_docs_sql(q)}) USING (doc_id))"
+        blocks.append(f"""
+SELECT '{case}' AS "case", stat, value FROM (
+  SELECT unnest(['count','min','max','sum','mean']) AS stat,
+         unnest([count(v)*1.0, min(v)*1.0, max(v)*1.0, sum(v)*1.0,
+                 round(sum(v)*1.0/count(v), 6)]) AS value
+  FROM {m}
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 # --------------------------------------------------------------------- #
 # text / stats / dedup
 # --------------------------------------------------------------------- #
@@ -690,6 +720,8 @@ def oracle_sql_dict() -> dict:
         "range_topk": range_topk_sql(),
         "sorted_browse": sorted_browse_sql(),
         "more_like_this": more_like_this_sql(),
+        "terms_component": terms_component_sql(),
+        "field_stats": field_stats_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

@@ -996,6 +996,54 @@ class SearchEngine:
             out[fld] = buckets
         return out
 
+    def terms(self, prefix: str = "", limit: int = 10,
+              mincount: int = 1) -> list:
+        """Solr /terms component: enumerate index terms with their df.
+
+        Returns ``[(term, df), ...]`` ordered by count desc then term asc
+        (Solr ``terms.sort=count`` default, ascending index order on ties),
+        optionally restricted to a prefix (``terms.prefix``) and a minimum
+        df (``terms.mincount``).  df sums the term's doc-range rows and
+        subtracts nothing for tombstones (Lucene: deleted docs count until
+        merge).  The scan reads only the (term, df) columns; prefix scans
+        prune via sorted-term row-group stats.
+        """
+        flt = None
+        if prefix:
+            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            flt = (pc.field("term") >= prefix) & (pc.field("term") < hi)
+        t = self._postings_ds.to_table(columns=["term", "df"], filter=flt)
+        agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
+        rows = sorted(
+            zip(agg["term"].to_pylist(), agg["df_sum"].to_pylist()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        return [(t_, int(c)) for t_, c in rows if c >= mincount][:limit]
+
+    def field_stats(self, query: str, field: str) -> dict:
+        """Solr stats component (``stats.field``) over the numeric
+        ``doclen`` field or any stored field: min/max/sum/mean/count/
+        missing of the FULL match set of ``query``."""
+        if field not in STORED_FIELDS or field == "doc_id":
+            raise ValueError(f"cannot compute stats on field {field!r}")
+        ids = self.match_ids(query)
+        mask = np.zeros(self.doc_space, dtype=bool)
+        mask[ids] = True
+        t = self._docs_ds.to_table(columns=["doc_id", field])
+        vals = t[field].filter(pa.array(mask[t["doc_id"].to_numpy()]))
+        count = len(vals) - vals.null_count
+        out = {
+            "count": int(count),
+            "missing": int(vals.null_count),
+            "min": pc.min(vals).as_py(),
+            "max": pc.max(vals).as_py(),
+        }
+        if pa.types.is_integer(vals.type) or pa.types.is_floating(vals.type):
+            s = pc.sum(vals).as_py() or 0
+            out["sum"] = s
+            out["mean"] = (s / count) if count else None
+        return out
+
     def more_like_this(self, doc_id: int, k: int = 10, fl=None,
                        max_query_terms: int = 25, min_term_freq: int = 2,
                        min_doc_freq: int = 5) -> pa.Table:

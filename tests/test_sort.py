@@ -109,3 +109,40 @@ class TestSort:
             eng.search("def", sort="doclen sideways")
         with pytest.raises(ValueError, match="empty sort"):
             eng.search("def", sort=" , ")
+
+
+class TestTermsAndStats:
+    """Solr /terms enumeration + stats component (same module fixture)."""
+
+    def test_terms_order_and_prefix(self, sidx):
+        idx, oracle, _ = sidx
+        eng = SearchEngine(idx)
+        got = eng.terms(limit=15)
+        exp = sorted(oracle.df.items(), key=lambda r: (-r[1], r[0]))[:15]
+        assert got == exp
+        got_p = eng.terms(prefix="pars", limit=50)
+        assert got_p and all(t.startswith("pars") for t, _ in got_p)
+        assert dict(got_p) == {
+            t: c for t, c in oracle.df.items() if t.startswith("pars")
+        }
+
+    def test_terms_mincount(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        assert all(c >= 40 for _, c in eng.terms(limit=100, mincount=40))
+
+    def test_field_stats(self, sidx):
+        idx, oracle, df = sidx
+        eng = SearchEngine(idx)
+        st = eng.field_stats("def", "doclen")
+        hits = {d for d, _ in oracle.search("def", k=10**9)}
+        dls = df[df.doc_id.isin(hits)]["doclen"]
+        assert st["count"] == len(dls)
+        assert st["min"] == dls.min() and st["max"] == dls.max()
+        assert st["sum"] == dls.sum()
+        assert st["mean"] == pytest.approx(dls.mean())
+
+    def test_field_stats_bad_field(self, sidx):
+        idx, _, _ = sidx
+        with pytest.raises(ValueError, match="stats"):
+            SearchEngine(idx).field_stats("def", "nosuch")
