@@ -79,6 +79,13 @@ TERMS_CASES = [("", 20, 1), ("s", 15, 1), ("wi", 10, 1), ("zz", 5, 1)]
 STATS_CASES = [("spark merge", "doclen"), ("*:*", "doclen"),
                ("lang:en win*", "doclen")]
 
+#: grouping cases: (query, group field, k_groups, group_limit)
+GROUP_CASES = [
+    ("spark merge", "lang", 5, 2),
+    ("window", "repo", 4, 3),
+    ("win* batch", "lang", 6, 1),
+]
+
 #: MoreLikeThis sources (doc ids into the documents table)
 MLT_DOCS = [7, 123, 321]
 MLT_PARAMS = {"max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5}
@@ -668,6 +675,27 @@ def q_field_stats(sf_dir: str):
             [("case", pa.string()), ("stat", pa.string()),
              ("value", pa.float64())]
         ),
+    )
+
+
+def q_grouped(sf_dir: str):
+    """Solr result grouping: top groups by best-doc relevance, top docs per
+    group (scores rounded 4dp before ranking so the SQL oracle matches)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    parts = []
+    for q, fld, kg, gl in GROUP_CASES:
+        t = engine.group_search(q, fld, k_groups=kg, group_limit=gl,
+                                round_scores=4)
+        parts.append(
+            t.append_column(
+                "case", pa.array([f"{q}|{fld}"] * t.num_rows, pa.string())
+            )
+        )
+    out = pa.concat_tables(parts)
+    return out.rename_columns(
+        [c if c != "score" else "score_r" for c in out.column_names]
     )
 
 

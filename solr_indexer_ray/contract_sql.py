@@ -20,6 +20,7 @@ from solr_indexer_ray.contract import (
     ANN_K,
     FACET_FIELDS,
     FACET_QUERIES,
+    GROUP_CASES,
     PHRASE_QUERIES,
     MLT_DOCS,
     MLT_PARAMS,
@@ -494,6 +495,85 @@ SELECT '{case}' AS "case", stat, value FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def grouped_sql() -> str:
+    """Grouping oracle: per-doc rounded BM25 over the match set, then
+    row_number within group (score_r desc, doc_id) for position and
+    dense group ranking by each group's best (score_r, doc_id)."""
+    blocks = []
+    for q, fld, kg, gl in GROUP_CASES:
+        case = f"{q}|{fld}".replace("'", "''")
+        src = _FACET_SRC[fld]
+        scored = f"""
+    SELECT d.{src} AS grp, s.doc_id AS doc_id, s.score_r AS score_r
+    FROM ({_scored_match_sql(q)}) s JOIN documents d ON d.doc_id = s.doc_id"""
+        blocks.append(f"""
+SELECT '{case}' AS "case", grp AS "group", group_rank, position, doc_id,
+       score_r
+FROM (
+  SELECT grp, doc_id, score_r,
+    row_number() OVER (PARTITION BY grp ORDER BY score_r DESC, doc_id) - 1
+      AS position,
+    dense_rank() OVER (ORDER BY best_s DESC, best_d) - 1 AS group_rank
+  FROM (
+    SELECT grp, doc_id, score_r,
+      max(score_r) OVER (PARTITION BY grp) AS best_s,
+      first_value(doc_id) OVER (
+        PARTITION BY grp ORDER BY score_r DESC, doc_id
+      ) AS best_d
+    FROM ({scored})
+  )
+  QUALIFY position < {gl}
+)
+WHERE group_rank < {kg}""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
+def _scored_match_sql(q: str) -> str:
+    """Per-doc rounded BM25 score over the FULL match set of ``q`` (no
+    top-k) — shared by the grouping oracle."""
+    parsed = parse_query(q, simple_analyzer)
+    terms = sorted(set(parsed.terms))
+    phrases = sorted(map(tuple, parsed.phrases))
+    kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
+    branches = []
+    if terms:
+        branches.append(f"""
+    SELECT t.doc_id AS doc_id, 't:' || t.term AS clause,
+      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {kexpr})) AS contrib
+    FROM tf t JOIN df d USING (term) JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE t.term IN ({_sql_list(terms)})""")
+    for pi, ph in enumerate(phrases):
+        branches.append(f"""
+    SELECT p.doc_id AS doc_id, 'p:{pi}' AS clause,
+      {_phrase_w_expr(ph)} * (p.ptf / (p.ptf + {kexpr})) AS contrib
+    FROM (SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) p
+    JOIN dlq q ON q.doc_id = p.doc_id CROSS JOIN stats st
+    WHERE p.ptf > 0""")
+    for wi, pre in enumerate(parsed.prefixes):
+        branches.append(f"""
+    SELECT DISTINCT t.doc_id AS doc_id, 'w:{wi}' AS clause, 1.0 AS contrib
+    FROM tf t WHERE t.term LIKE '{pre}%'""")
+    conds = ["1=1"] + _range_conds(parsed)
+    for fld, val in sorted(parsed.filters.items()):
+        conds.append(
+            f"c.doc_id IN (SELECT doc_id FROM documents WHERE {_fcond(fld, val)})"
+        )
+    n_clauses = len(terms) + len(phrases) + len(parsed.prefixes)
+    having = (
+        f"HAVING count(DISTINCT c.clause) = {n_clauses}"
+        if parsed.conjunctive else ""
+    )
+    union = "\n    UNION ALL\n".join(branches)
+    return f"""SELECT c.doc_id AS doc_id, round(sum(c.contrib), 4) AS score_r
+  FROM ({union}
+  ) c
+  WHERE {' AND '.join(conds)}
+  GROUP BY c.doc_id
+  {having}"""
+
+
 # --------------------------------------------------------------------- #
 # text / stats / dedup
 # --------------------------------------------------------------------- #
@@ -722,6 +802,7 @@ def oracle_sql_dict() -> dict:
         "more_like_this": more_like_this_sql(),
         "terms_component": terms_component_sql(),
         "field_stats": field_stats_sql(),
+        "grouped": grouped_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

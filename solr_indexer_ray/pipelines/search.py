@@ -1044,6 +1044,73 @@ class SearchEngine:
             out["mean"] = (s / count) if count else None
         return out
 
+    def group_search(self, query: str, group_field: str,
+                     k_groups: int = 10, group_limit: int = 1,
+                     round_scores: int | None = None) -> pa.Table:
+        """Solr result grouping (``group=true&group.field=F``): the top
+        ``k_groups`` groups ordered by their best document's relevance
+        (Solr default ``group.sort=score desc``; ties by ascending doc id),
+        each contributing its top ``group_limit`` docs.
+
+        Returns ``(group, group_rank, position, doc_id, score)`` rows —
+        ``group_rank`` orders groups, ``position`` orders docs inside one.
+        Docs with a NULL group value form their own null group (Solr
+        behavior for a missing field value).  ``round_scores`` rounds
+        (half-away) before ranking — the contract pins ranking on rounded
+        scores so a SQL oracle is float-order-independent.
+        """
+        if group_field not in STORED_FIELDS or group_field == "doc_id":
+            raise ValueError(f"cannot group on field {group_field!r}")
+        full = self.search(query, k=self.doc_space, fl=["doc_id"])
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"doc_id": full["doc_id"].to_numpy(),
+             "score": full["score"].to_numpy()}
+        )
+        if df.empty:
+            return pa.table(
+                {"group": pa.array([], pa.string()),
+                 "group_rank": pa.array([], pa.int64()),
+                 "position": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        ids = df["doc_id"].to_numpy()
+        t = self._docs_ds.to_table(columns=["doc_id", group_field])
+        mask = np.zeros(self.doc_space, dtype=bool)
+        mask[ids] = True
+        t = t.filter(pa.array(mask[t["doc_id"].to_numpy()]))
+        df = df.merge(t.to_pandas(), on="doc_id", how="left")
+        if round_scores is not None:
+            m = 10.0 ** round_scores
+            s = df["score"].to_numpy()
+            df["score"] = np.copysign(np.floor(np.abs(s) * m + 0.5) / m, s)
+        _null = "\x00<null>"  # NaN-safe grouping sentinel
+        df["_grp"] = df[group_field].fillna(_null)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+        df["position"] = df.groupby("_grp", sort=False).cumcount()
+        heads = df[df["position"] == 0].reset_index(drop=True)
+        order = {v: i for i, v in enumerate(heads["_grp"].head(k_groups))}
+        out = df[
+            df["_grp"].isin(order) & (df["position"] < group_limit)
+        ].copy()
+        out["group_rank"] = out["_grp"].map(order)
+        out = out.sort_values(["group_rank", "position"])
+        return pa.table(
+            {
+                "group": pa.array(
+                    [None if v == _null else str(v)
+                     for v in out["_grp"]], pa.string()
+                ),
+                "group_rank": pa.array(out["group_rank"].astype("int64")),
+                "position": pa.array(out["position"].astype("int64")),
+                "doc_id": pa.array(out["doc_id"].astype("int64")),
+                "score": pa.array(out["score"].astype("float64")),
+            }
+        )
+
     def more_like_this(self, doc_id: int, k: int = 10, fl=None,
                        max_query_terms: int = 25, min_term_freq: int = 2,
                        min_doc_freq: int = 5) -> pa.Table:
