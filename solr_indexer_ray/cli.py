@@ -97,8 +97,12 @@ def cmd_search(args) -> int:
 
     engine = SearchEngine(args.output)
     fl = args.fl.split(",") if args.fl else None
-    t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
-                      sort=args.sort, start=args.start, hl=args.hl)
+    if args.group:
+        t = engine.group_search(args.query, args.group, k_groups=args.k,
+                                group_limit=args.group_limit)
+    else:
+        t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
+                          sort=args.sort, start=args.start, hl=args.hl)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet:
@@ -204,6 +208,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--sort", help='Solr sort spec, e.g. "doclen desc"')
     ps.add_argument("--hl", action="store_true",
                     help="highlight snippets (needs store_content index)")
+    ps.add_argument("--group", help="group results by field (Solr group=true)")
+    ps.add_argument("--group-limit", type=int, default=1)
     ps.add_argument("--facet", help="comma-separated facet fields")
     ps.add_argument("--facet-limit", type=int, default=100)
     ps.add_argument("--facet-mincount", type=int, default=0)
