@@ -656,10 +656,13 @@ def q_field_stats(sf_dir: str):
     set's doclen (analyzed token count)."""
     from solr_indexer_ray.pipelines.search import SearchEngine
 
+    from solr_indexer_ray.pipelines.search import stats_partitioned
+
     engine = SearchEngine(_bm25_index(sf_dir))
     rows = []
     for q, fld in STATS_CASES:
-        st = engine.field_stats(q, fld)
+        # distributed path (identical to engine.field_stats, tested)
+        st = stats_partitioned(_bm25_index(sf_dir), q, fld)
         for stat in ("count", "min", "max", "sum"):
             rows.append(
                 {"case": f"{q}|{fld}", "stat": stat,

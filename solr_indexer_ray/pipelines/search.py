@@ -1552,6 +1552,35 @@ class FacetRangeCounter:
         )
 
 
+def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
+    """One task-item per doc range for the distributed match paths:
+    prepared clauses + the range's slice of the tombstone set (tiny per
+    range — per-range exclusion instead of a driver-side post-filter)."""
+    import json
+
+    terms, idfs, phrases, prefix_groups = clauses
+    dpr = int(engine.stats["docs_per_range"])
+    n_ranges = (engine.doc_space + dpr - 1) // dpr
+    tombs_by_range: dict = {}
+    for d in engine.tombstones:
+        tombs_by_range.setdefault(d // dpr, []).append(d)
+    return [
+        {
+            "range_id": r,
+            "terms": terms,
+            "idfs": idfs,
+            "prohibited": sorted(set(parsed.prohibited)),
+            "filter_keys": sorted(parsed.filters),
+            "filter_vals": [parsed.filters[f] for f in sorted(parsed.filters)],
+            "conjunctive": parsed.conjunctive,
+            "phrases_json": json.dumps(phrases),
+            "prefix_groups_json": json.dumps(prefix_groups),
+            "tombs": sorted(tombs_by_range.get(r, [])),
+        }
+        for r in range(n_ranges)
+    ]
+
+
 def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
                       mincount: int = 0) -> dict:
     """Distributed field facets: per-range match + partial value counts,
@@ -1569,29 +1598,7 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
         return engine.facet(query, fields, limit=limit, mincount=mincount)
     totals: dict = {}
     if clauses != "zero":
-        terms, idfs, phrases, prefix_groups = clauses
-        dpr = int(engine.stats["docs_per_range"])
-        n_ranges = (engine.doc_space + dpr - 1) // dpr
-        tombs_by_range: dict = {}
-        for d in engine.tombstones:
-            tombs_by_range.setdefault(d // dpr, []).append(d)
-        items = [
-            {
-                "range_id": r,
-                "terms": terms,
-                "idfs": idfs,
-                "prohibited": sorted(set(parsed.prohibited)),
-                "filter_keys": sorted(parsed.filters),
-                "filter_vals": [
-                    parsed.filters[f] for f in sorted(parsed.filters)
-                ],
-                "conjunctive": parsed.conjunctive,
-                "phrases_json": json.dumps(phrases),
-                "prefix_groups_json": json.dumps(prefix_groups),
-                "tombs": sorted(tombs_by_range.get(r, [])),
-            }
-            for r in range(n_ranges)
-        ]
+        items = _range_items(engine, parsed, clauses)
 
         def run(batch: dict) -> pa.Table:
             return FacetRangeCounter(index_dir, fields)(batch)
@@ -1616,6 +1623,304 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
             key=lambda b: (-b[1], b[0]),
         )[:limit]
     return out
+
+
+class _MatchRangeTask:
+    """Base for per-range distributed tasks: compute the range's matched
+    (global doc ids, scores) with tombstones excluded, then hand off to a
+    mode-specific ``_reduce_range``."""
+
+    def __init__(self, index_dir: str):
+        self.scorer = RangeScorer(index_dir)
+
+    def __call__(self, batch: dict) -> pa.Table:
+        import json
+
+        parts = []
+        for i in range(len(batch["range_id"])):
+            rid = int(batch["range_id"][i])
+            cand, scores, lo = self.scorer._candidates_range(
+                rid,
+                list(batch["terms"][i]),
+                list(batch["idfs"][i]),
+                list(batch["prohibited"][i]),
+                dict(zip(batch["filter_keys"][i], batch["filter_vals"][i])),
+                bool(batch["conjunctive"][i]),
+                json.loads(str(batch["phrases_json"][i])),
+                json.loads(str(batch["prefix_groups_json"][i])),
+            )
+            tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
+            if tombs.size and cand.size:
+                cand = cand[~np.isin(cand + lo, tombs)]
+            if cand.size:
+                parts.append(
+                    self._reduce_range(cand + lo, scores[cand], lo)
+                )
+        if not parts:
+            return self._empty()
+        return pa.concat_tables(parts)
+
+    def _docs_columns(self, ids: np.ndarray, columns) -> pa.Table:
+        lo, hi = int(ids.min()), int(ids.max())
+        t = self.scorer._docs.to_table(
+            columns=["doc_id", *columns],
+            filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi),
+        )
+        mask = np.zeros(hi - lo + 1, dtype=bool)
+        mask[ids - lo] = True
+        return t.filter(pa.array(mask[t["doc_id"].to_numpy() - lo]))
+
+
+class StatsRangeTask(_MatchRangeTask):
+    """Per-range partials for the distributed stats component."""
+
+    def __init__(self, index_dir: str, field: str):
+        super().__init__(index_dir)
+        self.field = field
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {"count": pa.array([], pa.int64()),
+             "missing": pa.array([], pa.int64()),
+             "min": pa.array([], pa.float64()),
+             "max": pa.array([], pa.float64()),
+             "sum": pa.array([], pa.float64())}
+        )
+
+    def _reduce_range(self, ids, scores, lo) -> pa.Table:
+        vals = self._docs_columns(ids, [self.field])[self.field]
+        count = len(vals) - vals.null_count
+        return pa.table(
+            {"count": pa.array([count], pa.int64()),
+             "missing": pa.array([vals.null_count], pa.int64()),
+             "min": pa.array([float(pc.min(vals).as_py())
+                              if count else None], pa.float64()),
+             "max": pa.array([float(pc.max(vals).as_py())
+                              if count else None], pa.float64()),
+             "sum": pa.array([float(pc.sum(vals).as_py() or 0)], pa.float64())}
+        )
+
+
+class SortRangeTask(_MatchRangeTask):
+    """Per-range local top-k by the sort keys — the distributed sorted
+    browse ships only k rows per range, never the full match set."""
+
+    def __init__(self, index_dir: str, keys, k: int):
+        super().__init__(index_dir)
+        self.keys = keys  # [(field, ascending)]
+        self.k = k
+        self.cols = [f for f, _ in keys if f not in ("score", "doc_id")]
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             **{c: pa.array([], pa.string()) for c in self.cols}}
+        )
+
+    def _reduce_range(self, ids, scores, lo) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"doc_id": ids, "score": scores})
+        if self.cols:
+            df = df.merge(
+                self._docs_columns(ids, self.cols).to_pandas(),
+                on="doc_id", how="left",
+            )
+        df = df.sort_values(
+            [f for f, _ in self.keys] + ["doc_id"],
+            ascending=[a for _, a in self.keys] + [True],
+            kind="mergesort", na_position="last",
+        ).head(self.k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+class GroupRangeTask(_MatchRangeTask):
+    """Per-range partials for distributed grouping: each range keeps its
+    top ``group_limit`` docs per group value — a superset of every group's
+    global top docs, so the driver merge is exact."""
+
+    def __init__(self, index_dir: str, field: str, group_limit: int):
+        super().__init__(index_dir)
+        self.field = field
+        self.group_limit = group_limit
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             self.field: pa.array([], pa.string())}
+        )
+
+    def _reduce_range(self, ids, scores, lo) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"doc_id": ids, "score": scores}).merge(
+            self._docs_columns(ids, [self.field]).to_pandas(),
+            on="doc_id", how="left",
+        )
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+        df = df[
+            df.groupby(self.field, sort=False, dropna=False).cumcount()
+            < self.group_limit
+        ]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def stats_partitioned(index_dir: str, query: str, field: str) -> dict:
+    """Distributed stats component: per-range (count, min, max, sum)
+    partials merged on the driver — identical to
+    ``SearchEngine.field_stats`` (tested)."""
+    engine = SearchEngine(index_dir)
+    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    clauses = _distributed_clauses(engine, parsed)
+    if clauses is None:
+        return engine.field_stats(query, field)
+    if field not in STORED_FIELDS or field == "doc_id":
+        raise ValueError(f"cannot compute stats on field {field!r}")
+    empty = {"count": 0, "missing": 0, "min": None, "max": None,
+             "sum": 0, "mean": None}
+    if clauses == "zero":
+        return empty
+    import ray.data as rd
+
+    def run(batch):
+        return StatsRangeTask(index_dir, field)(batch)
+
+    parts = (
+        rd.from_items(_range_items(engine, parsed, clauses))
+        .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    if not parts:
+        return empty
+    count = sum(r["count"] for r in parts)
+    mins = [r["min"] for r in parts if r["min"] is not None]
+    maxs = [r["max"] for r in parts if r["max"] is not None]
+    total = sum(r["sum"] for r in parts)
+    if total == int(total):
+        total = int(total)
+    return {
+        "count": int(count),
+        "missing": int(sum(r["missing"] for r in parts)),
+        "min": (int(min(mins)) if min(mins) == int(min(mins)) else min(mins))
+        if mins else None,
+        "max": (int(max(maxs)) if max(maxs) == int(max(maxs)) else max(maxs))
+        if maxs else None,
+        "sum": total,
+        "mean": (total / count) if count else None,
+    }
+
+
+def group_partitioned(index_dir: str, query: str, group_field: str,
+                      k_groups: int = 10, group_limit: int = 1) -> pa.Table:
+    """Distributed result grouping: per-range per-group top docs, global
+    re-rank on the driver — identical to ``SearchEngine.group_search``
+    (tested; per-range scores are bit-identical to the single engine)."""
+    engine = SearchEngine(index_dir)
+    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    clauses = _distributed_clauses(engine, parsed)
+    if clauses is None or clauses == "zero":
+        return engine.group_search(query, group_field, k_groups=k_groups,
+                                   group_limit=group_limit)
+    if group_field not in STORED_FIELDS or group_field == "doc_id":
+        raise ValueError(f"cannot group on field {group_field!r}")
+    import pandas as pd
+    import ray.data as rd
+
+    def run(batch):
+        return GroupRangeTask(index_dir, group_field, group_limit)(batch)
+
+    parts = (
+        rd.from_items(_range_items(engine, parsed, clauses))
+        .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    cols = {
+        "group": pa.array([], pa.string()),
+        "group_rank": pa.array([], pa.int64()),
+        "position": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    }
+    if not parts:
+        return pa.table(cols)
+    df = pd.DataFrame(parts)
+    _null = "\x00<null>"
+    df["_grp"] = df[group_field].fillna(_null)
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+    df["position"] = df.groupby("_grp", sort=False).cumcount()
+    heads = df[df["position"] == 0].reset_index(drop=True)
+    order = {v: i for i, v in enumerate(heads["_grp"].head(k_groups))}
+    out = df[df["_grp"].isin(order) & (df["position"] < group_limit)].copy()
+    out["group_rank"] = out["_grp"].map(order)
+    out = out.sort_values(["group_rank", "position"])
+    return pa.table(
+        {
+            "group": pa.array(
+                [None if v == _null else str(v) for v in out["_grp"]],
+                pa.string(),
+            ),
+            "group_rank": pa.array(out["group_rank"].astype("int64")),
+            "position": pa.array(out["position"].astype("int64")),
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "score": pa.array(out["score"].astype("float64")),
+        }
+    )
+
+
+def sorted_partitioned(index_dir: str, query: str, sort: str,
+                       k: int = 10) -> pa.Table:
+    """Distributed field-sorted browse: per-range local top-k by the sort
+    keys (k rows shipped per range, never the full match set), k-way merge
+    on the driver — identical doc order to
+    ``SearchEngine.search(..., sort=...)`` (tested)."""
+    engine = SearchEngine(index_dir)
+    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    clauses = _distributed_clauses(engine, parsed)
+    if clauses is None or clauses == "zero":
+        return engine.search(query, k=k, fl=["doc_id"], sort=sort)
+    keys = []
+    for part in sort.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        fld = toks[0]
+        order = toks[1].lower() if len(toks) > 1 else "asc"
+        if order not in ("asc", "desc"):
+            raise ValueError(f"bad sort direction {order!r} in {sort!r}")
+        if fld != "score" and fld != "doc_id" and fld not in STORED_FIELDS:
+            raise ValueError(f"cannot sort on unknown field {fld!r}")
+        keys.append((fld, order == "asc"))
+    if not keys:
+        raise ValueError(f"empty sort spec {sort!r}")
+    import pandas as pd
+    import ray.data as rd
+
+    def run(batch):
+        return SortRangeTask(index_dir, keys, k)(batch)
+
+    parts = (
+        rd.from_items(_range_items(engine, parsed, clauses))
+        .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    if not parts:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    df = pd.DataFrame(parts).sort_values(
+        [f for f, _ in keys] + ["doc_id"],
+        ascending=[a for _, a in keys] + [True],
+        kind="mergesort", na_position="last",
+    ).head(k)
+    return pa.table(
+        {"doc_id": pa.array(df["doc_id"].astype("int64")),
+         "score": pa.array(df["score"].astype("float64"))}
+    )
 
 
 class BatchSearcher:

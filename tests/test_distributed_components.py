@@ -1,0 +1,77 @@
+"""Distributed variants of the query components — per-range partials +
+small driver merges (no shuffle, no full-match-set materialization):
+stats_partitioned / group_partitioned / sorted_partitioned must be
+identical to the single-engine implementations, tombstones included."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.pipelines import mutate
+from solr_indexer_ray.pipelines.build import build_index
+from solr_indexer_ray.pipelines.search import (
+    SearchEngine,
+    group_partitioned,
+    sorted_partitioned,
+    stats_partitioned,
+)
+from solr_indexer_ray.sources.corpus import generate_corpus
+
+QUERIES = ["def read", '"def index"', "pars*", "doclen:[30 TO 90] def",
+           "read AND merge", "zzqq"]
+
+
+@pytest.fixture(scope="module")
+def didx(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("didx")
+    corpus = generate_corpus(150, seed=11, mean_tokens=40)
+    pq.write_table(corpus, str(d / "c.parquet"), row_group_size=32)
+    cfg = IndexConfig(docs_per_range=64, block_size=16, store_positions=True)
+    build_index(str(d / "c.parquet"), str(d / "idx"), config=cfg)
+    return str(d / "idx")
+
+
+class TestDistributedComponents:
+    def test_stats(self, didx):
+        eng = SearchEngine(didx)
+        for q in QUERIES:
+            assert stats_partitioned(didx, q, "doclen") == eng.field_stats(
+                q, "doclen"
+            ), q
+
+    def test_group(self, didx):
+        eng = SearchEngine(didx)
+        for q in QUERIES[:4]:
+            a = eng.group_search(q, "lang", k_groups=4, group_limit=2)
+            b = group_partitioned(didx, q, "lang", k_groups=4, group_limit=2)
+            assert a.equals(b), q
+
+    def test_sorted(self, didx):
+        eng = SearchEngine(didx)
+        for q, spec in [("def", "doclen desc"),
+                        ("def read", "lang asc, doclen desc"),
+                        ("merge", "path asc"),
+                        ("*:* zzqq", "doclen asc")]:
+            a = eng.search(q, k=8, fl=["doc_id"], sort=spec)
+            b = sorted_partitioned(didx, q, spec, k=8)
+            assert b["doc_id"].to_pylist() == a["doc_id"].to_pylist(), q
+            assert b["score"].to_pylist() == a["score"].to_pylist(), q
+
+
+def test_distributed_respect_tombstones(tmp_path, ray_session):
+    corpus = generate_corpus(100, seed=4, mean_tokens=25)
+    pq.write_table(corpus, str(tmp_path / "c.parquet"), row_group_size=32)
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c.parquet"), idx,
+                config=IndexConfig(docs_per_range=64, block_size=16))
+    mutate.delete_by_query(idx, "lang:go")
+    eng = SearchEngine(idx)
+    assert stats_partitioned(idx, "def", "doclen") == eng.field_stats(
+        "def", "doclen"
+    )
+    assert group_partitioned(idx, "def", "lang", 5, 2).equals(
+        eng.group_search("def", "lang", 5, 2)
+    )
+    a = eng.search("def", k=8, fl=["doc_id"], sort="doclen asc")
+    b = sorted_partitioned(idx, "def", "doclen asc", k=8)
+    assert b["doc_id"].to_pylist() == a["doc_id"].to_pylist()
