@@ -14,18 +14,37 @@ from solr_indexer_ray.pipelines.search import SearchEngine
 from solr_indexer_ray.sources.corpus import generate_corpus
 
 
-def random_queries(rng, vocab, n):
+def random_queries(rng, vocab, n, oracle=None):
     out = []
     for _ in range(n):
         k = int(rng.integers(1, 4))
         terms = [vocab[int(rng.integers(len(vocab)))] for _ in range(k)]
-        mode = int(rng.integers(4))
+        mode = int(rng.integers(8))
         if mode == 0 and k > 1:
             out.append(" AND ".join(terms))
         elif mode == 1 and k > 1:
             out.append(" ".join(terms[:-1]) + f" -{terms[-1]}")
         elif mode == 2:
             out.append("lang:python " + " ".join(terms))
+        elif mode == 3 and oracle is not None:
+            # real bigram phrase from a random doc (or a miss)
+            di = int(rng.integers(oracle.n_docs))
+            toks = oracle.tokens[di]
+            if len(toks) > 2:
+                p = int(rng.integers(len(toks) - 1))
+                out.append(f'"{toks[p]} {toks[p + 1]}" ' + terms[0])
+            else:
+                out.append(f'"{terms[0]} zzmiss"')
+        elif mode == 4:
+            out.append(f"{terms[0][:3]}* " + " ".join(terms[1:]))
+        elif mode == 5:
+            lo = int(rng.integers(1, 60))
+            hi = lo + int(rng.integers(1, 120))
+            br = "[" if rng.integers(2) else "{"
+            kr = "]" if rng.integers(2) else "}"
+            out.append(f"doclen:{br}{lo} TO {hi}{kr} " + " ".join(terms))
+        elif mode == 6 and k > 1:
+            out.append(f"-{terms[0][:3]}* " + " ".join(terms[1:]))
         else:
             out.append(" ".join(terms))
     return out
@@ -46,6 +65,7 @@ def test_random_corpus_rank_identity(seed, tmp_path):
         docs_per_range=int(rng.choice([32, 64, 1 << 20])),
         block_size=int(rng.choice([4, 16, 128])),
         concurrency=2,
+        store_positions=True,  # the random grammar includes phrases
     )
     build_index(path, index_dir, config=config)
 
@@ -58,7 +78,7 @@ def test_random_corpus_rank_identity(seed, tmp_path):
 
     # vocabulary drawn from actual doc tokens (plus one absent term)
     vocab = sorted(oracle.df)[:200] + ["notaterm"]
-    for q in random_queries(rng, vocab, 25):
+    for q in random_queries(rng, vocab, 30, oracle=oracle):
         for k in (3, 10):
             got = engine.search(q, k=k, fl=["doc_id"])
             expect = oracle.search(q, k=k)
