@@ -46,36 +46,43 @@ def simple_analyzer(text: str) -> list:
     return [t for t in toks if t]
 
 
-#: memoized identifier -> sub-token expansion.  Identifier vocabularies are
-#: small and Zipfian in real code, so the cache hit rate is high and the
-#: camel/snake regex work runs once per distinct identifier per worker.
-#: Bounded: cleared wholesale if it ever grows past the cap.
+#: memoized raw token -> sub-token tuple (including the trivial no-split
+#: case).  Identifier vocabularies are small and Zipfian in real code, so
+#: the cache hit rate is high and the camel/snake regex work runs once per
+#: distinct token per worker.  Bounded: cleared wholesale past the cap.
 _EXPAND_CACHE: dict = {}
 _EXPAND_CACHE_CAP = 200_000
 
 
 def _expand_identifier(tok: str) -> list:
-    out = _EXPAND_CACHE.get(tok)
-    if out is None:
-        if len(_EXPAND_CACHE) >= _EXPAND_CACHE_CAP:
-            _EXPAND_CACHE.clear()
-        split = _CAMEL_2.sub(r"\1 \2", tok)
-        split = _CAMEL_1.sub(r"\1 \2", split)
-        out = [p.lower() for p in split.replace("_", " ").split()]
-        _EXPAND_CACHE[tok] = out
-    return out
+    """Camel/snake split of one identifier (uncached pure helper)."""
+    split = _CAMEL_2.sub(r"\1 \2", tok)
+    split = _CAMEL_1.sub(r"\1 \2", split)
+    return [p.lower() for p in split.replace("_", " ").split()]
 
 
 def code_analyzer(text: str) -> list:
-    """Code-aware tokenizer: identifier extraction + camel/snake splitting."""
+    """Code-aware tokenizer: identifier extraction + camel/snake splitting.
+
+    Every distinct raw token memoizes its expansion (including the
+    no-split lowercase case) — identifier vocabularies are Zipfian, so the
+    per-token work is one dict hit on the hot path."""
     if not text:
         return []
-    out = []
+    out: list = []
+    ext = out.extend
+    cget = _EXPAND_CACHE.get
     for tok in _CODE_TOKEN.findall(text):
-        if "_" in tok or not tok.islower():
-            out.extend(_expand_identifier(tok))
-        else:
-            out.append(tok)
+        v = cget(tok)
+        if v is None:
+            if "_" in tok or not tok.islower():
+                v = tuple(_expand_identifier(tok))
+            else:
+                v = (tok,)
+            if len(_EXPAND_CACHE) >= _EXPAND_CACHE_CAP:
+                _EXPAND_CACHE.clear()
+            _EXPAND_CACHE[tok] = v
+        ext(v)
     return out
 
 
