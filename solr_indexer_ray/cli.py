@@ -139,6 +139,16 @@ def cmd_terms(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    for term, dist, df in SearchEngine(args.output).suggest(
+        args.word, count=args.count, max_distance=args.max_distance
+    ):
+        print(json.dumps({"term": term, "distance": dist, "df": df}))
+    return 0
+
+
 def cmd_get(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
@@ -231,6 +241,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--limit", type=int, default=10)
     pt.add_argument("--mincount", type=int, default=1)
     pt.set_defaults(fn=cmd_terms)
+
+    psu = sub.add_parser("suggest", help="spellcheck suggestions for a word")
+    psu.add_argument("-o", "--output", required=True)
+    psu.add_argument("-w", "--word", required=True)
+    psu.add_argument("--count", type=int, default=5)
+    psu.add_argument("--max-distance", type=int, default=2)
+    psu.set_defaults(fn=cmd_suggest)
 
     pg = sub.add_parser("get", help="realtime get by doc id")
     pg.add_argument("-o", "--output", required=True)

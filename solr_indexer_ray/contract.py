@@ -79,6 +79,9 @@ TERMS_CASES = [("", 20, 1), ("s", 15, 1), ("wi", 10, 1), ("zz", 5, 1)]
 STATS_CASES = [("spark merge", "doclen"), ("*:*", "doclen"),
                ("lang:en win*", "doclen")]
 
+#: spellcheck cases (misspelled words over the documents vocabulary)
+SUGGEST_WORDS = ["spak", "merg", "windwo", "batsh", "qzqzqz"]
+
 #: grouping cases: (query, group field, k_groups, group_limit)
 GROUP_CASES = [
     ("spark merge", "lang", 5, 2),
@@ -699,6 +702,29 @@ def q_grouped(sf_dir: str):
     out = pa.concat_tables(parts)
     return out.rename_columns(
         [c if c != "score" else "score_r" for c in out.column_names]
+    )
+
+
+def q_suggest(sf_dir: str):
+    """Solr spellcheck: terms within 2 edits, distance asc / df desc /
+    term asc."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for w in SUGGEST_WORDS:
+        for rank, (term, dist, df) in enumerate(engine.suggest(w, count=5)):
+            rows.append(
+                {"word": w, "rank": rank, "term": term,
+                 "distance": dist, "df": df}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("word", pa.string()), ("rank", pa.int64()),
+             ("term", pa.string()), ("distance", pa.int64()),
+             ("df", pa.int64())]
+        ),
     )
 
 

@@ -26,6 +26,7 @@ from solr_indexer_ray.contract import (
     MLT_PARAMS,
     RANGE_QUERIES,
     SORT_CASES,
+    SUGGEST_WORDS,
     STATS_CASES,
     TERMS_CASES,
     WILDCARD_QUERIES,
@@ -574,6 +575,22 @@ def _scored_match_sql(q: str) -> str:
   {having}"""
 
 
+def suggest_sql() -> str:
+    blocks = []
+    for w in SUGGEST_WORDS:
+        blocks.append(f"""
+SELECT '{w}' AS word, rank, term, distance, df FROM (
+  SELECT term, df, levenshtein(term, '{w}') AS distance,
+    row_number() OVER (
+      ORDER BY levenshtein(term, '{w}'), df DESC, term
+    ) - 1 AS rank
+  FROM df
+  WHERE levenshtein(term, '{w}') <= 2 AND term <> '{w}'
+  QUALIFY rank < 5
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 # --------------------------------------------------------------------- #
 # text / stats / dedup
 # --------------------------------------------------------------------- #
@@ -803,6 +820,7 @@ def oracle_sql_dict() -> dict:
         "terms_component": terms_component_sql(),
         "field_stats": field_stats_sql(),
         "grouped": grouped_sql(),
+        "suggest": suggest_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

@@ -55,6 +55,33 @@ from solr_indexer_ray.state.manifest import BuildManifest
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
 
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Levenshtein distance with early exit once every cell exceeds
+    ``cap`` (banded DP — the suggester never needs exact values > cap)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        best = cur[0]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+            if cur[j] < best:
+                best = cur[j]
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
 def _gather_segments(flat, starts, lengths):
     """Gather multiple [start, start+length) slices of ``flat`` into one
     array (vectorized multi-segment take — no per-segment Python loop)."""
@@ -1019,6 +1046,40 @@ class SearchEngine:
             key=lambda r: (-r[1], r[0]),
         )
         return [(t_, int(c)) for t_, c in rows if c >= mincount][:limit]
+
+    def suggest(self, word: str, count: int = 5,
+                max_distance: int = 2) -> list:
+        """Solr spellcheck component: suggest index terms within
+        ``max_distance`` Levenshtein edits of ``word``, ordered by edit
+        distance asc, then df desc, then term asc (Solr's default
+        score-then-frequency ranking).  The exact input term itself is
+        excluded (Solr reports it as correctly spelled instead).
+
+        Candidate pruning before the DP: dictionary terms whose length
+        differs by more than ``max_distance`` can be skipped outright (a
+        length delta is a lower bound on edit distance).  At 10^12-doc
+        scale the dictionary scan shards naturally over the postings
+        layout; a production suggester would sit on an FST.
+        """
+        word = (word or "").lower()
+        if not word:
+            return []
+        t = self._postings_ds.to_table(columns=["term", "df"])
+        agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
+        terms = agg["term"].to_pylist()
+        dfs = agg["df_sum"].to_pylist()
+        lens = np.array([len(x) for x in terms])
+        keep = np.abs(lens - len(word)) <= max_distance
+        out = []
+        for i in np.flatnonzero(keep):
+            term = terms[i]
+            if term == word:
+                continue
+            d = _levenshtein_capped(word, term, max_distance)
+            if d <= max_distance:
+                out.append((d, -int(dfs[i]), term))
+        out.sort()
+        return [(term, d, -negdf) for d, negdf, term in out[:count]]
 
     def field_stats(self, query: str, field: str) -> dict:
         """Solr stats component (``stats.field``) over the numeric

@@ -146,3 +146,49 @@ class TestTermsAndStats:
         idx, _, _ = sidx
         with pytest.raises(ValueError, match="stats"):
             SearchEngine(idx).field_stats("def", "nosuch")
+
+
+class TestSuggest:
+    """Spellcheck component: edit-distance suggestions over the term dict."""
+
+    def test_misspelling_finds_term(self, sidx):
+        idx, oracle, _ = sidx
+        eng = SearchEngine(idx)
+        out = eng.suggest("parze", count=5)
+        assert out and out[0][0] == "parse" and out[0][1] == 1
+        assert out[0][2] == oracle.df["parse"]
+
+    def test_order_distance_then_df(self, sidx):
+        idx, _, _ = sidx
+        out = SearchEngine(idx).suggest("merg", count=10)
+        keys = [(d, -df, t) for t, d, df in out]
+        assert keys == sorted(keys)
+
+    def test_exact_word_excluded_and_cap(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        assert all(t != "parse" for t, _, _ in eng.suggest("parse"))
+        assert eng.suggest("qqqqzzzz") == []
+        assert eng.suggest("") == []
+
+    def test_vs_brute_force(self, sidx):
+        idx, oracle, _ = sidx
+
+        def lev(a, b):
+            import numpy as np
+            m = np.arange(len(b) + 1)
+            for i, ca in enumerate(a, 1):
+                prev, m[0] = m[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                           prev + (ca != cb))
+            return int(m[len(b)])
+
+        for w in ("window", "strem", "clas"):
+            exp = sorted(
+                (lev(w, t), -c, t)
+                for t, c in oracle.df.items()
+                if t != w and lev(w, t) <= 2
+            )[:5]
+            got = SearchEngine(idx).suggest(w, count=5)
+            assert got == [(t, d, -nc) for d, nc, t in exp], w
