@@ -632,7 +632,19 @@ def build_index(
         shutil.rmtree(index_dir)
     manifest = BuildManifest(index_dir)
     manifest.ensure_dirs()
+    # single-writer discipline (Lucene write.lock analogue): concurrent
+    # builds against one index dir fail fast instead of corrupting it
+    manifest.acquire_lock()
+    try:
+        return _build_index_locked(
+            input_paths, index_dir, config, registry, doc_enricher, manifest
+        )
+    finally:
+        manifest.release_lock()
 
+
+def _build_index_locked(input_paths, index_dir, config, registry,
+                        doc_enricher, manifest) -> dict:
     t0 = time.perf_counter()
     units = list_units(input_paths)
     if not units:
@@ -728,6 +740,16 @@ def extend_index(
     manifest = BuildManifest(index_dir)
     if not manifest.is_committed():
         raise FileNotFoundError(f"no committed index at {index_dir}")
+    manifest.acquire_lock()
+    try:
+        return _extend_index_locked(input_paths, index_dir, config,
+                                    doc_enricher, manifest)
+    finally:
+        manifest.release_lock()
+
+
+def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
+                         manifest) -> dict:
     old = manifest.read_stats()
     registry = AnalyzerRegistry(
         old["analyzer_default"], overrides=old["analyzer_lang_map"]

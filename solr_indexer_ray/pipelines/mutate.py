@@ -236,6 +236,18 @@ def compact_index(index_dir: str) -> dict:
     from solr_indexer_ray.state.manifest import BuildManifest
 
     manifest = BuildManifest(index_dir)
+    manifest.acquire_lock()  # single writer (same lock as build/extend)
+    try:
+        return _compact_locked(index_dir, manifest)
+    finally:
+        manifest.release_lock()
+
+
+def _compact_locked(index_dir: str, manifest) -> dict:
+    import ray.data as rd
+
+    from solr_indexer_ray.pipelines.build import _run_stage2
+
     stats = manifest.read_stats()
     tombs = _read_tombstones(index_dir)
     if not tombs:

@@ -96,6 +96,49 @@ class BuildManifest:
     def read_stats(self) -> dict:
         return json.load(open(self.stats_path))
 
+    # ------------------------------------------------------------------ #
+    # build lock (one writer per index dir)
+    # ------------------------------------------------------------------ #
+    def lock_path(self) -> str:
+        return os.path.join(self.index_dir, ".build_lock")
+
+    def acquire_lock(self) -> None:
+        """O_EXCL pid lock: exactly one build/extend/compact may write an
+        index dir at a time (Solr analogue: the core's single writer —
+        Lucene's write.lock).  A lock whose pid is dead is stale from a
+        killed run and is taken over (that is also how resume-after-kill
+        proceeds, tested in TestResume)."""
+        os.makedirs(self.index_dir, exist_ok=True)
+        path = self.lock_path()
+        pid = os.getpid()
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(pid).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    holder = int(open(path).read().strip() or 0)
+                except (OSError, ValueError):
+                    holder = 0
+                if holder and _pid_alive(holder) and holder != pid:
+                    raise RuntimeError(
+                        f"index {self.index_dir} is locked by running "
+                        f"build pid {holder}"
+                    )
+                # stale (dead pid) -> steal
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+
+    def release_lock(self) -> None:
+        try:
+            os.unlink(self.lock_path())
+        except FileNotFoundError:
+            pass
+
     def status(self) -> dict:
         """Index health summary (reference: ``get_status``,
         ``solrindexer/mmd.py:1306-1332``)."""
@@ -111,3 +154,11 @@ class BuildManifest:
                 sum(u.get("metrics", {}).get("wall_s", 0.0) for u in units), 3
             ),
         }
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True

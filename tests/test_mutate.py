@@ -195,3 +195,40 @@ class TestResume:
         )
         os.remove(os.path.join(index_dir, victim))
         assert not m.unit_complete(0)
+
+
+class TestBuildLock:
+    """Single-writer lock (Lucene write.lock analogue): a live holder
+    blocks concurrent builds; a dead holder's lock is stolen (which is
+    exactly how resume-after-kill proceeds)."""
+
+    def test_live_lock_blocks_and_stale_lock_steals(self, tmp_path):
+        import subprocess
+
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.config import IndexConfig
+        from solr_indexer_ray.pipelines.build import build_index
+        from solr_indexer_ray.sources.corpus import generate_corpus
+        from solr_indexer_ray.state.manifest import BuildManifest
+
+        corpus = generate_corpus(30, seed=5, mean_tokens=15)
+        pq.write_table(corpus, str(tmp_path / "c.parquet"))
+        idx = str(tmp_path / "idx")
+        cfg = IndexConfig(docs_per_range=64, block_size=16)
+
+        holder = subprocess.Popen(["sleep", "60"])
+        try:
+            m = BuildManifest(idx)
+            m.ensure_dirs()
+            with open(m.lock_path(), "w") as f:
+                f.write(str(holder.pid))
+            with pytest.raises(RuntimeError, match="locked by running"):
+                build_index(str(tmp_path / "c.parquet"), idx, config=cfg)
+        finally:
+            holder.kill()
+            holder.wait()
+        # holder dead -> the stale lock is stolen and the build proceeds
+        stats = build_index(str(tmp_path / "c.parquet"), idx, config=cfg)
+        assert stats["n_docs"] == corpus.num_rows
+        assert not os.path.exists(m.lock_path())  # released after commit
