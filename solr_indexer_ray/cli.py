@@ -270,9 +270,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
-    except (ValueError, FileNotFoundError) as e:
-        # user-input errors (bad query syntax, missing/incompatible index,
-        # unknown sort/facet field) print one line, no traceback
+    except (ValueError, FileNotFoundError, RuntimeError) as e:
+        # user-facing errors (bad query syntax, missing/incompatible index,
+        # unknown sort/facet field, locked index) print one line, no traceback
         print(f"error: {e}", file=sys.stderr)
         return 2
 
