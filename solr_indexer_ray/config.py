@@ -44,6 +44,12 @@ class IndexConfig:
     #: term lookup only touches the bucket file(s) of the query terms.
     term_buckets: int = 16
 
+    #: parquet codec for index artifacts (docs, spills, merged postings).
+    #: zstd measures ~30% smaller than snappy on posting lists at
+    #: negligible write cost — at 10^12 docs that is real storage and
+    #: shuffle I/O.  Pinned at build time.
+    compression: str = "zstd"
+
     #: store token positions in the postings (Lucene: positions are indexed
     #: by default on text fields; Solr ``omitPositions=false``).  Enables
     #: exact phrase queries (``"foo bar"``) at the cost of larger postings —

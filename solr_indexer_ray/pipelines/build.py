@@ -283,7 +283,8 @@ class UnitIndexer:
             if docs_table.num_rows != len(contents):
                 raise ValueError("doc_enricher must preserve row count")
         docs_rel = f"docs/part-{uid:06d}.parquet"
-        _atomic_write_table(docs_table, os.path.join(self.index_dir, docs_rel))
+        _atomic_write_table(docs_table, os.path.join(self.index_dir, docs_rel),
+                            compression=self.config.compression)
 
         # raw postings spill, partitioned by term shard (the map side of the
         # postings shuffle): one file per shard this unit touches.  Rows are
@@ -381,7 +382,8 @@ class UnitIndexer:
                     exist_ok=True,
                 )
                 _atomic_write_table(
-                    post_table, os.path.join(self.index_dir, rel)
+                    post_table, os.path.join(self.index_dir, rel),
+                    compression=self.config.compression,
                 )
                 post_rels.append(rel)
 
@@ -492,9 +494,11 @@ class ShardMerger:
     ``shard=`` layout prunes across files).
     """
 
-    def __init__(self, index_dir: str, block_size: int, min_range: int = 0):
+    def __init__(self, index_dir: str, block_size: int, min_range: int = 0,
+                 compression: str = "zstd"):
         self.index_dir = os.fspath(index_dir)
         self.block_size = block_size
+        self.compression = compression
         #: incremental extension: ranges below min_range are untouched on
         #: disk and skipped; the boundary range re-merges old + new spills.
         self.min_range = min_range
@@ -569,7 +573,8 @@ class ShardMerger:
                 rows.append(merged)
             range_tbl = pa.Table.from_pylist(rows, schema=MERGED_POSTINGS_SCHEMA)
             rel = os.path.join(out_dir, f"range-{int(rid):06d}.parquet")
-            _atomic_write_table(range_tbl, rel, row_group_size=512)
+            _atomic_write_table(range_tbl, rel, row_group_size=512,
+                                compression=self.compression)
             n_terms += range_tbl.num_rows
             n_files += 1
         return {"shard": shard, "n_terms": n_terms, "n_files": n_files}
@@ -592,9 +597,10 @@ def _run_stage1(unit_rows, index_dir, config, registry, doc_enricher) -> list:
     return rows
 
 
-def _run_stage2(index_dir, n_shards, block_size, min_range: int = 0) -> list:
+def _run_stage2(index_dir, n_shards, block_size, min_range: int = 0,
+                compression: str = "zstd") -> list:
     def run_merge(batch: dict) -> pa.Table:
-        return ShardMerger(index_dir, block_size, min_range)(batch)
+        return ShardMerger(index_dir, block_size, min_range, compression)(batch)
 
     ds = rd.from_items([{"shard": s} for s in range(n_shards)]).map_batches(
         run_merge, batch_size=1, batch_format="numpy", num_cpus=1
@@ -675,7 +681,8 @@ def _build_index_locked(input_paths, index_dir, config, registry,
         shutil.rmtree(postings_dir)
     os.makedirs(postings_dir, exist_ok=True)
 
-    merged_manifest = _run_stage2(index_dir, n_shards, config.block_size)
+    merged_manifest = _run_stage2(index_dir, n_shards, config.block_size,
+                                  compression=config.compression)
     t2 = time.perf_counter()
 
     # ---- commit ---------------------------------------------------------
@@ -692,6 +699,7 @@ def _build_index_locked(input_paths, index_dir, config, registry,
         "docs_per_range": config.docs_per_range,
         "block_size": config.block_size,
         "store_positions": bool(config.store_positions),
+        "compression": config.compression,
         "store_content": bool(config.store_content),
         "k1": config.k1,
         "b": config.b,
@@ -763,6 +771,7 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
         k1=float(old["k1"]),
         b=float(old["b"]),
         store_positions=bool(old.get("store_positions", False)),
+        compression=str(old.get("compression", "zstd")),
         store_content=bool(old.get("store_content", False)),
     )
     n_shards = int(old["n_shards"])
@@ -808,7 +817,8 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
     t1 = time.perf_counter()
 
     min_range = base // config.docs_per_range
-    merged = _run_stage2(index_dir, n_shards, config.block_size, min_range)
+    merged = _run_stage2(index_dir, n_shards, config.block_size, min_range,
+                         compression=config.compression)
     t2 = time.perf_counter()
 
     new_docs = sum(r["n_docs"] for r in unit_results)

@@ -317,7 +317,10 @@ def _compact_locked(index_dir: str, manifest) -> dict:
     )
 
     # 3. re-merge postings
-    merged = _run_stage2(index_dir, int(stats["n_shards"]), int(stats["block_size"]))
+    merged = _run_stage2(
+        index_dir, int(stats["n_shards"]), int(stats["block_size"]),
+        compression=str(stats.get("compression", "zstd")),
+    )
     n_term_rows = sum(r["n_terms"] for r in merged)
 
     # 4. drop dead overlays, clear tombstones, commit new stats
