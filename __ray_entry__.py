@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_stats": c.q_field_stats,
         "grouped": c.q_grouped,
         "suggest": c.q_suggest,
+        "boosted_topk": c.q_boosted_topk,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         # per-row invariants / projections (§2.2-2.3)

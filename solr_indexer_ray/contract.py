@@ -79,6 +79,15 @@ TERMS_CASES = [("", 20, 1), ("s", 15, 1), ("wi", 10, 1), ("zz", 5, 1)]
 STATS_CASES = [("spark merge", "doclen"), ("*:*", "doclen"),
                ("lang:en win*", "doclen")]
 
+#: query-time boost cases (term^b, "phrase"^b, prefix*^b)
+BOOST_QUERIES = [
+    "spark^2 merge",
+    "spark^0.5 AND merge",
+    '"sort merge"^3 window',
+    "win*^2 batch",
+    "spark^2 merge^2 the^0.1",
+]
+
 #: spellcheck cases (misspelled words over the documents vocabulary)
 SUGGEST_WORDS = ["spak", "merg", "windwo", "batsh", "qzqzqz"]
 
@@ -724,6 +733,33 @@ def q_suggest(sf_dir: str):
             [("word", pa.string()), ("rank", pa.int64()),
              ("term", pa.string()), ("distance", pa.int64()),
              ("df", pa.int64())]
+        ),
+    )
+
+
+def q_boosted_topk(sf_dir: str):
+    """Lucene query-time boosts: clause contribution x boost (terms,
+    phrases, constant-score wildcards); same ranking key as q_bm25_topk."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q in BOOST_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
         ),
     )
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from solr_indexer_ray.contract import (
     ANN_K,
+    BOOST_QUERIES,
     FACET_FIELDS,
     FACET_QUERIES,
     GROUP_CASES,
@@ -194,6 +195,31 @@ def _range_conds(parsed) -> list:
     return conds
 
 
+def _term_branch_sql(parsed, terms, kexpr) -> str:
+    """Term-contribution branch; per-term query boosts join in via a
+    VALUES map (absent boost = 1.0, multiplied AFTER the BM25 product —
+    the engine's float order)."""
+    if not any(t in parsed.boosts for t in terms):
+        return f"""
+    SELECT t.doc_id AS doc_id, 't:' || t.term AS clause,
+      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {kexpr})) AS contrib
+    FROM tf t JOIN df d USING (term) JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE t.term IN ({_sql_list(terms)})"""
+    vals = ", ".join(
+        f"('{t}', {float(parsed.boosts.get(t, 1.0))!r})" for t in terms
+    )
+    return f"""
+    SELECT t.doc_id AS doc_id, 't:' || t.term AS clause,
+      (ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {kexpr}))) * bw.boost AS contrib
+    FROM tf t JOIN (VALUES {vals}) bw(bterm, boost) ON bw.bterm = t.term
+    JOIN df d ON d.term = t.term JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE t.term IN ({_sql_list(terms)})"""
+
+
 def _phrase_query_block(q: str) -> str:
     """One UNION branch of the phrase/wildcard oracle: term + phrase +
     constant-score prefix contributions summed per doc, the engine's exact
@@ -215,24 +241,25 @@ def _phrase_query_block(q: str) -> str:
 
     branches = []
     if terms:
-        branches.append(f"""
-    SELECT t.doc_id AS doc_id, 't:' || t.term AS clause,
-      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
-      * (t.tf / (t.tf + {kexpr})) AS contrib
-    FROM tf t JOIN df d USING (term) JOIN dlq q ON q.doc_id = t.doc_id
-    CROSS JOIN stats st
-    WHERE t.term IN ({_sql_list(terms)})""")
+        branches.append(_term_branch_sql(parsed, terms, kexpr))
     for pi, ph in enumerate(phrases):
+        b = parsed.phrase_boosts.get(ph)
+        wexpr = (
+            f"({_phrase_w_expr(ph)} * {float(b)!r})" if b is not None
+            else _phrase_w_expr(ph)
+        )
         branches.append(f"""
     SELECT p.doc_id AS doc_id, 'p:{pi}' AS clause,
-      {_phrase_w_expr(ph)} * (p.ptf / (p.ptf + {kexpr})) AS contrib
+      {wexpr} * (p.ptf / (p.ptf + {kexpr})) AS contrib
     FROM (SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) p
     JOIN dlq q ON q.doc_id = p.doc_id CROSS JOIN stats st
     WHERE p.ptf > 0""")
     for wi, pre in enumerate(parsed.prefixes):
-        # constant-score wildcard: 1.0 per doc containing any expansion
+        # constant-score wildcard: the clause weight (1.0 or its boost)
+        # per doc containing any expansion
+        gw = float(parsed.prefix_boosts.get(pre, 1.0))
         branches.append(f"""
-    SELECT DISTINCT t.doc_id AS doc_id, 'w:{wi}' AS clause, 1.0 AS contrib
+    SELECT DISTINCT t.doc_id AS doc_id, 'w:{wi}' AS clause, {gw!r} AS contrib
     FROM tf t WHERE t.term LIKE '{pre}%'""")
     qq = q.replace("'", "''")
     if not branches:
@@ -303,6 +330,13 @@ def phrase_topk_sql() -> str:
 def range_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in RANGE_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
+def boosted_topk_sql() -> str:
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in BOOST_QUERIES
     )
     return _BM25_CTES + blocks
 
@@ -538,23 +572,25 @@ def _scored_match_sql(q: str) -> str:
     kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
     branches = []
     if terms:
-        branches.append(f"""
-    SELECT t.doc_id AS doc_id, 't:' || t.term AS clause,
-      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
-      * (t.tf / (t.tf + {kexpr})) AS contrib
-    FROM tf t JOIN df d USING (term) JOIN dlq q ON q.doc_id = t.doc_id
-    CROSS JOIN stats st
-    WHERE t.term IN ({_sql_list(terms)})""")
+        branches.append(_term_branch_sql(parsed, terms, kexpr))
     for pi, ph in enumerate(phrases):
+        b = parsed.phrase_boosts.get(ph)
+        wexpr = (
+            f"({_phrase_w_expr(ph)} * {float(b)!r})" if b is not None
+            else _phrase_w_expr(ph)
+        )
         branches.append(f"""
     SELECT p.doc_id AS doc_id, 'p:{pi}' AS clause,
-      {_phrase_w_expr(ph)} * (p.ptf / (p.ptf + {kexpr})) AS contrib
+      {wexpr} * (p.ptf / (p.ptf + {kexpr})) AS contrib
     FROM (SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) p
     JOIN dlq q ON q.doc_id = p.doc_id CROSS JOIN stats st
     WHERE p.ptf > 0""")
     for wi, pre in enumerate(parsed.prefixes):
+        # constant-score wildcard: the clause weight (1.0 or its boost)
+        # per doc containing any expansion
+        gw = float(parsed.prefix_boosts.get(pre, 1.0))
         branches.append(f"""
-    SELECT DISTINCT t.doc_id AS doc_id, 'w:{wi}' AS clause, 1.0 AS contrib
+    SELECT DISTINCT t.doc_id AS doc_id, 'w:{wi}' AS clause, {gw!r} AS contrib
     FROM tf t WHERE t.term LIKE '{pre}%'""")
     conds = ["1=1"] + _range_conds(parsed)
     for fld, val in sorted(parsed.filters.items()):
@@ -821,6 +857,7 @@ def oracle_sql_dict() -> dict:
         "field_stats": field_stats_sql(),
         "grouped": grouped_sql(),
         "suggest": suggest_sql(),
+        "boosted_topk": boosted_topk_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

@@ -43,9 +43,12 @@ from dataclasses import dataclass, field
 FILTER_FIELDS = ("repo", "path", "commit", "lang")
 DEFAULT_FIELD_ALIASES = ("full_text", "content", "text")
 
-#: quoted segments, optionally negated and/or field-prefixed:
-#:   -field:"some words"   field:"v"   "a phrase"   -"a phrase"
-_QUOTED = re.compile(r'(-?)(?:([A-Za-z_][\w.]*):)?"([^"]*)"')
+#: quoted segments, optionally negated and/or field-prefixed, with an
+#: optional trailing boost:  -field:"some words"  "a phrase"^2.5
+_QUOTED = re.compile(r'(-?)(?:([A-Za-z_][\w.]*):)?"([^"]*)"(?:\^([0-9.]+))?')
+
+#: trailing boost on a bare clause: term^2 / pre*^1.5
+_BOOST = re.compile(r"^(.*?)\^([0-9]+(?:\.[0-9]+)?)$")
 
 #: range filters: field:[lo TO hi], exclusive {} bounds, * open ends
 _RANGE = re.compile(
@@ -97,6 +100,12 @@ class ParsedQuery:
     prohibited_prefixes: list = field(default_factory=list)
     range_filters: list = field(default_factory=list)        # [RangeFilter]
     neg_range_filters: list = field(default_factory=list)
+    #: Lucene query-time boosts (term^2, "a b"^3, pre*^1.5); absent = 1.0.
+    #: Keys: term string / phrase tuple / prefix string.  Last boost wins
+    #: for a repeated clause.
+    boosts: dict = field(default_factory=dict)
+    phrase_boosts: dict = field(default_factory=dict)
+    prefix_boosts: dict = field(default_factory=dict)
 
     @property
     def is_match_all(self) -> bool:
@@ -112,6 +121,7 @@ def parse_query(q: str, analyze) -> ParsedQuery:
 
     def eat_quoted(m: re.Match) -> str:
         neg, fld, text = m.group(1) == "-", m.group(2), m.group(3)
+        boost = float(m.group(4)) if m.group(4) else None
         if fld in FILTER_FIELDS:
             (out.neg_filters if neg else out.filters)[fld] = text
             return " "
@@ -120,8 +130,12 @@ def parse_query(q: str, analyze) -> ParsedQuery:
             return " "
         if len(toks) == 1:  # single-term phrase rewrites to a term (Lucene)
             (out.prohibited if neg else out.terms).extend(toks)
+            if boost is not None and not neg:
+                out.boosts[toks[0]] = boost
         else:
             (out.prohibited_phrases if neg else out.phrases).append(toks)
+            if boost is not None and not neg:
+                out.phrase_boosts[tuple(toks)] = boost
         return " "
 
     def eat_range(m: re.Match) -> str:
@@ -158,6 +172,10 @@ def parse_query(q: str, analyze) -> ParsedQuery:
         elif raw.startswith("+") and len(raw) > 1:
             raw = raw[1:]  # MUST ~= AND for our OR/AND model
             out.conjunctive = True
+        boost = None
+        bm = _BOOST.match(raw)
+        if bm and bm.group(1):
+            raw, boost = bm.group(1), float(bm.group(2))
         if ":" in raw:
             fld, _, val = raw.partition(":")
             val = val.strip('"')
@@ -173,7 +191,12 @@ def parse_query(q: str, analyze) -> ParsedQuery:
                 (out.prohibited_prefixes if neg else out.prefixes).append(
                     pre[-1]
                 )
+                if boost is not None and not neg:
+                    out.prefix_boosts[pre[-1]] = boost
             continue
         toks = analyze(raw)
         (out.prohibited if neg else out.terms).extend(toks)
+        if boost is not None and not neg:
+            for t in toks:  # a multi-token raw clause boosts every token
+                out.boosts[t] = boost
     return out

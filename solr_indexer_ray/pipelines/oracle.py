@@ -143,19 +143,24 @@ class BruteForceBM25:
                 tf = self.tf[i].get(t, 0)
                 if tf:
                     nmatch += 1
-                    score += self.idf(t) * (tf / (tf + K[i]))
+                    c = self.idf(t) * (tf / (tf + K[i]))
+                    b = parsed.boosts.get(t)
+                    score += c if b is None else c * b
             for ph in q_phrases:
                 ptf = self.phrase_freq(i, ph)
                 if ptf:
                     nmatch += 1
                     # Lucene PhraseQuery weight: sum of member idfs (dups kept)
                     w = sum(self.idf(t) for t in ph)
+                    b = parsed.phrase_boosts.get(ph)
+                    if b is not None:
+                        w = w * b
                     score += w * (ptf / (ptf + K[i]))
             for pre in parsed.prefixes:
-                # constant-score wildcard: 1.0 if any doc term expands it
+                # constant-score wildcard: boost (default 1.0) per match
                 if any(t.startswith(pre) for t in self.tf[i]):
                     nmatch += 1
-                    score += 1.0
+                    score += parsed.prefix_boosts.get(pre, 1.0)
             if q_terms or q_phrases or parsed.prefixes:
                 if nmatch < need:
                     continue

@@ -763,13 +763,18 @@ class SearchEngine:
         n_present = 0
         for term in sorted(postings):  # ascending-term order: pinned float order
             tp = postings[term]
-            scores[tp.doc_ids] += self._term_score_vec(tp)
+            vec = self._term_score_vec(tp)
+            b = parsed.boosts.get(term)  # query-time boost (term^2)
+            scores[tp.doc_ids] += vec if b is None else vec * b
             if seen is not None:
                 seen[tp.doc_ids] += 1
             n_present += 1
         # phrase clauses after terms, ascending by tuple: pinned float order
         for ph in sorted(map(tuple, parsed.phrases)):
             docs, freqs, w = self.eval_phrase(list(ph))
+            b = parsed.phrase_boosts.get(ph)
+            if b is not None:
+                w = w * b
             if docs.size:
                 K = self._norm_factor(self.norms[docs])
                 scores[docs] += w * self.scoring.impact(
@@ -778,12 +783,12 @@ class SearchEngine:
                 if seen is not None:
                     seen[docs] += 1
                 n_present += 1
-        # prefix clauses last, ascending: constant score 1.0 per matching
-        # doc (Solr CONSTANT_SCORE multi-term rewrite)
+        # prefix clauses last, ascending: constant score (1.0, or the
+        # clause boost) per matching doc (Solr CONSTANT_SCORE rewrite)
         for pre in sorted(parsed.prefixes):
             docs = self.eval_prefix(pre)
             if docs.size:
-                scores[docs] += 1.0
+                scores[docs] += parsed.prefix_boosts.get(pre, 1.0)
                 if seen is not None:
                     seen[docs] += 1
                 n_present += 1
@@ -821,6 +826,9 @@ class SearchEngine:
         for t in terms:
             tp = postings[t]
             w = self.idf(tp.df)
+            b = parsed.boosts.get(t)
+            if b is not None:
+                w *= b
             iters.append(_BMWIter(tp, w, self))
         # distinct PARSED terms, not found terms: AND with a term absent
         # from the index matches nothing (same rule as _score_taat)
@@ -1330,7 +1338,7 @@ class RangeScorer:
         1.0 per matching doc, Solr CONSTANT_SCORE rewrite)."""
         lo, hi = rid * self.dpr, (rid + 1) * self.dpr
         phrase_terms = {t for ph, _ in phrases for t in ph}
-        group_terms = {t for g in prefix_groups for t in g}
+        group_terms = {t for g, _ in prefix_groups for t in g}
         want = sorted(set(terms) | set(prohibited) | phrase_terms | group_terms)
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
@@ -1380,8 +1388,9 @@ class RangeScorer:
                 scores[ids] += w * (freqs / (freqs + K))
                 if seen is not None:
                     seen[ids] += 1
-        # wildcard groups: union of the group's local postings, +1.0 each
-        for g in prefix_groups:
+        # wildcard groups: union of the group's local postings, + the
+        # group's constant weight (1.0 or the clause boost) each
+        for g, gw in prefix_groups:
             n_terms += 1
             hit = []
             for t in g:
@@ -1390,7 +1399,7 @@ class RangeScorer:
                     hit.append(decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo)
             if hit:
                 ids = np.unique(np.concatenate(hit))
-                scores[ids] += 1.0
+                scores[ids] += gw
                 if seen is not None:
                     seen[ids] += 1
         if seen is not None:
@@ -1474,23 +1483,33 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery):
     phrases = []
     for ph in parsed.phrases:
         if all(t in postings for t in ph):
-            phrases.append(
-                [list(ph), float(sum(engine.idf(postings[t].df) for t in ph))]
-            )
+            w = float(sum(engine.idf(postings[t].df) for t in ph))
+            b = parsed.phrase_boosts.get(tuple(ph))
+            if b is not None:
+                w = w * b
+            phrases.append([list(ph), w])
         elif parsed.conjunctive:
             return "zero"  # AND with an unmatchable phrase
-    # wildcard clauses: expand once driver-side, ship the term groups —
-    # each range unions its local postings for the group (constant score)
+    # wildcard clauses: expand once driver-side, ship [terms, weight]
+    # groups — each range unions its local postings for the group
+    # (constant score = 1.0 or the clause boost)
     prefix_groups = []
     for pre in parsed.prefixes:
         group = engine.expand_prefix(pre)
         if group:
-            prefix_groups.append(group)
+            prefix_groups.append(
+                [group, float(parsed.prefix_boosts.get(pre, 1.0))]
+            )
         elif parsed.conjunctive:
             return "zero"  # AND with an unmatchable wildcard
     if not terms and not phrases and not prefix_groups:
         return "zero"
-    idfs = [engine.idf(postings[t].df) for t in terms]
+    # term weights ship as idf x boost (the per-range scorer is agnostic)
+    idfs = []
+    for t in terms:
+        w = engine.idf(postings[t].df)
+        b = parsed.boosts.get(t)
+        idfs.append(w if b is None else w * b)
     return terms, idfs, phrases, prefix_groups
 
 

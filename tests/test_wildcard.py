@@ -115,3 +115,50 @@ class TestWildcardRankIdentity:
         assert t.num_rows and all(
             s == 1.0 for s in t["score"].to_pylist()
         )
+
+
+class TestBoosts:
+    """Lucene query-time boosts: clause contribution x boost for terms,
+    phrases, and constant-score wildcards; rank identity preserved."""
+
+    BOOSTED = ["read^2 merge", "read^0.5 AND merge", '"def index"^3 read',
+               "pars*^2 merge", "read^2 merge^2", "read^1 merge"]
+
+    def test_vs_oracle(self, widx):
+        idx, corpus = widx
+        oracle = BruteForceBM25(corpus)
+        eng = SearchEngine(idx)
+        for q in self.BOOSTED:
+            got = eng.search(q, k=12, fl=["doc_id"])
+            exp = oracle.search(q, k=12)
+            assert got["doc_id"].to_pylist() == [d for d, _ in exp], q
+            assert got["score"].to_pylist() == [s for _, s in exp], q
+
+    def test_partitioned_and_bmw_identical(self, widx):
+        idx, _ = widx
+        eng = SearchEngine(idx)
+        for q in self.BOOSTED:
+            s = eng.search(q, k=10, fl=["doc_id"])
+            p = search_partitioned(idx, q, k=10)
+            assert p["doc_id"].to_pylist() == s["doc_id"].to_pylist(), q
+            assert p["score"].to_pylist() == s["score"].to_pylist(), q
+        b = eng.search("read^2 merge", k=10, fl=["doc_id"], method="bmw")
+        t = eng.search("read^2 merge", k=10, fl=["doc_id"])
+        assert b["doc_id"].to_pylist() == t["doc_id"].to_pylist()
+        assert b["score"].to_pylist() == t["score"].to_pylist()
+
+    def test_boost_changes_ranking(self, widx):
+        idx, _ = widx
+        eng = SearchEngine(idx)
+        plain = eng.search("read merge", k=30, fl=["doc_id"])
+        boosted = eng.search("read merge^5", k=30, fl=["doc_id"])
+        assert plain["doc_id"].to_pylist() != boosted["doc_id"].to_pylist()
+
+    def test_parser_forms(self, widx):
+        from solr_indexer_ray.functions.queryparse import parse_query
+
+        p = parse_query('a^2 "b c"^3 d*^1.5 e', str.split)
+        assert p.boosts == {"a": 2.0}
+        assert p.phrase_boosts == {("b", "c"): 3.0}
+        assert p.prefix_boosts == {"d": 1.5}
+        assert "e" not in p.boosts
