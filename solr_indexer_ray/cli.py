@@ -102,7 +102,8 @@ def cmd_search(args) -> int:
                                 group_limit=args.group_limit)
     else:
         t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
-                          sort=args.sort, start=args.start, hl=args.hl)
+                          sort=args.sort, start=args.start, hl=args.hl,
+                          fq=args.fq)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet:
@@ -216,6 +217,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--start", type=int, default=0,
                     help="paging offset (Solr start)")
     ps.add_argument("--sort", help='Solr sort spec, e.g. "doclen desc"')
+    ps.add_argument("--fq", action="append",
+                    help="filter query (repeatable; Solr fq)")
     ps.add_argument("--hl", action="store_true",
                     help="highlight snippets (needs store_content index)")
     ps.add_argument("--group", help="group results by field (Solr group=true)")

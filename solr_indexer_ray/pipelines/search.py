@@ -254,6 +254,7 @@ class SearchEngine:
         #: wildcard-expansion cap (Lucene BooleanQuery.maxClauseCount)
         self.max_expansions = 1024
         self._mask_cache: dict = {}  # (filters, prohibited, n_tomb) -> mask
+        self._fq_cache: dict = {}    # fq string -> exclusion mask (filterCache)
 
     # ------------------------------------------------------------------ #
     # small state
@@ -296,6 +297,7 @@ class SearchEngine:
         self._tombstones = None
         self._overlays = None
         self._mask_cache = {}
+        self._fq_cache = {}
 
     # ------------------------------------------------------------------ #
     # postings access
@@ -579,6 +581,7 @@ class SearchEngine:
         sort: str | None = None,
         start: int = 0,
         hl: bool = False,
+        fq=None,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -591,7 +594,10 @@ class SearchEngine:
         (Solr ``start``): rows [start, start+k) of the full ordering —
         deep paging costs a deeper top-k, exactly like Solr.  ``hl=True``
         (Solr ``hl``) appends an ``hl`` snippet column — requires an index
-        built with ``store_content=True``.
+        built with ``store_content=True``.  ``fq`` is Solr's filter-query
+        list: each entry restricts the match set WITHOUT contributing to
+        the score; its doc-set mask is cached per fq string across queries
+        (the filterCache analogue).
         """
         if start < 0:
             raise ValueError("start must be >= 0")
@@ -602,17 +608,17 @@ class SearchEngine:
                 "IndexConfig(store_content=True)"
             )
         if sort is not None:
-            t = self._search_sorted(parsed, query, k, fl, sort, start)
+            t = self._search_sorted(parsed, query, k, fl, sort, start, fq=fq)
         elif start:
             deep = self.search(query, k=start + k, fl=["doc_id"],
-                               method=method)
+                               method=method, fq=fq)
             hits = list(
                 zip(deep["doc_id"].to_pylist(), deep["score"].to_pylist())
             )[start:]
             t = self._resolve(hits, fl)
         else:
             postings = self.lookup_postings(parsed.terms)
-            excluded = self._excluded_mask(parsed)
+            excluded = self._merge_fq_mask(self._excluded_mask(parsed), fq)
 
             if not (parsed.terms or parsed.phrases or parsed.prefixes):
                 # no scoring clause (match-all / pure-filter query):
@@ -627,6 +633,27 @@ class SearchEngine:
                 hits = self._score_taat(parsed, postings, excluded, k)
             t = self._resolve(hits, fl)
         return self._add_highlights(parsed, t) if hl else t
+
+    def _merge_fq_mask(self, excluded, fq):
+        """OR the filter-query exclusion masks into ``excluded``.
+
+        Each distinct fq string computes its match set ONCE and caches the
+        inverse as a dense exclusion mask (Solr filterCache: filters are
+        evaluated independently of the main query and reused)."""
+        if not fq:
+            return excluded
+        fqs = [fq] if isinstance(fq, str) else list(fq)
+        for f in fqs:
+            m = self._fq_cache.get(f)
+            if m is None:
+                member = np.zeros(self.doc_space, dtype=bool)
+                member[self.match_ids(f)] = True
+                m = ~member
+                if len(self._fq_cache) > 256:
+                    self._fq_cache.clear()
+                self._fq_cache[f] = m
+            excluded = m.copy() if excluded is None else (excluded | m)
+        return excluded
 
     def _add_highlights(self, parsed: ParsedQuery, t: pa.Table) -> pa.Table:
         """Append an ``hl`` snippet column (Solr highlighting, best-effort):
@@ -671,7 +698,8 @@ class SearchEngine:
             )
         return t.append_column("hl", pa.array(snippets, pa.string()))
 
-    def _search_sorted(self, parsed, query, k, fl, sort, start: int = 0):
+    def _search_sorted(self, parsed, query, k, fl, sort, start: int = 0,
+                       fq=None):
         """Field-sorted retrieval (Solr ``sort=f1 desc, f2 asc``): rank the
         FULL match set by the sort keys instead of relevance.  ``score`` as
         a sort key uses the BM25 score; other keys read the stored fields
@@ -693,7 +721,7 @@ class SearchEngine:
             raise ValueError(f"empty sort spec {sort!r}")
 
         # full match set with scores (score may itself be a sort key)
-        full = self.search(query, k=self.doc_space, fl=["doc_id"])
+        full = self.search(query, k=self.doc_space, fl=["doc_id"], fq=fq)
         if full.num_rows == 0:
             return self._resolve([], fl)
         import pandas as pd

@@ -192,3 +192,57 @@ class TestSuggest:
             )[:5]
             got = SearchEngine(idx).suggest(w, count=5)
             assert got == [(t, d, -nc) for d, nc, t in exp], w
+
+
+class TestFilterQueries:
+    """Solr fq param: cached filter masks restrict without scoring."""
+
+    def test_fq_equals_inline_filter(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        cases = [
+            ("read merge", ["lang:python"], "lang:python read merge"),
+            ("read", ["doclen:[30 TO 90]"], "doclen:[30 TO 90] read"),
+            ("read", ["lang:python", "doclen:[30 TO 90]"],
+             "lang:python doclen:[30 TO 90] read"),
+        ]
+        for q, fq, inline in cases:
+            a = eng.search(q, k=10, fl=["doc_id"], fq=fq)
+            b = eng.search(inline, k=10, fl=["doc_id"])
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (q, fq)
+            assert a["score"].to_pylist() == b["score"].to_pylist(), (q, fq)
+
+    def test_fq_term_restricts_without_scoring(self, sidx):
+        idx, oracle, _ = sidx
+        eng = SearchEngine(idx)
+        a = eng.search("read", k=30, fl=["doc_id"], fq="def")
+        allowed = {d for d, _ in oracle.search("read", k=10**9)} & {
+            d for d, _ in oracle.search("def", k=10**9)
+        }
+        assert set(a["doc_id"].to_pylist()) <= allowed and a.num_rows
+        plain = dict(
+            zip(eng.search("read", k=200, fl=["doc_id"])["doc_id"].to_pylist(),
+                eng.search("read", k=200, fl=["doc_id"])["score"].to_pylist())
+        )
+        for d, s in zip(a["doc_id"].to_pylist(), a["score"].to_pylist()):
+            assert plain[d] == s  # fq contributes nothing to the score
+
+    def test_fq_with_sort_and_paging(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        a = eng.search("read", k=5, fl=["doc_id"], sort="doclen desc",
+                       fq="lang:python")
+        b = eng.search("lang:python read", k=5, fl=["doc_id"],
+                       sort="doclen desc")
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        p1 = eng.search("read", k=3, fl=["doc_id"], fq="lang:python", start=2)
+        full = eng.search("read", k=5, fl=["doc_id"], fq="lang:python")
+        assert p1["doc_id"].to_pylist() == full["doc_id"].to_pylist()[2:5]
+
+    def test_fq_cache_reused(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        eng.search("read", k=3, fq="lang:python")
+        assert "lang:python" in eng._fq_cache
+        eng.search("merge", k=3, fq="lang:python")  # hits the cache
+        assert len(eng._fq_cache) == 1
