@@ -175,6 +175,15 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    from solr_indexer_ray.pipelines.fsck import check_index
+
+    _ensure_ray()
+    res = check_index(args.output)
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
 def cmd_status(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
     from solr_indexer_ray.state.manifest import BuildManifest
@@ -262,6 +271,10 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--id", type=int, nargs="*")
     pd.add_argument("--query")
     pd.set_defaults(fn=cmd_delete)
+
+    pck = sub.add_parser("check", help="index integrity check (fsck)")
+    pck.add_argument("-o", "--output", required=True)
+    pck.set_defaults(fn=cmd_check)
 
     pst = sub.add_parser("status", help="index status / ping")
     pst.add_argument("-o", "--output", required=True)

@@ -1,0 +1,74 @@
+"""Index integrity checker: clean indexes pass; targeted corruptions of
+every artifact class are detected."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.pipelines import mutate
+from solr_indexer_ray.pipelines.build import build_index
+from solr_indexer_ray.pipelines.fsck import check_index
+from solr_indexer_ray.sources.corpus import generate_corpus
+
+
+def _build(tmp_path, **cfg):
+    corpus = generate_corpus(80, seed=6, mean_tokens=25)
+    pq.write_table(corpus, str(tmp_path / "c.parquet"), row_group_size=32)
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c.parquet"), idx,
+                config=IndexConfig(docs_per_range=64, block_size=16, **cfg))
+    return idx
+
+
+class TestFsck:
+    def test_clean_index_ok(self, tmp_path, ray_session):
+        idx = _build(tmp_path, store_positions=True)
+        res = check_index(idx)
+        assert res["ok"], res["problems"]
+        assert res["checked"]["n_docs"] >= 80  # corpus adds edge rows
+        # deletes/compaction keep the index clean
+        mutate.delete_by_id(idx, [1, 2])
+        assert check_index(idx)["ok"]
+        mutate.compact_index(idx)
+        assert check_index(idx)["ok"]
+
+    def test_detects_stats_drift(self, tmp_path, ray_session):
+        idx = _build(tmp_path)
+        stats = json.load(open(os.path.join(idx, "stats.json")))
+        stats["n_docs"] += 1
+        json.dump(stats, open(os.path.join(idx, "stats.json"), "w"))
+        res = check_index(idx)
+        assert not res["ok"] and any("n_docs" in p for p in res["problems"])
+
+    def test_detects_corrupt_postings(self, tmp_path, ray_session):
+        idx = _build(tmp_path)
+        # corrupt one merged postings row: truncate the doc-id stream
+        import glob
+
+        f = sorted(glob.glob(f"{idx}/postings/shard=*/range-*.parquet"))[0]
+        t = pq.read_table(f)
+        ids = t["doc_ids"].to_pylist()
+        ids[0] = ids[0][: max(1, len(ids[0]) // 2)]
+        t = t.set_column(t.schema.get_field_index("doc_ids"), "doc_ids",
+                         pa.array(ids, pa.binary()))
+        pq.write_table(t, f)
+        res = check_index(idx)
+        assert not res["ok"]
+        assert any("df=" in p or "block" in p for p in res["problems"]), (
+            res["problems"]
+        )
+
+    def test_detects_phantom_tombstone(self, tmp_path, ray_session):
+        idx = _build(tmp_path)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([10**6], pa.int64())}),
+            os.path.join(idx, "tombstones.parquet"),
+        )
+        res = check_index(idx)
+        assert not res["ok"] and any("unknown doc id" in p
+                                     for p in res["problems"])
