@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis): codec roundtrips hold for arbitrary
+inputs; the query parser and engine never crash on arbitrary query
+strings (ValueError for documented invalid forms is the only allowed
+exception)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.functions.queryparse import parse_query
+from solr_indexer_ray.functions.smallfloat import (
+    byte4_to_int,
+    int_to_byte4,
+)
+from solr_indexer_ray.functions.varint import (
+    decode_doc_ids,
+    decode_positions,
+    delta_decode,
+    delta_encode,
+    encode_doc_ids,
+    encode_positions,
+    varint_decode,
+    varint_encode,
+)
+from solr_indexer_ray.pipelines.build import build_index
+from solr_indexer_ray.pipelines.search import SearchEngine
+from solr_indexer_ray.sources.corpus import generate_corpus
+
+_SETTINGS = settings(
+    max_examples=60, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+class TestCodecProperties:
+    @_SETTINGS
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=200))
+    def test_varint_roundtrip(self, vals):
+        arr = np.asarray(vals, dtype=np.uint64)
+        assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+    @_SETTINGS
+    @given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+                    max_size=200, unique=True))
+    def test_doc_id_roundtrip(self, vals):
+        ids = np.sort(np.asarray(vals, dtype=np.int64))
+        assert np.array_equal(decode_doc_ids(encode_doc_ids(ids)), ids)
+
+    @_SETTINGS
+    @given(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                    max_size=100))
+    def test_delta_roundtrip(self, vals):
+        v = np.sort(np.unique(np.asarray(vals, dtype=np.int64)))
+        assert np.array_equal(delta_decode(delta_encode(v)), v)
+
+    @_SETTINGS
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=100_000),
+                     min_size=1, max_size=12, unique=True),
+            min_size=1, max_size=40,
+        )
+    )
+    def test_positions_roundtrip(self, segments):
+        segs = [np.sort(np.asarray(s, dtype=np.int64)) for s in segments]
+        counts = np.array([len(s) for s in segs], dtype=np.int64)
+        flat = np.concatenate(segs)
+        back, offs = decode_positions(encode_positions(counts, flat), counts)
+        assert np.array_equal(back, flat)
+        assert np.array_equal(offs, np.concatenate(([0], np.cumsum(counts))))
+
+    @_SETTINGS
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def test_smallfloat_monotone_lossy(self, n):
+        q = byte4_to_int(int_to_byte4(n))
+        assert 0 <= q <= n  # quantization never exceeds the true length
+        # idempotent
+        assert byte4_to_int(int_to_byte4(q)) == q
+
+
+def _analyze(s):
+    return [t for t in s.lower().split() if t]
+
+
+class TestParserProperties:
+    @_SETTINGS
+    @given(st.text(max_size=80))
+    def test_parse_never_crashes(self, q):
+        try:
+            p = parse_query(q, _analyze)
+        except ValueError:
+            return  # documented: unsupported range field / bad bound
+        assert isinstance(p.terms, list)
+
+    @_SETTINGS
+    @given(st.text(alphabet="abcdef \"*^:-[]{}TO0123456789.", max_size=60))
+    def test_parse_grammar_chars(self, q):
+        try:
+            parse_query(q, _analyze)
+        except ValueError:
+            pass
+
+
+@pytest.fixture(scope="module")
+def prop_index(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("propidx")
+    corpus = generate_corpus(60, seed=13, mean_tokens=20)
+    pq.write_table(corpus, str(d / "c.parquet"), row_group_size=32)
+    build_index(str(d / "c.parquet"), str(d / "idx"),
+                config=IndexConfig(docs_per_range=64, block_size=16,
+                                   store_positions=True))
+    return str(d / "idx")
+
+
+class TestEngineRobustness:
+    @_SETTINGS
+    @given(st.text(alphabet="abcdefparse redmg \"*^:-[]{}TO019.", max_size=50))
+    def test_search_never_crashes(self, prop_index, q):
+        eng = SearchEngine(prop_index)
+        try:
+            t = eng.search(q, k=5, fl=["doc_id"])
+        except ValueError:
+            return
+        assert t.num_rows <= 5
