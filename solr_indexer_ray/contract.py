@@ -132,8 +132,21 @@ SQL_TOKS = (
 # ===================================================================== #
 # helpers
 # ===================================================================== #
+def _strip_md(t):
+    """Drop schema metadata: the driver testdata parquet carries a
+    pandas-metadata blob that makes pyarrow schemas unhashable, which
+    trips Ray's schema-dedup fast path into per-block warnings."""
+    return t.replace_schema_metadata(None)
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(
+        os.path.join(sf_dir, name), columns=columns
+    ).map_batches(_strip_md, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _documents(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _read(sf_dir, "documents.parquet")
 
 
 def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
@@ -780,7 +793,7 @@ def q_delete_by_query_remaining(sf_dir: str):
 # embeddings
 # ===================================================================== #
 def _embeddings(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _read(sf_dir, "embeddings.parquet")
 
 
 def q_ann_topk(sf_dir: str):
@@ -843,9 +856,7 @@ def q_parent_flags(sf_dir: str):
     """Broadcast semi-join (J2 analogue): customers having >=1 order."""
     import ray
 
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
-    )
+    orders = _read(sf_dir, "orders.parquet", columns=["o_custkey"])
     ref_keys = set()
     for b in orders.iter_batches(batch_format="pyarrow"):
         ref_keys.update(b["o_custkey"].to_pylist())
@@ -860,9 +871,7 @@ def q_parent_flags(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
-    ).map_batches(flag, batch_format="pyarrow")
+    return _read(sf_dir, "customer.parquet", columns=["c_custkey"]).map_batches(flag, batch_format="pyarrow")
 
 
 def q_unresolved_refs(sf_dir: str):
@@ -870,9 +879,7 @@ def q_unresolved_refs(sf_dir: str):
     customer row (unresolved parent warnings)."""
     import ray
 
-    cust = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
-    )
+    cust = _read(sf_dir, "customer.parquet", columns=["c_custkey"])
     have = set()
     for b in cust.iter_batches(batch_format="pyarrow"):
         have.update(b["c_custkey"].to_pylist())
@@ -886,9 +893,7 @@ def q_unresolved_refs(sf_dir: str):
         return pa.table({"o_custkey": pa.array(vals, pa.int64())})
 
     out = (
-        rd.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
-        )
+        _read(sf_dir, "orders.parquet", columns=["o_custkey"])
         .map_batches(missing, batch_format="pyarrow")
         .groupby("o_custkey")
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
@@ -906,11 +911,8 @@ def q_pricing_summary(sf_dir: str):
     Float sums rounded to 2 decimals (money) / 6 (ratios) on both sides."""
     from ray.data.aggregate import Count, Mean, Sum
 
-    li = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount"],
-    )
+    li = _read(sf_dir, "lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
     out = (
         li.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -945,10 +947,7 @@ def q_top_customers(sf_dir: str):
     from ray.data.aggregate import Sum
 
     spend = (
-        rd.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_custkey", "o_totalprice"],
-        )
+        _read(sf_dir, "orders.parquet", columns=["o_custkey", "o_totalprice"])
         .groupby("o_custkey")
         .aggregate(Sum("o_totalprice", alias_name="total_spend"))
     )
@@ -983,9 +982,7 @@ def q_events_props(sf_dir: str):
     parse the events ``props`` JSON string into a typed ``k`` column."""
     import json as _json
 
-    ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
-    )
+    ev = _read(sf_dir, "events.parquet", columns=["event_id", "props"])
 
     def flatten(batch: pa.Table) -> pa.Table:
         ks = []
@@ -1006,10 +1003,7 @@ def q_user_sessions(sf_dir: str):
     """Per-user chronological aggregate (M5/O1: per-row list sorted by
     time, earliest/latest picked from the ends — here per group):
     ``groupby(user_id).map_groups`` sorts each user's events by ts."""
-    ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "value"],
-    )
+    ev = _read(sf_dir, "events.parquet", columns=["user_id", "ts", "value"])
 
     def session(group) -> pa.Table:
         import pandas as pd  # noqa: F401
@@ -1036,9 +1030,7 @@ def q_session_windows(sf_dir: str):
     ts-sorted group, state = running gap comparison."""
     import pandas as pd
 
-    ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
+    ev = _read(sf_dir, "events.parquet", columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=30)
 
     def sessionize(group: pd.DataFrame) -> pd.DataFrame:
@@ -1055,7 +1047,12 @@ def q_session_windows(sf_dir: str):
             .reset_index()
         )
         out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        # metadata-free Arrow: schemas carrying the b'pandas' metadata
+        # blob are unhashable, which trips Ray's schema-dedup fast path
+        # into a per-block warning
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return ev.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
@@ -1066,10 +1063,7 @@ def q_events_window(sf_dir: str):
     groupby-window pattern applies)."""
     from ray.data.aggregate import Count, Sum
 
-    ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
+    ev = _read(sf_dir, "events.parquet", columns=["ts", "event_type", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         ws = pc.floor_temporal(batch["ts"], multiple=5, unit="minute")

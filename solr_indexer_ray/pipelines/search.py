@@ -1840,7 +1840,11 @@ class SortRangeTask(_MatchRangeTask):
             ascending=[a for _, a in self.keys] + [True],
             kind="mergesort", na_position="last",
         ).head(self.k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # metadata-free (an unhashable pandas-metadata schema trips Ray's
+        # schema-dedup warning)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
 
 class GroupRangeTask(_MatchRangeTask):
@@ -1873,7 +1877,9 @@ class GroupRangeTask(_MatchRangeTask):
             df.groupby(self.field, sort=False, dropna=False).cumcount()
             < self.group_limit
         ]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
 
 def stats_partitioned(index_dir: str, query: str, field: str) -> dict:
