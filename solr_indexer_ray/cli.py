@@ -184,6 +184,23 @@ def cmd_check(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_backup(args) -> int:
+    from solr_indexer_ray.pipelines.mutate import backup_index
+
+    _ensure_ray()  # fsck verification fans out per shard
+    print(json.dumps(backup_index(args.output, args.dest,
+                                  verify=not args.no_verify)))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    from solr_indexer_ray.pipelines.mutate import restore_index
+
+    print(json.dumps(restore_index(args.backup, args.output,
+                                   overwrite=args.overwrite)))
+    return 0
+
+
 def cmd_status(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
     from solr_indexer_ray.state.manifest import BuildManifest
@@ -276,6 +293,18 @@ def build_parser() -> argparse.ArgumentParser:
     pck.add_argument("-o", "--output", required=True)
     pck.set_defaults(fn=cmd_check)
 
+    pb = sub.add_parser("backup", help="snapshot a committed index")
+    pb.add_argument("-o", "--output", required=True, help="index directory")
+    pb.add_argument("--dest", required=True)
+    pb.add_argument("--no-verify", action="store_true")
+    pb.set_defaults(fn=cmd_backup)
+
+    pr = sub.add_parser("restore", help="restore an index backup")
+    pr.add_argument("--backup", required=True)
+    pr.add_argument("-o", "--output", required=True, help="index directory")
+    pr.add_argument("--overwrite", action="store_true")
+    pr.set_defaults(fn=cmd_restore)
+
     pst = sub.add_parser("status", help="index status / ping")
     pst.add_argument("-o", "--output", required=True)
     pst.set_defaults(fn=cmd_status)
@@ -286,7 +315,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
-    except (ValueError, FileNotFoundError, RuntimeError) as e:
+    except (ValueError, FileNotFoundError, FileExistsError, RuntimeError) as e:
         # user-facing errors (bad query syntax, missing/incompatible index,
         # unknown sort/facet field, locked index) print one line, no traceback
         print(f"error: {e}", file=sys.stderr)

@@ -379,3 +379,72 @@ def apply_upsert_semantics(index_dir: str, key_cols=("repo", "path")) -> dict:
     tombs = _read_tombstones(index_dir)
     _write_tombstones(index_dir, tombs | dead_ids)
     return {"shadowed": len(dead_ids)}
+# --------------------------------------------------------------------- #
+# backup / restore (Solr replication-handler backup analogue)
+# --------------------------------------------------------------------- #
+def backup_index(index_dir: str, dest: str, verify: bool = True) -> dict:
+    """Consistent snapshot of a committed index (Solr: replication handler
+    ``command=backup``).  Takes the build lock (no writer mutates files
+    mid-copy), optionally fsck-verifies first, copies atomically into
+    ``dest`` (tmp dir + rename), and stamps a backup manifest."""
+    import shutil
+    import time as _time
+
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    manifest = BuildManifest(index_dir)
+    if not manifest.is_committed():
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    manifest.acquire_lock()
+    try:
+        if verify:
+            from solr_indexer_ray.pipelines.fsck import check_index
+
+            res = check_index(index_dir)
+            if not res["ok"]:
+                raise RuntimeError(
+                    f"refusing to back up a corrupt index: {res['problems'][:3]}"
+                )
+        dest = os.fspath(dest)
+        if os.path.exists(dest):
+            raise FileExistsError(f"backup destination exists: {dest}")
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        shutil.copytree(
+            index_dir, tmp,
+            ignore=shutil.ignore_patterns(".build_lock", "*.tmp.*"),
+        )
+        stats = manifest.read_stats()
+        with open(os.path.join(tmp, "backup.json"), "w") as f:
+            json.dump(
+                {"source": os.path.abspath(index_dir),
+                 "n_docs": stats["n_docs"],
+                 "taken_at": _time.time()}, f,
+            )
+        os.replace(tmp, dest)
+        return {"dest": dest, "n_docs": int(stats["n_docs"])}
+    finally:
+        manifest.release_lock()
+
+
+def restore_index(backup_dir: str, index_dir: str,
+                  overwrite: bool = False) -> dict:
+    """Restore a backup into ``index_dir`` (Solr ``command=restore``)."""
+    import shutil
+
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    if not os.path.exists(os.path.join(backup_dir, "stats.json")):
+        raise FileNotFoundError(f"{backup_dir} is not an index backup")
+    if os.path.exists(index_dir):
+        if not overwrite:
+            raise FileExistsError(f"{index_dir} exists (use overwrite)")
+        shutil.rmtree(index_dir)
+    tmp = f"{os.fspath(index_dir)}.tmp.{os.getpid()}"
+    shutil.copytree(backup_dir, tmp)
+    for junk in ("backup.json",):
+        p = os.path.join(tmp, junk)
+        if os.path.exists(p):
+            os.unlink(p)
+    os.replace(tmp, index_dir)
+    stats = BuildManifest(index_dir).read_stats()
+    return {"index": os.fspath(index_dir), "n_docs": int(stats["n_docs"])}

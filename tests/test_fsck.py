@@ -72,3 +72,42 @@ class TestFsck:
         res = check_index(idx)
         assert not res["ok"] and any("unknown doc id" in p
                                      for p in res["problems"])
+
+
+class TestBackupRestore:
+    """Solr replication-handler backup/restore analogue."""
+
+    def test_roundtrip(self, tmp_path, ray_session):
+        from solr_indexer_ray.pipelines.mutate import (
+            backup_index,
+            restore_index,
+        )
+        from solr_indexer_ray.pipelines.search import SearchEngine
+
+        idx = _build(tmp_path, store_positions=True)
+        eng = SearchEngine(idx)
+        before = eng.search("def read", k=10, fl=["doc_id"])
+        res = backup_index(idx, str(tmp_path / "bak"))
+        assert res["n_docs"] == eng.n_docs
+        assert os.path.exists(str(tmp_path / "bak" / "backup.json"))
+
+        res2 = restore_index(str(tmp_path / "bak"), str(tmp_path / "idx2"))
+        eng2 = SearchEngine(str(tmp_path / "idx2"))
+        after = eng2.search("def read", k=10, fl=["doc_id"])
+        assert after.equals(before)
+        assert check_index(str(tmp_path / "idx2"))["ok"]
+
+    def test_refuses_corrupt_and_existing(self, tmp_path, ray_session):
+        from solr_indexer_ray.pipelines.mutate import backup_index
+
+        idx = _build(tmp_path)
+        stats = json.load(open(os.path.join(idx, "stats.json")))
+        stats["sum_dl"] += 1
+        json.dump(stats, open(os.path.join(idx, "stats.json"), "w"))
+        with pytest.raises(RuntimeError, match="corrupt"):
+            backup_index(idx, str(tmp_path / "bak"))
+        stats["sum_dl"] -= 1
+        json.dump(stats, open(os.path.join(idx, "stats.json"), "w"))
+        backup_index(idx, str(tmp_path / "bak"))
+        with pytest.raises(FileExistsError):
+            backup_index(idx, str(tmp_path / "bak"))
