@@ -1019,7 +1019,7 @@ class SearchEngine:
     # faceting (Solr field facets)
     # ------------------------------------------------------------------ #
     def facet(self, query: str, fields, limit: int = 100,
-              mincount: int = 0) -> dict:
+              mincount: int = 0, fq=None) -> dict:
         """Field facets over the FULL match set of ``query`` (Solr
         semantics: buckets ordered count desc then value asc;
         ``facet.limit`` / ``facet.mincount`` defaults 100 / 0 — with
@@ -1037,6 +1037,9 @@ class SearchEngine:
         shuffle).
         """
         ids = self.match_ids(query)
+        fqm = self._merge_fq_mask(None, fq)
+        if fqm is not None and ids.size:
+            ids = ids[~fqm[ids]]
         mask = np.zeros(self.doc_space, dtype=bool)
         mask[ids] = True
         out = {}
@@ -1117,13 +1120,16 @@ class SearchEngine:
         out.sort()
         return [(term, d, -negdf) for d, negdf, term in out[:count]]
 
-    def field_stats(self, query: str, field: str) -> dict:
+    def field_stats(self, query: str, field: str, fq=None) -> dict:
         """Solr stats component (``stats.field``) over the numeric
         ``doclen`` field or any stored field: min/max/sum/mean/count/
         missing of the FULL match set of ``query``."""
         if field not in STORED_FIELDS or field == "doc_id":
             raise ValueError(f"cannot compute stats on field {field!r}")
         ids = self.match_ids(query)
+        fqm = self._merge_fq_mask(None, fq)
+        if fqm is not None and ids.size:
+            ids = ids[~fqm[ids]]
         mask = np.zeros(self.doc_space, dtype=bool)
         mask[ids] = True
         t = self._docs_ds.to_table(columns=["doc_id", field])
@@ -1143,7 +1149,7 @@ class SearchEngine:
 
     def group_search(self, query: str, group_field: str,
                      k_groups: int = 10, group_limit: int = 1,
-                     round_scores: int | None = None) -> pa.Table:
+                     round_scores: int | None = None, fq=None) -> pa.Table:
         """Solr result grouping (``group=true&group.field=F``): the top
         ``k_groups`` groups ordered by their best document's relevance
         (Solr default ``group.sort=score desc``; ties by ascending doc id),
@@ -1158,7 +1164,7 @@ class SearchEngine:
         """
         if group_field not in STORED_FIELDS or group_field == "doc_id":
             raise ValueError(f"cannot group on field {group_field!r}")
-        full = self.search(query, k=self.doc_space, fl=["doc_id"])
+        full = self.search(query, k=self.doc_space, fl=["doc_id"], fq=fq)
         import pandas as pd
 
         df = pd.DataFrame(

@@ -95,3 +95,18 @@ def test_facet_respects_tombstones(tmp_path, ray_session):
     assert dict(after["lang"])["go"] == 0 and before["go"] > 0
     # distributed path partitions the tombstone set per range
     assert facet_partitioned(idx, "*:*", ["lang"]) == after
+
+
+def test_fq_applies_across_handlers(fidx):
+    """Solr fq restricts facet/group/stats exactly like an inline filter."""
+    idx, _ = fidx
+    eng = SearchEngine(idx)
+    assert eng.facet("def", ["repo"], fq="lang:python") == eng.facet(
+        "lang:python def", ["repo"]
+    )
+    a = eng.group_search("def", "repo", 5, 2, fq="lang:python")
+    b = eng.group_search("lang:python def", "repo", 5, 2)
+    assert a.equals(b)
+    assert eng.field_stats("def", "doclen", fq="lang:python") == (
+        eng.field_stats("lang:python def", "doclen")
+    )
