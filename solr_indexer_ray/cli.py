@@ -110,6 +110,7 @@ def cmd_search(args) -> int:
         facets = engine.facet(
             args.query, args.facet.split(","),
             limit=args.facet_limit, mincount=args.facet_mincount,
+            fq=args.fq,
         )
         print(json.dumps({"facets": facets}))
     print(f"# {t.num_rows} hits", file=sys.stderr)
