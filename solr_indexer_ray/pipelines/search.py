@@ -82,6 +82,20 @@ def _levenshtein_capped(a: str, b: str, cap: int) -> int:
     return prev[lb]
 
 
+def _select_topk(cand, s, k):
+    """Exact top-k with (-score, doc_id) tie-break: find the k-th score,
+    keep everything >= it (boundary ties resolved by doc_id, not by
+    argpartition's arbitrary choice), then lexsort."""
+    if cand.size > k:
+        kth = -np.partition(-s, k - 1)[k - 1]
+        idx = np.flatnonzero(s >= kth)
+        order = np.lexsort((cand[idx], -s[idx]))[:k]
+        sel = idx[order]
+    else:
+        sel = np.lexsort((cand, -s))
+    return [(int(cand[i]), float(s[i])) for i in sel]
+
+
 def _gather_segments(flat, starts, lengths):
     """Gather multiple [start, start+length) slices of ``flat`` into one
     array (vectorized multi-segment take — no per-segment Python loop)."""
@@ -582,6 +596,7 @@ class SearchEngine:
         start: int = 0,
         hl: bool = False,
         fq=None,
+        search_after=None,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -597,10 +612,22 @@ class SearchEngine:
         built with ``store_content=True``.  ``fq`` is Solr's filter-query
         list: each entry restricts the match set WITHOUT contributing to
         the score; its doc-set mask is cached per fq string across queries
-        (the filterCache analogue).
+        (the filterCache analogue).  ``search_after=(score, doc_id)`` is
+        cursor paging (Solr cursorMark / Lucene searchAfter): the k hits
+        strictly after that ranking position — O(k) per page instead of
+        ``start``'s O(start+k), the deep-paging form that scales.
+        Relevance ranking only (pass the previous page's last row).
         """
         if start < 0:
             raise ValueError("start must be >= 0")
+        if search_after is not None:
+            if sort is not None or start:
+                raise ValueError(
+                    "search_after composes with relevance ranking only "
+                    "(no sort/start)"
+                )
+            return self._search_after(query, k, fl, method, fq,
+                                      search_after, hl)
         parsed = parse_query(query, self.registry.analyzer_for(None))
         if hl and not self.stats.get("store_content"):
             raise ValueError(
@@ -776,7 +803,7 @@ class SearchEngine:
             tp.score_vec = w * self.scoring.impact(tp.tfs, K)
         return tp.score_vec
 
-    def _score_taat(self, parsed, postings, excluded, k):
+    def _score_taat(self, parsed, postings, excluded, k, after=None):
         scores = np.zeros(self.doc_space, dtype=np.float64)
         #: conjunction requires every DISTINCT query clause — including
         #: terms absent from the index (Lucene: AND with a non-existent
@@ -830,20 +857,39 @@ class SearchEngine:
             cand = np.flatnonzero(scores > 0.0)
         if excluded is not None:
             cand = cand[~excluded[cand]]
+        if after is not None:
+            # cursor paging: survivors strictly after (score, id) in
+            # (-score, id) ranking order
+            cs, cid = after
+            sa = scores[cand]
+            cand = cand[(sa < cs) | ((sa == cs) & (cand > cid))]
         if cand.size == 0:
             return []
-        s = scores[cand]
-        if cand.size > k:
-            # exact top-k with (-score, doc_id) tie-break: find the k-th
-            # score, keep everything >= it (so boundary ties are resolved by
-            # doc_id, not by argpartition's arbitrary choice), then lexsort
-            kth = -np.partition(-s, k - 1)[k - 1]
-            idx = np.flatnonzero(s >= kth)
-            order = np.lexsort((cand[idx], -s[idx]))[:k]
-            sel = idx[order]
+        return _select_topk(cand, scores[cand], k)
+
+    def _search_after(self, query, k, fl, method, fq, cursor, hl):
+        """Cursor paging (Solr cursorMark): score candidates once, keep
+        those strictly after ``(score, doc_id)`` in ranking order, take
+        top-k of the remainder."""
+        cs, cid = float(cursor[0]), int(cursor[1])
+        parsed = parse_query(query, self.registry.analyzer_for(None))
+        if hl and not self.stats.get("store_content"):
+            raise ValueError(
+                "highlighting needs stored content; rebuild with "
+                "IndexConfig(store_content=True)"
+            )
+        excluded = self._merge_fq_mask(self._excluded_mask(parsed), fq)
+        if not (parsed.terms or parsed.phrases or parsed.prefixes):
+            # match-all ranking is (score 0, ascending id): after-cursor
+            # means ids > cid
+            hits = self._match_all(parsed, excluded, self.doc_space)
+            hits = [(d, s) for d, s in hits if d > cid][:k]
         else:
-            sel = np.lexsort((cand, -s))
-        return [(int(cand[i]), float(s[i])) for i in sel]
+            postings = self.lookup_postings(parsed.terms)
+            hits = self._score_taat(parsed, postings, excluded, k=k,
+                                    after=(cs, cid))
+        t = self._resolve(hits, fl)
+        return self._add_highlights(parsed, t) if hl else t
 
     # -- Block-Max WAND ------------------------------------------------- #
     def _score_bmw(self, parsed, postings, excluded, k):

@@ -246,3 +246,31 @@ class TestFilterQueries:
         assert "lang:python" in eng._fq_cache
         eng.search("merge", k=3, fq="lang:python")  # hits the cache
         assert len(eng._fq_cache) == 1
+
+
+class TestCursorPaging:
+    """Solr cursorMark / Lucene searchAfter: O(k) deep pages that walk the
+    exact full ranking."""
+
+    @pytest.mark.parametrize("q", ["def read", "def", "*:*",
+                                   '"def index"', "pars*"])
+    def test_walks_full_ranking(self, sidx, q):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        full = eng.search(q, k=500, fl=["doc_id"])
+        paged, cursor = [], None
+        while True:
+            page = eng.search(q, k=7, fl=["doc_id"], search_after=cursor)
+            if page.num_rows == 0:
+                break
+            paged += page["doc_id"].to_pylist()
+            cursor = (page["score"][-1].as_py(), page["doc_id"][-1].as_py())
+        assert paged == full["doc_id"].to_pylist(), q
+
+    def test_rejects_sort_and_start(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        with pytest.raises(ValueError, match="search_after"):
+            eng.search("def", search_after=(1.0, 2), sort="doclen asc")
+        with pytest.raises(ValueError, match="search_after"):
+            eng.search("def", search_after=(1.0, 2), start=3)
