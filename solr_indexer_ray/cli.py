@@ -101,9 +101,13 @@ def cmd_search(args) -> int:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
                                 group_limit=args.group_limit)
     else:
+        cursor = None
+        if args.search_after:
+            cs, cid = args.search_after.split(",")
+            cursor = (float(cs), int(cid))
         t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
                           sort=args.sort, start=args.start, hl=args.hl,
-                          fq=args.fq)
+                          fq=args.fq, search_after=cursor)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet:
@@ -244,6 +248,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--start", type=int, default=0,
                     help="paging offset (Solr start)")
     ps.add_argument("--sort", help='Solr sort spec, e.g. "doclen desc"')
+    ps.add_argument("--search-after",
+                    help='cursor "score,doc_id" from the previous page')
     ps.add_argument("--fq", action="append",
                     help="filter query (repeatable; Solr fq)")
     ps.add_argument("--hl", action="store_true",
