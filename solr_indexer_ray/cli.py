@@ -189,6 +189,17 @@ def cmd_check(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_export(args) -> int:
+    from solr_indexer_ray.pipelines.search import export_matches
+
+    _ensure_ray()
+    print(json.dumps(export_matches(
+        args.output, args.query, args.dest,
+        fl=args.fl.split(",") if args.fl else None, fq=args.fq,
+    )))
+    return 0
+
+
 def cmd_backup(args) -> int:
     from solr_indexer_ray.pipelines.mutate import backup_index
 
@@ -299,6 +310,14 @@ def build_parser() -> argparse.ArgumentParser:
     pck = sub.add_parser("check", help="index integrity check (fsck)")
     pck.add_argument("-o", "--output", required=True)
     pck.set_defaults(fn=cmd_check)
+
+    pe = sub.add_parser("export", help="stream matching docs to parquet")
+    pe.add_argument("-o", "--output", required=True, help="index directory")
+    pe.add_argument("-q", "--query", required=True)
+    pe.add_argument("--dest", required=True)
+    pe.add_argument("--fl", help="comma-separated field projection")
+    pe.add_argument("--fq", action="append")
+    pe.set_defaults(fn=cmd_export)
 
     pb = sub.add_parser("backup", help="snapshot a committed index")
     pb.add_argument("-o", "--output", required=True, help="index directory")

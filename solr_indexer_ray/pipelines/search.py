@@ -1534,6 +1534,40 @@ class RangeScorer:
         return out_docs - lo, freqs.astype(np.float64)
 
 
+def export_matches(index_dir: str, query: str, dest: str, fl=None,
+                   fq=None) -> dict:
+    """Solr /export handler analogue: stream EVERY doc matching ``query``
+    into partitioned parquet at ``dest``.
+
+    The match set ships as a broadcast bitmap (``ray.put`` once — 1 bit
+    per doc-id slot, ~128 MB per 10^9 docs); each docs-table block filters
+    against it inside ``map_batches`` and the streaming executor writes
+    shards as they complete — no driver materialization, no shuffle.
+    """
+    import ray
+    import ray.data as rd
+
+    engine = SearchEngine(index_dir)
+    ids = engine.match_ids(query)
+    fqm = engine._merge_fq_mask(None, fq)
+    if fqm is not None and ids.size:
+        ids = ids[~fqm[ids]]
+    mask = np.zeros(engine.doc_space, dtype=bool)
+    mask[ids] = True
+    mask_ref = ray.put(mask)
+    columns = sorted(set(fl) | {"doc_id"}) if fl else None
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = ray.get(mask_ref)  # zero-copy view of the broadcast bitmap
+        return batch.filter(pa.array(m[batch["doc_id"].to_numpy()]))
+
+    ds = rd.read_parquet(
+        os.path.join(engine.index_dir, "docs"), columns=columns
+    ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    ds.write_parquet(dest)
+    return {"dest": os.fspath(dest), "n_docs": int(ids.size)}
+
+
 def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery):
     """Driver-side clause preparation shared by the distributed query and
     facet paths.

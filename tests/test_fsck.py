@@ -111,3 +111,26 @@ class TestBackupRestore:
         backup_index(idx, str(tmp_path / "bak"))
         with pytest.raises(FileExistsError):
             backup_index(idx, str(tmp_path / "bak"))
+
+
+def test_export_matches(tmp_path, ray_session):
+    """Solr /export: stream the FULL match set to partitioned parquet."""
+    import pyarrow.dataset as pads
+
+    from solr_indexer_ray.pipelines.search import SearchEngine, export_matches
+
+    idx = _build(tmp_path)
+    eng = SearchEngine(idx)
+    res = export_matches(idx, "lang:python def", str(tmp_path / "out"),
+                         fl=["doc_id", "path"])
+    expect = set(eng.match_ids("lang:python def").tolist())
+    assert res["n_docs"] == len(expect)
+    got = pads.dataset(str(tmp_path / "out")).to_table()
+    assert set(got["doc_id"].to_pylist()) == expect
+    assert set(got.column_names) == {"doc_id", "path"}
+    # fq restriction applies
+    res2 = export_matches(idx, "def", str(tmp_path / "out2"),
+                          fq="lang:python")
+    sub = set(eng.match_ids("lang:python def").tolist())
+    got2 = pads.dataset(str(tmp_path / "out2")).to_table()
+    assert set(got2["doc_id"].to_pylist()) == sub and res2["n_docs"] == len(sub)
