@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped": c.q_grouped,
         "suggest": c.q_suggest,
         "boosted_topk": c.q_boosted_topk,
+        "range_facets": c.q_range_facets,
+        "pivot_facets": c.q_pivot_facets,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         # per-row invariants / projections (§2.2-2.3)

@@ -79,6 +79,11 @@ TERMS_CASES = [("", 20, 1), ("s", 15, 1), ("wi", 10, 1), ("zz", 5, 1)]
 STATS_CASES = [("spark merge", "doclen"), ("*:*", "doclen"),
                ("lang:en win*", "doclen")]
 
+#: range-facet cases: (query, start, end, gap)
+RANGE_FACET_CASES = [("spark merge", 0, 500, 50), ("win*", 40, 240, 40)]
+#: pivot-facet cases: (query, f1, f2)
+PIVOT_CASES = [("spark merge", "lang", "repo"), ("window", "repo", "lang")]
+
 #: query-time boost cases (term^b, "phrase"^b, prefix*^b)
 BOOST_QUERIES = [
     "spark^2 merge",
@@ -773,6 +778,50 @@ def q_boosted_topk(sf_dir: str):
         schema=pa.schema(
             [("query", pa.string()), ("doc_id", pa.int64()),
              ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_range_facets(sf_dir: str):
+    """Solr facet.range histograms over doclen (zero buckets kept,
+    before/after counts)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, start, end, gap in RANGE_FACET_CASES:
+        res = engine.range_facet(q, "doclen", start, end, gap)
+        for lo, c in res["buckets"]:
+            rows.append({"case": f"{q}|{start}|{end}|{gap}",
+                         "bucket": lo, "count": c})
+        rows.append({"case": f"{q}|{start}|{end}|{gap}",
+                     "bucket": -1, "count": res["before"]})
+        rows.append({"case": f"{q}|{start}|{end}|{gap}",
+                     "bucket": -2, "count": res["after"]})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("case", pa.string()), ("bucket", pa.int64()),
+             ("count", pa.int64())]
+        ),
+    )
+
+
+def q_pivot_facets(sf_dir: str):
+    """Solr facet.pivot: two-level nested counts over the match set."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, f1, f2 in PIVOT_CASES:
+        for v1, v2, c in engine.pivot_facet(q, [f1, f2]):
+            rows.append({"case": f"{q}|{f1}|{f2}", "v1": str(v1),
+                         "v2": str(v2), "count": c})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("case", pa.string()), ("v1", pa.string()),
+             ("v2", pa.string()), ("count", pa.int64())]
         ),
     )
 

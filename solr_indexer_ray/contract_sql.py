@@ -23,6 +23,8 @@ from solr_indexer_ray.contract import (
     FACET_QUERIES,
     GROUP_CASES,
     PHRASE_QUERIES,
+    PIVOT_CASES,
+    RANGE_FACET_CASES,
     MLT_DOCS,
     MLT_PARAMS,
     RANGE_QUERIES,
@@ -627,6 +629,47 @@ SELECT '{w}' AS word, rank, term, distance, df FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def range_facets_sql() -> str:
+    blocks = []
+    for q, start, end, gap in RANGE_FACET_CASES:
+        case = f"{q}|{start}|{end}|{gap}".replace("'", "''")
+        n_buckets = (end - start + gap - 1) // gap
+        blocks.append(f"""
+SELECT '{case}' AS "case", bucket, count FROM (
+  SELECT b.bucket AS bucket, count(m.doc_id) AS count
+  FROM (SELECT {start} + {gap} * unnest(range({n_buckets})) AS bucket) b
+  LEFT JOIN (
+    SELECT dl.dl AS v, dl.doc_id FROM dl
+    JOIN ({_match_docs_sql(q)}) USING (doc_id)
+  ) m ON m.v >= b.bucket AND m.v < least(b.bucket + {gap}, {end})
+  GROUP BY b.bucket
+  UNION ALL
+  SELECT -1, count(*) FROM (
+    SELECT dl.dl AS v FROM dl JOIN ({_match_docs_sql(q)}) USING (doc_id)
+  ) WHERE v < {start}
+  UNION ALL
+  SELECT -2, count(*) FROM (
+    SELECT dl.dl AS v FROM dl JOIN ({_match_docs_sql(q)}) USING (doc_id)
+  ) WHERE v >= {end}
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
+def pivot_facets_sql() -> str:
+    blocks = []
+    for q, f1, f2 in PIVOT_CASES:
+        case = f"{q}|{f1}|{f2}".replace("'", "''")
+        c1 = _FACET_SRC[f1]
+        c2 = _FACET_SRC[f2]
+        blocks.append(f"""
+SELECT '{case}' AS "case", d.{c1} AS v1, d.{c2} AS v2,
+       count(*)::BIGINT AS count
+FROM documents d JOIN ({_match_docs_sql(q)}) m ON m.doc_id = d.doc_id
+GROUP BY 2, 3
+HAVING count(*) >= 1""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 # --------------------------------------------------------------------- #
 # text / stats / dedup
 # --------------------------------------------------------------------- #
@@ -858,6 +901,8 @@ def oracle_sql_dict() -> dict:
         "grouped": grouped_sql(),
         "suggest": suggest_sql(),
         "boosted_topk": boosted_topk_sql(),
+        "range_facets": range_facets_sql(),
+        "pivot_facets": pivot_facets_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

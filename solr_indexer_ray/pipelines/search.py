@@ -1034,6 +1034,67 @@ class SearchEngine:
                     )
         return self._overlays
 
+    def range_facet(self, query: str, field: str, start: int, end: int,
+                    gap: int, fq=None) -> dict:
+        """Solr ``facet.range``: histogram buckets ``[start+i·gap,
+        start+(i+1)·gap)`` over the numeric ``field`` of the FULL match
+        set, plus ``before``/``after`` counts (``facet.range.other=all``).
+        Every bucket in [start, end) is emitted, zero counts included."""
+        if field != "doclen":
+            raise ValueError("range facets support the numeric doclen field")
+        if gap <= 0 or end <= start:
+            raise ValueError("need gap > 0 and end > start")
+        ids = self.match_ids(query)
+        fqm = self._merge_fq_mask(None, fq)
+        if fqm is not None and ids.size:
+            ids = ids[~fqm[ids]]
+        mask = np.zeros(self.doc_space, dtype=bool)
+        mask[ids] = True
+        t = self._docs_ds.to_table(columns=["doc_id", field])
+        vals = t[field].to_numpy()[mask[t["doc_id"].to_numpy()]]
+        n_buckets = (end - start + gap - 1) // gap
+        idx = (vals - start) // gap
+        inside = (idx >= 0) & (idx < n_buckets) & (vals < end)
+        counts = np.bincount(idx[inside].astype(np.int64),
+                             minlength=n_buckets)
+        return {
+            "buckets": [
+                (int(start + i * gap), int(counts[i]))
+                for i in range(n_buckets)
+            ],
+            "before": int((vals < start).sum()),
+            "after": int((vals >= end).sum()),
+        }
+
+    def pivot_facet(self, query: str, fields, mincount: int = 1,
+                    fq=None) -> list:
+        """Solr ``facet.pivot=f1,f2``: nested value counts over the match
+        set, flattened to ``(v1, v2, count)`` rows ordered count desc then
+        values asc (two-level pivots; Solr's common case)."""
+        if len(fields) != 2:
+            raise ValueError("pivot_facet supports exactly two fields")
+        for f in fields:
+            if f not in STORED_FIELDS or f == "doc_id":
+                raise ValueError(f"cannot pivot on field {f!r}")
+        ids = self.match_ids(query)
+        fqm = self._merge_fq_mask(None, fq)
+        if fqm is not None and ids.size:
+            ids = ids[~fqm[ids]]
+        mask = np.zeros(self.doc_space, dtype=bool)
+        mask[ids] = True
+        t = self._docs_ds.to_table(columns=["doc_id", *fields])
+        t = t.filter(pa.array(mask[t["doc_id"].to_numpy()]))
+        agg = pa.TableGroupBy(t, list(fields)).aggregate([("doc_id", "count")])
+        rows = sorted(
+            zip(
+                agg[fields[0]].to_pylist(),
+                agg[fields[1]].to_pylist(),
+                agg["doc_id_count"].to_pylist(),
+            ),
+            key=lambda r: (-r[2], r[0], r[1]),
+        )
+        return [(a, b, int(c)) for a, b, c in rows if c >= mincount]
+
     def match_ids(self, query: str) -> np.ndarray:
         """ALL doc ids matching a query (no top-k) — delete-by-query and
         faceting both consume the full match set.  Same clause semantics as

@@ -110,3 +110,41 @@ def test_fq_applies_across_handlers(fidx):
     assert eng.field_stats("def", "doclen", fq="lang:python") == (
         eng.field_stats("lang:python def", "doclen")
     )
+
+
+class TestRangeAndPivotFacets:
+    def test_range_facet_histogram(self, fidx):
+        idx, corpus = fidx
+        eng = SearchEngine(idx)
+        oracle = BruteForceBM25(corpus)
+        hits = {d for d, _ in oracle.search("def", k=10**9)}
+        dls = [len(oracle.tokens[i]) for i in sorted(hits)]
+        res = eng.range_facet("def", "doclen", 0, 100, 20)
+        assert len(res["buckets"]) == 5
+        for lo, c in res["buckets"]:
+            assert c == sum(1 for v in dls if lo <= v < min(lo + 20, 100)), lo
+        assert res["before"] == sum(1 for v in dls if v < 0)
+        assert res["after"] == sum(1 for v in dls if v >= 100)
+        assert sum(c for _, c in res["buckets"]) + res["after"] + res[
+            "before"
+        ] == len(dls)
+
+    def test_range_facet_validation(self, fidx):
+        idx, _ = fidx
+        eng = SearchEngine(idx)
+        with pytest.raises(ValueError):
+            eng.range_facet("def", "lang", 0, 10, 2)
+        with pytest.raises(ValueError):
+            eng.range_facet("def", "doclen", 10, 0, 2)
+
+    def test_pivot_matches_flat_facets(self, fidx):
+        idx, corpus = fidx
+        eng = SearchEngine(idx)
+        rows = eng.pivot_facet("def", ["lang", "repo"])
+        # level-1 rollup == plain facet counts (mincount=1)
+        roll: dict = {}
+        for v1, _, c in rows:
+            roll[v1] = roll.get(v1, 0) + c
+        assert roll == dict(eng.facet("def", ["lang"], mincount=1)["lang"])
+        keys = [(-c, a, b) for a, b, c in rows]
+        assert keys == sorted(keys)
