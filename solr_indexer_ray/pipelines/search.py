@@ -139,11 +139,20 @@ def _phrase_freqs(docs, segments, phrase):
     for t, (flat, lengths) in segments.items():
         docidx = np.repeat(np.arange(n, dtype=np.int64), lengths)
         keys[t] = docidx * stride + flat  # ascending (docs asc, pos asc)
-    cand = keys[phrase[0]]
-    for off, t in enumerate(phrase[1:], 1):
-        cand = cand[_sorted_isin(cand + off, keys[t])]
+    # anchor on the member with the FEWEST occurrences so the candidate
+    # set is smallest from the start (checks at other offsets only ever
+    # shrink it); offsets are taken relative to the anchor, and the
+    # per-doc phrase count is offset-invariant.
+    order = sorted(range(len(phrase)), key=lambda i: keys[phrase[i]].size)
+    a = order[0]
+    cand = keys[phrase[a]]
+    for i in order[1:]:
+        cand = cand[_sorted_isin(cand + (i - a), keys[phrase[i]])]
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
+    # guard: a start near the doc boundary could only false-positive if
+    # key arithmetic crossed into the next doc — impossible because
+    # stride > max_position + len(phrase) + 1
     freqs = np.bincount(cand // stride, minlength=n)
     mask = freqs > 0
     return docs[mask], freqs[mask].astype(np.int64)
