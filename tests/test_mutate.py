@@ -232,3 +232,70 @@ class TestBuildLock:
         stats = build_index(str(tmp_path / "c.parquet"), idx, config=cfg)
         assert stats["n_docs"] == corpus.num_rows
         assert not os.path.exists(m.lock_path())  # released after commit
+
+
+class TestRealKillResume:
+    def test_sigkill_mid_build_then_resume(self, tmp_path):
+        """A real process killed with SIGKILL mid-build leaves a partial
+        checkpoint; resuming produces an index identical to a clean build
+        (north rule: interrupted runs resume without recomputing completed
+        segments)."""
+        import signal
+        import subprocess
+        import sys
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.sources.corpus import generate_corpus
+
+        corpus = generate_corpus(400, seed=21, mean_tokens=60,
+                                 with_edge_rows=False)
+        path = str(tmp_path / "c.parquet")
+        pq.write_table(corpus, path, row_group_size=25)  # 16 units
+        idx = str(tmp_path / "idx")
+
+        script = f"""
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.pipelines.build import build_index
+build_index({path!r}, {idx!r},
+            config=IndexConfig(docs_per_range=64, block_size=16))
+"""
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        # kill as soon as some (but likely not all) units are checkpointed
+        deadline = _time.time() + 120
+        manifest_dir = os.path.join(idx, "_manifest")
+        while _time.time() < deadline and proc.poll() is None:
+            done = (
+                len([f for f in os.listdir(manifest_dir)
+                     if f.startswith("unit-")])
+                if os.path.isdir(manifest_dir) else 0
+            )
+            if done >= 2:
+                proc.send_signal(signal.SIGKILL)
+                break
+            _time.sleep(0.02)
+        proc.wait()
+
+        # resume in-process (steals the dead pid's lock) and compare with a
+        # clean build on the side
+        from solr_indexer_ray.config import IndexConfig
+        from solr_indexer_ray.pipelines.build import build_index
+        from solr_indexer_ray.pipelines.search import SearchEngine
+
+        cfg = IndexConfig(docs_per_range=64, block_size=16)
+        stats = build_index(path, idx, config=cfg)
+        clean = str(tmp_path / "clean")
+        stats2 = build_index(path, clean, config=cfg)
+        for key in ("n_docs", "sum_dl", "avgdl", "n_term_rows"):
+            assert stats[key] == stats2[key], key
+        a = SearchEngine(idx).search("def index merge", k=20, fl=["doc_id"])
+        b = SearchEngine(clean).search("def index merge", k=20, fl=["doc_id"])
+        assert a.equals(b)
