@@ -1604,6 +1604,124 @@ class RangeScorer:
         return out_docs - lo, freqs.astype(np.float64)
 
 
+def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
+    """Distributed search across MULTIPLE independent indexes — Solr's
+    ``shards=`` multi-core search with **exact global statistics**
+    (ExactStatsCache): N, avgdl and every term's df are merged across
+    shards before scoring, so scores equal a single index over the union
+    corpus (Solr's default per-shard IDF skew does not occur).
+
+    Returns ``(shard, doc_id, score)`` rows — doc ids are shard-local
+    (Solr returns per-core ids + shard address the same way).  Supports
+    terms/phrases/prefixes with boosts, filters, prohibitions and range
+    filters; ties break by (shard, doc_id) ascending.
+    """
+    engines = [SearchEngine(d) for d in index_dirs]
+    pins = {
+        (e.stats.get("analyzer_default"),
+         tuple(sorted((e.stats.get("analyzer_lang_map") or {}).items())),
+         e.k1, e.b)
+        for e in engines
+    }
+    if len(pins) != 1:
+        raise ValueError("shards disagree on analyzer/BM25 pins")
+    e0 = engines[0]
+    parsed = parse_query(query, e0.registry.analyzer_for(None))
+
+    # ---- exact global stats (the ExactStatsCache exchange) --------------
+    n_global = sum(e.n_docs for e in engines)
+    sum_dl = sum(int(e.stats["sum_dl"]) for e in engines)
+    avgdl = (sum_dl / n_global) if n_global else 0.0
+    per_shard = [e.lookup_postings(parsed.terms) for e in engines]
+    terms = sorted({t for p in per_shard for t in p})
+    df_global = {
+        t: sum(p[t].df for p in per_shard if t in p) for t in terms
+    }
+
+    def idf(df):
+        return math.log(1.0 + (n_global - df + 0.5) / (df + 0.5))
+
+    # phrase member dfs, merged once across shards (same exchange)
+    member_terms = sorted({t for ph in parsed.phrases for t in ph})
+    member_shard = [e.lookup_postings(member_terms) for e in engines]
+    mdf_global = {
+        t: sum(p[t].df for p in member_shard if t in p)
+        for t in member_terms
+    }
+
+    required = (
+        len(set(parsed.terms)) + len(parsed.phrases) + len(parsed.prefixes)
+        if parsed.conjunctive else 1
+    )
+    hits = []
+    for si, e in enumerate(engines):
+        scores = np.zeros(e.doc_space, dtype=np.float64)
+        seen = (
+            np.zeros(e.doc_space, dtype=np.int32)
+            if parsed.conjunctive else None
+        )
+        K_cache: dict = {}
+
+        def K_of(eng, ids):
+            dl = DECODE_TABLE[eng.norms[ids]]
+            return eng.k1 * (1.0 - eng.b + eng.b * dl / avgdl)
+
+        for t in terms:
+            tp = per_shard[si].get(t)
+            if tp is None:
+                continue
+            w = idf(df_global[t])
+            b = parsed.boosts.get(t)
+            if b is not None:
+                w *= b
+            scores[tp.doc_ids] += w * (
+                tp.tfs / (tp.tfs + K_of(e, tp.doc_ids))
+            )
+            if seen is not None:
+                seen[tp.doc_ids] += 1
+        for ph in sorted(map(tuple, parsed.phrases)):
+            # per-shard positional match; weight from GLOBAL member dfs
+            if any(mdf_global.get(t, 0) == 0 for t in ph):
+                continue  # a member absent everywhere: unmatchable
+            w = float(sum(idf(mdf_global[t]) for t in ph))
+            b = parsed.phrase_boosts.get(ph)
+            if b is not None:
+                w *= b
+            docs, freqs, _ = e.eval_phrase(list(ph))
+            if docs.size:
+                scores[docs] += w * (
+                    freqs.astype(np.float64)
+                    / (freqs + K_of(e, docs))
+                )
+                if seen is not None:
+                    seen[docs] += 1
+        for pre in sorted(parsed.prefixes):
+            docs = e.eval_prefix(pre)
+            if docs.size:
+                scores[docs] += parsed.prefix_boosts.get(pre, 1.0)
+                if seen is not None:
+                    seen[docs] += 1
+        cand = (
+            np.flatnonzero(seen >= required)
+            if seen is not None else np.flatnonzero(scores > 0.0)
+        )
+        excluded = e._excluded_mask(parsed)
+        if excluded is not None and cand.size:
+            cand = cand[~excluded[cand]]
+        for d, s in _select_topk(cand, scores[cand], k):
+            hits.append((si, d, s))
+
+    hits.sort(key=lambda h: (-h[2], h[0], h[1]))
+    top = hits[:k]
+    return pa.table(
+        {
+            "shard": pa.array([h[0] for h in top], pa.int64()),
+            "doc_id": pa.array([h[1] for h in top], pa.int64()),
+            "score": pa.array([h[2] for h in top], pa.float64()),
+        }
+    )
+
+
 def export_matches(index_dir: str, query: str, dest: str, fl=None,
                    fq=None) -> dict:
     """Solr /export handler analogue: stream EVERY doc matching ``query``

@@ -1,0 +1,74 @@
+"""Multi-shard federated search (Solr shards= + ExactStatsCache): N,
+avgdl and term dfs merged across independent indexes before scoring, so
+results equal a single index over the union corpus."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from solr_indexer_ray.config import IndexConfig
+from solr_indexer_ray.pipelines.build import build_index
+from solr_indexer_ray.pipelines.search import SearchEngine, search_sharded
+from solr_indexer_ray.sources.corpus import generate_corpus
+
+SPLIT = 120
+QUERIES = ["read merge", "def AND read", '"def index"', "pars* read",
+           "read^2 -lang:go", "lang:python read", "doclen:[30 TO 90] read",
+           "zzqq"]
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("shards")
+    full = generate_corpus(200, seed=11, mean_tokens=40,
+                           with_edge_rows=False)
+    cfg = IndexConfig(docs_per_range=64, block_size=16, store_positions=True)
+    pq.write_table(full, str(d / "all.parquet"), row_group_size=32)
+    pq.write_table(full.slice(0, SPLIT), str(d / "a.parquet"),
+                   row_group_size=32)
+    pq.write_table(full.slice(SPLIT), str(d / "b.parquet"),
+                   row_group_size=32)
+    build_index(str(d / "all.parquet"), str(d / "idx_all"), config=cfg)
+    build_index(str(d / "a.parquet"), str(d / "idx_a"), config=cfg)
+    build_index(str(d / "b.parquet"), str(d / "idx_b"), config=cfg)
+    return str(d)
+
+
+def to_global(shard_col, id_col):
+    return [i + (0 if s == 0 else SPLIT) for s, i in zip(shard_col, id_col)]
+
+
+class TestShardedSearch:
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_equals_union_index(self, shards, q):
+        single = SearchEngine(f"{shards}/idx_all")
+        exp = single.search(q, k=12, fl=["doc_id"])
+        got = search_sharded([f"{shards}/idx_a", f"{shards}/idx_b"], q, k=12)
+        assert to_global(got["shard"].to_pylist(),
+                         got["doc_id"].to_pylist()) == (
+            exp["doc_id"].to_pylist()
+        ), q
+        assert np.allclose(got["score"].to_pylist(),
+                           exp["score"].to_pylist(), rtol=1e-12), q
+
+    def test_rejects_mismatched_pins(self, shards, tmp_path):
+        corpus = generate_corpus(30, seed=3, mean_tokens=15)
+        pq.write_table(corpus, str(tmp_path / "c.parquet"))
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "idx"),
+                    config=IndexConfig(docs_per_range=64, block_size=16,
+                                       k1=0.9))
+        with pytest.raises(ValueError, match="pins"):
+            search_sharded([f"{shards}/idx_a", str(tmp_path / "idx")], "def")
+
+    def test_shard_deletes_respected(self, shards):
+        from solr_indexer_ray.pipelines import mutate
+
+        got = search_sharded([f"{shards}/idx_a", f"{shards}/idx_b"],
+                             "read merge", k=5)
+        victim = (int(got["shard"][0].as_py()), int(got["doc_id"][0].as_py()))
+        idx = f"{shards}/idx_a" if victim[0] == 0 else f"{shards}/idx_b"
+        mutate.delete_by_id(idx, [victim[1]])
+        got2 = search_sharded([f"{shards}/idx_a", f"{shards}/idx_b"],
+                              "read merge", k=5)
+        assert (int(got2["shard"][0].as_py()),
+                int(got2["doc_id"][0].as_py())) != victim
