@@ -93,6 +93,10 @@ BOOST_QUERIES = [
     "spark^2 merge^2 the^0.1",
 ]
 
+#: sharded-search cases (federated over two half-corpus indexes)
+SHARD_QUERIES = ["spark merge", "sort AND merge", '"sort merge" window',
+                 "win* batch", "spark^2 the"]
+
 #: spellcheck cases (misspelled words over the documents vocabulary)
 SUGGEST_WORDS = ["spak", "merg", "windwo", "batsh", "qzqzqz"]
 
@@ -822,6 +826,73 @@ def q_pivot_facets(sf_dir: str):
         schema=pa.schema(
             [("case", pa.string()), ("v1", pa.string()),
              ("v2", pa.string()), ("count", pa.int64())]
+        ),
+    )
+
+
+def _shard_indexes(sf_dir: str):
+    """Two half-corpus indexes for the federated-search contract (cached
+    like _bm25_index; same analyzer pins)."""
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.sources.corpus import documents_to_corpus_table
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    os.makedirs(work, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    half = docs.num_rows // 2
+    dirs = []
+    for i, sl in enumerate((docs.slice(0, half), docs.slice(half))):
+        corpus_path = os.path.join(work, f"shard{i}.parquet")
+        idx = os.path.join(work, f"index_shard{i}")
+        if not BuildManifest(idx).is_committed():
+            pq.write_table(documents_to_corpus_table(sl), corpus_path,
+                           row_group_size=4096)
+            build_index(
+                corpus_path, idx,
+                config=IndexConfig(concurrency=2, store_positions=True),
+                registry=AnalyzerRegistry("simple", overrides={}),
+                overwrite=True,
+            )
+        dirs.append(idx)
+    return dirs, half
+
+
+def q_sharded_topk(sf_dir: str):
+    """Federated search over two half-corpus shard indexes with exact
+    global stats — results must equal a single index over the union, so
+    the plain full-corpus DuckDB BM25 oracle applies (shard-local ids are
+    mapped back to global doc ids)."""
+    from solr_indexer_ray.pipelines.search import search_sharded
+
+    dirs, half = _shard_indexes(sf_dir)
+    rows = []
+    for q in SHARD_QUERIES:
+        t = search_sharded(dirs, q, k=BM25_K)
+        ids = np.asarray(
+            [d + (0 if s == 0 else half)
+             for s, d in zip(t["shard"].to_pylist(),
+                             t["doc_id"].to_pylist())],
+            dtype=np.int64,
+        )
+        scores = _round_half_away(
+            np.asarray(t["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))  # re-rank on rounded scores
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
         ),
     )
 

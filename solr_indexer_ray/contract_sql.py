@@ -25,6 +25,7 @@ from solr_indexer_ray.contract import (
     PHRASE_QUERIES,
     PIVOT_CASES,
     RANGE_FACET_CASES,
+    SHARD_QUERIES,
     MLT_DOCS,
     MLT_PARAMS,
     RANGE_QUERIES,
@@ -339,6 +340,13 @@ def range_topk_sql() -> str:
 def boosted_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in BOOST_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
+def sharded_topk_sql() -> str:
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in SHARD_QUERIES
     )
     return _BM25_CTES + blocks
 
@@ -903,6 +911,7 @@ def oracle_sql_dict() -> dict:
         "boosted_topk": boosted_topk_sql(),
         "range_facets": range_facets_sql(),
         "pivot_facets": pivot_facets_sql(),
+        "sharded_topk": sharded_topk_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,
