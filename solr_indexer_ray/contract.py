@@ -870,10 +870,16 @@ def q_sharded_topk(sf_dir: str):
     mapped back to global doc ids)."""
     from solr_indexer_ray.pipelines.search import search_sharded
 
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
     dirs, half = _shard_indexes(sf_dir)
+    n_total = sum(SearchEngine(d).n_docs for d in dirs)
     rows = []
     for q in SHARD_QUERIES:
-        t = search_sharded(dirs, q, k=BM25_K)
+        # full ranking, then round and re-rank — the k-th-place rounded
+        # tie-break must see every candidate (same discipline as
+        # q_bm25_topk)
+        t = search_sharded(dirs, q, k=n_total)
         ids = np.asarray(
             [d + (0 if s == 0 else half)
              for s, d in zip(t["shard"].to_pylist(),
@@ -883,7 +889,7 @@ def q_sharded_topk(sf_dir: str):
         scores = _round_half_away(
             np.asarray(t["score"].to_pylist(), dtype=np.float64), 4
         )
-        order = np.lexsort((ids, -scores))  # re-rank on rounded scores
+        order = np.lexsort((ids, -scores))[:BM25_K]
         for i in order:
             rows.append(
                 {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
