@@ -700,6 +700,7 @@ def _build_index_locked(input_paths, index_dir, config, registry,
         "block_size": config.block_size,
         "store_positions": bool(config.store_positions),
         "compression": config.compression,
+        "generation": 1,  # Solr commit generation; bumped by every commit
         "store_content": bool(config.store_content),
         "k1": config.k1,
         "b": config.b,
@@ -839,6 +840,7 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
 
     stats = dict(
         old,
+        generation=int(old.get("generation", 1)) + 1,
         n_docs=n_docs,
         n_failed=int(old.get("n_failed", 0)) + new_failed,
         doc_id_space=base + sum(u.num_rows for u in units),

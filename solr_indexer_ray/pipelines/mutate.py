@@ -338,6 +338,7 @@ def _compact_locked(index_dir: str, manifest) -> dict:
 
     new_stats = dict(
         stats,
+        generation=int(stats.get("generation", 1)) + 1,
         n_docs=int(n_docs),
         sum_dl=int(sum_dl),
         avgdl=(float(sum_dl) / n_docs) if n_docs else 0.0,

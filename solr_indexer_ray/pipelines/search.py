@@ -322,6 +322,31 @@ class SearchEngine:
         self._mask_cache = {}
         self._fq_cache = {}
 
+    def refresh(self) -> bool:
+        """Reopen the searcher (Solr: openSearcher after a commit): re-read
+        the committed stats and drop every cache if the index generation
+        moved.  Returns True when a newer commit was picked up — the
+        long-lived-actor pattern (BatchSearcher) calls this between
+        batches instead of constructing a new engine."""
+        new_stats = self.manifest.read_stats()
+        if int(new_stats.get("generation", 1)) == int(
+            self.stats.get("generation", 1)
+        ) and new_stats.get("n_docs") == self.stats.get("n_docs"):
+            return False
+        self.stats = new_stats
+        self.n_docs = int(new_stats["n_docs"])
+        self.doc_space = int(new_stats.get("doc_id_space", self.n_docs))
+        self.avgdl = float(new_stats["avgdl"])
+        self._postings_ds = pads.dataset(
+            os.path.join(self.index_dir, "postings"), partitioning="hive"
+        )
+        self._docs_ds = pads.dataset(os.path.join(self.index_dir, "docs"))
+        self._norms = None
+        self._present = None
+        self._term_cache = {}
+        self.invalidate_caches()
+        return True
+
     # ------------------------------------------------------------------ #
     # postings access
     # ------------------------------------------------------------------ #

@@ -146,6 +146,7 @@ class BuildManifest:
         stats = self.read_stats() if self.is_committed() else {}
         return {
             "committed": self.is_committed(),
+            "generation": stats.get("generation", 1) if stats else None,
             "units_complete": len(units),
             "n_docs": stats.get("n_docs"),
             "n_terms": stats.get("n_terms"),

@@ -108,3 +108,41 @@ class TestExtend:
         _, _, path_b, _ = split_corpora
         with pytest.raises(FileNotFoundError):
             extend_index(path_b, str(tmp_path / "nope"), config=CFG)
+
+
+def test_generation_and_refresh(tmp_path, ray_session):
+    """Commit generation bumps on extend/compact; SearchEngine.refresh
+    reopens the searcher onto the new commit (Solr openSearcher)."""
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.pipelines import mutate
+    from solr_indexer_ray.pipelines.build import build_index, extend_index
+    from solr_indexer_ray.pipelines.search import SearchEngine
+    from solr_indexer_ray.sources.corpus import generate_corpus
+
+    full = generate_corpus(120, seed=8, mean_tokens=25, with_edge_rows=False)
+    pq.write_table(full.slice(0, 80), str(tmp_path / "a.parquet"),
+                   row_group_size=32)
+    pq.write_table(full.slice(80), str(tmp_path / "b.parquet"))
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(docs_per_range=64, block_size=16)
+    s1 = build_index(str(tmp_path / "a.parquet"), idx, config=cfg)
+    assert s1["generation"] == 1
+
+    eng = SearchEngine(idx)
+    n_before = eng.count()
+    assert eng.refresh() is False  # nothing new
+
+    s2 = extend_index(str(tmp_path / "b.parquet"), idx, config=cfg)
+    assert s2["generation"] == 2
+    # stale searcher still sees the old commit until refresh
+    assert eng.count() == n_before
+    assert eng.refresh() is True
+    assert eng.count() == s2["n_docs"]
+    assert eng.search("*:*", k=10**6).num_rows == s2["n_docs"]
+
+    mutate.delete_by_id(idx, [0])
+    res = mutate.compact_index(idx)
+    assert res["stats"]["generation"] == 3
+    assert eng.refresh() is True
+    assert eng.count() == s2["n_docs"] - 1
