@@ -97,7 +97,12 @@ def cmd_search(args) -> int:
 
     engine = SearchEngine(args.output)
     fl = args.fl.split(",") if args.fl else None
-    if args.group:
+    if args.shards:
+        from solr_indexer_ray.pipelines.search import search_sharded
+
+        dirs = [args.output, *args.shards.split(",")]
+        t = search_sharded(dirs, args.query, k=args.k)
+    elif args.group:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
                                 group_limit=args.group_limit)
     else:
@@ -259,6 +264,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--start", type=int, default=0,
                     help="paging offset (Solr start)")
     ps.add_argument("--sort", help='Solr sort spec, e.g. "doclen desc"')
+    ps.add_argument("--shards",
+                    help="comma-separated additional shard index dirs "
+                         "(federated search with exact global stats)")
     ps.add_argument("--search-after",
                     help='cursor "score,doc_id" from the previous page')
     ps.add_argument("--fq", action="append",
