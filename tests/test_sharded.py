@@ -72,3 +72,32 @@ class TestShardedSearch:
                               "read merge", k=5)
         assert (int(got2["shard"][0].as_py()),
                 int(got2["doc_id"][0].as_py())) != victim
+
+
+def test_randomized_sharded_identity(shards, ray_session):
+    """Randomized grammar over the shard pair must match the union index
+    (sharded analogue of the randomized identity sweep)."""
+    import numpy as np
+
+    from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+    from tests.test_randomized_identity import random_queries
+
+    single = SearchEngine(f"{shards}/idx_all")
+    corpus = generate_corpus(200, seed=11, mean_tokens=40,
+                             with_edge_rows=False)
+    import pyarrow as pa
+
+    oracle = BruteForceBM25(
+        corpus.append_column("doc_id", pa.array(range(200), pa.int64()))
+    )
+    rng = np.random.default_rng(5)
+    vocab = sorted(oracle.df)[:150] + ["notaterm"]
+    for q in random_queries(rng, vocab, 15, oracle=oracle):
+        exp = single.search(q, k=10, fl=["doc_id"])
+        got = search_sharded([f"{shards}/idx_a", f"{shards}/idx_b"], q, k=10)
+        assert to_global(got["shard"].to_pylist(),
+                         got["doc_id"].to_pylist()) == (
+            exp["doc_id"].to_pylist()
+        ), q
+        assert np.allclose(got["score"].to_pylist(),
+                           exp["score"].to_pylist(), rtol=1e-12), q
