@@ -60,16 +60,19 @@ class TestShardedSearch:
         with pytest.raises(ValueError, match="pins"):
             search_sharded([f"{shards}/idx_a", str(tmp_path / "idx")], "def")
 
-    def test_shard_deletes_respected(self, shards):
+    def test_shard_deletes_respected(self, shards, tmp_path):
+        import shutil
+
         from solr_indexer_ray.pipelines import mutate
 
-        got = search_sharded([f"{shards}/idx_a", f"{shards}/idx_b"],
-                             "read merge", k=5)
+        # copies: the module fixture must stay pristine for other tests
+        ca, cb = str(tmp_path / "ia"), str(tmp_path / "ib")
+        shutil.copytree(f"{shards}/idx_a", ca)
+        shutil.copytree(f"{shards}/idx_b", cb)
+        got = search_sharded([ca, cb], "read merge", k=5)
         victim = (int(got["shard"][0].as_py()), int(got["doc_id"][0].as_py()))
-        idx = f"{shards}/idx_a" if victim[0] == 0 else f"{shards}/idx_b"
-        mutate.delete_by_id(idx, [victim[1]])
-        got2 = search_sharded([f"{shards}/idx_a", f"{shards}/idx_b"],
-                              "read merge", k=5)
+        mutate.delete_by_id(ca if victim[0] == 0 else cb, [victim[1]])
+        got2 = search_sharded([ca, cb], "read merge", k=5)
         assert (int(got2["shard"][0].as_py()),
                 int(got2["doc_id"][0].as_py())) != victim
 
