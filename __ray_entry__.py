@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_facets": c.q_range_facets,
         "pivot_facets": c.q_pivot_facets,
         "sharded_topk": c.q_sharded_topk,
+        "synonym_topk": c.q_synonym_topk,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         # per-row invariants / projections (§2.2-2.3)

@@ -93,6 +93,11 @@ BOOST_QUERIES = [
     "spark^2 merge^2 the^0.1",
 ]
 
+#: query-time synonym map + cases (Lucene SynonymQuery semantics)
+SYN_MAP = {"spark": ["stream"], "merge": ["join"]}
+SYN_QUERIES = ["spark", "spark merge", "spark AND batch", "lang:en spark^2",
+               "window merge -key"]
+
 #: sharded-search cases (federated over two half-corpus indexes)
 SHARD_QUERIES = ["spark merge", "sort AND merge", '"sort merge" window',
                  "win* batch", "spark^2 the"]
@@ -888,6 +893,34 @@ def q_sharded_topk(sf_dir: str):
         )
         scores = _round_half_away(
             np.asarray(t["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_synonym_topk(sf_dir: str):
+    """Query-time synonyms (Solr SynonymGraphFilter at query time, Lucene
+    SynonymQuery scoring: per-doc tf summed over the group, blended df =
+    max over the group)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir), synonyms=SYN_MAP)
+    rows = []
+    for q in SYN_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"])
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
         )
         order = np.lexsort((ids, -scores))[:BM25_K]
         for i in order:

@@ -26,6 +26,8 @@ from solr_indexer_ray.contract import (
     PIVOT_CASES,
     RANGE_FACET_CASES,
     SHARD_QUERIES,
+    SYN_MAP,
+    SYN_QUERIES,
     MLT_DOCS,
     MLT_PARAMS,
     RANGE_QUERIES,
@@ -678,6 +680,65 @@ HAVING count(*) >= 1""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def synonym_topk_sql() -> str:
+    """SynonymQuery oracle: mapped terms contribute as ONE clause with
+    tf summed over the group and df = max over the group; unmapped terms
+    use the standard branch."""
+    kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
+    blocks = []
+    for q in SYN_QUERIES:
+        parsed = parse_query(q, simple_analyzer)
+        terms = sorted(set(parsed.terms))
+        branches = []
+        plain = [t for t in terms if t not in SYN_MAP]
+        if plain:
+            branches.append(_term_branch_sql(parsed, plain, kexpr))
+        for t in (t for t in terms if t in SYN_MAP):
+            group = sorted({t, *SYN_MAP[t]})
+            boost = parsed.boosts.get(t)
+            mult = f" * {float(boost)!r}" if boost is not None else ""
+            branches.append(f"""
+    SELECT g.doc_id AS doc_id, 'syn:{t}' AS clause,
+      (ln(1 + (st.n_docs - bd.df + 0.5) / (bd.df + 0.5))
+      * (g.tf / (g.tf + {kexpr}))){mult} AS contrib
+    FROM (
+      SELECT doc_id, sum(tf) AS tf FROM tf
+      WHERE term IN ({_sql_list(group)}) GROUP BY doc_id
+    ) g
+    JOIN dlq q ON q.doc_id = g.doc_id
+    CROSS JOIN stats st
+    CROSS JOIN (
+      SELECT max(df) AS df FROM df WHERE term IN ({_sql_list(group)})
+    ) bd""")
+        conds = ["1=1"]
+        for fld, val in sorted(parsed.filters.items()):
+            conds.append(
+                f"c.doc_id IN (SELECT doc_id FROM documents WHERE {_fcond(fld, val)})"
+            )
+        if parsed.prohibited:
+            conds.append(
+                "c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN "
+                f"({_sql_list(sorted(set(parsed.prohibited)))}))"
+            )
+        having = (
+            f"HAVING count(DISTINCT c.clause) = {len(terms)}"
+            if parsed.conjunctive else ""
+        )
+        qq = q.replace("'", "''")
+        union = "\n    UNION ALL\n".join(branches)
+        blocks.append(f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT c.doc_id AS doc_id, round(sum(c.contrib), 4) AS score_r
+  FROM ({union}
+  ) c
+  WHERE {' AND '.join(conds)}
+  GROUP BY c.doc_id
+  {having}
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, c.doc_id) <= {BM25_K}
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 # --------------------------------------------------------------------- #
 # text / stats / dedup
 # --------------------------------------------------------------------- #
@@ -912,6 +973,7 @@ def oracle_sql_dict() -> dict:
         "range_facets": range_facets_sql(),
         "pivot_facets": pivot_facets_sql(),
         "sharded_topk": sharded_topk_sql(),
+        "synonym_topk": synonym_topk_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

@@ -29,10 +29,11 @@ class BruteForceBM25:
     """In-memory oracle over a corpus table (pyarrow or dict of lists)."""
 
     def __init__(self, corpus, k1: float = 1.2, b: float = 0.75,
-                 registry: AnalyzerRegistry | None = None):
+                 registry: AnalyzerRegistry | None = None, synonyms=None):
         registry = registry or AnalyzerRegistry()
         self.registry = registry
         self.k1, self.b = k1, b
+        self.synonyms = {k: sorted(set(v)) for k, v in (synonyms or {}).items()}
 
         contents = _col(corpus, "content")
         langs = _col(corpus, "lang")
@@ -140,6 +141,21 @@ class BruteForceBM25:
             nmatch = 0
             score = 0.0
             for t in q_terms:  # ascending-term order — same float order as engine
+                if t in self.synonyms:
+                    # Lucene SynonymQuery: tf summed, df = max over members
+                    group = [t, *self.synonyms[t]]
+                    tf = sum(self.tf[i].get(m, 0) for m in dict.fromkeys(group))
+                    if tf:
+                        nmatch += 1
+                        df = max(self.df.get(m, 0) for m in group)
+                        w = math.log(
+                            1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
+                        )
+                        b = parsed.boosts.get(t)
+                        if b is not None:
+                            w *= b
+                        score += w * (tf / (tf + K[i]))
+                    continue
                 tf = self.tf[i].get(t, 0)
                 if tf:
                     nmatch += 1

@@ -240,11 +240,18 @@ class SearchEngine:
     lives per actor (built once in ``__init__``).
     """
 
-    def __init__(self, index_dir: str, scoring="bm25"):
+    def __init__(self, index_dir: str, scoring="bm25", synonyms=None):
         self.index_dir = os.fspath(index_dir)
         if isinstance(scoring, str):
             scoring = SCORING_MODELS[scoring]()
         self.scoring = scoring
+        #: query-time synonym map (Solr SynonymGraphFilter at query time):
+        #: analyzed term -> list of alternate analyzed terms.  A mapped
+        #: query term scores as ONE Lucene SynonymQuery clause — blended
+        #: df = max over the group, per-doc tf = sum over the group.
+        self.synonyms = {
+            k: sorted(set(v)) for k, v in (synonyms or {}).items()
+        }
         self.manifest = BuildManifest(index_dir)
         if not self.manifest.is_committed():
             # reference analogue: ping failure exits (solrindexer/cli.py:108-110)
@@ -678,7 +685,13 @@ class SearchEngine:
             )[start:]
             t = self._resolve(hits, fl)
         else:
-            postings = self.lookup_postings(parsed.terms)
+            want = list(parsed.terms)
+            if self.synonyms:
+                for t_ in parsed.terms:
+                    want += self.synonyms.get(t_, [])
+                if any(t_ in self.synonyms for t_ in parsed.terms):
+                    method = "taat"  # synonym groups score TAAT
+            postings = self.lookup_postings(want)
             excluded = self._merge_fq_mask(self._excluded_mask(parsed), fq)
 
             if not (parsed.terms or parsed.phrases or parsed.prefixes):
@@ -850,8 +863,29 @@ class SearchEngine:
             np.zeros(self.doc_space, dtype=np.int32) if parsed.conjunctive else None
         )
         n_present = 0
-        for term in sorted(postings):  # ascending-term order: pinned float order
-            tp = postings[term]
+        syn = self.synonyms
+        grouped = sorted(set(parsed.terms)) if syn else None
+        term_iter = grouped if syn else sorted(postings)
+        for term in term_iter:  # ascending order: pinned float order
+            if syn and term in syn:
+                docs, tfs, df = self._synonym_group(term, postings)
+                if docs is None:
+                    continue
+                w = self.idf(df)
+                b = parsed.boosts.get(term)
+                if b is not None:
+                    w *= b
+                K = self._norm_factor(self.norms[docs])
+                scores[docs] += w * self.scoring.impact(
+                    tfs.astype(np.float64), K
+                )
+                if seen is not None:
+                    seen[docs] += 1
+                n_present += 1
+                continue
+            tp = postings.get(term)
+            if tp is None:
+                continue
             vec = self._term_score_vec(tp)
             b = parsed.boosts.get(term)  # query-time boost (term^2)
             scores[tp.doc_ids] += vec if b is None else vec * b
@@ -1129,6 +1163,20 @@ class SearchEngine:
         )
         return [(a, b, int(c)) for a, b, c in rows if c >= mincount]
 
+    def _synonym_group(self, term, postings):
+        """Lucene SynonymQuery stats for a mapped term: union doc ids,
+        per-doc tf = SUM over members, df = MAX over members.  Returns
+        (None, None, 0) when no member exists in the index."""
+        members = [term, *self.synonyms.get(term, [])]
+        tps = [postings[m] for m in dict.fromkeys(members) if m in postings]
+        if not tps:
+            return None, None, 0
+        acc = np.zeros(self.doc_space, dtype=np.int64)
+        for tp in tps:
+            acc[tp.doc_ids] += tp.tfs
+        docs = np.flatnonzero(acc)
+        return docs, acc[docs], max(tp.df for tp in tps)
+
     def match_ids(self, query: str) -> np.ndarray:
         """ALL doc ids matching a query (no top-k) — delete-by-query and
         faceting both consume the full match set.  Same clause semantics as
@@ -1144,8 +1192,17 @@ class SearchEngine:
             + len(parsed.prefixes)
             if parsed.conjunctive else 1
         )
-        for tp in self.lookup_postings(parsed.terms).values():
-            seen[tp.doc_ids] += 1
+        want = list(parsed.terms)
+        for t_ in parsed.terms:
+            want += self.synonyms.get(t_, [])
+        postings = self.lookup_postings(want)
+        for term in sorted(set(parsed.terms)):
+            if term in self.synonyms:
+                docs, _, _ = self._synonym_group(term, postings)
+                if docs is not None:
+                    seen[docs] += 1
+            elif term in postings:
+                seen[postings[term].doc_ids] += 1
         for ph in parsed.phrases:
             docs, _, _ = self.eval_phrase(list(ph))
             seen[docs] += 1

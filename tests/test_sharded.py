@@ -104,3 +104,42 @@ def test_randomized_sharded_identity(shards, ray_session):
         ), q
         assert np.allclose(got["score"].to_pylist(),
                            exp["score"].to_pylist(), rtol=1e-12), q
+
+
+class TestSynonyms:
+    """Query-time synonyms: Lucene SynonymQuery scoring (tf summed over
+    the group, blended df = max), rank-identical to the synonym-aware
+    oracle; unmapped queries unchanged."""
+
+    SYN = {"read": ["load", "fetch"], "merge": ["join"]}
+
+    def test_vs_oracle(self, shards):
+        import pyarrow as pa
+
+        from solr_indexer_ray.pipelines.oracle import BruteForceBM25
+
+        corpus = generate_corpus(200, seed=11, mean_tokens=40,
+                                 with_edge_rows=False)
+        oracle = BruteForceBM25(
+            corpus.append_column("doc_id", pa.array(range(200), pa.int64())),
+            synonyms=self.SYN,
+        )
+        eng = SearchEngine(f"{shards}/idx_all", synonyms=self.SYN)
+        for q in ["read", "read merge", "read^2 AND def", "read -def",
+                  "lang:python read", "merge def"]:
+            got = eng.search(q, k=12, fl=["doc_id"])
+            exp = oracle.search(q, k=12)
+            assert got["doc_id"].to_pylist() == [d for d, _ in exp], q
+            assert got["score"].to_pylist() == [s for _, s in exp], q
+
+    def test_unmapped_engine_identical(self, shards):
+        plain = SearchEngine(f"{shards}/idx_all")
+        other = SearchEngine(f"{shards}/idx_all", synonyms={"zz": ["qq"]})
+        a = plain.search("read merge", k=10, fl=["doc_id"])
+        b = other.search("read merge", k=10, fl=["doc_id"])
+        assert a.equals(b)
+
+    def test_match_set_expands(self, shards):
+        plain = SearchEngine(f"{shards}/idx_all")
+        syn = SearchEngine(f"{shards}/idx_all", synonyms=self.SYN)
+        assert syn.match_ids("read").size > plain.match_ids("read").size
