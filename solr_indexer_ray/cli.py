@@ -95,7 +95,14 @@ def cmd_index(args) -> int:
 def cmd_search(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
-    engine = SearchEngine(args.output)
+    synonyms = None
+    if args.synonyms:
+        from solr_indexer_ray.functions.synonyms import load_synonyms
+
+        probe = SearchEngine(args.output)
+        synonyms = load_synonyms(args.synonyms,
+                                 probe.registry.analyzer_for(None))
+    engine = SearchEngine(args.output, synonyms=synonyms)
     fl = args.fl.split(",") if args.fl else None
     if args.shards:
         from solr_indexer_ray.pipelines.search import search_sharded
@@ -264,6 +271,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--start", type=int, default=0,
                     help="paging offset (Solr start)")
     ps.add_argument("--sort", help='Solr sort spec, e.g. "doclen desc"')
+    ps.add_argument("--synonyms",
+                    help="Solr-format synonyms.txt for query-time expansion")
     ps.add_argument("--shards",
                     help="comma-separated additional shard index dirs "
                          "(federated search with exact global stats)")

@@ -149,7 +149,7 @@ class BuildManifest:
             "generation": stats.get("generation", 1) if stats else None,
             "units_complete": len(units),
             "n_docs": stats.get("n_docs"),
-            "n_terms": stats.get("n_terms"),
+            "n_term_rows": stats.get("n_term_rows"),
             "avgdl": stats.get("avgdl"),
             "wall_s_total": round(
                 sum(u.get("metrics", {}).get("wall_s", 0.0) for u in units), 3

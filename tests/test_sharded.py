@@ -143,3 +143,41 @@ class TestSynonyms:
         plain = SearchEngine(f"{shards}/idx_all")
         syn = SearchEngine(f"{shards}/idx_all", synonyms=self.SYN)
         assert syn.match_ids("read").size > plain.match_ids("read").size
+
+
+class TestSynonymsFile:
+    def test_solr_format_parsing(self):
+        from solr_indexer_ray.functions.synonyms import parse_synonyms
+
+        text = """
+# comment
+read, load, fetch
+merge => join
+a, b => x, y
+"""
+        m = parse_synonyms(text, lambda s: s.lower().split())
+        assert m["read"] == ["fetch", "load"]
+        assert m["load"] == ["fetch", "read"]
+        assert m["merge"] == ["join"]
+        assert "join" not in m           # directional mapping
+        assert m["a"] == ["x", "y"] and m["b"] == ["x", "y"]
+
+    def test_cli_loads_file(self, shards, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        syn = tmp_path / "syn.txt"
+        syn.write_text("read, load, fetch\n")
+        out = subprocess.run(
+            [sys.executable, "-m", "solr_indexer_ray.cli", "search",
+             "-o", f"{shards}/idx_all", "-q", "read", "-k", "3",
+             "--fl", "doc_id", "--synonyms", str(syn)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        rows = [json.loads(line) for line in out.stdout.splitlines()
+                if line.startswith("{")]
+        eng = SearchEngine(f"{shards}/idx_all",
+                           synonyms={"read": ["fetch", "load"]})
+        exp = eng.search("read", k=3, fl=["doc_id"])
+        assert [r["doc_id"] for r in rows] == exp["doc_id"].to_pylist()
