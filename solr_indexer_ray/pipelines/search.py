@@ -252,6 +252,12 @@ class SearchEngine:
         self.synonyms = {
             k: sorted(set(v)) for k, v in (synonyms or {}).items()
         }
+        #: editorial elevation map (Solr QueryElevationComponent):
+        #: raw query string -> doc ids pinned to the top in that order.
+        #: Elevated docs lead the result page (keeping their organic score,
+        #: 0.0 if they didn't match); organic hits follow, deduplicated.
+        #: Dead (tombstoned/absent) ids are skipped.
+        self.elevate: dict = {}
         self.manifest = BuildManifest(index_dir)
         if not self.manifest.is_committed():
             # reference analogue: ping failure exits (solrindexer/cli.py:108-110)
@@ -705,8 +711,27 @@ class SearchEngine:
                 # intersection / constant-score unions have no block-max
                 # bound); rank-identical to BMW for pure-term queries (tested)
                 hits = self._score_taat(parsed, postings, excluded, k)
+            if query in self.elevate:
+                hits = self._apply_elevation(query, hits, k)
             t = self._resolve(hits, fl)
         return self._add_highlights(parsed, t) if hl else t
+
+    def _apply_elevation(self, query, hits, k):
+        """Solr QueryElevationComponent: pinned ids first (editorial
+        order, organic score kept, 0.0 when unmatched), organic hits
+        follow minus the pinned ones."""
+        organic = {d: s for d, s in hits}
+        head = []
+        for d in self.elevate[query]:
+            d = int(d)
+            if d in self.tombstones or d < 0 or d >= self.doc_space:
+                continue
+            if not self.present[d]:
+                continue
+            head.append((d, organic.get(d, 0.0)))
+        pinned = {d for d, _ in head}
+        tail = [(d, s) for d, s in hits if d not in pinned]
+        return (head + tail)[:k]
 
     def _merge_fq_mask(self, excluded, fq):
         """OR the filter-query exclusion masks into ``excluded``.

