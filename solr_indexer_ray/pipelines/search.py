@@ -238,6 +238,12 @@ class SearchEngine:
     the analogue of the reference's one-session-per-process Solr client
     (``solrindexer/indexer.py:83-88``); in Ray pipelines one engine instance
     lives per actor (built once in ``__init__``).
+
+    Scale note: the dense norm/mask arrays are O(doc_id_space) bytes — fine
+    for a per-node slice, not for 10^12 docs in one process.  At cluster
+    scale queries run through the per-doc-range fan-out
+    (:func:`search_partitioned` / :class:`RangeScorer`), whose state is
+    range-local, or across per-node indexes via :func:`search_sharded`.
     """
 
     def __init__(self, index_dir: str, scoring="bm25", synonyms=None):
