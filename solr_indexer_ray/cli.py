@@ -103,6 +103,9 @@ def cmd_search(args) -> int:
         synonyms = load_synonyms(args.synonyms,
                                  probe.registry.analyzer_for(None))
     engine = SearchEngine(args.output, synonyms=synonyms)
+    if args.elevate:
+        with open(args.elevate) as f:
+            engine.elevate = json.load(f)
     fl = args.fl.split(",") if args.fl else None
     if args.shards:
         from solr_indexer_ray.pipelines.search import search_sharded
@@ -271,6 +274,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--start", type=int, default=0,
                     help="paging offset (Solr start)")
     ps.add_argument("--sort", help='Solr sort spec, e.g. "doclen desc"')
+    ps.add_argument("--elevate",
+                    help="JSON file {query: [doc_ids]} of editorial pins")
     ps.add_argument("--synonyms",
                     help="Solr-format synonyms.txt for query-time expansion")
     ps.add_argument("--shards",
