@@ -109,3 +109,29 @@ def decode_positions(buf: bytes, counts: np.ndarray):
     base = cs[starts] - deltas[starts]
     flat = cs - np.repeat(base, counts)
     return flat, offsets
+
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (ceil(bit_length/7), min 1) — lets a
+    caller slice one big :func:`varint_encode` stream into per-segment
+    blobs without re-encoding."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    nbits = np.frexp(v.astype(np.float64))[1]
+    return np.maximum((nbits + 6) // 7, 1).astype(np.int64)
+
+
+def segmented_delta_encode(counts: np.ndarray, flat: np.ndarray) -> np.ndarray:
+    """Per-segment delta encoding (each segment restarts at its absolute
+    first value) — the shared primitive behind doc-id and position packing."""
+    flat = np.asarray(flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if flat.size == 0:
+        return flat.astype(np.uint64)
+    deltas = np.empty_like(flat)
+    deltas[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    starts = starts[counts > 0]
+    deltas[starts] = flat[starts]
+    return deltas.astype(np.uint64)

@@ -54,6 +54,8 @@ from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
 from solr_indexer_ray.functions.varint import (
     encode_doc_ids,
     encode_positions,
+    segmented_delta_encode,
+    varint_byte_lengths,
     varint_encode,
 )
 from solr_indexer_ray.sources.parquet_units import list_units, read_unit
@@ -550,34 +552,137 @@ class ShardMerger:
         n = tbl.num_rows
         while i < n:  # per doc-range
             rid = ranges[i]
-            rows: list = []
-            while i < n and ranges[i] == rid:  # per term run within range
-                term = terms[i]
-                parts = []
-                while i < n and ranges[i] == rid and terms[i] == term:
-                    part = (
-                        np.asarray(ids_col[i].values),
-                        np.asarray(tfs_col[i].values),
-                        np.asarray(norms_col[i].values),
-                    )
-                    if pos_col is not None:
-                        flat = pc.list_flatten(
-                            pc.list_flatten(pos_col.slice(i, 1))
-                        )
-                        part = (*part, np.asarray(flat, dtype=np.int64))
-                    parts.append(part)
-                    i += 1
-                merged = _merge_term_parts(parts, self.block_size)
-                merged["term"] = term
-                merged["range_id"] = int(rid)
-                rows.append(merged)
-            range_tbl = pa.Table.from_pylist(rows, schema=MERGED_POSTINGS_SCHEMA)
+            r0 = i
+            while i < n and ranges[i] == rid:
+                i += 1
+            range_tbl = self._merge_range(
+                terms, r0, i, ids_col, tfs_col, norms_col, pos_col, int(rid)
+            )
             rel = os.path.join(out_dir, f"range-{int(rid):06d}.parquet")
             _atomic_write_table(range_tbl, rel, row_group_size=512,
                                 compression=self.compression)
             n_terms += range_tbl.num_rows
             n_files += 1
         return {"shard": shard, "n_terms": n_terms, "n_files": n_files}
+
+    def _merge_range(self, terms, r0, r1, ids_col, tfs_col, norms_col,
+                     pos_col, rid) -> pa.Table:
+        """Merge one doc-range's spill rows [r0, r1) into the packed table.
+
+        FAST PATH (one stream encode per range, no per-term Python): spill
+        rows whose term appears in exactly one part and fits one block are
+        batch-encoded — segment-restart delta streams for doc ids and
+        positions are varint-packed ONCE and sliced into per-term blobs by
+        byte offsets (``varint_byte_lengths``); block metadata reduces via
+        ``np.*.reduceat``.  Multi-part terms (hot terms spilled by several
+        units) and rows spanning blocks take the exact per-term slow path.
+        Large real vocabularies are dominated by single-part rare terms, so
+        this removes the per-term encode overhead where it multiplies.
+        """
+        import pyarrow.compute as pc
+
+        # term-run boundaries within the range
+        runs: list = []  # (term, start_row, end_row)
+        j = r0
+        while j < r1:
+            t0 = terms[j]
+            s = j
+            while j < r1 and terms[j] == t0:
+                j += 1
+            runs.append((t0, s, j))
+
+        ids_slice = ids_col.slice(r0, r1 - r0)
+        counts_all = pc.list_value_length(ids_slice).to_numpy().astype(np.int64)
+        fast_rows = [
+            ri for ri, (t, s, e) in enumerate(runs)
+            if e - s == 1 and counts_all[s - r0] <= self.block_size
+        ]
+        fast_set = set(fast_rows)
+
+        fast = {}
+        if fast_rows:
+            take_idx = np.asarray(
+                [runs[ri][1] - r0 for ri in fast_rows], dtype=np.int64
+            )
+            f_ids_list = ids_slice.take(take_idx)
+            counts = counts_all[take_idx]
+            flat_ids = pc.list_flatten(f_ids_list).to_numpy().astype(np.int64)
+            flat_tfs = (
+                pc.list_flatten(tfs_col.slice(r0, r1 - r0).take(take_idx))
+                .to_numpy().astype(np.int64)
+            )
+            flat_norms = (
+                pc.list_flatten(norms_col.slice(r0, r1 - r0).take(take_idx))
+                .to_numpy().astype(np.int64)
+            )
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            ends = np.cumsum(counts)
+            # one encode for every doc-id stream; per-row blobs by bytes
+            id_deltas = segmented_delta_encode(counts, flat_ids)
+            id_blob = varint_encode(id_deltas)
+            id_boff = np.concatenate(
+                ([0], np.cumsum(varint_byte_lengths(id_deltas)))
+            )
+            tf_blob = varint_encode(flat_tfs.astype(np.uint64))
+            tf_boff = np.concatenate(
+                ([0], np.cumsum(varint_byte_lengths(flat_tfs)))
+            )
+            cf = np.add.reduceat(flat_tfs, starts)
+            bmax = np.maximum.reduceat(flat_tfs, starts)
+            bmin = np.minimum.reduceat(flat_norms, starts)
+            blast = flat_ids[ends - 1]
+            pos_blob = pos_boff = None
+            if pos_col is not None:
+                inner = pc.list_flatten(
+                    pos_col.slice(r0, r1 - r0).take(take_idx)
+                )
+                flat_pos = pc.list_flatten(inner).to_numpy().astype(np.int64)
+                pos_deltas = segmented_delta_encode(flat_tfs, flat_pos)
+                pos_lens = varint_byte_lengths(pos_deltas)
+                pos_blob = varint_encode(pos_deltas)
+                # per-row byte ranges: value boundaries at cumsum(cf)
+                voff = np.concatenate(([0], np.cumsum(cf)))
+                pb = np.concatenate(([0], np.cumsum(pos_lens)))
+                pos_boff = pb[voff]
+            for k, ri in enumerate(fast_rows):
+                row = {
+                    "df": int(counts[k]),
+                    "cf": int(cf[k]),
+                    "doc_ids": id_blob[id_boff[starts[k]]:id_boff[ends[k]]],
+                    "tfs": tf_blob[tf_boff[starts[k]]:tf_boff[ends[k]]],
+                    "positions": (
+                        pos_blob[pos_boff[k]:pos_boff[k + 1]]
+                        if pos_blob is not None else None
+                    ),
+                    "block_last": [int(blast[k])],
+                    "block_max_tf": [int(bmax[k])],
+                    "block_min_norm": [int(bmin[k])],
+                }
+                fast[ri] = row
+
+        rows: list = []
+        for ri, (term, s, e) in enumerate(runs):
+            if ri in fast_set:
+                merged = fast[ri]
+            else:
+                parts = []
+                for x in range(s, e):
+                    part = (
+                        np.asarray(ids_col[x].values),
+                        np.asarray(tfs_col[x].values),
+                        np.asarray(norms_col[x].values),
+                    )
+                    if pos_col is not None:
+                        flat = pc.list_flatten(
+                            pc.list_flatten(pos_col.slice(x, 1))
+                        )
+                        part = (*part, np.asarray(flat, dtype=np.int64))
+                    parts.append(part)
+                merged = _merge_term_parts(parts, self.block_size)
+            merged["term"] = term
+            merged["range_id"] = rid
+            rows.append(merged)
+        return pa.Table.from_pylist(rows, schema=MERGED_POSTINGS_SCHEMA)
 
 
 # Stages run as Ray TASKS, not actor pools: the expensive per-worker state
