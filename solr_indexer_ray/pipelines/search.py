@@ -55,6 +55,15 @@ from solr_indexer_ray.state.manifest import BuildManifest
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
 
+#: byte -> character class for the spellcheck histogram prune
+#: (a-z and 0-9 get distinct classes; any other byte shares class 0)
+_CHAR_CLASS = np.zeros(256, dtype=np.int64)
+for _c in range(ord("a"), ord("z") + 1):
+    _CHAR_CLASS[_c] = _c - ord("a") + 1
+for _c in range(ord("0"), ord("9") + 1):
+    _CHAR_CLASS[_c] = _c - ord("0") + 27
+
+
 def _levenshtein_capped(a: str, b: str, cap: int) -> int:
     """Levenshtein distance with early exit once every cell exceeds
     ``cap`` (banded DP — the suggester never needs exact values > cap)."""
@@ -363,6 +372,7 @@ class SearchEngine:
         self._norms = None
         self._present = None
         self._term_cache = {}
+        self._suggest_cache = None
         self.invalidate_caches()
         return True
 
@@ -1323,23 +1333,28 @@ class SearchEngine:
         score-then-frequency ranking).  The exact input term itself is
         excluded (Solr reports it as correctly spelled instead).
 
-        Candidate pruning before the DP: dictionary terms whose length
-        differs by more than ``max_distance`` can be skipped outright (a
-        length delta is a lower bound on edit distance).  At 10^12-doc
-        scale the dictionary scan shards naturally over the postings
-        layout; a production suggester would sit on an FST.
+        Candidate pruning before the DP (both bounds are exact edit-
+        distance lower bounds, so no suggestion is lost): length delta
+        > d, and L1 character-count distance > 2d (each edit changes the
+        char histogram by at most 2).  The char-count matrix is built
+        vectorized and cached per engine.  At 10^12-doc scale the
+        dictionary scan shards naturally over the postings layout; a
+        production suggester would sit on an FST.
         """
         word = (word or "").lower()
         if not word:
             return []
-        t = self._postings_ds.to_table(columns=["term", "df"])
-        agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
-        terms = agg["term"].to_pylist()
-        dfs = agg["df_sum"].to_pylist()
-        lens = np.array([len(x) for x in terms])
+        terms, dfs, lens, counts_mat = self._suggest_state()
         keep = np.abs(lens - len(word)) <= max_distance
+        wvec = np.zeros(counts_mat.shape[1], dtype=np.int16)
+        for ch in word.encode("utf-8", "ignore"):
+            wvec[_CHAR_CLASS[ch]] += 1
+        l1 = np.abs(
+            counts_mat[keep].astype(np.int16) - wvec[None, :]
+        ).sum(axis=1)
+        cand = np.flatnonzero(keep)[l1 <= 2 * max_distance]
         out = []
-        for i in np.flatnonzero(keep):
+        for i in cand:
             term = terms[i]
             if term == word:
                 continue
@@ -1348,6 +1363,32 @@ class SearchEngine:
                 out.append((d, -int(dfs[i]), term))
         out.sort()
         return [(term, d, -negdf) for d, negdf, term in out[:count]]
+
+    def _suggest_state(self):
+        """Term dictionary + per-term char-class histograms for the
+        spellcheck pruning, built once per engine (vectorized: one
+        bincount over the concatenated term bytes)."""
+        if getattr(self, "_suggest_cache", None) is None:
+            t = self._postings_ds.to_table(columns=["term", "df"])
+            agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
+            terms = agg["term"].to_pylist()
+            dfs = np.asarray(agg["df_sum"].to_pylist(), dtype=np.int64)
+            joined = "".join(terms).encode("utf-8", "ignore")
+            lens = np.asarray([len(x) for x in terms], dtype=np.int64)
+            blens = np.asarray(
+                [len(x.encode("utf-8", "ignore")) for x in terms],
+                dtype=np.int64,
+            )
+            cls = _CHAR_CLASS[np.frombuffer(joined, dtype=np.uint8)]
+            tidx = np.repeat(
+                np.arange(len(terms), dtype=np.int64), blens
+            )
+            ncls = int(_CHAR_CLASS.max()) + 1
+            counts = np.bincount(
+                tidx * ncls + cls, minlength=len(terms) * ncls
+            ).reshape(len(terms), ncls).astype(np.int16)
+            self._suggest_cache = (terms, dfs, lens, counts)
+        return self._suggest_cache
 
     def field_stats(self, query: str, field: str, fq=None) -> dict:
         """Solr stats component (``stats.field``) over the numeric
