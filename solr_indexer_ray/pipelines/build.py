@@ -281,8 +281,14 @@ class UnitIndexer:
         if not valid.all():
             docs_table = docs_table.filter(pa.array(valid))
         if self.doc_enricher is not None:
+            # The enricher sees post-validation rows only (invalid rows are
+            # already routed to errors/ and must not reach enrichment, the
+            # same way the reference's thumbnail generator only runs on
+            # records that passed MMD checks).  Row-count guard compares
+            # against the filtered table, not the raw unit size.
+            expected_rows = docs_table.num_rows
             docs_table = self.doc_enricher(docs_table)
-            if docs_table.num_rows != len(contents):
+            if docs_table.num_rows != expected_rows:
                 raise ValueError("doc_enricher must preserve row count")
         docs_rel = f"docs/part-{uid:06d}.parquet"
         _atomic_write_table(docs_table, os.path.join(self.index_dir, docs_rel),
