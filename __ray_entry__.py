@@ -61,7 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": c.q_fingerprints,           # rows-only
         # embeddings
         "ann_topk": c.q_ann_topk,
+        "ann_ivf_topk": c.q_ann_ivf_topk,
         "embedding_dups": c.q_embedding_dups,
+        "embedding_dups_ivf": c.q_embedding_dups_ivf,  # rows-only (recall<1)
         # multimodal plumbing (rows-only; synthetic media)
         "multimodal_decode": c.q_multimodal_decode,
         # relational machinery (§2.5 J2, §2.6 A1-A3, §2.7, §2.9)

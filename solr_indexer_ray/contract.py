@@ -365,7 +365,8 @@ def q_ngram_jaccard_dups(sf_dir: str):
     from solr_indexer_ray.stages.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
-        _documents(sf_dir), text_col="text", id_col="doc_id", n=3, threshold=0.5
+        _documents(sf_dir), text_col="text", id_col="doc_id", n=3,
+        threshold=0.5, hot_shingle_cap=None,  # exact mode for the SQL oracle
     )
     t = pa.Table.from_pylist(pairs.take_all())
     if t.num_rows == 0:
@@ -983,6 +984,74 @@ def q_ann_topk(sf_dir: str):
         out,
         schema=pa.schema(
             [("query_id", pa.int64()), ("vec_id", pa.int64()),
+             ("similarity", pa.float64())]
+        ),
+    )
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """Top-k through the PARTITIONED IvfIndex path (build → hive-partitioned
+    bucket parquet → partition-pruned probe).  With nprobe == n_buckets the
+    probe scans every partition, so the result is exactly the brute-force
+    cosine top-k — which is what lets the same SQL oracle check the whole
+    build/search machinery end-to-end."""
+    import shutil
+    import tempfile
+
+    from solr_indexer_ray.stages.ann import IvfIndex
+
+    emb = _embeddings(sf_dir)
+    q_rows = sorted(
+        (r for r in emb.take_all() if r["vec_id"] < ANN_N_QUERIES),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    n = emb.count()
+    work = tempfile.mkdtemp(prefix="ivf-contract-", dir="/tmp")
+    try:
+        ivf = IvfIndex(n_buckets=8, nprobe=8, index_dir=work).build(emb)
+        full = ivf.search(queries, k=n).to_pylist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = []
+    by_q: dict = {}
+    for r in full:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi in sorted(by_q):
+        cand = by_q[qi]
+        for r in cand:
+            r["similarity"] = _py_round(r["similarity"], 4)
+        cand.sort(key=lambda r: (-r["similarity"], r["vec_id"]))
+        out.extend(cand[:ANN_K])
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()),
+             ("similarity", pa.float64())]
+        ),
+    )
+
+
+def q_embedding_dups_ivf(sf_dir: str):
+    """Scale-path near-dup pairs: IVF-bucketed candidates, exact in-bucket
+    cosine (rows-only check; recall < 1 by design so no SQL oracle —
+    precision is pinned by pytest against the exact mode)."""
+    from solr_indexer_ray.stages.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        _embeddings(sf_dir), threshold=0.40, method="ivf",
+        n_buckets=8, assign_probes=2,
+    ).take_all()
+    out = []
+    for r in pairs:
+        sim = _py_round(r["similarity"], 4)
+        if sim >= 0.45:
+            out.append({"id_a": r["id_a"], "id_b": r["id_b"], "similarity": sim})
+    out.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
              ("similarity", pa.float64())]
         ),
     )

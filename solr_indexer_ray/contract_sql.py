@@ -976,6 +976,8 @@ def oracle_sql_dict() -> dict:
         "synonym_topk": synonym_topk_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        # ann_ivf_topk is exact at nprobe == n_buckets -> same oracle
+        "ann_ivf_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,
         "parent_flags": PARENT_FLAGS_SQL,
         "unresolved_refs": UNRESOLVED_REFS_SQL,

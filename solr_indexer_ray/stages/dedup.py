@@ -17,8 +17,12 @@ the north brief requires.  All hashing primitives are in
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+
+_LOG = logging.getLogger(__name__)
 
 from solr_indexer_ray.functions.hashing import (
     band_keys,
@@ -109,7 +113,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    hot_shingle_cap: int | None = None,
+    hot_shingle_cap: int | None = 512,
 ):
     """EXACT n-gram Jaccard near-dup pairs via shingle equi-join.
 
@@ -117,12 +121,18 @@ def ngram_jaccard_pairs(
     (``groupby(shingle)``), pair intersection counts come from a second
     grouped count, and union sizes from the carried per-doc shingle counts —
     so the result is exactly ``{(a,b): J(a,b) >= threshold}``.  This is the
-    oracle-checkable dedup mode (the SQL oracle runs the same equi-join).
+    oracle-checkable dedup mode (the SQL oracle runs the same equi-join,
+    with ``hot_shingle_cap=None``).
 
-    ``hot_shingle_cap``: at scale, shingles appearing in more than this many
-    docs can be skipped (they generate O(df²) candidate pairs while adding
-    only common-boilerplate evidence) — documented approximation, default
-    off so small-scale results stay exact.
+    ``hot_shingle_cap``: shingles appearing in more than this many docs are
+    SKIPPED (each is a warning-logged O(df²) candidate-pair bomb — one
+    boilerplate license-header shingle at 100 TB would otherwise emit
+    trillions of pairs while adding only common-boilerplate evidence).
+    Defaults ON (512) as the safe pipeline entry point; pass ``None`` for
+    the exact mode when the corpus is known to be cap-free — skipping a
+    shingle can only lower intersection counts, so the capped mode
+    under-reports similarity for pairs sharing hot shingles, never
+    over-reports pairs.
     """
     exploded = ds.map_batches(
         _ShingleExploder,
@@ -136,9 +146,14 @@ def ngram_jaccard_pairs(
         counts = dict(
             zip(group["doc_id"].to_pylist(), group["n_shingles"].to_pylist())
         )
-        if ids.size < 2 or (
-            hot_shingle_cap is not None and ids.size > hot_shingle_cap
-        ):
+        hot = hot_shingle_cap is not None and ids.size > hot_shingle_cap
+        if hot:
+            _LOG.warning(
+                "ngram_jaccard: skipping hot shingle %d (df=%d > cap=%d); "
+                "pairs sharing only this shingle are dropped",
+                int(group["shingle"][0].as_py()), ids.size, hot_shingle_cap,
+            )
+        if ids.size < 2 or hot:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()),
                  "id_b": pa.array([], pa.int64()),
@@ -388,22 +403,47 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    method: str = "exact",
+    n_buckets: int = 32,
+    assign_probes: int = 2,
+    train_sample: int = 4096,
 ):
     """Cosine near-dup pairs over an embedding column.
 
-    Pattern: materialize the (small: N×dim float32) embedding matrix ONCE,
-    broadcast it via ``ray.put``, then fan the O(N²) similarity work out as
-    ``map_batches`` over row chunks — each task matmuls its chunk against
-    the broadcast matrix (O(N²/P) per task), emitting only pairs with
-    ``id_a < id_b`` and cosine >= threshold.  At corpus scale the broadcast
-    side becomes an LSH/IVF-bucketed index (see stages.ann) — same stage
-    shape, different candidate generation.
+    ``method="exact"`` (the oracle-checked mode): materialize the embedding
+    matrix ONCE, broadcast it via ``ray.put``, then fan the O(N²) similarity
+    work out as ``map_batches`` over row chunks — each task matmuls its
+    chunk against the broadcast matrix (O(N²/P) per task), emitting only
+    pairs with ``id_a < id_b`` and cosine >= threshold.  Exact but the
+    broadcast side is the whole matrix — small-N only.
+
+    ``method="ivf"`` (the scale path): IVF-bucketed candidate generation —
+    centroids trained on a bounded sample (``stages.ann.train_centroids``),
+    each vector multi-assigned to its ``assign_probes`` nearest buckets via
+    ``map_batches`` (replication raises recall: near-dups co-locate in at
+    least one bucket with high probability), then a ``groupby(bucket)``
+    computes exact in-bucket cosine pairs.  Precision is exact (every
+    emitted pair's cosine is computed from the true vectors); recall < 1
+    for pairs whose vectors never share a probed bucket.  Nothing
+    materializes the corpus on the driver.
     """
+    if method == "ivf":
+        return _embedding_dup_pairs_ivf(
+            embeddings_ds, vec_col, id_col, threshold,
+            n_buckets, assign_probes, train_sample,
+        )
+    if method != "exact":
+        raise ValueError(f"unknown method: {method!r}")
+
     import ray
 
-    rows = embeddings_ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    from solr_indexer_ray.stages.ann import vectors_to_matrix
+
+    rows_tbl = pa.Table.from_pylist(
+        embeddings_ds.select_columns([id_col, vec_col]).take_all()
+    )
+    ids = rows_tbl[id_col].to_numpy()
+    mat = vectors_to_matrix(rows_tbl[vec_col])
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     unit = mat / norms[:, None]
@@ -432,4 +472,65 @@ def embedding_dup_pairs(
 
     return embeddings_ds.select_columns([id_col]).map_batches(
         chunk_pairs, batch_format="pyarrow", batch_size=256
+    )
+
+
+def _embedding_dup_pairs_ivf(
+    embeddings_ds, vec_col, id_col, threshold,
+    n_buckets, assign_probes, train_sample,
+):
+    """IVF-bucketed candidate generation for :func:`embedding_dup_pairs`."""
+    import ray
+
+    from solr_indexer_ray.stages.ann import (
+        _unit_rows,
+        train_centroids,
+        vectors_to_matrix,
+        _matrix_to_list_array,
+    )
+
+    centroids = train_centroids(
+        embeddings_ds, n_buckets, train_sample=train_sample, vec_col=vec_col
+    )
+    cent_ref = ray.put(centroids)
+    probes = min(assign_probes, centroids.shape[0])
+
+    def assign_multi(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _unit_rows(vectors_to_matrix(batch[vec_col]))
+        sims = mat @ cent.T  # (n, n_buckets)
+        top = np.argsort(-sims, axis=1)[:, :probes]  # (n, p)
+        n = mat.shape[0]
+        rep_idx = np.repeat(np.arange(n), probes)
+        return pa.table(
+            {
+                "bucket": pa.array(top.ravel().astype(np.int64), pa.int64()),
+                id_col: batch[id_col].take(pa.array(rep_idx)),
+                vec_col: _matrix_to_list_array(mat[rep_idx]),
+            }
+        )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        uniq, first = np.unique(ids, return_index=True)
+        mat = vectors_to_matrix(group[vec_col])[order][first]
+        sims = mat @ mat.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[ia].astype(np.int64), pa.int64()),
+                "id_b": pa.array(uniq[ib].astype(np.int64), pa.int64()),
+                "similarity": pa.array(sims[ia, ib], pa.float64()),
+            }
+        )
+
+    return (
+        embeddings_ds.select_columns([id_col, vec_col])
+        .map_batches(assign_multi, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )

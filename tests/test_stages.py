@@ -163,6 +163,66 @@ class TestEmbeddingOps:
             mine = [r["vec_id"] for r in got if r["query_id"] == qi]
             assert mine == expect
 
+    def test_embedding_dup_pairs_ivf(self, emb_ds):
+        from solr_indexer_ray.stages.dedup import embedding_dup_pairs
+
+        exact = {
+            (r["id_a"], r["id_b"]): r["similarity"]
+            for r in embedding_dup_pairs(emb_ds, threshold=0.999).take_all()
+        }
+        ivf = {
+            (r["id_a"], r["id_b"]): r["similarity"]
+            for r in embedding_dup_pairs(
+                emb_ds, threshold=0.999, method="ivf",
+                n_buckets=4, assign_probes=2,
+            ).take_all()
+        }
+        assert (0, 99) in ivf  # near-identical vectors co-locate
+        # precision is exact: every ivf pair is a true pair at true cosine
+        for k, sim in ivf.items():
+            assert k in exact
+            assert sim == pytest.approx(exact[k])
+
+    def test_ivf_full_probe_is_exact(self, emb_ds, tmp_path):
+        """nprobe == n_buckets scans every partition -> brute-force-equal
+        (the property the oracle-checked ann_ivf_topk contract rests on)."""
+        from solr_indexer_ray.stages.ann import IvfIndex, brute_force_topk
+
+        rows = emb_ds.take_all()
+        q = np.array([r["embedding"] for r in rows[:3]])
+        exact = brute_force_topk(emb_ds, q, k=7).to_pylist()
+        ivf = IvfIndex(
+            n_buckets=4, nprobe=4, index_dir=str(tmp_path / "ivf")
+        ).build(emb_ds)
+        got = ivf.search(q, k=7).to_pylist()
+        assert [(r["query_id"], r["vec_id"]) for r in got] == [
+            (r["query_id"], r["vec_id"]) for r in exact
+        ]
+        for a, b in zip(got, exact):
+            assert a["similarity"] == pytest.approx(b["similarity"])
+
+    def test_ivf_persist_load_and_partition_layout(self, emb_ds, tmp_path):
+        import os
+
+        from solr_indexer_ray.stages.ann import IvfIndex
+
+        idx_dir = str(tmp_path / "ivf2")
+        IvfIndex(n_buckets=4, nprobe=2, index_dir=idx_dir).build(emb_ds)
+        # hive-partitioned bucket layout on disk
+        parts = sorted(
+            d for d in os.listdir(os.path.join(idx_dir, "buckets"))
+            if d.startswith("bucket=")
+        )
+        assert len(parts) >= 2
+        rows = emb_ds.take_all()
+        q = np.array([r["embedding"] for r in rows[:2]])
+        reloaded = IvfIndex.load(idx_dir)
+        got = reloaded.search(q, k=3).to_pylist()
+        assert len(got) == 6
+        # query 0 IS vector 0: its own bucket is always probed first
+        assert got[0]["vec_id"] == 0
+        assert got[0]["similarity"] == pytest.approx(1.0)
+
     def test_ivf_recall(self, emb_ds):
         from solr_indexer_ray.stages.ann import IvfIndex, brute_force_topk
 
