@@ -33,6 +33,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": c.q_bm25_topk,
         "phrase_topk": c.q_phrase_topk,
         "wildcard_topk": c.q_wildcard_topk,
+        "fuzzy_topk": c.q_fuzzy_topk,
+        "wildcard_infix_topk": c.q_wildcard_infix_topk,
+        "bool_topk": c.q_bool_topk,
         "facets": c.q_facets,
         "range_topk": c.q_range_topk,
         "sorted_browse": c.q_sorted_browse,

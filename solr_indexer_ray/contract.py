@@ -93,6 +93,44 @@ BOOST_QUERIES = [
     "spark^2 merge^2 the^0.1",
 ]
 
+#: fuzzy cases (Lucene FuzzyQuery; blended SynonymQuery-stats rewrite,
+#: classic Levenshtein expansion against the index dictionary)
+FUZZY_QUERIES = [
+    "spak~1",
+    "windwo~2",
+    "merg~1 batch",
+    "spark~1 AND merge",
+    "lang:en spak~1",
+    "-spak~1 window",
+    "batsh~1^2 stream",
+    "qzqzqzqz~1",
+]
+
+#: general wildcard cases (?, infix and leading *): constant-score union
+#: over LIKE-matching dictionary terms
+WILDCARD_INFIX_QUERIES = [
+    "w?ndow",
+    "*ndow",
+    "s*rk merge",
+    "b?tch AND stream",
+    "-*indow spark",
+    "lang:en *erge",
+    "z?qzz*",
+]
+
+#: parenthesized boolean grouping cases.  Every root path carries at
+#: least one SCORING clause (the SQL oracle derives membership from the
+#: union of contributions, so a root match with zero scoring clauses —
+#: e.g. a bare filter alternative — would be unrepresentable there).
+BOOL_QUERIES = [
+    "(spark OR window) AND merge",
+    "(spark AND merge) OR window",
+    "(spark OR window) AND -batch",
+    "(lang:en OR lang:de) AND spark",
+    "-(spark window) AND merge",
+    "((spark OR stream) AND batch) OR window",
+]
+
 #: query-time synonym map + cases (Lucene SynonymQuery semantics)
 SYN_MAP = {"spark": ["stream"], "merge": ["join"]}
 SYN_QUERIES = ["spark", "spark merge", "spark AND batch", "lang:en spark^2",
@@ -557,6 +595,60 @@ def q_wildcard_topk(sf_dir: str):
              ("score_r", pa.float64())]
         ),
     )
+
+
+def _rounded_topk_rows(engine, queries) -> pa.Table:
+    """Shared shape for the syntax-tail contracts: per query, full match
+    set scored, scores rounded half-away to 4, ranked (score desc, doc_id
+    asc), top BM25_K — the float-order-independent ranking key every
+    topk oracle pins."""
+    rows = []
+    for q in queries:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_fuzzy_topk(sf_dir: str):
+    """Top-k with fuzzy clauses (term~1/~2): expansion against the index
+    dictionary via the suggester's pruned Levenshtein scan, scored as one
+    blended SynonymQuery clause (tf summed, df = max member df)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    return _rounded_topk_rows(SearchEngine(_bm25_index(sf_dir)), FUZZY_QUERIES)
+
+
+def q_wildcard_infix_topk(sf_dir: str):
+    """Top-k with general wildcard clauses (?, infix/leading *):
+    constant-score union over LIKE-matching dictionary terms."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    return _rounded_topk_rows(
+        SearchEngine(_bm25_index(sf_dir)), WILDCARD_INFIX_QUERIES
+    )
+
+
+def q_bool_topk(sf_dir: str):
+    """Top-k for parenthesized boolean queries: clause-tree evaluation
+    (Lucene BooleanQuery: a doc's score sums every matching scoring clause
+    inside every matched branch)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    return _rounded_topk_rows(SearchEngine(_bm25_index(sf_dir)), BOOL_QUERIES)
 
 
 def q_facets(sf_dir: str):

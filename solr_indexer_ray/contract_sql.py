@@ -18,7 +18,10 @@ from __future__ import annotations
 
 from solr_indexer_ray.contract import (
     ANN_K,
+    BOOL_QUERIES,
     BOOST_QUERIES,
+    FUZZY_QUERIES,
+    WILDCARD_INFIX_QUERIES,
     FACET_FIELDS,
     FACET_QUERIES,
     GROUP_CASES,
@@ -50,6 +53,16 @@ from solr_indexer_ray.functions.tokenize import simple_analyzer
 
 def _sql_list(values) -> str:
     return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+
+
+def _like_of(pattern: str) -> str:
+    """Lucene wildcard -> SQL LIKE (* -> %, ? -> _; literal % _ escaped),
+    mirroring SearchEngine.expand_pattern's translation."""
+    return (
+        pattern.replace("\\", "\\\\").replace("%", "\\%")
+        .replace("_", "\\_").replace("*", "%").replace("?", "_")
+        .replace("'", "''")
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -266,6 +279,31 @@ def _phrase_query_block(q: str) -> str:
         branches.append(f"""
     SELECT DISTINCT t.doc_id AS doc_id, 'w:{wi}' AS clause, {gw!r} AS contrib
     FROM tf t WHERE t.term LIKE '{pre}%'""")
+    # fuzzy clauses: blended SynonymQuery stats over the Levenshtein
+    # expansion (tf summed over members, df = max member df) — same
+    # shape as synonym_topk_sql with a dynamic group
+    for fi, fz in enumerate(sorted(set(parsed.fuzzies))):
+        word, edits = fz
+        b = parsed.fuzzy_boosts.get(fz)
+        mult = f" * {float(b)!r}" if b is not None else ""
+        grp = f"SELECT term FROM df WHERE levenshtein(term, '{word}') <= {edits}"
+        branches.append(f"""
+    SELECT g.doc_id AS doc_id, 'f:{fi}' AS clause,
+      (ln(1 + (st.n_docs - bd.df + 0.5) / (bd.df + 0.5))
+      * (g.tf / (g.tf + {kexpr}))){mult} AS contrib
+    FROM (
+      SELECT doc_id, sum(tf) AS tf FROM tf
+      WHERE term IN ({grp}) GROUP BY doc_id
+    ) g
+    JOIN dlq q ON q.doc_id = g.doc_id
+    CROSS JOIN stats st
+    CROSS JOIN (SELECT max(df) AS df FROM df WHERE term IN ({grp})) bd""")
+    # general wildcards (?, infix/leading *): constant-score LIKE union
+    for gi, pat in enumerate(sorted(set(parsed.wildcards))):
+        gw = float(parsed.wildcard_boosts.get(pat, 1.0))
+        branches.append(f"""
+    SELECT DISTINCT t.doc_id AS doc_id, 'g:{gi}' AS clause, {gw!r} AS contrib
+    FROM tf t WHERE t.term LIKE '{_like_of(pat)}' ESCAPE '\\'""")
     qq = q.replace("'", "''")
     if not branches:
         if parsed.filters or parsed.range_filters:
@@ -307,7 +345,18 @@ def _phrase_query_block(q: str) -> str:
         conds.append(
             f"c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term LIKE '{pre}%')"
         )
-    n_clauses = len(terms) + len(phrases) + len(parsed.prefixes)
+    for word, edits in sorted(set(parsed.prohibited_fuzzies)):
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN "
+            f"(SELECT term FROM df WHERE levenshtein(term, '{word}') "
+            f"<= {edits}))"
+        )
+    for pat in sorted(set(parsed.prohibited_wildcards)):
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term LIKE "
+            f"'{_like_of(pat)}' ESCAPE '\\')"
+        )
+    n_clauses = parsed.scoring_clauses
     having = (
         f"HAVING count(DISTINCT c.clause) = {n_clauses}"
         if parsed.conjunctive else ""
@@ -358,6 +407,118 @@ def wildcard_topk_sql() -> str:
         _phrase_query_block(q) for q in WILDCARD_QUERIES
     )
     return _BM25_CTES + blocks
+
+
+def fuzzy_topk_sql() -> str:
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in FUZZY_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
+def wildcard_infix_topk_sql() -> str:
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in WILDCARD_INFIX_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
+def bool_topk_sql() -> str:
+    """Grouped-boolean oracle.  Per BOOL_QUERIES case: a term leaf
+    contributes iff the doc matches the WHOLE query (root condition) AND
+    every AND-branch enclosing the leaf (the engine's per-node
+    ``scores[~mask] = 0`` zeroing); membership itself is the union of
+    contributions, which is complete because every root path in the
+    pinned set carries a scoring clause."""
+    kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
+
+    def has(term, alias="t"):
+        return (
+            f"{alias}.doc_id IN (SELECT doc_id FROM tf WHERE term = '{term}')"
+        )
+
+    def lng(val, alias="t"):
+        return (
+            f"{alias}.doc_id IN (SELECT doc_id FROM documents "
+            f"WHERE lang = '{val}')"
+        )
+
+    # (query, [(leaf_term, branch_cond builder)], root_cond builder);
+    # conds are functions of the row alias so they can sit in branch
+    # (alias t) or outer (alias c) position.
+    cases = [
+        (
+            "(spark OR window) AND merge",
+            [("spark", None), ("window", None), ("merge", None)],
+            lambda a: f"(({has('spark', a)} OR {has('window', a)}) "
+                      f"AND {has('merge', a)})",
+        ),
+        (
+            "(spark AND merge) OR window",
+            [
+                ("spark", lambda a: f"({has('spark', a)} AND {has('merge', a)})"),
+                ("merge", lambda a: f"({has('spark', a)} AND {has('merge', a)})"),
+                ("window", None),
+            ],
+            lambda a: f"(({has('spark', a)} AND {has('merge', a)}) "
+                      f"OR {has('window', a)})",
+        ),
+        (
+            "(spark OR window) AND -batch",
+            [("spark", None), ("window", None)],
+            lambda a: f"(({has('spark', a)} OR {has('window', a)}) "
+                      f"AND NOT {has('batch', a)})",
+        ),
+        (
+            "(lang:en OR lang:de) AND spark",
+            [("spark", None)],
+            lambda a: f"(({lng('en', a)} OR {lng('de', a)}) "
+                      f"AND {has('spark', a)})",
+        ),
+        (
+            "-(spark window) AND merge",
+            [("merge", None)],
+            lambda a: f"(NOT ({has('spark', a)} OR {has('window', a)}) "
+                      f"AND {has('merge', a)})",
+        ),
+        (
+            "((spark OR stream) AND batch) OR window",
+            [
+                ("spark", lambda a: f"(({has('spark', a)} OR {has('stream', a)}) AND {has('batch', a)})"),
+                ("stream", lambda a: f"(({has('spark', a)} OR {has('stream', a)}) AND {has('batch', a)})"),
+                ("batch", lambda a: f"(({has('spark', a)} OR {has('stream', a)}) AND {has('batch', a)})"),
+                ("window", None),
+            ],
+            lambda a: f"((({has('spark', a)} OR {has('stream', a)}) "
+                      f"AND {has('batch', a)}) OR {has('window', a)})",
+        ),
+    ]
+    assert [q for q, _, _ in cases] == BOOL_QUERIES
+
+    blocks = []
+    for q, leaves, root in cases:
+        branches = []
+        for li, (term, branch) in enumerate(leaves):
+            bc = f" AND {branch('t')}" if branch else ""
+            branches.append(f"""
+    SELECT t.doc_id AS doc_id, 'b:{li}' AS clause,
+      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {kexpr})) AS contrib
+    FROM tf t JOIN df d USING (term) JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE t.term = '{term}'{bc}""")
+        union = "\n    UNION ALL\n".join(branches)
+        qq = q.replace("'", "''")
+        blocks.append(f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT c.doc_id AS doc_id, round(sum(c.contrib), 4) AS score_r
+  FROM ({union}
+  ) c
+  WHERE {root('c')}
+  GROUP BY c.doc_id
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, c.doc_id) <= {BM25_K}
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
 def _match_docs_sql(q: str) -> str:
@@ -961,6 +1122,9 @@ def oracle_sql_dict() -> dict:
         "bm25_topk": bm25_topk_sql(),
         "phrase_topk": phrase_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),
+        "fuzzy_topk": fuzzy_topk_sql(),
+        "wildcard_infix_topk": wildcard_infix_topk_sql(),
+        "bool_topk": bool_topk_sql(),
         "facets": facets_sql(),
         "range_topk": range_topk_sql(),
         "sorted_browse": sorted_browse_sql(),

@@ -31,8 +31,30 @@ Supported grammar (documented subset):
                                bounds are exclusive (Lucene), ``*`` is an
                                open end; ``-field:[...]`` negates.
 
-Only trailing-``*`` prefixes are supported (no leading/infix wildcards, no
-fuzzy ``~``); slop (``"a b"~2``) is not supported.
+- ``term~`` / ``term~1`` / ``term~2`` -> fuzzy clause (Lucene FuzzyQuery;
+                               bare ``~`` = 2 edits, the Lucene default).
+                               Expansion set = index terms within classic
+                               Levenshtein distance (documented deviation:
+                               Lucene counts a transposition as 1 edit, we
+                               count 2 — matching SQL ``levenshtein()``).
+                               The expansion scores as ONE clause with
+                               SynonymQuery stats (tf summed over members,
+                               df = max member df) — the blended-stats
+                               rewrite.  ``-term~1`` prohibits.
+- ``?`` / infix / leading ``*`` -> general wildcard clause (``te?t``,
+                               ``*fix``, ``mid*dle``): CONSTANT_SCORE union
+                               of every dictionary term matching the
+                               pattern.  Trailing-only ``*`` stays the
+                               (cheaper, range-pruned) prefix clause.
+- ``(a OR b) AND c``        -> parenthesized boolean grouping, parsed by
+                               :func:`parse_boolean` into a clause tree
+                               (AND binds tighter than OR; default operator
+                               between adjacent atoms is OR — Lucene's
+                               default; ``NOT x`` / ``-(...)`` negates).
+                               Queries WITHOUT parentheses keep the flat
+                               single-level model above.
+
+Slop (``"a b"~2``) is not supported.
 """
 
 from __future__ import annotations
@@ -49,6 +71,9 @@ _QUOTED = re.compile(r'(-?)(?:([A-Za-z_][\w.]*):)?"([^"]*)"(?:\^([0-9.]+))?')
 
 #: trailing boost on a bare clause: term^2 / pre*^1.5
 _BOOST = re.compile(r"^(.*?)\^([0-9]+(?:\.[0-9]+)?)$")
+
+#: fuzzy clause: term~ / term~1 / term~2 (digits only after ~)
+_FUZZY = re.compile(r"^(.+?)~([0-9]+)?$")
 
 #: range filters: field:[lo TO hi], exclusive {} bounds, * open ends
 _RANGE = re.compile(
@@ -106,12 +131,30 @@ class ParsedQuery:
     boosts: dict = field(default_factory=dict)
     phrase_boosts: dict = field(default_factory=dict)
     prefix_boosts: dict = field(default_factory=dict)
+    #: fuzzy clauses: [(analyzed word, max_edits)]; scored as blended
+    #: SynonymQuery groups over the expansion set
+    fuzzies: list = field(default_factory=list)
+    prohibited_fuzzies: list = field(default_factory=list)
+    fuzzy_boosts: dict = field(default_factory=dict)      # (word, edits) -> b
+    #: general wildcard patterns (?, infix/leading *), constant-score
+    wildcards: list = field(default_factory=list)
+    prohibited_wildcards: list = field(default_factory=list)
+    wildcard_boosts: dict = field(default_factory=dict)
 
     @property
     def is_match_all(self) -> bool:
         return not (
             self.terms or self.filters or self.phrases or self.prefixes
-            or self.range_filters
+            or self.range_filters or self.fuzzies or self.wildcards
+        )
+
+    @property
+    def scoring_clauses(self) -> int:
+        """Count of DISTINCT positive scoring clauses (the AND-required
+        count; Lucene: a clause absent from the index still counts)."""
+        return (
+            len(set(self.terms)) + len(self.phrases) + len(self.prefixes)
+            + len(set(self.fuzzies)) + len(set(self.wildcards))
         )
 
 
@@ -185,7 +228,24 @@ def parse_query(q: str, analyze) -> ParsedQuery:
                 (out.neg_filters if neg else out.filters)[fld] = val
                 continue
             raw = val  # default-field alias or unknown field -> score terms
-        if raw.endswith("*") and len(raw) > 1 and "*" not in raw[:-1]:
+        fm = _FUZZY.match(raw)
+        if fm:
+            toks = analyze(fm.group(1))
+            if toks:
+                edits = min(int(fm.group(2) or 2), 2)  # Lucene caps at 2
+                if edits == 0:  # term~0 is an exact term (Lucene)
+                    (out.prohibited if neg else out.terms).extend(toks[-1:])
+                    if boost is not None and not neg:
+                        out.boosts[toks[-1]] = boost
+                    continue
+                clause = (toks[-1], edits)
+                (out.prohibited_fuzzies if neg else out.fuzzies).append(clause)
+                if boost is not None and not neg:
+                    out.fuzzy_boosts[clause] = boost
+            continue
+        if raw.endswith("*") and len(raw) > 1 and "*" not in raw[:-1] and (
+            "?" not in raw
+        ):
             pre = analyze(raw[:-1])
             if pre:  # analyzed prefix: last emitted token stem
                 (out.prohibited_prefixes if neg else out.prefixes).append(
@@ -194,9 +254,167 @@ def parse_query(q: str, analyze) -> ParsedQuery:
                 if boost is not None and not neg:
                     out.prefix_boosts[pre[-1]] = boost
             continue
+        if ("*" in raw or "?" in raw) and raw not in ("*", "?"):
+            # general wildcard: Lucene does NOT analyze wildcard terms —
+            # only the multiterm chain (lowercasing) applies
+            pat = raw.lower()
+            (out.prohibited_wildcards if neg else out.wildcards).append(pat)
+            if boost is not None and not neg:
+                out.wildcard_boosts[pat] = boost
+            continue
         toks = analyze(raw)
         (out.prohibited if neg else out.terms).extend(toks)
         if boost is not None and not neg:
             for t in toks:  # a multi-token raw clause boosts every token
                 out.boosts[t] = boost
     return out
+
+
+# --------------------------------------------------------------------- #
+# parenthesized boolean grouping
+# --------------------------------------------------------------------- #
+@dataclass
+class BoolNode:
+    """One boolean operator node: ``children`` is a list of
+    ``(negated, child)`` where child is a :class:`BoolNode` or a leaf
+    :class:`ParsedQuery` (parsed from a single atom via
+    :func:`parse_query`, so every clause type works inside a group)."""
+
+    op: str          # 'AND' | 'OR'
+    children: list   # [(negated: bool, BoolNode | ParsedQuery)]
+
+
+def _bool_tokens(q: str) -> list[str]:
+    """Lex a grouped query: parens are standalone tokens; quoted segments
+    (with attached field prefix / ``-`` / trailing boost) stay atomic;
+    everything else splits on whitespace."""
+    toks: list[str] = []
+    buf: list[str] = []
+
+    def flush():
+        if buf:
+            toks.append("".join(buf))
+            buf.clear()
+
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == '"':
+            j = q.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            buf.append(q[i:j + 1])
+            i = j + 1
+        elif c in "()":
+            flush()
+            toks.append(c)
+            i += 1
+        elif c.isspace():
+            flush()
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    flush()
+    return toks
+
+
+def has_group_syntax(q: str) -> bool:
+    """True when the query contains a paren outside quotes."""
+    depth_seen = False
+    in_quote = False
+    for c in q or "":
+        if c == '"':
+            in_quote = not in_quote
+        elif c in "()" and not in_quote:
+            depth_seen = True
+    return depth_seen
+
+
+def parse_boolean(q: str, analyze):
+    """Parse a parenthesized boolean query into a clause tree, or return
+    ``None`` when the query has no grouping (the flat model applies).
+
+    Grammar (AND binds tighter than OR; adjacency = OR, Lucene's default
+    operator; ``NOT x`` / ``-x`` / ``-(...)`` negates)::
+
+        or_expr  := and_expr ((OR | adjacency) and_expr)*
+        and_expr := unary (AND unary)*
+        unary    := (NOT | -)* ( '(' or_expr ')' | atom )
+
+    Every atom is parsed with :func:`parse_query`, so phrases, filters,
+    ranges, boosts, fuzzies and wildcards all work inside groups.  A
+    top-level pure-negative query gets Solr's implicit ``*:*`` conjunct.
+    """
+    if not has_group_syntax(q):
+        return None
+    toks = _bool_tokens(q or "")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def parse_unary():
+        nonlocal pos
+        neg = False
+        while peek() in ("NOT", "-", "!"):
+            neg = not neg
+            pos += 1
+        t = peek()
+        if t == "(":
+            pos += 1
+            inner_neg, node = parse_or()
+            if peek() == ")":
+                pos += 1
+            return neg ^ inner_neg, node
+        if t is None or t == ")":
+            return neg, ParsedQuery()  # empty group -> match-all leaf
+        pos += 1
+        atom = t
+        if atom.startswith("-") and len(atom) > 1:
+            neg = not neg
+            atom = atom[1:]
+        elif atom.startswith("+") and len(atom) > 1:
+            atom = atom[1:]
+        return neg, parse_query(atom, analyze)
+
+    def parse_and():
+        nonlocal pos
+        children = [parse_unary()]
+        while peek() in ("AND", "&&"):
+            pos += 1
+            children.append(parse_unary())
+        if len(children) == 1:
+            return children[0]
+        return False, BoolNode("AND", children)
+
+    def parse_or():
+        nonlocal pos
+        children = [parse_and()]
+        while True:
+            t = peek()
+            if t in ("OR", "||"):
+                pos += 1
+                children.append(parse_and())
+            elif t is not None and t != ")":
+                children.append(parse_and())  # adjacency = default OR
+            else:
+                break
+        if len(children) == 1:
+            return children[0]
+        return False, BoolNode("OR", children)
+
+    neg, node = parse_or()
+    if neg:
+        # Solr-style implicit *:* for a top-level pure negative
+        node = BoolNode("AND", [(False, ParsedQuery()), (True, node)])
+    return node
+
+
+def iter_bool_leaves(node):
+    """Yield every leaf ParsedQuery in a boolean tree (or the node itself
+    when given a leaf)."""
+    if isinstance(node, BoolNode):
+        for _, child in node.children:
+            yield from iter_bool_leaves(child)
+    else:
+        yield node

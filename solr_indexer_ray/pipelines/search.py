@@ -36,6 +36,7 @@ from __future__ import annotations
 import heapq
 import math
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -43,7 +44,13 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from solr_indexer_ray.functions.hashing import term_shard
-from solr_indexer_ray.functions.queryparse import ParsedQuery, parse_query
+from solr_indexer_ray.functions.queryparse import (
+    BoolNode,
+    ParsedQuery,
+    has_group_syntax,
+    parse_boolean,
+    parse_query,
+)
 from solr_indexer_ray.functions.smallfloat import DECODE_TABLE
 from solr_indexer_ray.functions.varint import (
     decode_doc_ids,
@@ -306,6 +313,7 @@ class SearchEngine:
         self.max_expansions = 1024
         self._mask_cache: dict = {}  # (filters, prohibited, n_tomb) -> mask
         self._fq_cache: dict = {}    # fq string -> exclusion mask (filterCache)
+        self._fuzzy_cache: dict = {}  # (word, edits) -> expansion terms
 
     # ------------------------------------------------------------------ #
     # small state
@@ -349,6 +357,7 @@ class SearchEngine:
         self._overlays = None
         self._mask_cache = {}
         self._fq_cache = {}
+        self._fuzzy_cache = {}
 
     def refresh(self) -> bool:
         """Reopen the searcher (Solr: openSearcher after a commit): re-read
@@ -502,6 +511,99 @@ class SearchEngine:
         docs = np.unique(np.concatenate([tp.doc_ids for tp in postings.values()]))
         return docs
 
+    def expand_pattern(self, pattern: str) -> list:
+        """Dictionary terms matching a general wildcard (``*`` / ``?``
+        anywhere).  The literal prefix before the first wildcard prunes the
+        term-dictionary scan via sorted-term row-group stats (same trick as
+        :meth:`expand_prefix`); the pattern itself runs as a vectorized SQL
+        LIKE over the surviving terms (``pc.match_like``)."""
+        lit = re.match(r"^[^*?]*", pattern).group(0)
+        flt = None
+        if lit:
+            hi = lit[:-1] + chr(ord(lit[-1]) + 1)
+            flt = (pc.field("term") >= lit) & (pc.field("term") < hi)
+        tbl = self._postings_ds.to_table(columns=["term"], filter=flt)
+        terms = pc.unique(tbl["term"])
+        like = (
+            pattern.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_")
+        )
+        out = terms.filter(pc.match_like(terms, like)).to_pylist()
+        if len(out) > self.max_expansions:
+            raise ValueError(
+                f"wildcard {pattern} expands to {len(out)} terms "
+                f"(> max_expansions={self.max_expansions})"
+            )
+        return sorted(out)
+
+    def eval_pattern(self, pattern: str) -> np.ndarray:
+        """Docs containing ANY expansion of a general wildcard pattern
+        (constant-score, like :meth:`eval_prefix`)."""
+        terms = self.expand_pattern(pattern)
+        if not terms:
+            return np.empty(0, np.int64)
+        postings = self.lookup_postings(terms)
+        if not postings:
+            return np.empty(0, np.int64)
+        return np.unique(
+            np.concatenate([tp.doc_ids for tp in postings.values()])
+        )
+
+    # ------------------------------------------------------------------ #
+    # fuzzy (Lucene FuzzyQuery, blended SynonymQuery-stats rewrite)
+    # ------------------------------------------------------------------ #
+    def expand_fuzzy(self, word: str, max_edits: int) -> list:
+        """Index terms within ``max_edits`` classic Levenshtein edits of
+        ``word`` (including ``word`` itself when indexed — FuzzyQuery
+        matches at distance 0).  Reuses the spellcheck suggester's exact
+        pruning (length delta + L1 char-histogram lower bounds) before the
+        capped DP, memoized per (word, edits)."""
+        word = (word or "").lower()
+        key = (word, max_edits)
+        hit = self._fuzzy_cache.get(key)
+        if hit is not None:
+            return hit
+        terms, _dfs, lens, counts_mat = self._suggest_state()
+        keep = np.abs(lens - len(word)) <= max_edits
+        wvec = np.zeros(counts_mat.shape[1], dtype=np.int16)
+        for ch in word.encode("utf-8", "ignore"):
+            wvec[_CHAR_CLASS[ch]] += 1
+        l1 = np.abs(
+            counts_mat[keep].astype(np.int16) - wvec[None, :]
+        ).sum(axis=1)
+        cand = np.flatnonzero(keep)[l1 <= 2 * max_edits]
+        out = sorted(
+            terms[i] for i in cand
+            if _levenshtein_capped(word, terms[i], max_edits) <= max_edits
+        )
+        if len(out) > self.max_expansions:
+            raise ValueError(
+                f"fuzzy {word}~{max_edits} expands to {len(out)} terms "
+                f"(> max_expansions={self.max_expansions})"
+            )
+        if len(self._fuzzy_cache) > 1024:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[key] = out
+        return out
+
+    def _fuzzy_group(self, word: str, edits: int):
+        """Blended stats for a fuzzy clause (Lucene
+        TopTermsBlendedFreqScoringRewrite ~ SynonymQuery): union doc ids,
+        per-doc tf = SUM over expansion members, df = MAX over members.
+        Returns (None, None, 0) when nothing matches."""
+        members = self.expand_fuzzy(word, edits)
+        if not members:
+            return None, None, 0
+        postings = self.lookup_postings(members)
+        tps = [postings[m] for m in members if m in postings]
+        if not tps:
+            return None, None, 0
+        acc = np.zeros(self.doc_space, dtype=np.int64)
+        for tp in tps:
+            acc[tp.doc_ids] += tp.tfs
+        docs = np.flatnonzero(acc)
+        return docs, acc[docs], max(tp.df for tp in tps)
+
     # ------------------------------------------------------------------ #
     # phrase matching (Lucene ExactPhraseMatcher semantics)
     # ------------------------------------------------------------------ #
@@ -562,6 +664,8 @@ class SearchEngine:
             tuple(sorted(set(parsed.prohibited))),
             tuple(sorted(map(tuple, parsed.prohibited_phrases))),
             tuple(sorted(set(parsed.prohibited_prefixes))),
+            tuple(sorted(set(parsed.prohibited_fuzzies))),
+            tuple(sorted(set(parsed.prohibited_wildcards))),
             len(self.tombstones),
         )
         if key in self._mask_cache:
@@ -593,6 +697,14 @@ class SearchEngine:
                 ensure()[docs] = True
         for pre in parsed.prohibited_prefixes:
             docs = self.eval_prefix(pre)
+            if docs.size:
+                ensure()[docs] = True
+        for word, edits in parsed.prohibited_fuzzies:
+            members = self.expand_fuzzy(word, edits)
+            for tp in self.lookup_postings(members).values():
+                ensure()[tp.doc_ids] = True
+        for pat in parsed.prohibited_wildcards:
+            docs = self.eval_pattern(pat)
             if docs.size:
                 ensure()[docs] = True
         if parsed.filters:
@@ -707,6 +819,17 @@ class SearchEngine:
             )[start:]
             t = self._resolve(hits, fl)
         else:
+            ast = (
+                parse_boolean(query, self.registry.analyzer_for(None))
+                if has_group_syntax(query or "") else None
+            )
+            if ast is not None:
+                # parenthesized boolean grouping: clause-tree evaluation
+                hits = self._score_ast(ast, fq, k)
+                if query in self.elevate:
+                    hits = self._apply_elevation(query, hits, k)
+                t = self._resolve(hits, fl)
+                return self._add_highlights(parsed, t) if hl else t
             want = list(parsed.terms)
             if self.synonyms:
                 for t_ in parsed.terms:
@@ -716,16 +839,20 @@ class SearchEngine:
             postings = self.lookup_postings(want)
             excluded = self._merge_fq_mask(self._excluded_mask(parsed), fq)
 
-            if not (parsed.terms or parsed.phrases or parsed.prefixes):
+            if parsed.scoring_clauses == 0:
                 # no scoring clause (match-all / pure-filter query):
                 # filter match, score 0, doc_id order
                 hits = self._match_all(parsed, excluded, k)
-            elif method == "bmw" and not parsed.phrases and not parsed.prefixes:
+            elif method == "bmw" and not (
+                parsed.phrases or parsed.prefixes
+                or parsed.fuzzies or parsed.wildcards
+            ):
                 hits = self._score_bmw(parsed, postings, excluded, k)
             else:
-                # phrase/prefix clauses always score TAAT (positional
-                # intersection / constant-score unions have no block-max
-                # bound); rank-identical to BMW for pure-term queries (tested)
+                # phrase/prefix/fuzzy/wildcard clauses always score TAAT
+                # (positional intersection / constant-score unions /
+                # blended groups have no block-max bound); rank-identical
+                # to BMW for pure-term queries (tested)
                 hits = self._score_taat(parsed, postings, excluded, k)
             if query in self.elevate:
                 hits = self._apply_elevation(query, hits, k)
@@ -781,17 +908,21 @@ class SearchEngine:
         words = set(parsed.terms) | {
             w for ph in parsed.phrases for w in ph
         } | set(parsed.prefixes)
-        if not words or t.num_rows == 0:
+        for word, edits in parsed.fuzzies:  # expansion terms highlight
+            words.update(self.expand_fuzzy(word, edits))
+        alts = [
+            re.escape(w) + (r"\w*" if w in parsed.prefixes else "")
+            for w in sorted(words, key=len, reverse=True)
+        ]
+        for wc in parsed.wildcards:  # * -> \w*, ? -> \w
+            alts.append(
+                re.escape(wc).replace(r"\*", r"\w*").replace(r"\?", r"\w")
+            )
+        if not alts or t.num_rows == 0:
             return t.append_column(
                 "hl", pa.array([None] * t.num_rows, pa.string())
             )
-        pat = re.compile(
-            "|".join(
-                re.escape(w) + (r"\w*" if w in parsed.prefixes else "")
-                for w in sorted(words, key=len, reverse=True)
-            ),
-            re.IGNORECASE,
-        )
+        pat = re.compile("|".join(alts), re.IGNORECASE)
         ids = t["doc_id"].to_pylist()
         ct = self._docs_ds.to_table(
             columns=["doc_id", "content"],
@@ -891,18 +1022,13 @@ class SearchEngine:
             tp.score_vec = w * self.scoring.impact(tp.tfs, K)
         return tp.score_vec
 
-    def _score_taat(self, parsed, postings, excluded, k, after=None):
-        scores = np.zeros(self.doc_space, dtype=np.float64)
-        #: conjunction requires every DISTINCT query clause — including
-        #: terms absent from the index (Lucene: AND with a non-existent
-        #: term matches nothing), so count from the parse, not the lookup.
-        required = (
-            len(set(parsed.terms)) + len(parsed.phrases)
-            + len(parsed.prefixes)
-        )
-        seen = (
-            np.zeros(self.doc_space, dtype=np.int32) if parsed.conjunctive else None
-        )
+    def _accumulate(self, parsed, postings, scores, seen):
+        """Add every positive scoring clause's contribution into ``scores``
+        (bumping ``seen`` per clause when provided); returns the number of
+        clauses present in the index.  Clause order is PINNED (terms asc,
+        fuzzies asc, phrases asc, prefixes asc, wildcards asc): float64
+        summation order is part of the rank-identity contract across
+        TAAT / BMW / distributed / oracle scorers."""
         n_present = 0
         syn = self.synonyms
         grouped = sorted(set(parsed.terms)) if syn else None
@@ -933,6 +1059,20 @@ class SearchEngine:
             if seen is not None:
                 seen[tp.doc_ids] += 1
             n_present += 1
+        # fuzzy clauses after terms: blended SynonymQuery-stats groups
+        for fz in sorted(set(parsed.fuzzies)):
+            docs, tfs, df = self._fuzzy_group(*fz)
+            if docs is None:
+                continue
+            w = self.idf(df)
+            b = parsed.fuzzy_boosts.get(fz)
+            if b is not None:
+                w *= b
+            K = self._norm_factor(self.norms[docs])
+            scores[docs] += w * self.scoring.impact(tfs.astype(np.float64), K)
+            if seen is not None:
+                seen[docs] += 1
+            n_present += 1
         # phrase clauses after terms, ascending by tuple: pinned float order
         for ph in sorted(map(tuple, parsed.phrases)):
             docs, freqs, w = self.eval_phrase(list(ph))
@@ -956,6 +1096,26 @@ class SearchEngine:
                 if seen is not None:
                     seen[docs] += 1
                 n_present += 1
+        # general wildcards: same constant-score union as prefixes
+        for pat in sorted(set(parsed.wildcards)):
+            docs = self.eval_pattern(pat)
+            if docs.size:
+                scores[docs] += parsed.wildcard_boosts.get(pat, 1.0)
+                if seen is not None:
+                    seen[docs] += 1
+                n_present += 1
+        return n_present
+
+    def _score_taat(self, parsed, postings, excluded, k, after=None):
+        scores = np.zeros(self.doc_space, dtype=np.float64)
+        #: conjunction requires every DISTINCT query clause — including
+        #: terms absent from the index (Lucene: AND with a non-existent
+        #: term matches nothing), so count from the parse, not the lookup.
+        required = parsed.scoring_clauses
+        seen = (
+            np.zeros(self.doc_space, dtype=np.int32) if parsed.conjunctive else None
+        )
+        n_present = self._accumulate(parsed, postings, scores, seen)
         if n_present == 0:
             return []
         if seen is not None:
@@ -976,6 +1136,91 @@ class SearchEngine:
             return []
         return _select_topk(cand, scores[cand], k)
 
+    # -- parenthesized boolean grouping --------------------------------- #
+    def _eval_leaf(self, parsed: ParsedQuery):
+        """(match_mask, scores) dense arrays for one atom of a boolean
+        tree.  Scores are zeroed outside the leaf's own match set so a
+        parent node can sum child score vectors directly."""
+        excluded = self._excluded_mask(parsed)
+        if parsed.scoring_clauses == 0:
+            # pure filter / match-all atom: mask from the docs table,
+            # score 0 (Lucene: filter clauses contribute no score)
+            hits = self._match_all(parsed, excluded, k=self.doc_space)
+            mask = np.zeros(self.doc_space, dtype=bool)
+            if hits:
+                mask[np.array([d for d, _ in hits], dtype=np.int64)] = True
+            return mask, np.zeros(self.doc_space, dtype=np.float64)
+        want = list(parsed.terms)
+        for t_ in parsed.terms:
+            want += self.synonyms.get(t_, [])
+        postings = self.lookup_postings(want)
+        scores = np.zeros(self.doc_space, dtype=np.float64)
+        seen = np.zeros(self.doc_space, dtype=np.int32)
+        n_present = self._accumulate(parsed, postings, scores, seen)
+        required = parsed.scoring_clauses if parsed.conjunctive else 1
+        if n_present == 0 or (
+            parsed.conjunctive and n_present < required
+        ):
+            return (
+                np.zeros(self.doc_space, dtype=bool),
+                np.zeros(self.doc_space, dtype=np.float64),
+            )
+        mask = seen >= required
+        if excluded is not None:
+            mask &= ~excluded
+        scores[~mask] = 0.0
+        return mask, scores
+
+    def _eval_bool_node(self, node):
+        """Recursive (mask, scores) evaluation of a boolean clause tree.
+
+        Lucene BooleanQuery scoring: a matching doc's score is the SUM of
+        every matching scoring clause inside every MATCHED branch — an
+        unmatched AND branch contributes nothing even where its individual
+        clauses matched, which the per-node ``scores[~mask] = 0`` below
+        enforces.  Negated children contribute their complement to the
+        mask and never contribute score (Lucene MUST_NOT)."""
+        if not isinstance(node, BoolNode):
+            return self._eval_leaf(node)
+        mask = None
+        scores = np.zeros(self.doc_space, dtype=np.float64)
+        for negated, child in node.children:
+            m, s = self._eval_bool_node(child)
+            if negated:
+                m = ~m
+            else:
+                scores += s
+            if mask is None:
+                mask = m.copy()
+            elif node.op == "AND":
+                mask &= m
+            else:
+                mask |= m
+        if mask is None:
+            mask = np.zeros(self.doc_space, dtype=bool)
+        scores[~mask] = 0.0
+        return mask, scores
+
+    def _score_ast(self, ast, fq, k, after=None):
+        """Top-k for a grouped boolean query: evaluate the tree, apply the
+        global exclusions a NOT branch may have re-included (tombstones,
+        validation-rejected id slots), then the usual candidate top-k."""
+        mask, scores = self._eval_bool_node(ast)
+        mask &= self.present
+        if self.tombstones:
+            mask[np.fromiter(self.tombstones, dtype=np.int64)] = False
+        fqm = self._merge_fq_mask(None, fq)
+        if fqm is not None:
+            mask &= ~fqm
+        cand = np.flatnonzero(mask)
+        if after is not None:
+            cs, cid = after
+            sa = scores[cand]
+            cand = cand[(sa < cs) | ((sa == cs) & (cand > cid))]
+        if cand.size == 0:
+            return []
+        return _select_topk(cand, scores[cand], k)
+
     def _search_after(self, query, k, fl, method, fq, cursor, hl):
         """Cursor paging (Solr cursorMark): score candidates once, keep
         those strictly after ``(score, doc_id)`` in ranking order, take
@@ -987,14 +1232,25 @@ class SearchEngine:
                 "highlighting needs stored content; rebuild with "
                 "IndexConfig(store_content=True)"
             )
+        ast = (
+            parse_boolean(query, self.registry.analyzer_for(None))
+            if has_group_syntax(query or "") else None
+        )
+        if ast is not None:
+            hits = self._score_ast(ast, fq, k, after=(cs, cid))
+            t = self._resolve(hits, fl)
+            return self._add_highlights(parsed, t) if hl else t
         excluded = self._merge_fq_mask(self._excluded_mask(parsed), fq)
-        if not (parsed.terms or parsed.phrases or parsed.prefixes):
+        if parsed.scoring_clauses == 0:
             # match-all ranking is (score 0, ascending id): after-cursor
             # means ids > cid
             hits = self._match_all(parsed, excluded, self.doc_space)
             hits = [(d, s) for d, s in hits if d > cid][:k]
         else:
-            postings = self.lookup_postings(parsed.terms)
+            want = list(parsed.terms)
+            for t_ in parsed.terms:
+                want += self.synonyms.get(t_, [])
+            postings = self.lookup_postings(want)
             hits = self._score_taat(parsed, postings, excluded, k=k,
                                     after=(cs, cid))
         t = self._resolve(hits, fl)
@@ -1222,17 +1478,23 @@ class SearchEngine:
         """ALL doc ids matching a query (no top-k) — delete-by-query and
         faceting both consume the full match set.  Same clause semantics as
         :meth:`search` (terms/phrases/prefixes/filters/prohibitions)."""
+        ast = (
+            parse_boolean(query, self.registry.analyzer_for(None))
+            if has_group_syntax(query or "") else None
+        )
+        if ast is not None:
+            mask, _ = self._eval_bool_node(ast)
+            mask &= self.present
+            if self.tombstones:
+                mask[np.fromiter(self.tombstones, dtype=np.int64)] = False
+            return np.flatnonzero(mask).astype(np.int64)
         parsed = parse_query(query, self.registry.analyzer_for(None))
         excluded = self._excluded_mask(parsed)
-        if not (parsed.terms or parsed.phrases or parsed.prefixes):
+        if parsed.scoring_clauses == 0:
             hits = self._match_all(parsed, excluded, k=self.doc_space)
             return np.array([d for d, _ in hits], dtype=np.int64)
         seen = np.zeros(self.doc_space, dtype=np.int32)
-        required = (
-            len(set(parsed.terms)) + len(parsed.phrases)
-            + len(parsed.prefixes)
-            if parsed.conjunctive else 1
-        )
+        required = parsed.scoring_clauses if parsed.conjunctive else 1
         want = list(parsed.terms)
         for t_ in parsed.terms:
             want += self.synonyms.get(t_, [])
@@ -1244,11 +1506,17 @@ class SearchEngine:
                     seen[docs] += 1
             elif term in postings:
                 seen[postings[term].doc_ids] += 1
+        for fz in sorted(set(parsed.fuzzies)):
+            docs, _, _ = self._fuzzy_group(*fz)
+            if docs is not None:
+                seen[docs] += 1
         for ph in parsed.phrases:
             docs, _, _ = self.eval_phrase(list(ph))
             seen[docs] += 1
         for pre in parsed.prefixes:
             seen[self.eval_prefix(pre)] += 1
+        for pat in sorted(set(parsed.wildcards)):
+            seen[self.eval_pattern(pat)] += 1
         cand = np.flatnonzero(seen >= required)
         if excluded is not None and cand.size:
             cand = cand[~excluded[cand]]
@@ -1767,9 +2035,15 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
 
     Returns ``(shard, doc_id, score)`` rows — doc ids are shard-local
     (Solr returns per-core ids + shard address the same way).  Supports
-    terms/phrases/prefixes with boosts, filters, prohibitions and range
-    filters; ties break by (shard, doc_id) ascending.
+    terms/phrases/prefixes/fuzzies/wildcards with boosts, filters,
+    prohibitions and range filters; ties break by (shard, doc_id)
+    ascending.  Parenthesized boolean grouping is not federated yet.
     """
+    if has_group_syntax(query or ""):
+        raise ValueError(
+            "grouped boolean queries are not supported across shard "
+            "federation yet; query each shard's engine directly"
+        )
     engines = [SearchEngine(d) for d in index_dirs]
     pins = {
         (e.stats.get("analyzer_default"),
@@ -1803,10 +2077,22 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
         for t in member_terms
     }
 
-    required = (
-        len(set(parsed.terms)) + len(parsed.phrases) + len(parsed.prefixes)
-        if parsed.conjunctive else 1
+    # fuzzy expansion = union of every shard's dictionary matches; the
+    # blended group df is the MAX over GLOBAL member dfs (same
+    # ExactStatsCache discipline as terms/phrases)
+    fuzzy_members = {
+        fz: sorted(set().union(*(set(e.expand_fuzzy(*fz)) for e in engines)))
+        for fz in sorted(set(parsed.fuzzies))
+    }
+    all_fz_members = sorted(
+        {m for mem in fuzzy_members.values() for m in mem}
     )
+    fz_shard = [e.lookup_postings(all_fz_members) for e in engines]
+    fdf_global = {
+        m: sum(p[m].df for p in fz_shard if m in p) for m in all_fz_members
+    }
+
+    required = parsed.scoring_clauses if parsed.conjunctive else 1
     hits = []
     for si, e in enumerate(engines):
         scores = np.zeros(e.doc_space, dtype=np.float64)
@@ -1833,6 +2119,30 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
             )
             if seen is not None:
                 seen[tp.doc_ids] += 1
+        for fz in sorted(set(parsed.fuzzies)):
+            members = [
+                m for m in fuzzy_members[fz] if m in fz_shard[si]
+            ]
+            group_df = max(
+                (fdf_global[m] for m in fuzzy_members[fz]
+                 if fdf_global.get(m, 0) > 0),
+                default=0,
+            )
+            if not members or group_df == 0:
+                continue
+            acc = np.zeros(e.doc_space, dtype=np.int64)
+            for m in members:
+                tp = fz_shard[si][m]
+                acc[tp.doc_ids] += tp.tfs
+            docs = np.flatnonzero(acc)
+            w = idf(group_df)
+            b = parsed.fuzzy_boosts.get(fz)
+            if b is not None:
+                w *= b
+            tfs = acc[docs].astype(np.float64)
+            scores[docs] += w * (tfs / (tfs + K_of(e, docs)))
+            if seen is not None:
+                seen[docs] += 1
         for ph in sorted(map(tuple, parsed.phrases)):
             # per-shard positional match; weight from GLOBAL member dfs
             if any(mdf_global.get(t, 0) == 0 for t in ph):
@@ -1853,6 +2163,12 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
             docs = e.eval_prefix(pre)
             if docs.size:
                 scores[docs] += parsed.prefix_boosts.get(pre, 1.0)
+                if seen is not None:
+                    seen[docs] += 1
+        for pat in sorted(set(parsed.wildcards)):
+            docs = e.eval_pattern(pat)
+            if docs.size:
+                scores[docs] += parsed.wildcard_boosts.get(pat, 1.0)
                 if seen is not None:
                     seen[docs] += 1
         cand = (
@@ -1910,22 +2226,29 @@ def export_matches(index_dir: str, query: str, dest: str, fl=None,
     return {"dest": os.fspath(dest), "n_docs": int(ids.size)}
 
 
-def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery):
+def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
+                         query: str = ""):
     """Driver-side clause preparation shared by the distributed query and
     facet paths.
 
     Returns ``None`` when the query shape needs the single-engine path
-    (match-all / negative phrase-or-prefix / wildcard metadata filters),
-    the string ``"zero"`` when the query provably matches nothing (AND with
-    a clause absent from the index), else ``(terms, idfs, phrases,
-    prefix_groups)`` ready to ship to range tasks."""
+    (match-all / negative phrase-or-prefix / fuzzy / grouped boolean /
+    wildcard metadata filters), the string ``"zero"`` when the query
+    provably matches nothing (AND with a clause absent from the index),
+    else ``(terms, idfs, phrases, prefix_groups)`` ready to ship to range
+    tasks."""
+    if has_group_syntax(query):
+        return None  # boolean tree: single-engine evaluation
     if (
-        not (parsed.terms or parsed.phrases or parsed.prefixes)
+        parsed.scoring_clauses == 0
         or parsed.prohibited_phrases
         or parsed.neg_filters
         or parsed.prohibited_prefixes
         or parsed.range_filters
         or parsed.neg_range_filters
+        or parsed.fuzzies            # blended groups: single-engine TAAT
+        or parsed.prohibited_fuzzies
+        or parsed.prohibited_wildcards
         or any(v.endswith("*") for v in parsed.filters.values())
     ):
         return None
@@ -1958,6 +2281,16 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery):
             )
         elif parsed.conjunctive:
             return "zero"  # AND with an unmatchable wildcard
+    # general wildcards ship the same way: driver-side expansion into a
+    # constant-score [terms, weight] group
+    for pat in sorted(set(parsed.wildcards)):
+        group = engine.expand_pattern(pat)
+        if group:
+            prefix_groups.append(
+                [group, float(parsed.wildcard_boosts.get(pat, 1.0))]
+            )
+        elif parsed.conjunctive:
+            return "zero"
     if not terms and not phrases and not prefix_groups:
         return "zero"
     # term weights ship as idf x boost (the per-range scorer is agnostic)
@@ -1991,7 +2324,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
              "score": pa.array([], pa.float64())}
         )
 
-    clauses = _distributed_clauses(engine, parsed)
+    clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         # match-all / rare negative+wildcard-filter forms: single-engine path
         return engine.search(query, k=k)
@@ -2129,7 +2462,7 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
 
     engine = SearchEngine(index_dir)
     parsed = parse_query(query, engine.registry.analyzer_for(None))
-    clauses = _distributed_clauses(engine, parsed)
+    clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         return engine.facet(query, fields, limit=limit, mincount=mincount)
     totals: dict = {}
@@ -2316,7 +2649,7 @@ def stats_partitioned(index_dir: str, query: str, field: str) -> dict:
     ``SearchEngine.field_stats`` (tested)."""
     engine = SearchEngine(index_dir)
     parsed = parse_query(query, engine.registry.analyzer_for(None))
-    clauses = _distributed_clauses(engine, parsed)
+    clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         return engine.field_stats(query, field)
     if field not in STORED_FIELDS or field == "doc_id":
@@ -2362,7 +2695,7 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
     (tested; per-range scores are bit-identical to the single engine)."""
     engine = SearchEngine(index_dir)
     parsed = parse_query(query, engine.registry.analyzer_for(None))
-    clauses = _distributed_clauses(engine, parsed)
+    clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None or clauses == "zero":
         return engine.group_search(query, group_field, k_groups=k_groups,
                                    group_limit=group_limit)
@@ -2421,7 +2754,7 @@ def sorted_partitioned(index_dir: str, query: str, sort: str,
     ``SearchEngine.search(..., sort=...)`` (tested)."""
     engine = SearchEngine(index_dir)
     parsed = parse_query(query, engine.registry.analyzer_for(None))
-    clauses = _distributed_clauses(engine, parsed)
+    clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None or clauses == "zero":
         return engine.search(query, k=k, fl=["doc_id"], sort=sort)
     keys = []

@@ -1,0 +1,243 @@
+"""Fuzzy (~), general wildcard (?, infix/leading *) and parenthesized
+boolean grouping — the query-syntax tail vs the reference's full Lucene
+passthrough (reference: queries go verbatim to Solr,
+``/root/reference/README.md:259-260``, ``solrindexer/search.py:125-140``)."""
+
+import numpy as np
+import pytest
+
+from solr_indexer_ray.functions.queryparse import (
+    BoolNode,
+    parse_boolean,
+    parse_query,
+)
+from solr_indexer_ray.functions.tokenize import simple_analyzer
+from solr_indexer_ray.pipelines.search import SearchEngine, search_partitioned
+
+
+class TestParser:
+    def test_fuzzy_forms(self):
+        p = parse_query("read~ write~1 miss~0 over~9", simple_analyzer)
+        assert ("read", 2) in p.fuzzies       # bare ~ = 2 (Lucene default)
+        assert ("write", 1) in p.fuzzies
+        assert "miss" in p.terms              # ~0 = exact term
+        assert ("over", 2) in p.fuzzies       # capped at 2
+
+    def test_fuzzy_boost_and_negation(self):
+        p = parse_query("read~1^3 -miss~2", simple_analyzer)
+        assert p.fuzzy_boosts[("read", 1)] == 3.0
+        assert ("miss", 2) in p.prohibited_fuzzies
+
+    def test_wildcard_forms(self):
+        p = parse_query("te?t *fix mid*dle tail* -sk?p", simple_analyzer)
+        assert set(p.wildcards) == {"te?t", "*fix", "mid*dle"}
+        assert p.prefixes == ["tail"]         # trailing-* stays a prefix
+        assert p.prohibited_wildcards == ["sk?p"]
+
+    def test_no_group_returns_none(self):
+        assert parse_boolean("plain a AND b", simple_analyzer) is None
+        assert parse_boolean('"quoted (not group)"', simple_analyzer) is None
+
+    def test_ast_shapes(self):
+        ast = parse_boolean("(a OR b) AND c", simple_analyzer)
+        assert isinstance(ast, BoolNode) and ast.op == "AND"
+        neg0, left = ast.children[0]
+        assert not neg0 and isinstance(left, BoolNode) and left.op == "OR"
+        ast2 = parse_boolean("-(a b) AND c", simple_analyzer)
+        assert ast2.op == "AND"
+        assert ast2.children[0][0] is True    # negated group
+
+    def test_and_binds_tighter_than_or(self):
+        ast = parse_boolean("(x) OR a AND b", simple_analyzer)
+        assert ast.op == "OR"
+        _, right = ast.children[1]
+        assert isinstance(right, BoolNode) and right.op == "AND"
+
+
+class TestFuzzySearch:
+    def test_single_expansion_equals_plain_term(self, built_index):
+        """parze~1 expands to {parse} only: blended group over one member
+        is exactly the plain term clause -> identical scores."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        assert e.expand_fuzzy("parze", 1) == ["parse"]
+        a = e.search("parze~1", k=10, fl=["doc_id"])
+        b = e.search("parse", k=10, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_multi_member_matches_synonym_engine(self, built_index):
+        """A multi-member fuzzy group must score exactly like a synonym
+        engine mapping the word to the same member set (both are Lucene
+        blended SynonymQuery stats)."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        members = e.expand_fuzzy("parse", 2)
+        assert len(members) > 1 and "parse" in members
+        syn_eng = SearchEngine(
+            index_dir, synonyms={"qqqzzz": [m for m in members]}
+        )
+        # 'qqqzzz' itself is not in the index, so its synonym group is
+        # exactly `members`
+        a = e.search("parse~2", k=15, fl=["doc_id"])
+        b = syn_eng.search("qqqzzz", k=15, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == pytest.approx(
+            b["score"].to_pylist()
+        )
+
+    def test_fuzzy_no_expansion_no_hits(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        assert e.search("qqqqzzzz~1", k=5).num_rows == 0
+
+    def test_prohibited_fuzzy(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t = e.search("-parze~1 merge", k=20, fl=["doc_id"])
+        banned = set(
+            e.search("parse", k=e.n_docs, fl=["doc_id"])["doc_id"].to_pylist()
+        )
+        assert not banned & set(t["doc_id"].to_pylist())
+
+
+class TestGeneralWildcard:
+    def test_question_mark(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        assert "parse" in e.expand_pattern("par?e")
+        t = e.search("par?e", k=5, fl=["doc_id"])
+        assert t.num_rows == 5
+        assert all(s >= 1.0 for s in t["score"].to_pylist())
+
+    def test_leading_star_and_infix(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        lead = e.expand_pattern("*rse")
+        assert "parse" in lead and all(m.endswith("rse") for m in lead)
+        infix = e.expand_pattern("p*rse")
+        assert "parse" in infix
+        assert all(m.startswith("p") and m.endswith("rse") for m in infix)
+
+    def test_wildcard_matches_manual_union(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        members = e.expand_pattern("me?ge")
+        want = set()
+        for m in members:
+            tp = e.lookup_postings([m]).get(m)
+            if tp is not None:
+                want.update(tp.doc_ids.tolist())
+        got = set(e.match_ids("me?ge").tolist())
+        assert got == want
+
+    def test_distributed_wildcard_identical(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        a = e.search("p?rse merge", k=10, fl=["doc_id"])
+        b = search_partitioned(index_dir, "p?rse merge", k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+class TestBooleanGrouping:
+    def test_group_and_equals_flat_and(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        a = e.search("(parse) AND (merge)", k=10, fl=["doc_id"])
+        b = e.search("parse AND merge", k=10, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_group_or_equals_flat_or(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        a = e.search("(parse OR merge)", k=10, fl=["doc_id"])
+        b = e.search("parse merge", k=10, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_or_and_composition_matchset(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        got = set(e.match_ids("(parse OR merge) AND read").tolist())
+        pa_ = set(e.match_ids("parse").tolist())
+        me = set(e.match_ids("merge").tolist())
+        rd_ = set(e.match_ids("read").tolist())
+        assert got == (pa_ | me) & rd_
+
+    def test_unmatched_and_branch_contributes_nothing(self, built_index):
+        """(parse AND zzzznothere) OR merge == merge exactly: the dead AND
+        branch must not leak parse's score into surviving docs."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        a = e.search("(parse AND zzzznothere) OR merge", k=10, fl=["doc_id"])
+        b = e.search("merge", k=10, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_matched_branches_sum(self, built_index):
+        """A doc matching both branches of (a AND b) OR (a) scores
+        a+b+a?  No — Lucene sums each CLAUSE once per occurrence in the
+        tree: here 'parse' appears in two branches, so a doc matching
+        both gets parse twice + merge once."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        both = set(e.match_ids("parse AND merge").tolist())
+        if not both:
+            pytest.skip("corpus has no doc with both terms")
+        t = e.search("(parse AND merge) OR (parse)", k=e.n_docs,
+                     fl=["doc_id"])
+        scores = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+        tp = e.search("parse", k=e.n_docs, fl=["doc_id"])
+        sp = dict(zip(tp["doc_id"].to_pylist(), tp["score"].to_pylist()))
+        tm = e.search("merge", k=e.n_docs, fl=["doc_id"])
+        sm = dict(zip(tm["doc_id"].to_pylist(), tm["score"].to_pylist()))
+        d = next(iter(both))
+        assert scores[d] == pytest.approx(2 * sp[d] + sm[d])
+
+    def test_negated_group(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        got = set(e.match_ids("-(parse merge) AND read").tolist())
+        assert got == set(e.match_ids("read").tolist()) - set(
+            e.match_ids("parse merge").tolist()
+        )
+
+    def test_filters_inside_groups(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t = e.search("(lang:python OR lang:go) AND parse", k=20,
+                     fl=["doc_id", "lang"])
+        assert t.num_rows > 0
+        assert set(t["lang"].to_pylist()) <= {"python", "go"}
+
+    def test_partitioned_falls_back_identically(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        q = "(parse OR merge) AND read"
+        a = e.search(q, k=10, fl=["doc_id"])
+        b = search_partitioned(index_dir, q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_cursor_paging_over_ast(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        q = "(parse OR merge) AND read"
+        full = e.search(q, k=10, fl=["doc_id"])
+        if full.num_rows < 6:
+            pytest.skip("match set too small")
+        page1 = e.search(q, k=3, fl=["doc_id"])
+        last = (page1["score"][-1].as_py(), page1["doc_id"][-1].as_py())
+        page2 = e.search(q, k=3, fl=["doc_id"], search_after=last)
+        assert (
+            page1["doc_id"].to_pylist() + page2["doc_id"].to_pylist()
+            == full["doc_id"].to_pylist()[:6]
+        )
+
+    def test_sharded_raises_on_group(self, built_index):
+        from solr_indexer_ray.pipelines.search import search_sharded
+
+        index_dir, _ = built_index
+        with pytest.raises(ValueError, match="grouped boolean"):
+            search_sharded([index_dir], "(a OR b) AND c", k=5)
