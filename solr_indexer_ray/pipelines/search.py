@@ -33,7 +33,6 @@ contain the query terms (predicate pushdown on the ``term`` column).
 
 from __future__ import annotations
 
-import heapq
 import math
 import os
 import re
@@ -223,7 +222,7 @@ class TermPostings:
 
     __slots__ = ("term", "df", "cf", "doc_ids", "tfs",
                  "block_last", "block_max_tf", "block_min_norm", "score_vec",
-                 "pos_flat", "pos_offsets")
+                 "block_ub_vec", "pos_flat", "pos_offsets")
 
     def __init__(self, term, df, cf, doc_ids, tfs,
                  block_last, block_max_tf, block_min_norm,
@@ -237,6 +236,7 @@ class TermPostings:
         self.block_max_tf = block_max_tf
         self.block_min_norm = block_min_norm
         self.score_vec = None
+        self.block_ub_vec = None  # per-block UB, memoized like score_vec
         #: token positions (store_positions indexes only): ``pos_flat`` is
         #: every posting's position list concatenated;
         #: ``pos_offsets[i]:pos_offsets[i+1]`` slices posting i's positions.
@@ -314,6 +314,7 @@ class SearchEngine:
         self._mask_cache: dict = {}  # (filters, prohibited, n_tomb) -> mask
         self._fq_cache: dict = {}    # fq string -> exclusion mask (filterCache)
         self._fuzzy_cache: dict = {}  # (word, edits) -> expansion terms
+        self._bmw_cell_cache: dict = {}  # terms tuple -> cell grid/offsets
 
     # ------------------------------------------------------------------ #
     # small state
@@ -358,6 +359,7 @@ class SearchEngine:
         self._mask_cache = {}
         self._fq_cache = {}
         self._fuzzy_cache = {}
+        self._bmw_cell_cache = {}
 
     def refresh(self) -> bool:
         """Reopen the searcher (Solr: openSearcher after a commit): re-read
@@ -1258,79 +1260,184 @@ class SearchEngine:
 
     # -- Block-Max WAND ------------------------------------------------- #
     def _score_bmw(self, parsed, postings, excluded, k):
+        """Vectorized block-max pruned top-k (the BMW role, score-at-a-time
+        over block-aligned cells instead of a per-doc Python cursor walk).
+
+        Cells = doc-id intervals bounded by the UNION of every query
+        term's block boundaries, so each cell lies entirely inside exactly
+        one block of each term; a cell's upper bound is the ascending-term
+        sum of those blocks' precomputed bounds (the same float order the
+        exact scorer uses, so UB >= score holds in float64 too).
+
+        Two phases over the descending-UB cell order: a short per-cell
+        seed loop establishes theta (the kth true score), then every
+        remaining cell with UB >= theta is scored in ONE bulk vectorized
+        pass (flat gather of the surviving posting ranges, dense
+        accumulation per term in ascending-term order — the exact float
+        sequence dense TAAT performs).  Cells below theta are skipped
+        with their postings untouched: the block-max pruning the north
+        star names, with no per-doc Python.  Rank-identical to TAAT
+        (tested).
+        """
         if not postings:
             return []
         terms = sorted(postings)
-        iters = []
-        for t in terms:
-            tp = postings[t]
+        tps = [postings[t] for t in terms]
+        ws = []
+        for t, tp in zip(terms, tps):
             w = self.idf(tp.df)
             b = parsed.boosts.get(t)
-            if b is not None:
-                w *= b
-            iters.append(_BMWIter(tp, w, self))
+            ws.append(w if b is None else w * b)
         # distinct PARSED terms, not found terms: AND with a term absent
         # from the index matches nothing (same rule as _score_taat)
         required = len(set(parsed.terms)) if parsed.conjunctive else 1
+        if parsed.conjunctive and len(terms) < required:
+            return []
 
-        heap: list = []  # (score, -doc_id) min-heap of top-k
+        # per-term per-block upper bounds (one vectorized impact() each,
+        # memoized on the TermPostings like score_vec; query boosts
+        # multiply after, mirroring vec * b in the scorer)
+        block_ubs = []
+        for w, tp, t in zip(ws, tps, terms):
+            if tp.block_ub_vec is None:
+                dl = DECODE_TABLE[tp.block_min_norm]
+                K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                tp.block_ub_vec = self.idf(tp.df) * self.scoring.impact(
+                    tp.block_max_tf.astype(np.float64), K
+                )
+            b = parsed.boosts.get(t)
+            block_ubs.append(
+                tp.block_ub_vec if b is None else tp.block_ub_vec * b
+            )
+
+        # cell grid: union of all block end-docids -> each cell maps to
+        # ONE block per term (no boundary falls inside a cell).  The grid
+        # and the per-term posting offsets of every cell boundary are
+        # query-independent for a term set — memoized across queries.
+        ckey = tuple(terms)
+        cached = self._bmw_cell_cache.get(ckey)
+        if cached is None:
+            grid = np.unique(np.concatenate([tp.block_last for tp in tps]))
+            cell_lo = np.concatenate(([0], grid[:-1] + 1))
+            cell_hi = grid
+            starts = [
+                np.searchsorted(tp.doc_ids, cell_lo, side="left")
+                for tp in tps
+            ]
+            ends = [
+                np.searchsorted(tp.doc_ids, cell_hi, side="right")
+                for tp in tps
+            ]
+            block_of = [np.searchsorted(tp.block_last, grid) for tp in tps]
+            if len(self._bmw_cell_cache) > 128:
+                self._bmw_cell_cache.clear()
+            self._bmw_cell_cache[ckey] = (grid, starts, ends, block_of)
+        else:
+            grid, starts, ends, block_of = cached
+        n_cells = grid.size
+        cell_ub = np.zeros(n_cells, dtype=np.float64)
+        for tp, ub, bi in zip(tps, block_ubs, block_of):
+            valid = bi < tp.block_last.size
+            cell_ub += np.where(valid, ub[np.minimum(bi, ub.size - 1)], 0.0)
+
+        order = np.argsort(-cell_ub, kind="stable")
+
+        # reusable dense accumulators (allocated once, cleaned after each
+        # score_cells call by zeroing only the touched slots)
+        dense = np.zeros(self.doc_space, dtype=np.float64)
+        dense_seen = (
+            np.zeros(self.doc_space, dtype=np.int32) if required > 1 else None
+        )
+
+        def score_cells(cells: np.ndarray):
+            """Exact (udocs, scores) over a set of disjoint ASCENDING
+            cells.  Adjacent surviving cells merge into contiguous posting
+            runs per term (for weakly-pruned common-term queries this
+            collapses to one slice = plain TAAT cost), then one dense
+            ``+=`` per term in ascending-term order — the EXACT float
+            sequence dense TAAT performs."""
+            touched = []
+            for ti, (t, tp) in enumerate(zip(terms, tps)):
+                s = starts[ti][cells]
+                e = ends[ti][cells]
+                nz = e > s
+                s, e = s[nz], e[nz]
+                if s.size == 0:
+                    continue
+                # cells are disjoint and ascending -> e[i] <= s[i+1];
+                # equality means contiguous postings: merge the runs
+                brk = np.flatnonzero(s[1:] > e[:-1]) + 1
+                rs = s[np.concatenate(([0], brk))]
+                re_ = e[np.concatenate((brk - 1, [e.size - 1]))]
+                if rs.size == 1:
+                    d = tp.doc_ids[rs[0]:re_[0]]
+                    vec = self._term_score_vec(tp)[rs[0]:re_[0]]
+                else:
+                    d = np.concatenate(
+                        [tp.doc_ids[a:b] for a, b in zip(rs, re_)]
+                    )
+                    sv = self._term_score_vec(tp)
+                    vec = np.concatenate([sv[a:b] for a, b in zip(rs, re_)])
+                b = parsed.boosts.get(t)  # same float order as TAAT: vec*b
+                dense[d] += vec if b is None else vec * b
+                if dense_seen is not None:
+                    dense_seen[d] += 1
+                touched.append(d)
+            if not touched:
+                return None, None
+            udocs = (
+                touched[0] if len(touched) == 1
+                else np.unique(np.concatenate(touched))
+            )
+            scores = dense[udocs]
+            if dense_seen is not None:
+                keep = dense_seen[udocs] >= required
+                out_d, out_s = udocs[keep], scores[keep]
+                dense_seen[udocs] = 0
+            else:
+                out_d, out_s = udocs, scores
+            dense[udocs] = 0.0  # cheap cleanup: only touched slots
+            if excluded is not None and out_d.size:
+                m = ~excluded[out_d]
+                out_d, out_s = out_d[m], out_s[m]
+            return out_d, out_s
+
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float64)
         theta = -math.inf
 
-        while True:
-            live = [it for it in iters if not it.exhausted]
-            if len(live) < required:
-                break
-            live.sort(key=lambda it: it.current)
-            # WAND pivot: smallest prefix whose global UB sum exceeds theta
-            acc = 0.0
-            pivot_idx = None
-            for i, it in enumerate(live):
-                # >= so exact-tie candidates still get scored (doc-id
-                # tie-break could admit them into the heap)
-                acc += it.global_ub
-                if acc >= theta and i + 1 >= required:
-                    pivot_idx = i
-                    break
-            if pivot_idx is None:
-                break
-            pivot_doc = live[pivot_idx].current
+        def merge_top(udocs, scores):
+            nonlocal top_d, top_s, theta
+            d = np.concatenate([top_d, udocs])
+            s = np.concatenate([top_s, scores])
+            o = np.lexsort((d, -s))[:k]
+            top_d, top_s = d[o], s[o]
+            if top_d.size == k:
+                theta = top_s[-1]
 
-            if live[0].current == pivot_doc:
-                # block-max refinement
-                block_ub = sum(
-                    it.block_ub(pivot_doc)
-                    for it in live
-                    if it.current <= pivot_doc
-                )
-                if block_ub >= theta:
-                    score = 0.0
-                    nmatch = 0
-                    for it in iters:  # ascending-term order: pinned float order
-                        if not it.exhausted and it.current == pivot_doc:
-                            score += it.score_current()
-                            nmatch += 1
-                    ok = nmatch >= required and (
-                        excluded is None or not excluded[pivot_doc]
-                    )
-                    if ok:
-                        item = (score, -pivot_doc)
-                        if len(heap) < k:
-                            heapq.heappush(heap, item)
-                            if len(heap) == k:
-                                theta = heap[0][0]
-                        elif item > heap[0]:
-                            heapq.heapreplace(heap, item)
-                            theta = heap[0][0]
-                for it in live:
-                    if it.current == pivot_doc:
-                        it.advance()
-            else:
-                # skip the lagging iterators up to the pivot
-                for it in live[:pivot_idx]:
-                    it.advance_to(pivot_doc)
+        # phase 1: seed theta from the highest-bound cells, one at a time
+        seed_n = 0
+        for ci in order[: min(8, order.size)]:
+            if top_d.size >= k and cell_ub[ci] < theta - 1e-9 * abs(theta):
+                seed_n = order.size  # everything below already prunable
+                break
+            udocs, scores = score_cells(np.array([ci]))
+            seed_n += 1
+            if udocs is not None and udocs.size:
+                merge_top(udocs, scores)
 
-        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
-        return [(int(-nd), float(s)) for s, nd in out]
+        # phase 2: bulk-score every remaining cell whose bound can still
+        # beat theta (epsilon guard: bound and score multiply idf/boost/
+        # impact in different associations, which can cost an ulp)
+        rest = order[seed_n:]
+        if rest.size:
+            if top_d.size >= k:
+                rest = rest[cell_ub[rest] >= theta - 1e-9 * abs(theta)]
+            if rest.size:
+                udocs, scores = score_cells(np.sort(rest))
+                if udocs is not None and udocs.size:
+                    merge_top(udocs, scores)
+        return list(zip(top_d.tolist(), top_s.tolist()))
 
     # ------------------------------------------------------------------ #
     # resolution / projection (reference: fl field lists, realtime get)
@@ -2833,61 +2940,3 @@ class BatchSearcher:
         )
 
 
-class _BMWIter:
-    """Posting-list cursor with block-max skipping for one term."""
-
-    __slots__ = ("tp", "w", "eng", "pos", "n", "exhausted", "_global_ub")
-
-    def __init__(self, tp: TermPostings, w: float, eng: SearchEngine):
-        self.tp = tp
-        self.w = w
-        self.eng = eng
-        self.pos = 0
-        self.n = tp.doc_ids.size
-        self.exhausted = self.n == 0
-        # global upper bound: max over blocks of the block bound
-        ub = 0.0
-        for btf, bnorm in zip(tp.block_max_tf, tp.block_min_norm):
-            ub = max(ub, self._impact_bound(int(btf), int(bnorm)))
-        self._global_ub = w * ub
-
-    def _impact_bound(self, max_tf: int, min_norm: int) -> float:
-        dl = float(DECODE_TABLE[min_norm])
-        K = self.eng.k1 * (1.0 - self.eng.b + self.eng.b * dl / self.eng.avgdl)
-        return float(self.eng.scoring.impact(max_tf, K))
-
-    @property
-    def current(self) -> int:
-        return int(self.tp.doc_ids[self.pos])
-
-    @property
-    def global_ub(self) -> float:
-        return self._global_ub
-
-    def block_ub(self, doc: int) -> float:
-        """Upper bound of the block containing/after ``doc`` for this term."""
-        bi = int(np.searchsorted(self.tp.block_last, doc))
-        if bi >= self.tp.block_last.size:
-            return 0.0
-        return self.w * self._impact_bound(
-            int(self.tp.block_max_tf[bi]), int(self.tp.block_min_norm[bi])
-        )
-
-    def score_current(self) -> float:
-        tf = float(self.tp.tfs[self.pos])
-        norm = self.eng.norms[self.current]
-        dl = float(DECODE_TABLE[norm])
-        K = self.eng.k1 * (1.0 - self.eng.b + self.eng.b * dl / self.eng.avgdl)
-        return self.w * float(self.eng.scoring.impact(tf, K))
-
-    def advance(self) -> None:
-        self.pos += 1
-        if self.pos >= self.n:
-            self.exhausted = True
-
-    def advance_to(self, doc: int) -> None:
-        self.pos = int(
-            np.searchsorted(self.tp.doc_ids, doc, side="left")
-        )
-        if self.pos >= self.n:
-            self.exhausted = True
