@@ -175,48 +175,71 @@ def mark_parents(index_dir: str, parent_keys) -> dict:
 def _purge_spill_file(path: str, dead_ids) -> bool:
     """Drop tombstoned doc ids from one raw-postings spill file.
 
-    Returns True if the file changed.  Row arrays are filtered in numpy;
-    terms whose postings become empty are dropped entirely.
+    Returns True if the file changed.  Fully columnar (the stage-2
+    fast-path idiom): flatten the posting lists once, mask dead postings
+    with a dense doc-id lookup, re-segment with a cumsum of the keep mask,
+    and rebuild the list columns zero-copy with ``ListArray.from_arrays``.
+    Terms whose postings become empty are dropped entirely; the original
+    (term, range_id) file order is preserved by construction.
     """
     tbl = pq.read_table(path)
-    with_pos = "positions" in tbl.column_names
-    changed = False
-    new_rows = []
-    for i in range(tbl.num_rows):
-        ids = np.asarray(tbl["doc_ids"][i].as_py(), dtype=np.int64)
-        keep = ~np.isin(ids, dead_ids)
-        if keep.all():
-            new_rows.append(i)
-            continue
-        changed = True
-        if keep.any():
-            row = {
-                "term": tbl["term"][i].as_py(),
-                "range_id": tbl["range_id"][i].as_py(),
-                "doc_ids": ids[keep].tolist(),
-                "tfs": np.asarray(tbl["tfs"][i].as_py())[keep].tolist(),
-                "norms": np.asarray(tbl["norms"][i].as_py())[keep].tolist(),
-            }
-            if with_pos:
-                plists = tbl["positions"][i].as_py()
-                row["positions"] = [
-                    p for p, k in zip(plists, keep) if k
-                ]
-            new_rows.append(row)
-    if not changed:
+    if tbl.num_rows == 0:
         return False
-    kept_idx = [r for r in new_rows if isinstance(r, int)]
-    dict_rows = [r for r in new_rows if isinstance(r, dict)]
-    parts = [tbl.take(kept_idx)] if kept_idx else []
-    if dict_rows:
-        parts.append(pa.Table.from_pylist(dict_rows, schema=tbl.schema))
-    out = pa.concat_tables(parts) if parts else tbl.slice(0, 0)
-    # restore deterministic (term, range) order
-    order = pc.sort_indices(
-        out, sort_keys=[("term", "ascending"), ("range_id", "ascending")]
+    with_pos = "positions" in tbl.column_names
+    docs_col = tbl["doc_ids"].combine_chunks()
+    flat_docs = docs_col.flatten().to_numpy(zero_copy_only=False)
+    offsets = docs_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    dead = np.asarray(dead_ids, dtype=np.int64)
+    hi = int(max(flat_docs.max(initial=0), dead.max(initial=0))) + 1
+    dead_mask = np.zeros(hi, dtype=bool)
+    dead_mask[dead] = True
+    keep = ~dead_mask[flat_docs]
+    if keep.all():
+        return False
+    # per-row surviving-posting counts via keep-cumsum (empty-safe where
+    # reduceat is not), then the new list offsets
+    csum = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
+    new_len = csum[offsets[1:]] - csum[offsets[:-1]]
+    row_keep = new_len > 0
+    new_offsets = pa.array(
+        np.concatenate(([0], np.cumsum(new_len[row_keep]))).astype(np.int32),
+        pa.int32(),
     )
+    kmask = pa.array(keep)
+    cols = {
+        "term": tbl["term"].filter(pa.array(row_keep)),
+        "range_id": tbl["range_id"].filter(pa.array(row_keep)),
+        "doc_ids": pa.ListArray.from_arrays(
+            new_offsets, pa.array(flat_docs[keep], pa.int64())
+        ),
+        "tfs": pa.ListArray.from_arrays(
+            new_offsets,
+            pa.array(
+                tbl["tfs"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)[keep],
+                pa.int32(),
+            ),
+        ),
+        "norms": pa.ListArray.from_arrays(
+            new_offsets,
+            pa.array(
+                tbl["norms"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)[keep],
+                pa.int32(),
+            ),
+        ),
+    }
+    if with_pos:
+        # positions: list<list<int32>> — the inner (per-posting) lists
+        # align 1:1 with postings, so one columnar filter on the flattened
+        # outer level drops dead postings' position lists
+        pos_col = tbl["positions"].combine_chunks()
+        inner = pos_col.flatten().filter(kmask)
+        cols["positions"] = pa.ListArray.from_arrays(new_offsets, inner)
+    out = pa.table(cols, schema=tbl.schema)
     tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(out.take(order), tmp)
+    pq.write_table(out, tmp)
     os.replace(tmp, path)
     return True
 

@@ -147,6 +147,35 @@ class TestCompaction:
         index_dir, _ = mut_index
         assert mutate.compact_index(index_dir)["removed"] == 0
 
+    def test_compact_positional_index(self, small_corpus_path, tmp_path):
+        """Spill purge on a positions index: the nested list<list<int32>>
+        positions column must stay aligned with the surviving postings
+        (phrase queries after compaction would read garbage otherwise)."""
+        from solr_indexer_ray.config import IndexConfig
+        from solr_indexer_ray.pipelines.build import build_index
+        from solr_indexer_ray.pipelines.fsck import check_index
+
+        idx = str(tmp_path / "pidx")
+        build_index(
+            small_corpus_path, idx,
+            config=IndexConfig(concurrency=2, store_positions=True),
+        )
+        e0 = SearchEngine(idx)
+        before = e0.search('"def index"', k=20, fl=["doc_id"])
+        assert before.num_rows > 0
+        victims = before["doc_id"].to_pylist()[:2]
+        mutate.delete_by_id(idx, victims)
+        res = mutate.compact_index(idx)
+        assert res["removed"] == 2
+
+        e = SearchEngine(idx)
+        after = e.search('"def index"', k=20, fl=["doc_id"])
+        assert set(after["doc_id"].to_pylist()) == (
+            set(before["doc_id"].to_pylist()) - set(victims)
+        )
+        report = check_index(idx)
+        assert report["ok"], report["problems"]
+
 
 class TestResume:
     def test_interrupted_build_resumes(self, small_corpus_path, tmp_path):
