@@ -67,8 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": c.q_ann_ivf_topk,
         "embedding_dups": c.q_embedding_dups,
         "embedding_dups_ivf": c.q_embedding_dups_ivf,  # rows-only (recall<1)
-        # multimodal plumbing (rows-only; synthetic media)
+        # multimodal plumbing (synthetic media; _meta is oracle-checked)
         "multimodal_decode": c.q_multimodal_decode,
+        "multimodal_decode_meta": c.q_multimodal_decode_meta,
         # relational machinery (§2.5 J2, §2.6 A1-A3, §2.7, §2.9)
         "parent_flags": c.q_parent_flags,
         "unresolved_refs": c.q_unresolved_refs,

@@ -463,6 +463,46 @@ def q_multimodal_decode(sf_dir: str):
     return out.drop_columns(["features"])  # list<float> hashes poorly; keep scalars
 
 
+def q_multimodal_decode_meta(sf_dir: str):
+    """VALUE-CHECKED multimodal decode: media blobs derive
+    deterministically from the documents table (synthetic header +
+    utf-8 payload), stream through the decode actor pool, and the
+    decoded header metadata (width/height/byte count) is recomputable in
+    SQL from the same text column — upgrading the multimodal path from a
+    rows-only check to a DuckDB-oracle contract."""
+    import struct as _struct
+
+    from solr_indexer_ray.stages import multimodal
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for text in batch["text"].to_pylist():
+            payload = (text or "").encode("utf-8")
+            w = min(len(payload), 4096)
+            blobs.append(
+                multimodal.MAGIC + _struct.pack("<II", w, 7) + payload
+            )
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "kind": pa.array(["image"] * batch.num_rows, pa.string()),
+                "mime": pa.array(
+                    ["image/x-fake"] * batch.num_rows, pa.string()
+                ),
+                "data": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    media = _documents(sf_dir).map_batches(
+        to_media, batch_format="pyarrow", batch_size=256
+    )
+    out = multimodal.decode_media(media, concurrency=2, batch_size=64)
+    t = pa.Table.from_pylist(out.take_all())
+    t = t.select(["media_id", "width", "height", "n_bytes"])
+    order = pc.sort_indices(t, sort_keys=[("media_id", "ascending")])
+    return t.take(order)
+
+
 # ===================================================================== #
 # BM25 over the documents corpus (the flagship contract query)
 # ===================================================================== #

@@ -1006,6 +1006,16 @@ WHERE doc_id NOT IN (
 )
 """
 
+# multimodal decode metadata: blobs are MAGIC(8) + w:uint32 + h:uint32 +
+# utf8(text); the decoded header is recomputable from the text column
+MULTIMODAL_DECODE_META_SQL = """
+SELECT doc_id AS media_id,
+  least(strlen(text), 4096)::INT AS width,
+  7::INT AS height,
+  (16 + strlen(text))::BIGINT AS n_bytes
+FROM documents
+"""
+
 # --------------------------------------------------------------------- #
 # embeddings
 # --------------------------------------------------------------------- #
@@ -1139,6 +1149,7 @@ def oracle_sql_dict() -> dict:
         "sharded_topk": sharded_topk_sql(),
         "synonym_topk": synonym_topk_sql(),
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
+        "multimodal_decode_meta": MULTIMODAL_DECODE_META_SQL,
         "ann_topk": ANN_TOPK_SQL,
         # ann_ivf_topk is exact at nprobe == n_buckets -> same oracle
         "ann_ivf_topk": ANN_TOPK_SQL,

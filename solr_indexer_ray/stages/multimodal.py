@@ -86,16 +86,18 @@ class DecodeImageStage:
         self.strict = strict
 
     def _decode(self, blob: bytes):
+        # synthetic blobs decode the same everywhere (CI determinism),
+        # with or without Pillow installed
+        if blob[: len(MAGIC)] == MAGIC:
+            w, h = struct.unpack("<II", blob[len(MAGIC):len(MAGIC) + 8])
+            payload = np.frombuffer(blob[len(MAGIC) + 8:], dtype=np.uint8)
+            return w, h, payload
         if self.pil is not None:
             import io
 
             img = self.pil.open(io.BytesIO(blob))  # pragma: no cover
             arr = np.asarray(img.convert("L"), dtype=np.uint8).ravel()
             return img.width, img.height, arr
-        if blob[: len(MAGIC)] == MAGIC:
-            w, h = struct.unpack("<II", blob[len(MAGIC):len(MAGIC) + 8])
-            payload = np.frombuffer(blob[len(MAGIC) + 8:], dtype=np.uint8)
-            return w, h, payload
         if self.strict:
             raise NotImplementedError(
                 "no image decoder available in this environment "
@@ -127,11 +129,15 @@ class DecodeImageStage:
 
 
 class ResizeImageStage:
-    """Stub resize stage: real actor plumbing, decode-dependent kernel.
+    """Resize stage: real actor plumbing, decoder-dependent kernel.
 
-    Without a real decoder it recomputes the synthetic header with the
-    target size and subsamples the payload deterministically (so output
-    shapes and determinism are testable); with Pillow it would resize.
+    Synthetic ``FAKEIMG1`` blobs resize deterministically everywhere
+    (header rewrite + strided payload subsample) so CI output shapes are
+    stable with or without Pillow.  Real image bytes resize through
+    Pillow when it is importable (``Image.open`` -> ``resize(NEAREST)``
+    -> re-encode PNG: NEAREST and PNG keep the output deterministic
+    across library builds); without Pillow a non-synthetic blob raises
+    in ``strict`` mode or passes through untouched otherwise.
     """
 
     def __init__(self, width: int, height: int, strict: bool = False):
@@ -139,26 +145,40 @@ class ResizeImageStage:
         self.pil = _try_import_pil()
         self.strict = strict
 
+    def _resize_real(self, blob: bytes) -> bytes:  # pragma: no cover
+        import io
+
+        img = self.pil.open(io.BytesIO(blob))
+        resized = img.resize(
+            (self.width, self.height), self.pil.Resampling.NEAREST
+        )
+        buf = io.BytesIO()
+        resized.save(buf, format="PNG")
+        return buf.getvalue()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for blob in batch["data"].to_pylist():
-            if self.pil is not None:  # pragma: no cover
-                raise NotImplementedError("real resize path needs testing with Pillow")
-            if blob[: len(MAGIC)] != MAGIC:
-                if self.strict:
-                    raise NotImplementedError("no image decoder available")
-                out.append(blob)
+            if blob[: len(MAGIC)] == MAGIC:
+                payload = np.frombuffer(blob[len(MAGIC) + 8:], dtype=np.uint8)
+                need = self.width * self.height
+                idx = (np.arange(need) * max(1, payload.size // need)) % max(
+                    1, payload.size
+                )
+                resized = (
+                    payload[idx] if payload.size else np.zeros(need, np.uint8)
+                )
+                out.append(
+                    MAGIC + struct.pack("<II", self.width, self.height)
+                    + resized.tobytes()
+                )
                 continue
-            payload = np.frombuffer(blob[len(MAGIC) + 8:], dtype=np.uint8)
-            need = self.width * self.height
-            idx = (np.arange(need) * max(1, payload.size // need)) % max(
-                1, payload.size
-            )
-            resized = payload[idx] if payload.size else np.zeros(need, np.uint8)
-            out.append(
-                MAGIC + struct.pack("<II", self.width, self.height)
-                + resized.tobytes()
-            )
+            if self.pil is not None:  # pragma: no cover
+                out.append(self._resize_real(blob))
+                continue
+            if self.strict:
+                raise NotImplementedError("no image decoder available")
+            out.append(blob)
         return batch.set_column(
             batch.schema.get_field_index("data"), "data",
             pa.array(out, pa.binary()),

@@ -292,3 +292,32 @@ class TestMultimodal:
                     "<II", blob[len(multimodal.MAGIC):len(multimodal.MAGIC) + 8]
                 )
                 assert (w, h) == (16, 16)
+
+    def test_resize_synthetic_path_with_decoder_present(self):
+        """Round-1 ADVICE bug: installing Pillow made ResizeImageStage
+        raise unconditionally.  Synthetic blobs must take the synthetic
+        path regardless of whether a real decoder is importable."""
+        import struct
+
+        from solr_indexer_ray.stages import multimodal
+
+        stage = multimodal.ResizeImageStage(4, 4)
+        stage.pil = object()  # simulate an importable Pillow
+        out = stage(multimodal.fake_media_table(3))
+        for blob in out["data"].to_pylist():
+            w, h = struct.unpack(
+                "<II", blob[len(multimodal.MAGIC):len(multimodal.MAGIC) + 8]
+            )
+            assert (w, h) == (4, 4)
+
+    def test_decode_synthetic_path_with_decoder_present(self):
+        from solr_indexer_ray.stages import multimodal
+
+        stage = multimodal.DecodeImageStage()
+        stage.pil = object()  # a real decoder must not break fake blobs
+        t = multimodal.fake_media_table(3)
+        out = stage(t)
+        assert out["width"].to_pylist() == [
+            struct_w for struct_w in
+            multimodal.DecodeImageStage()(t)["width"].to_pylist()
+        ]
