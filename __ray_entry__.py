@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_topk": c.q_bool_topk,
         "facets": c.q_facets,
         "range_topk": c.q_range_topk,
+        "date_range_topk": c.q_date_range_topk,
         "sorted_browse": c.q_sorted_browse,
         "more_like_this": c.q_more_like_this,
         "terms_component": c.q_terms_component,

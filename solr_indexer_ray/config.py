@@ -85,6 +85,14 @@ class IndexConfig:
     #: slot (determinism) but are excluded from docs + postings.
     validate: bool = False
 
+    #: extra input columns carried verbatim into the docs table as stored
+    #: fields (Solr stored="true" dynamic fields; reference indexes many
+    #: typed metadata fields beyond the core set, e.g. strict datetimes,
+    #: ``solrindexer/mmd.py:419-421``).  Timestamp/numeric extras become
+    #: range-filterable (``mtime:[2024-01-01T00:00:00Z TO *]``) and
+    #: sortable/facetable like any stored field.  Pinned at build time.
+    extra_stored: tuple = ()
+
     #: extra metadata recorded into the manifest.
     tags: dict = field(default_factory=dict)
 

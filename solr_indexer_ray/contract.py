@@ -171,6 +171,17 @@ RANGE_QUERIES = [
     'doclen:[30 TO 300] "sort merge"',
     "doclen:[40 TO 90] win*",
 ]
+#: date-typed range queries over the synthetic ``mtime`` stored column
+#: (mtime = 2024-01-01T00:00:00Z + doc_id hours; reference precedent:
+#: strict datetime + DateRange fields, solrindexer/mmd.py:419-421)
+DATE_RANGE_QUERIES = [
+    "mtime:[2024-01-05T00:00:00Z TO 2024-01-12T00:00:00Z] spark",
+    "mtime:{2024-01-05T00:00:00Z TO 2024-01-12T00:00:00Z} window",
+    "mtime:[* TO 2024-01-03T12:00:00Z] merge batch",
+    "-mtime:[2024-01-10T00:00:00Z TO *] spark AND merge",
+    "mtime:[2024-01-02 TO 2024-01-04] the",  # lenient date-only literals
+]
+
 FACET_FIELDS = ["lang", "repo"]  # repo <- documents.source (FIXTURES map)
 ANN_N_QUERIES = 5
 ANN_K = 10
@@ -534,12 +545,13 @@ def _bm25_index(sf_dir: str) -> str:
     pq.write_table(
         documents_to_corpus_table(docs), corpus_path, row_group_size=4096
     )
-    index_dir = os.path.join(work, "index_full")
+    # v2: layout includes the mtime extra stored column (date ranges)
+    index_dir = os.path.join(work, "index_full_v2")
     registry = AnalyzerRegistry("simple", overrides={})
     # positions + stored content: ONE shared index serves bm25/phrase/
     # wildcard/range/sort/facet/mlt contract queries
     config = IndexConfig(concurrency=2, store_positions=True,
-                         store_content=True)
+                         store_content=True, extra_stored=("mtime",))
     from solr_indexer_ray.state.manifest import BuildManifest
 
     if not BuildManifest(index_dir).is_committed():
@@ -679,6 +691,16 @@ def q_wildcard_infix_topk(sf_dir: str):
 
     return _rounded_topk_rows(
         SearchEngine(_bm25_index(sf_dir)), WILDCARD_INFIX_QUERIES
+    )
+
+
+def q_date_range_topk(sf_dir: str):
+    """Top-k with date-typed range filters on the ``mtime`` timestamp
+    stored column (strict Solr literals + lenient date-only forms)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    return _rounded_topk_rows(
+        SearchEngine(_bm25_index(sf_dir)), DATE_RANGE_QUERIES
     )
 
 

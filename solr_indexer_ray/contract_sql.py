@@ -46,7 +46,11 @@ from solr_indexer_ray.contract import (
     K1,
     SQL_TOKS,
 )
-from solr_indexer_ray.functions.queryparse import parse_query
+from solr_indexer_ray.functions.queryparse import RANGE_FIELDS, parse_query
+
+#: parse-time range fields for the oracle generators: core + the
+#: synthetic mtime stored column of the contract index
+SQL_RANGE_FIELDS = (*RANGE_FIELDS, "mtime")
 from solr_indexer_ray.functions.textstats import LANG_MARKERS, STOPWORDS
 from solr_indexer_ray.functions.tokenize import simple_analyzer
 
@@ -93,7 +97,7 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 
 
 def _bm25_query_block(q: str) -> str:
-    parsed = parse_query(q, simple_analyzer)
+    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
     terms = sorted(set(parsed.terms))
     if not terms:
         return (
@@ -180,11 +184,26 @@ def _fcond(fld: str, val: str) -> str:
 
 def _range_cond_sql(rf, neg: bool = False) -> str:
     """Lucene range filter -> doc_id membership condition.  ``doclen``
-    ranges run over the token-count CTE; string fields over documents
-    (``repo`` maps to ``source`` per the FIXTURES corpus mapping)."""
+    ranges run over the token-count CTE; ``mtime`` over the recomputed
+    synthetic timestamp (2024-01-01 + doc_id hours, the corpus mapping);
+    string fields over documents (``repo`` maps to ``source`` per the
+    FIXTURES corpus mapping)."""
     lo_op = ">=" if rf.lo_incl else ">"
     hi_op = "<=" if rf.hi_incl else "<"
-    if rf.field == "doclen":
+    if rf.field == "mtime":
+        from solr_indexer_ray.functions.normalize import parse_date
+
+        src = "documents"
+        col = "(TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 HOUR)"
+
+        def ts(v):
+            strict = parse_date(str(v))
+            return "TIMESTAMP '" + strict.replace("T", " ").rstrip("Z") + "'"
+
+        lov = ts(rf.lo) if rf.lo is not None else None
+        hiv = ts(rf.hi) if rf.hi is not None else None
+        quote = ""
+    elif rf.field == "doclen":
         src, col = "dl", "dl"
         lov, hiv = rf.lo, rf.hi
         quote = ""
@@ -242,7 +261,7 @@ def _phrase_query_block(q: str) -> str:
     """One UNION branch of the phrase/wildcard oracle: term + phrase +
     constant-score prefix contributions summed per doc, the engine's exact
     exclusion rules."""
-    parsed = parse_query(q, simple_analyzer)
+    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
     terms = sorted(set(parsed.terms))
     phrases = sorted(map(tuple, parsed.phrases))
     kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
@@ -409,6 +428,15 @@ def wildcard_topk_sql() -> str:
     return _BM25_CTES + blocks
 
 
+def date_range_topk_sql() -> str:
+    from solr_indexer_ray.contract import DATE_RANGE_QUERIES
+
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in DATE_RANGE_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
 def fuzzy_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in FUZZY_QUERIES
@@ -524,7 +552,7 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 def _match_docs_sql(q: str) -> str:
     """SELECT of ALL doc_ids matching ``q`` — the facet/delete match set
     (same clause semantics as the top-k blocks, no scoring)."""
-    parsed = parse_query(q, simple_analyzer)
+    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
     terms = sorted(set(parsed.terms))
     phrases = sorted(map(tuple, parsed.phrases))
 
@@ -739,7 +767,7 @@ WHERE group_rank < {kg}""")
 def _scored_match_sql(q: str) -> str:
     """Per-doc rounded BM25 score over the FULL match set of ``q`` (no
     top-k) — shared by the grouping oracle."""
-    parsed = parse_query(q, simple_analyzer)
+    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
     terms = sorted(set(parsed.terms))
     phrases = sorted(map(tuple, parsed.phrases))
     kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
@@ -848,7 +876,7 @@ def synonym_topk_sql() -> str:
     kexpr = f"{K1} * (1 - {B} + {B} * q.dlq / st.avgdl)"
     blocks = []
     for q in SYN_QUERIES:
-        parsed = parse_query(q, simple_analyzer)
+        parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
         terms = sorted(set(parsed.terms))
         branches = []
         plain = [t for t in terms if t not in SYN_MAP]
@@ -1132,6 +1160,7 @@ def oracle_sql_dict() -> dict:
         "bm25_topk": bm25_topk_sql(),
         "phrase_topk": phrase_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),
+        "date_range_topk": date_range_topk_sql(),
         "fuzzy_topk": fuzzy_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),
         "bool_topk": bool_topk_sql(),

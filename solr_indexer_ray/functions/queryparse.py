@@ -80,7 +80,9 @@ _RANGE = re.compile(
     r"(-?)([A-Za-z_][\w.]*):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])"
 )
 
-#: fields a range filter may target (metadata strings + token count)
+#: fields a range filter may target by default (metadata strings + token
+#: count); engines extend this with their index's extra stored columns
+#: (timestamps, numerics) via the ``range_fields`` parse parameter
 RANGE_FIELDS = (*FILTER_FIELDS, "doclen")
 
 
@@ -158,8 +160,11 @@ class ParsedQuery:
         )
 
 
-def parse_query(q: str, analyze) -> ParsedQuery:
-    """Parse a query string; ``analyze(text) -> list[str]`` pins the analyzer."""
+def parse_query(q: str, analyze, range_fields=RANGE_FIELDS) -> ParsedQuery:
+    """Parse a query string; ``analyze(text) -> list[str]`` pins the
+    analyzer.  ``range_fields`` lists the fields a range filter may
+    target (engines pass their stored-column set so typed ranges over
+    extra stored fields — timestamps, numerics — parse)."""
     out = ParsedQuery()
 
     def eat_quoted(m: re.Match) -> str:
@@ -183,10 +188,10 @@ def parse_query(q: str, analyze) -> ParsedQuery:
 
     def eat_range(m: re.Match) -> str:
         neg, fld = m.group(1) == "-", m.group(2)
-        if fld not in RANGE_FIELDS:
+        if fld not in range_fields:
             raise ValueError(
                 f"range filter on unsupported field {fld!r} "
-                f"(supported: {', '.join(RANGE_FIELDS)})"
+                f"(supported: {', '.join(range_fields)})"
             )
         rf = RangeFilter(
             fld,
@@ -330,7 +335,7 @@ def has_group_syntax(q: str) -> bool:
     return depth_seen
 
 
-def parse_boolean(q: str, analyze):
+def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS):
     """Parse a parenthesized boolean query into a clause tree, or return
     ``None`` when the query has no grouping (the flat model applies).
 
@@ -375,7 +380,7 @@ def parse_boolean(q: str, analyze):
             atom = atom[1:]
         elif atom.startswith("+") and len(atom) > 1:
             atom = atom[1:]
-        return neg, parse_query(atom, analyze)
+        return neg, parse_query(atom, analyze, range_fields)
 
     def parse_and():
         nonlocal pos

@@ -165,7 +165,11 @@ class UnitIndexer:
             return _entry_to_row(entry)
 
         n_shards = int(unit["n_shards"])
-        table = read_unit(unit, columns=["repo", "path", "commit", "lang", "content"])
+        extra = list(self.config.extra_stored)
+        table = read_unit(
+            unit,
+            columns=["repo", "path", "commit", "lang", "content", *extra],
+        )
         contents = table["content"].to_pylist()
         langs = table["lang"].to_pylist()
         doc_ids = table["doc_id"].to_numpy()
@@ -277,6 +281,11 @@ class UnitIndexer:
             # document in Solr: mmd_xml_file) — fl=content + highlighting
             doc_cols["content"] = table["content"]
             docs_schema = DOCS_SCHEMA.append(pa.field("content", pa.string()))
+        for name in extra:  # extra stored fields, input types verbatim
+            doc_cols[name] = table[name]
+            docs_schema = docs_schema.append(
+                pa.field(name, table.schema.field(name).type)
+            )
         docs_table = pa.table(doc_cols, schema=docs_schema)
         if not valid.all():
             docs_table = docs_table.filter(pa.array(valid))
@@ -813,6 +822,7 @@ def _build_index_locked(input_paths, index_dir, config, registry,
         "compression": config.compression,
         "generation": 1,  # Solr commit generation; bumped by every commit
         "store_content": bool(config.store_content),
+        "extra_stored": list(config.extra_stored),
         "k1": config.k1,
         "b": config.b,
         "analyzer_default": registry.default,
@@ -885,6 +895,7 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
         store_positions=bool(old.get("store_positions", False)),
         compression=str(old.get("compression", "zstd")),
         store_content=bool(old.get("store_content", False)),
+        extra_stored=tuple(old.get("extra_stored", ()) or ()),
     )
     n_shards = int(old["n_shards"])
     base = int(old["doc_id_space"])

@@ -61,6 +61,25 @@ from solr_indexer_ray.state.manifest import BuildManifest
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
 
+def _parse_ts_bound(rf, bound):
+    """Type a datetime range bound: Solr strict format or any form the
+    reference's lenient parser accepts (``solrindexer/tools.py:150-193``)."""
+    if bound is None:
+        return None
+    from datetime import datetime
+
+    if isinstance(bound, datetime):
+        return bound
+    from solr_indexer_ray.functions.normalize import parse_date
+
+    strict = parse_date(str(bound))
+    if strict is None:
+        raise ValueError(
+            f"cannot parse datetime bound {bound!r} for field {rf.field!r}"
+        )
+    return datetime.strptime(strict, "%Y-%m-%dT%H:%M:%SZ")
+
+
 #: byte -> character class for the spellcheck histogram prune
 #: (a-z and 0-9 get distinct classes; any other byte shares class 0)
 _CHAR_CLASS = np.zeros(256, dtype=np.int64)
@@ -384,8 +403,47 @@ class SearchEngine:
         self._present = None
         self._term_cache = {}
         self._suggest_cache = None
+        self._stored_fields = None
         self.invalidate_caches()
         return True
+
+    # ------------------------------------------------------------------ #
+    # query parsing (engine-aware: stored extras extend range fields)
+    # ------------------------------------------------------------------ #
+    @property
+    def stored_fields(self) -> list:
+        """Retrievable/sortable/facetable field names for THIS index: the
+        core schema plus any ``extra_stored`` build columns (discovered
+        from the docs parquet schema, not hard-coded).  ``content`` stays
+        opt-in via ``fl`` (heavy); ``norm`` is internal."""
+        if getattr(self, "_stored_fields", None) is None:
+            self._stored_fields = [
+                n for n in self._docs_ds.schema.names
+                if n not in ("norm", "content")
+            ]
+        return self._stored_fields
+
+    @property
+    def range_fields(self) -> tuple:
+        from solr_indexer_ray.functions.queryparse import RANGE_FIELDS
+
+        extras = tuple(
+            n for n in self.stored_fields
+            if n not in RANGE_FIELDS and n not in ("doc_id", "sha256")
+        )
+        return (*RANGE_FIELDS, *extras)
+
+    def _parse(self, query: str) -> ParsedQuery:
+        return parse_query(
+            query, self.registry.analyzer_for(None),
+            range_fields=self.range_fields,
+        )
+
+    def _parse_bool(self, query: str):
+        return parse_boolean(
+            query, self.registry.analyzer_for(None),
+            range_fields=self.range_fields,
+        )
 
     # ------------------------------------------------------------------ #
     # postings access
@@ -731,11 +789,25 @@ class SearchEngine:
             ensure()[t["doc_id"].to_numpy()] = True
         return mask
 
-    @staticmethod
-    def _range_expr(rf):
+    def _range_expr(self, rf):
         """Lucene range filter -> pyarrow dataset expression (row-group
-        stats prune on the sorted/stored column)."""
+        stats prune on the sorted/stored column).  Bounds are typed from
+        the docs schema: timestamp columns parse Solr-style datetime
+        literals (strict ``YYYY-MM-DDTHH:MM:SSZ`` plus the reference's
+        lenient forms, ``solrindexer/tools.py:150-193``), integer/float
+        columns parse numerics, strings compare raw."""
         lo, hi = rf.bounds()
+        schema = self._docs_ds.schema
+        if rf.field in schema.names:
+            typ = schema.field(rf.field).type
+            if pa.types.is_timestamp(typ):
+                lo, hi = _parse_ts_bound(rf, lo), _parse_ts_bound(rf, hi)
+            elif pa.types.is_integer(typ):
+                lo = int(lo) if lo is not None else None
+                hi = int(hi) if hi is not None else None
+            elif pa.types.is_floating(typ):
+                lo = float(lo) if lo is not None else None
+                hi = float(hi) if hi is not None else None
         f = pc.field(rf.field)
         expr = None
         if lo is not None:
@@ -805,7 +877,7 @@ class SearchEngine:
                 )
             return self._search_after(query, k, fl, method, fq,
                                       search_after, hl)
-        parsed = parse_query(query, self.registry.analyzer_for(None))
+        parsed = self._parse(query)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -822,7 +894,7 @@ class SearchEngine:
             t = self._resolve(hits, fl)
         else:
             ast = (
-                parse_boolean(query, self.registry.analyzer_for(None))
+                self._parse_bool(query)
                 if has_group_syntax(query or "") else None
             )
             if ast is not None:
@@ -962,7 +1034,7 @@ class SearchEngine:
             order = toks[1].lower() if len(toks) > 1 else "asc"
             if order not in ("asc", "desc"):
                 raise ValueError(f"bad sort direction {order!r} in {sort!r}")
-            if fld != "score" and fld != "doc_id" and fld not in STORED_FIELDS:
+            if fld != "score" and fld != "doc_id" and fld not in self.stored_fields:
                 raise ValueError(f"cannot sort on unknown field {fld!r}")
             keys.append((fld, order == "asc"))
         if not keys:
@@ -1228,14 +1300,14 @@ class SearchEngine:
         those strictly after ``(score, doc_id)`` in ranking order, take
         top-k of the remainder."""
         cs, cid = float(cursor[0]), int(cursor[1])
-        parsed = parse_query(query, self.registry.analyzer_for(None))
+        parsed = self._parse(query)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
                 "IndexConfig(store_content=True)"
             )
         ast = (
-            parse_boolean(query, self.registry.analyzer_for(None))
+            self._parse_bool(query)
             if has_group_syntax(query or "") else None
         )
         if ast is not None:
@@ -1443,7 +1515,7 @@ class SearchEngine:
     # resolution / projection (reference: fl field lists, realtime get)
     # ------------------------------------------------------------------ #
     def _resolve(self, hits, fl=None) -> pa.Table:
-        fl = list(fl) if fl else STORED_FIELDS
+        fl = list(fl) if fl else self.stored_fields
         ids = [d for d, _ in hits]
         scores = {d: s for d, s in hits}
         if set(fl) <= {"doc_id"} and not self._load_overlays():
@@ -1546,7 +1618,7 @@ class SearchEngine:
         if len(fields) != 2:
             raise ValueError("pivot_facet supports exactly two fields")
         for f in fields:
-            if f not in STORED_FIELDS or f == "doc_id":
+            if f not in self.stored_fields or f == "doc_id":
                 raise ValueError(f"cannot pivot on field {f!r}")
         ids = self.match_ids(query)
         fqm = self._merge_fq_mask(None, fq)
@@ -1586,7 +1658,7 @@ class SearchEngine:
         faceting both consume the full match set.  Same clause semantics as
         :meth:`search` (terms/phrases/prefixes/filters/prohibitions)."""
         ast = (
-            parse_boolean(query, self.registry.analyzer_for(None))
+            self._parse_bool(query)
             if has_group_syntax(query or "") else None
         )
         if ast is not None:
@@ -1595,7 +1667,7 @@ class SearchEngine:
             if self.tombstones:
                 mask[np.fromiter(self.tombstones, dtype=np.int64)] = False
             return np.flatnonzero(mask).astype(np.int64)
-        parsed = parse_query(query, self.registry.analyzer_for(None))
+        parsed = self._parse(query)
         excluded = self._excluded_mask(parsed)
         if parsed.scoring_clauses == 0:
             hits = self._match_all(parsed, excluded, k=self.doc_space)
@@ -1769,7 +1841,7 @@ class SearchEngine:
         """Solr stats component (``stats.field``) over the numeric
         ``doclen`` field or any stored field: min/max/sum/mean/count/
         missing of the FULL match set of ``query``."""
-        if field not in STORED_FIELDS or field == "doc_id":
+        if field not in self.stored_fields or field == "doc_id":
             raise ValueError(f"cannot compute stats on field {field!r}")
         ids = self.match_ids(query)
         fqm = self._merge_fq_mask(None, fq)
@@ -1807,7 +1879,7 @@ class SearchEngine:
         (half-away) before ranking — the contract pins ranking on rounded
         scores so a SQL oracle is float-order-independent.
         """
-        if group_field not in STORED_FIELDS or group_field == "doc_id":
+        if group_field not in self.stored_fields or group_field == "doc_id":
             raise ValueError(f"cannot group on field {group_field!r}")
         full = self.search(query, k=self.doc_space, fl=["doc_id"], fq=fq)
         import pandas as pd
@@ -2161,7 +2233,7 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
     if len(pins) != 1:
         raise ValueError("shards disagree on analyzer/BM25 pins")
     e0 = engines[0]
-    parsed = parse_query(query, e0.registry.analyzer_for(None))
+    parsed = e0._parse(query)
 
     # ---- exact global stats (the ExactStatsCache exchange) --------------
     n_global = sum(e.n_docs for e in engines)
@@ -2423,7 +2495,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
     import ray.data as rd
 
     engine = SearchEngine(index_dir)
-    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    parsed = engine._parse(query)
 
     def _empty():
         return pa.table(
@@ -2568,7 +2640,7 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
     import ray.data as rd
 
     engine = SearchEngine(index_dir)
-    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    parsed = engine._parse(query)
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         return engine.facet(query, fields, limit=limit, mincount=mincount)
@@ -2755,11 +2827,11 @@ def stats_partitioned(index_dir: str, query: str, field: str) -> dict:
     partials merged on the driver — identical to
     ``SearchEngine.field_stats`` (tested)."""
     engine = SearchEngine(index_dir)
-    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    parsed = engine._parse(query)
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         return engine.field_stats(query, field)
-    if field not in STORED_FIELDS or field == "doc_id":
+    if field not in engine.stored_fields or field == "doc_id":
         raise ValueError(f"cannot compute stats on field {field!r}")
     empty = {"count": 0, "missing": 0, "min": None, "max": None,
              "sum": 0, "mean": None}
@@ -2801,12 +2873,12 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
     re-rank on the driver — identical to ``SearchEngine.group_search``
     (tested; per-range scores are bit-identical to the single engine)."""
     engine = SearchEngine(index_dir)
-    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    parsed = engine._parse(query)
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None or clauses == "zero":
         return engine.group_search(query, group_field, k_groups=k_groups,
                                    group_limit=group_limit)
-    if group_field not in STORED_FIELDS or group_field == "doc_id":
+    if group_field not in engine.stored_fields or group_field == "doc_id":
         raise ValueError(f"cannot group on field {group_field!r}")
     import pandas as pd
     import ray.data as rd
@@ -2860,7 +2932,7 @@ def sorted_partitioned(index_dir: str, query: str, sort: str,
     on the driver — identical doc order to
     ``SearchEngine.search(..., sort=...)`` (tested)."""
     engine = SearchEngine(index_dir)
-    parsed = parse_query(query, engine.registry.analyzer_for(None))
+    parsed = engine._parse(query)
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None or clauses == "zero":
         return engine.search(query, k=k, fl=["doc_id"], sort=sort)
@@ -2873,7 +2945,7 @@ def sorted_partitioned(index_dir: str, query: str, sort: str,
         order = toks[1].lower() if len(toks) > 1 else "asc"
         if order not in ("asc", "desc"):
             raise ValueError(f"bad sort direction {order!r} in {sort!r}")
-        if fld != "score" and fld != "doc_id" and fld not in STORED_FIELDS:
+        if fld != "score" and fld != "doc_id" and fld not in engine.stored_fields:
             raise ValueError(f"cannot sort on unknown field {fld!r}")
         keys.append((fld, order == "asc"))
     if not keys:

@@ -168,13 +168,20 @@ def documents_to_corpus_table(documents: pa.Table) -> pa.Table:
 
     FIXTURES.md §4 mapping: text->content, lang->lang, source->repo,
     doc_id->path; commit is a deterministic hash of the row key.
+    ``mtime`` is a deterministic synthetic modified-time —
+    ``2024-01-01T00:00:00Z + doc_id hours`` — so date-typed range queries
+    have a timestamp stored column a SQL oracle can recompute.
     """
+    from datetime import datetime, timedelta
+
     doc_ids = documents["doc_id"].to_pylist()
     sources = documents["source"].to_pylist()
     commits = [
         hashlib.sha1(f"{s}:{d}".encode()).hexdigest()
         for s, d in zip(sources, doc_ids)
     ]
+    base = datetime(2024, 1, 1)
+    mtimes = [base + timedelta(hours=int(d)) for d in doc_ids]
     return pa.table(
         {
             "repo": documents["source"],
@@ -182,5 +189,6 @@ def documents_to_corpus_table(documents: pa.Table) -> pa.Table:
             "commit": pa.array(commits, pa.string()),
             "lang": documents["lang"],
             "content": documents["text"],
+            "mtime": pa.array(mtimes, pa.timestamp("us")),
         }
     )

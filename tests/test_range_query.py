@@ -116,3 +116,120 @@ class TestRangeRankIdentity:
                 1 for i, l in enumerate(langs)
                 if l == lang and corpus["doc_id"][i].as_py() in hits
             ), lang
+
+
+class TestDateRanges:
+    """Date-typed ranges over an ``extra_stored`` timestamp column
+    (reference: strict datetime + DateRange fields,
+    solrindexer/mmd.py:419-421)."""
+
+    @pytest.fixture(scope="class")
+    def didx(self, tmp_path_factory):
+        from datetime import datetime, timedelta
+
+        corpus = generate_corpus(120, seed=9, mean_tokens=40)
+        base = datetime(2024, 3, 1)
+        mtimes = [base + timedelta(hours=3 * i) for i in range(corpus.num_rows)]
+        corpus = corpus.append_column(
+            "mtime", pa.array(mtimes, pa.timestamp("us"))
+        )
+        path = tmp_path_factory.mktemp("dcorpus") / "c.parquet"
+        pq.write_table(corpus, path, row_group_size=64)
+        idx = str(tmp_path_factory.mktemp("didx") / "idx")
+        build_index(
+            str(path), idx,
+            config=IndexConfig(concurrency=2, extra_stored=("mtime",)),
+        )
+        return idx, corpus
+
+    def test_mtime_is_a_stored_and_range_field(self, didx):
+        idx, _ = didx
+        eng = SearchEngine(idx)
+        assert "mtime" in eng.stored_fields
+        assert "mtime" in eng.range_fields
+
+    def test_strict_literal_range(self, didx):
+        from datetime import datetime
+
+        idx, corpus = didx
+        eng = SearchEngine(idx)
+        t = eng.search(
+            "mtime:[2024-03-02T00:00:00Z TO 2024-03-04T00:00:00Z]",
+            k=1000, fl=["doc_id", "mtime"],
+        )
+        lo, hi = datetime(2024, 3, 2), datetime(2024, 3, 4)
+        want = [
+            i for i, m in enumerate(corpus["mtime"].to_pylist())
+            if lo <= m <= hi
+        ]
+        assert sorted(t["doc_id"].to_pylist()) == want
+        assert all(lo <= m <= hi for m in t["mtime"].to_pylist())
+
+    def test_exclusive_open_and_negated(self, didx):
+        from datetime import datetime
+
+        idx, corpus = didx
+        eng = SearchEngine(idx)
+        mts = corpus["mtime"].to_pylist()
+        cut = datetime(2024, 3, 3)
+        after = set(
+            eng.search("mtime:{2024-03-03T00:00:00Z TO *]", k=1000,
+                       fl=["doc_id"])["doc_id"].to_pylist()
+        )
+        assert after == {i for i, m in enumerate(mts) if m > cut}
+        neg = set(eng.match_ids("-mtime:{2024-03-03T00:00:00Z TO *] def"))
+        pos = set(eng.match_ids("def"))
+        assert neg == {i for i in pos if mts[i] <= cut}
+
+    def test_lenient_date_only_literals(self, didx):
+        idx, _ = didx
+        eng = SearchEngine(idx)
+        a = eng.search("mtime:[2024-03-02 TO 2024-03-04]", k=1000,
+                       fl=["doc_id"])
+        b = eng.search(
+            "mtime:[2024-03-02T00:00:00Z TO 2024-03-04T00:00:00Z]",
+            k=1000, fl=["doc_id"],
+        )
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_sort_and_stats_on_mtime(self, didx):
+        idx, corpus = didx
+        eng = SearchEngine(idx)
+        t = eng.search("*:*", k=5, fl=["doc_id", "mtime"], sort="mtime desc")
+        mts = t["mtime"].to_pylist()
+        assert mts == sorted(mts, reverse=True)
+        st = eng.field_stats("*:*", "mtime")
+        assert st["count"] > 0
+        assert st["min"] == min(corpus["mtime"].to_pylist())
+
+    def test_bad_bound_raises(self, didx):
+        idx, _ = didx
+        eng = SearchEngine(idx)
+        with pytest.raises(ValueError, match="datetime bound"):
+            eng.search("mtime:[notadate TO *]", k=5)
+
+    def test_unknown_range_field_still_raises(self, didx):
+        idx, _ = didx
+        eng = SearchEngine(idx)
+        with pytest.raises(ValueError, match="unsupported field"):
+            eng.search("nosuch:[1 TO 2]", k=5)
+
+    def test_extend_inherits_extra_stored(self, didx, tmp_path):
+        from datetime import datetime
+
+        import shutil
+
+        from solr_indexer_ray.pipelines.build import extend_index
+
+        idx, corpus = didx
+        idx2 = str(tmp_path / "idx2")
+        shutil.copytree(idx, idx2)
+        more = corpus.slice(0, 20).drop_columns(["doc_id"]) \
+            if "doc_id" in corpus.column_names else corpus.slice(0, 20)
+        p2 = tmp_path / "more.parquet"
+        pq.write_table(more, p2)
+        extend_index(str(p2), idx2)
+        eng = SearchEngine(idx2)
+        t = eng.search("mtime:[2024-03-01T00:00:00Z TO *]", k=2000,
+                       fl=["doc_id"])
+        assert t.num_rows == corpus.num_rows + 20
