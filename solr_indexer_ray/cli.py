@@ -204,6 +204,13 @@ def cmd_check(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_gc(args) -> int:
+    from solr_indexer_ray.pipelines.mutate import drop_spills
+
+    print(json.dumps(drop_spills(args.output)))
+    return 0
+
+
 def cmd_export(args) -> int:
     from solr_indexer_ray.pipelines.search import export_matches
 
@@ -332,6 +339,12 @@ def build_parser() -> argparse.ArgumentParser:
     pck = sub.add_parser("check", help="index integrity check (fsck)")
     pck.add_argument("-o", "--output", required=True)
     pck.set_defaults(fn=cmd_check)
+
+    pgc = sub.add_parser(
+        "gc", help="drop raw postings spills (frozen index storage GC)"
+    )
+    pgc.add_argument("-o", "--output", required=True)
+    pgc.set_defaults(fn=cmd_gc)
 
     pe = sub.add_parser("export", help="stream matching docs to parquet")
     pe.add_argument("-o", "--output", required=True, help="index directory")

@@ -881,6 +881,9 @@ def extend_index(
 def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
                          manifest) -> dict:
     old = manifest.read_stats()
+    from solr_indexer_ray.pipelines.mutate import _require_spills
+
+    _require_spills(index_dir, old, "extend")
     registry = AnalyzerRegistry(
         old["analyzer_default"], overrides=old["analyzer_lang_map"]
     )

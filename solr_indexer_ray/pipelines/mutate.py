@@ -275,6 +275,7 @@ def _compact_locked(index_dir: str, manifest) -> dict:
     tombs = _read_tombstones(index_dir)
     if not tombs:
         return {"removed": 0, "stats": stats}
+    _require_spills(index_dir, stats, "compact")
     dead = np.fromiter(tombs, dtype=np.int64)
 
     # 1. rewrite docs parts dropping dead rows (parallel over part files)
@@ -472,3 +473,59 @@ def restore_index(backup_dir: str, index_dir: str,
     os.replace(tmp, index_dir)
     stats = BuildManifest(index_dir).read_stats()
     return {"index": os.fspath(index_dir), "n_docs": int(stats["n_docs"])}
+
+
+# --------------------------------------------------------------------- #
+# spill GC
+# --------------------------------------------------------------------- #
+def drop_spills(index_dir: str) -> dict:
+    """Reclaim the raw-postings spills of a committed index.
+
+    The spills (``postings_raw/``) are the map-side shuffle artifacts the
+    build keeps so ``extend_index`` can re-merge boundary ranges and
+    ``compact_index`` can rebuild postings without re-tokenizing — at
+    ~5x the merged-postings size (BASELINE.md storage table).  An index
+    that has stopped growing can drop them: queries only read the merged
+    ``postings/`` + ``docs/``, so search/facet/export/backup are
+    unaffected.  After GC, extend and compact REFUSE with a clear error
+    (re-index or restore a pre-GC backup to mutate again).  Recorded in
+    stats as ``spills_dropped`` (generation bump = Solr commit).
+    """
+    import shutil
+
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    manifest = BuildManifest(index_dir)
+    if not manifest.is_committed():
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    manifest.acquire_lock()
+    try:
+        raw_dir = os.path.join(index_dir, "postings_raw")
+        freed = 0
+        if os.path.isdir(raw_dir):
+            for root, _dirs, files in os.walk(raw_dir):
+                for f in files:
+                    try:
+                        freed += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            shutil.rmtree(raw_dir)
+        stats = manifest.read_stats()
+        stats["spills_dropped"] = True
+        stats["generation"] = int(stats.get("generation", 1)) + 1
+        manifest.commit(stats)
+        return {"freed_bytes": int(freed), "index": os.fspath(index_dir)}
+    finally:
+        manifest.release_lock()
+
+
+def _require_spills(index_dir: str, stats: dict, op: str) -> None:
+    """Extend/compact need the raw spills; refuse cleanly after GC."""
+    if stats.get("spills_dropped") or not os.path.isdir(
+        os.path.join(index_dir, "postings_raw")
+    ):
+        raise RuntimeError(
+            f"cannot {op} {index_dir}: raw postings spills were dropped "
+            "(drop_spills / cli gc); re-index from source or restore a "
+            "pre-GC backup to mutate this index"
+        )

@@ -89,3 +89,43 @@ def test_lifecycle(tmp_path):
     eng = SearchEngine(idx)
     for d in sorted(dead)[:5]:
         assert eng.get(d) is None
+
+
+class TestSpillGC:
+    """Storage GC of the raw postings spills (frozen-index mode): queries
+    and fsck keep working; extend/compact refuse with a clear error."""
+
+    @pytest.fixture()
+    def gc_index(self, small_corpus_path, tmp_path):
+        idx = str(tmp_path / "gidx")
+        build_index(small_corpus_path, idx, config=IndexConfig(concurrency=2))
+        return idx
+
+    def test_gc_frees_and_reads_survive(self, gc_index):
+        import os
+
+        from solr_indexer_ray.pipelines.fsck import check_index
+
+        eng = SearchEngine(gc_index)
+        before = eng.search("def index", k=5, fl=["doc_id"]).to_pylist()
+        res = mutate.drop_spills(gc_index)
+        assert res["freed_bytes"] > 0
+        assert not os.path.isdir(os.path.join(gc_index, "postings_raw"))
+        eng2 = SearchEngine(gc_index)
+        assert eng2.search("def index", k=5, fl=["doc_id"]).to_pylist() == before
+        assert eng2.stats["spills_dropped"] is True
+        report = check_index(gc_index)
+        assert report["ok"], report["problems"]
+
+    def test_extend_and_compact_refuse_after_gc(
+        self, gc_index, small_corpus_path
+    ):
+        mutate.drop_spills(gc_index)
+        with pytest.raises(RuntimeError, match="spills were dropped"):
+            extend_index(small_corpus_path, gc_index)
+        mutate.delete_by_id(gc_index, [0])
+        with pytest.raises(RuntimeError, match="spills were dropped"):
+            mutate.compact_index(gc_index)
+        # tombstone deletes themselves still work (read-side anti-join)
+        eng = SearchEngine(gc_index)
+        assert eng.get(0) is None
