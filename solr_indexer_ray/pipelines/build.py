@@ -50,7 +50,7 @@ import ray.data as rd
 from solr_indexer_ray.config import DEFAULT_CONFIG, IndexConfig
 from solr_indexer_ray.functions.hashing import term_shard
 from solr_indexer_ray.functions.smallfloat import encode_lengths
-from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+from solr_indexer_ray.functions.tokenize import AnalyzerRegistry, tokenize_unit
 from solr_indexer_ray.functions.varint import (
     encode_doc_ids,
     encode_positions,
@@ -179,24 +179,15 @@ class UnitIndexer:
             hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in contents
         ]
 
-        # tokenize into one flat token-id stream (vocab interning is the
-        # only per-token Python op; counting/grouping happens in numpy)
-        tokenize = self.registry.tokenize
+        # tokenize the whole unit vectorized: Arrow RE2 kernels + one
+        # dictionary_encode do split/lower/intern with zero per-token
+        # Python (functions.tokenize.tokenize_unit; per-row analyzers
+        # remain the reference implementation, equality property-tested)
         store_pos = self.config.store_positions
-        doclens = np.zeros(len(contents), dtype=np.int32)
-        vocab: dict = {}  # term -> unit-local tid (insertion order)
-        tid_parts = []
-        vget = vocab.get
-        for i, (text, lang) in enumerate(zip(contents, langs)):
-            toks = tokenize(text or "", lang)
-            doclens[i] = len(toks)
-            ids = []
-            for t in toks:
-                v = vget(t)
-                if v is None:
-                    vocab[t] = v = len(vocab)
-                ids.append(v)
-            tid_parts.append(np.asarray(ids, dtype=np.int64))
+        tids_flat, doclens64, term_list = tokenize_unit(
+            table["content"], langs, self.registry
+        )
+        doclens = doclens64.astype(np.int32)
 
         norms = encode_lengths(doclens)
 
@@ -232,9 +223,7 @@ class UnitIndexer:
         # token position within each run).  No per-posting Python.
         dpr = self.config.docs_per_range
         ndocs = len(contents)
-        tids = (
-            np.concatenate(tid_parts) if tid_parts else np.empty(0, np.int64)
-        )
+        tids = tids_flat
         docidx = np.repeat(np.arange(ndocs, dtype=np.int64),
                            doclens.astype(np.int64))
         doc_off = np.concatenate(([0], np.cumsum(doclens, dtype=np.int64)))
@@ -311,7 +300,7 @@ class UnitIndexer:
         post_rels = []
         n_postings = int(p_tid.size)
         if n_postings:
-            term_list = list(vocab)  # tid -> term (insertion order)
+            # term_list: tid -> term (first-appearance order)
             shards_by_tid = np.fromiter(
                 (term_shard(t, n_shards) for t in term_list),
                 np.int64, len(term_list),
