@@ -49,12 +49,23 @@ KNOWN_LANGS = frozenset(
 class ControlledVocabulary:
     """A named term set with membership checks — the reference's vocabulary
     backend boiled down to its engine-relevant core (ST2: loaded once per
-    worker, queried per value; ``solrindexer/vocabulary.py:104-153``)."""
+    worker, queried per value; ``solrindexer/vocabulary.py:104-153``).
+
+    :meth:`from_backend` resolves the set through any
+    :mod:`solr_indexer_ray.state.vocabulary` backend (file / TTL-cached
+    fetcher / legacy) ONCE — the resolved frozen set is what ships to
+    workers (broadcast membership, never a per-task fetch)."""
 
     def __init__(self, name: str, terms):
         self.name = name
         self.terms = frozenset(terms)
         self._arr = pa.array(sorted(self.terms))
+
+    @classmethod
+    def from_backend(cls, name: str, backend, vocab: str | None = None):
+        """Resolve ``vocab`` (default: ``name``) through a vocabulary
+        backend into a broadcastable term set."""
+        return cls(name, backend.get_concepts(vocab or name))
 
     def contains(self, value) -> bool:
         return value in self.terms
