@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": c.q_top_terms,
         "bm25_topk": c.q_bm25_topk,
         "phrase_topk": c.q_phrase_topk,
+        "near_topk": c.q_near_topk,
         "wildcard_topk": c.q_wildcard_topk,
         "fuzzy_topk": c.q_fuzzy_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

@@ -171,6 +171,18 @@ RANGE_QUERIES = [
     'doclen:[30 TO 300] "sort merge"',
     "doclen:[40 TO 90] win*",
 ]
+#: proximity cases ("a b"~slop — ordered span-near, phrase scoring)
+NEAR_QUERIES = [
+    '"sort merge"~2',
+    '"spark merge"~3',
+    '"the batch"~1 stream',
+    '"spark stream window"~4',
+    '-"sort merge"~2 window',
+    '"sort merge"~2^2 key',
+    'lang:en "data line"~3',
+    '"zz qq"~5',
+]
+
 #: date-typed range queries over the synthetic ``mtime`` stored column
 #: (mtime = 2024-01-01T00:00:00Z + doc_id hours; reference precedent:
 #: strict datetime + DateRange fields, solrindexer/mmd.py:419-421)
@@ -692,6 +704,14 @@ def q_wildcard_infix_topk(sf_dir: str):
     return _rounded_topk_rows(
         SearchEngine(_bm25_index(sf_dir)), WILDCARD_INFIX_QUERIES
     )
+
+
+def q_near_topk(sf_dir: str):
+    """Top-k with proximity clauses ("a b"~slop): ordered span-near
+    matching over positional postings, PhraseQuery scoring."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    return _rounded_topk_rows(SearchEngine(_bm25_index(sf_dir)), NEAR_QUERIES)
 
 
 def q_date_range_topk(sf_dir: str):

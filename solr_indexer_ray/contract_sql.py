@@ -163,6 +163,30 @@ def _phrase_ptf_expr(ph) -> str:
     )
 
 
+def _near_ptf_expr(terms, slop: int) -> str:
+    """DuckDB expression: ordered span-near match-start count (engine
+    ``eval_near`` semantics): first-term positions i with an in-order
+    chain p₀=i < p₁ < … < pₙ₋₁ and pₘ ≤ i + m + slop — nested
+    existentials over position ranges (1-based lists)."""
+    def inner(level: int, prev_var: str) -> str:
+        var = f"p{level}"
+        t = terms[level].replace("'", "''")
+        hi = f"i + {level + 1} + {slop}"  # p_level <= i + level + slop
+        cond = f"toks[{var}] = '{t}'"
+        if level + 1 < len(terms):
+            cond += f" AND {inner(level + 1, var)}"
+        return (
+            f"len(list_filter(range({prev_var} + 1, {hi}), "
+            f"{var} -> {cond})) > 0"
+        )
+
+    t0 = terms[0].replace("'", "''")
+    return (
+        "len(list_filter(range(1, len(toks) + 1), "
+        f"i -> toks[i] = '{t0}' AND {inner(1, 'i')}))"
+    )
+
+
 def _phrase_w_expr(ph) -> str:
     """Phrase weight: SUM of member idfs, duplicates kept (Lucene
     BM25Similarity.idfExplain over the PhraseQuery term array)."""
@@ -291,6 +315,19 @@ def _phrase_query_block(q: str) -> str:
     FROM (SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) p
     JOIN dlq q ON q.doc_id = p.doc_id CROSS JOIN stats st
     WHERE p.ptf > 0""")
+    # proximity clauses: span-near ptf, PhraseQuery weight
+    for ni, (nterms, slop) in enumerate(sorted(parsed.near_phrases)):
+        b = parsed.near_boosts.get((nterms, slop))
+        wexpr = (
+            f"({_phrase_w_expr(nterms)} * {float(b)!r})" if b is not None
+            else _phrase_w_expr(nterms)
+        )
+        branches.append(f"""
+    SELECT p.doc_id AS doc_id, 'n:{ni}' AS clause,
+      {wexpr} * (p.ptf / (p.ptf + {kexpr})) AS contrib
+    FROM (SELECT doc_id, {_near_ptf_expr(nterms, slop)} AS ptf FROM toks) p
+    JOIN dlq q ON q.doc_id = p.doc_id CROSS JOIN stats st
+    WHERE p.ptf > 0""")
     for wi, pre in enumerate(parsed.prefixes):
         # constant-score wildcard: the clause weight (1.0 or its boost)
         # per doc containing any expansion
@@ -360,6 +397,12 @@ def _phrase_query_block(q: str) -> str:
             f"(SELECT doc_id, {_phrase_ptf_expr(ph)} AS ptf FROM toks) "
             "WHERE ptf > 0)"
         )
+    for nterms, slop in sorted(set(parsed.prohibited_near)):
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM "
+            f"(SELECT doc_id, {_near_ptf_expr(nterms, slop)} AS ptf "
+            "FROM toks) WHERE ptf > 0)"
+        )
     for pre in parsed.prohibited_prefixes:
         conds.append(
             f"c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term LIKE '{pre}%')"
@@ -424,6 +467,15 @@ def sharded_topk_sql() -> str:
 def wildcard_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in WILDCARD_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
+def near_topk_sql() -> str:
+    from solr_indexer_ray.contract import NEAR_QUERIES
+
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in NEAR_QUERIES
     )
     return _BM25_CTES + blocks
 
@@ -1160,6 +1212,7 @@ def oracle_sql_dict() -> dict:
         "bm25_topk": bm25_topk_sql(),
         "phrase_topk": phrase_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),
+        "near_topk": near_topk_sql(),
         "date_range_topk": date_range_topk_sql(),
         "fuzzy_topk": fuzzy_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

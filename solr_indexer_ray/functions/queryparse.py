@@ -65,9 +65,12 @@ from dataclasses import dataclass, field
 FILTER_FIELDS = ("repo", "path", "commit", "lang")
 DEFAULT_FIELD_ALIASES = ("full_text", "content", "text")
 
-#: quoted segments, optionally negated and/or field-prefixed, with an
-#: optional trailing boost:  -field:"some words"  "a phrase"^2.5
-_QUOTED = re.compile(r'(-?)(?:([A-Za-z_][\w.]*):)?"([^"]*)"(?:\^([0-9.]+))?')
+#: quoted segments, optionally negated and/or field-prefixed, with
+#: optional trailing slop and/or boost:
+#:   -field:"some words"   "a phrase"^2.5   "a b"~3   "a b"~3^2
+_QUOTED = re.compile(
+    r'(-?)(?:([A-Za-z_][\w.]*):)?"([^"]*)"(?:~([0-9]+))?(?:\^([0-9.]+))?'
+)
 
 #: trailing boost on a bare clause: term^2 / pre*^1.5
 _BOOST = re.compile(r"^(.*?)\^([0-9]+(?:\.[0-9]+)?)$")
@@ -142,12 +145,19 @@ class ParsedQuery:
     wildcards: list = field(default_factory=list)
     prohibited_wildcards: list = field(default_factory=list)
     wildcard_boosts: dict = field(default_factory=dict)
+    #: proximity clauses ``"a b"~slop``: [( (terms...), slop )] — ordered
+    #: span-near matching (Lucene SpanNearQuery inOrder=true analogue),
+    #: scored like PhraseQuery (w = sum member idfs, tf = match count)
+    near_phrases: list = field(default_factory=list)
+    prohibited_near: list = field(default_factory=list)
+    near_boosts: dict = field(default_factory=dict)  # (terms, slop) -> b
 
     @property
     def is_match_all(self) -> bool:
         return not (
             self.terms or self.filters or self.phrases or self.prefixes
             or self.range_filters or self.fuzzies or self.wildcards
+            or self.near_phrases
         )
 
     @property
@@ -157,6 +167,7 @@ class ParsedQuery:
         return (
             len(set(self.terms)) + len(self.phrases) + len(self.prefixes)
             + len(set(self.fuzzies)) + len(set(self.wildcards))
+            + len(self.near_phrases)
         )
 
 
@@ -169,7 +180,8 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS) -> ParsedQuery:
 
     def eat_quoted(m: re.Match) -> str:
         neg, fld, text = m.group(1) == "-", m.group(2), m.group(3)
-        boost = float(m.group(4)) if m.group(4) else None
+        slop = int(m.group(4)) if m.group(4) else 0
+        boost = float(m.group(5)) if m.group(5) else None
         if fld in FILTER_FIELDS:
             (out.neg_filters if neg else out.filters)[fld] = text
             return " "
@@ -180,6 +192,11 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS) -> ParsedQuery:
             (out.prohibited if neg else out.terms).extend(toks)
             if boost is not None and not neg:
                 out.boosts[toks[0]] = boost
+        elif slop > 0:  # proximity clause; slop 0 IS the exact phrase
+            clause = (tuple(toks), slop)
+            (out.prohibited_near if neg else out.near_phrases).append(clause)
+            if boost is not None and not neg:
+                out.near_boosts[clause] = boost
         else:
             (out.prohibited_phrases if neg else out.phrases).append(toks)
             if boost is not None and not neg:

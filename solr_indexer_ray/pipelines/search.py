@@ -192,6 +192,51 @@ def _phrase_freqs(docs, segments, phrase):
     return docs[mask], freqs[mask].astype(np.int64)
 
 
+def _near_freqs(docs, segments, terms, slop):
+    """Vectorized ordered span-near matcher over ALL candidate docs.
+
+    A first-term occurrence at position p₁ matches when an in-order chain
+    p₁ < p₂ < … < pₙ exists with span width pₙ − p₁ − (n−1) ≤ slop
+    (Lucene SpanNearQuery, inOrder=true).  The greedy earliest-next chain
+    minimizes pₙ, so "exists a chain within slop" reduces to one
+    searchsorted advance per member — no per-doc Python.  Returns
+    (matched docs, per-doc match-start counts).
+    """
+    n = docs.size
+    if n == 0:
+        return docs, np.empty(0, np.int64)
+    stride = 2 + len(terms) + slop + max(
+        (int(flat.max()) if flat.size else 0)
+        for flat, _ in segments.values()
+    )
+    keys = {}
+    for t, (flat, lengths) in segments.items():
+        docidx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        keys[t] = docidx * stride + flat  # ascending
+    starts = keys[terms[0]]
+    cur = starts
+    alive = np.ones(starts.size, dtype=bool)
+    for t in terms[1:]:
+        ks = keys[t]
+        if ks.size == 0:
+            alive[:] = False
+            break
+        idx = np.searchsorted(ks, cur + 1, side="left")
+        ok = idx < ks.size
+        nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
+        same_doc = ok & (nxt // stride == starts // stride)
+        alive &= same_doc
+        cur = np.where(same_doc, nxt, cur)
+    width = (cur - starts) - (len(terms) - 1)
+    alive &= width <= slop
+    surv = starts[alive]
+    if surv.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    freqs = np.bincount(surv // stride, minlength=n)
+    mask = freqs > 0
+    return docs[mask], freqs[mask].astype(np.int64)
+
+
 
 class ScoringModel:
     """Pluggable similarity (extension surface per SURVEY.md §2.10 — the
@@ -698,6 +743,38 @@ class SearchEngine:
         out_docs, freqs = _phrase_freqs(docs, segments, phrase)
         return out_docs, freqs, w
 
+    def eval_near(self, terms, slop: int) -> tuple:
+        """Ordered proximity match ``"a b"~slop`` -> (doc_ids, freqs, w).
+
+        Lucene SpanNearQuery(inOrder=true) semantics: an in-order chain
+        of the member terms with span width <= slop; ``freqs`` counts
+        matching first-term start positions; ``w`` is the PhraseQuery
+        weight (sum of member idfs) — the documented scoring model for
+        proximity clauses."""
+        terms = list(terms)
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64), 0.0)
+        postings = self.lookup_postings(terms, with_positions=True)
+        if any(t not in postings for t in terms):
+            return empty
+        w = float(sum(self.idf(postings[t].df) for t in terms))
+        uniq = list(dict.fromkeys(terms))
+        docs = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            docs = np.intersect1d(docs, postings[t].doc_ids,
+                                  assume_unique=True)
+            if docs.size == 0:
+                return empty
+        segments = {}
+        for t in uniq:
+            tp = postings[t]
+            ti = np.searchsorted(tp.doc_ids, docs)
+            lengths = tp.tfs[ti]
+            flat, _ = _gather_segments(tp.pos_flat, tp.pos_offsets[ti],
+                                       lengths)
+            segments[t] = (flat, lengths)
+        out_docs, freqs = _near_freqs(docs, segments, terms, slop)
+        return out_docs, freqs, w
+
     # ------------------------------------------------------------------ #
     # scoring
     # ------------------------------------------------------------------ #
@@ -726,6 +803,7 @@ class SearchEngine:
             tuple(sorted(set(parsed.prohibited_prefixes))),
             tuple(sorted(set(parsed.prohibited_fuzzies))),
             tuple(sorted(set(parsed.prohibited_wildcards))),
+            tuple(sorted(set(parsed.prohibited_near))),
             len(self.tombstones),
         )
         if key in self._mask_cache:
@@ -765,6 +843,10 @@ class SearchEngine:
                 ensure()[tp.doc_ids] = True
         for pat in parsed.prohibited_wildcards:
             docs = self.eval_pattern(pat)
+            if docs.size:
+                ensure()[docs] = True
+        for np_clause in parsed.prohibited_near:
+            docs, _, _ = self.eval_near(*np_clause)
             if docs.size:
                 ensure()[docs] = True
         if parsed.filters:
@@ -920,6 +1002,7 @@ class SearchEngine:
             elif method == "bmw" and not (
                 parsed.phrases or parsed.prefixes
                 or parsed.fuzzies or parsed.wildcards
+                or parsed.near_phrases
             ):
                 hits = self._score_bmw(parsed, postings, excluded, k)
             else:
@@ -981,6 +1064,8 @@ class SearchEngine:
 
         words = set(parsed.terms) | {
             w for ph in parsed.phrases for w in ph
+        } | {
+            w for ph, _ in parsed.near_phrases for w in ph
         } | set(parsed.prefixes)
         for word, edits in parsed.fuzzies:  # expansion terms highlight
             words.update(self.expand_fuzzy(word, edits))
@@ -1151,6 +1236,21 @@ class SearchEngine:
         for ph in sorted(map(tuple, parsed.phrases)):
             docs, freqs, w = self.eval_phrase(list(ph))
             b = parsed.phrase_boosts.get(ph)
+            if b is not None:
+                w = w * b
+            if docs.size:
+                K = self._norm_factor(self.norms[docs])
+                scores[docs] += w * self.scoring.impact(
+                    freqs.astype(np.float64), K
+                )
+                if seen is not None:
+                    seen[docs] += 1
+                n_present += 1
+        # proximity clauses after phrases: span-near match, phrase scoring
+        # (duplicates iterate like duplicate phrases — required-count parity)
+        for np_clause in sorted(parsed.near_phrases):
+            docs, freqs, w = self.eval_near(*np_clause)
+            b = parsed.near_boosts.get(np_clause)
             if b is not None:
                 w = w * b
             if docs.size:
@@ -1691,6 +1791,9 @@ class SearchEngine:
                 seen[docs] += 1
         for ph in parsed.phrases:
             docs, _, _ = self.eval_phrase(list(ph))
+            seen[docs] += 1
+        for np_clause in parsed.near_phrases:
+            docs, _, _ = self.eval_near(*np_clause)
             seen[docs] += 1
         for pre in parsed.prefixes:
             seen[self.eval_prefix(pre)] += 1
@@ -2248,8 +2351,12 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
     def idf(df):
         return math.log(1.0 + (n_global - df + 0.5) / (df + 0.5))
 
-    # phrase member dfs, merged once across shards (same exchange)
-    member_terms = sorted({t for ph in parsed.phrases for t in ph})
+    # phrase + proximity member dfs, merged once across shards (same
+    # exchange)
+    member_terms = sorted(
+        {t for ph in parsed.phrases for t in ph}
+        | {t for ph, _ in parsed.near_phrases for t in ph}
+    )
     member_shard = [e.lookup_postings(member_terms) for e in engines]
     mdf_global = {
         t: sum(p[t].df for p in member_shard if t in p)
@@ -2335,6 +2442,22 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
                 scores[docs] += w * (
                     freqs.astype(np.float64)
                     / (freqs + K_of(e, docs))
+                )
+                if seen is not None:
+                    seen[docs] += 1
+        for np_clause in sorted(parsed.near_phrases):
+            # per-shard span-near match; weight from GLOBAL member dfs
+            terms_np, slop = np_clause
+            if any(mdf_global.get(t, 0) == 0 for t in terms_np):
+                continue  # a member absent everywhere: unmatchable
+            w = float(sum(idf(mdf_global[t]) for t in terms_np))
+            b = parsed.near_boosts.get(np_clause)
+            if b is not None:
+                w *= b
+            docs, freqs, _ = e.eval_near(terms_np, slop)
+            if docs.size:
+                scores[docs] += w * (
+                    freqs.astype(np.float64) / (freqs + K_of(e, docs))
                 )
                 if seen is not None:
                     seen[docs] += 1
@@ -2428,6 +2551,8 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         or parsed.fuzzies            # blended groups: single-engine TAAT
         or parsed.prohibited_fuzzies
         or parsed.prohibited_wildcards
+        or parsed.near_phrases       # span-near: single-engine (positions)
+        or parsed.prohibited_near
         or any(v.endswith("*") for v in parsed.filters.values())
     ):
         return None

@@ -194,3 +194,101 @@ class TestPositionalLifecycle:
             assert got["score"].to_pylist() == pytest.approx(
                 [s for _, s in exp]
             ), q
+
+
+class TestProximity:
+    """"a b"~slop — ordered span-near (Lucene SpanNearQuery inOrder=true
+    analogue), scored like PhraseQuery."""
+
+    def test_slop_subsumption(self, pos_index):
+        idx, _, _ = pos_index
+        eng = SearchEngine(idx)
+        exact = set(eng.match_ids('"def index"'))
+        s1 = set(eng.match_ids('"def index"~1'))
+        s5 = set(eng.match_ids('"def index"~5'))
+        assert exact <= s1 <= s5
+
+    def test_matches_brute_force_positions(self, pos_index):
+        import re
+
+        idx, corpus, _ = pos_index
+        eng = SearchEngine(idx)
+        reg = eng.registry
+        for query_terms, slop in [(("def", "index"), 2), (("read", "count"), 4)]:
+            want = set()
+            counts = {}
+            for i in range(corpus.num_rows):
+                toks = reg.tokenize(
+                    corpus["content"][i].as_py() or "",
+                    corpus["lang"][i].as_py(),
+                )
+                n = 0
+                for a, t in enumerate(toks):
+                    if t != query_terms[0]:
+                        continue
+                    # greedy in-order chain
+                    pos = a
+                    ok = True
+                    for nt in query_terms[1:]:
+                        nxt = next(
+                            (j for j in range(pos + 1, len(toks))
+                             if toks[j] == nt), None,
+                        )
+                        if nxt is None:
+                            ok = False
+                            break
+                        pos = nxt
+                    if ok and pos - a - (len(query_terms) - 1) <= slop:
+                        n += 1
+                if n:
+                    want.add(i)
+                    counts[i] = n
+            q = '"' + " ".join(query_terms) + f'"~{slop}'
+            got = set(eng.match_ids(q))
+            assert got == want, q
+            docs, freqs, _ = eng.eval_near(query_terms, slop)
+            assert dict(zip(docs.tolist(), freqs.tolist())) == counts
+
+    def test_slop_zero_is_exact_phrase(self, pos_index):
+        from solr_indexer_ray.functions.queryparse import parse_query
+
+        idx, _, _ = pos_index
+        eng = SearchEngine(idx)
+        p = eng._parse('"def index"~0')
+        assert p.phrases and not p.near_phrases  # slop 0 routes to exact
+        a = eng.search('"def index"~0', k=10, fl=["doc_id"])
+        b = eng.search('"def index"', k=10, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_near_with_boost_and_negation(self, pos_index):
+        idx, _, _ = pos_index
+        eng = SearchEngine(idx)
+        plain = eng.search('"def index"~2 merge', k=15, fl=["doc_id"])
+        boosted = eng.search('"def index"~2^3 merge', k=15, fl=["doc_id"])
+        assert plain.num_rows == boosted.num_rows
+        neg = set(
+            eng.search('-"def index"~3 merge', k=200,
+                       fl=["doc_id"])["doc_id"].to_pylist()
+        )
+        assert not neg & set(eng.match_ids('"def index"~3').tolist())
+
+    def test_sharded_near_identical_weights(self, pos_index, tmp_path):
+        """Federated near over ONE shard must equal the single engine
+        (exact global stats reduce to local stats)."""
+        from solr_indexer_ray.pipelines.search import search_sharded
+
+        idx, _, _ = pos_index
+        eng = SearchEngine(idx)
+        t = search_sharded([idx], '"def index"~2 merge', k=10)
+        s = eng.search('"def index"~2 merge', k=10, fl=["doc_id"])
+        assert t["doc_id"].to_pylist() == s["doc_id"].to_pylist()
+        assert t["score"].to_pylist() == pytest.approx(s["score"].to_pylist())
+
+    def test_conjunctive_near(self, pos_index):
+        idx, _, _ = pos_index
+        eng = SearchEngine(idx)
+        got = set(eng.match_ids('"def index"~3 AND merge'))
+        assert got == set(eng.match_ids('"def index"~3')) & set(
+            eng.match_ids("merge")
+        )
