@@ -237,6 +237,41 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     peng.search("read", k=10, fl=["doc_id"], sort="doclen desc")
     sort_s = time.perf_counter() - t0
 
+    # ---- phase 6: round-2 query surface -------------------------------
+    # block-max pruned scorer vs TAAT (rank-identical; warm caches), and
+    # fuzzy / boolean-group / proximity latencies
+    def _p50(queries, **kw):
+        ls = np.zeros(len(queries))
+        for i, q in enumerate(queries):
+            t = time.perf_counter()
+            engine.search(q, k=10, fl=["doc_id"], **kw)
+            ls[i] = time.perf_counter() - t
+        return round(float(np.percentile(ls, 50)) * 1000, 3)
+
+    bmw_queries = _query_set(50)
+    for q in bmw_queries:  # warm both paths + the cell cache
+        engine.search(q, k=10, fl=["doc_id"], method="taat")
+        engine.search(q, k=10, fl=["doc_id"], method="bmw")
+    taat_warm_p50 = _p50(bmw_queries, method="taat")
+    bmw_p50 = _p50(bmw_queries, method="bmw")
+    stems = sorted(_IDENT_STEMS)
+    fuzz = [f"{s[:-1]}x~1" for s in stems[:25]] + [
+        f"{s}~2" for s in stems[:25]
+    ]
+    fuzzy_p50 = _p50(fuzz)
+    bools = [
+        f"({a} OR {b}) AND {c}"
+        for a, b, c in zip(stems[:20], stems[5:25], stems[10:30])
+    ]
+    bool_p50 = _p50(bools)
+    nears = [q.rstrip('"') + '"~3' for q in phrases[:25]]
+    nlat = np.zeros(len(nears))
+    for i, q in enumerate(nears):
+        t = time.perf_counter()
+        peng.search(q, k=10, fl=["doc_id"])
+        nlat[i] = time.perf_counter() - t
+    near_p50 = round(float(np.percentile(nlat, 50)) * 1000, 3)
+
     ray.shutdown()
 
     total = build_s + query_seq_s + query_dist_s
@@ -268,6 +303,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "wildcard_p50_ms": round(float(np.percentile(wlat, 50)) * 1000, 3),
             "facet_2fields_ms": round(facet_s * 1000, 1),
             "sorted_browse_ms": round(sort_s * 1000, 1),
+            "taat_warm_p50_ms": taat_warm_p50,
+            "bmw_p50_ms": bmw_p50,
+            "fuzzy_p50_ms": fuzzy_p50,
+            "bool_group_p50_ms": bool_p50,
+            "near_p50_ms": near_p50,
         },
     }
 

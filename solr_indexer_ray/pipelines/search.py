@@ -1517,6 +1517,7 @@ class SearchEngine:
         # reusable dense accumulators (allocated once, cleaned after each
         # score_cells call by zeroing only the touched slots)
         dense = np.zeros(self.doc_space, dtype=np.float64)
+        touched_mask = np.zeros(self.doc_space, dtype=bool)
         dense_seen = (
             np.zeros(self.doc_space, dtype=np.int32) if required > 1 else None
         )
@@ -1552,15 +1553,16 @@ class SearchEngine:
                     vec = np.concatenate([sv[a:b] for a, b in zip(rs, re_)])
                 b = parsed.boosts.get(t)  # same float order as TAAT: vec*b
                 dense[d] += vec if b is None else vec * b
+                touched_mask[d] = True
                 if dense_seen is not None:
                     dense_seen[d] += 1
                 touched.append(d)
             if not touched:
                 return None, None
-            udocs = (
-                touched[0] if len(touched) == 1
-                else np.unique(np.concatenate(touched))
-            )
+            # dense flatnonzero beats sorting the concatenated doc lists
+            # (already sorted ascending as a bonus)
+            udocs = np.flatnonzero(touched_mask)
+            touched_mask[udocs] = False
             scores = dense[udocs]
             if dense_seen is not None:
                 keep = dense_seen[udocs] >= required
@@ -1582,8 +1584,12 @@ class SearchEngine:
             nonlocal top_d, top_s, theta
             d = np.concatenate([top_d, udocs])
             s = np.concatenate([top_s, scores])
-            o = np.lexsort((d, -s))[:k]
-            top_d, top_s = d[o], s[o]
+            # partition-first selection (exact ties via _select_topk) —
+            # a full lexsort of a big bulk result would dominate the
+            # no-pruning worst case
+            sel = _select_topk(d, s, k)
+            top_d = np.array([x for x, _ in sel], dtype=np.int64)
+            top_s = np.array([x for _, x in sel], dtype=np.float64)
             if top_d.size == k:
                 theta = top_s[-1]
 
