@@ -308,8 +308,9 @@ class BoolNode:
 
 def _bool_tokens(q: str) -> list[str]:
     """Lex a grouped query: parens are standalone tokens; quoted segments
-    (with attached field prefix / ``-`` / trailing boost) stay atomic;
-    everything else splits on whitespace."""
+    (with attached field prefix / ``-`` / trailing slop/boost) and range
+    literals (``[lo TO hi]`` / ``{lo TO hi}`` — they contain spaces) stay
+    atomic; everything else splits on whitespace."""
     toks: list[str] = []
     buf: list[str] = []
 
@@ -319,6 +320,7 @@ def _bool_tokens(q: str) -> list[str]:
             buf.clear()
 
     i, n = 0, len(q)
+    in_range = False
     while i < n:
         c = q[i]
         if c == '"':
@@ -326,11 +328,19 @@ def _bool_tokens(q: str) -> list[str]:
             j = n - 1 if j < 0 else j
             buf.append(q[i:j + 1])
             i = j + 1
-        elif c in "()":
+        elif c in "[{" and not in_range:
+            in_range = True
+            buf.append(c)
+            i += 1
+        elif c in "]}" and in_range:
+            in_range = False
+            buf.append(c)
+            i += 1
+        elif c in "()" and not in_range:
             flush()
             toks.append(c)
             i += 1
-        elif c.isspace():
+        elif c.isspace() and not in_range:
             flush()
             i += 1
         else:

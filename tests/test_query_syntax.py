@@ -241,3 +241,50 @@ class TestBooleanGrouping:
         index_dir, _ = built_index
         with pytest.raises(ValueError, match="grouped boolean"):
             search_sharded([index_dir], "(a OR b) AND c", k=5)
+
+
+class TestCompositeGroups:
+    """Every clause type must work INSIDE a boolean group (atoms parse via
+    parse_query, so ranges/near/fuzzy/wildcards compose)."""
+
+    def test_range_literal_survives_group_lexing(self):
+        from solr_indexer_ray.functions.queryparse import _bool_tokens
+
+        toks = _bool_tokens('(a AND doclen:[30 TO 200]) OR b')
+        assert "doclen:[30 TO 200]" in toks
+        toks2 = _bool_tokens('(doclen:{40 TO 90} OR x)')
+        assert "doclen:{40 TO 90}" in toks2
+
+    def test_range_in_group(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        got = set(e.match_ids("(parse AND doclen:[30 TO 200]) OR lang:go"))
+        want = (
+            set(e.match_ids("parse")) & set(e.match_ids("doclen:[30 TO 200]"))
+        ) | set(e.match_ids("lang:go"))
+        assert got == want
+
+    def test_fuzzy_in_group(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        got = set(e.match_ids("(parze~1 OR merge) AND read"))
+        want = (set(e.match_ids("parse")) | set(e.match_ids("merge"))) & set(
+            e.match_ids("read")
+        )
+        assert got == want
+
+    def test_wildcard_in_group(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        got = set(e.match_ids("(p?rse OR merge) AND read"))
+        want = (set(e.match_ids("p?rse")) | set(e.match_ids("merge"))) & set(
+            e.match_ids("read")
+        )
+        assert got == want
+
+    def test_facet_over_grouped_query(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        q = "(parse OR merge) AND read"
+        buckets = e.facet(q, ["lang"])["lang"]
+        assert sum(c for _, c in buckets) == len(e.match_ids(q))
