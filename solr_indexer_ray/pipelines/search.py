@@ -2161,6 +2161,8 @@ class RangeScorer:
                     if "phrases_json" in batch else [],
                     json.loads(str(batch["prefix_groups_json"][i]))
                     if "prefix_groups_json" in batch else [],
+                    json.loads(str(batch["fuzzy_groups_json"][i]))
+                    if "fuzzy_groups_json" in batch else [],
                 )
             )
         return pa.Table.from_pylist(
@@ -2171,10 +2173,10 @@ class RangeScorer:
         )
 
     def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive,
-                     phrases=(), prefix_groups=()):
+                     phrases=(), prefix_groups=(), fuzzy_groups=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
-            phrases, prefix_groups,
+            phrases, prefix_groups, fuzzy_groups,
         )
         if cand.size == 0:
             return []
@@ -2189,17 +2191,26 @@ class RangeScorer:
         ]
 
     def _candidates_range(self, rid, terms, idfs, prohibited, filters,
-                          conjunctive, phrases=(), prefix_groups=()):
+                          conjunctive, phrases=(), prefix_groups=(),
+                          fuzzy_groups=()):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
         global phrase idf sums, computed driver-side like the term idfs.
         ``prefix_groups``: driver-expanded wildcard term groups (each scores
-        1.0 per matching doc, Solr CONSTANT_SCORE rewrite)."""
+        1.0 per matching doc, Solr CONSTANT_SCORE rewrite).
+        ``fuzzy_groups``: driver-expanded blended SynonymQuery-stats groups
+        ``[members, weight]`` (weight = idf of the GLOBAL max member df ×
+        boost): per range, tf sums over the members present and scores as
+        ONE clause — the fuzzy clause shape, shipped distributed."""
         lo, hi = rid * self.dpr, (rid + 1) * self.dpr
         phrase_terms = {t for ph, _ in phrases for t in ph}
         group_terms = {t for g, _ in prefix_groups for t in g}
-        want = sorted(set(terms) | set(prohibited) | phrase_terms | group_terms)
+        fuzzy_terms = {t for g, _ in fuzzy_groups for t in g}
+        want = sorted(
+            set(terms) | set(prohibited) | phrase_terms | group_terms
+            | fuzzy_terms
+        )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
         if phrase_terms:
@@ -2237,6 +2248,28 @@ class RangeScorer:
             scores[ids] += w * (tfs / (tfs + K))
             if seen is not None:
                 seen[ids] += 1
+        # fuzzy groups after terms (the _accumulate clause order): tf
+        # summed over members present in THIS range, one clause each
+        for g, gw in fuzzy_groups:
+            n_terms += 1
+            acc = np.zeros(width, dtype=np.int64)
+            hit = False
+            for t in g:
+                ri = rows.get(t)
+                if ri is not None:
+                    ids_t = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
+                    acc[ids_t] += varint_decode(
+                        tbl["tfs"][ri].as_py()
+                    ).astype(np.int64)
+                    hit = True
+            if hit:
+                ids = np.flatnonzero(acc)
+                tfs = acc[ids].astype(np.float64)
+                dl = DECODE_TABLE[norms[ids]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                scores[ids] += gw * (tfs / (tfs + K))
+                if seen is not None:
+                    seen[ids] += 1
         # phrase clauses after terms, ascending by member tuple — the same
         # pinned float order as SearchEngine._score_taat
         for ph, w in sorted(phrases, key=lambda p: tuple(p[0])):
@@ -2554,7 +2587,6 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         or parsed.prohibited_prefixes
         or parsed.range_filters
         or parsed.neg_range_filters
-        or parsed.fuzzies            # blended groups: single-engine TAAT
         or parsed.prohibited_fuzzies
         or parsed.prohibited_wildcards
         or parsed.near_phrases       # span-near: single-engine (positions)
@@ -2601,7 +2633,25 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
             )
         elif parsed.conjunctive:
             return "zero"
-    if not terms and not phrases and not prefix_groups:
+    # fuzzy clauses: expand against the global dictionary once, ship
+    # [members, weight] with weight = idf(max member GLOBAL df) x boost —
+    # per-range tf-sum grouping then matches the single-engine blend
+    fuzzy_groups = []
+    for fz in sorted(set(parsed.fuzzies)):
+        members = engine.expand_fuzzy(*fz)
+        mpost = engine.lookup_postings(members)
+        dfs = [mpost[m].df for m in members if m in mpost]
+        if not dfs:
+            if parsed.conjunctive:
+                return "zero"  # AND with an unmatchable fuzzy clause
+            continue
+        w = engine.idf(max(dfs))
+        b = parsed.fuzzy_boosts.get(fz)
+        if b is not None:
+            w *= b
+        fuzzy_groups.append([sorted(m for m in members if m in mpost),
+                             float(w)])
+    if not terms and not phrases and not prefix_groups and not fuzzy_groups:
         return "zero"
     # term weights ship as idf x boost (the per-range scorer is agnostic)
     idfs = []
@@ -2609,7 +2659,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         w = engine.idf(postings[t].df)
         b = parsed.boosts.get(t)
         idfs.append(w if b is None else w * b)
-    return terms, idfs, phrases, prefix_groups
+    return terms, idfs, phrases, prefix_groups, fuzzy_groups
 
 
 def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
@@ -2640,7 +2690,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
         return engine.search(query, k=k)
     if clauses == "zero":
         return _empty()
-    terms, idfs, phrases, prefix_groups = clauses
+    terms, idfs, phrases, prefix_groups, fuzzy_groups = clauses
     n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
         engine.stats["docs_per_range"]
     )
@@ -2655,6 +2705,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
             "conjunctive": parsed.conjunctive,
             "phrases_json": json.dumps(phrases),
             "prefix_groups_json": json.dumps(prefix_groups),
+            "fuzzy_groups_json": json.dumps(fuzzy_groups),
         }
         for r in range(n_ranges)
     ]
@@ -2702,6 +2753,8 @@ class FacetRangeCounter:
                 bool(batch["conjunctive"][i]),
                 json.loads(str(batch["phrases_json"][i])),
                 json.loads(str(batch["prefix_groups_json"][i])),
+                json.loads(str(batch["fuzzy_groups_json"][i]))
+                if "fuzzy_groups_json" in batch else [],
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:
@@ -2737,7 +2790,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
     range — per-range exclusion instead of a driver-side post-filter)."""
     import json
 
-    terms, idfs, phrases, prefix_groups = clauses
+    terms, idfs, phrases, prefix_groups, fuzzy_groups = clauses
     dpr = int(engine.stats["docs_per_range"])
     n_ranges = (engine.doc_space + dpr - 1) // dpr
     tombs_by_range: dict = {}
@@ -2754,6 +2807,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
             "conjunctive": parsed.conjunctive,
             "phrases_json": json.dumps(phrases),
             "prefix_groups_json": json.dumps(prefix_groups),
+            "fuzzy_groups_json": json.dumps(fuzzy_groups),
             "tombs": sorted(tombs_by_range.get(r, [])),
         }
         for r in range(n_ranges)
@@ -2827,6 +2881,8 @@ class _MatchRangeTask:
                 bool(batch["conjunctive"][i]),
                 json.loads(str(batch["phrases_json"][i])),
                 json.loads(str(batch["prefix_groups_json"][i])),
+                json.loads(str(batch["fuzzy_groups_json"][i]))
+                if "fuzzy_groups_json" in batch else [],
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:

@@ -288,3 +288,33 @@ class TestCompositeGroups:
         q = "(parse OR merge) AND read"
         buckets = e.facet(q, ["lang"])["lang"]
         assert sum(c for _, c in buckets) == len(e.match_ids(q))
+
+
+class TestDistributedFuzzy:
+    """Fuzzy clauses ship through the per-range protocol as driver-expanded
+    blended groups [members, idf(max global df) x boost] — bit-identical
+    to the single engine (same float order as _accumulate)."""
+
+    def test_partitioned_fuzzy_identical(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        for q in ["parze~1", "parse~2 merge", "merg~1 AND read",
+                  "parze~1^2 -count read"]:
+            a = e.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_partitioned_facet_fuzzy_identical(self, built_index):
+        from solr_indexer_ray.pipelines.search import facet_partitioned
+
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        assert e.facet("parse~2", ["lang"]) == facet_partitioned(
+            index_dir, "parse~2", ["lang"]
+        )
+
+    def test_conjunctive_unmatchable_fuzzy_is_zero(self, built_index):
+        index_dir, _ = built_index
+        t = search_partitioned(index_dir, "qqqqzzzz~1 AND parse", k=10)
+        assert t.num_rows == 0
