@@ -81,6 +81,61 @@ class BruteForceBM25:
             if toks[p:p + n] == list(phrase)
         )
 
+    def near_freq(self, i: int, terms, slop: int) -> int:
+        """Ordered span-near match-start count in doc i: first-term
+        positions that begin an in-order chain with span width <= slop
+        (greedy earliest-next completion — optimal for ordered chains)."""
+        toks = self.tokens[i]
+        n = 0
+        for a, t in enumerate(toks):
+            if t != terms[0]:
+                continue
+            pos = a
+            ok = True
+            for nt in terms[1:]:
+                nxt = next(
+                    (j for j in range(pos + 1, len(toks)) if toks[j] == nt),
+                    None,
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                pos = nxt
+            if ok and pos - a - (len(terms) - 1) <= slop:
+                n += 1
+        return n
+
+    def fuzzy_members(self, word: str, max_edits: int) -> list:
+        """Dictionary terms within classic Levenshtein distance — an
+        independent full-DP implementation (the engine uses pruned
+        capped DP; agreement is part of what the tests check)."""
+        def lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for x, ca in enumerate(a, 1):
+                cur = [x]
+                for y, cb in enumerate(b, 1):
+                    cur.append(min(
+                        prev[y] + 1, cur[-1] + 1,
+                        prev[y - 1] + (ca != cb),
+                    ))
+                prev = cur
+            return prev[-1]
+
+        return sorted(
+            t for t in self.df
+            if abs(len(t) - len(word)) <= max_edits
+            and lev(word, t) <= max_edits
+        )
+
+    @staticmethod
+    def _wild_match(term: str, pattern: str) -> bool:
+        import re
+
+        rx = "^" + re.escape(pattern).replace(r"\*", ".*").replace(
+            r"\?", "."
+        ) + "$"
+        return re.match(rx, term) is not None
+
     def search(self, query: str, k: int = 10):
         """Returns [(doc_id, score), ...] — top-k, ties by ascending doc_id."""
         parsed = parse_query(query, self.registry.analyzer_for(None))
@@ -94,14 +149,18 @@ class BruteForceBM25:
 
         hits = []
         q_terms = sorted(set(parsed.terms))
-        #: clause order pinned to the engine: terms ascending, then phrases
-        #: ascending by member tuple (same float64 addition order); prefix
-        #: clauses add exact 1.0s so their order is immaterial
+        #: clause order pinned to the engine (_accumulate): terms asc,
+        #: fuzzies asc, phrases asc, near asc, prefixes, wildcards (the
+        #: same float64 addition order); constant-score clauses add exact
+        #: 1.0s so their order is immaterial
         q_phrases = sorted(map(tuple, parsed.phrases))
-        need = (
-            (len(q_terms) + len(q_phrases) + len(parsed.prefixes))
-            if parsed.conjunctive else 1
-        )
+        q_fuzzies = sorted(set(parsed.fuzzies))
+        q_near = sorted(parsed.near_phrases)
+        q_wild = sorted(set(parsed.wildcards))
+        fuzzy_groups = {
+            fz: self.fuzzy_members(*fz) for fz in q_fuzzies
+        }
+        need = parsed.scoring_clauses if parsed.conjunctive else 1
         for i in range(self.n_docs):
             if parsed.filters and any(
                 not _fmatch(self.meta.get(f, [None] * self.n_docs)[i], v)
@@ -138,6 +197,21 @@ class BruteForceBM25:
                 for pre in parsed.prohibited_prefixes
             ):
                 continue
+            if parsed.prohibited_fuzzies and any(
+                any(m in self.tf[i] for m in self.fuzzy_members(*fz))
+                for fz in parsed.prohibited_fuzzies
+            ):
+                continue
+            if parsed.prohibited_wildcards and any(
+                any(self._wild_match(t, pat) for t in self.tf[i])
+                for pat in parsed.prohibited_wildcards
+            ):
+                continue
+            if parsed.prohibited_near and any(
+                self.near_freq(i, list(nt), slop)
+                for nt, slop in parsed.prohibited_near
+            ):
+                continue
             nmatch = 0
             score = 0.0
             for t in q_terms:  # ascending-term order — same float order as engine
@@ -162,6 +236,20 @@ class BruteForceBM25:
                     c = self.idf(t) * (tf / (tf + K[i]))
                     b = parsed.boosts.get(t)
                     score += c if b is None else c * b
+            for fz in q_fuzzies:
+                # blended SynonymQuery stats over the fuzzy expansion
+                members = fuzzy_groups[fz]
+                tf = sum(self.tf[i].get(m, 0) for m in members)
+                if tf:
+                    nmatch += 1
+                    df = max(self.df.get(m, 0) for m in members)
+                    w = math.log(
+                        1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
+                    )
+                    b = parsed.fuzzy_boosts.get(fz)
+                    if b is not None:
+                        w *= b
+                    score += w * (tf / (tf + K[i]))
             for ph in q_phrases:
                 ptf = self.phrase_freq(i, ph)
                 if ptf:
@@ -172,12 +260,25 @@ class BruteForceBM25:
                     if b is not None:
                         w = w * b
                     score += w * (ptf / (ptf + K[i]))
+            for nt, slop in q_near:
+                ntf = self.near_freq(i, list(nt), slop)
+                if ntf:
+                    nmatch += 1
+                    w = sum(self.idf(t) for t in nt)
+                    b = parsed.near_boosts.get((nt, slop))
+                    if b is not None:
+                        w = w * b
+                    score += w * (ntf / (ntf + K[i]))
             for pre in parsed.prefixes:
                 # constant-score wildcard: boost (default 1.0) per match
                 if any(t.startswith(pre) for t in self.tf[i]):
                     nmatch += 1
                     score += parsed.prefix_boosts.get(pre, 1.0)
-            if q_terms or q_phrases or parsed.prefixes:
+            for pat in q_wild:
+                if any(self._wild_match(t, pat) for t in self.tf[i]):
+                    nmatch += 1
+                    score += parsed.wildcard_boosts.get(pat, 1.0)
+            if parsed.scoring_clauses:
                 if nmatch < need:
                     continue
                 hits.append((self.doc_ids[i], score))

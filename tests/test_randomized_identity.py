@@ -19,7 +19,7 @@ def random_queries(rng, vocab, n, oracle=None):
     for _ in range(n):
         k = int(rng.integers(1, 4))
         terms = [vocab[int(rng.integers(len(vocab)))] for _ in range(k)]
-        mode = int(rng.integers(8))
+        mode = int(rng.integers(11))
         if mode == 0 and k > 1:
             out.append(" AND ".join(terms))
         elif mode == 1 and k > 1:
@@ -45,6 +45,34 @@ def random_queries(rng, vocab, n, oracle=None):
             out.append(f"doclen:{br}{lo} TO {hi}{kr} " + " ".join(terms))
         elif mode == 6 and k > 1:
             out.append(f"-{terms[0][:3]}* " + " ".join(terms[1:]))
+        elif mode == 7 and len(terms[0]) > 3:
+            # fuzzy: typo a real vocab word (drop or swap a char)
+            w = terms[0]
+            j = int(rng.integers(1, len(w)))
+            typo = w[:j] + w[j + 1:] if rng.integers(2) else (
+                w[:j] + "q" + w[j + 1:]
+            )
+            e = int(rng.integers(1, 3))
+            out.append(f"{typo}~{e} " + " ".join(terms[1:]))
+        elif mode == 8 and len(terms[0]) > 3:
+            # general wildcard: ? or infix * inside a real word
+            w = terms[0]
+            j = int(rng.integers(1, len(w) - 1))
+            pat = (w[:j] + "?" + w[j + 1:]) if rng.integers(2) else (
+                w[:j] + "*" + w[-1]
+            )
+            out.append(pat + " " + " ".join(terms[1:]))
+        elif mode == 9 and oracle is not None:
+            # proximity: near-pair from a random doc (gap <= slop)
+            di = int(rng.integers(oracle.n_docs))
+            toks = oracle.tokens[di]
+            if len(toks) > 5:
+                p = int(rng.integers(len(toks) - 4))
+                g = int(rng.integers(1, 4))
+                slop = int(rng.integers(1, 6))
+                out.append(f'"{toks[p]} {toks[min(p + g, len(toks) - 1)]}"~{slop}')
+            else:
+                out.append(f'"{terms[0]} zzmiss"~2')
         else:
             out.append(" ".join(terms))
     return out
