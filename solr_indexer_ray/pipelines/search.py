@@ -2163,6 +2163,8 @@ class RangeScorer:
                     if "prefix_groups_json" in batch else [],
                     json.loads(str(batch["fuzzy_groups_json"][i]))
                     if "fuzzy_groups_json" in batch else [],
+                    json.loads(str(batch["near_groups_json"][i]))
+                    if "near_groups_json" in batch else [],
                 )
             )
         return pa.Table.from_pylist(
@@ -2173,10 +2175,11 @@ class RangeScorer:
         )
 
     def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive,
-                     phrases=(), prefix_groups=(), fuzzy_groups=()):
+                     phrases=(), prefix_groups=(), fuzzy_groups=(),
+                     near_groups=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
-            phrases, prefix_groups, fuzzy_groups,
+            phrases, prefix_groups, fuzzy_groups, near_groups,
         )
         if cand.size == 0:
             return []
@@ -2192,7 +2195,7 @@ class RangeScorer:
 
     def _candidates_range(self, rid, terms, idfs, prohibited, filters,
                           conjunctive, phrases=(), prefix_groups=(),
-                          fuzzy_groups=()):
+                          fuzzy_groups=(), near_groups=()):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2207,13 +2210,14 @@ class RangeScorer:
         phrase_terms = {t for ph, _ in phrases for t in ph}
         group_terms = {t for g, _ in prefix_groups for t in g}
         fuzzy_terms = {t for g, _ in fuzzy_groups for t in g}
+        near_terms = {t for g, _, _ in near_groups for t in g}
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
-            | fuzzy_terms
+            | fuzzy_terms | near_terms
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
-        if phrase_terms:
+        if phrase_terms or near_terms:
             cols = [
                 "term", "range_id", "doc_ids", "tfs", "positions",
                 "block_last", "block_max_tf", "block_min_norm",
@@ -2275,6 +2279,17 @@ class RangeScorer:
         for ph, w in sorted(phrases, key=lambda p: tuple(p[0])):
             n_terms += 1
             ids, freqs = self._eval_phrase_local(tbl, rows, ph, lo)
+            if ids.size:
+                dl = DECODE_TABLE[norms[ids]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                scores[ids] += w * (freqs / (freqs + K))
+                if seen is not None:
+                    seen[ids] += 1
+        # proximity groups after phrases (_accumulate order): per-range
+        # span-near match, weight from GLOBAL member dfs (shipped)
+        for g, slop, w in near_groups:
+            n_terms += 1
+            ids, freqs = self._eval_near_local(tbl, rows, g, int(slop), lo)
             if ids.size:
                 dl = DECODE_TABLE[norms[ids]]
                 K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
@@ -2344,6 +2359,37 @@ class RangeScorer:
             seg_flat, _ = _gather_segments(flat, offs[ti], lengths)
             segments[t] = (seg_flat, lengths)
         out_docs, freqs = _phrase_freqs(docs, segments, phrase)
+        return out_docs - lo, freqs.astype(np.float64)
+
+    @staticmethod
+    def _eval_near_local(tbl, rows, terms, slop, lo):
+        """Span-near match within one doc range -> (local ids, freqs)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        decoded = {}
+        for t in dict.fromkeys(terms):
+            ri = rows.get(t)
+            if ri is None:
+                return empty
+            ids = decode_doc_ids(tbl["doc_ids"][ri].as_py())
+            tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.int64)
+            flat, offs = decode_positions(
+                tbl["positions"][ri].as_py() or b"", tfs
+            )
+            decoded[t] = (ids, tfs, flat, offs)
+        uniq = list(decoded)
+        docs = decoded[uniq[0]][0]
+        for t in uniq[1:]:
+            docs = np.intersect1d(docs, decoded[t][0], assume_unique=True)
+            if docs.size == 0:
+                return empty
+        segments = {}
+        for t in uniq:
+            ids, tfs, flat, offs = decoded[t]
+            ti = np.searchsorted(ids, docs)
+            lengths = tfs[ti]
+            seg_flat, _ = _gather_segments(flat, offs[ti], lengths)
+            segments[t] = (seg_flat, lengths)
+        out_docs, freqs = _near_freqs(docs, segments, list(terms), slop)
         return out_docs - lo, freqs.astype(np.float64)
 
 
@@ -2589,7 +2635,6 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         or parsed.neg_range_filters
         or parsed.prohibited_fuzzies
         or parsed.prohibited_wildcards
-        or parsed.near_phrases       # span-near: single-engine (positions)
         or parsed.prohibited_near
         or any(v.endswith("*") for v in parsed.filters.values())
     ):
@@ -2651,7 +2696,26 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
             w *= b
         fuzzy_groups.append([sorted(m for m in members if m in mpost),
                              float(w)])
-    if not terms and not phrases and not prefix_groups and not fuzzy_groups:
+    # proximity clauses: weight = sum of GLOBAL member idfs x boost; the
+    # per-range task span-near matches positions locally
+    near_groups = []
+    if parsed.near_phrases:
+        near_members = sorted(
+            {t for nt, _ in parsed.near_phrases for t in nt}
+        )
+        npost = engine.lookup_postings(near_members)
+        for nt, slop in sorted(parsed.near_phrases):
+            if any(t not in npost for t in nt):
+                if parsed.conjunctive:
+                    return "zero"  # AND with an unmatchable near clause
+                continue
+            w = float(sum(engine.idf(npost[t].df) for t in nt))
+            b = parsed.near_boosts.get((nt, slop))
+            if b is not None:
+                w *= b
+            near_groups.append([list(nt), int(slop), w])
+    if not terms and not phrases and not prefix_groups and not fuzzy_groups \
+            and not near_groups:
         return "zero"
     # term weights ship as idf x boost (the per-range scorer is agnostic)
     idfs = []
@@ -2659,7 +2723,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         w = engine.idf(postings[t].df)
         b = parsed.boosts.get(t)
         idfs.append(w if b is None else w * b)
-    return terms, idfs, phrases, prefix_groups, fuzzy_groups
+    return terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups
 
 
 def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
@@ -2690,7 +2754,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
         return engine.search(query, k=k)
     if clauses == "zero":
         return _empty()
-    terms, idfs, phrases, prefix_groups, fuzzy_groups = clauses
+    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups = clauses
     n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
         engine.stats["docs_per_range"]
     )
@@ -2706,6 +2770,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
             "phrases_json": json.dumps(phrases),
             "prefix_groups_json": json.dumps(prefix_groups),
             "fuzzy_groups_json": json.dumps(fuzzy_groups),
+            "near_groups_json": json.dumps(near_groups),
         }
         for r in range(n_ranges)
     ]
@@ -2755,6 +2820,8 @@ class FacetRangeCounter:
                 json.loads(str(batch["prefix_groups_json"][i])),
                 json.loads(str(batch["fuzzy_groups_json"][i]))
                 if "fuzzy_groups_json" in batch else [],
+                json.loads(str(batch["near_groups_json"][i]))
+                if "near_groups_json" in batch else [],
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:
@@ -2790,7 +2857,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
     range — per-range exclusion instead of a driver-side post-filter)."""
     import json
 
-    terms, idfs, phrases, prefix_groups, fuzzy_groups = clauses
+    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups = clauses
     dpr = int(engine.stats["docs_per_range"])
     n_ranges = (engine.doc_space + dpr - 1) // dpr
     tombs_by_range: dict = {}
@@ -2808,6 +2875,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
             "phrases_json": json.dumps(phrases),
             "prefix_groups_json": json.dumps(prefix_groups),
             "fuzzy_groups_json": json.dumps(fuzzy_groups),
+            "near_groups_json": json.dumps(near_groups),
             "tombs": sorted(tombs_by_range.get(r, [])),
         }
         for r in range(n_ranges)
@@ -2883,6 +2951,8 @@ class _MatchRangeTask:
                 json.loads(str(batch["prefix_groups_json"][i])),
                 json.loads(str(batch["fuzzy_groups_json"][i]))
                 if "fuzzy_groups_json" in batch else [],
+                json.loads(str(batch["near_groups_json"][i]))
+                if "near_groups_json" in batch else [],
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:

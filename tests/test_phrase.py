@@ -292,3 +292,26 @@ class TestProximity:
         assert got == set(eng.match_ids('"def index"~3')) & set(
             eng.match_ids("merge")
         )
+
+
+class TestDistributedProximity:
+    """Near clauses ship through the per-range protocol as
+    [members, slop, weight] groups with globally-computed phrase weights;
+    per-range span-near matching is bit-identical to the single engine."""
+
+    def test_partitioned_near_identical(self, pos_index):
+        idx, _, _ = pos_index
+        eng = SearchEngine(idx)
+        for q in ['"def index"~2', '"def index"~3 merge',
+                  '"def index"~1^2 AND read',
+                  '"def index"~2 "parse read"~4',
+                  'lang:python "def index"~5']:
+            a = eng.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(idx, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_conjunctive_unmatchable_near_is_zero(self, pos_index):
+        idx, _, _ = pos_index
+        t = search_partitioned(idx, '"zzq qqz"~3 AND read', k=10)
+        assert t.num_rows == 0
