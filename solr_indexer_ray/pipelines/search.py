@@ -2165,6 +2165,8 @@ class RangeScorer:
                     if "fuzzy_groups_json" in batch else [],
                     json.loads(str(batch["near_groups_json"][i]))
                     if "near_groups_json" in batch else [],
+                    json.loads(str(batch["syn_groups_json"][i]))
+                    if "syn_groups_json" in batch else [],
                 )
             )
         return pa.Table.from_pylist(
@@ -2176,10 +2178,10 @@ class RangeScorer:
 
     def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive,
                      phrases=(), prefix_groups=(), fuzzy_groups=(),
-                     near_groups=()):
+                     near_groups=(), syn_groups=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
-            phrases, prefix_groups, fuzzy_groups, near_groups,
+            phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
         )
         if cand.size == 0:
             return []
@@ -2195,7 +2197,8 @@ class RangeScorer:
 
     def _candidates_range(self, rid, terms, idfs, prohibited, filters,
                           conjunctive, phrases=(), prefix_groups=(),
-                          fuzzy_groups=(), near_groups=()):
+                          fuzzy_groups=(), near_groups=(),
+                          syn_groups=()):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2211,9 +2214,10 @@ class RangeScorer:
         group_terms = {t for g, _ in prefix_groups for t in g}
         fuzzy_terms = {t for g, _ in fuzzy_groups for t in g}
         near_terms = {t for g, _, _ in near_groups for t in g}
+        syn_terms = {t for _, g, _ in syn_groups for t in g}
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
-            | fuzzy_terms | near_terms
+            | fuzzy_terms | near_terms | syn_terms
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
@@ -2240,18 +2244,45 @@ class RangeScorer:
         scores = np.zeros(width, dtype=np.float64)
         seen = np.zeros(width, dtype=np.int32) if conjunctive else None
         n_terms = 0
-        for term, w in sorted(zip(terms, idfs)):  # ascending-term float order
-            ri = rows.get(term)
+        # plain terms and synonym groups interleave at the mapped term's
+        # sort position — the single-engine _accumulate iterates
+        # sorted(set(terms)) dispatching per kind, so the float order
+        # matches bit-for-bit
+        term_clauses = [(t, None, w) for t, w in zip(terms, idfs)] + [
+            (key, list(g), w) for key, g, w in syn_groups
+        ]
+        for term, members, w in sorted(term_clauses, key=lambda c: c[0]):
             n_terms += 1
-            if ri is None:
+            if members is None:
+                ri = rows.get(term)
+                if ri is None:
+                    continue
+                ids = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
+                tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64)
+                dl = DECODE_TABLE[norms[ids]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                scores[ids] += w * (tfs / (tfs + K))
+                if seen is not None:
+                    seen[ids] += 1
                 continue
-            ids = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
-            tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64)
-            dl = DECODE_TABLE[norms[ids]]
-            K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-            scores[ids] += w * (tfs / (tfs + K))
-            if seen is not None:
-                seen[ids] += 1
+            acc = np.zeros(width, dtype=np.int64)
+            hit = False
+            for t in members:
+                ri = rows.get(t)
+                if ri is not None:
+                    ids_t = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
+                    acc[ids_t] += varint_decode(
+                        tbl["tfs"][ri].as_py()
+                    ).astype(np.int64)
+                    hit = True
+            if hit:
+                ids = np.flatnonzero(acc)
+                tfs = acc[ids].astype(np.float64)
+                dl = DECODE_TABLE[norms[ids]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                scores[ids] += w * (tfs / (tfs + K))
+                if seen is not None:
+                    seen[ids] += 1
         # fuzzy groups after terms (the _accumulate clause order): tf
         # summed over members present in THIS range, one clause each
         for g, gw in fuzzy_groups:
@@ -2642,9 +2673,35 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     # global df -> idf (small driver-side scout over postings df column;
     # phrase member dfs come from the same lookup)
     phrase_members = [t for ph in parsed.phrases for t in ph]
-    postings = engine.lookup_postings(list(parsed.terms) + phrase_members)
-    terms = sorted(t for t in set(parsed.terms) if t in postings)
-    if parsed.conjunctive and len(terms) < len(set(parsed.terms)):
+    syn_map = engine.synonyms or {}
+    syn_members = [
+        m for t in set(parsed.terms) if t in syn_map
+        for m in (t, *syn_map[t])
+    ]
+    postings = engine.lookup_postings(
+        list(parsed.terms) + phrase_members + syn_members
+    )
+    # mapped terms score as blended groups at their sort position; the
+    # group's presence (ANY member indexed) is what conjunction requires
+    syn_groups = []
+    plain = []
+    for t in sorted(set(parsed.terms)):
+        if t in syn_map:
+            members = [m for m in dict.fromkeys((t, *syn_map[t]))
+                       if m in postings]
+            if not members:
+                if parsed.conjunctive:
+                    return "zero"
+                continue
+            w = engine.idf(max(postings[m].df for m in members))
+            b = parsed.boosts.get(t)
+            if b is not None:
+                w *= b
+            syn_groups.append([t, members, float(w)])
+        else:
+            plain.append(t)
+    terms = sorted(t for t in plain if t in postings)
+    if parsed.conjunctive and len(terms) < len(plain):
         return "zero"  # AND with a term absent from the index
     phrases = []
     for ph in parsed.phrases:
@@ -2715,7 +2772,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
                 w *= b
             near_groups.append([list(nt), int(slop), w])
     if not terms and not phrases and not prefix_groups and not fuzzy_groups \
-            and not near_groups:
+            and not near_groups and not syn_groups:
         return "zero"
     # term weights ship as idf x boost (the per-range scorer is agnostic)
     idfs = []
@@ -2723,10 +2780,11 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         w = engine.idf(postings[t].df)
         b = parsed.boosts.get(t)
         idfs.append(w if b is None else w * b)
-    return terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups
+    return terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups
 
 
-def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
+def search_partitioned(index_dir: str, query: str, k: int = 10,
+                       synonyms=None) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
 
     Bit-identical to ``SearchEngine.search(..., method='taat')`` (tested);
@@ -2739,7 +2797,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
 
     import ray.data as rd
 
-    engine = SearchEngine(index_dir)
+    engine = SearchEngine(index_dir, synonyms=synonyms)
     parsed = engine._parse(query)
 
     def _empty():
@@ -2754,7 +2812,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
         return engine.search(query, k=k)
     if clauses == "zero":
         return _empty()
-    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups = clauses
+    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups = clauses
     n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
         engine.stats["docs_per_range"]
     )
@@ -2771,6 +2829,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10) -> pa.Table:
             "prefix_groups_json": json.dumps(prefix_groups),
             "fuzzy_groups_json": json.dumps(fuzzy_groups),
             "near_groups_json": json.dumps(near_groups),
+            "syn_groups_json": json.dumps(syn_groups),
         }
         for r in range(n_ranges)
     ]
@@ -2822,6 +2881,8 @@ class FacetRangeCounter:
                 if "fuzzy_groups_json" in batch else [],
                 json.loads(str(batch["near_groups_json"][i]))
                 if "near_groups_json" in batch else [],
+                json.loads(str(batch["syn_groups_json"][i]))
+                if "syn_groups_json" in batch else [],
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:
@@ -2857,7 +2918,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
     range — per-range exclusion instead of a driver-side post-filter)."""
     import json
 
-    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups = clauses
+    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups = clauses
     dpr = int(engine.stats["docs_per_range"])
     n_ranges = (engine.doc_space + dpr - 1) // dpr
     tombs_by_range: dict = {}
@@ -2876,6 +2937,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
             "prefix_groups_json": json.dumps(prefix_groups),
             "fuzzy_groups_json": json.dumps(fuzzy_groups),
             "near_groups_json": json.dumps(near_groups),
+            "syn_groups_json": json.dumps(syn_groups),
             "tombs": sorted(tombs_by_range.get(r, [])),
         }
         for r in range(n_ranges)
@@ -2953,6 +3015,8 @@ class _MatchRangeTask:
                 if "fuzzy_groups_json" in batch else [],
                 json.loads(str(batch["near_groups_json"][i]))
                 if "near_groups_json" in batch else [],
+                json.loads(str(batch["syn_groups_json"][i]))
+                if "syn_groups_json" in batch else [],
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:

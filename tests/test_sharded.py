@@ -216,3 +216,35 @@ class TestElevation:
         got = eng.search("read", k=5, fl=["doc_id"])
         assert got["doc_id"].to_pylist()[0] == 3
         assert 7 not in got["doc_id"].to_pylist()
+
+
+class TestDistributedSynonyms:
+    """Query-time synonyms ship through the per-range protocol as blended
+    groups interleaved at the mapped term's sort position — bit-identical
+    to the single-engine SynonymQuery path."""
+
+    def test_partitioned_synonyms_identical(self, built_index):
+        from solr_indexer_ray.pipelines.search import (
+            SearchEngine,
+            search_partitioned,
+        )
+
+        index_dir, _ = built_index
+        syn = {"parse": ["read"], "merge": ["count"]}
+        eng = SearchEngine(index_dir, synonyms=syn)
+        for q in ["parse", "parse merge", "parse AND buffer",
+                  "parse^2 -index buffer"]:
+            a = eng.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=10, synonyms=syn)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_conjunctive_unmatchable_synonym_group_zero(self, built_index):
+        from solr_indexer_ray.pipelines.search import search_partitioned
+
+        index_dir, _ = built_index
+        t = search_partitioned(
+            index_dir, "zzqx AND parse", k=10,
+            synonyms={"zzqx": ["zzqy"]},
+        )
+        assert t.num_rows == 0
