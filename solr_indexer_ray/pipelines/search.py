@@ -2783,6 +2783,168 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     return terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups
 
 
+def _compile_bool_tree(engine: SearchEngine, node):
+    """Compile a parsed boolean tree into a JSON-able per-range evaluation
+    plan: every leaf becomes a driver-prepared clause bundle (global idf
+    weights, expanded groups — the same preparation
+    :func:`_distributed_clauses` does for flat queries).  Returns ``None``
+    when any leaf has a shape only the single engine evaluates
+    (negative multi-term clauses, range filters, wildcard metadata
+    filters)."""
+    if isinstance(node, BoolNode):
+        kids = []
+        for neg, child in node.children:
+            c = _compile_bool_tree(engine, child)
+            if c is None:
+                return None
+            kids.append([bool(neg), c])
+        return {"op": node.op, "children": kids}
+    parsed = node  # leaf ParsedQuery
+    if parsed.scoring_clauses == 0:
+        if (
+            parsed.neg_filters or parsed.range_filters
+            or parsed.neg_range_filters or parsed.prohibited
+            or parsed.prohibited_phrases or parsed.prohibited_prefixes
+            or parsed.prohibited_fuzzies or parsed.prohibited_wildcards
+            or parsed.prohibited_near
+            or any(v.endswith("*") for v in parsed.filters.values())
+        ):
+            return None
+        return {
+            "match": {
+                "filter_keys": sorted(parsed.filters),
+                "filter_vals": [
+                    parsed.filters[f] for f in sorted(parsed.filters)
+                ],
+            }
+        }
+    clauses = _distributed_clauses(engine, parsed)
+    if clauses is None:
+        return None
+    if clauses == "zero":
+        return {"zero": True}
+    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, \
+        syn_groups = clauses
+    return {
+        "leaf": {
+            "terms": terms,
+            "idfs": idfs,
+            "prohibited": sorted(set(parsed.prohibited)),
+            "filter_keys": sorted(parsed.filters),
+            "filter_vals": [
+                parsed.filters[f] for f in sorted(parsed.filters)
+            ],
+            "conjunctive": parsed.conjunctive,
+            "phrases": phrases,
+            "prefix_groups": prefix_groups,
+            "fuzzy_groups": fuzzy_groups,
+            "near_groups": near_groups,
+            "syn_groups": syn_groups,
+        }
+    }
+
+
+class BoolRangeScorer:
+    """Per-doc-range task for grouped boolean queries: evaluate the
+    compiled clause tree over RANGE-LOCAL dense arrays (bounded by
+    ``docs_per_range`` — the per-range answer to the single engine's
+    doc-space-sized AST accumulators), same Lucene BooleanQuery zeroing
+    as ``SearchEngine._eval_bool_node``; returns the range's top-k."""
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.scorer = RangeScorer(index_dir, k)
+        self.k = k
+
+    def __call__(self, batch: dict) -> pa.Table:
+        import json
+
+        out = []
+        for i in range(len(batch["range_id"])):
+            rid = int(batch["range_id"][i])
+            tree = json.loads(str(batch["tree_json"][i]))
+            out.extend(self._score_range(rid, tree))
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+    def _score_range(self, rid: int, tree) -> list:
+        sc = self.scorer
+        lo, hi = rid * sc.dpr, (rid + 1) * sc.dpr
+        width = hi - lo
+        dtab = sc._docs.to_table(
+            columns=["doc_id"],
+            filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi),
+        )
+        present = np.zeros(width, dtype=bool)
+        present[dtab["doc_id"].to_numpy() - lo] = True
+        mask, scores = self._eval(rid, tree, lo, width)
+        mask &= present
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return []
+        s = scores[cand]
+        kk = min(self.k, cand.size)
+        kth = -np.partition(-s, kk - 1)[kk - 1]
+        idx = np.flatnonzero(s >= kth)
+        order = np.lexsort((cand[idx], -s[idx]))[:kk]
+        return [
+            {"doc_id": int(cand[idx[o]] + lo), "score": float(s[idx[o]])}
+            for o in order
+        ]
+
+    def _eval(self, rid: int, tree, lo: int, width: int):
+        sc = self.scorer
+        if "op" in tree:
+            mask = None
+            scores = np.zeros(width, dtype=np.float64)
+            for neg, child in tree["children"]:
+                m, s = self._eval(rid, child, lo, width)
+                if neg:
+                    m = ~m
+                else:
+                    scores += s
+                if mask is None:
+                    mask = m.copy()
+                elif tree["op"] == "AND":
+                    mask &= m
+                else:
+                    mask |= m
+            if mask is None:
+                mask = np.zeros(width, dtype=bool)
+            scores[~mask] = 0.0
+            return mask, scores
+        if "zero" in tree:
+            return (
+                np.zeros(width, dtype=bool),
+                np.zeros(width, dtype=np.float64),
+            )
+        if "match" in tree:
+            m = tree["match"]
+            flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < lo + width)
+            for fld, val in zip(m["filter_keys"], m["filter_vals"]):
+                flt = flt & (pc.field(fld) == val)
+            t = sc._docs.to_table(columns=["doc_id"], filter=flt)
+            mask = np.zeros(width, dtype=bool)
+            mask[t["doc_id"].to_numpy() - lo] = True
+            return mask, np.zeros(width, dtype=np.float64)
+        b = tree["leaf"]
+        cand, scores, _lo = sc._candidates_range(
+            rid, list(b["terms"]), list(b["idfs"]), list(b["prohibited"]),
+            dict(zip(b["filter_keys"], b["filter_vals"])),
+            bool(b["conjunctive"]), b["phrases"], b["prefix_groups"],
+            b["fuzzy_groups"], b["near_groups"], b["syn_groups"],
+        )
+        mask = np.zeros(width, dtype=bool)
+        out = np.zeros(width, dtype=np.float64)
+        if cand.size:
+            mask[cand] = True
+            out[cand] = scores[cand]
+        return mask, out
+
+
 def search_partitioned(index_dir: str, query: str, k: int = 10,
                        synonyms=None) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
@@ -2791,7 +2953,9 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
     this is the layout-parallel path a multi-node deployment uses — the
     driver ships only (terms, global idf weights), each range task touches
     only its partition's postings + norms, and the merge handles k·ranges
-    rows.
+    rows.  Grouped boolean queries compile into a per-range clause-tree
+    plan (:class:`BoolRangeScorer`) so their dense evaluation stays
+    bounded by ``docs_per_range``.
     """
     import json
 
@@ -2806,9 +2970,46 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
              "score": pa.array([], pa.float64())}
         )
 
+    if has_group_syntax(query or ""):
+        ast = engine._parse_bool(query)
+        tree = (
+            _compile_bool_tree(engine, ast) if ast is not None else None
+        )
+        if tree is None:
+            return engine.search(query, k=k)
+        n_ranges = (
+            engine.doc_space + int(engine.stats["docs_per_range"]) - 1
+        ) // int(engine.stats["docs_per_range"])
+        items = [
+            {"range_id": r, "tree_json": json.dumps(tree)}
+            for r in range(n_ranges)
+        ]
+
+        def run_tree(batch: dict) -> pa.Table:
+            return BoolRangeScorer(index_dir, k)(batch)
+
+        partials = (
+            rd.from_items(items)
+            .map_batches(run_tree, batch_size=1, batch_format="numpy",
+                         num_cpus=1)
+            .take_all()
+        )
+        if engine.tombstones:
+            partials = [
+                r for r in partials if r["doc_id"] not in engine.tombstones
+            ]
+        partials.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        top = partials[:k]
+        return pa.Table.from_pylist(
+            top,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
-        # match-all / rare negative+wildcard-filter forms: single-engine path
+        # match-all / rare negative-clause forms: single-engine path
         return engine.search(query, k=k)
     if clauses == "zero":
         return _empty()

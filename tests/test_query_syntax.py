@@ -318,3 +318,57 @@ class TestDistributedFuzzy:
         index_dir, _ = built_index
         t = search_partitioned(index_dir, "qqqqzzzz~1 AND parse", k=10)
         assert t.num_rows == 0
+
+
+class TestDistributedBooleanGroups:
+    """Grouped queries compile into per-range clause-tree plans
+    (BoolRangeScorer): dense evaluation bounded by docs_per_range, same
+    BooleanQuery zeroing, bit-identical to the single engine."""
+
+    QUERIES = [
+        "(parse OR merge) AND read",
+        "(parse AND merge) OR read",
+        "-(parse merge) AND read",
+        "((parse OR count) AND read) OR index",
+        "(lang:python OR lang:go) AND parse",
+        "(parze~1 OR p?rse) AND lang:python",
+        "(parse AND zzqqxx) OR merge",
+        "(lang:python OR parse)",  # score-0 filter alternative included
+    ]
+
+    def test_partitioned_grouped_identical(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        for q in self.QUERIES:
+            a = e.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_uncompilable_leaf_falls_back(self, built_index):
+        """A leaf shape only the single engine evaluates (range filter
+        inside a group) must still answer identically via fallback."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        q = "(parse AND doclen:[30 TO 200]) OR merge"
+        a = e.search(q, k=10, fl=["doc_id"])
+        b = search_partitioned(index_dir, q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_grouped_with_tombstones(self, small_corpus_path, tmp_path):
+        from solr_indexer_ray.config import IndexConfig
+        from solr_indexer_ray.pipelines import mutate
+        from solr_indexer_ray.pipelines.build import build_index
+
+        idx = str(tmp_path / "idx")
+        build_index(small_corpus_path, idx,
+                    config=IndexConfig(docs_per_range=64, concurrency=2))
+        e0 = SearchEngine(idx)
+        victims = e0.search("(parse OR merge) AND read", k=3,
+                            fl=["doc_id"])["doc_id"].to_pylist()
+        mutate.delete_by_id(idx, victims)
+        e = SearchEngine(idx)
+        a = e.search("(parse OR merge) AND read", k=10, fl=["doc_id"])
+        b = search_partitioned(idx, "(parse OR merge) AND read", k=10)
+        assert not set(victims) & set(b["doc_id"].to_pylist())
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
