@@ -61,6 +61,51 @@ from solr_indexer_ray.state.manifest import BuildManifest
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
 
+def _typed_range_expr(schema, rf):
+    """Lucene range filter -> pyarrow dataset expression (row-group
+    stats prune on the sorted/stored column).  Bounds are typed from
+    the docs schema: timestamp columns parse Solr-style datetime
+    literals (strict ``YYYY-MM-DDTHH:MM:SSZ`` plus the reference's
+    lenient forms, ``solrindexer/tools.py:150-193``), integer/float
+    columns parse numerics, strings compare raw.  Shared by the single
+    engine and the per-range distributed tasks."""
+    lo, hi = rf.bounds()
+    if rf.field in schema.names:
+        typ = schema.field(rf.field).type
+        if pa.types.is_timestamp(typ):
+            lo, hi = _parse_ts_bound(rf, lo), _parse_ts_bound(rf, hi)
+        elif pa.types.is_integer(typ):
+            lo = int(lo) if lo is not None else None
+            hi = int(hi) if hi is not None else None
+        elif pa.types.is_floating(typ):
+            lo = float(lo) if lo is not None else None
+            hi = float(hi) if hi is not None else None
+    f = pc.field(rf.field)
+    expr = None
+    if lo is not None:
+        e = (f >= lo) if rf.lo_incl else (f > lo)
+        expr = e
+    if hi is not None:
+        e = (f <= hi) if rf.hi_incl else (f < hi)
+        expr = e if expr is None else expr & e
+    if expr is None:  # [* TO *]: any non-null value
+        expr = f.is_valid()
+    return expr
+
+
+def _rf_to_dict(rf) -> dict:
+    return {"field": rf.field, "lo": rf.lo, "hi": rf.hi,
+            "lo_incl": rf.lo_incl, "hi_incl": rf.hi_incl}
+
+
+def _rf_from_dict(d) -> "RangeFilter":
+    from solr_indexer_ray.functions.queryparse import RangeFilter
+
+    return RangeFilter(d["field"], d["lo"], d["hi"],
+                       lo_incl=bool(d["lo_incl"]),
+                       hi_incl=bool(d["hi_incl"]))
+
+
 def _parse_ts_bound(rf, bound):
     """Type a datetime range bound: Solr strict format or any form the
     reference's lenient parser accepts (``solrindexer/tools.py:150-193``)."""
@@ -872,35 +917,7 @@ class SearchEngine:
         return mask
 
     def _range_expr(self, rf):
-        """Lucene range filter -> pyarrow dataset expression (row-group
-        stats prune on the sorted/stored column).  Bounds are typed from
-        the docs schema: timestamp columns parse Solr-style datetime
-        literals (strict ``YYYY-MM-DDTHH:MM:SSZ`` plus the reference's
-        lenient forms, ``solrindexer/tools.py:150-193``), integer/float
-        columns parse numerics, strings compare raw."""
-        lo, hi = rf.bounds()
-        schema = self._docs_ds.schema
-        if rf.field in schema.names:
-            typ = schema.field(rf.field).type
-            if pa.types.is_timestamp(typ):
-                lo, hi = _parse_ts_bound(rf, lo), _parse_ts_bound(rf, hi)
-            elif pa.types.is_integer(typ):
-                lo = int(lo) if lo is not None else None
-                hi = int(hi) if hi is not None else None
-            elif pa.types.is_floating(typ):
-                lo = float(lo) if lo is not None else None
-                hi = float(hi) if hi is not None else None
-        f = pc.field(rf.field)
-        expr = None
-        if lo is not None:
-            e = (f >= lo) if rf.lo_incl else (f > lo)
-            expr = e
-        if hi is not None:
-            e = (f <= hi) if rf.hi_incl else (f < hi)
-            expr = e if expr is None else expr & e
-        if expr is None:  # [* TO *]: any non-null value
-            expr = f.is_valid()
-        return expr
+        return _typed_range_expr(self._docs_ds.schema, rf)
 
     @staticmethod
     def _filter_value_expr(fld: str, val: str):
@@ -2167,6 +2184,8 @@ class RangeScorer:
                     if "near_groups_json" in batch else [],
                     json.loads(str(batch["syn_groups_json"][i]))
                     if "syn_groups_json" in batch else [],
+                    *(json.loads(str(batch["extras_json"][i]))
+                      if "extras_json" in batch else ([], [], [], [], [])),
                 )
             )
         return pa.Table.from_pylist(
@@ -2178,10 +2197,14 @@ class RangeScorer:
 
     def _score_range(self, rid, terms, idfs, prohibited, filters, conjunctive,
                      phrases=(), prefix_groups=(), fuzzy_groups=(),
-                     near_groups=(), syn_groups=()):
+                     near_groups=(), syn_groups=(), neg_filters=(),
+                     range_filters=(), neg_range_filters=(),
+                     prohibited_groups=(), prohibited_pos=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
+            neg_filters, range_filters, neg_range_filters,
+            prohibited_groups, prohibited_pos,
         )
         if cand.size == 0:
             return []
@@ -2198,7 +2221,9 @@ class RangeScorer:
     def _candidates_range(self, rid, terms, idfs, prohibited, filters,
                           conjunctive, phrases=(), prefix_groups=(),
                           fuzzy_groups=(), near_groups=(),
-                          syn_groups=()):
+                          syn_groups=(), neg_filters=(), range_filters=(),
+                          neg_range_filters=(), prohibited_groups=(),
+                          prohibited_pos=()):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2215,13 +2240,15 @@ class RangeScorer:
         fuzzy_terms = {t for g, _ in fuzzy_groups for t in g}
         near_terms = {t for g, _, _ in near_groups for t in g}
         syn_terms = {t for _, g, _ in syn_groups for t in g}
+        pg_terms = {t for g in prohibited_groups for t in g}
+        ppos_terms = {t for g, _ in prohibited_pos for t in g}
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
-            | fuzzy_terms | near_terms | syn_terms
+            | fuzzy_terms | near_terms | syn_terms | pg_terms | ppos_terms
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
-        if phrase_terms or near_terms:
+        if phrase_terms or near_terms or prohibited_pos:
             cols = [
                 "term", "range_id", "doc_ids", "tfs", "positions",
                 "block_last", "block_max_tf", "block_min_norm",
@@ -2346,17 +2373,62 @@ class RangeScorer:
         else:
             cand = np.flatnonzero(scores > 0.0)
         if cand.size:
-            # prohibitions + metadata filters, range-local
+            # prohibitions + metadata/range filters, range-local
             dead = np.zeros(width, dtype=bool)
             for term in prohibited:
                 ri = rows.get(term)
                 if ri is not None:
                     dead[decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo] = True
+            # prohibited expansion groups (negated prefix/wildcard/fuzzy):
+            # union of the members' local postings
+            for g in prohibited_groups:
+                for t in g:
+                    ri = rows.get(t)
+                    if ri is not None:
+                        dead[
+                            decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
+                        ] = True
+            # prohibited positional clauses: [members, slop] with slop -1
+            # meaning exact phrase
+            for g, slop in prohibited_pos:
+                if int(slop) < 0:
+                    ids, _ = self._eval_phrase_local(tbl, rows, g, lo)
+                else:
+                    ids, _ = self._eval_near_local(tbl, rows, g, int(slop), lo)
+                dead[ids] = True
             if filters:
-                expr = docs_flt
+                # dead = docs failing ANY positive filter (NOT the AND of
+                # matches; a doc passing one filter but failing another is
+                # still excluded)
+                match = None
                 for fld, val in filters.items():
-                    expr = expr & (pc.field(fld) != val)
-                bad = self._docs.to_table(columns=["doc_id"], filter=expr)
+                    e = SearchEngine._filter_value_expr(fld, val)
+                    match = e if match is None else match & e
+                bad = self._docs.to_table(
+                    columns=["doc_id"], filter=docs_flt & ~match
+                )
+                dead[bad["doc_id"].to_numpy() - lo] = True
+            for fld, val in neg_filters:
+                bad = self._docs.to_table(
+                    columns=["doc_id"],
+                    filter=docs_flt
+                    & SearchEngine._filter_value_expr(fld, val),
+                )
+                dead[bad["doc_id"].to_numpy() - lo] = True
+            schema = self._docs.schema
+            for rf in range_filters:
+                bad = self._docs.to_table(
+                    columns=["doc_id"],
+                    filter=docs_flt
+                    & ~_typed_range_expr(schema, _rf_from_dict(rf)),
+                )
+                dead[bad["doc_id"].to_numpy() - lo] = True
+            for rf in neg_range_filters:
+                bad = self._docs.to_table(
+                    columns=["doc_id"],
+                    filter=docs_flt
+                    & _typed_range_expr(schema, _rf_from_dict(rf)),
+                )
                 dead[bad["doc_id"].to_numpy() - lo] = True
             cand = cand[~dead[cand]]
         return cand, scores, lo
@@ -2656,20 +2728,15 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     else ``(terms, idfs, phrases, prefix_groups)`` ready to ship to range
     tasks."""
     if has_group_syntax(query):
-        return None  # boolean tree: single-engine evaluation
+        return None  # boolean tree: compiled separately (search_partitioned)
+    if parsed.scoring_clauses == 0:
+        return None  # match-all / pure-filter: single-engine path
     if (
-        parsed.scoring_clauses == 0
-        or parsed.prohibited_phrases
-        or parsed.neg_filters
-        or parsed.prohibited_prefixes
-        or parsed.range_filters
-        or parsed.neg_range_filters
-        or parsed.prohibited_fuzzies
-        or parsed.prohibited_wildcards
-        or parsed.prohibited_near
-        or any(v.endswith("*") for v in parsed.filters.values())
-    ):
-        return None
+        parsed.phrases or parsed.near_phrases
+        or parsed.prohibited_phrases or parsed.prohibited_near
+    ) and not engine.has_positions:
+        return None  # positional clause on a non-positional index: let
+        #              the single engine raise its clear rebuild error
     # global df -> idf (small driver-side scout over postings df column;
     # phrase member dfs come from the same lookup)
     phrase_members = [t for ph in parsed.phrases for t in ph]
@@ -2780,7 +2847,36 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         w = engine.idf(postings[t].df)
         b = parsed.boosts.get(t)
         idfs.append(w if b is None else w * b)
-    return terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups
+    # negative / range filters + prohibited expansion/positional clauses
+    # ship as the per-range dead-mask recipe (extras bundle)
+    for rf in (*parsed.range_filters, *parsed.neg_range_filters):
+        engine._range_expr(rf)  # eager bound validation (driver-side raise)
+    neg_filters = [[f, v] for f, v in sorted(parsed.neg_filters.items())]
+    range_filters = [_rf_to_dict(rf) for rf in parsed.range_filters]
+    neg_range_filters = [_rf_to_dict(rf) for rf in parsed.neg_range_filters]
+    prohibited_groups = []
+    for pre in sorted(set(parsed.prohibited_prefixes)):
+        g = engine.expand_prefix(pre)
+        if g:
+            prohibited_groups.append(g)
+    for pat in sorted(set(parsed.prohibited_wildcards)):
+        g = engine.expand_pattern(pat)
+        if g:
+            prohibited_groups.append(g)
+    for fz in sorted(set(parsed.prohibited_fuzzies)):
+        g = engine.expand_fuzzy(*fz)
+        if g:
+            prohibited_groups.append(g)
+    prohibited_pos = [
+        [list(ph), -1] for ph in sorted(map(tuple, parsed.prohibited_phrases))
+    ] + [
+        [list(nt), int(slop)]
+        for nt, slop in sorted(set(parsed.prohibited_near))
+    ]
+    extras = [neg_filters, range_filters, neg_range_filters,
+              prohibited_groups, prohibited_pos]
+    return (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
+            syn_groups, extras)
 
 
 def _compile_bool_tree(engine: SearchEngine, node):
@@ -2823,8 +2919,8 @@ def _compile_bool_tree(engine: SearchEngine, node):
         return None
     if clauses == "zero":
         return {"zero": True}
-    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, \
-        syn_groups = clauses
+    (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
+     syn_groups, extras) = clauses
     return {
         "leaf": {
             "terms": terms,
@@ -2840,6 +2936,7 @@ def _compile_bool_tree(engine: SearchEngine, node):
             "fuzzy_groups": fuzzy_groups,
             "near_groups": near_groups,
             "syn_groups": syn_groups,
+            "extras": extras,
         }
     }
 
@@ -2936,6 +3033,7 @@ class BoolRangeScorer:
             dict(zip(b["filter_keys"], b["filter_vals"])),
             bool(b["conjunctive"]), b["phrases"], b["prefix_groups"],
             b["fuzzy_groups"], b["near_groups"], b["syn_groups"],
+            *b.get("extras", ([], [], [], [], [])),
         )
         mask = np.zeros(width, dtype=bool)
         out = np.zeros(width, dtype=np.float64)
@@ -3013,7 +3111,8 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
         return engine.search(query, k=k)
     if clauses == "zero":
         return _empty()
-    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups = clauses
+    (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
+     syn_groups, extras) = clauses
     n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
         engine.stats["docs_per_range"]
     )
@@ -3031,6 +3130,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
             "fuzzy_groups_json": json.dumps(fuzzy_groups),
             "near_groups_json": json.dumps(near_groups),
             "syn_groups_json": json.dumps(syn_groups),
+            "extras_json": json.dumps(extras),
         }
         for r in range(n_ranges)
     ]
@@ -3084,6 +3184,8 @@ class FacetRangeCounter:
                 if "near_groups_json" in batch else [],
                 json.loads(str(batch["syn_groups_json"][i]))
                 if "syn_groups_json" in batch else [],
+                *(json.loads(str(batch["extras_json"][i]))
+                  if "extras_json" in batch else ([], [], [], [], [])),
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:
@@ -3119,7 +3221,8 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
     range — per-range exclusion instead of a driver-side post-filter)."""
     import json
 
-    terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups = clauses
+    (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
+     syn_groups, extras) = clauses
     dpr = int(engine.stats["docs_per_range"])
     n_ranges = (engine.doc_space + dpr - 1) // dpr
     tombs_by_range: dict = {}
@@ -3139,6 +3242,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
             "fuzzy_groups_json": json.dumps(fuzzy_groups),
             "near_groups_json": json.dumps(near_groups),
             "syn_groups_json": json.dumps(syn_groups),
+            "extras_json": json.dumps(extras),
             "tombs": sorted(tombs_by_range.get(r, [])),
         }
         for r in range(n_ranges)
@@ -3218,6 +3322,8 @@ class _MatchRangeTask:
                 if "near_groups_json" in batch else [],
                 json.loads(str(batch["syn_groups_json"][i]))
                 if "syn_groups_json" in batch else [],
+                *(json.loads(str(batch["extras_json"][i]))
+                  if "extras_json" in batch else ([], [], [], [], [])),
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:

@@ -315,3 +315,15 @@ class TestDistributedProximity:
         idx, _, _ = pos_index
         t = search_partitioned(idx, '"zzq qqz"~3 AND read', k=10)
         assert t.num_rows == 0
+
+
+class TestDistributedProhibitedPositional:
+    def test_prohibited_phrase_and_near_ship(self, pos_index):
+        idx, _, _ = pos_index
+        eng = SearchEngine(idx)
+        for q in ['-"def index" read', '-"def index"~3 read',
+                  '-"def index" -"parse read"~2 merge']:
+            a = eng.search(q, k=15, fl=["doc_id"])
+            b = search_partitioned(idx, q, k=15)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q

@@ -345,15 +345,38 @@ class TestDistributedBooleanGroups:
             assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
             assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
-    def test_uncompilable_leaf_falls_back(self, built_index):
-        """A leaf shape only the single engine evaluates (range filter
-        inside a group) must still answer identically via fallback."""
+    def test_range_filter_leaf_in_group(self, built_index):
+        """Range-filter leaves compile into the per-range plan too (the
+        extras bundle ships typed range filters)."""
         index_dir, _ = built_index
         e = SearchEngine(index_dir)
         q = "(parse AND doclen:[30 TO 200]) OR merge"
         a = e.search(q, k=10, fl=["doc_id"])
         b = search_partitioned(index_dir, q, k=10)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_distributed_negative_and_filter_shapes(self, built_index):
+        """Round-2: negative clauses, range filters, multi-filter ANDs and
+        wildcard metadata filters all ship per-range (incl. the two-filter
+        dead-mask fix: failing ANY positive filter excludes the doc)."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        repo = e.get(0)["repo"]
+        for q in [
+            f"lang:python repo:{repo} parse",
+            "doclen:[30 TO 120] parse merge",
+            "-doclen:[100 TO *] parse AND merge",
+            "-lang:go parse",
+            "-pars* merge",
+            "-p?rse merge",
+            "-parze~1 merge",
+            "path:src* parse",
+        ]:
+            a = e.search(q, k=15, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=15)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
     def test_grouped_with_tombstones(self, small_corpus_path, tmp_path):
         from solr_indexer_ray.config import IndexConfig
