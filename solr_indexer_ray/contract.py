@@ -129,6 +129,7 @@ BOOL_QUERIES = [
     "(lang:en OR lang:de) AND spark",
     "-(spark window) AND merge",
     "((spark OR stream) AND batch) OR window",
+    "(spark OR window) -batch",  # negated sibling = MUST_NOT, not OR-alt
 ]
 
 #: query-time synonym map + cases (Lucene SynonymQuery semantics)

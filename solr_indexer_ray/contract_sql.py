@@ -572,6 +572,12 @@ def bool_topk_sql() -> str:
             lambda a: f"((({has('spark', a)} OR {has('stream', a)}) "
                       f"AND {has('batch', a)}) OR {has('window', a)})",
         ),
+        (
+            "(spark OR window) -batch",
+            [("spark", None), ("window", None)],
+            lambda a: f"(({has('spark', a)} OR {has('window', a)}) "
+                      f"AND NOT {has('batch', a)})",
+        ),
     ]
     assert [q for q, _, _ in cases] == BOOL_QUERIES
 

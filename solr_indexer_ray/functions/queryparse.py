@@ -300,10 +300,18 @@ class BoolNode:
     """One boolean operator node: ``children`` is a list of
     ``(negated, child)`` where child is a :class:`BoolNode` or a leaf
     :class:`ParsedQuery` (parsed from a single atom via
-    :func:`parse_query`, so every clause type works inside a group)."""
+    :func:`parse_query`, so every clause type works inside a group).
 
-    op: str          # 'AND' | 'OR'
+    Ops: ``AND`` / ``OR`` (a negated child is MUST_NOT in BOTH — Lucene
+    treats ``-x`` as a clause type, not a negated SHOULD, so
+    ``(a OR b) -c`` means ``(a|b) AND NOT c``), plus ``OPT``
+    (single-child, mask-neutral score carrier — the SHOULD clauses of a
+    MUST+SHOULD list).  ``boost`` multiplies the subtree's scores
+    (``(a b)^2``)."""
+
+    op: str          # 'AND' | 'OR' | 'OPT'
     children: list   # [(negated: bool, BoolNode | ParsedQuery)]
+    boost: float = 1.0
 
 
 def _bool_tokens(q: str) -> list[str]:
@@ -381,15 +389,24 @@ def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS):
         return None
     toks = _bool_tokens(q or "")
     pos = 0
+    _BOOST_TOK = re.compile(r"^\^([0-9]+(?:\.[0-9]+)?)$")
 
     def peek():
         return toks[pos] if pos < len(toks) else None
 
     def parse_unary():
+        """-> (neg, must, node | None).  ``None`` = empty clause (empty
+        group / dangling operator) — dropped by the parent, Lucene-style
+        (an empty group must NOT become match-all: it would swallow the
+        query under the default OR, e.g. code-search input ``read()``)."""
         nonlocal pos
         neg = False
-        while peek() in ("NOT", "-", "!"):
-            neg = not neg
+        must = False
+        while peek() in ("NOT", "-", "!", "+"):
+            if peek() == "+":
+                must = True
+            else:
+                neg = not neg
             pos += 1
         t = peek()
         if t == "(":
@@ -397,56 +414,91 @@ def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS):
             inner_neg, node = parse_or()
             if peek() == ")":
                 pos += 1
-            return neg ^ inner_neg, node
+            nxt = peek()
+            bm = _BOOST_TOK.match(nxt) if nxt else None
+            if bm and node is not None:
+                # group boost (a b)^2: multiply the subtree's scores
+                pos += 1
+                node = BoolNode(
+                    "AND", [(False, node)], boost=float(bm.group(1))
+                )
+            return neg ^ inner_neg, must, node
         if t is None or t == ")":
-            return neg, ParsedQuery()  # empty group -> match-all leaf
+            return neg, must, None  # empty clause: dropped by the parent
         pos += 1
         atom = t
         if atom.startswith("-") and len(atom) > 1:
             neg = not neg
             atom = atom[1:]
         elif atom.startswith("+") and len(atom) > 1:
+            must = True
             atom = atom[1:]
-        return neg, parse_query(atom, analyze, range_fields)
-
-    def parse_and():
-        nonlocal pos
-        children = [parse_unary()]
-        while peek() in ("AND", "&&"):
-            pos += 1
-            children.append(parse_unary())
-        if len(children) == 1:
-            return children[0]
-        return False, BoolNode("AND", children)
+        parsed = parse_query(atom, analyze, range_fields)
+        if parsed.is_match_all and not parsed.prohibited and not (
+            parsed.filters or atom in ("*", "*:*")
+        ):
+            return neg, must, None  # analyzer-empty atom (punctuation)
+        return neg, must, parsed
 
     def parse_or():
         nonlocal pos
-        children = [parse_and()]
+        children = [parse_and_marked()]
         while True:
             t = peek()
             if t in ("OR", "||"):
                 pos += 1
-                children.append(parse_and())
+                children.append(parse_and_marked())
             elif t is not None and t != ")":
-                children.append(parse_and())  # adjacency = default OR
+                children.append(parse_and_marked())  # adjacency = OR
             else:
                 break
+        children = [c for c in children if c[2] is not None]
+        if not children:
+            return False, None
+        must = [c for c in children if c[1] and not c[0]]
+        if must:
+            # Lucene: MUST clauses in a SHOULD list are required; the
+            # remaining SHOULD clauses only contribute score (OPT node:
+            # mask-neutral, score-carrying)
+            rest = [c for c in children if not (c[1] and not c[0])]
+            kids = [(False, c) for _n, _m, c in must]
+            pos_rest = [c for n, _m, c in rest if not n]
+            neg_rest = [(True, c) for n, _m, c in rest if n]
+            if pos_rest:
+                inner = (
+                    pos_rest[0] if len(pos_rest) == 1
+                    else BoolNode("OR", [(False, c) for c in pos_rest])
+                )
+                kids.append((False, BoolNode("OPT", [(False, inner)])))
+            kids.extend(neg_rest)
+            return False, BoolNode("AND", kids)
         if len(children) == 1:
-            return children[0]
-        return False, BoolNode("OR", children)
+            neg, _must, node = children[0]
+            return neg, node
+        return False, BoolNode("OR", [(n, c) for n, _m, c in children])
+
+    def parse_and_marked():
+        """AND-run parser -> (neg, must, node | None); the must flag of a
+        single-clause run survives for the enclosing OR's MUST handling
+        ('+' inside an AND list is redundant — AND already requires)."""
+        nonlocal pos
+        start_children = [parse_unary()]
+        while peek() in ("AND", "&&"):
+            pos += 1
+            start_children.append(parse_unary())
+        kept = [c for c in start_children if c[2] is not None]
+        if not kept:
+            return False, False, None
+        if len(kept) == 1:
+            return kept[0]
+        return False, False, BoolNode(
+            "AND", [(n, c) for n, _m, c in kept]
+        )
 
     neg, node = parse_or()
+    if node is None:
+        return ParsedQuery()  # nothing but empty groups: match-all
     if neg:
         # Solr-style implicit *:* for a top-level pure negative
         node = BoolNode("AND", [(False, ParsedQuery()), (True, node)])
     return node
-
-
-def iter_bool_leaves(node):
-    """Yield every leaf ParsedQuery in a boolean tree (or the node itself
-    when given a leaf)."""
-    if isinstance(node, BoolNode):
-        for _, child in node.children:
-            yield from iter_bool_leaves(child)
-    else:
-        yield node

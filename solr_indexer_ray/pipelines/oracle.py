@@ -160,6 +160,10 @@ class BruteForceBM25:
         fuzzy_groups = {
             fz: self.fuzzy_members(*fz) for fz in q_fuzzies
         }
+        prohibited_fuzzy_groups = [
+            self.fuzzy_members(*fz)
+            for fz in sorted(set(parsed.prohibited_fuzzies))
+        ]
         need = parsed.scoring_clauses if parsed.conjunctive else 1
         for i in range(self.n_docs):
             if parsed.filters and any(
@@ -197,9 +201,9 @@ class BruteForceBM25:
                 for pre in parsed.prohibited_prefixes
             ):
                 continue
-            if parsed.prohibited_fuzzies and any(
-                any(m in self.tf[i] for m in self.fuzzy_members(*fz))
-                for fz in parsed.prohibited_fuzzies
+            if prohibited_fuzzy_groups and any(
+                any(m in self.tf[i] for m in members)
+                for members in prohibited_fuzzy_groups
             ):
                 continue
             if parsed.prohibited_wildcards and any(

@@ -423,6 +423,7 @@ class SearchEngine:
         self._mask_cache: dict = {}  # (filters, prohibited, n_tomb) -> mask
         self._fq_cache: dict = {}    # fq string -> exclusion mask (filterCache)
         self._fuzzy_cache: dict = {}  # (word, edits) -> expansion terms
+        self._pattern_cache: dict = {}  # wildcard pattern -> expansion
         self._bmw_cell_cache: dict = {}  # terms tuple -> cell grid/offsets
 
     # ------------------------------------------------------------------ #
@@ -468,6 +469,7 @@ class SearchEngine:
         self._mask_cache = {}
         self._fq_cache = {}
         self._fuzzy_cache = {}
+        self._pattern_cache = {}
         self._bmw_cell_cache = {}
 
     def refresh(self) -> bool:
@@ -667,6 +669,9 @@ class SearchEngine:
         term-dictionary scan via sorted-term row-group stats (same trick as
         :meth:`expand_prefix`); the pattern itself runs as a vectorized SQL
         LIKE over the surviving terms (``pc.match_like``)."""
+        hit = self._pattern_cache.get(pattern)
+        if hit is not None:
+            return hit
         lit = re.match(r"^[^*?]*", pattern).group(0)
         flt = None
         if lit:
@@ -678,13 +683,16 @@ class SearchEngine:
             pattern.replace("\\", "\\\\").replace("%", "\\%")
             .replace("_", "\\_").replace("*", "%").replace("?", "_")
         )
-        out = terms.filter(pc.match_like(terms, like)).to_pylist()
+        out = sorted(terms.filter(pc.match_like(terms, like)).to_pylist())
         if len(out) > self.max_expansions:
             raise ValueError(
                 f"wildcard {pattern} expands to {len(out)} terms "
                 f"(> max_expansions={self.max_expansions})"
             )
-        return sorted(out)
+        if len(self._pattern_cache) > 1024:
+            self._pattern_cache.clear()
+        self._pattern_cache[pattern] = out
+        return out
 
     def eval_pattern(self, pattern: str) -> np.ndarray:
         """Docs containing ANY expansion of a general wildcard pattern
@@ -1369,27 +1377,42 @@ class SearchEngine:
         every matching scoring clause inside every MATCHED branch — an
         unmatched AND branch contributes nothing even where its individual
         clauses matched, which the per-node ``scores[~mask] = 0`` below
-        enforces.  Negated children contribute their complement to the
-        mask and never contribute score (Lucene MUST_NOT)."""
+        enforces.  A negated child is MUST_NOT over its node in BOTH ops
+        (Lucene treats ``-x`` as a clause type, never a satisfying
+        alternative: ``(a OR b) -c`` = ``(a|b) AND NOT c``); ``OPT``
+        nodes are mask-neutral score carriers (the SHOULD clauses of a
+        MUST+SHOULD list); ``boost`` scales the subtree's scores."""
         if not isinstance(node, BoolNode):
             return self._eval_leaf(node)
-        mask = None
+        pos_mask = None
+        neg_mask = None
         scores = np.zeros(self.doc_space, dtype=np.float64)
         for negated, child in node.children:
             m, s = self._eval_bool_node(child)
             if negated:
-                m = ~m
-            else:
-                scores += s
-            if mask is None:
-                mask = m.copy()
+                neg_mask = m.copy() if neg_mask is None else (neg_mask | m)
+                continue
+            scores += s
+            if pos_mask is None:
+                pos_mask = m.copy()
             elif node.op == "AND":
-                mask &= m
+                pos_mask &= m
             else:
-                mask |= m
-        if mask is None:
-            mask = np.zeros(self.doc_space, dtype=bool)
+                pos_mask |= m
+        if node.op == "OPT":
+            # mask-neutral: contributes score wherever its child matched,
+            # never constrains the parent's match set
+            mask = np.ones(self.doc_space, dtype=bool)
+        elif pos_mask is None:
+            # pure-negative node: everything except the negated set
+            mask = np.ones(self.doc_space, dtype=bool)
+        else:
+            mask = pos_mask
+        if neg_mask is not None:
+            mask = mask & ~neg_mask
         scores[~mask] = 0.0
+        if node.boost != 1.0:
+            scores *= node.boost
         return mask, scores
 
     def _score_ast(self, ast, fq, k, after=None):
@@ -2894,7 +2917,10 @@ def _compile_bool_tree(engine: SearchEngine, node):
             if c is None:
                 return None
             kids.append([bool(neg), c])
-        return {"op": node.op, "children": kids}
+        out = {"op": node.op, "children": kids}
+        if node.boost != 1.0:
+            out["boost"] = float(node.boost)
+        return out
     parsed = node  # leaf ParsedQuery
     if parsed.scoring_clauses == 0:
         if (
@@ -2995,23 +3021,36 @@ class BoolRangeScorer:
     def _eval(self, rid: int, tree, lo: int, width: int):
         sc = self.scorer
         if "op" in tree:
-            mask = None
+            # same semantics as SearchEngine._eval_bool_node: negated
+            # children are MUST_NOT in both ops, OPT is mask-neutral,
+            # boost scales subtree scores
+            pos_mask = None
+            neg_mask = None
             scores = np.zeros(width, dtype=np.float64)
             for neg, child in tree["children"]:
                 m, s = self._eval(rid, child, lo, width)
                 if neg:
-                    m = ~m
-                else:
-                    scores += s
-                if mask is None:
-                    mask = m.copy()
+                    neg_mask = (
+                        m.copy() if neg_mask is None else (neg_mask | m)
+                    )
+                    continue
+                scores += s
+                if pos_mask is None:
+                    pos_mask = m.copy()
                 elif tree["op"] == "AND":
-                    mask &= m
+                    pos_mask &= m
                 else:
-                    mask |= m
-            if mask is None:
-                mask = np.zeros(width, dtype=bool)
+                    pos_mask |= m
+            if tree["op"] == "OPT" or pos_mask is None:
+                mask = np.ones(width, dtype=bool)
+            else:
+                mask = pos_mask
+            if neg_mask is not None:
+                mask = mask & ~neg_mask
             scores[~mask] = 0.0
+            boost = float(tree.get("boost", 1.0))
+            if boost != 1.0:
+                scores *= boost
             return mask, scores
         if "zero" in tree:
             return (

@@ -395,3 +395,90 @@ class TestDistributedBooleanGroups:
         b = search_partitioned(idx, "(parse OR merge) AND read", k=10)
         assert not set(victims) & set(b["doc_id"].to_pylist())
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+
+class TestBooleanSemanticsFixes:
+    """Review-found semantic fixes: negated OR-siblings are MUST_NOT
+    (Lucene clause type, not a satisfying alternative), empty groups drop
+    (code-search 'read()' must not become match-all), group boosts apply,
+    '+' in groups is MUST with SHOULD siblings score-only."""
+
+    def test_negated_sibling_under_or_is_must_not(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        got = set(e.match_ids("(parse OR merge) -read"))
+        want = (
+            set(e.match_ids("parse")) | set(e.match_ids("merge"))
+        ) - set(e.match_ids("read"))
+        assert got == want
+        assert len(got) < e.n_docs  # the old bug matched ~everything
+
+    def test_empty_group_is_dropped_not_match_all(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        a = e.search("read()", k=10, fl=["doc_id"])
+        b = e.search("read", k=10, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+        # function-call-looking code queries behave like their terms
+        c = e.search("parse(merge)", k=10, fl=["doc_id"])
+        d = e.search("parse merge", k=10, fl=["doc_id"])
+        assert c["doc_id"].to_pylist() == d["doc_id"].to_pylist()
+
+    def test_group_boost_scales_subtree(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        n = e.n_docs
+        boosted = dict(zip(
+            *[e.search("(read merge)^2 parse", k=n, fl=["doc_id"])[c]
+              .to_pylist() for c in ("doc_id", "score")]
+        ))
+        rm = dict(zip(
+            *[e.search("read merge", k=n, fl=["doc_id"])[c].to_pylist()
+              for c in ("doc_id", "score")]
+        ))
+        pp = dict(zip(
+            *[e.search("parse", k=n, fl=["doc_id"])[c].to_pylist()
+              for c in ("doc_id", "score")]
+        ))
+        d = next(x for x in boosted if x in rm and x in pp)
+        assert boosted[d] == pytest.approx(2 * rm[d] + pp[d], rel=1e-12)
+
+    def test_plus_in_group_is_must_with_optional_should(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        # merge required; parse optional (score-only)
+        assert set(e.match_ids("(parse +merge)")) == set(
+            e.match_ids("merge")
+        )
+        n = e.n_docs
+        sm = dict(zip(
+            *[e.search("(parse +merge)", k=n, fl=["doc_id"])[c].to_pylist()
+              for c in ("doc_id", "score")]
+        ))
+        mm = dict(zip(
+            *[e.search("merge", k=n, fl=["doc_id"])[c].to_pylist()
+              for c in ("doc_id", "score")]
+        ))
+        pp = dict(zip(
+            *[e.search("parse", k=n, fl=["doc_id"])[c].to_pylist()
+              for c in ("doc_id", "score")]
+        ))
+        both = set(e.match_ids("parse AND merge"))
+        if both:
+            d = next(iter(both))
+            assert sm[d] == pytest.approx(pp[d] + mm[d], rel=1e-12)
+        only_merge = set(mm) - set(pp)
+        if only_merge:
+            d = next(iter(only_merge))
+            assert sm[d] == pytest.approx(mm[d], rel=1e-12)
+
+    def test_fixes_distributed_identical(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        for q in ["(parse OR merge) -read", "(read merge)^2 parse",
+                  "(parse +merge)", "read()"]:
+            a = e.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
