@@ -118,3 +118,126 @@ def test_random_corpus_rank_identity(seed, tmp_path):
         bmw = engine.search(q, k=10, fl=["doc_id"], method="bmw")
         taat = engine.search(q, k=10, fl=["doc_id"], method="taat")
         assert bmw["doc_id"].to_pylist() == taat["doc_id"].to_pylist(), (seed, q)
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_random_boolean_trees_match_set_algebra(seed, tmp_path):
+    """Random grouped queries: the engine's tree evaluation must equal
+    independent set algebra over flat per-term match sets, and the
+    distributed clause-tree path must be bit-identical to the single
+    engine."""
+    from solr_indexer_ray.pipelines.search import search_partitioned
+
+    rng = np.random.default_rng(seed)
+    corpus = generate_corpus(120, seed=seed, mean_tokens=40)
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(corpus, path, row_group_size=32)
+    index_dir = str(tmp_path / "idx")
+    build_index(path, index_dir,
+                config=IndexConfig(docs_per_range=48, concurrency=2))
+    engine = SearchEngine(index_dir)
+    oracle = BruteForceBM25(
+        corpus.append_column(
+            "doc_id", pa.array(range(corpus.num_rows), pa.int64())
+        )
+    )
+    vocab = sorted(oracle.df)[:80]
+
+    def term():
+        return vocab[int(rng.integers(len(vocab)))]
+
+    def gen(depth):
+        if depth == 0 or rng.integers(3) == 0:
+            return term()
+        op = " OR " if rng.integers(2) else " AND "
+        kids = [gen(depth - 1) for _ in range(int(rng.integers(2, 4)))]
+        neg = "-" if rng.integers(5) == 0 else ""
+        return neg + "(" + op.join(kids) + ")"
+
+    def expected(q):
+        """Set algebra over the query string (balanced-paren recursive
+        descent, AND > OR, '-' = MUST_NOT, same grammar)."""
+        def ids(t):
+            return set(engine.match_ids(t).tolist())
+
+        everything = set(range(engine.n_docs))
+
+        def split_top(s, sep):
+            parts, depth, cur = [], 0, ""
+            i = 0
+            while i < len(s):
+                c = s[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                if depth == 0 and s[i:i + len(sep)] == sep:
+                    parts.append(cur)
+                    cur = ""
+                    i += len(sep)
+                    continue
+                cur += c
+                i += 1
+            parts.append(cur)
+            return parts
+
+        def ev(s):
+            s = s.strip()
+            ors = split_top(s, " OR ")
+            if len(ors) > 1:
+                pos = set()
+                saw_pos = False
+                negs = set()
+                for p in ors:
+                    m, isneg = ev_and(p)
+                    if isneg:
+                        negs |= m
+                    else:
+                        pos |= m
+                        saw_pos = True
+                return (pos if saw_pos else everything) - negs
+            m, isneg = ev_and(s)
+            return (everything - m) if isneg else m
+
+        def ev_and(s):
+            s = s.strip()
+            ands = split_top(s, " AND ")
+            if len(ands) > 1:
+                out = None
+                negs = set()
+                for p in ands:
+                    m, isneg = ev_unary(p)
+                    if isneg:
+                        negs |= m
+                    elif out is None:
+                        out = m
+                    else:
+                        out &= m
+                base = out if out is not None else everything
+                return base - negs, False
+            return ev_unary(s)
+
+        def ev_unary(s):
+            s = s.strip()
+            neg = False
+            while s.startswith("-"):
+                neg = not neg
+                s = s[1:]
+            if s.startswith("("):
+                inner = ev(s[1:-1])
+                return inner, neg
+            return ids(s), neg
+
+        return ev(q)
+
+    for _ in range(15):
+        q = gen(2)
+        if "(" not in q:
+            continue
+        got = set(engine.match_ids(q).tolist())
+        want = expected(q)
+        assert got == want, (seed, q)
+        a = engine.search(q, k=10, fl=["doc_id"])
+        b = search_partitioned(index_dir, q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (seed, q)
+        assert a["score"].to_pylist() == b["score"].to_pylist(), (seed, q)
