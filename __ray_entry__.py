@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": c.q_exact_dedup,
         "upsert_latest": c.q_upsert_latest,
         "ngram_jaccard_dups": c.q_ngram_jaccard_dups,
+        "jaccard_dedup_survivors": c.q_jaccard_dedup_survivors,
         "minhash_dups": c.q_minhash_dups,           # rows-only (LSH)
         "simhash_dups": c.q_simhash_dups,           # rows-only
         "fingerprints": c.q_fingerprints,           # rows-only

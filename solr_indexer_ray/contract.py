@@ -440,6 +440,32 @@ def q_ngram_jaccard_dups(sf_dir: str):
     return t.take(order).select(["id_a", "id_b", "similarity"])
 
 
+def q_jaccard_dedup_survivors(sf_dir: str):
+    """Cleaned-corpus step: doc ids surviving near-dup collapse —
+    connected components over the exact n-gram Jaccard pair graph
+    (threshold 0.5), MIN id kept per component.  SQL oracle recomputes
+    the components with a recursive transitive-closure CTE."""
+    from solr_indexer_ray.stages.dedup import (
+        near_dedup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _documents(sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3,
+        threshold=0.5, hot_shingle_cap=None,
+    )
+    survivors = near_dedup_survivors(
+        _documents(sf_dir), pairs, id_col="doc_id"
+    )
+    t = pa.Table.from_pylist(
+        survivors.select_columns(["doc_id"]).take_all()
+    )
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
 def q_minhash_dups(sf_dir: str):
     """MinHash+LSH candidates, exact-verified (rows-only oracle check)."""
     from solr_indexer_ray.stages.dedup import minhash_lsh_pairs

@@ -1084,6 +1084,48 @@ JOIN cnt cb ON cb.doc_id = id_b
 WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
 """
 
+#: survivors of near-dup collapse: recursive transitive closure over the
+#: symmetric Jaccard pair graph; a doc is dropped iff some REACHABLE doc
+#: has a smaller id (the engine's min-id-per-component union-find rule)
+JACCARD_SURVIVORS_SQL = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    END) AS shingle
+  FROM t
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b FROM cpairs
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION ALL SELECT id_b, id_a FROM jp
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT a FROM reach GROUP BY a HAVING min(b) < a
+)
+"""
+
 DELETE_BY_QUERY_SQL = f"""
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (
@@ -1215,6 +1257,7 @@ def oracle_sql_dict() -> dict:
         "upsert_latest": UPSERT_LATEST_SQL,
         "doc_get": DOC_GET_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+        "jaccard_dedup_survivors": JACCARD_SURVIVORS_SQL,
         "bm25_topk": bm25_topk_sql(),
         "phrase_topk": phrase_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),

@@ -534,3 +534,65 @@ def _embedding_dup_pairs_ivf(
         .groupby(["id_a", "id_b"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------- #
+# near-dup survivor selection (the "cleaned corpus" step)
+# --------------------------------------------------------------------- #
+def connected_component_survivors(pair_rows) -> set:
+    """Ids to DROP: union-find over (id_a, id_b) pair rows, keeping the
+    MIN id per connected component (deterministic survivor rule)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in pair_rows:
+        a, b = find(int(r["id_a"])), find(int(r["id_b"]))
+        if a != b:
+            if a > b:
+                a, b = b, a
+            parent[b] = a
+    comps: dict = {}
+    for x in list(parent) + [
+        int(r[c]) for r in pair_rows for c in ("id_a", "id_b")
+    ]:
+        comps.setdefault(find(x), set()).add(x)
+    dropped = set()
+    for root, members in comps.items():
+        keep = min(members)
+        dropped |= {m for m in members if m != keep}
+    return dropped
+
+
+def near_dedup_survivors(ds, pairs, id_col: str = "doc_id"):
+    """Collapse near-duplicate groups to ONE survivor each: connected
+    components over the near-dup pair graph (any pair generator above),
+    keep the MIN id per component, drop the rest.
+
+    Scale shape: the pair set is tiny relative to the corpus (banded /
+    LSH candidate generation bounds it), so union-find runs on the
+    driver; the dropped-id set broadcasts once (``ray.put``) and each
+    batch filters against it — no shuffle, the corpus streams.
+    """
+    import ray
+
+    rows = (
+        pairs.take_all() if hasattr(pairs, "take_all")
+        else pairs.to_pylist()
+    )
+    dropped = connected_component_survivors(rows)
+    dead = np.array(sorted(dropped), dtype=np.int64)
+    ref = ray.put(dead)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        return batch.filter(pa.array(~np.isin(ids, d)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -321,3 +321,30 @@ class TestMultimodal:
             struct_w for struct_w in
             multimodal.DecodeImageStage()(t)["width"].to_pylist()
         ]
+
+
+class TestNearDedupSurvivors:
+    def test_union_find_components(self):
+        from solr_indexer_ray.stages.dedup import connected_component_survivors
+
+        pairs = [
+            {"id_a": 0, "id_b": 5},      # comp {0,5} -> keep 0
+            {"id_a": 2, "id_b": 3},      # chain {2,3,4} -> keep 2
+            {"id_a": 3, "id_b": 4},
+            {"id_a": 9, "id_b": 7},      # order-independent -> keep 7
+        ]
+        assert connected_component_survivors(pairs) == {5, 3, 4, 9}
+
+    def test_survivor_filter_streams(self):
+        from solr_indexer_ray.stages.dedup import near_dedup_survivors
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(10)]),
+        }))
+        pairs = pa.Table.from_pylist(
+            [{"id_a": 1, "id_b": 4}, {"id_a": 4, "id_b": 8}]
+        )
+        out = near_dedup_survivors(docs, pairs)
+        ids = sorted(r["doc_id"] for r in out.take_all())
+        assert ids == [0, 1, 2, 3, 5, 6, 7, 9]  # 4 and 8 collapsed into 1
