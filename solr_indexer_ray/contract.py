@@ -455,9 +455,7 @@ def q_jaccard_dedup_survivors(sf_dir: str):
         docs, text_col="text", id_col="doc_id", n=3,
         threshold=0.5, hot_shingle_cap=None,
     )
-    survivors = near_dedup_survivors(
-        _documents(sf_dir), pairs, id_col="doc_id"
-    )
+    survivors = near_dedup_survivors(docs, pairs, id_col="doc_id")
     t = pa.Table.from_pylist(
         survivors.select_columns(["doc_id"]).take_all()
     )

@@ -1059,36 +1059,13 @@ FROM documents GROUP BY source, lang
 
 DOC_GET_SQL = "SELECT * FROM documents WHERE doc_id = 42"
 
-NGRAM_JACCARD_SQL = f"""
-WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
-sh AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
-         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         ELSE list_distinct(list_transform(
-           generate_series(1, len(toks) - 2),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-    END) AS shingle
-  FROM t
-),
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, inter * 1.0 / (ca.n + cb.n - inter) AS similarity
-FROM pairs
-JOIN cnt ca ON ca.doc_id = id_a
-JOIN cnt cb ON cb.doc_id = id_b
-WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
-"""
 
-#: survivors of near-dup collapse: recursive transitive closure over the
-#: symmetric Jaccard pair graph; a doc is dropped iff some REACHABLE doc
-#: has a smaller id (the engine's min-id-per-component union-find rule)
-JACCARD_SURVIVORS_SQL = f"""
-WITH RECURSIVE t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+
+#: shared shingle/pair CTE body for the exact-Jaccard oracles: the
+#: shingling rules (empty/short-doc handling, distinct trigrams) and the
+#: 0.5 threshold live HERE once — both the pair oracle and the survivor
+#: oracle compose it
+_SHINGLE_PAIR_CTES = f"""t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 sh AS (
   SELECT doc_id, unnest(
     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -1106,11 +1083,21 @@ cpairs AS (
   GROUP BY 1, 2
 ),
 jp AS (
-  SELECT id_a, id_b FROM cpairs
+  SELECT id_a, id_b, inter * 1.0 / (ca.n + cb.n - inter) AS similarity
+  FROM cpairs
   JOIN cnt ca ON ca.doc_id = id_a
   JOIN cnt cb ON cb.doc_id = id_b
   WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
-),
+)"""
+
+NGRAM_JACCARD_SQL = "WITH " + _SHINGLE_PAIR_CTES + """
+SELECT id_a, id_b, similarity FROM jp
+"""
+
+#: survivors of near-dup collapse: recursive transitive closure over the
+#: symmetric Jaccard pair graph; a doc is dropped iff some REACHABLE doc
+#: has a smaller id (the engine's min-id-per-component union-find rule)
+JACCARD_SURVIVORS_SQL = "WITH RECURSIVE " + _SHINGLE_PAIR_CTES + """,
 edges AS (
   SELECT id_a AS a, id_b AS b FROM jp
   UNION ALL SELECT id_b, id_a FROM jp

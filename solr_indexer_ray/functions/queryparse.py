@@ -54,7 +54,8 @@ Supported grammar (documented subset):
                                Queries WITHOUT parentheses keep the flat
                                single-level model above.
 
-Slop (``"a b"~2``) is not supported.
+- ``"a b"~slop``           -> ordered proximity (span-near within slop,
+                               PhraseQuery scoring); slop 0 = exact phrase.
 """
 
 from __future__ import annotations
@@ -416,12 +417,15 @@ def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS):
                 pos += 1
             nxt = peek()
             bm = _BOOST_TOK.match(nxt) if nxt else None
-            if bm and node is not None:
-                # group boost (a b)^2: multiply the subtree's scores
+            if bm:
+                # group boost (a b)^2: multiply the subtree's scores.
+                # Consume the token even for a dropped (empty) group —
+                # a dangling '^2' must not re-parse as the term '2'
                 pos += 1
-                node = BoolNode(
-                    "AND", [(False, node)], boost=float(bm.group(1))
-                )
+                if node is not None:
+                    node = BoolNode(
+                        "AND", [(False, node)], boost=float(bm.group(1))
+                    )
             return neg ^ inner_neg, must, node
         if t is None or t == ")":
             return neg, must, None  # empty clause: dropped by the parent
@@ -434,8 +438,8 @@ def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS):
             must = True
             atom = atom[1:]
         parsed = parse_query(atom, analyze, range_fields)
-        if parsed.is_match_all and not parsed.prohibited and not (
-            parsed.filters or atom in ("*", "*:*")
+        if parsed.is_match_all and not parsed.prohibited and atom not in (
+            "*", "*:*"
         ):
             return neg, must, None  # analyzer-empty atom (punctuation)
         return neg, must, parsed

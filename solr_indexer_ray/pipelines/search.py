@@ -1404,8 +1404,10 @@ class SearchEngine:
             # never constrains the parent's match set
             mask = np.ones(self.doc_space, dtype=bool)
         elif pos_mask is None:
-            # pure-negative node: everything except the negated set
-            mask = np.ones(self.doc_space, dtype=bool)
+            # pure-negative node: Lucene BooleanQuery with only MUST_NOT
+            # clauses matches NOTHING (the top-level *:* courtesy wrap is
+            # applied by parse_boolean, not here)
+            mask = np.zeros(self.doc_space, dtype=bool)
         else:
             mask = pos_mask
         if neg_mask is not None:
@@ -3041,8 +3043,10 @@ class BoolRangeScorer:
                     pos_mask &= m
                 else:
                     pos_mask |= m
-            if tree["op"] == "OPT" or pos_mask is None:
+            if tree["op"] == "OPT":
                 mask = np.ones(width, dtype=bool)
+            elif pos_mask is None:
+                mask = np.zeros(width, dtype=bool)  # pure-negative: nothing
             else:
                 mask = pos_mask
             if neg_mask is not None:

@@ -539,7 +539,7 @@ def _embedding_dup_pairs_ivf(
 # --------------------------------------------------------------------- #
 # near-dup survivor selection (the "cleaned corpus" step)
 # --------------------------------------------------------------------- #
-def connected_component_survivors(pair_rows) -> set:
+def component_dropped_ids(pair_rows) -> set:
     """Ids to DROP: union-find over (id_a, id_b) pair rows, keeping the
     MIN id per connected component (deterministic survivor rule)."""
     parent: dict = {}
@@ -586,7 +586,7 @@ def near_dedup_survivors(ds, pairs, id_col: str = "doc_id"):
         pairs.take_all() if hasattr(pairs, "take_all")
         else pairs.to_pylist()
     )
-    dropped = connected_component_survivors(rows)
+    dropped = component_dropped_ids(rows)
     dead = np.array(sorted(dropped), dtype=np.int64)
     ref = ray.put(dead)
 

@@ -482,3 +482,35 @@ class TestBooleanSemanticsFixes:
             b = search_partitioned(index_dir, q, k=10)
             assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
             assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+class TestSecondReviewFixes:
+    def test_boost_after_empty_group_consumed(self, built_index):
+        """'read ()^2' must equal 'read' — the dangling boost token must
+        not re-parse as the scoring term '2'."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        a = e.search("read ()^2", k=10, fl=["doc_id"])
+        b = e.search("read", k=10, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_nested_pure_negative_matches_nothing(self, built_index):
+        """Lucene: a BooleanQuery with only MUST_NOT clauses matches
+        nothing; the *:* courtesy wrap exists only at the TOP level."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        assert len(e.match_ids("merge AND (-(parse) OR -(read))")) == 0
+        # top-level single negation still gets the implicit *:*
+        assert len(e.match_ids("-(parse)")) == e.n_docs - len(
+            e.match_ids("parse")
+        )
+
+    def test_fixes_distributed(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        for q in ["read ()^2", "merge AND (-(parse) OR -(read))",
+                  "-(parse)"]:
+            a = e.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q

@@ -195,7 +195,10 @@ def test_random_boolean_trees_match_set_algebra(seed, tmp_path):
                     else:
                         pos |= m
                         saw_pos = True
-                return (pos if saw_pos else everything) - negs
+                # pure-negative node matches NOTHING (Lucene; the *:*
+                # wrap exists only for a top-level single negation, which
+                # reaches here via ev_unary's isneg instead)
+                return (pos - negs) if saw_pos else set()
             m, isneg = ev_and(s)
             return (everything - m) if isneg else m
 
@@ -213,7 +216,7 @@ def test_random_boolean_trees_match_set_algebra(seed, tmp_path):
                         out = m
                     else:
                         out &= m
-                base = out if out is not None else everything
+                base = out if out is not None else set()  # pure-negative
                 return base - negs, False
             return ev_unary(s)
 

@@ -325,7 +325,7 @@ class TestMultimodal:
 
 class TestNearDedupSurvivors:
     def test_union_find_components(self):
-        from solr_indexer_ray.stages.dedup import connected_component_survivors
+        from solr_indexer_ray.stages.dedup import component_dropped_ids
 
         pairs = [
             {"id_a": 0, "id_b": 5},      # comp {0,5} -> keep 0
@@ -333,7 +333,7 @@ class TestNearDedupSurvivors:
             {"id_a": 3, "id_b": 4},
             {"id_a": 9, "id_b": 7},      # order-independent -> keep 7
         ]
-        assert connected_component_survivors(pairs) == {5, 3, 4, 9}
+        assert component_dropped_ids(pairs) == {5, 3, 4, 9}
 
     def test_survivor_filter_streams(self):
         from solr_indexer_ray.stages.dedup import near_dedup_survivors
