@@ -204,6 +204,20 @@ def cmd_check(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_dedup(args) -> int:
+    from solr_indexer_ray.stages.dedup import dedup_corpus
+
+    _ensure_ray()
+    kw = {}
+    if args.threshold is not None:
+        kw["threshold"] = args.threshold
+    print(json.dumps(dedup_corpus(
+        args.input, args.dest, mode=args.mode,
+        text_col=args.text_col, id_col=args.id_col, **kw,
+    )))
+    return 0
+
+
 def cmd_gc(args) -> int:
     from solr_indexer_ray.pipelines.mutate import drop_spills
 
@@ -339,6 +353,19 @@ def build_parser() -> argparse.ArgumentParser:
     pck = sub.add_parser("check", help="index integrity check (fsck)")
     pck.add_argument("-o", "--output", required=True)
     pck.set_defaults(fn=cmd_check)
+
+    pdd = sub.add_parser(
+        "dedup", help="dedup a corpus to partitioned parquet "
+                      "(exact|jaccard|minhash|simhash)"
+    )
+    pdd.add_argument("-i", "--input", required=True)
+    pdd.add_argument("--dest", required=True)
+    pdd.add_argument("--mode", default="exact",
+                     choices=["exact", "jaccard", "minhash", "simhash"])
+    pdd.add_argument("--text-col", default="text")
+    pdd.add_argument("--id-col", default="doc_id")
+    pdd.add_argument("--threshold", type=float, default=None)
+    pdd.set_defaults(fn=cmd_dedup)
 
     pgc = sub.add_parser(
         "gc", help="drop raw postings spills (frozen index storage GC)"

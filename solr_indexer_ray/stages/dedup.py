@@ -18,6 +18,7 @@ the north brief requires.  All hashing primitives are in
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -596,3 +597,64 @@ def near_dedup_survivors(ds, pairs, id_col: str = "doc_id"):
         return batch.filter(pa.array(~np.isin(ids, d)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dedup_corpus(
+    input_path,
+    output_dir: str,
+    mode: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+):
+    """End-to-end corpus dedup pipeline: read parquet -> pair generation
+    (``mode``: exact | jaccard | minhash | simhash) -> survivor selection
+    -> STREAMING partitioned parquet write (one file per output block, so
+    a failed run resumes by re-running — never one giant file).
+
+    The corpus streams through ``map_batches`` filters end-to-end; only
+    the pair set / survivor-id set (small by construction) touches the
+    driver.  Returns {"kept": n, "dropped": n, "dest": path}.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_path)
+    n_total = ds.count()
+    if mode == "exact":
+        keep_rows = exact_dedup(ds, text_col=text_col, id_col=id_col)
+        keep_ids = np.array(
+            sorted(r[id_col] for r in keep_rows.take_all()), dtype=np.int64
+        )
+        ref = ray.put(keep_ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            ids = batch[id_col].to_numpy()
+            idx = np.searchsorted(k, ids)
+            idx = np.minimum(idx, k.size - 1) if k.size else idx
+            mask = k[idx] == ids if k.size else np.zeros(len(ids), bool)
+            return batch.filter(pa.array(mask))
+
+        out = ds.map_batches(keep, batch_format="pyarrow")
+    else:
+        gen = {
+            "jaccard": ngram_jaccard_pairs,
+            "minhash": minhash_lsh_pairs,
+            "simhash": simhash_pairs,
+        }.get(mode)
+        if gen is None:
+            raise ValueError(
+                f"unknown dedup mode {mode!r} "
+                "(valid: exact, jaccard, minhash, simhash)"
+            )
+        pairs = gen(ds, text_col=text_col, id_col=id_col, **kwargs)
+        out = near_dedup_survivors(ds, pairs, id_col=id_col)
+    out.write_parquet(output_dir)
+    kept = rd.read_parquet(output_dir).count()
+    return {
+        "kept": int(kept),
+        "dropped": int(n_total - kept),
+        "dest": os.fspath(output_dir),
+        "mode": mode,
+    }

@@ -348,3 +348,44 @@ class TestNearDedupSurvivors:
         out = near_dedup_survivors(docs, pairs)
         ids = sorted(r["doc_id"] for r in out.take_all())
         assert ids == [0, 1, 2, 3, 5, 6, 7, 9]  # 4 and 8 collapsed into 1
+
+
+class TestDedupCorpusPipeline:
+    def test_end_to_end_exact_and_jaccard(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.stages.dedup import dedup_corpus
+
+        rows = [
+            {"doc_id": i, "text": f"unique document number {i} content",
+             "lang": "en"}
+            for i in range(20)
+        ]
+        rows.append({"doc_id": 20,
+                     "text": "unique document number 7 content",
+                     "lang": "en"})  # exact dup of 7
+        src = tmp_path / "docs.parquet"
+        pq.write_table(pa.Table.from_pylist(rows), src)
+
+        res = dedup_corpus(str(src), str(tmp_path / "out1"), mode="exact")
+        assert res["kept"] == 20 and res["dropped"] == 1
+        kept = pq.read_table(str(tmp_path / "out1"))
+        assert 20 not in kept["doc_id"].to_pylist()  # dup collapsed to 7
+        assert 7 in kept["doc_id"].to_pylist()
+
+        res2 = dedup_corpus(str(src), str(tmp_path / "out2"),
+                            mode="jaccard", threshold=0.5,
+                            hot_shingle_cap=None)
+        assert res2["kept"] == 20 and res2["dropped"] == 1
+
+    def test_unknown_mode_raises(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.stages.dedup import dedup_corpus
+
+        src = tmp_path / "d.parquet"
+        pq.write_table(
+            pa.table({"doc_id": [0], "text": ["x"]}), src
+        )
+        with pytest.raises(ValueError, match="unknown dedup mode"):
+            dedup_corpus(str(src), str(tmp_path / "o"), mode="nope")
