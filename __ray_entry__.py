@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": c.q_synonym_topk,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
+        "atomic_updates": c.q_atomic_updates,
         # per-row invariants / projections (§2.2-2.3)
         "doc_sha256": c.q_doc_sha256,
         "text_quality": c.q_text_quality,

@@ -195,6 +195,24 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Solr atomic updates: Solr JSON-update docs with verb maps, e.g.
+    ``update -o idx --json '[{"doc_id": 3, "tags": {"add": "x"},
+    "views": {"inc": 1}}]'`` (or ``--json @file.json``)."""
+    from solr_indexer_ray.pipelines import mutate
+
+    payload = args.json
+    if payload.startswith("@"):
+        with open(payload[1:]) as f:
+            payload = f.read()
+    updates = json.loads(payload)
+    if isinstance(updates, dict):
+        updates = [updates]
+    res = mutate.atomic_update(args.output, updates)
+    print(json.dumps(res))
+    return 0 if not res["missing"] else 1
+
+
 def cmd_check(args) -> int:
     from solr_indexer_ray.pipelines.fsck import check_index
 
@@ -349,6 +367,14 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--id", type=int, nargs="*")
     pd.add_argument("--query")
     pd.set_defaults(fn=cmd_delete)
+
+    pu = sub.add_parser(
+        "update", help="Solr atomic updates (set/add/add-distinct/"
+        "remove/removeregex/inc) from a JSON payload")
+    pu.add_argument("-o", "--output", required=True)
+    pu.add_argument("--json", required=True,
+                    help="JSON update doc(s); @path reads a file")
+    pu.set_defaults(fn=cmd_update)
 
     pck = sub.add_parser("check", help="index integrity check (fsck)")
     pck.add_argument("-o", "--output", required=True)

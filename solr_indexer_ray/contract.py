@@ -422,6 +422,83 @@ def q_doc_get(sf_dir: str):
     )
 
 
+#: atomic-update contract targets: first N doc ids
+ATOMIC_N = 20
+
+
+def q_atomic_updates(sf_dir: str):
+    """Solr atomic-update verbs (set/add/add-distinct/remove/removeregex/
+    inc) applied over a private copy of the contract index, then read
+    back through the overlay-resolving get path.  Operands derive from
+    each doc's own ``lang`` plus pure doc_id arithmetic so the oracle
+    SQL reproduces the final state relationally.  Three separate calls
+    exercise cross-call verb composition (overlay-as-base)."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from solr_indexer_ray.pipelines.mutate import atomic_update
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    base = _bm25_index(sf_dir)
+    work = os.path.join(os.path.dirname(base), "index_atomic_v1")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(base, work,
+                    ignore=shutil.ignore_patterns(".build_lock", "*.tmp.*"))
+
+    ids = list(range(ATOMIC_N))
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+        .to_table(columns=["doc_id", "lang"],
+                  filter=pc.field("doc_id") < ATOMIC_N)
+        .to_pylist()
+    }
+    call1 = []
+    for i in ids:
+        u = {"doc_id": i, "views": {"inc": i % 7 + 1},
+             "tags": {"add": langs[i]}}
+        if i % 2 == 0:
+            u["status"] = {"set": "reviewed"}
+        call1.append(u)
+    atomic_update(work, call1)
+    call2 = []
+    for i in ids:
+        u = {"doc_id": i, "tags": {"add-distinct": ["x", langs[i]]}}
+        if i % 2 == 0:
+            u["views"] = {"inc": 10}
+        if i == 5:
+            u["tags2"] = {"add": ["aa1", "keep", "aa2"]}
+        call2.append(u)
+    atomic_update(work, call2)
+    call3 = [{"doc_id": i, "tags": {"remove": "x"}}
+             for i in ids if i % 3 == 0]
+    call3.append({"doc_id": 5, "tags2": {"removeregex": "aa[0-9]"}})
+    call3.append({"doc_id": 4, "status": {"set": None}})
+    atomic_update(work, call3)
+
+    engine = SearchEngine(work)
+    rows = []
+    for i in ids:
+        d = engine.get(i)
+        rows.append({
+            "doc_id": i,
+            "views": int(d["views"]),
+            "tags": ",".join(d["tags"]),
+            "tags2": ",".join(d["tags2"]) if d.get("tags2") else None,
+            "status": d.get("status"),
+        })
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([
+            ("doc_id", pa.int64()), ("views", pa.int64()),
+            ("tags", pa.string()), ("tags2", pa.string()),
+            ("status", pa.string()),
+        ]),
+    )
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5, n=3)."""
     from solr_indexer_ray.stages.dedup import ngram_jaccard_pairs

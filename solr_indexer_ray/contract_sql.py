@@ -1059,6 +1059,21 @@ FROM documents GROUP BY source, lang
 
 DOC_GET_SQL = "SELECT * FROM documents WHERE doc_id = 42"
 
+#: Solr atomic-update verbs (contract.q_atomic_updates): the final overlay
+#: state after three verb-composing update calls, reproduced relationally —
+#: views = inc(doc_id%7+1) then inc(10) on evens; tags = add(lang) then
+#: add-distinct(['x', lang]) then remove('x') on doc_id%3==0; tags2 only on
+#: doc 5 = add(['aa1','keep','aa2']) then removeregex('aa[0-9]'); status =
+#: set('reviewed') on evens then set(null) on doc 4.
+ATOMIC_UPDATES_SQL = """
+SELECT doc_id,
+       (doc_id % 7 + 1) + CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 0 END AS views,
+       CASE WHEN doc_id % 3 = 0 THEN lang ELSE lang || ',x' END AS tags,
+       CASE WHEN doc_id = 5 THEN 'keep' END AS tags2,
+       CASE WHEN doc_id % 2 = 0 AND doc_id <> 4 THEN 'reviewed' END AS status
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+"""
+
 
 
 #: shared shingle/pair CTE body for the exact-Jaccard oracles: the
@@ -1243,6 +1258,7 @@ def oracle_sql_dict() -> dict:
         "exact_dedup": EXACT_DEDUP_SQL,
         "upsert_latest": UPSERT_LATEST_SQL,
         "doc_get": DOC_GET_SQL,
+        "atomic_updates": ATOMIC_UPDATES_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "jaccard_dedup_survivors": JACCARD_SURVIVORS_SQL,
         "bm25_topk": bm25_topk_sql(),

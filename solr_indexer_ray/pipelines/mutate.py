@@ -124,6 +124,138 @@ def apply_overlay(index_dir: str, updates) -> None:
     os.replace(tmp, path)
 
 
+#: Solr atomic-update verbs (Updating Parts of Documents).  The reference
+#: only ever uses ``set`` (``solrindexer/tools.py:93-103`` set_parent_flag);
+#: the rest complete the Solr surface a reference user has available.
+ATOMIC_VERBS = ("set", "add", "add-distinct", "remove", "removeregex", "inc")
+
+
+def _as_list(v):
+    if v is None:
+        return []
+    return list(v) if isinstance(v, (list, tuple)) else [v]
+
+
+def _apply_verb(verb: str, base, operand):
+    """One Solr atomic-update verb against the current effective value.
+
+    Semantics follow Solr's "Updating Parts of Documents":
+    - ``set``: replace (``null`` removes the field);
+    - ``add`` / ``add-distinct``: append to a multivalued field (a scalar
+      base is promoted to a one-element list first);
+    - ``remove``: drop every occurrence of the operand value(s); an
+      emptied field is removed (``None``);
+    - ``removeregex``: drop values fully matching any of the operand
+      regexes;
+    - ``inc``: numeric increment (an absent field counts as 0).
+    """
+    import re as _re
+
+    if verb == "set":
+        return operand
+    if verb == "inc":
+        cur = 0 if base is None else base
+        if not isinstance(cur, (int, float)) or isinstance(cur, bool):
+            raise TypeError(f"inc on non-numeric value {cur!r}")
+        new = cur + operand
+        # int+int stays int (Solr pint/plong semantics)
+        return int(new) if isinstance(cur, int) and isinstance(operand, int) else new
+    values = _as_list(base)
+    if verb == "add":
+        return values + _as_list(operand)
+    if verb == "add-distinct":
+        out = list(values)
+        for v in _as_list(operand):
+            if v not in out:
+                out.append(v)
+        return out
+    if verb == "remove":
+        drop = set(map(str, _as_list(operand)))
+        out = [v for v in values if str(v) not in drop]
+        return out if out else None
+    if verb == "removeregex":
+        pats = [_re.compile(p) for p in _as_list(operand)]
+        out = [v for v in values if not any(p.fullmatch(str(v)) for p in pats)]
+        return out if out else None
+    raise ValueError(f"unknown atomic-update verb {verb!r} "
+                     f"(supported: {ATOMIC_VERBS})")
+
+
+def atomic_update(index_dir: str, updates) -> dict:
+    """Solr atomic partial updates with the full verb set.
+
+    ``updates``: Solr JSON-update shape — each item is
+    ``{"doc_id": id, "<field>": {"<verb>": operand}, ...}`` (verbs in
+    :data:`ATOMIC_VERBS`; several fields per item, several verbs per
+    field applied in given order).  Like Solr, the update is
+    read-apply-reindex: the current effective value (stored field merged
+    with prior overlays) is read, the verb applied, and the result
+    written as a ``set`` overlay.  Docs that don't exist (or are
+    tombstoned) are reported in ``missing`` and skipped — the
+    reference's warn-don't-create contract for absent update targets
+    (``solrindexer/mmd.py:1544-1555``).
+    """
+    engine = SearchEngine(index_dir)
+    parsed = []
+    for u in updates:
+        u = dict(u)
+        did = int(u.pop("doc_id"))
+        fields = {}
+        for fld, verbs in u.items():
+            if not isinstance(verbs, dict):
+                verbs = {"set": verbs}  # bare value = set (convenience)
+            for verb in verbs:
+                if verb not in ATOMIC_VERBS:
+                    raise ValueError(
+                        f"unknown atomic-update verb {verb!r} for field "
+                        f"{fld!r} (supported: {ATOMIC_VERBS})")
+            fields[fld] = verbs
+        parsed.append((did, fields))
+
+    present = engine.present
+    tombs = engine.tombstones
+    requested = sorted({d for d, _ in parsed})
+    existing = {d for d in requested
+                if 0 <= d < engine.doc_space and present[d] and d not in tombs}
+    missing = sorted(set(requested) - existing)
+
+    # one batched stored-field read for every (existing doc, stored field)
+    stored_needed = sorted(
+        {f for did, fields in parsed if did in existing for f in fields}
+        & set(engine.stored_fields)
+    )
+    base_rows: dict = {d: {} for d in existing}
+    if stored_needed and existing:
+        t = engine._docs_ds.to_table(
+            columns=["doc_id", *stored_needed],
+            filter=pc.field("doc_id").isin(sorted(existing)),
+        )
+        for row in t.to_pylist():
+            base_rows[row["doc_id"]] = row
+    overlays = engine._load_overlays()
+
+    new_overlays = []
+    updated = []
+    for did, fields in parsed:
+        if did not in existing:
+            continue
+        doc_over = overlays.get(did, {})
+        for fld, verbs in fields.items():
+            if fld in doc_over:          # prior overlay wins over stored
+                cur = doc_over[fld]
+            else:
+                cur = base_rows.get(did, {}).get(fld)
+            for verb, operand in verbs.items():
+                cur = _apply_verb(verb, cur, operand)
+            doc_over = {**doc_over, fld: cur}
+            new_overlays.append({"doc_id": did, "column": fld, "value": cur})
+        overlays[did] = doc_over         # later updates in this call compose
+        updated.append(did)
+    if new_overlays:
+        apply_overlay(index_dir, new_overlays)
+    return {"updated": sorted(set(updated)), "missing": missing}
+
+
 def mark_parents(index_dir: str, parent_keys) -> dict:
     """Parent/child integrity pass (reference J2/J3).
 

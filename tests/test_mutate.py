@@ -75,6 +75,117 @@ class TestParentFlags:
         assert res2["already_flagged"] >= 1
 
 
+class TestAtomicUpdate:
+    """Solr atomic-update verbs (Updating Parts of Documents).  The
+    reference only uses ``set`` (``solrindexer/tools.py:93-103``); the
+    full verb surface is what a Solr user has available."""
+
+    def test_set_add_inc(self, mut_index):
+        index_dir, _ = mut_index
+        res = mutate.atomic_update(index_dir, [
+            {"doc_id": 0, "status": {"set": "reviewed"},
+             "views": {"inc": 3}},
+            {"doc_id": 1, "tags": {"add": ["a", "b"]}},
+        ])
+        assert res["updated"] == [0, 1] and res["missing"] == []
+        eng = SearchEngine(index_dir)
+        d0 = eng.get(0)
+        assert d0["status"] == "reviewed"
+        assert d0["views"] == 3          # inc on absent field: 0 + 3
+        assert eng.get(1)["tags"] == ["a", "b"]
+
+    def test_verbs_compose_across_calls(self, mut_index):
+        index_dir, _ = mut_index
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 2, "views": {"inc": 5}, "tags": {"add": "x"}},
+        ])
+        # a fresh call must see the prior overlay as the base value
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 2, "views": {"inc": -2},
+             "tags": {"add-distinct": ["x", "y"]}},
+        ])
+        eng = SearchEngine(index_dir)
+        d = eng.get(2)
+        assert d["views"] == 3
+        assert d["tags"] == ["x", "y"]   # add-distinct skipped the dup
+
+    def test_remove_and_regex(self, mut_index):
+        index_dir, _ = mut_index
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 3, "tags": {"set": ["keep", "drop1", "drop2", "other"]}},
+        ])
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 3, "tags": {"remove": "other"}},
+        ])
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 3, "tags": {"removeregex": "drop[0-9]"}},
+        ])
+        eng = SearchEngine(index_dir)
+        assert eng.get(3)["tags"] == ["keep"]
+        # removing the last value removes the field entirely (Solr)
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 3, "tags": {"remove": ["keep"]}},
+        ])
+        assert SearchEngine(index_dir).get(3)["tags"] is None
+
+    def test_set_on_stored_field_and_null_unset(self, mut_index):
+        index_dir, _ = mut_index
+        eng = SearchEngine(index_dir)
+        orig_lang = eng.get(4)["lang"]
+        assert orig_lang is not None
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 4, "lang": {"set": "zz"}},
+        ])
+        assert SearchEngine(index_dir).get(4)["lang"] == "zz"
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 4, "lang": {"set": None}},
+        ])
+        assert SearchEngine(index_dir).get(4)["lang"] is None
+
+    def test_add_promotes_scalar_stored_base(self, mut_index):
+        index_dir, _ = mut_index
+        eng = SearchEngine(index_dir)
+        lang = eng.get(5)["lang"]
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 5, "lang": {"add": "extra"}},
+        ])
+        assert SearchEngine(index_dir).get(5)["lang"] == [lang, "extra"]
+
+    def test_inc_on_stored_numeric(self, mut_index):
+        index_dir, _ = mut_index
+        eng = SearchEngine(index_dir)
+        dl = eng.get(6)["doclen"]
+        mutate.atomic_update(index_dir, [
+            {"doc_id": 6, "doclen": {"inc": 10}},
+        ])
+        assert SearchEngine(index_dir).get(6)["doclen"] == dl + 10
+
+    def test_missing_and_tombstoned_skipped(self, mut_index):
+        index_dir, _ = mut_index
+        mutate.delete_by_id(index_dir, [7])
+        res = mutate.atomic_update(index_dir, [
+            {"doc_id": 7, "status": {"set": "x"}},
+            {"doc_id": 10**9, "status": {"set": "x"}},
+            {"doc_id": 8, "status": {"set": "ok"}},
+        ])
+        assert res["updated"] == [8]
+        assert res["missing"] == [7, 10**9]
+
+    def test_unknown_verb_rejected(self, mut_index):
+        index_dir, _ = mut_index
+        with pytest.raises(ValueError, match="unknown atomic-update verb"):
+            mutate.atomic_update(index_dir, [
+                {"doc_id": 0, "status": {"replace": "x"}},
+            ])
+
+    def test_inc_non_numeric_rejected(self, mut_index):
+        index_dir, _ = mut_index
+        with pytest.raises(TypeError, match="inc on non-numeric"):
+            mutate.atomic_update(index_dir, [
+                {"doc_id": 0, "lang": {"inc": 1}},
+            ])
+
+
 class TestUpsert:
     def test_last_write_wins(self, mut_index, small_corpus):
         index_dir, _ = mut_index
