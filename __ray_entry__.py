@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": c.q_fuzzy_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,
         "bool_topk": c.q_bool_topk,
+        "spatial_topk": c.q_spatial_topk,
         "facets": c.q_facets,
         "range_topk": c.q_range_topk,
         "date_range_topk": c.q_date_range_topk,

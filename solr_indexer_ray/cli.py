@@ -45,9 +45,12 @@ def cmd_index(args) -> int:
 
     _ensure_ray()
     config = load_config(args.config) if args.config else DEFAULT_CONFIG
+    extra = tuple(
+        c for c in (getattr(args, "extra_stored", None) or "").split(",") if c
+    )
     if (args.validate and not config.validate) or getattr(
         args, "positions", False
-    ) or getattr(args, "store_content", False):
+    ) or getattr(args, "store_content", False) or extra:
         import dataclasses
 
         config = dataclasses.replace(
@@ -55,6 +58,7 @@ def cmd_index(args) -> int:
             validate=config.validate or args.validate,
             store_positions=config.store_positions or args.positions,
             store_content=config.store_content or args.store_content,
+            extra_stored=tuple(config.extra_stored) + extra,
         )
     t0 = time.time()
     if args.extend:
@@ -302,6 +306,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="store token positions (enables phrase queries)")
     pi.add_argument("--store-content", action="store_true",
                     help="store raw content (fl=content, highlighting)")
+    pi.add_argument("--extra-stored", dest="extra_stored",
+                    help="comma-separated corpus columns to store "
+                    "(typed ranges, bbox envelope columns)")
     pi.set_defaults(fn=cmd_index)
 
     ps = sub.add_parser("search", help="BM25 top-k query")

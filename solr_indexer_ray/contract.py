@@ -425,6 +425,23 @@ def q_doc_get(sf_dir: str):
 #: atomic-update contract targets: first N doc ids
 ATOMIC_N = 20
 
+#: spatial filter cases: (op, minX, maxX, minY, maxY, scoring term or "")
+#: — the bbox columns derive from doc_id arithmetic (see _geo_index) so
+#: the SQL oracle reproduces them exactly; includes an
+#: antimeridian-crossing query envelope and pure-filter (score 0) forms
+SPATIAL_CASES = [
+    ("Intersects", -30.0, 60.0, -20.0, 45.0, "spark"),
+    ("Intersects", 160.0, -150.0, -40.0, 40.0, "merge"),
+    ("IsWithin", -120.0, 40.0, -60.0, 60.0, "window"),
+    ("Contains", -10.0, -5.0, 10.0, 12.0, ""),
+    ("Intersects", 100.0, 179.0, -80.0, 80.0, ""),
+]
+
+
+def spatial_query(op, qw, qe, qs, qn, term) -> str:
+    prefix = f"{term} " if term else ""
+    return f'{prefix}bbox:"{op}(ENVELOPE({qw}, {qe}, {qn}, {qs}))"'
+
 
 def q_atomic_updates(sf_dir: str):
     """Solr atomic-update verbs (set/add/add-distinct/remove/removeregex/
@@ -496,6 +513,86 @@ def q_atomic_updates(sf_dir: str):
             ("tags", pa.string()), ("tags2", pa.string()),
             ("status", pa.string()),
         ]),
+    )
+
+
+def _geo_index(sf_dir: str) -> str:
+    """Contract index with envelope columns (bbox_west/_east/_south/_north)
+    derived deterministically from doc_id: null every 53rd doc,
+    antimeridian-crossing every 41st, otherwise plain envelopes — the same
+    arithmetic the SQL oracle recomputes."""
+    key = ("geo", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.sources.corpus import documents_to_corpus_table
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    os.makedirs(work, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    corpus = documents_to_corpus_table(docs)
+    i = docs["doc_id"].to_numpy()
+    west = (((i * 37) % 320) - 170).astype(np.float64)
+    east = west + (i % 29) + 1.0
+    south = (((i * 13) % 140) - 70).astype(np.float64)
+    north = south + (i % 17) + 1.0
+    cross = (i % 41) == 7
+    west[cross] = 150.0 + (i[cross] % 20)
+    east[cross] = -160.0 - (i[cross] % 10)
+    valid = pa.array((i % 53) != 11)
+    for name, vals in (("bbox_west", west), ("bbox_east", east),
+                       ("bbox_south", south), ("bbox_north", north)):
+        arr = pc.if_else(valid, pa.array(vals, pa.float64()),
+                         pa.scalar(None, pa.float64()))
+        corpus = corpus.append_column(name, arr)
+    corpus_path = os.path.join(work, "corpus_geo.parquet")
+    pq.write_table(corpus, corpus_path, row_group_size=4096)
+    index_dir = os.path.join(work, "index_geo_v1")
+    config = IndexConfig(
+        concurrency=2,
+        extra_stored=("bbox_west", "bbox_east", "bbox_south", "bbox_north"),
+    )
+    if not BuildManifest(index_dir).is_committed():
+        build_index(corpus_path, index_dir, config=config,
+                    registry=AnalyzerRegistry("simple", overrides={}),
+                    overwrite=True)
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_spatial_topk(sf_dir: str):
+    """Solr spatial filter queries (Intersects/IsWithin/Contains over
+    ENVELOPE fields) composed with BM25 scoring; pure-filter cases match
+    at score 0 in doc_id order.  Ranking key (round(score,4) desc,
+    doc_id) as in q_bm25_topk."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_geo_index(sf_dir))
+    rows = []
+    for case in SPATIAL_CASES:
+        q = spatial_query(*case)
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
     )
 
 

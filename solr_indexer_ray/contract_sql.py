@@ -187,6 +187,73 @@ def _near_ptf_expr(terms, slop: int) -> str:
     )
 
 
+#: bbox CTE matching contract._geo_index's doc_id-derived envelopes
+_BBOX_CTE = """
+bbox AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 53 = 11 THEN NULL
+         WHEN doc_id % 41 = 7 THEN 150.0 + (doc_id % 20)
+         ELSE ((doc_id * 37) % 320) - 170.0 END AS w,
+    CASE WHEN doc_id % 53 = 11 THEN NULL
+         WHEN doc_id % 41 = 7 THEN -160.0 - (doc_id % 10)
+         ELSE ((doc_id * 37) % 320) - 170.0 + (doc_id % 29) + 1 END AS e,
+    CASE WHEN doc_id % 53 = 11 THEN NULL
+         ELSE ((doc_id * 13) % 140) - 70.0 END AS s,
+    CASE WHEN doc_id % 53 = 11 THEN NULL
+         ELSE ((doc_id * 13) % 140) - 70.0 + (doc_id % 17) + 1 END AS n
+  FROM documents)
+"""
+
+
+def _spatial_cond_sql(op, qw, qe, qs, qn) -> str:
+    """Envelope predicate over the bbox CTE columns — the engine's exact
+    semantics incl. antimeridian-crossing docs (w > e) and queries."""
+    if op == "Intersects":
+        if qw > qe:  # crossing query: union of the two halves
+            return (f"({_spatial_cond_sql(op, qw, 180.0, qs, qn)} OR "
+                    f"{_spatial_cond_sql(op, -180.0, qe, qs, qn)})")
+        lon = (f"(CASE WHEN bb.w <= bb.e THEN bb.e >= {qw} AND bb.w <= {qe} "
+               f"ELSE bb.e >= {qw} OR bb.w <= {qe} END)")
+        return (f"(bb.w IS NOT NULL AND bb.n >= {qs} AND bb.s <= {qn} "
+                f"AND {lon})")
+    if op == "IsWithin":
+        return (f"(bb.w IS NOT NULL AND bb.w <= bb.e AND bb.w >= {qw} AND "
+                f"bb.e <= {qe} AND bb.s >= {qs} AND bb.n <= {qn})")
+    if op == "Contains":
+        lon = (f"(CASE WHEN bb.w <= bb.e THEN bb.w <= {qw} AND bb.e >= {qe} "
+               f"ELSE bb.w <= {qw} OR bb.e >= {qe} END)")
+        return (f"(bb.w IS NOT NULL AND bb.s <= {qs} AND bb.n >= {qn} "
+                f"AND {lon})")
+    raise ValueError(op)
+
+
+def spatial_topk_sql() -> str:
+    from solr_indexer_ray.contract import SPATIAL_CASES, spatial_query
+
+    blocks = []
+    for op, qw, qe, qs, qn, term in SPATIAL_CASES:
+        q = spatial_query(op, qw, qe, qs, qn, term)
+        qq = q.replace("'", "''")
+        cond = _spatial_cond_sql(op, qw, qe, qs, qn)
+        if not term:
+            blocks.append(f"""
+SELECT '{qq}' AS query, doc_id, 0.0 AS score_r FROM (
+  SELECT doc_id FROM bbox bb WHERE {cond}
+  ORDER BY doc_id LIMIT {BM25_K})""")
+            continue
+        blocks.append(f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT t.doc_id AS doc_id,
+    round(ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {K1} * (1 - {B} + {B} * q.dlq / st.avgdl))), 4)
+      AS score_r
+  FROM tf t JOIN df d USING (term) JOIN dlq q ON q.doc_id = t.doc_id
+  JOIN bbox bb ON bb.doc_id = t.doc_id CROSS JOIN stats st
+  WHERE t.term = '{term}' AND {cond}
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, t.doc_id) <= {BM25_K})""")
+    return _BM25_CTES + ", " + _BBOX_CTE + "\nUNION ALL\n".join(blocks)
+
+
 def _phrase_w_expr(ph) -> str:
     """Phrase weight: SUM of member idfs, duplicates kept (Lucene
     BM25Similarity.idfExplain over the PhraseQuery term array)."""
@@ -1269,6 +1336,7 @@ def oracle_sql_dict() -> dict:
         "fuzzy_topk": fuzzy_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),
         "bool_topk": bool_topk_sql(),
+        "spatial_topk": spatial_topk_sql(),
         "facets": facets_sql(),
         "range_topk": range_topk_sql(),
         "sorted_browse": sorted_browse_sql(),

@@ -89,6 +89,51 @@ _RANGE = re.compile(
 #: (timestamps, numerics) via the ``range_fields`` parse parameter
 RANGE_FIELDS = (*FILTER_FIELDS, "doclen")
 
+#: Solr spatial filter on an envelope field:
+#:   bbox:"Intersects(ENVELOPE(minX, maxX, maxY, minY))"
+#: (also IsWithin / Contains — the Solr RPT field predicates).  The
+#: reference indexes ``bbox = ENVELOPE(...)`` precisely to enable these
+#: (``solrindexer/spatial.py:86-112``; Solr spatial search docs).
+_SPATIAL = re.compile(
+    r"^(Intersects|IsWithin|Contains)\s*\(\s*ENVELOPE\s*\(\s*"
+    r"(-?[0-9.]+)\s*,\s*(-?[0-9.]+)\s*,\s*(-?[0-9.]+)\s*,\s*(-?[0-9.]+)"
+    r"\s*\)\s*\)$"
+)
+
+
+@dataclass(frozen=True)
+class SpatialFilter:
+    """Envelope predicate against a doc envelope stored as four numeric
+    columns ``{field}_west/_east/_south/_north`` (Solr ENVELOPE argument
+    order is minX, maxX, maxY, minY = west, east, north, south).
+    ``west > east`` means the envelope crosses the antimeridian (the
+    reference's dateline convention, ``solrindexer/spatial.py:86-112``)."""
+
+    field: str
+    op: str                  # 'Intersects' | 'IsWithin' | 'Contains'
+    west: float
+    east: float
+    south: float
+    north: float
+
+    def __post_init__(self):
+        for v, lo, hi, nm in (
+            (self.west, -180.0, 180.0, "minX"),
+            (self.east, -180.0, 180.0, "maxX"),
+            (self.south, -90.0, 90.0, "minY"),
+            (self.north, -90.0, 90.0, "maxY"),
+        ):
+            if not (lo <= v <= hi):
+                raise ValueError(f"spatial {nm}={v} outside [{lo}, {hi}]")
+        if self.south > self.north:
+            raise ValueError(
+                f"spatial maxY={self.north} < minY={self.south}"
+            )
+
+    @property
+    def crosses_dateline(self) -> bool:
+        return self.west > self.east
+
 
 @dataclass(frozen=True)
 class RangeFilter:
@@ -152,13 +197,16 @@ class ParsedQuery:
     near_phrases: list = field(default_factory=list)
     prohibited_near: list = field(default_factory=list)
     near_boosts: dict = field(default_factory=dict)  # (terms, slop) -> b
+    #: spatial envelope filters: field:"Intersects(ENVELOPE(...))"
+    spatial_filters: list = field(default_factory=list)   # [SpatialFilter]
+    neg_spatial_filters: list = field(default_factory=list)
 
     @property
     def is_match_all(self) -> bool:
         return not (
             self.terms or self.filters or self.phrases or self.prefixes
             or self.range_filters or self.fuzzies or self.wildcards
-            or self.near_phrases
+            or self.near_phrases or self.spatial_filters
         )
 
     @property
@@ -183,6 +231,17 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS) -> ParsedQuery:
         neg, fld, text = m.group(1) == "-", m.group(2), m.group(3)
         slop = int(m.group(4)) if m.group(4) else 0
         boost = float(m.group(5)) if m.group(5) else None
+        if fld is not None:
+            sm = _SPATIAL.match(text.strip())
+            if sm:
+                sf = SpatialFilter(
+                    fld, sm.group(1), float(sm.group(2)), float(sm.group(3)),
+                    # ENVELOPE order: minX, maxX, maxY, minY
+                    south=float(sm.group(5)), north=float(sm.group(4)),
+                )
+                (out.neg_spatial_filters if neg
+                 else out.spatial_filters).append(sf)
+                return " "
         if fld in FILTER_FIELDS:
             (out.neg_filters if neg else out.filters)[fld] = text
             return " "

@@ -46,6 +46,7 @@ from solr_indexer_ray.functions.hashing import term_shard
 from solr_indexer_ray.functions.queryparse import (
     BoolNode,
     ParsedQuery,
+    SpatialFilter,
     has_group_syntax,
     parse_boolean,
     parse_query,
@@ -104,6 +105,75 @@ def _rf_from_dict(d) -> "RangeFilter":
     return RangeFilter(d["field"], d["lo"], d["hi"],
                        lo_incl=bool(d["lo_incl"]),
                        hi_incl=bool(d["hi_incl"]))
+
+
+def _sf_to_list(sf) -> list:
+    return [sf.field, sf.op, sf.west, sf.east, sf.south, sf.north]
+
+
+def _sf_from_list(v) -> "SpatialFilter":
+    return SpatialFilter(str(v[0]), str(v[1]), float(v[2]), float(v[3]),
+                         float(v[4]), float(v[5]))
+
+
+def _spatial_pred_expr(sf: "SpatialFilter"):
+    """Pyarrow scan expression for one envelope predicate.
+
+    Doc envelopes are four stored numeric columns
+    ``{field}_west/_east/_south/_north`` (the reference's
+    ``ENVELOPE(minX, maxX, maxY, minY)`` unpacked — produced by the same
+    bbox extraction, ``solrindexer/spatial.py:86-112``).  Antimeridian
+    handling: a crossing QUERY envelope splits into two plain envelopes
+    (Intersects only — Solr's RPT grid does the same decomposition); a
+    crossing DOC envelope (``west > east``) is handled with pure boolean
+    algebra so the whole predicate stays a parquet scan filter
+    (row-group prunable on the bbox column statistics).
+    """
+    w, e = pc.field(f"{sf.field}_west"), pc.field(f"{sf.field}_east")
+    s, n = pc.field(f"{sf.field}_south"), pc.field(f"{sf.field}_north")
+    doc_plain = w <= e
+
+    if sf.op == "Intersects":
+        if sf.crosses_dateline:
+            left = SpatialFilter(sf.field, "Intersects", sf.west, 180.0,
+                                 sf.south, sf.north)
+            right = SpatialFilter(sf.field, "Intersects", -180.0, sf.east,
+                                  sf.south, sf.north)
+            return _spatial_pred_expr(left) | _spatial_pred_expr(right)
+        lat_ok = (n >= sf.south) & (s <= sf.north)
+        lon_plain = (e >= sf.west) & (w <= sf.east)
+        lon_cross = (e >= sf.west) | (w <= sf.east)
+        return lat_ok & ((doc_plain & lon_plain) | (~doc_plain & lon_cross))
+    if sf.crosses_dateline:
+        raise ValueError(
+            f"{sf.op} with an antimeridian-crossing query envelope is "
+            "not supported (decompose the query into two envelopes)"
+        )
+    if sf.op == "IsWithin":
+        # doc within query: a crossing doc is never within a plain query
+        return (
+            doc_plain & (w >= sf.west) & (e <= sf.east)
+            & (s >= sf.south) & (n <= sf.north)
+        )
+    if sf.op == "Contains":
+        # doc contains query: a crossing doc covers [west,180] ∪ [-180,east]
+        lat_ok = (s <= sf.south) & (n >= sf.north)
+        lon_plain = (w <= sf.west) & (e >= sf.east)
+        lon_cross = (w <= sf.west) | (e >= sf.east)
+        return lat_ok & ((doc_plain & lon_plain) | (~doc_plain & lon_cross))
+    raise ValueError(f"unknown spatial predicate {sf.op!r}")
+
+
+def _spatial_nonmatch_expr(sf: "SpatialFilter"):
+    """Docs failing a positive spatial filter: predicate false OR any bbox
+    column null (a doc without an envelope never matches a positive
+    spatial query; plain ``~expr`` is null-for-null and would let such
+    rows slip through a scan filter)."""
+    null_any = None
+    for p in ("west", "east", "south", "north"):
+        e = pc.field(f"{sf.field}_{p}").is_null()
+        null_any = e if null_any is None else null_any | e
+    return ~_spatial_pred_expr(sf) | null_any
 
 
 def _parse_ts_bound(rf, bound):
@@ -851,6 +921,8 @@ class SearchEngine:
             tuple(sorted(parsed.neg_filters.items())),
             tuple(parsed.range_filters),
             tuple(parsed.neg_range_filters),
+            tuple(parsed.spatial_filters),
+            tuple(parsed.neg_spatial_filters),
             tuple(sorted(set(parsed.prohibited))),
             tuple(sorted(map(tuple, parsed.prohibited_phrases))),
             tuple(sorted(set(parsed.prohibited_prefixes))),
@@ -922,7 +994,32 @@ class SearchEngine:
                 columns=["doc_id"], filter=self._range_expr(rf)
             )
             ensure()[t["doc_id"].to_numpy()] = True
+        for sf in parsed.spatial_filters:
+            self._spatial_expr(sf)  # column validation
+            t = self._docs_ds.to_table(
+                columns=["doc_id"], filter=_spatial_nonmatch_expr(sf)
+            )
+            ensure()[t["doc_id"].to_numpy()] = True
+        for sf in parsed.neg_spatial_filters:
+            t = self._docs_ds.to_table(
+                columns=["doc_id"], filter=self._spatial_expr(sf)
+            )
+            ensure()[t["doc_id"].to_numpy()] = True
         return mask
+
+    def _spatial_expr(self, sf):
+        """Validated pyarrow scan expression for one envelope predicate
+        against this index's stored bbox columns."""
+        schema_names = set(self._docs_ds.schema.names)
+        cols = [f"{sf.field}_{p}" for p in ("west", "east", "south", "north")]
+        missing = [c for c in cols if c not in schema_names]
+        if missing:
+            raise ValueError(
+                f"spatial filter on {sf.field!r} needs stored columns "
+                f"{cols} (missing: {missing}); build the "
+                "index with extra_stored including them"
+            )
+        return _spatial_pred_expr(sf)
 
     def _range_expr(self, rf):
         return _typed_range_expr(self._docs_ds.schema, rf)
@@ -1192,6 +1289,9 @@ class SearchEngine:
         expr = self._filters_expr(parsed.filters) if parsed.filters else None
         for rf in parsed.range_filters:
             e = self._range_expr(rf)
+            expr = e if expr is None else expr & e
+        for sf in parsed.spatial_filters:
+            e = self._spatial_expr(sf)
             expr = e if expr is None else expr & e
         t = self._docs_ds.to_table(columns=["doc_id"], filter=expr)
         ids = np.sort(t["doc_id"].to_numpy())
@@ -2210,7 +2310,7 @@ class RangeScorer:
                     json.loads(str(batch["syn_groups_json"][i]))
                     if "syn_groups_json" in batch else [],
                     *(json.loads(str(batch["extras_json"][i]))
-                      if "extras_json" in batch else ([], [], [], [], [])),
+                      if "extras_json" in batch else ([], [], [], [], [], [], [])),
                 )
             )
         return pa.Table.from_pylist(
@@ -2224,12 +2324,14 @@ class RangeScorer:
                      phrases=(), prefix_groups=(), fuzzy_groups=(),
                      near_groups=(), syn_groups=(), neg_filters=(),
                      range_filters=(), neg_range_filters=(),
-                     prohibited_groups=(), prohibited_pos=()):
+                     prohibited_groups=(), prohibited_pos=(),
+                     spatial_filters=(), neg_spatial_filters=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
             neg_filters, range_filters, neg_range_filters,
             prohibited_groups, prohibited_pos,
+            spatial_filters, neg_spatial_filters,
         )
         if cand.size == 0:
             return []
@@ -2248,7 +2350,8 @@ class RangeScorer:
                           fuzzy_groups=(), near_groups=(),
                           syn_groups=(), neg_filters=(), range_filters=(),
                           neg_range_filters=(), prohibited_groups=(),
-                          prohibited_pos=()):
+                          prohibited_pos=(), spatial_filters=(),
+                          neg_spatial_filters=()):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2453,6 +2556,19 @@ class RangeScorer:
                     columns=["doc_id"],
                     filter=docs_flt
                     & _typed_range_expr(schema, _rf_from_dict(rf)),
+                )
+                dead[bad["doc_id"].to_numpy() - lo] = True
+            for sv in spatial_filters:
+                bad = self._docs.to_table(
+                    columns=["doc_id"],
+                    filter=docs_flt
+                    & _spatial_nonmatch_expr(_sf_from_list(sv)),
+                )
+                dead[bad["doc_id"].to_numpy() - lo] = True
+            for sv in neg_spatial_filters:
+                bad = self._docs.to_table(
+                    columns=["doc_id"],
+                    filter=docs_flt & _spatial_pred_expr(_sf_from_list(sv)),
                 )
                 dead[bad["doc_id"].to_numpy() - lo] = True
             cand = cand[~dead[cand]]
@@ -2898,8 +3014,13 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         [list(nt), int(slop)]
         for nt, slop in sorted(set(parsed.prohibited_near))
     ]
+    for sf in (*parsed.spatial_filters, *parsed.neg_spatial_filters):
+        engine._spatial_expr(sf)  # eager column validation (driver-side)
+    spatial_filters = [_sf_to_list(sf) for sf in parsed.spatial_filters]
+    neg_spatial_filters = [_sf_to_list(sf) for sf in parsed.neg_spatial_filters]
     extras = [neg_filters, range_filters, neg_range_filters,
-              prohibited_groups, prohibited_pos]
+              prohibited_groups, prohibited_pos,
+              spatial_filters, neg_spatial_filters]
     return (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
             syn_groups, extras)
 
@@ -2930,7 +3051,8 @@ def _compile_bool_tree(engine: SearchEngine, node):
             or parsed.neg_range_filters or parsed.prohibited
             or parsed.prohibited_phrases or parsed.prohibited_prefixes
             or parsed.prohibited_fuzzies or parsed.prohibited_wildcards
-            or parsed.prohibited_near
+            or parsed.prohibited_near or parsed.spatial_filters
+            or parsed.neg_spatial_filters
             or any(v.endswith("*") for v in parsed.filters.values())
         ):
             return None
@@ -3076,7 +3198,7 @@ class BoolRangeScorer:
             dict(zip(b["filter_keys"], b["filter_vals"])),
             bool(b["conjunctive"]), b["phrases"], b["prefix_groups"],
             b["fuzzy_groups"], b["near_groups"], b["syn_groups"],
-            *b.get("extras", ([], [], [], [], [])),
+            *b.get("extras", ([], [], [], [], [], [], [])),
         )
         mask = np.zeros(width, dtype=bool)
         out = np.zeros(width, dtype=np.float64)
@@ -3228,7 +3350,7 @@ class FacetRangeCounter:
                 json.loads(str(batch["syn_groups_json"][i]))
                 if "syn_groups_json" in batch else [],
                 *(json.loads(str(batch["extras_json"][i]))
-                  if "extras_json" in batch else ([], [], [], [], [])),
+                  if "extras_json" in batch else ([], [], [], [], [], [], [])),
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:
@@ -3366,7 +3488,7 @@ class _MatchRangeTask:
                 json.loads(str(batch["syn_groups_json"][i]))
                 if "syn_groups_json" in batch else [],
                 *(json.loads(str(batch["extras_json"][i]))
-                  if "extras_json" in batch else ([], [], [], [], [])),
+                  if "extras_json" in batch else ([], [], [], [], [], [], [])),
             )
             tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
             if tombs.size and cand.size:
