@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "atomic_updates": c.q_atomic_updates,
         # per-row invariants / projections (§2.2-2.3)
         "doc_sha256": c.q_doc_sha256,
+        "pii_scrub": c.q_pii_scrub,
         "text_quality": c.q_text_quality,
         "lang_counts": c.q_lang_counts,
         # dedup family (§2.8 + training-data extensions)

@@ -226,6 +226,28 @@ def cmd_check(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_scrub(args) -> int:
+    """PII-scrub a corpus: write redacted parquet + a counts summary."""
+    import ray.data as rd
+
+    from solr_indexer_ray.stages.pii import PII_PATTERNS, scrub_pii
+
+    _ensure_ray()
+    ds = rd.read_parquet(args.input)
+    out = scrub_pii(ds, text_col=args.text_col, id_col=args.id_col)
+    out.write_parquet(args.dest)
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    written = pads.dataset(args.dest)
+    totals = {}
+    for name, _p, _r in PII_PATTERNS:
+        col = written.to_table(columns=[f"n_{name}"])[f"n_{name}"]
+        totals[f"n_{name}"] = int(pc.sum(col).as_py() or 0)
+    print(json.dumps({"rows": written.count_rows(), **totals}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     from solr_indexer_ray.stages.dedup import dedup_corpus
 
@@ -386,6 +408,15 @@ def build_parser() -> argparse.ArgumentParser:
     pck = sub.add_parser("check", help="index integrity check (fsck)")
     pck.add_argument("-o", "--output", required=True)
     pck.set_defaults(fn=cmd_check)
+
+    psc = sub.add_parser(
+        "scrub", help="PII-scrub a corpus (emails/IPs/phones/secrets) "
+                      "to redacted parquet")
+    psc.add_argument("-i", "--input", required=True)
+    psc.add_argument("--dest", required=True)
+    psc.add_argument("--text-col", default="text")
+    psc.add_argument("--id-col", default="doc_id")
+    psc.set_defaults(fn=cmd_scrub)
 
     pdd = sub.add_parser(
         "dedup", help="dedup a corpus to partitioned parquet "

@@ -388,6 +388,24 @@ def q_text_quality(sf_dir: str):
     return _documents(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII detection + redaction (training-data cleaning): per-doc match
+    counts per kind and the sha256 of the scrubbed text — the hash makes
+    the whole redaction value-checked even for PII-free rows."""
+    from solr_indexer_ray.stages.pii import scrub_pii
+
+    scrubbed = scrub_pii(_documents(sf_dir))
+
+    def sha(batch: pa.Table) -> pa.Table:
+        h = [hashlib.sha256((t or "").encode()).hexdigest()
+             for t in batch["text"].to_pylist()]
+        return batch.drop_columns(["text"]).append_column(
+            "scrubbed_sha", pa.array(h, pa.string())
+        )
+
+    return scrubbed.map_batches(sha, batch_format="pyarrow")
+
+
 def q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count
 

@@ -1079,6 +1079,26 @@ LIMIT 20
 
 DOC_SHA256_SQL = "SELECT doc_id, sha256(coalesce(text, '')) AS sha256 FROM documents"
 
+
+def pii_scrub_sql() -> str:
+    """PII counts + scrubbed-text sha256.  The patterns are shared RE2
+    (pyarrow's and DuckDB's regex engine), so the redaction is
+    byte-identical on both sides."""
+    from solr_indexer_ray.stages.pii import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        "len(regexp_extract_all(coalesce(text, ''), "
+        f"'{pat.replace(chr(39), chr(39) * 2)}')) AS n_{name}"
+        for name, pat, _repl in PII_PATTERNS
+    )
+    expr = "coalesce(text, '')"
+    for _name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return (f"SELECT doc_id,\n  {counts},\n  sha256({expr}) AS scrubbed_sha "
+            "FROM documents")
+
 _MARKER_COLS = ",\n    ".join(
     f"len(list_intersect(list_distinct(toks), [{_sql_list(LANG_MARKERS[lang])}]))"
     f" AS h_{lang}"
@@ -1320,6 +1340,7 @@ def oracle_sql_dict() -> dict:
         "doc_stats": DOC_STATS_SQL,
         "top_terms": TOP_TERMS_SQL,
         "doc_sha256": DOC_SHA256_SQL,
+        "pii_scrub": pii_scrub_sql(),
         "text_quality": TEXT_QUALITY_SQL,
         "lang_counts": LANG_COUNTS_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,

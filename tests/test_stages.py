@@ -389,3 +389,47 @@ class TestDedupCorpusPipeline:
         )
         with pytest.raises(ValueError, match="unknown dedup mode"):
             dedup_corpus(str(src), str(tmp_path / "o"), mode="nope")
+
+
+class TestPiiScrub:
+    CASES = [
+        ("contact bob.smith+x@example.co.uk or 10.0.0.1",
+         "contact <EMAIL> or <IP>", {"n_email": 1, "n_ipv4": 1}),
+        ("call +47 22-33 44 55 now", "call <PHONE> now", {"n_phone": 1}),
+        ('API_KEY = "abcdef123456789"', "API_KEY=<SECRET>", {"n_secret": 1}),
+        ("token: 'shhh-very-secret' PASSWORD=\"hunter2hunter2\"",
+         "token=<SECRET> PASSWORD=<SECRET>", {"n_secret": 2}),
+        # conservative: bare digit runs / short +numbers are NOT phones,
+        # version-ish dotted numbers are NOT IPs
+        ("no pii 1.2 3.4.5 short+1 v1.2.3", "no pii 1.2 3.4.5 short+1 v1.2.3",
+         {}),
+        ("", "", {}),
+        (None, "", {}),
+    ]
+
+    def test_scrub_and_counts(self):
+        from solr_indexer_ray.stages.pii import PiiScrubber
+
+        t = pa.table({
+            "doc_id": pa.array(range(len(self.CASES)), pa.int64()),
+            "text": pa.array([c[0] for c in self.CASES], pa.string()),
+        })
+        out = PiiScrubber()(t).to_pylist()
+        for row, (_, want_text, want_counts) in zip(out, self.CASES):
+            assert row["text"] == want_text
+            for k in ("n_email", "n_ipv4", "n_phone", "n_secret"):
+                assert row[k] == want_counts.get(k, 0), (k, row)
+
+    def test_streams_over_dataset(self):
+        import ray.data as rd
+
+        from solr_indexer_ray.stages.pii import scrub_pii
+
+        ds = rd.from_items(
+            [{"doc_id": i, "text": f"mail{i}@x.io plus text"}
+             for i in range(50)]
+        )
+        out = pa.Table.from_pylist(scrub_pii(ds).take_all())
+        assert out.num_rows == 50
+        assert set(out["n_email"].to_pylist()) == {1}
+        assert all("<EMAIL>" in t for t in out["text"].to_pylist())
