@@ -76,6 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (synthetic media; _meta is oracle-checked)
         "multimodal_decode": c.q_multimodal_decode,
         "multimodal_decode_meta": c.q_multimodal_decode_meta,
+        # sketch aggregates (mergeable per-block partials, driver merge)
+        "kmv_sample": c.q_kmv_sample,
+        "heavy_hitters": c.q_heavy_hitters,
+        "quantile_sketch": c.q_quantile_sketch,
+        "hll_distinct": c.q_hll_distinct,        # rows-only (pytest bounds)
         # relational machinery (§2.5 J2, §2.6 A1-A3, §2.7, §2.9)
         "parent_flags": c.q_parent_flags,
         "unresolved_refs": c.q_unresolved_refs,

@@ -414,6 +414,70 @@ def q_lang_counts(sf_dir: str):
     )
 
 
+#: quantile-sketch contract: exact-binary q values (identical float
+#: arithmetic in numpy and DuckDB) over lineitem.l_quantity histograms
+QUANTILE_QS = (0.125, 0.25, 0.5, 0.75, 0.875)
+QUANTILE_LO, QUANTILE_HI, QUANTILE_BINS = 0.0, 51.0, 102
+KMV_K = 64
+HH_K = 8
+
+
+def q_kmv_sample(sf_dir: str):
+    """KMV sketch (k minimum sha256 values) over distinct order
+    custkeys — a mergeable distinct-count sketch whose CONTENT doubles
+    as a deterministic uniform sample; sha256 mode gives the sketch a
+    SQL oracle (ORDER BY sha256 LIMIT k)."""
+    from solr_indexer_ray.stages.sketch import kmv_sketch
+
+    ds = _read(sf_dir, "orders.parquet", columns=["o_custkey"])
+    sketch, _est = kmv_sketch(ds, "o_custkey", k=KMV_K, hash="sha256")
+    return sketch
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Heavy hitters over events.event_type: Misra-Gries candidates +
+    exact recount — the output is exactly 'values with count >
+    N/(k+1)', so the sketch route has a plain GROUP BY/HAVING oracle."""
+    from solr_indexer_ray.stages.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "events.parquet", columns=["event_type"])
+    return heavy_hitters(ds, "event_type", k=HH_K)
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Distributed fixed-width-histogram quantiles over
+    lineitem.l_quantity (per-block partial histograms, driver
+    sum-merge); exact-binary bin width and q values make the result
+    bit-reproducible in SQL."""
+    from solr_indexer_ray.stages.sketch import quantile_histogram
+
+    ds = _read(sf_dir, "lineitem.parquet", columns=["l_quantity"])
+    sk = quantile_histogram(ds, "l_quantity", lo=QUANTILE_LO,
+                            hi=QUANTILE_HI, n_bins=QUANTILE_BINS)
+    return pa.table({
+        "q": pa.array(list(QUANTILE_QS), pa.float64()),
+        "quantile": pa.array([sk.quantile(q) for q in QUANTILE_QS],
+                             pa.float64()),
+    })
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct estimates (rows-only: the estimate is
+    deterministic but not SQL-reproducible; accuracy bounds are pinned
+    in tests/test_sketch.py)."""
+    from solr_indexer_ray.stages.sketch import hll_sketch
+
+    rows = []
+    for table, col in (("events.parquet", "user_id"),
+                       ("orders.parquet", "o_custkey"),
+                       ("lineitem.parquet", "l_partkey")):
+        ds = _read(sf_dir, table, columns=[col])
+        est = hll_sketch(ds, col, p=12).estimate()
+        rows.append({"column": f"{table.split('.')[0]}.{col}",
+                     "estimate": float(est)})
+    return pa.Table.from_pylist(rows)
+
+
 def q_exact_dedup(sf_dir: str):
     from solr_indexer_ray.stages.dedup import exact_dedup
 

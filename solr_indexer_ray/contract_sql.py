@@ -1080,6 +1080,52 @@ LIMIT 20
 DOC_SHA256_SQL = "SELECT doc_id, sha256(coalesce(text, '')) AS sha256 FROM documents"
 
 
+def kmv_sample_sql() -> str:
+    from solr_indexer_ray.contract import KMV_K
+
+    return f"""
+SELECT sha256(v) AS h, v AS value FROM (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders)
+ORDER BY h LIMIT {KMV_K}"""
+
+
+def heavy_hitters_sql() -> str:
+    from solr_indexer_ray.contract import HH_K
+
+    return f"""
+SELECT event_type AS value, count(*) AS n
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+HAVING count(*) > (SELECT count(event_type) FROM events) / ({HH_K} + 1.0)
+ORDER BY n DESC, value"""
+
+
+def quantile_sketch_sql() -> str:
+    from solr_indexer_ray.contract import (
+        QUANTILE_BINS,
+        QUANTILE_HI,
+        QUANTILE_LO,
+        QUANTILE_QS,
+    )
+
+    width = (QUANTILE_HI - QUANTILE_LO) / QUANTILE_BINS
+    qvals = ", ".join(f"({q})" for q in QUANTILE_QS)
+    return f"""
+WITH h AS (
+  SELECT least(greatest(CAST(floor((CAST(l_quantity AS DOUBLE) - {QUANTILE_LO})
+           / {width}) AS INT), 0), {QUANTILE_BINS - 1}) AS b,
+         count(*) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM h),
+tot AS (SELECT sum(c) AS n FROM h),
+qs(q) AS (VALUES {qvals})
+SELECT CAST(q AS DOUBLE) AS q,
+       {QUANTILE_LO} + (
+         (SELECT min(b) FROM cum, tot WHERE cc >= q * tot.n) + 1
+       ) * {width} AS quantile
+FROM qs"""
+
+
 def pii_scrub_sql() -> str:
     """PII counts + scrubbed-text sha256.  The patterns are shared RE2
     (pyarrow's and DuckDB's regex engine), so the redaction is
@@ -1341,6 +1387,9 @@ def oracle_sql_dict() -> dict:
         "top_terms": TOP_TERMS_SQL,
         "doc_sha256": DOC_SHA256_SQL,
         "pii_scrub": pii_scrub_sql(),
+        "kmv_sample": kmv_sample_sql(),
+        "heavy_hitters": heavy_hitters_sql(),
+        "quantile_sketch": quantile_sketch_sql(),
         "text_quality": TEXT_QUALITY_SQL,
         "lang_counts": LANG_COUNTS_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
