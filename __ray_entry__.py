@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_topk": c.q_wildcard_topk,
         "fuzzy_topk": c.q_fuzzy_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,
+        "regex_topk": c.q_regex_topk,
         "bool_topk": c.q_bool_topk,
         "spatial_topk": c.q_spatial_topk,
         "facets": c.q_facets,

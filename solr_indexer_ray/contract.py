@@ -118,6 +118,21 @@ WILDCARD_INFIX_QUERIES = [
     "z?qzz*",
 ]
 
+#: regex term-query cases (/pattern/ — Lucene RegexpQuery, RE2 syntax,
+#: full-term anchoring): constant-score union over regex-matching
+#: dictionary terms.  Reference surface: full Lucene query passthrough
+#: (README.md:259-260).
+REGEX_QUERIES = [
+    "/w.ndow/",
+    "/sp(ar|ur)k/ merge",
+    "/.*ndow/",
+    "/b[ae]tch/ AND stream",
+    "-/wind\\w*/ spark",
+    "lang:en /m[a-z]+ge/",
+    "/st(r|l)eam(s|ing)?/^2 batch",
+    "/zzq+[0-9]*x/",
+]
+
 #: parenthesized boolean grouping cases.  Every root path carries at
 #: least one SCORING clause (the SQL oracle derives membership from the
 #: union of contributions, so a root match with zero scoring clauses —
@@ -985,6 +1000,15 @@ def q_wildcard_infix_topk(sf_dir: str):
     return _rounded_topk_rows(
         SearchEngine(_bm25_index(sf_dir)), WILDCARD_INFIX_QUERIES
     )
+
+
+def q_regex_topk(sf_dir: str):
+    """Top-k with /regex/ clauses (Lucene RegexpQuery, RE2 syntax):
+    constant-score union over full-match dictionary terms; the oracle runs
+    the same patterns through DuckDB's regexp_full_match (also RE2)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    return _rounded_topk_rows(SearchEngine(_bm25_index(sf_dir)), REGEX_QUERIES)
 
 
 def q_near_topk(sf_dir: str):

@@ -69,6 +69,17 @@ def _like_of(pattern: str) -> str:
     )
 
 
+def _pattern_cond(pat: str, col: str = "term") -> str:
+    """SQL condition for one multi-term pattern clause: LIKE for Lucene
+    wildcards, ``regexp_full_match`` for ``/regex/`` clauses (DuckDB and
+    Arrow both run RE2, so the oracle and the engine agree exactly —
+    mirrors ``SearchEngine.expand_pattern``'s dispatch)."""
+    if pat.startswith("/") and pat.endswith("/") and len(pat) > 2:
+        inner = pat[1:-1].replace("'", "''")
+        return f"regexp_full_match({col}, '{inner}')"
+    return f"{col} LIKE '{_like_of(pat)}' ESCAPE '\\'"
+
+
 # --------------------------------------------------------------------- #
 # BM25 (programmatically generated from the same parsed queries)
 # --------------------------------------------------------------------- #
@@ -426,7 +437,7 @@ def _phrase_query_block(q: str) -> str:
         gw = float(parsed.wildcard_boosts.get(pat, 1.0))
         branches.append(f"""
     SELECT DISTINCT t.doc_id AS doc_id, 'g:{gi}' AS clause, {gw!r} AS contrib
-    FROM tf t WHERE t.term LIKE '{_like_of(pat)}' ESCAPE '\\'""")
+    FROM tf t WHERE {_pattern_cond(pat, 't.term')}""")
     qq = q.replace("'", "''")
     if not branches:
         if parsed.filters or parsed.range_filters:
@@ -482,8 +493,8 @@ def _phrase_query_block(q: str) -> str:
         )
     for pat in sorted(set(parsed.prohibited_wildcards)):
         conds.append(
-            "c.doc_id NOT IN (SELECT doc_id FROM tf WHERE term LIKE "
-            f"'{_like_of(pat)}' ESCAPE '\\')"
+            "c.doc_id NOT IN (SELECT doc_id FROM tf WHERE "
+            f"{_pattern_cond(pat)})"
         )
     n_clauses = parsed.scoring_clauses
     having = (
@@ -566,6 +577,15 @@ def fuzzy_topk_sql() -> str:
 def wildcard_infix_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in WILDCARD_INFIX_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
+def regex_topk_sql() -> str:
+    from solr_indexer_ray.contract import REGEX_QUERIES
+
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in REGEX_QUERIES
     )
     return _BM25_CTES + blocks
 
@@ -1405,6 +1425,7 @@ def oracle_sql_dict() -> dict:
         "date_range_topk": date_range_topk_sql(),
         "fuzzy_topk": fuzzy_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),
+        "regex_topk": regex_topk_sql(),
         "bool_topk": bool_topk_sql(),
         "spatial_topk": spatial_topk_sql(),
         "facets": facets_sql(),

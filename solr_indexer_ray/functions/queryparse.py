@@ -56,6 +56,14 @@ Supported grammar (documented subset):
 
 - ``"a b"~slop``           -> ordered proximity (span-near within slop,
                                PhraseQuery scoring); slop 0 = exact phrase.
+
+- ``/regex/``              -> regex term query (Lucene RegexpQuery):
+                               CONSTANT_SCORE union of every dictionary
+                               term FULLY matching the pattern.  RE2
+                               syntax (Arrow + DuckDB both run RE2);
+                               lowercased like other multiterm clauses;
+                               no whitespace inside the pattern.
+                               ``-/re/`` prohibits; ``/re/^2`` boosts.
 """
 
 from __future__ import annotations
@@ -301,6 +309,18 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS) -> ParsedQuery:
         bm = _BOOST.match(raw)
         if bm and bm.group(1):
             raw, boost = bm.group(1), float(bm.group(2))
+        if raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
+            # Lucene RegexpQuery: /pattern/ anchors the WHOLE term
+            # (fullmatch).  Not analyzed; only the multiterm chain
+            # (lowercasing) applies — same as wildcards.  Stored in the
+            # wildcard clause lists with the slash delimiters kept as the
+            # regex marker; the engine and the SQL oracle both dispatch on
+            # it (Arrow and DuckDB share RE2, so semantics agree exactly).
+            pat = raw.lower()
+            (out.prohibited_wildcards if neg else out.wildcards).append(pat)
+            if boost is not None and not neg:
+                out.wildcard_boosts[pat] = boost
+            continue
         if ":" in raw:
             fld, _, val = raw.partition(":")
             val = val.strip('"')
@@ -376,9 +396,10 @@ class BoolNode:
 
 def _bool_tokens(q: str) -> list[str]:
     """Lex a grouped query: parens are standalone tokens; quoted segments
-    (with attached field prefix / ``-`` / trailing slop/boost) and range
-    literals (``[lo TO hi]`` / ``{lo TO hi}`` — they contain spaces) stay
-    atomic; everything else splits on whitespace."""
+    (with attached field prefix / ``-`` / trailing slop/boost), range
+    literals (``[lo TO hi]`` / ``{lo TO hi}`` — they contain spaces) and
+    ``/regex/`` clauses (whose parens/brackets are regex syntax, not
+    grouping) stay atomic; everything else splits on whitespace."""
     toks: list[str] = []
     buf: list[str] = []
 
@@ -393,6 +414,17 @@ def _bool_tokens(q: str) -> list[str]:
         c = q[i]
         if c == '"':
             j = q.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            buf.append(q[i:j + 1])
+            i = j + 1
+        elif (
+            c == "/"
+            and not in_range
+            and (not buf or all(b in "+-" for b in buf))
+        ):
+            # token-initial slash opens a /regex/ clause: consume to the
+            # closing slash so its parens/brackets never lex as grouping
+            j = q.find("/", i + 1)
             j = n - 1 if j < 0 else j
             buf.append(q[i:j + 1])
             i = j + 1
@@ -418,11 +450,15 @@ def _bool_tokens(q: str) -> list[str]:
     return toks
 
 
+_REGEX_CLAUSE = re.compile(r"(?<![^\s(])[-+]?/[^/\s]+/")
+
+
 def has_group_syntax(q: str) -> bool:
-    """True when the query contains a paren outside quotes."""
+    """True when the query contains a paren outside quotes (parens inside
+    ``/regex/`` clauses are regex syntax, not grouping)."""
     depth_seen = False
     in_quote = False
-    for c in q or "":
+    for c in _REGEX_CLAUSE.sub(" ", q or ""):
         if c == '"':
             in_quote = not in_quote
         elif c in "()" and not in_quote:

@@ -735,13 +735,40 @@ class SearchEngine:
 
     def expand_pattern(self, pattern: str) -> list:
         """Dictionary terms matching a general wildcard (``*`` / ``?``
-        anywhere).  The literal prefix before the first wildcard prunes the
+        anywhere) or a ``/regex/`` clause (Lucene RegexpQuery).  The
+        literal prefix before the first metacharacter prunes the
         term-dictionary scan via sorted-term row-group stats (same trick as
-        :meth:`expand_prefix`); the pattern itself runs as a vectorized SQL
-        LIKE over the surviving terms (``pc.match_like``)."""
+        :meth:`expand_prefix`); the pattern itself runs as a vectorized
+        kernel over the surviving terms (``pc.match_like`` for wildcards,
+        anchored ``pc.match_substring_regex`` — RE2, the same engine DuckDB
+        uses, so the SQL oracle agrees bit-for-bit — for regexes)."""
         hit = self._pattern_cache.get(pattern)
         if hit is not None:
             return hit
+        if pattern.startswith("/") and pattern.endswith("/") and len(pattern) > 2:
+            inner = pattern[1:-1]
+            # literal prefix: leading word chars not consumed by a
+            # quantifier on the last one (/abc*/ -> literal "ab")
+            lit = re.match(r"^[A-Za-z0-9_]*", inner).group(0)
+            if lit and len(lit) < len(inner) and inner[len(lit)] in "*+?{":
+                lit = lit[:-1]
+            flt = None
+            if lit:
+                hi = lit[:-1] + chr(ord(lit[-1]) + 1)
+                flt = (pc.field("term") >= lit) & (pc.field("term") < hi)
+            tbl = self._postings_ds.to_table(columns=["term"], filter=flt)
+            terms = pc.unique(tbl["term"])
+            mask = pc.match_substring_regex(terms, f"^(?:{inner})$")
+            out = sorted(terms.filter(mask).to_pylist())
+            if len(out) > self.max_expansions:
+                raise ValueError(
+                    f"regex {pattern} expands to {len(out)} terms "
+                    f"(> max_expansions={self.max_expansions})"
+                )
+            if len(self._pattern_cache) > 1024:
+                self._pattern_cache.clear()
+            self._pattern_cache[pattern] = out
+            return out
         lit = re.match(r"^[^*?]*", pattern).group(0)
         flt = None
         if lit:
@@ -1196,6 +1223,13 @@ class SearchEngine:
             for w in sorted(words, key=len, reverse=True)
         ]
         for wc in parsed.wildcards:  # * -> \w*, ? -> \w
+            if wc.startswith("/") and wc.endswith("/") and len(wc) > 2:
+                try:  # regex clause: highlight the pattern itself
+                    re.compile(wc[1:-1])
+                    alts.append(f"(?:{wc[1:-1]})")
+                except re.error:
+                    pass  # RE2-only syntax: skip highlight for the clause
+                continue
             alts.append(
                 re.escape(wc).replace(r"\*", r"\w*").replace(r"\?", r"\w")
             )

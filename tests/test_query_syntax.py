@@ -514,3 +514,64 @@ class TestSecondReviewFixes:
             a = e.search(q, k=10, fl=["doc_id"])
             b = search_partitioned(index_dir, q, k=10)
             assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+
+
+class TestRegexQuery:
+    """/regex/ term queries (Lucene RegexpQuery, RE2 full-term match):
+    constant-score multiterm union, same rewrite as general wildcards."""
+
+    def test_parser_forms(self):
+        p = parse_query("/pa.se/ -/sk[iu]p/ /m(e|u)rge/^2", simple_analyzer)
+        assert "/pa.se/" in p.wildcards
+        assert p.prohibited_wildcards == ["/sk[iu]p/"]
+        assert p.wildcard_boosts["/m(e|u)rge/"] == 2.0
+
+    def test_group_lexer_keeps_regex_atomic(self):
+        from solr_indexer_ray.functions.queryparse import (
+            _bool_tokens,
+            has_group_syntax,
+        )
+        # parens inside the regex are NOT grouping syntax
+        assert not has_group_syntax("/sp(ar|ur)k/ merge")
+        assert has_group_syntax("(/sp(ar|ur)k/ OR window) AND merge")
+        toks = _bool_tokens("(-/a(b)c/ OR x)")
+        assert "-/a(b)c/" in toks
+        # a path-filter slash is not a regex opener
+        assert "path:src/main.py" in _bool_tokens("(path:src/main.py x)")
+
+    def test_expansion_full_match_semantics(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        got = e.expand_pattern("/pa.se/")
+        assert "parse" in got
+        assert all(len(m) == 5 and m.startswith("pa") and m.endswith("se")
+                   for m in got)
+        # anchoring: /ars/ must NOT match "parse" (fullmatch, not search)
+        assert "parse" not in e.expand_pattern("/ars/")
+
+    def test_regex_equals_equivalent_wildcard(self, built_index):
+        """/pa.se/ and pa?se expand identically -> identical ranking."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        assert e.expand_pattern("/pa.se/") == e.expand_pattern("pa?se")
+        a = e.search("/pa.se/ merge", k=10, fl=["doc_id"])
+        b = e.search("pa?se merge", k=10, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_prohibited_and_grouped_and_distributed(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        for q in ["/pa.se/ merge", "-/pa.se/ merge",
+                  "(/m(e|u)rge/ OR window) AND read",
+                  "/re(ad|et)/^2 parse"]:
+            a = e.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_no_match_regex(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        assert e.expand_pattern("/zzqq[0-9]+x/") == []
+        assert e.search("/zzqq[0-9]+x/", k=5, fl=["doc_id"]).num_rows == 0
