@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": c.q_fingerprints,           # rows-only
         # embeddings
         "ann_topk": c.q_ann_topk,
+        "hybrid_topk": c.q_hybrid_topk,
         "ann_ivf_topk": c.q_ann_ivf_topk,
         "embedding_dups": c.q_embedding_dups,
         "embedding_dups_ivf": c.q_embedding_dups_ivf,  # rows-only (recall<1)

@@ -154,6 +154,44 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_hybrid(args) -> int:
+    """Hybrid BM25 + embedding-cosine retrieval (RRF / weighted fusion).
+
+    The query vector comes from ``--vector`` (JSON float list) or
+    ``--vec-id`` (point-read from the embeddings table — the hybrid
+    more-like-this shape)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray
+
+    from solr_indexer_ray.stages.hybrid import hybrid_search
+
+    if args.vector:
+        vec = np.asarray(json.loads(args.vector), dtype=np.float64)
+    else:
+        if args.vec_id is None:
+            print("hybrid: need --vector or --vec-id", file=sys.stderr)
+            return 2
+        t = pads.dataset(args.embeddings).to_table(
+            columns=["embedding"],
+            filter=pads.field("vec_id") == args.vec_id,
+        )
+        if t.num_rows != 1:
+            print(f"# vec_id {args.vec_id} not found", file=sys.stderr)
+            return 1
+        vec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    emb_ds = ray.data.read_parquet(args.embeddings)
+    out = hybrid_search(
+        args.output, emb_ds, [(0, args.query, vec)], k=args.k,
+        fuse_n=args.fuse_n, method=args.method,
+        w_text=args.w_text, w_vec=args.w_vec,
+    )
+    for row in out.to_pylist():
+        print(json.dumps(row, default=str))
+    print(f"# {out.num_rows} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_terms(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
@@ -371,6 +409,22 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--min-term-freq", type=int, default=2)
     pm.add_argument("--min-doc-freq", type=int, default=5)
     pm.set_defaults(fn=cmd_mlt)
+
+    ph = sub.add_parser(
+        "hybrid", help="hybrid BM25 + embedding-cosine retrieval (RRF)"
+    )
+    ph.add_argument("-o", "--output", required=True)
+    ph.add_argument("-q", "--query", required=True)
+    ph.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id, embedding) aligned to doc ids")
+    ph.add_argument("--vec-id", type=int, help="query vector = this row")
+    ph.add_argument("--vector", help="query vector as a JSON float list")
+    ph.add_argument("-k", type=int, default=10)
+    ph.add_argument("--fuse-n", type=int, default=50)
+    ph.add_argument("--method", choices=["rrf", "weighted"], default="rrf")
+    ph.add_argument("--w-text", type=float, default=0.5)
+    ph.add_argument("--w-vec", type=float, default=0.5)
+    ph.set_defaults(fn=cmd_hybrid)
 
     pt = sub.add_parser("terms", help="enumerate index terms (Solr /terms)")
     pt.add_argument("-o", "--output", required=True)

@@ -214,6 +214,17 @@ FACET_FIELDS = ["lang", "repo"]  # repo <- documents.source (FIXTURES map)
 ANN_N_QUERIES = 5
 ANN_K = 10
 
+#: hybrid BM25+vector fusion: text query qi pairs with the embedding of
+#: vec_id = qi (plain OR term queries only — the SQL oracle's text-rank
+#: CTE covers exactly the flat disjunctive shape)
+HYBRID_QUERIES = [
+    "spark merge",
+    "window stream",
+    "read write key",
+    "the batch",
+    "sort join data",
+]
+
 #: the DuckDB-exact tokenizer expression (must mirror simple_analyzer)
 SQL_TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -1433,6 +1444,28 @@ def q_delete_by_query_remaining(sf_dir: str):
 # ===================================================================== #
 def _embeddings(sf_dir: str):
     return _read(sf_dir, "embeddings.parquet")
+
+
+def q_hybrid_topk(sf_dir: str):
+    """Hybrid BM25 + embedding-cosine retrieval fused with RRF (k=60):
+    per query, both sides ranked on round-4 scores (id-asc tie-breaks),
+    truncated to FUSE_N, fused 1/(60+r_text) + 1/(60+r_vec), rrf round-6,
+    top BM25_K by (rrf desc, doc_id).  ``exact_ranks=True`` pins the
+    full-rank-then-truncate convention the SQL oracle reproduces."""
+    from solr_indexer_ray.stages.hybrid import hybrid_search
+
+    emb = _embeddings(sf_dir)
+    vec_by_id = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.take_all()
+        if r["vec_id"] < len(HYBRID_QUERIES)
+    }
+    queries = [
+        (qi, q, vec_by_id[qi]) for qi, q in enumerate(HYBRID_QUERIES)
+    ]
+    return hybrid_search(
+        _bm25_index(sf_dir), emb, queries, k=BM25_K, exact_ranks=True
+    )
 
 
 def q_ann_topk(sf_dir: str):

@@ -590,6 +590,69 @@ def regex_topk_sql() -> str:
     return _BM25_CTES + blocks
 
 
+def _hybrid_query_block(qi: int, q: str) -> str:
+    """One hybrid query: text rank (row_number over round-4 BM25, doc_id
+    tie-break, top FUSE_N) FULL OUTER JOIN vector rank (round-4 cosine of
+    embeddings vs the vec_id=qi query vector), RRF = 1/(60+r) per present
+    list, round-6, top BM25_K.  Mirrors ``stages.hybrid.hybrid_search``
+    with ``exact_ranks=True`` clause for clause."""
+    from solr_indexer_ray.stages.hybrid import FUSE_N, RRF_K
+
+    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
+    terms = sorted(set(parsed.terms))
+    assert terms and not parsed.filters and not parsed.prohibited, q
+    qq = q.replace("'", "''")
+    return f"""
+SELECT {qi}::BIGINT AS query_id, doc_id, rrf_r FROM (
+  WITH t_full AS (
+    SELECT t.doc_id AS doc_id,
+      round(sum(
+        ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        * (t.tf / (t.tf + {K1} * (1 - {B} + {B} * q.dlq / st.avgdl)))
+      ), 4) AS score_r
+    FROM tf t
+    JOIN df d USING (term)
+    JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE t.term IN ({_sql_list(terms)})
+    GROUP BY t.doc_id
+  ),
+  tr AS (
+    SELECT doc_id,
+      row_number() OVER (ORDER BY score_r DESC, doc_id) AS r
+    FROM t_full
+    QUALIFY r <= {FUSE_N}
+  ),
+  vr AS (
+    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+    FROM (
+      SELECT e.vec_id AS doc_id,
+        round(list_cosine_similarity(
+          e.embedding::DOUBLE[],
+          (SELECT embedding FROM embeddings
+           WHERE vec_id = {qi})::DOUBLE[]), 4) AS sim
+      FROM embeddings e
+    )
+    QUALIFY r <= {FUSE_N}
+  )
+  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+    round(coalesce(1.0 / ({RRF_K} + tr.r), 0)
+        + coalesce(1.0 / ({RRF_K} + vr.r), 0), 6) AS rrf_r
+  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+  QUALIFY row_number() OVER (
+    ORDER BY rrf_r DESC, coalesce(tr.doc_id, vr.doc_id)) <= {BM25_K}
+)"""
+
+
+def hybrid_topk_sql() -> str:
+    from solr_indexer_ray.contract import HYBRID_QUERIES
+
+    blocks = "\nUNION ALL\n".join(
+        _hybrid_query_block(qi, q) for qi, q in enumerate(HYBRID_QUERIES)
+    )
+    return _BM25_CTES + blocks
+
+
 def bool_topk_sql() -> str:
     """Grouped-boolean oracle.  Per BOOL_QUERIES case: a term leaf
     contributes iff the doc matches the WHOLE query (root condition) AND
@@ -1444,6 +1507,7 @@ def oracle_sql_dict() -> dict:
         "delete_by_query_remaining": DELETE_BY_QUERY_SQL,
         "multimodal_decode_meta": MULTIMODAL_DECODE_META_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "hybrid_topk": hybrid_topk_sql(),
         # ann_ivf_topk is exact at nprobe == n_buckets -> same oracle
         "ann_ivf_topk": ANN_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,

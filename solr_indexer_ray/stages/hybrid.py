@@ -1,0 +1,169 @@
+"""Hybrid retrieval: BM25 text ranking fused with embedding-cosine ranking.
+
+The modern training-data / RAG retrieval shape: a lexical ranking (our
+inverted-index BM25 engine) and a dense ranking (cosine over an embedding
+column) are computed independently and FUSED.  Two fusion rules:
+
+- ``method="rrf"`` — Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+  SIGIR 2009): ``score(d) = Σ_lists 1/(rrf_k + rank_list(d))`` over the
+  lists that contain *d*, with the standard ``rrf_k = 60``.  Rank-based,
+  so it needs no score normalisation — the reason it is the default
+  everywhere (Elasticsearch/OpenSearch/Vespa all ship it).
+- ``method="weighted"`` — ``w_text·bm25 + w_vec·cosine`` on the raw
+  scores; simple but scale-sensitive (documented; not the oracle mode).
+
+Ray-Data-first layout (what survives 100 TB):
+
+- the text side queries the on-disk inverted index (top-``fuse_n`` per
+  query; per-range distributed fan-out via ``search_partitioned`` when
+  ``distributed=True``) — never a corpus scan;
+- the dense side is :func:`stages.ann.brute_force_topk`'s layout: queries
+  broadcast once via ``ray.put``, the embedding dataset STREAMS through
+  ``map_batches`` partial top-k tasks, a driver merge sees only
+  ``n_queries × fuse_n`` rows (swap in :class:`stages.ann.IvfIndex` for a
+  partition-pruned probe at corpus scale);
+- fusion joins two ≤``fuse_n`` lists per query on the driver — tiny.
+
+Determinism contract (what the DuckDB oracle pins, ``exact_ranks=True``):
+both sides are ranked on scores **rounded half-away to 4 decimals** with
+ascending-id tie-breaks, truncated to ``fuse_n``, fused, and the RRF
+score rounded to 6; final order (rrf desc, doc_id asc).  Rounding before
+ranking makes the rank — and therefore the fused score — independent of
+float summation order on both sides of the check (the same convention as
+every ``*_topk`` contract).  With ``exact_ranks=False`` (the production
+path) each side retrieves only top-``fuse_n`` instead of ranking the full
+match set first; results differ only when rounding reorders scores across
+the ``fuse_n`` boundary.
+
+Reference precedent: the reference delegates relevance entirely to one
+Solr BM25 ranking (``/root/reference/solrindexer/search.py:125-140``);
+hybrid fusion is a beyond-reference training-data operator per the brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+RRF_K = 60          # the SIGIR-2009 constant; every engine ships 60
+FUSE_N = 50         # per-list depth entering fusion
+HYBRID_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("doc_id", pa.int64()),
+     ("rrf_r", pa.float64())]
+)
+
+
+def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+    """Round-half-away-from-zero (SQL ``round``), not banker's rounding."""
+    p = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def _ranked_ids(ids: np.ndarray, scores: np.ndarray, fuse_n: int):
+    """(ids, rounded scores) -> dict doc_id -> 1-based rank, ranked by
+    (score desc, id asc), truncated to ``fuse_n``."""
+    order = np.lexsort((ids, -scores))[:fuse_n]
+    return {int(ids[i]): r + 1 for r, i in enumerate(order)}
+
+
+def hybrid_search(
+    index_dir: str,
+    embeddings_ds,
+    queries,
+    *,
+    k: int = 10,
+    fuse_n: int = FUSE_N,
+    method: str = "rrf",
+    rrf_k: int = RRF_K,
+    w_text: float = 0.5,
+    w_vec: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_ranks: bool = False,
+    distributed: bool = False,
+    engine=None,
+) -> pa.Table:
+    """Fuse BM25 and cosine rankings for ``queries``.
+
+    ``queries``: list of ``(query_id, text_query, vector)``.  Embedding ids
+    in ``embeddings_ds[id_col]`` must be the engine's doc ids (the corpus
+    and its embedding table are row-aligned by construction).
+
+    Returns ``(query_id, doc_id, rrf_r)`` — for ``method="weighted"`` the
+    third column is the weighted score under the same name, so both modes
+    share a schema — top ``k`` per query by (score desc, doc_id asc).
+    """
+    from solr_indexer_ray.pipelines.search import (
+        SearchEngine,
+        search_partitioned,
+    )
+    from solr_indexer_ray.stages.ann import brute_force_topk
+
+    if method not in ("rrf", "weighted"):
+        raise ValueError(f"unknown fusion method: {method!r}")
+    if engine is None:
+        engine = SearchEngine(index_dir)
+    n_docs = engine.n_docs
+    depth = n_docs if exact_ranks else fuse_n
+
+    # ---- dense side: ONE streaming pass for every query --------------
+    qmat = np.asarray([v for _, _, v in queries], dtype=np.float64)
+    dense = brute_force_topk(
+        embeddings_ds, qmat, k=depth, vec_col=vec_col, id_col=id_col
+    )
+    dense_by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    d_q = dense["query_id"].to_numpy()
+    d_id = dense["vec_id"].to_numpy()
+    d_sim = dense["similarity"].to_numpy()
+    for qi in range(len(queries)):
+        m = d_q == qi
+        dense_by_q[qi] = (d_id[m], _round_half_away(d_sim[m], 4))
+
+    out_q, out_d, out_s = [], [], []
+    for qi, (query_id, text_q, _vec) in enumerate(queries):
+        # ---- text side: index top-k, never a corpus scan --------------
+        if distributed:
+            t = search_partitioned(index_dir, text_q, k=depth)
+        else:
+            t = engine.search(text_q, k=depth, fl=["doc_id"])
+        t_ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        t_scores = _round_half_away(
+            np.asarray(t["score"].to_pylist(), dtype=np.float64), 4
+        )
+        text_rank = _ranked_ids(t_ids, t_scores, fuse_n)
+        v_ids, v_sims = dense_by_q[qi]
+        vec_rank = _ranked_ids(v_ids, v_sims, fuse_n)
+
+        if method == "rrf":
+            fused = {
+                d: (1.0 / (rrf_k + r) if (r := text_rank.get(d)) else 0.0)
+                + (1.0 / (rrf_k + rv) if (rv := vec_rank.get(d)) else 0.0)
+                for d in set(text_rank) | set(vec_rank)
+            }
+            fused = {d: round(s, 6) for d, s in fused.items()}
+        else:  # weighted raw-score sum over the union of the two lists
+            t_by_id = dict(zip(t_ids.tolist(), t_scores.tolist()))
+            v_by_id = dict(zip(v_ids.tolist(), v_sims.tolist()))
+            fused = {
+                d: round(
+                    w_text * t_by_id.get(d, 0.0)
+                    + w_vec * v_by_id.get(d, 0.0), 6,
+                )
+                for d in set(text_rank) | set(vec_rank)
+            }
+
+        ids = np.fromiter(fused.keys(), np.int64, len(fused))
+        scores = np.fromiter(fused.values(), np.float64, len(fused))
+        for i in np.lexsort((ids, -scores))[:k]:
+            out_q.append(int(query_id))
+            out_d.append(int(ids[i]))
+            out_s.append(float(scores[i]))
+
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "rrf_r": pa.array(out_s, pa.float64()),
+        },
+        schema=HYBRID_SCHEMA,
+    )
