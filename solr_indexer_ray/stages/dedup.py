@@ -74,6 +74,30 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def exact_dup_dropped_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Ids DROPPED by exact-content dedup: every id except the min per
+    sha256(content) group.  Singleton groups emit nothing, so the result
+    is bounded by the number of actual duplicate rows — the side to
+    broadcast at corpus scale (the keep set is O(corpus); the dropped
+    set is O(dups))."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [sha256_hex(t) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {"sha256": pa.array(hashes, pa.string()), id_col: batch[id_col]}
+        )
+
+    def drop_rest(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        dead = np.sort(ids)[1:]
+        return pa.table({id_col: pa.array(dead, pa.int64())})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("sha256")
+        .map_groups(drop_rest, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------- #
 # shingle explode (shared by jaccard + minhash verify)
 # --------------------------------------------------------------------- #
@@ -622,19 +646,21 @@ def dedup_corpus(
     ds = rd.read_parquet(input_path)
     n_total = ds.count()
     if mode == "exact":
-        keep_rows = exact_dedup(ds, text_col=text_col, id_col=id_col)
-        keep_ids = np.array(
-            sorted(r[id_col] for r in keep_rows.take_all()), dtype=np.int64
+        # broadcast the DROPPED side: bounded by the duplicate count,
+        # not the corpus (the keep set is O(corpus) — never ship that)
+        dropped_rows = exact_dup_dropped_ids(
+            ds, text_col=text_col, id_col=id_col
         )
-        ref = ray.put(keep_ids)
+        dead = np.array(
+            sorted(r[id_col] for r in dropped_rows.take_all()),
+            dtype=np.int64,
+        )
+        ref = ray.put(dead)
 
         def keep(batch: pa.Table) -> pa.Table:
-            k = ray.get(ref)
+            d = ray.get(ref)
             ids = batch[id_col].to_numpy()
-            idx = np.searchsorted(k, ids)
-            idx = np.minimum(idx, k.size - 1) if k.size else idx
-            mask = k[idx] == ids if k.size else np.zeros(len(ids), bool)
-            return batch.filter(pa.array(mask))
+            return batch.filter(pa.array(~np.isin(ids, d)))
 
         out = ds.map_batches(keep, batch_format="pyarrow")
     else:

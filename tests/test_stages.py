@@ -68,6 +68,29 @@ class TestExactDedup:
         out = {r["doc_id"] for r in exact_dedup(ds).take_all()}
         assert out == {0, 2}
 
+    def test_dropped_ids_complement_survivors(self):
+        """exact_dup_dropped_ids (the broadcast-small side at scale) is
+        the exact complement of exact_dedup's survivors."""
+        from solr_indexer_ray.stages.dedup import (
+            exact_dedup,
+            exact_dup_dropped_ids,
+        )
+
+        rows = [
+            {"doc_id": 0, "text": "same text"},
+            {"doc_id": 1, "text": "same text"},
+            {"doc_id": 2, "text": "other"},
+            {"doc_id": 3, "text": "same text"},
+            {"doc_id": 4, "text": "third"},
+        ]
+        ds = _docs_ds(rows)
+        keep = {r["doc_id"] for r in exact_dedup(ds).take_all()}
+        drop = {r["doc_id"] for r in exact_dup_dropped_ids(ds).take_all()}
+        assert keep == {0, 2, 4}
+        assert drop == {1, 3}
+        assert keep | drop == {r["doc_id"] for r in rows}
+        assert not (keep & drop)
+
 
 class TestJaccardPairs:
     ROWS = [
