@@ -175,21 +175,58 @@ def split_errors(validated_ds):
 def failure_summary(errors_ds) -> "object":
     """Failure analytics (A3, ``solrindexer/failure_tracker.py:152-171``):
     per-stage record counts, distinct files, fraction of total failures.
-    Returns a small pandas DataFrame (grouped aggregate -> tiny result)."""
+
+    Distributed combiner shape: each batch pre-aggregates to one row per
+    distinct (stage, file) with its count, the ``groupby("stage")``
+    shuffle then moves only those partials — never the raw error rows to
+    the driver (a poisoned 100 TB run can fail millions of rows).
+    Returns a small pandas DataFrame (one row per stage)."""
     import pandas as pd
 
-    rows = errors_ds.select_columns(["stage", "repo", "path"]).take_all()
+    def partial(t: "pa.Table") -> "pa.Table":
+        df = pd.DataFrame(
+            {
+                "stage": t["stage"].to_pylist(),
+                "file": [
+                    f"{r}/{p}"
+                    for r, p in zip(
+                        t["repo"].to_pylist(), t["path"].to_pylist()
+                    )
+                ],
+            }
+        )
+        g = df.groupby(["stage", "file"]).size().reset_index(name="n")
+        import pyarrow as pa_
+
+        return pa_.Table.from_pandas(g, preserve_index=False)
+
+    def per_stage(group: "pa.Table") -> "pa.Table":
+        import pyarrow as pa_
+
+        n = group["n"].to_numpy().sum()
+        files = len(set(group["file"].to_pylist()))
+        return pa_.table(
+            {
+                "stage": group["stage"][:1],
+                "n_records": pa_.array([int(n)], pa_.int64()),
+                "n_files": pa_.array([files], pa_.int64()),
+            }
+        )
+
+    rows = (
+        errors_ds.select_columns(["stage", "repo", "path"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("stage")
+        .map_groups(per_stage, batch_format="pyarrow")
+        .take_all()
+    )
     if not rows:
         return pd.DataFrame(columns=["stage", "n_records", "n_files", "fraction"])
-    df = pd.DataFrame(rows)
-    df["file"] = df["repo"] + "/" + df["path"]
-    g = (
-        df.groupby("stage")
-        .agg(n_records=("file", "size"), n_files=("file", "nunique"))
-        .reset_index()
-    )
+    g = pd.DataFrame(rows)
     g["fraction"] = g["n_records"] / g["n_records"].sum()
-    return g.sort_values("n_records", ascending=False).reset_index(drop=True)
+    return g.sort_values(
+        ["n_records", "stage"], ascending=[False, True]
+    ).reset_index(drop=True)
 
 
 def determine_exit_code(n_ok: int, n_failed: int) -> int:
