@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": c.q_fuzzy_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,
         "regex_topk": c.q_regex_topk,
+        "field_topk": c.q_field_topk,
+        "qf_topk": c.q_qf_topk,
         "bool_topk": c.q_bool_topk,
         "spatial_topk": c.q_spatial_topk,
         "facets": c.q_facets,

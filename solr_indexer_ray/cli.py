@@ -48,9 +48,10 @@ def cmd_index(args) -> int:
     extra = tuple(
         c for c in (getattr(args, "extra_stored", None) or "").split(",") if c
     )
+    afields = tuple(getattr(args, "analyzed_fields", None) or ())
     if (args.validate and not config.validate) or getattr(
         args, "positions", False
-    ) or getattr(args, "store_content", False) or extra:
+    ) or getattr(args, "store_content", False) or extra or afields:
         import dataclasses
 
         config = dataclasses.replace(
@@ -59,6 +60,7 @@ def cmd_index(args) -> int:
             store_positions=config.store_positions or args.positions,
             store_content=config.store_content or args.store_content,
             extra_stored=tuple(config.extra_stored) + extra,
+            analyzed_fields=tuple(config.analyzed_fields) + afields,
         )
     t0 = time.time()
     if args.extend:
@@ -126,7 +128,8 @@ def cmd_search(args) -> int:
             cursor = (float(cs), int(cid))
         t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
                           sort=args.sort, start=args.start, hl=args.hl,
-                          fq=args.fq, search_after=cursor)
+                          fq=args.fq, search_after=cursor,
+                          qf=args.qf, tie=args.tie)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet:
@@ -369,6 +372,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--extra-stored", dest="extra_stored",
                     help="comma-separated corpus columns to store "
                     "(typed ranges, bbox envelope columns)")
+    pi.add_argument("--analyzed-field", dest="analyzed_fields",
+                    action="append", metavar="FIELD:SRC",
+                    help="extra scored text field from a corpus column "
+                         "(repeatable; e.g. path_text:path — Solr "
+                         "copyField, per-field BM25 stats)")
     pi.set_defaults(fn=cmd_index)
 
     ps = sub.add_parser("search", help="BM25 top-k query")
@@ -398,6 +406,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--facet", help="comma-separated facet fields")
     ps.add_argument("--facet-limit", type=int, default=100)
     ps.add_argument("--facet-mincount", type=int, default=0)
+    ps.add_argument("--qf",
+                    help='dismax fields, e.g. "content^1 path_text^2" '
+                         "(free terms score max over fields; Solr qf)")
+    ps.add_argument("--tie", type=float, default=0.0,
+                    help="dismax tiebreaker (Solr tie)")
     ps.set_defaults(fn=cmd_search)
 
     pm = sub.add_parser("mlt", help="more-like-this by doc id")

@@ -93,6 +93,17 @@ class IndexConfig:
     #: sortable/facetable like any stored field.  Pinned at build time.
     extra_stored: tuple = ()
 
+    #: additional ANALYZED (scored) fields: ``"field:src_column"`` entries
+    #: (Solr ``copyField`` into a second text field; Lucene per-field
+    #: postings + norms).  Each source column is tokenized with the
+    #: default analyzer, its terms enter the same postings structure
+    #: field-prefixed, and the docs table gains ``doclen_<field>`` /
+    #: ``norm_<field>`` columns — queries can then score ``field:term``
+    #: clauses and dismax ``qf`` across fields with true per-field BM25
+    #: statistics (per-field df, docCount, avgdl, norms — Lucene
+    #: semantics).  Pinned at build time.
+    analyzed_fields: tuple = ()
+
     #: extra metadata recorded into the manifest.
     tags: dict = field(default_factory=dict)
 

@@ -214,6 +214,28 @@ FACET_FIELDS = ["lang", "repo"]  # repo <- documents.source (FIXTURES map)
 ANN_N_QUERIES = 5
 ANN_K = 10
 
+#: per-field scored search over extra analyzed fields (index built with
+#: analyzed_fields=("path_text:path", "repo_text:repo"); corpus mapping:
+#: path = "doc_<id>.txt" -> tokens [doc, <id>, txt], repo = source)
+FIELD_QUERIES = [
+    "path_text:txt spark",
+    "repo_text:src3 merge",
+    "path_text:7 window",
+    "-repo_text:src3 spark",
+    "path_text:doc AND merge",
+    "repo_text:src5^2 window",
+    "repo_text:zzqq spark",      # field term absent from the field
+]
+#: dismax qf cases (Solr qf + tie): free terms score max-over-fields
+QF_SPEC = "content^1 path_text^1.5"
+QF_TIE = 0.25
+QF_QUERIES = [
+    "txt spark",
+    "doc",
+    "window txt merge",
+    "spark merge",
+]
+
 #: hybrid BM25+vector fusion: text query qi pairs with the embedding of
 #: vec_id = qi (plain OR term queries only — the SQL oracle's text-rank
 #: CTE covers exactly the flat disjunctive shape)
@@ -672,6 +694,83 @@ def _geo_index(sf_dir: str) -> str:
                     overwrite=True)
     _INDEX_CACHE[key] = index_dir
     return index_dir
+
+
+def _bm25_field_index(sf_dir: str) -> str:
+    """Contract index with extra ANALYZED fields: path_text (from the
+    synthesized path "doc_<id>.txt") and repo_text (from repo=source) —
+    per-field postings/stats/norms for fielded scoring + dismax qf."""
+    key = ("fields", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.sources.corpus import documents_to_corpus_table
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    os.makedirs(work, exist_ok=True)
+    corpus_path = os.path.join(work, "corpus.parquet")
+    if not os.path.exists(corpus_path):
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        pq.write_table(
+            documents_to_corpus_table(docs), corpus_path,
+            row_group_size=4096,
+        )
+    index_dir = os.path.join(work, "index_fields_v1")
+    config = IndexConfig(
+        concurrency=2,
+        analyzed_fields=("path_text:path", "repo_text:repo"),
+    )
+    if not BuildManifest(index_dir).is_committed():
+        build_index(corpus_path, index_dir, config=config,
+                    registry=AnalyzerRegistry("simple", overrides={}),
+                    overwrite=True)
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_field_topk(sf_dir: str):
+    """Top-k with per-field scored term clauses (path_text:/repo_text:):
+    Lucene fielded TermQuery — field df, docCount, avgdl and norms."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    return _rounded_topk_rows(
+        SearchEngine(_bm25_field_index(sf_dir)), FIELD_QUERIES
+    )
+
+
+def q_qf_topk(sf_dir: str):
+    """Top-k with dismax qf (Solr DisjunctionMaxQuery + tiebreaker):
+    every free term scores max over {content, path_text^1.5} + tie*rest."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_field_index(sf_dir))
+    rows = []
+    for q in QF_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"],
+                             qf=QF_SPEC, tie=QF_TIE)
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]),
+                 "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
 
 
 def q_spatial_topk(sf_dir: str):

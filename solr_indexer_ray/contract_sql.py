@@ -644,6 +644,167 @@ SELECT {qi}::BIGINT AS query_id, doc_id, rrf_r FROM (
 )"""
 
 
+# --------------------------------------------------------------------- #
+# per-field scored search (analyzed fields) + dismax qf
+# --------------------------------------------------------------------- #
+#: SQL token-list expression per analyzed contract field (the corpus
+#: mapping synthesizes path = "doc_<id>.txt" and repo = source, so the
+#: simple-analyzed field tokens are recomputable from documents directly)
+_FIELD_TOKS = {
+    "path_text": "list_value('doc', doc_id::VARCHAR, 'txt')",
+    "repo_text": "list_value(lower(source))",
+}
+
+
+def _dlq_expr(dl: str) -> str:
+    """SmallFloat length quantization (same arithmetic as the dlq CTE)."""
+    return f"""CASE WHEN {dl} < 24 THEN {dl}
+      ELSE 24 + (CASE WHEN ({dl}-24) < 8 THEN {dl}-24
+        ELSE (({dl}-24) >> (CAST(floor(log2(greatest({dl}-24,1))) AS INT) - 3))
+             << (CAST(floor(log2(greatest({dl}-24,1))) AS INT) - 3) END)
+    END"""
+
+
+def _field_branch(fld: str, term: str, boost: float, clause: str) -> str:
+    """One fielded-term contribution branch: per-field BM25 (field df,
+    docCount, avgdl, quantized field length) — mirrors
+    ``SearchEngine._field_score_vec``."""
+    toks = _FIELD_TOKS[fld]
+    t = term.replace("'", "''")
+    tf = f"len(list_filter({toks}, x -> x = '{t}'))"
+    return f"""
+    SELECT f.doc_id AS doc_id, '{clause}' AS clause,
+      {boost!r} * fs.idf
+        * (f.tf / (f.tf + {K1} * (1 - {B} + {B} * f.dlq / fs.avgdl)))
+        AS contrib
+    FROM (
+      SELECT doc_id, {tf} AS tf,
+        {_dlq_expr(f"len({toks})")} AS dlq
+      FROM documents
+    ) f
+    CROSS JOIN (
+      SELECT
+        ln(1 + (count(*) FILTER (WHERE len({toks}) > 0)
+                - count(*) FILTER (WHERE {tf} > 0) + 0.5)
+              / (count(*) FILTER (WHERE {tf} > 0) + 0.5)) AS idf,
+        sum(len({toks})) * 1.0
+          / count(*) FILTER (WHERE len({toks}) > 0) AS avgdl
+      FROM documents
+    ) fs
+    WHERE f.tf > 0"""
+
+
+def _content_branch(term: str, boost: float, clause: str) -> str:
+    t = term.replace("'", "''")
+    return f"""
+    SELECT t.doc_id AS doc_id, '{clause}' AS clause,
+      {boost!r} * ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        * (t.tf / (t.tf + {K1} * (1 - {B} + {B} * q.dlq / st.avgdl)))
+        AS contrib
+    FROM tf t
+    JOIN df d USING (term)
+    JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE t.term = '{t}'"""
+
+
+def _field_query_block(q: str) -> str:
+    """One FIELD_QUERIES case: content-term + fielded-term contribution
+    branches, prohibited-field exclusions, AND = count(DISTINCT clause)
+    over the PARSED clause count (absent clauses poison conjunctions)."""
+    parsed = parse_query(
+        q, simple_analyzer, range_fields=SQL_RANGE_FIELDS,
+        scored_fields=tuple(_FIELD_TOKS),
+    )
+    qq = q.replace("'", "''")
+    branches = []
+    for term in sorted(set(parsed.terms)):
+        branches.append(
+            _content_branch(term, parsed.boosts.get(term, 1.0), f"c:{term}")
+        )
+    for fld, term in sorted(set(parsed.field_terms)):
+        b = parsed.field_term_boosts.get((fld, term), 1.0)
+        branches.append(_field_branch(fld, term, b, f"f:{fld}:{term}"))
+    conds = ["1=1"]
+    for fld, term in sorted(set(parsed.prohibited_field_terms)):
+        toks = _FIELD_TOKS[fld]
+        t = term.replace("'", "''")
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM documents WHERE "
+            f"len(list_filter({toks}, x -> x = '{t}')) > 0)"
+        )
+    having = (
+        f"HAVING count(DISTINCT c.clause) = {parsed.scoring_clauses}"
+        if parsed.conjunctive else ""
+    )
+    union = "\n    UNION ALL".join(branches)
+    return f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT c.doc_id AS doc_id, round(sum(c.contrib), 4) AS score_r
+  FROM ({union}) c
+  WHERE {' AND '.join(conds)}
+  GROUP BY c.doc_id
+  {having}
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, c.doc_id) <= {BM25_K}
+)"""
+
+
+def field_topk_sql() -> str:
+    from solr_indexer_ray.contract import FIELD_QUERIES
+
+    blocks = "\nUNION ALL\n".join(
+        _field_query_block(q) for q in FIELD_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
+def _qf_term_block(term: str, fpairs, tie: float) -> str:
+    """One dismax clause: per doc greatest over the per-field scores +
+    tie * the rest (two fields: greatest + tie*least), fields joined
+    FULL OUTER on doc_id — mirrors the engine's dismax accumulation."""
+    sides = []
+    for i, (fld, boost) in enumerate(fpairs):
+        if fld == "content":
+            sides.append(f"({_content_branch(term, boost, f'q{i}')}) s{i}")
+        else:
+            sides.append(f"({_field_branch(fld, term, boost, f'q{i}')}) s{i}")
+    assert len(sides) == 2, "qf oracle supports exactly two fields"
+    return f"""
+    SELECT coalesce(s0.doc_id, s1.doc_id) AS doc_id,
+      'dm:{term}' AS clause,
+      greatest(coalesce(s0.contrib, 0), coalesce(s1.contrib, 0))
+        + {tie!r} * least(coalesce(s0.contrib, 0), coalesce(s1.contrib, 0))
+        AS contrib
+    FROM {sides[0]}
+    FULL OUTER JOIN {sides[1]} ON s0.doc_id = s1.doc_id"""
+
+
+def qf_topk_sql() -> str:
+    from solr_indexer_ray.contract import QF_QUERIES, QF_SPEC, QF_TIE
+
+    fpairs = []
+    for part in QF_SPEC.split():
+        name, _, b = part.partition("^")
+        fpairs.append((name, float(b) if b else 1.0))
+    blocks = []
+    for q in QF_QUERIES:
+        parsed = parse_query(q, simple_analyzer,
+                             range_fields=SQL_RANGE_FIELDS)
+        terms = sorted(set(parsed.terms))
+        union = "\n    UNION ALL".join(
+            _qf_term_block(t, fpairs, QF_TIE) for t in terms
+        )
+        qq = q.replace("'", "''")
+        blocks.append(f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT c.doc_id AS doc_id, round(sum(c.contrib), 4) AS score_r
+  FROM ({union}) c
+  GROUP BY c.doc_id
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, c.doc_id) <= {BM25_K}
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def hybrid_topk_sql() -> str:
     from solr_indexer_ray.contract import HYBRID_QUERIES
 
@@ -1489,6 +1650,8 @@ def oracle_sql_dict() -> dict:
         "fuzzy_topk": fuzzy_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),
         "regex_topk": regex_topk_sql(),
+        "field_topk": field_topk_sql(),
+        "qf_topk": qf_topk_sql(),
         "bool_topk": bool_topk_sql(),
         "spatial_topk": spatial_topk_sql(),
         "facets": facets_sql(),

@@ -208,6 +208,17 @@ class ParsedQuery:
     #: spatial envelope filters: field:"Intersects(ENVELOPE(...))"
     spatial_filters: list = field(default_factory=list)   # [SpatialFilter]
     neg_spatial_filters: list = field(default_factory=list)
+    #: SCORED fielded term clauses over extra analyzed fields
+    #: (``path_text:foo`` — Lucene fielded TermQuery with that field's
+    #: postings/stats/norms): [(field, term)]
+    field_terms: list = field(default_factory=list)
+    prohibited_field_terms: list = field(default_factory=list)
+    field_term_boosts: dict = field(default_factory=dict)  # (f, t) -> b
+    #: dismax groups (engine-built from ``qf``; never parsed from text):
+    #: [(term, ((field, field_boost), ...))] — per doc the group scores
+    #: max over fields + tie * sum(rest) (Solr DisMax)
+    dismax: list = field(default_factory=list)
+    dismax_tie: float = 0.0
 
     @property
     def is_match_all(self) -> bool:
@@ -215,6 +226,7 @@ class ParsedQuery:
             self.terms or self.filters or self.phrases or self.prefixes
             or self.range_filters or self.fuzzies or self.wildcards
             or self.near_phrases or self.spatial_filters
+            or self.field_terms or self.dismax
         )
 
     @property
@@ -224,15 +236,23 @@ class ParsedQuery:
         return (
             len(set(self.terms)) + len(self.phrases) + len(self.prefixes)
             + len(set(self.fuzzies)) + len(set(self.wildcards))
-            + len(self.near_phrases)
+            + len(self.near_phrases) + len(set(self.field_terms))
+            + len(set(t for t, _ in self.dismax))
         )
 
 
-def parse_query(q: str, analyze, range_fields=RANGE_FIELDS) -> ParsedQuery:
+def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
+                scored_fields=()) -> ParsedQuery:
     """Parse a query string; ``analyze(text) -> list[str]`` pins the
     analyzer.  ``range_fields`` lists the fields a range filter may
     target (engines pass their stored-column set so typed ranges over
-    extra stored fields — timestamps, numerics — parse)."""
+    extra stored fields — timestamps, numerics — parse).
+    ``scored_fields`` lists extra ANALYZED fields
+    (``IndexConfig.analyzed_fields``): ``field:value`` on one of them is a
+    SCORED fielded term clause (Lucene fielded TermQuery over that
+    field's postings/stats/norms), not a metadata filter; the value is
+    analyzed, multiple tokens become multiple field-term clauses
+    (Lucene ``field:(a b)`` OR semantics)."""
     out = ParsedQuery()
 
     def eat_quoted(m: re.Match) -> str:
@@ -324,6 +344,14 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS) -> ParsedQuery:
         if ":" in raw:
             fld, _, val = raw.partition(":")
             val = val.strip('"')
+            if fld in scored_fields:
+                for tok in analyze(val):
+                    clause = (fld, tok)
+                    (out.prohibited_field_terms if neg
+                     else out.field_terms).append(clause)
+                    if boost is not None and not neg:
+                        out.field_term_boosts[clause] = boost
+                continue
             if fld in FILTER_FIELDS:
                 # a trailing * on a filter value prefix-matches the
                 # metadata string (engine: starts_with pushdown)
@@ -466,7 +494,8 @@ def has_group_syntax(q: str) -> bool:
     return depth_seen
 
 
-def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS):
+def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS,
+                  scored_fields=()):
     """Parse a parenthesized boolean query into a clause tree, or return
     ``None`` when the query has no grouping (the flat model applies).
 
@@ -532,7 +561,7 @@ def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS):
         elif atom.startswith("+") and len(atom) > 1:
             must = True
             atom = atom[1:]
-        parsed = parse_query(atom, analyze, range_fields)
+        parsed = parse_query(atom, analyze, range_fields, scored_fields)
         if parsed.is_match_all and not parsed.prohibited and atom not in (
             "*", "*:*"
         ):

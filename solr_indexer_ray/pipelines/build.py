@@ -39,6 +39,7 @@ Commit:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import time
@@ -166,9 +167,15 @@ class UnitIndexer:
 
         n_shards = int(unit["n_shards"])
         extra = list(self.config.extra_stored)
+        afields = [
+            tuple(s.split(":", 1)) for s in self.config.analyzed_fields
+        ]
+        asrcs = [s for _, s in afields]
+        base_cols = ["repo", "path", "commit", "lang", "content", *extra]
         table = read_unit(
             unit,
-            columns=["repo", "path", "commit", "lang", "content", *extra],
+            columns=base_cols
+            + [s for s in asrcs if s not in base_cols],
         )
         contents = table["content"].to_pylist()
         langs = table["lang"].to_pylist()
@@ -190,6 +197,35 @@ class UnitIndexer:
         doclens = doclens64.astype(np.int32)
 
         norms = encode_lengths(doclens)
+
+        # extra analyzed fields (Lucene per-field postings + norms; Solr
+        # copyField into a second text field): each source column
+        # tokenizes with the DEFAULT analyzer, its terms join the same
+        # postings stream prefixed "<field>\\x1f", and the posting norms
+        # carry the FIELD's SmallFloat length — per-field BM25 falls out
+        # of the shared spill/merge machinery untouched.
+        ndocs0 = len(contents)
+        field_doclens: dict = {}
+        field_norms: dict = {}
+        streams = [(tids_flat, doclens64)]
+        term_list = list(term_list)
+        fld_of_tid_blocks = [np.zeros(len(term_list), dtype=np.int32)]
+        norm_rows = [norms]
+        for fi, (fname, src) in enumerate(afields):
+            f_tids, f_dl, f_terms = tokenize_unit(
+                table[src], [None] * ndocs0, self.registry
+            )
+            field_doclens[fname] = f_dl.astype(np.int32)
+            f_norm = encode_lengths(f_dl.astype(np.int32))
+            field_norms[fname] = f_norm
+            streams.append((f_tids + len(term_list), f_dl))
+            term_list.extend(f"{fname}\x1f{t}" for t in f_terms)
+            fld_of_tid_blocks.append(
+                np.full(len(f_terms), fi + 1, dtype=np.int32)
+            )
+            norm_rows.append(f_norm)
+        fld_of_tid = np.concatenate(fld_of_tid_blocks)
+        norm_matrix = np.stack(norm_rows) if afields else None
 
         # inline validation (config.validate): invalid rows keep their
         # doc-id slot but are routed to the errors side-channel and
@@ -223,14 +259,24 @@ class UnitIndexer:
         # token position within each run).  No per-posting Python.
         dpr = self.config.docs_per_range
         ndocs = len(contents)
-        tids = tids_flat
-        docidx = np.repeat(np.arange(ndocs, dtype=np.int64),
-                           doclens.astype(np.int64))
-        doc_off = np.concatenate(([0], np.cumsum(doclens, dtype=np.int64)))
-        pos_in_doc = (
-            np.arange(tids.size, dtype=np.int64)
-            - np.repeat(doc_off[:-1], doclens.astype(np.int64))
-        )
+        tid_parts, idx_parts, pos_parts = [], [], []
+        for s_tids, s_dl in streams:  # content first, then analyzed fields
+            s_dl64 = s_dl.astype(np.int64)
+            s_idx = np.repeat(np.arange(ndocs, dtype=np.int64), s_dl64)
+            s_off = np.concatenate(([0], np.cumsum(s_dl64)))
+            s_pos = (
+                np.arange(s_tids.size, dtype=np.int64)
+                - np.repeat(s_off[:-1], s_dl64)
+            )
+            tid_parts.append(s_tids)
+            idx_parts.append(s_idx)
+            pos_parts.append(s_pos)
+        if len(tid_parts) == 1:
+            tids, docidx, pos_in_doc = tid_parts[0], idx_parts[0], pos_parts[0]
+        else:
+            tids = np.concatenate(tid_parts)
+            docidx = np.concatenate(idx_parts)
+            pos_in_doc = np.concatenate(pos_parts)
         if not valid.all():
             keep = valid[docidx]
             tids, docidx, pos_in_doc = tids[keep], docidx[keep], pos_in_doc[keep]
@@ -249,7 +295,10 @@ class UnitIndexer:
         p_tid = ksort[pstart] // ndocs if ndocs else ksort[pstart]
         p_doc = ksort[pstart] % ndocs if ndocs else ksort[pstart]
         p_docid = doc_ids[p_doc].astype(np.int64)
-        p_norm = norms[p_doc].astype(np.int32)
+        if norm_matrix is None:
+            p_norm = norms[p_doc].astype(np.int32)
+        else:  # posting norm = the norm of the posting's FIELD
+            p_norm = norm_matrix[fld_of_tid[p_tid], p_doc].astype(np.int32)
         p_rid = p_docid // dpr
         positions_flat = pos_in_doc[order].astype(np.int32)  # grouped by posting
 
@@ -275,6 +324,16 @@ class UnitIndexer:
             docs_schema = docs_schema.append(
                 pa.field(name, table.schema.field(name).type)
             )
+        for fname, _src in afields:  # per-field lengths + norms (dense)
+            doc_cols[f"doclen_{fname}"] = pa.array(
+                field_doclens[fname], pa.int32()
+            )
+            doc_cols[f"norm_{fname}"] = pa.array(
+                field_norms[fname], pa.uint8()
+            )
+            docs_schema = docs_schema.append(
+                pa.field(f"doclen_{fname}", pa.int32())
+            ).append(pa.field(f"norm_{fname}", pa.uint8()))
         docs_table = pa.table(doc_cols, schema=docs_schema)
         if not valid.all():
             docs_table = docs_table.filter(pa.array(valid))
@@ -417,6 +476,15 @@ class UnitIndexer:
             "n_rows": len(contents),
             "n_failed": len(error_rows),
             "sum_dl": int(doclens[valid].sum()),
+            # per-analyzed-field partials: sumTotalLength + docCount
+            # (Lucene: docs with >= 1 term in the field)
+            "field_sums": {
+                f: {
+                    "sum_dl": int(field_doclens[f][valid].sum()),
+                    "n_docs": int((field_doclens[f][valid] > 0).sum()),
+                }
+                for f, _ in afields
+            },
             "n_terms_partial": int(gstart.size) if n_postings else 0,
             "metrics": {
                 "wall_s": round(time.perf_counter() - t0, 4),
@@ -438,6 +506,8 @@ def _entry_to_row(entry: dict) -> dict:
         "sum_dl": int(entry["sum_dl"]),
         "skipped": bool(entry.get("skipped", False)),
         "wall_s": float(entry.get("metrics", {}).get("wall_s", 0.0)),
+        # nested dict -> JSON so the partial rides a flat Arrow column
+        "field_sums_json": json.dumps(entry.get("field_sums", {})),
     }
 
 
@@ -781,6 +851,16 @@ def _build_index_locked(input_paths, index_dir, config, registry,
     n_docs = sum(r["n_docs"] for r in unit_results)
     n_failed = sum(r["n_failed"] for r in unit_results)
     sum_dl = sum(r["sum_dl"] for r in unit_results)
+    field_stats: dict = {}
+    for r in unit_results:
+        for f, s in json.loads(r.get("field_sums_json") or "{}").items():
+            acc = field_stats.setdefault(f, {"sum_dl": 0, "n_docs": 0})
+            acc["sum_dl"] += int(s["sum_dl"])
+            acc["n_docs"] += int(s["n_docs"])
+    for f, acc in field_stats.items():
+        acc["avgdl"] = (
+            acc["sum_dl"] / acc["n_docs"] if acc["n_docs"] else 0.0
+        )
     doc_id_space = sum(u.num_rows for u in units) if units else 0
     doc_id_space = max(doc_id_space, units[-1].row_offset + units[-1].num_rows)
 
@@ -812,6 +892,8 @@ def _build_index_locked(input_paths, index_dir, config, registry,
         "generation": 1,  # Solr commit generation; bumped by every commit
         "store_content": bool(config.store_content),
         "extra_stored": list(config.extra_stored),
+        "analyzed_fields": list(config.analyzed_fields),
+        "field_stats": field_stats,
         "k1": config.k1,
         "b": config.b,
         "analyzer_default": registry.default,
@@ -888,6 +970,7 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
         compression=str(old.get("compression", "zstd")),
         store_content=bool(old.get("store_content", False)),
         extra_stored=tuple(old.get("extra_stored", ()) or ()),
+        analyzed_fields=tuple(old.get("analyzed_fields", ()) or ()),
     )
     n_shards = int(old["n_shards"])
     base = int(old["doc_id_space"])
@@ -941,6 +1024,18 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
     new_dl = sum(r["sum_dl"] for r in unit_results)
     n_docs = int(old["n_docs"]) + new_docs
     sum_dl = int(old["sum_dl"]) + new_dl
+    field_stats = {
+        f: dict(s) for f, s in (old.get("field_stats") or {}).items()
+    }
+    for r in unit_results:
+        for f, s in json.loads(r.get("field_sums_json") or "{}").items():
+            acc = field_stats.setdefault(f, {"sum_dl": 0, "n_docs": 0})
+            acc["sum_dl"] = int(acc["sum_dl"]) + int(s["sum_dl"])
+            acc["n_docs"] = int(acc["n_docs"]) + int(s["n_docs"])
+    for f, acc in field_stats.items():
+        acc["avgdl"] = (
+            acc["sum_dl"] / acc["n_docs"] if acc["n_docs"] else 0.0
+        )
 
     # recount term rows from parquet footers (metadata-only)
     n_term_rows = 0
@@ -962,6 +1057,7 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
         avgdl=(float(sum_dl) / n_docs) if n_docs else 0.0,
         n_term_rows=int(n_term_rows),
         n_units=int(old["n_units"]) + len(units),
+        field_stats=field_stats,
         timings={
             "stage1_s": round(t1 - t0, 3),
             "stage2_s": round(t2 - t1, 3),

@@ -493,6 +493,7 @@ class SearchEngine:
         self._mask_cache: dict = {}  # (filters, prohibited, n_tomb) -> mask
         self._fq_cache: dict = {}    # fq string -> exclusion mask (filterCache)
         self._fuzzy_cache: dict = {}  # (word, edits) -> expansion terms
+        self._field_norms: dict = {}  # analyzed field -> dense norm bytes
         self._pattern_cache: dict = {}  # wildcard pattern -> expansion
         self._bmw_cell_cache: dict = {}  # terms tuple -> cell grid/offsets
 
@@ -582,6 +583,7 @@ class SearchEngine:
             self._stored_fields = [
                 n for n in self._docs_ds.schema.names
                 if n not in ("norm", "content")
+                and not n.startswith("norm_")  # per-field norms: internal
             ]
         return self._stored_fields
 
@@ -595,16 +597,27 @@ class SearchEngine:
         )
         return (*RANGE_FIELDS, *extras)
 
+    @property
+    def scored_fields(self) -> tuple:
+        """Extra ANALYZED (scored) fields of this index
+        (``IndexConfig.analyzed_fields`` at build time)."""
+        return tuple(
+            s.split(":", 1)[0]
+            for s in self.stats.get("analyzed_fields", ()) or ()
+        )
+
     def _parse(self, query: str) -> ParsedQuery:
         return parse_query(
             query, self.registry.analyzer_for(None),
             range_fields=self.range_fields,
+            scored_fields=self.scored_fields,
         )
 
     def _parse_bool(self, query: str):
         return parse_boolean(
             query, self.registry.analyzer_for(None),
             range_fields=self.range_fields,
+            scored_fields=self.scored_fields,
         )
 
     # ------------------------------------------------------------------ #
@@ -703,6 +716,18 @@ class SearchEngine:
     # ------------------------------------------------------------------ #
     # wildcard / prefix (Solr MultiTermQuery CONSTANT_SCORE rewrite)
     # ------------------------------------------------------------------ #
+    def _default_dict_terms(self, terms_arr) -> "pa.Array":
+        """Restrict a term-dictionary scan to the DEFAULT field: extra
+        analyzed fields store their terms "<field>\\x1f"-prefixed in the
+        shared dictionary, and multiterm expansion / terms / suggest /
+        MLT operate on the default (content) field only — Lucene
+        per-field term dictionaries."""
+        if not self.scored_fields:
+            return terms_arr
+        return terms_arr.filter(
+            pc.invert(pc.match_substring(terms_arr, "\x1f"))
+        )
+
     def expand_prefix(self, prefix: str) -> list:
         """Index terms starting with ``prefix`` (term-dictionary range scan;
         parquet row-group stats on the sorted term column prune the read)."""
@@ -711,7 +736,7 @@ class SearchEngine:
             columns=["term"],
             filter=(pc.field("term") >= prefix) & (pc.field("term") < hi),
         )
-        terms = pc.unique(tbl["term"]).to_pylist()
+        terms = self._default_dict_terms(pc.unique(tbl["term"])).to_pylist()
         if len(terms) > self.max_expansions:
             # Lucene: TooManyClauses beyond maxClauseCount
             raise ValueError(
@@ -757,7 +782,7 @@ class SearchEngine:
                 hi = lit[:-1] + chr(ord(lit[-1]) + 1)
                 flt = (pc.field("term") >= lit) & (pc.field("term") < hi)
             tbl = self._postings_ds.to_table(columns=["term"], filter=flt)
-            terms = pc.unique(tbl["term"])
+            terms = self._default_dict_terms(pc.unique(tbl["term"]))
             mask = pc.match_substring_regex(terms, f"^(?:{inner})$")
             out = sorted(terms.filter(mask).to_pylist())
             if len(out) > self.max_expansions:
@@ -775,7 +800,7 @@ class SearchEngine:
             hi = lit[:-1] + chr(ord(lit[-1]) + 1)
             flt = (pc.field("term") >= lit) & (pc.field("term") < hi)
         tbl = self._postings_ds.to_table(columns=["term"], filter=flt)
-        terms = pc.unique(tbl["term"])
+        terms = self._default_dict_terms(pc.unique(tbl["term"]))
         like = (
             pattern.replace("\\", "\\\\").replace("%", "\\%")
             .replace("_", "\\_").replace("*", "%").replace("?", "_")
@@ -936,6 +961,47 @@ class SearchEngine:
         dl = DECODE_TABLE[norm_bytes]
         return self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
 
+    # -- per-field scoring (extra analyzed fields) --------------------- #
+    def field_norms(self, fld: str) -> np.ndarray:
+        """Dense doc_id -> SmallFloat norm byte for one analyzed field
+        (the ``norm_<field>`` docs column)."""
+        if fld not in self._field_norms:
+            t = self._docs_ds.to_table(columns=["doc_id", f"norm_{fld}"])
+            arr = np.zeros(self.doc_space, dtype=np.uint8)
+            arr[t["doc_id"].to_numpy()] = t[f"norm_{fld}"].to_numpy()
+            self._field_norms[fld] = arr
+        return self._field_norms[fld]
+
+    def _fstat(self, fld: str) -> tuple:
+        """(docCount, avgdl) of an analyzed field (Lucene per-field
+        collection stats)."""
+        s = (self.stats.get("field_stats") or {}).get(fld)
+        if s is None:
+            raise ValueError(
+                f"field {fld!r} is not an analyzed field of this index "
+                f"(analyzed: {list(self.scored_fields)})"
+            )
+        return int(s["n_docs"]), float(s["avgdl"]) or 1.0
+
+    def field_term_postings(self, fld: str, term: str):
+        """TermPostings of one fielded term (terms are stored
+        field-prefixed in the shared postings structure)."""
+        return self.lookup_postings([f"{fld}\x1f{term}"]).get(
+            f"{fld}\x1f{term}"
+        )
+
+    def _field_score_vec(self, fld: str, tp) -> np.ndarray:
+        """Per-posting BM25 with the FIELD's stats: idf from the field's
+        docCount, K from the field's avgdl and the posting's field norm
+        (norms ride per posting at build time)."""
+        if tp.score_vec is None:
+            doc_count, avgdl = self._fstat(fld)
+            w = self.scoring.idf(doc_count, tp.df)
+            dl = DECODE_TABLE[self.field_norms(fld)[tp.doc_ids]]
+            K = self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+            tp.score_vec = w * self.scoring.impact(tp.tfs, K)
+        return tp.score_vec
+
     def _excluded_mask(self, parsed: ParsedQuery) -> np.ndarray | None:
         """Boolean mask of docs excluded by filters/prohibitions/tombstones.
 
@@ -956,6 +1022,7 @@ class SearchEngine:
             tuple(sorted(set(parsed.prohibited_fuzzies))),
             tuple(sorted(set(parsed.prohibited_wildcards))),
             tuple(sorted(set(parsed.prohibited_near))),
+            tuple(sorted(set(parsed.prohibited_field_terms))),
             len(self.tombstones),
         )
         if key in self._mask_cache:
@@ -997,6 +1064,10 @@ class SearchEngine:
             docs = self.eval_pattern(pat)
             if docs.size:
                 ensure()[docs] = True
+        for fld, term in parsed.prohibited_field_terms:
+            tp = self.field_term_postings(fld, term)
+            if tp is not None:
+                ensure()[tp.doc_ids] = True
         for np_clause in parsed.prohibited_near:
             docs, _, _ = self.eval_near(*np_clause)
             if docs.size:
@@ -1077,6 +1148,8 @@ class SearchEngine:
         hl: bool = False,
         fq=None,
         search_after=None,
+        qf: str | None = None,
+        tie: float = 0.0,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -1100,6 +1173,8 @@ class SearchEngine:
         """
         if start < 0:
             raise ValueError("start must be >= 0")
+        if qf is not None and (sort is not None or start or search_after):
+            raise ValueError("qf composes with relevance ranking only")
         if search_after is not None:
             if sort is not None or start:
                 raise ValueError(
@@ -1109,6 +1184,8 @@ class SearchEngine:
             return self._search_after(query, k, fl, method, fq,
                                       search_after, hl)
         parsed = self._parse(query)
+        if qf is not None:
+            parsed = self._apply_qf(parsed, qf, tie)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -1152,6 +1229,7 @@ class SearchEngine:
                 parsed.phrases or parsed.prefixes
                 or parsed.fuzzies or parsed.wildcards
                 or parsed.near_phrases
+                or parsed.field_terms or parsed.dismax
             ):
                 hits = self._score_bmw(parsed, postings, excluded, k)
             else:
@@ -1164,6 +1242,37 @@ class SearchEngine:
                 hits = self._apply_elevation(query, hits, k)
             t = self._resolve(hits, fl)
         return self._add_highlights(parsed, t) if hl else t
+
+    def _apply_qf(self, parsed: ParsedQuery, qf: str, tie: float):
+        """Solr (e)dismax ``qf``: every free-text term becomes ONE
+        DisjunctionMax clause over the listed fields
+        (``qf="content^1 path_text^2"``; ``content`` = the default body
+        field).  Per doc the clause scores max over the per-field BM25
+        scores + ``tie`` * the rest (DisMax tiebreaker; Solr default 0).
+        Query-time term boosts multiply every field's boost."""
+        import copy
+
+        fpairs = []
+        for part in qf.split():
+            name, _, b = part.partition("^")
+            if name != "content" and name not in self.scored_fields:
+                raise ValueError(
+                    f"qf field {name!r} is not analyzed in this index "
+                    f"(have: content, {', '.join(self.scored_fields)})"
+                )
+            fpairs.append((name, float(b) if b else 1.0))
+        if not fpairs:
+            raise ValueError("empty qf")
+        out = copy.copy(parsed)
+        out.dismax = list(parsed.dismax)
+        out.terms = []
+        out.dismax_tie = float(tie)
+        for term in sorted(set(parsed.terms)):
+            tb = parsed.boosts.get(term, 1.0)
+            out.dismax.append(
+                (term, tuple((f, b * tb) for f, b in fpairs))
+            )
+        return out
 
     def _apply_elevation(self, query, hits, k):
         """Solr QueryElevationComponent: pinned ids first (editorial
@@ -1376,6 +1485,58 @@ class SearchEngine:
             scores[tp.doc_ids] += vec if b is None else vec * b
             if seen is not None:
                 seen[tp.doc_ids] += 1
+            n_present += 1
+        # fielded scored terms after plain terms (pinned float order):
+        # per-field BM25 — field df/docCount/avgdl/norms (Lucene fielded
+        # TermQuery over a second analyzed field)
+        for ft in sorted(set(parsed.field_terms)):
+            fld, term = ft
+            tp = self.field_term_postings(fld, term)
+            if tp is None:
+                continue
+            vec = self._field_score_vec(fld, tp)
+            b = parsed.field_term_boosts.get(ft)
+            scores[tp.doc_ids] += vec if b is None else vec * b
+            if seen is not None:
+                seen[tp.doc_ids] += 1
+            n_present += 1
+        # dismax groups after fielded terms: per doc the group contributes
+        # max over its per-field scores + tie * (sum of the rest) — Solr
+        # DisjunctionMaxQuery with tiebreaker
+        for term, fpairs in parsed.dismax:
+            best = None
+            tot = None
+            matched = None
+            for fld, fboost in fpairs:
+                if fld == "content":
+                    tp = postings.get(term) or self.lookup_postings(
+                        [term]
+                    ).get(term)
+                    if tp is None:
+                        continue
+                    fvec = self._term_score_vec(tp) * fboost
+                else:
+                    tp = self.field_term_postings(fld, term)
+                    if tp is None:
+                        continue
+                    fvec = self._field_score_vec(fld, tp) * fboost
+                dense = np.zeros(self.doc_space, dtype=np.float64)
+                dense[tp.doc_ids] = fvec
+                if best is None:
+                    best, tot = dense, dense.copy()
+                    matched = np.zeros(self.doc_space, dtype=bool)
+                else:
+                    np.maximum(best, dense, out=best)
+                    tot += dense
+                matched[tp.doc_ids] = True
+            if best is None:
+                continue
+            tie = parsed.dismax_tie
+            contrib = best if tie == 0.0 else best + tie * (tot - best)
+            docs = np.flatnonzero(matched)
+            scores[docs] += contrib[docs]
+            if seen is not None:
+                seen[docs] += 1
             n_present += 1
         # fuzzy clauses after terms: blended SynonymQuery-stats groups
         for fz in sorted(set(parsed.fuzzies)):
@@ -1981,6 +2142,10 @@ class SearchEngine:
             seen[self.eval_prefix(pre)] += 1
         for pat in sorted(set(parsed.wildcards)):
             seen[self.eval_pattern(pat)] += 1
+        for fld, term in sorted(set(parsed.field_terms)):
+            tp = self.field_term_postings(fld, term)
+            if tp is not None:
+                seen[tp.doc_ids] += 1
         cand = np.flatnonzero(seen >= required)
         if excluded is not None and cand.size:
             cand = cand[~excluded[cand]]
@@ -2050,6 +2215,8 @@ class SearchEngine:
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
             flt = (pc.field("term") >= prefix) & (pc.field("term") < hi)
         t = self._postings_ds.to_table(columns=["term", "df"], filter=flt)
+        if self.scored_fields:
+            t = t.filter(pc.invert(pc.match_substring(t["term"], "\x1f")))
         agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
         rows = sorted(
             zip(agg["term"].to_pylist(), agg["df_sum"].to_pylist()),
@@ -2102,6 +2269,10 @@ class SearchEngine:
         bincount over the concatenated term bytes)."""
         if getattr(self, "_suggest_cache", None) is None:
             t = self._postings_ds.to_table(columns=["term", "df"])
+            if self.scored_fields:  # default-field dictionary only
+                t = t.filter(
+                    pc.invert(pc.match_substring(t["term"], "\x1f"))
+                )
             agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
             terms = agg["term"].to_pylist()
             dfs = np.asarray(agg["df_sum"].to_pylist(), dtype=np.int64)
@@ -2906,6 +3077,10 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         return None  # boolean tree: compiled separately (search_partitioned)
     if parsed.scoring_clauses == 0:
         return None  # match-all / pure-filter: single-engine path
+    if parsed.field_terms or parsed.prohibited_field_terms or parsed.dismax:
+        # per-field scored clauses: single-engine path for now (the
+        # per-range protocol does not ship field stats yet — documented)
+        return None
     if (
         parsed.phrases or parsed.near_phrases
         or parsed.prohibited_phrases or parsed.prohibited_near
@@ -3087,6 +3262,7 @@ def _compile_bool_tree(engine: SearchEngine, node):
             or parsed.prohibited_fuzzies or parsed.prohibited_wildcards
             or parsed.prohibited_near or parsed.spatial_filters
             or parsed.neg_spatial_filters
+            or parsed.prohibited_field_terms
             or any(v.endswith("*") for v in parsed.filters.values())
         ):
             return None

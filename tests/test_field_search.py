@@ -1,0 +1,235 @@
+"""Per-field scored search: extra analyzed fields
+(`IndexConfig.analyzed_fields`) + dismax `qf` — Solr copyField / fielded
+TermQuery / DisjunctionMaxQuery semantics with true per-field BM25 stats
+(field df, docCount, avgdl, norms).  Reference surface: the reference's
+Solr schema indexes many text fields beyond full_text and queries pass
+through verbatim (/root/reference/README.md:259-260)."""
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from solr_indexer_ray.functions.smallfloat import DECODE_TABLE, encode_lengths
+from solr_indexer_ray.functions.tokenize import simple_analyzer
+from solr_indexer_ray.pipelines.search import SearchEngine, search_partitioned
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def field_index(small_corpus_path, tmp_path_factory):
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.pipelines.build import build_index
+
+    index_dir = str(tmp_path_factory.mktemp("fidx") / "idx")
+    config = IndexConfig(
+        docs_per_range=128, concurrency=2,
+        analyzed_fields=("path_text:path", "repo_text:repo"),
+    )
+    stats = build_index(small_corpus_path, index_dir, config=config)
+    return index_dir, stats
+
+
+def _brute_field_scores(index_dir: str, fld_src: str, term: str):
+    """Independent per-field BM25 from the raw stored column + analyzer:
+    idf = ln(1+(docCount-df+.5)/(df+.5)) with docCount = docs holding >= 1
+    field term; K uses the field avgdl and the SmallFloat-quantized field
+    length (the engine's norm byte round-trips the same table)."""
+    t = pads.dataset(f"{index_dir}/docs").to_table(
+        columns=["doc_id", fld_src]
+    )
+    ids = t["doc_id"].to_numpy()
+    toks = [simple_analyzer(v) for v in t[fld_src].to_pylist()]
+    dl = np.array([len(x) for x in toks], dtype=np.int64)
+    tf = np.array([x.count(term) for x in toks], dtype=np.float64)
+    doc_count = int((dl > 0).sum())
+    avgdl = dl.sum() / doc_count
+    df = int((tf > 0).sum())
+    dlq = DECODE_TABLE[encode_lengths(dl.astype(np.int32))]
+    idf = np.log(1 + (doc_count - df + 0.5) / (df + 0.5))
+    K = K1 * (1 - B + B * dlq / avgdl)
+    scores = idf * tf / (tf + K)
+    m = tf > 0
+    return dict(zip(ids[m].tolist(), scores[m].tolist()))
+
+
+class TestBuild:
+    def test_stats_and_columns(self, field_index):
+        index_dir, stats = field_index
+        fs = stats["field_stats"]
+        assert set(fs) == {"path_text", "repo_text"}
+        for s in fs.values():
+            assert s["n_docs"] > 0 and s["avgdl"] > 0
+        names = pads.dataset(f"{index_dir}/docs").schema.names
+        assert {"doclen_path_text", "norm_path_text",
+                "doclen_repo_text", "norm_repo_text"} <= set(names)
+
+    def test_field_stats_match_brute(self, field_index):
+        index_dir, stats = field_index
+        t = pads.dataset(f"{index_dir}/docs").to_table(columns=["path"])
+        dl = np.array(
+            [len(simple_analyzer(v)) for v in t["path"].to_pylist()]
+        )
+        s = stats["field_stats"]["path_text"]
+        assert s["n_docs"] == int((dl > 0).sum())
+        assert s["sum_dl"] == int(dl.sum())
+
+
+class TestFieldTermQuery:
+    def test_scores_match_independent_brute_force(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        want = _brute_field_scores(index_dir, "path", "mod0")
+        t = e.search("path_text:mod0", k=e.n_docs, fl=["doc_id"])
+        got = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+        assert set(got) == set(want)
+        for d, s in got.items():
+            assert s == pytest.approx(want[d], rel=1e-12)
+
+    def test_field_stats_differ_from_content(self, field_index):
+        """path_text:mod0 must NOT score with content stats — the same
+        term text through the default field gives different scores."""
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        f = e.search("path_text:mod0", k=5, fl=["doc_id"])
+        assert f.num_rows > 0
+        # content has no 'mod0' token (paths aren't in content)
+        c = e.search("mod0", k=5, fl=["doc_id"])
+        assert c.num_rows == 0
+
+    def test_mixed_clause_sum(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        both = e.search("path_text:mod0 parse", k=e.n_docs, fl=["doc_id"])
+        fo = dict(zip(
+            *[e.search("path_text:mod0", k=e.n_docs, fl=["doc_id"])[c]
+              .to_pylist() for c in ("doc_id", "score")]
+        ))
+        co = dict(zip(
+            *[e.search("parse", k=e.n_docs, fl=["doc_id"])[c].to_pylist()
+              for c in ("doc_id", "score")]
+        ))
+        for d, s in zip(both["doc_id"].to_pylist(),
+                        both["score"].to_pylist()):
+            assert s == pytest.approx(
+                fo.get(d, 0.0) + co.get(d, 0.0), rel=1e-12
+            )
+
+    def test_prohibited_and_conjunctive(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        neg = e.search("-path_text:mod0 parse", k=e.n_docs, fl=["doc_id"])
+        banned = set(
+            e.search("path_text:mod0", k=e.n_docs, fl=["doc_id"])["doc_id"]
+            .to_pylist()
+        )
+        assert not (set(neg["doc_id"].to_pylist()) & banned)
+        assert e.search("path_text:mod0 AND zzqqzz", k=5).num_rows == 0
+        conj = e.search("path_text:mod0 AND parse", k=e.n_docs,
+                        fl=["doc_id"])
+        inter = banned & set(
+            e.match_ids("parse").tolist()
+        )
+        assert set(conj["doc_id"].to_pylist()) == inter
+
+    def test_boost(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        plain = e.search("path_text:mod0", k=5, fl=["doc_id"])
+        boosted = e.search("path_text:mod0^3", k=5, fl=["doc_id"])
+        assert boosted["score"].to_pylist() == pytest.approx(
+            [3 * s for s in plain["score"].to_pylist()]
+        )
+
+    def test_grouped_and_distributed_fallback(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        for q in ["path_text:mod0 parse",
+                  "(path_text:mod0 OR path_text:mod1) AND parse",
+                  "-path_text:mod0 parse"]:
+            a = e.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_unknown_scored_field_stays_default_alias(self, field_index):
+        """A field prefix that is neither metadata nor analyzed keeps the
+        round-1 behavior: value analyzes as default-field terms."""
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        a = e.search("full_text:parse", k=5, fl=["doc_id"])
+        b = e.search("parse", k=5, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+
+class TestDismaxQf:
+    def test_qf_is_max_over_fields(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        # 'txt' exists in path_text (file_x.txt) and possibly content
+        q = "txt"
+        mx = e.search(q, k=e.n_docs, fl=["doc_id"],
+                      qf="content^1 path_text^2")
+        c = dict(zip(
+            *[e.search("txt", k=e.n_docs, fl=["doc_id"])[x].to_pylist()
+              for x in ("doc_id", "score")]
+        ))
+        f = dict(zip(
+            *[e.search("path_text:txt", k=e.n_docs, fl=["doc_id"])[x]
+              .to_pylist() for x in ("doc_id", "score")]
+        ))
+        assert mx.num_rows == len(set(c) | set(f))
+        for d, s in zip(mx["doc_id"].to_pylist(), mx["score"].to_pylist()):
+            want = max(c.get(d, 0.0), 2.0 * f.get(d, 0.0))
+            assert s == pytest.approx(want, rel=1e-12)
+
+    def test_tiebreaker(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        mx = e.search("txt", k=e.n_docs, fl=["doc_id"],
+                      qf="content^1 path_text^1", tie=0.5)
+        c = dict(zip(
+            *[e.search("txt", k=e.n_docs, fl=["doc_id"])[x].to_pylist()
+              for x in ("doc_id", "score")]
+        ))
+        f = dict(zip(
+            *[e.search("path_text:txt", k=e.n_docs, fl=["doc_id"])[x]
+              .to_pylist() for x in ("doc_id", "score")]
+        ))
+        for d, s in zip(mx["doc_id"].to_pylist(), mx["score"].to_pylist()):
+            a, b = c.get(d, 0.0), f.get(d, 0.0)
+            assert s == pytest.approx(
+                max(a, b) + 0.5 * min(a, b), rel=1e-12
+            )
+
+    def test_qf_validation(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        with pytest.raises(ValueError, match="not analyzed"):
+            e.search("x", qf="nope^2")
+        with pytest.raises(ValueError, match="relevance"):
+            e.search("x", qf="content", sort="doclen desc")
+
+
+class TestDictionaryIsolation:
+    """Field-prefixed terms must never leak into default-field multiterm
+    expansion, /terms, spellcheck or fuzzy (Lucene: per-field term
+    dictionaries)."""
+
+    def test_no_leak(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        # path tokens: src, modN, file_N, ext — absent from content
+        assert e.expand_prefix("mod") == []
+        assert e.expand_pattern("mod*") == []
+        assert e.expand_pattern("/mod[0-9]+/") == []
+        assert all("\x1f" not in t for t, _ in e.terms(limit=10**6))
+        assert all("\x1f" not in t for t, _, _ in e.suggest("mod1"))
+        assert e.expand_fuzzy("mod0", 1) == []
+
+    def test_field_docs_facet_and_sort_still_work(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        # doclen_path_text is a stored numeric column: range + sort ride
+        t = e.search("doclen_path_text:[5 TO 5] parse", k=5, fl=["doc_id"])
+        assert t.num_rows > 0
