@@ -310,6 +310,19 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Solr optimize/forceMerge analogue: physically purge tombstoned
+    docs from docs/spills/postings and recommit exact stats."""
+    from solr_indexer_ray.pipelines.mutate import compact_index
+
+    _ensure_ray()
+    out = compact_index(args.output)
+    print(json.dumps({"removed": out["removed"],
+                      "n_docs": out["stats"]["n_docs"],
+                      "generation": out["stats"]["generation"]}))
+    return 0
+
+
 def cmd_export(args) -> int:
     from solr_indexer_ray.pipelines.search import export_matches
 
@@ -497,6 +510,12 @@ def build_parser() -> argparse.ArgumentParser:
     pdd.add_argument("--id-col", default="doc_id")
     pdd.add_argument("--threshold", type=float, default=None)
     pdd.set_defaults(fn=cmd_dedup)
+
+    pco = sub.add_parser(
+        "compact", help="purge deleted docs and re-merge (Solr optimize)"
+    )
+    pco.add_argument("-o", "--output", required=True)
+    pco.set_defaults(fn=cmd_compact)
 
     pgc = sub.add_parser(
         "gc", help="drop raw postings spills (frozen index storage GC)"

@@ -419,6 +419,7 @@ def _compact_locked(index_dir: str, manifest) -> dict:
     )
 
     def purge_docs(batch: dict) -> pa.Table:
+        fsums: dict = {}
         removed = 0
         kept_docs = 0
         kept_dl = 0
@@ -433,14 +434,29 @@ def _compact_locked(index_dir: str, manifest) -> dict:
                 removed += int((~keep).sum())
             kept_docs += t.num_rows
             kept_dl += int(pc.sum(t["doclen"]).as_py() or 0)
+            for f in afields:  # per-analyzed-field stats follow the purge
+                col = t[f"doclen_{f}"]
+                acc = fsums.setdefault(f, [0, 0])
+                acc[0] += int(pc.sum(col).as_py() or 0)
+                acc[1] += int(
+                    pc.sum(pc.greater(col, 0).cast(pa.int64())).as_py() or 0
+                )
+        import json as _json
+
         return pa.table(
             {
                 "removed": pa.array([removed], pa.int64()),
                 "kept_docs": pa.array([kept_docs], pa.int64()),
                 "kept_dl": pa.array([kept_dl], pa.int64()),
+                "field_sums_json": pa.array(
+                    [_json.dumps(fsums)], pa.string()
+                ),
             }
         )
 
+    afields = [
+        s.split(":", 1)[0] for s in stats.get("analyzed_fields") or []
+    ]
     res = (
         rd.from_items([{"path": p} for p in doc_files])
         .map_batches(purge_docs, batch_size=1, batch_format="numpy", num_cpus=1)
@@ -449,6 +465,18 @@ def _compact_locked(index_dir: str, manifest) -> dict:
     removed = sum(r["removed"] for r in res)
     n_docs = sum(r["kept_docs"] for r in res)
     sum_dl = sum(r["kept_dl"] for r in res)
+    field_stats: dict = {}
+    for r in res:
+        for f, (sdl, nd) in json.loads(
+            r.get("field_sums_json") or "{}"
+        ).items():
+            acc = field_stats.setdefault(f, {"sum_dl": 0, "n_docs": 0})
+            acc["sum_dl"] += int(sdl)
+            acc["n_docs"] += int(nd)
+    for f, acc in field_stats.items():
+        acc["avgdl"] = (
+            acc["sum_dl"] / acc["n_docs"] if acc["n_docs"] else 0.0
+        )
 
     # 2. rewrite raw-postings spills (parallel over shard dirs)
     raw_dir = os.path.join(index_dir, "postings_raw")
@@ -499,6 +527,7 @@ def _compact_locked(index_dir: str, manifest) -> dict:
         sum_dl=int(sum_dl),
         avgdl=(float(sum_dl) / n_docs) if n_docs else 0.0,
         n_term_rows=int(n_term_rows),
+        field_stats=field_stats or stats.get("field_stats", {}),
     )
     manifest.commit(new_stats)
     return {"removed": int(removed), "stats": manifest.read_stats()}

@@ -233,3 +233,32 @@ class TestDictionaryIsolation:
         # doclen_path_text is a stored numeric column: range + sort ride
         t = e.search("doclen_path_text:[5 TO 5] parse", k=5, fl=["doc_id"])
         assert t.num_rows > 0
+
+
+class TestLifecycle:
+    def test_compact_recomputes_field_stats(self, field_index, tmp_path):
+        """Compaction purges tombstoned docs from the per-field stats the
+        same way it recomputes N/avgdl (Lucene merge semantics)."""
+        import shutil
+
+        from solr_indexer_ray.pipelines.fsck import check_index
+        from solr_indexer_ray.pipelines.mutate import (
+            compact_index,
+            delete_by_id,
+        )
+
+        src, _ = field_index
+        idx = str(tmp_path / "idx")
+        shutil.copytree(src, idx)
+        delete_by_id(idx, [0, 1, 2])
+        out = compact_index(idx)
+        st = out["stats"]
+        fs = st["field_stats"]["path_text"]
+        assert fs["n_docs"] == st["n_docs"]
+        # recompute from the surviving docs table
+        t = pads.dataset(f"{idx}/docs").to_table(columns=["path"])
+        dl = np.array([len(simple_analyzer(v)) for v in t["path"].to_pylist()])
+        assert fs["sum_dl"] == int(dl.sum())
+        assert check_index(idx)["ok"]
+        e = SearchEngine(idx)
+        assert e.search("path_text:mod0", k=3).num_rows > 0
