@@ -121,6 +121,12 @@ def cmd_search(args) -> int:
     elif args.group:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
                                 group_limit=args.group_limit)
+    elif args.distributed:
+        from solr_indexer_ray.pipelines.search import search_partitioned
+
+        _ensure_ray()
+        t = search_partitioned(args.output, args.query, k=args.k,
+                               qf=args.qf, tie=args.tie)
     else:
         cursor = None
         if args.search_after:
@@ -424,6 +430,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(free terms score max over fields; Solr qf)")
     ps.add_argument("--tie", type=float, default=0.0,
                     help="dismax tiebreaker (Solr tie)")
+    ps.add_argument("--distributed", action="store_true",
+                    help="per-doc-range fan-out scoring (the multi-node "
+                         "path; bit-identical to the single engine)")
     ps.set_defaults(fn=cmd_search)
 
     pm = sub.add_parser("mlt", help="more-like-this by doc id")

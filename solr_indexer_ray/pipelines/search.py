@@ -2530,13 +2530,15 @@ class RangeScorer:
                      near_groups=(), syn_groups=(), neg_filters=(),
                      range_filters=(), neg_range_filters=(),
                      prohibited_groups=(), prohibited_pos=(),
-                     spatial_filters=(), neg_spatial_filters=()):
+                     spatial_filters=(), neg_spatial_filters=(),
+                     field_clauses=(), dismax_clauses=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
             neg_filters, range_filters, neg_range_filters,
             prohibited_groups, prohibited_pos,
             spatial_filters, neg_spatial_filters,
+            field_clauses, dismax_clauses,
         )
         if cand.size == 0:
             return []
@@ -2556,7 +2558,8 @@ class RangeScorer:
                           syn_groups=(), neg_filters=(), range_filters=(),
                           neg_range_filters=(), prohibited_groups=(),
                           prohibited_pos=(), spatial_filters=(),
-                          neg_spatial_filters=()):
+                          neg_spatial_filters=(),
+                          field_clauses=(), dismax_clauses=()):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2575,9 +2578,13 @@ class RangeScorer:
         syn_terms = {t for _, g, _ in syn_groups for t in g}
         pg_terms = {t for g in prohibited_groups for t in g}
         ppos_terms = {t for g, _ in prohibited_pos for t in g}
+        fld_terms = {pt for _, pt, _, _ in field_clauses}
+        dm_terms = {lt for _, sides, _ in dismax_clauses
+                    for _, lt, _, _ in sides}
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
             | fuzzy_terms | near_terms | syn_terms | pg_terms | ppos_terms
+            | fld_terms | dm_terms
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
@@ -2597,9 +2604,22 @@ class RangeScorer:
         width = hi - lo
         # range-local norms
         docs_flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi)
-        dtab = self._docs.to_table(columns=["doc_id", "norm"], filter=docs_flt)
+        flds = sorted(
+            {f for f, _, _, _ in field_clauses}
+            | {f for _, sides, _ in dismax_clauses
+               for f, _, _, a in sides if a is not None}
+        )
+        dtab = self._docs.to_table(
+            columns=["doc_id", "norm", *[f"norm_{f}" for f in flds]],
+            filter=docs_flt,
+        )
         norms = np.zeros(width, dtype=np.uint8)
         norms[dtab["doc_id"].to_numpy() - lo] = dtab["norm"].to_numpy()
+        fnorms = {}
+        for f in flds:
+            a = np.zeros(width, dtype=np.uint8)
+            a[dtab["doc_id"].to_numpy() - lo] = dtab[f"norm_{f}"].to_numpy()
+            fnorms[f] = a
 
         scores = np.zeros(width, dtype=np.float64)
         seen = np.zeros(width, dtype=np.int32) if conjunctive else None
@@ -2643,6 +2663,55 @@ class RangeScorer:
                 scores[ids] += w * (tfs / (tfs + K))
                 if seen is not None:
                     seen[ids] += 1
+        # fielded clauses after plain terms (the _accumulate order):
+        # per-field BM25 — field avgdl shipped, field norms range-local
+        for fld, pterm, w, avgdl_f in sorted(
+            field_clauses, key=lambda c: (c[0], c[1])
+        ):
+            n_terms += 1
+            ri = rows.get(pterm)
+            if ri is None:
+                continue
+            ids = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
+            tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64)
+            dl = DECODE_TABLE[fnorms[fld][ids]]
+            K = self.k1 * (1.0 - self.b + self.b * dl / avgdl_f)
+            scores[ids] += w * (tfs / (tfs + K))
+            if seen is not None:
+                seen[ids] += 1
+        # dismax clauses after fielded terms: max over per-field scores
+        # + tie * rest (ship order = the engine's sorted-term order)
+        for term, sides, tie in dismax_clauses:
+            n_terms += 1
+            best = tot = matched = None
+            for fld, lterm, w, avgdl_f in sides:
+                ri = rows.get(lterm)
+                if ri is None:
+                    continue
+                ids = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
+                tfs = varint_decode(
+                    tbl["tfs"][ri].as_py()
+                ).astype(np.float64)
+                nsrc = norms if avgdl_f is None else fnorms[fld]
+                adl = self.avgdl if avgdl_f is None else avgdl_f
+                dl = DECODE_TABLE[nsrc[ids]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / adl)
+                dense = np.zeros(width, dtype=np.float64)
+                dense[ids] = w * (tfs / (tfs + K))
+                if best is None:
+                    best, tot = dense, dense.copy()
+                    matched = np.zeros(width, dtype=bool)
+                else:
+                    np.maximum(best, dense, out=best)
+                    tot += dense
+                matched[ids] = True
+            if best is None:
+                continue
+            contrib = best if tie == 0.0 else best + tie * (tot - best)
+            ids = np.flatnonzero(matched)
+            scores[ids] += contrib[ids]
+            if seen is not None:
+                seen[ids] += 1
         # fuzzy groups after terms (the _accumulate clause order): tf
         # summed over members present in THIS range, one clause each
         for g, gw in fuzzy_groups:
@@ -3077,10 +3146,6 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         return None  # boolean tree: compiled separately (search_partitioned)
     if parsed.scoring_clauses == 0:
         return None  # match-all / pure-filter: single-engine path
-    if parsed.field_terms or parsed.prohibited_field_terms or parsed.dismax:
-        # per-field scored clauses: single-engine path for now (the
-        # per-range protocol does not ship field stats yet — documented)
-        return None
     if (
         parsed.phrases or parsed.near_phrases
         or parsed.prohibited_phrases or parsed.prohibited_near
@@ -3188,8 +3253,57 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
             if b is not None:
                 w *= b
             near_groups.append([list(nt), int(slop), w])
+    # fielded scored clauses: ship [fld, prefixed_term, idf_f x boost,
+    # avgdl_f] — per-field stats are global driver state, the range task
+    # reads its slice of the field's norm column
+    field_clauses = []
+    for ft in sorted(set(parsed.field_terms)):
+        fld, term = ft
+        tp = engine.field_term_postings(fld, term)
+        if tp is None:
+            if parsed.conjunctive:
+                return "zero"  # AND with an unmatchable field term
+            continue
+        doc_count, avgdl_f = engine._fstat(fld)
+        w = engine.scoring.idf(doc_count, tp.df)
+        b = parsed.field_term_boosts.get(ft)
+        if b is not None:
+            w *= b
+        field_clauses.append(
+            [fld, f"{fld}\x1f{term}", float(w), float(avgdl_f)]
+        )
+    # dismax (qf) clauses: per term a [field, lookup_term, idf x fboost,
+    # avgdl_f or None(=content)] side list + the tiebreaker
+    dismax_clauses = []
+    for term, fpairs in parsed.dismax:
+        sides = []
+        for fld, fboost in fpairs:
+            if fld == "content":
+                tpc = engine.lookup_postings([term]).get(term)
+                if tpc is None:
+                    continue
+                sides.append(
+                    ["content", term,
+                     float(engine.idf(tpc.df) * fboost), None]
+                )
+            else:
+                tpf = engine.field_term_postings(fld, term)
+                if tpf is None:
+                    continue
+                doc_count, avgdl_f = engine._fstat(fld)
+                sides.append(
+                    [fld, f"{fld}\x1f{term}",
+                     float(engine.scoring.idf(doc_count, tpf.df) * fboost),
+                     float(avgdl_f)]
+                )
+        if not sides:
+            if parsed.conjunctive:
+                return "zero"  # AND with a fully-absent dismax clause
+            continue
+        dismax_clauses.append([term, sides, float(parsed.dismax_tie)])
     if not terms and not phrases and not prefix_groups and not fuzzy_groups \
-            and not near_groups and not syn_groups:
+            and not near_groups and not syn_groups \
+            and not field_clauses and not dismax_clauses:
         return "zero"
     # term weights ship as idf x boost (the per-range scorer is agnostic)
     idfs = []
@@ -3217,6 +3331,10 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         g = engine.expand_fuzzy(*fz)
         if g:
             prohibited_groups.append(g)
+    for fld, term in sorted(set(parsed.prohibited_field_terms)):
+        # field-prefixed terms live in the shared postings structure, so
+        # a singleton exclusion group is the whole recipe
+        prohibited_groups.append([f"{fld}\x1f{term}"])
     prohibited_pos = [
         [list(ph), -1] for ph in sorted(map(tuple, parsed.prohibited_phrases))
     ] + [
@@ -3229,7 +3347,8 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     neg_spatial_filters = [_sf_to_list(sf) for sf in parsed.neg_spatial_filters]
     extras = [neg_filters, range_filters, neg_range_filters,
               prohibited_groups, prohibited_pos,
-              spatial_filters, neg_spatial_filters]
+              spatial_filters, neg_spatial_filters,
+              field_clauses, dismax_clauses]
     return (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
             syn_groups, extras)
 
@@ -3419,7 +3538,8 @@ class BoolRangeScorer:
 
 
 def search_partitioned(index_dir: str, query: str, k: int = 10,
-                       synonyms=None) -> pa.Table:
+                       synonyms=None, qf: str | None = None,
+                       tie: float = 0.0) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
 
     Bit-identical to ``SearchEngine.search(..., method='taat')`` (tested);
@@ -3436,6 +3556,8 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
 
     engine = SearchEngine(index_dir, synonyms=synonyms)
     parsed = engine._parse(query)
+    if qf is not None:
+        parsed = engine._apply_qf(parsed, qf, tie)
 
     def _empty():
         return pa.table(

@@ -141,14 +141,32 @@ class TestFieldTermQuery:
             [3 * s for s in plain["score"].to_pylist()]
         )
 
-    def test_grouped_and_distributed_fallback(self, field_index):
+    def test_grouped_and_distributed_identical(self, field_index):
+        """Fielded clauses ship through the per-range protocol (field idf
+        + avgdl driver-computed, field norms range-local) — bit-identical
+        to the single engine, flat and grouped."""
         index_dir, _ = field_index
         e = SearchEngine(index_dir)
         for q in ["path_text:mod0 parse",
                   "(path_text:mod0 OR path_text:mod1) AND parse",
-                  "-path_text:mod0 parse"]:
+                  "-path_text:mod0 parse",
+                  "repo_text:org1^2 path_text:mod0 merge",
+                  "path_text:mod0 AND parse",
+                  "path_text:zzqq parse"]:
             a = e.search(q, k=10, fl=["doc_id"])
             b = search_partitioned(index_dir, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_distributed_qf_identical(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        for q, tie in [("txt parse", 0.0), ("txt merge read", 0.3),
+                       ("py AND parse", 0.0)]:
+            a = e.search(q, k=10, fl=["doc_id"],
+                         qf="content^1 path_text^2", tie=tie)
+            b = search_partitioned(index_dir, q, k=10,
+                                   qf="content^1 path_text^2", tie=tie)
             assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
             assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
