@@ -225,6 +225,9 @@ FIELD_QUERIES = [
     "path_text:doc AND merge",
     "repo_text:src5^2 window",
     "repo_text:zzqq spark",      # field term absent from the field
+    'path_text:"doc 7" window',  # fielded PhraseQuery (positions)
+    '-path_text:"doc 7" spark',
+    'repo_text:"src4" merge',    # single-token quoted -> field term
 ]
 #: dismax qf cases (Solr qf + tie): free terms score max-over-fields
 QF_SPEC = "content^1 path_text^1.5"
@@ -721,9 +724,9 @@ def _bm25_field_index(sf_dir: str) -> str:
             documents_to_corpus_table(docs), corpus_path,
             row_group_size=4096,
         )
-    index_dir = os.path.join(work, "index_fields_v1")
+    index_dir = os.path.join(work, "index_fields_v2")
     config = IndexConfig(
-        concurrency=2,
+        concurrency=2, store_positions=True,
         analyzed_fields=("path_text:path", "repo_text:repo"),
     )
     if not BuildManifest(index_dir).is_committed():

@@ -694,6 +694,51 @@ def _field_branch(fld: str, term: str, boost: float, clause: str) -> str:
     WHERE f.tf > 0"""
 
 
+def _field_phrase_branch(fld: str, ph, boost: float, clause: str) -> str:
+    """Fielded PhraseQuery contribution: w = sum of member FIELD idfs
+    (duplicates counted), tf = exact phrase count over the field token
+    list, K from field avgdl + quantized field length — mirrors
+    ``SearchEngine.eval_field_phrase``."""
+    toks = _FIELD_TOKS[fld]
+    n = len(ph)
+    conds = " AND ".join(
+        f"{toks}[i + {j}] = '{t}'" if j else f"{toks}[i] = '{t}'"
+        for j, t in enumerate(ph)
+    )
+    ptf = (
+        f"len(list_filter(range(1, greatest(len({toks}) - {n} + 2, 1)), "
+        f"i -> {conds}))"
+    )
+
+    def midf(t: str) -> str:
+        tt = t.replace("'", "''")
+        mtf = f"len(list_filter({toks}, x -> x = '{tt}'))"
+        return (
+            f"(SELECT ln(1 + (count(*) FILTER (WHERE len({toks}) > 0)"
+            f" - count(*) FILTER (WHERE {mtf} > 0) + 0.5)"
+            f" / (count(*) FILTER (WHERE {mtf} > 0) + 0.5))"
+            " FROM documents)"
+        )
+
+    idf_sum = " + ".join(midf(t) for t in ph)
+    return f"""
+    SELECT f.doc_id AS doc_id, '{clause}' AS clause,
+      {boost!r} * ({idf_sum})
+        * (f.ptf / (f.ptf + {K1} * (1 - {B} + {B} * f.dlq / fs.avgdl)))
+        AS contrib
+    FROM (
+      SELECT doc_id, {ptf} AS ptf,
+        {_dlq_expr(f"len({toks})")} AS dlq
+      FROM documents
+    ) f
+    CROSS JOIN (
+      SELECT sum(len({toks})) * 1.0
+          / count(*) FILTER (WHERE len({toks}) > 0) AS avgdl
+      FROM documents
+    ) fs
+    WHERE f.ptf > 0"""
+
+
 def _content_branch(term: str, boost: float, clause: str) -> str:
     t = term.replace("'", "''")
     return f"""
@@ -725,6 +770,13 @@ def _field_query_block(q: str) -> str:
     for fld, term in sorted(set(parsed.field_terms)):
         b = parsed.field_term_boosts.get((fld, term), 1.0)
         branches.append(_field_branch(fld, term, b, f"f:{fld}:{term}"))
+    for fp in sorted(set(parsed.field_phrases)):
+        fld, ph = fp
+        b = parsed.field_phrase_boosts.get(fp, 1.0)
+        branches.append(
+            _field_phrase_branch(fld, list(ph), b,
+                                 f"fp:{fld}:{' '.join(ph)}")
+        )
     conds = ["1=1"]
     for fld, term in sorted(set(parsed.prohibited_field_terms)):
         toks = _FIELD_TOKS[fld]
@@ -732,6 +784,18 @@ def _field_query_block(q: str) -> str:
         conds.append(
             "c.doc_id NOT IN (SELECT doc_id FROM documents WHERE "
             f"len(list_filter({toks}, x -> x = '{t}')) > 0)"
+        )
+    for fld, ph in sorted(set(parsed.prohibited_field_phrases)):
+        toks = _FIELD_TOKS[fld]
+        n = len(ph)
+        pconds = " AND ".join(
+            f"{toks}[i + {j}] = '{t}'" if j else f"{toks}[i] = '{t}'"
+            for j, t in enumerate(ph)
+        )
+        conds.append(
+            "c.doc_id NOT IN (SELECT doc_id FROM documents WHERE "
+            f"len(list_filter(range(1, greatest(len({toks}) - {n} + 2, 1)),"
+            f" i -> {pconds})) > 0)"
         )
     having = (
         f"HAVING count(DISTINCT c.clause) = {parsed.scoring_clauses}"

@@ -214,6 +214,12 @@ class ParsedQuery:
     field_terms: list = field(default_factory=list)
     prohibited_field_terms: list = field(default_factory=list)
     field_term_boosts: dict = field(default_factory=dict)  # (f, t) -> b
+    #: SCORED fielded PHRASE clauses over analyzed fields
+    #: (``path_text:"a b"`` — Lucene fielded PhraseQuery; positions of
+    #: the field's token stream): [(field, (t1, t2, ...))]
+    field_phrases: list = field(default_factory=list)
+    prohibited_field_phrases: list = field(default_factory=list)
+    field_phrase_boosts: dict = field(default_factory=dict)
     #: dismax groups (engine-built from ``qf``; never parsed from text):
     #: [(term, ((field, field_boost), ...))] — per doc the group scores
     #: max over fields + tie * sum(rest) (Solr DisMax)
@@ -226,7 +232,7 @@ class ParsedQuery:
             self.terms or self.filters or self.phrases or self.prefixes
             or self.range_filters or self.fuzzies or self.wildcards
             or self.near_phrases or self.spatial_filters
-            or self.field_terms or self.dismax
+            or self.field_terms or self.dismax or self.field_phrases
         )
 
     @property
@@ -238,6 +244,7 @@ class ParsedQuery:
             + len(set(self.fuzzies)) + len(set(self.wildcards))
             + len(self.near_phrases) + len(set(self.field_terms))
             + len(set(t for t, _ in self.dismax))
+            + len(self.field_phrases)
         )
 
 
@@ -270,6 +277,28 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
                 (out.neg_spatial_filters if neg
                  else out.spatial_filters).append(sf)
                 return " "
+        if fld in scored_fields:
+            toks = analyze(text)
+            if not toks:
+                return " "
+            if slop > 0:
+                raise ValueError(
+                    f"proximity ({fld}:\"...\"~{slop}) is not supported "
+                    "on analyzed fields (exact field phrases only)"
+                )
+            if len(toks) == 1:  # single-term field phrase -> field term
+                clause = (fld, toks[0])
+                (out.prohibited_field_terms if neg
+                 else out.field_terms).append(clause)
+                if boost is not None and not neg:
+                    out.field_term_boosts[clause] = boost
+            else:
+                clause = (fld, tuple(toks))
+                (out.prohibited_field_phrases if neg
+                 else out.field_phrases).append(clause)
+                if boost is not None and not neg:
+                    out.field_phrase_boosts[clause] = boost
+            return " "
         if fld in FILTER_FIELDS:
             (out.neg_filters if neg else out.filters)[fld] = text
             return " "

@@ -1002,6 +1002,38 @@ class SearchEngine:
             tp.score_vec = w * self.scoring.impact(tp.tfs, K)
         return tp.score_vec
 
+    def eval_field_phrase(self, fld: str, phrase) -> tuple:
+        """Exact phrase over an analyzed FIELD's positional postings ->
+        ``(doc_ids, freqs, w)`` — Lucene fielded PhraseQuery: w = sum of
+        the member terms' FIELD idfs; tf = phrase frequency in the
+        field's token stream."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64), 0.0)
+        pref = [f"{fld}\x1f{t}" for t in phrase]
+        postings = self.lookup_postings(pref, with_positions=True)
+        if any(p not in postings for p in pref):
+            return empty
+        doc_count, _avgdl = self._fstat(fld)
+        w = float(
+            sum(self.scoring.idf(doc_count, postings[p].df) for p in pref)
+        )
+        uniq = list(dict.fromkeys(pref))
+        docs = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            docs = np.intersect1d(docs, postings[t].doc_ids,
+                                  assume_unique=True)
+            if docs.size == 0:
+                return empty
+        segments = {}
+        for t in uniq:
+            tp = postings[t]
+            ti = np.searchsorted(tp.doc_ids, docs)
+            lengths = tp.tfs[ti]
+            flat, _ = _gather_segments(tp.pos_flat, tp.pos_offsets[ti],
+                                       lengths)
+            segments[t] = (flat, lengths)
+        out_docs, freqs = _phrase_freqs(docs, segments, pref)
+        return out_docs, freqs, w
+
     def _excluded_mask(self, parsed: ParsedQuery) -> np.ndarray | None:
         """Boolean mask of docs excluded by filters/prohibitions/tombstones.
 
@@ -1023,6 +1055,7 @@ class SearchEngine:
             tuple(sorted(set(parsed.prohibited_wildcards))),
             tuple(sorted(set(parsed.prohibited_near))),
             tuple(sorted(set(parsed.prohibited_field_terms))),
+            tuple(sorted(set(parsed.prohibited_field_phrases))),
             len(self.tombstones),
         )
         if key in self._mask_cache:
@@ -1068,6 +1101,10 @@ class SearchEngine:
             tp = self.field_term_postings(fld, term)
             if tp is not None:
                 ensure()[tp.doc_ids] = True
+        for fld, ph in parsed.prohibited_field_phrases:
+            docs, _, _ = self.eval_field_phrase(fld, list(ph))
+            if docs.size:
+                ensure()[docs] = True
         for np_clause in parsed.prohibited_near:
             docs, _, _ = self.eval_near(*np_clause)
             if docs.size:
@@ -1230,6 +1267,7 @@ class SearchEngine:
                 or parsed.fuzzies or parsed.wildcards
                 or parsed.near_phrases
                 or parsed.field_terms or parsed.dismax
+                or parsed.field_phrases
             ):
                 hits = self._score_bmw(parsed, postings, excluded, k)
             else:
@@ -1500,6 +1538,24 @@ class SearchEngine:
             if seen is not None:
                 seen[tp.doc_ids] += 1
             n_present += 1
+        # fielded phrases after fielded terms (pinned order): Lucene
+        # fielded PhraseQuery — field idfs, field norms/avgdl
+        for fp in sorted(set(parsed.field_phrases)):
+            fld, ph = fp
+            docs, freqs, w = self.eval_field_phrase(fld, list(ph))
+            b = parsed.field_phrase_boosts.get(fp)
+            if b is not None:
+                w = w * b
+            if docs.size:
+                doc_count, avgdl_f = self._fstat(fld)
+                dl = DECODE_TABLE[self.field_norms(fld)[docs]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / avgdl_f)
+                scores[docs] += w * self.scoring.impact(
+                    freqs.astype(np.float64), K
+                )
+                if seen is not None:
+                    seen[docs] += 1
+                n_present += 1
         # dismax groups after fielded terms: per doc the group contributes
         # max over its per-field scores + tie * (sum of the rest) — Solr
         # DisjunctionMaxQuery with tiebreaker
@@ -2146,6 +2202,9 @@ class SearchEngine:
             tp = self.field_term_postings(fld, term)
             if tp is not None:
                 seen[tp.doc_ids] += 1
+        for fld, ph in sorted(set(parsed.field_phrases)):
+            docs, _, _ = self.eval_field_phrase(fld, list(ph))
+            seen[docs] += 1
         cand = np.flatnonzero(seen >= required)
         if excluded is not None and cand.size:
             cand = cand[~excluded[cand]]
@@ -3146,6 +3205,10 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         return None  # boolean tree: compiled separately (search_partitioned)
     if parsed.scoring_clauses == 0:
         return None  # match-all / pure-filter: single-engine path
+    if parsed.field_phrases or parsed.prohibited_field_phrases:
+        # fielded phrases: single-engine path (field positional groups
+        # are not in the per-range protocol yet — documented)
+        return None
     if (
         parsed.phrases or parsed.near_phrases
         or parsed.prohibited_phrases or parsed.prohibited_near

@@ -23,7 +23,7 @@ def field_index(small_corpus_path, tmp_path_factory):
 
     index_dir = str(tmp_path_factory.mktemp("fidx") / "idx")
     config = IndexConfig(
-        docs_per_range=128, concurrency=2,
+        docs_per_range=128, concurrency=2, store_positions=True,
         analyzed_fields=("path_text:path", "repo_text:repo"),
     )
     stats = build_index(small_corpus_path, index_dir, config=config)
@@ -178,6 +178,104 @@ class TestFieldTermQuery:
         a = e.search("full_text:parse", k=5, fl=["doc_id"])
         b = e.search("parse", k=5, fl=["doc_id"])
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+
+class TestFieldPhrase:
+    """path_text:"src mod0" — Lucene fielded PhraseQuery over the field's
+    positional token stream, field idfs/norms/avgdl."""
+
+    def test_matches_are_exact_field_phrases(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        t = e.search('path_text:"src mod0"', k=e.n_docs, fl=["doc_id", "path"])
+        assert t.num_rows > 0
+        for p in t["path"].to_pylist():
+            assert p.startswith("src/mod0/"), p
+        # reversed order must not match (phrase, not AND)
+        assert e.search('path_text:"mod0 src"', k=5).num_rows == 0
+
+    def test_score_is_field_phrase_bm25(self, field_index):
+        """Independent check: w = sum of member FIELD idfs; tf = phrase
+        count; K from field avgdl + quantized field length."""
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        t = e.search('path_text:"src mod0"', k=e.n_docs, fl=["doc_id"])
+        docs_t = pads.dataset(f"{index_dir}/docs").to_table(
+            columns=["doc_id", "path"]
+        )
+        toks = {
+            d: simple_analyzer(p)
+            for d, p in zip(docs_t["doc_id"].to_pylist(),
+                            docs_t["path"].to_pylist())
+        }
+        dl = np.array([len(v) for v in toks.values()], dtype=np.int64)
+        n_field = int((dl > 0).sum())
+        avgdl = dl.sum() / n_field
+
+        def fidf(term):
+            df = sum(1 for v in toks.values() if term in v)
+            return np.log(1 + (n_field - df + 0.5) / (df + 0.5))
+
+        w = fidf("src") + fidf("mod0")
+        for d, s in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
+            tk = toks[d]
+            ptf = sum(
+                1 for i in range(len(tk) - 1)
+                if tk[i] == "src" and tk[i + 1] == "mod0"
+            )
+            dlq = float(DECODE_TABLE[encode_lengths(
+                np.array([len(tk)], dtype=np.int32))][0])
+            K = K1 * (1 - B + B * dlq / avgdl)
+            assert s == pytest.approx(w * ptf / (ptf + K), rel=1e-12), d
+
+    def test_single_token_quoted_is_field_term(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        a = e.search('path_text:"mod0"', k=5, fl=["doc_id"])
+        b = e.search("path_text:mod0", k=5, fl=["doc_id"])
+        assert a.to_pylist() == b.to_pylist()
+
+    def test_prohibited_and_mixed(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        neg = e.search('-path_text:"src mod0" parse', k=e.n_docs,
+                       fl=["doc_id"])
+        banned = set(
+            e.search('path_text:"src mod0"', k=e.n_docs)["doc_id"]
+            .to_pylist()
+        )
+        assert not (set(neg["doc_id"].to_pylist()) & banned)
+        # mixed clause sums with a content term
+        both = e.search('path_text:"src mod0" parse', k=e.n_docs,
+                        fl=["doc_id"])
+        fp = dict(zip(
+            *[e.search('path_text:"src mod0"', k=e.n_docs)[c].to_pylist()
+              for c in ("doc_id", "score")]
+        ))
+        co = dict(zip(
+            *[e.search("parse", k=e.n_docs)[c].to_pylist()
+              for c in ("doc_id", "score")]
+        ))
+        for d, s in zip(both["doc_id"].to_pylist(),
+                        both["score"].to_pylist()):
+            assert s == pytest.approx(
+                fp.get(d, 0.0) + co.get(d, 0.0), rel=1e-12
+            )
+
+    def test_slop_on_field_rejected(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        with pytest.raises(ValueError, match="analyzed fields"):
+            e.search('path_text:"src mod0"~2', k=5)
+
+    def test_distributed_falls_back_identically(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        q = 'path_text:"src mod0" parse'
+        a = e.search(q, k=10, fl=["doc_id"])
+        b = search_partitioned(index_dir, q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
 
 
 class TestDismaxQf:
