@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": c.q_pii_scrub,
         "text_quality": c.q_text_quality,
         "lang_counts": c.q_lang_counts,
+        "repetition_stats": c.q_repetition_stats,
+        # curation (decontamination + mixture sampling)
+        "decontaminated": c.q_decontaminated,
+        "mixture_sample": c.q_mixture_sample,
         # dedup family (§2.8 + training-data extensions)
         "exact_dedup": c.q_exact_dedup,
         "upsert_latest": c.q_upsert_latest,

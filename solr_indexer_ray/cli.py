@@ -309,6 +309,52 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Flag or drop corpus docs sharing n-gram shingles with a benchmark
+    parquet (GPT-3-style eval decontamination)."""
+    import ray.data as rd
+
+    from solr_indexer_ray.stages.curation import decontaminate
+
+    _ensure_ray()
+    out = decontaminate(
+        rd.read_parquet(args.input), rd.read_parquet(args.benchmark),
+        text_col=args.text_col, id_col=args.id_col, n=args.n,
+        min_matches=args.min_matches, mode=args.mode,
+    )
+    out.write_parquet(args.dest)
+    import ray.data as rd2
+
+    n_out = rd2.read_parquet(args.dest).count()
+    print(json.dumps({"rows": int(n_out), "dest": args.dest,
+                      "mode": args.mode}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic domain-mixture subsampling (md5-keyed, RNG-free)."""
+    import ray.data as rd
+
+    from solr_indexer_ray.stages.curation import sample_mixture
+
+    _ensure_ray()
+    rates = {}
+    for part in (args.rates or "").split(","):
+        if part:
+            k, _, v = part.partition("=")
+            rates[k] = float(v)
+    ds = rd.read_parquet(args.input)
+    n_in = ds.count()
+    out = sample_mixture(ds, rates, key_col=args.key_col,
+                         id_col=args.id_col,
+                         default_rate=args.default_rate)
+    out.write_parquet(args.dest)
+    n_out = rd.read_parquet(args.dest).count()
+    print(json.dumps({"kept": int(n_out), "dropped": int(n_in - n_out),
+                      "dest": args.dest}))
+    return 0
+
+
 def cmd_gc(args) -> int:
     from solr_indexer_ray.pipelines.mutate import drop_spills
 
@@ -519,6 +565,33 @@ def build_parser() -> argparse.ArgumentParser:
     pdd.add_argument("--id-col", default="doc_id")
     pdd.add_argument("--threshold", type=float, default=None)
     pdd.set_defaults(fn=cmd_dedup)
+
+    pdc = sub.add_parser(
+        "decontaminate",
+        help="flag/drop docs overlapping a benchmark (n-gram shingles)",
+    )
+    pdc.add_argument("-i", "--input", required=True)
+    pdc.add_argument("--benchmark", required=True,
+                     help="benchmark parquet (same text column)")
+    pdc.add_argument("--dest", required=True)
+    pdc.add_argument("--text-col", default="text")
+    pdc.add_argument("--id-col", default="doc_id")
+    pdc.add_argument("-n", type=int, default=8, help="shingle width")
+    pdc.add_argument("--min-matches", type=int, default=1)
+    pdc.add_argument("--mode", choices=["flag", "drop"], default="flag")
+    pdc.set_defaults(fn=cmd_decontaminate)
+
+    psm = sub.add_parser(
+        "sample", help="deterministic domain-mixture subsampling"
+    )
+    psm.add_argument("-i", "--input", required=True)
+    psm.add_argument("--dest", required=True)
+    psm.add_argument("--rates", required=True,
+                     help='comma list "src0=1.0,src1=0.5"')
+    psm.add_argument("--key-col", default="source")
+    psm.add_argument("--id-col", default="doc_id")
+    psm.add_argument("--default-rate", type=float, default=1.0)
+    psm.set_defaults(fn=cmd_sample)
 
     pco = sub.add_parser(
         "compact", help="purge deleted docs and re-merge (Solr optimize)"

@@ -457,6 +457,65 @@ def q_pii_scrub(sf_dir: str):
     return scrubbed.map_batches(sha, batch_format="pyarrow")
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per doc: duplicate-token fraction
+    and top-token share (round-6; boilerplate/spam filter inputs)."""
+    from solr_indexer_ray.functions.textstats import repetition_stats
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, dup, top = [], [], []
+        for d, text in zip(batch["doc_id"].to_pylist(),
+                           batch["text"].to_pylist()):
+            df_, tf_ = repetition_stats(simple_analyzer(text or ""))
+            ids.append(d)
+            dup.append(_py_round(df_, 6))
+            top.append(_py_round(tf_, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup_frac": pa.array(dup, pa.float64()),
+                "top_frac": pa.array(top, pa.float64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+DECON_N = 5           # shingle width (sf0.01 docs are short)
+DECON_BENCH_DOCS = 25  # "benchmark" = first K docs of the corpus
+
+
+def q_decontaminated(sf_dir: str):
+    """Benchmark decontamination: n-gram shingle overlap counts of every
+    corpus doc against the broadcast benchmark shingle set (benchmark =
+    the first DECON_BENCH_DOCS docs — they flag themselves plus any
+    near-dups, a perfect self-check)."""
+    from solr_indexer_ray.stages.curation import decontaminate
+
+    docs = _documents(sf_dir)
+    bench = docs.filter(
+        expr=f"doc_id < {DECON_BENCH_DOCS}"
+    )
+    return decontaminate(docs, bench, n=DECON_N)
+
+
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic domain-mixture subsampling: keep iff
+    md5(doc_id)/2^32 < rate[source] (default 0.35 for unlisted sources)
+    — RNG-free, oracle-reproducible."""
+    from solr_indexer_ray.stages.curation import sample_mixture
+
+    out = sample_mixture(
+        _documents(sf_dir), MIXTURE_RATES, default_rate=0.35
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
 def q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count
 

@@ -1587,6 +1587,73 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+REPETITION_STATS_SQL = _BM25_CTES + """
+SELECT d.doc_id AS doc_id,
+  CASE WHEN d.dl = 0 THEN 0.0
+       ELSE round(1 - a.nd * 1.0 / d.dl, 6) END AS dup_frac,
+  CASE WHEN d.dl = 0 THEN 0.0
+       ELSE round(a.mx * 1.0 / d.dl, 6) END AS top_frac
+FROM dl d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS nd, max(tf) AS mx FROM tf GROUP BY doc_id
+) a USING (doc_id)
+"""
+
+
+def decontaminated_sql() -> str:
+    """Benchmark n-gram overlap counts: DISTINCT string n-grams on both
+    sides (short docs contribute their whole token string — the
+    ``shingle_hashes`` rule), benchmark = doc_id < DECON_BENCH_DOCS."""
+    from solr_indexer_ray.contract import DECON_BENCH_DOCS, DECON_N
+
+    n = DECON_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(
+            range(1, len(toks) - {n} + 2),
+            i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' ')))
+    END AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams
+  WHERE doc_id < {DECON_BENCH_DOCS}
+),
+cnt AS (
+  SELECT e.doc_id, count(*) AS n_matched
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) e
+  JOIN bench b ON e.g = b.g
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id AS doc_id,
+  coalesce(c.n_matched, 0) AS n_matched,
+  coalesce(c.n_matched, 0) >= 1 AS contaminated
+FROM toks t LEFT JOIN cnt c USING (doc_id)
+"""
+
+
+def mixture_sample_sql() -> str:
+    """Deterministic mixture sampling: md5(doc_id)-derived uniform vs the
+    per-source rate — the exact arithmetic of curation.accept_fraction."""
+    from solr_indexer_ray.contract import MIXTURE_RATES
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(MIXTURE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINT64
+      / 4294967296.0
+    < CASE source {whens} ELSE 0.35 END
+"""
+
+
 # --------------------------------------------------------------------- #
 # embeddings
 # --------------------------------------------------------------------- #
@@ -1715,6 +1782,9 @@ def oracle_sql_dict() -> dict:
         "wildcard_infix_topk": wildcard_infix_topk_sql(),
         "regex_topk": regex_topk_sql(),
         "field_topk": field_topk_sql(),
+        "repetition_stats": REPETITION_STATS_SQL,
+        "decontaminated": decontaminated_sql(),
+        "mixture_sample": mixture_sample_sql(),
         "qf_topk": qf_topk_sql(),
         "bool_topk": bool_topk_sql(),
         "spatial_topk": spatial_topk_sql(),

@@ -99,6 +99,19 @@ def quality_score(n_tokens: int, punct: float, stop: float) -> float:
     return score
 
 
+def repetition_stats(tokens) -> tuple:
+    """Gopher-style repetition signals -> (dup_token_fraction,
+    top_token_fraction): 1 - distinct/total, and the most frequent
+    token's share.  High values mark boilerplate/spam for filtering."""
+    n = len(tokens)
+    if n == 0:
+        return 0.0, 0.0
+    counts: dict = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    return 1.0 - len(counts) / n, max(counts.values()) / n
+
+
 def lang_id(tokens) -> str:
     """Marker-word language heuristic: count DISTINCT markers present per
     language; argmax, ties broken alphabetically; 'und' when nothing hits."""

@@ -1,0 +1,102 @@
+"""Curation operators: benchmark decontamination + deterministic mixture
+sampling (`stages/curation.py`)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from solr_indexer_ray.stages.curation import (
+    accept_fraction,
+    decontaminate,
+    sample_mixture,
+)
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+ROWS = [
+    {"doc_id": 0, "source": "a",
+     "text": "the quick brown fox jumps over the lazy dog today"},
+    {"doc_id": 1, "source": "a",
+     "text": "completely different words about graph algorithms"},
+    {"doc_id": 2, "source": "b",
+     "text": "the quick brown fox jumps over the lazy dog again"},
+    {"doc_id": 3, "source": "b", "text": "nothing in common with anything"},
+    {"doc_id": 4, "source": "c", "text": ""},
+]
+
+
+class TestDecontaminate:
+    def test_flags_overlap_with_benchmark(self):
+        bench = _ds(ROWS[:1])          # doc 0 is the benchmark
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate(_ds(ROWS), bench, n=5).take_all()
+        }
+        assert out[0]["contaminated"]          # benchmark flags itself
+        assert out[2]["contaminated"]          # shares 5-gram shingles
+        assert not out[1]["contaminated"]
+        assert not out[3]["contaminated"]
+        assert not out[4]["contaminated"]      # empty doc
+        assert out[2]["n_matched"] >= 1
+
+    def test_min_matches_threshold(self):
+        bench = _ds(ROWS[:1])
+        strict = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(
+                _ds(ROWS), bench, n=5, min_matches=10**6
+            ).take_all()
+        }
+        assert not any(strict.values())
+
+    def test_drop_mode_returns_clean_rows(self):
+        bench = _ds(ROWS[:1])
+        kept = {
+            r["doc_id"]
+            for r in decontaminate(
+                _ds(ROWS), bench, n=5, mode="drop"
+            ).take_all()
+        }
+        assert kept == {1, 3, 4}
+
+    def test_bad_mode(self):
+        with pytest.raises(ValueError, match="mode"):
+            decontaminate(_ds(ROWS), _ds(ROWS[:1]), mode="nope")
+
+
+class TestSampleMixture:
+    def test_rates_zero_and_one(self):
+        out = sample_mixture(
+            _ds(ROWS), {"a": 1.0, "b": 0.0, "c": 1.0}
+        ).take_all()
+        ids = {r["doc_id"] for r in out}
+        assert ids == {0, 1, 4}   # all of a + c, none of b
+
+    def test_deterministic_and_matches_formula(self):
+        rates = {"a": 0.5, "b": 0.5, "c": 0.5}
+        a = {r["doc_id"] for r in sample_mixture(_ds(ROWS), rates).take_all()}
+        b = {r["doc_id"] for r in sample_mixture(_ds(ROWS), rates).take_all()}
+        assert a == b
+        want = {r["doc_id"] for r in ROWS
+                if accept_fraction(r["doc_id"]) < 0.5}
+        assert a == want
+
+    def test_rate_converges_at_scale(self):
+        n = 4000
+        rows = [{"doc_id": i, "source": "x", "text": "t"} for i in range(n)]
+        kept = sample_mixture(_ds(rows), {"x": 0.3}).count()
+        assert abs(kept / n - 0.3) < 0.03
+
+    def test_bad_rate(self):
+        with pytest.raises(ValueError, match="rate"):
+            sample_mixture(_ds(ROWS), {"a": 1.5})
+
+
+def test_accept_fraction_uniformity():
+    vals = np.array([accept_fraction(i) for i in range(2000)])
+    assert 0.0 <= vals.min() and vals.max() < 1.0
+    assert abs(vals.mean() - 0.5) < 0.02
