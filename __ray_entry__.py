@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_topk": c.q_bool_topk,
         "spatial_topk": c.q_spatial_topk,
         "facets": c.q_facets,
+        "facet_query_counts": c.q_facet_query,
         "range_topk": c.q_range_topk,
         "date_range_topk": c.q_date_range_topk,
         "sorted_browse": c.q_sorted_browse,

@@ -113,6 +113,10 @@ def cmd_search(args) -> int:
         with open(args.elevate) as f:
             engine.elevate = json.load(f)
     fl = args.fl.split(",") if args.fl else None
+    if args.explain is not None:
+        print(json.dumps(engine.explain(args.query, args.explain,
+                                        qf=args.qf, tie=args.tie)))
+        return 0
     if args.shards:
         from solr_indexer_ray.pipelines.search import search_sharded
 
@@ -138,6 +142,11 @@ def cmd_search(args) -> int:
                           qf=args.qf, tie=args.tie)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
+    if args.facet_query:
+        print(json.dumps(
+            {"facet_queries": engine.facet_query(
+                args.query, args.facet_query, fq=args.fq)}
+        ))
     if args.facet:
         facets = engine.facet(
             args.query, args.facet.split(","),
@@ -476,6 +485,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(free terms score max over fields; Solr qf)")
     ps.add_argument("--tie", type=float, default=0.0,
                     help="dismax tiebreaker (Solr tie)")
+    ps.add_argument("--explain", type=int, metavar="DOC_ID",
+                    help="Solr debugQuery: per-clause score contributions "
+                         "of one doc")
+    ps.add_argument("--facet-query", action="append",
+                    help="Solr facet.query (repeatable): count of the "
+                         "match set intersected with this sub-query")
     ps.add_argument("--distributed", action="store_true",
                     help="per-doc-range fan-out scoring (the multi-node "
                          "path; bit-identical to the single engine)")

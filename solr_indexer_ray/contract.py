@@ -457,6 +457,30 @@ def q_pii_scrub(sf_dir: str):
     return scrubbed.map_batches(sha, batch_format="pyarrow")
 
 
+FACET_QUERY_MAIN = "spark"
+FACET_QUERY_SUBS = [
+    "lang:en",
+    "doclen:[40 TO 120]",
+    "merge",
+    "window batch",
+    "zzqqzz",
+]
+
+
+def q_facet_query(sf_dir: str):
+    """Solr facet.query: per sub-query, |match(main) ∩ match(sub)|."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    out = engine.facet_query(FACET_QUERY_MAIN, FACET_QUERY_SUBS)
+    return pa.table(
+        {
+            "facet_query": pa.array(FACET_QUERY_SUBS, pa.string()),
+            "n": pa.array([out[s] for s in FACET_QUERY_SUBS], pa.int64()),
+        }
+    )
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals per doc: duplicate-token fraction
     and top-token share (round-6; boilerplate/spam filter inputs)."""

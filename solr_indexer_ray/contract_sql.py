@@ -1587,6 +1587,56 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+def facet_query_sql() -> str:
+    """facet.query counts: main match set (term OR) intersected with each
+    sub-query's match set (terms = docs with any; filters/ranges on the
+    docs columns)."""
+    from solr_indexer_ray.contract import (
+        FACET_QUERY_MAIN,
+        FACET_QUERY_SUBS,
+    )
+
+    main_terms = sorted(set(parse_query(
+        FACET_QUERY_MAIN, simple_analyzer,
+        range_fields=SQL_RANGE_FIELDS).terms))
+    main = (
+        "SELECT DISTINCT doc_id FROM tf WHERE term IN "
+        f"({_sql_list(main_terms)})"
+    )
+    blocks = []
+    for sub in FACET_QUERY_SUBS:
+        p = parse_query(sub, simple_analyzer,
+                        range_fields=SQL_RANGE_FIELDS)
+        conds = [f"doc_id IN ({main})"]
+        if p.terms:
+            conds.append(
+                "doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN "
+                f"({_sql_list(sorted(set(p.terms)))}))"
+            )
+        for fld, val in sorted(p.filters.items()):
+            conds.append(
+                "doc_id IN (SELECT doc_id FROM documents WHERE "
+                f"{fld} = '{val}')"
+            )
+        for rf in p.range_filters:
+            lo, hi = rf.bounds()
+            rc = []
+            if lo is not None:
+                rc.append(f"dl >{'=' if rf.lo_incl else ''} {lo}")
+            if hi is not None:
+                rc.append(f"dl <{'=' if rf.hi_incl else ''} {hi}")
+            conds.append(
+                "doc_id IN (SELECT doc_id FROM dl WHERE "
+                + " AND ".join(rc) + ")"
+            )
+        ss = sub.replace("'", "''")
+        blocks.append(
+            f"SELECT '{ss}' AS facet_query, count(*) AS n FROM "
+            f"(SELECT doc_id FROM dl WHERE {' AND '.join(conds)})"
+        )
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 REPETITION_STATS_SQL = _BM25_CTES + """
 SELECT d.doc_id AS doc_id,
   CASE WHEN d.dl = 0 THEN 0.0
@@ -1783,6 +1833,7 @@ def oracle_sql_dict() -> dict:
         "regex_topk": regex_topk_sql(),
         "field_topk": field_topk_sql(),
         "repetition_stats": REPETITION_STATS_SQL,
+        "facet_query_counts": facet_query_sql(),
         "decontaminated": decontaminated_sql(),
         "mixture_sample": mixture_sample_sql(),
         "qf_topk": qf_topk_sql(),

@@ -2509,6 +2509,130 @@ class SearchEngine:
             row = {k: v for k, v in row.items() if k in fl}
         return row
 
+    def explain(self, query: str, doc_id: int, qf: str | None = None,
+                tie: float = 0.0) -> dict:
+        """Solr ``debugQuery`` analogue: per-clause score contributions of
+        one document.
+
+        Returns ``{"doc_id", "matches", "score", "clauses": [(desc,
+        contribution), ...]}``.  ``score`` is the document's EXACT search
+        score (same accumulator, same float order); each clause
+        contribution is computed independently (Lucene Explanation
+        style), so their sum equals the score up to float re-association
+        only.  ``matches=False`` (excluded / missing a required clause /
+        deleted) reports score 0 with the clause evidence kept.
+        """
+        parsed = self._parse(query)
+        if qf is not None:
+            parsed = self._apply_qf(parsed, qf, tie)
+        if has_group_syntax(query or ""):
+            raise ValueError(
+                "explain covers flat queries (grouped boolean trees "
+                "report per-leaf via their own flat explains)"
+            )
+        d = int(doc_id)
+        if not (0 <= d < self.doc_space):
+            raise ValueError(f"doc_id {d} outside [0, {self.doc_space})")
+        want = list(parsed.terms)
+        if self.synonyms:
+            for t_ in parsed.terms:
+                want += self.synonyms.get(t_, [])
+        postings = self.lookup_postings(want)
+
+        import copy
+
+        def single(desc, **parts):
+            """One clause on fresh arrays -> its independent contribution."""
+            sub = copy.copy(parsed)
+            for f_ in ("terms", "field_terms", "field_phrases", "dismax",
+                       "fuzzies", "phrases", "near_phrases", "prefixes",
+                       "wildcards"):
+                setattr(sub, f_, parts.get(f_, []))
+            sub_post = {
+                t: postings[t]
+                for t in parts.get("terms", [])
+                for t in ([t, *self.synonyms.get(t, [])]
+                          if self.synonyms else [t])
+                if t in postings
+            }
+            s = np.zeros(self.doc_space, dtype=np.float64)
+            seen1 = np.zeros(self.doc_space, dtype=np.int32)
+            self._accumulate(sub, sub_post, s, seen1)
+            return desc, float(s[d]), int(seen1[d])
+
+        order = []
+        for t in sorted(set(parsed.terms)):
+            order.append(("term:" + t, {"terms": [t]}))
+        for ft in sorted(set(parsed.field_terms)):
+            order.append((f"field:{ft[0]}:{ft[1]}", {"field_terms": [ft]}))
+        for fp in sorted(set(parsed.field_phrases)):
+            order.append(
+                (f'field_phrase:{fp[0]}:"{" ".join(fp[1])}"',
+                 {"field_phrases": [fp]})
+            )
+        for term, fpairs in parsed.dismax:
+            order.append(
+                (f"dismax:{term}({' '.join(f for f, _ in fpairs)})",
+                 {"dismax": [(term, fpairs)]})
+            )
+        for fz in sorted(set(parsed.fuzzies)):
+            order.append((f"fuzzy:{fz[0]}~{fz[1]}", {"fuzzies": [fz]}))
+        for ph in sorted(map(tuple, parsed.phrases)):
+            order.append(
+                (f'phrase:"{" ".join(ph)}"', {"phrases": [list(ph)]})
+            )
+        for np_clause in sorted(parsed.near_phrases):
+            order.append(
+                (f'near:"{" ".join(np_clause[0])}"~{np_clause[1]}',
+                 {"near_phrases": [np_clause]})
+            )
+        for pre in sorted(parsed.prefixes):
+            order.append((f"prefix:{pre}*", {"prefixes": [pre]}))
+        for pat in sorted(set(parsed.wildcards)):
+            kind = "regex" if pat.startswith("/") else "wildcard"
+            order.append((f"{kind}:{pat}", {"wildcards": [pat]}))
+
+        clauses = []
+        seen_d = 0
+        for desc, parts in order:
+            name, contrib, hit = single(desc, **parts)
+            seen_d += hit
+            if hit:
+                clauses.append((name, contrib))
+
+        # exact score: the real accumulator over the whole query
+        scores = np.zeros(self.doc_space, dtype=np.float64)
+        self._accumulate(parsed, postings, scores, None)
+        excluded = self._excluded_mask(parsed)
+        required = parsed.scoring_clauses if parsed.conjunctive else 1
+        matches = (
+            seen_d >= required
+            and not (excluded is not None and excluded[d])
+            and bool(self.present[d])
+            and seen_d > 0
+        )
+        return {
+            "doc_id": d,
+            "matches": bool(matches),
+            "score": float(scores[d]) if matches else 0.0,
+            "clauses": clauses,
+        }
+
+    def facet_query(self, query: str, facet_queries, fq=None) -> dict:
+        """Solr ``facet.query``: count of the main query's match set
+        intersected with each sub-query's match set (same grammar as
+        search; non-scoring, like fq)."""
+        base = self.match_ids(query)
+        if fq:
+            excl = self._merge_fq_mask(None, fq)
+            if excl is not None and base.size:
+                base = base[~excl[base]]
+        out = {}
+        for sub in facet_queries:
+            m = self.match_ids(sub)
+            out[sub] = int(np.intersect1d(base, m, assume_unique=True).size)
+        return out
+
     def count(self) -> int:
         """Live doc count (reference: ``get_status`` doc counts)."""
         return self.n_docs - len(self.tombstones)
