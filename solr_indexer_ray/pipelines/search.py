@@ -2714,14 +2714,15 @@ class RangeScorer:
                      range_filters=(), neg_range_filters=(),
                      prohibited_groups=(), prohibited_pos=(),
                      spatial_filters=(), neg_spatial_filters=(),
-                     field_clauses=(), dismax_clauses=()):
+                     field_clauses=(), dismax_clauses=(),
+                     field_phrase_groups=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
             neg_filters, range_filters, neg_range_filters,
             prohibited_groups, prohibited_pos,
             spatial_filters, neg_spatial_filters,
-            field_clauses, dismax_clauses,
+            field_clauses, dismax_clauses, field_phrase_groups,
         )
         if cand.size == 0:
             return []
@@ -2742,7 +2743,8 @@ class RangeScorer:
                           neg_range_filters=(), prohibited_groups=(),
                           prohibited_pos=(), spatial_filters=(),
                           neg_spatial_filters=(),
-                          field_clauses=(), dismax_clauses=()):
+                          field_clauses=(), dismax_clauses=(),
+                          field_phrase_groups=()):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2764,14 +2766,15 @@ class RangeScorer:
         fld_terms = {pt for _, pt, _, _ in field_clauses}
         dm_terms = {lt for _, sides, _ in dismax_clauses
                     for _, lt, _, _ in sides}
+        fph_terms = {t for _, g, _, _ in field_phrase_groups for t in g}
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
             | fuzzy_terms | near_terms | syn_terms | pg_terms | ppos_terms
-            | fld_terms | dm_terms
+            | fld_terms | dm_terms | fph_terms
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
-        if phrase_terms or near_terms or prohibited_pos:
+        if phrase_terms or near_terms or prohibited_pos or fph_terms:
             cols = [
                 "term", "range_id", "doc_ids", "tfs", "positions",
                 "block_last", "block_max_tf", "block_min_norm",
@@ -2791,6 +2794,7 @@ class RangeScorer:
             {f for f, _, _, _ in field_clauses}
             | {f for _, sides, _ in dismax_clauses
                for f, _, _, a in sides if a is not None}
+            | {f for f, _, _, _ in field_phrase_groups}
         )
         dtab = self._docs.to_table(
             columns=["doc_id", "norm", *[f"norm_{f}" for f in flds]],
@@ -2862,6 +2866,19 @@ class RangeScorer:
             scores[ids] += w * (tfs / (tfs + K))
             if seen is not None:
                 seen[ids] += 1
+        # fielded phrase groups after fielded terms (_accumulate order):
+        # span match over the field's positional stream, field norms/avgdl
+        for fld, g, w, avgdl_f in sorted(
+            field_phrase_groups, key=lambda c: (c[0], tuple(c[1]))
+        ):
+            n_terms += 1
+            ids, freqs = self._eval_phrase_local(tbl, rows, g, lo)
+            if ids.size:
+                dl = DECODE_TABLE[fnorms[fld][ids]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / avgdl_f)
+                scores[ids] += w * (freqs / (freqs + K))
+                if seen is not None:
+                    seen[ids] += 1
         # dismax clauses after fielded terms: max over per-field scores
         # + tie * rest (ship order = the engine's sorted-term order)
         for term, sides, tie in dismax_clauses:
@@ -3329,13 +3346,10 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         return None  # boolean tree: compiled separately (search_partitioned)
     if parsed.scoring_clauses == 0:
         return None  # match-all / pure-filter: single-engine path
-    if parsed.field_phrases or parsed.prohibited_field_phrases:
-        # fielded phrases: single-engine path (field positional groups
-        # are not in the per-range protocol yet — documented)
-        return None
     if (
         parsed.phrases or parsed.near_phrases
         or parsed.prohibited_phrases or parsed.prohibited_near
+        or parsed.field_phrases or parsed.prohibited_field_phrases
     ) and not engine.has_positions:
         return None  # positional clause on a non-positional index: let
         #              the single engine raise its clear rebuild error
@@ -3459,6 +3473,26 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         field_clauses.append(
             [fld, f"{fld}\x1f{term}", float(w), float(avgdl_f)]
         )
+    # fielded PHRASE clauses: prefixed members + w = sum field idfs x
+    # boost + field avgdl; the range task span-matches the field's
+    # positional stream locally (positions are per-field by construction)
+    field_phrase_groups = []
+    for fp in sorted(set(parsed.field_phrases)):
+        fld, ph = fp
+        pref = [f"{fld}\x1f{t}" for t in ph]
+        fpost = engine.lookup_postings(pref)
+        if any(p not in fpost for p in pref):
+            if parsed.conjunctive:
+                return "zero"  # AND with an unmatchable field phrase
+            continue
+        doc_count, avgdl_f = engine._fstat(fld)
+        w = float(
+            sum(engine.scoring.idf(doc_count, fpost[p].df) for p in pref)
+        )
+        b = parsed.field_phrase_boosts.get(fp)
+        if b is not None:
+            w *= b
+        field_phrase_groups.append([fld, pref, w, float(avgdl_f)])
     # dismax (qf) clauses: per term a [field, lookup_term, idf x fboost,
     # avgdl_f or None(=content)] side list + the tiebreaker
     dismax_clauses = []
@@ -3490,7 +3524,8 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         dismax_clauses.append([term, sides, float(parsed.dismax_tie)])
     if not terms and not phrases and not prefix_groups and not fuzzy_groups \
             and not near_groups and not syn_groups \
-            and not field_clauses and not dismax_clauses:
+            and not field_clauses and not dismax_clauses \
+            and not field_phrase_groups:
         return "zero"
     # term weights ship as idf x boost (the per-range scorer is agnostic)
     idfs = []
@@ -3527,6 +3562,11 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     ] + [
         [list(nt), int(slop)]
         for nt, slop in sorted(set(parsed.prohibited_near))
+    ] + [
+        # prohibited FIELD phrases: prefixed members, the positional
+        # matcher is field-agnostic (exclusion needs no stats)
+        [[f"{fld}\x1f{t}" for t in ph], -1]
+        for fld, ph in sorted(set(parsed.prohibited_field_phrases))
     ]
     for sf in (*parsed.spatial_filters, *parsed.neg_spatial_filters):
         engine._spatial_expr(sf)  # eager column validation (driver-side)
@@ -3535,7 +3575,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     extras = [neg_filters, range_filters, neg_range_filters,
               prohibited_groups, prohibited_pos,
               spatial_filters, neg_spatial_filters,
-              field_clauses, dismax_clauses]
+              field_clauses, dismax_clauses, field_phrase_groups]
     return (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
             syn_groups, extras)
 

@@ -268,14 +268,20 @@ class TestFieldPhrase:
         with pytest.raises(ValueError, match="analyzed fields"):
             e.search('path_text:"src mod0"~2', k=5)
 
-    def test_distributed_falls_back_identically(self, field_index):
+    def test_distributed_identical(self, field_index):
+        """Field phrase groups ship through the per-range protocol
+        (prefixed members + field idf-sum weight + field avgdl; field
+        norms range-local) — bit-identical to the single engine."""
         index_dir, _ = field_index
         e = SearchEngine(index_dir)
-        q = 'path_text:"src mod0" parse'
-        a = e.search(q, k=10, fl=["doc_id"])
-        b = search_partitioned(index_dir, q, k=10)
-        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
-        assert a["score"].to_pylist() == b["score"].to_pylist()
+        for q in ['path_text:"src mod0" parse',
+                  '-path_text:"src mod0" parse',
+                  'path_text:"src mod0" AND parse',
+                  'path_text:"src zzqq" parse']:
+            a = e.search(q, k=10, fl=["doc_id"])
+            b = search_partitioned(index_dir, q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
 
 class TestDismaxQf:
