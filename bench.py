@@ -272,6 +272,69 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         nlat[i] = time.perf_counter() - t
     near_p50 = round(float(np.percentile(nlat, 50)) * 1000, 3)
 
+    # ---- phase 7: round-2b surface — regex / fields / qf / hybrid -----
+    regexes = [f"/{s[:3]}.*/" for s in stems[:15]] + [
+        f"/{s[:2]}[a-z]+/" for s in stems[15:25]
+    ]
+    regex_p50 = _p50(regexes)
+
+    # fielded index: path_text analyzed field over the same corpus
+    field_dir = os.path.join(BENCH_ROOT, f"index-f-{n_files}-{num_cpus}")
+    fcfg = IndexConfig(analyzed_fields=("path_text:path",))
+    shutil.rmtree(field_dir, ignore_errors=True)
+    build_index(corpus_path, field_dir, config=fcfg)  # untimed warm-up
+    shutil.rmtree(field_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(corpus_path, field_dir, config=fcfg)
+    field_build_s = time.perf_counter() - t0
+    feng = SearchEngine(field_dir)
+    feng.norms
+    ftoks = [f"mod{i}" for i in range(12)] + ["src", "file"]
+
+    def _fp50(queries, **kw):
+        ls = np.zeros(len(queries))
+        for i, q in enumerate(queries):
+            t = time.perf_counter()
+            feng.search(q, k=10, fl=["doc_id"], **kw)
+            ls[i] = time.perf_counter() - t
+        return round(float(np.percentile(ls, 50)) * 1000, 3)
+
+    fieldq = [f"path_text:{t_} {s}" for t_, s in zip(ftoks, stems)]
+    for q in fieldq:
+        feng.search(q, k=10, fl=["doc_id"])  # warm field norms/postings
+    field_p50 = _fp50(fieldq)
+    qf_p50 = _fp50([f"{a} {b}" for a, b in zip(stems[:20], ftoks)],
+                   qf="content^1 path_text^2", tie=0.1)
+
+    # hybrid BM25 + cosine: deterministic synthetic embeddings, corpus
+    # streams / queries broadcast (stages.hybrid production path)
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from solr_indexer_ray.stages.hybrid import hybrid_search
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    emb_path = os.path.join(BENCH_ROOT, f"emb-{n_docs}.parquet")
+    if not os.path.exists(emb_path):
+        mat = rng.standard_normal((n_docs, dim)).astype(np.float32)
+        pq_.write_table(
+            pa_.table({
+                "vec_id": pa_.array(np.arange(n_docs), pa_.int64()),
+                "embedding": pa_.array(
+                    [r.tolist() for r in mat], pa_.list_(pa_.float32())
+                ),
+            }),
+            emb_path,
+        )
+    emb_ds = rd.read_parquet(emb_path)
+    hq = [
+        (i, q, rng.standard_normal(dim)) for i, q in enumerate(_query_set(5))
+    ]
+    t0 = time.perf_counter()
+    hybrid_search(index_dir, emb_ds, hq, k=10, engine=engine)
+    hybrid_ms = round((time.perf_counter() - t0) / len(hq) * 1000, 1)
+
     ray.shutdown()
 
     total = build_s + query_seq_s + query_dist_s
@@ -308,6 +371,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "fuzzy_p50_ms": fuzzy_p50,
             "bool_group_p50_ms": bool_p50,
             "near_p50_ms": near_p50,
+            "regex_p50_ms": regex_p50,
+            "field_build_s": round(field_build_s, 3),
+            "field_build_overhead": round(field_build_s / build_s, 2),
+            "field_p50_ms": field_p50,
+            "qf_p50_ms": qf_p50,
+            "hybrid_per_query_ms": hybrid_ms,
         },
     }
 
