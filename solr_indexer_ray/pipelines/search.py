@@ -2715,7 +2715,7 @@ class RangeScorer:
                      prohibited_groups=(), prohibited_pos=(),
                      spatial_filters=(), neg_spatial_filters=(),
                      field_clauses=(), dismax_clauses=(),
-                     field_phrase_groups=()):
+                     field_phrase_groups=(), term_boosts=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
@@ -2723,6 +2723,7 @@ class RangeScorer:
             prohibited_groups, prohibited_pos,
             spatial_filters, neg_spatial_filters,
             field_clauses, dismax_clauses, field_phrase_groups,
+            term_boosts,
         )
         if cand.size == 0:
             return []
@@ -2744,7 +2745,7 @@ class RangeScorer:
                           prohibited_pos=(), spatial_filters=(),
                           neg_spatial_filters=(),
                           field_clauses=(), dismax_clauses=(),
-                          field_phrase_groups=()):
+                          field_phrase_groups=(), term_boosts=()):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2763,9 +2764,9 @@ class RangeScorer:
         syn_terms = {t for _, g, _ in syn_groups for t in g}
         pg_terms = {t for g in prohibited_groups for t in g}
         ppos_terms = {t for g, _ in prohibited_pos for t in g}
-        fld_terms = {pt for _, pt, _, _ in field_clauses}
+        fld_terms = {pt for _, pt, _, _, _ in field_clauses}
         dm_terms = {lt for _, sides, _ in dismax_clauses
-                    for _, lt, _, _ in sides}
+                    for _, lt, _, _, _ in sides}
         fph_terms = {t for _, g, _, _ in field_phrase_groups for t in g}
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
@@ -2791,9 +2792,9 @@ class RangeScorer:
         # range-local norms
         docs_flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi)
         flds = sorted(
-            {f for f, _, _, _ in field_clauses}
+            {f for f, _, _, _, _ in field_clauses}
             | {f for _, sides, _ in dismax_clauses
-               for f, _, _, a in sides if a is not None}
+               for f, _, _, _, a in sides if a is not None}
             | {f for f, _, _, _ in field_phrase_groups}
         )
         dtab = self._docs.to_table(
@@ -2815,10 +2816,16 @@ class RangeScorer:
         # sort position — the single-engine _accumulate iterates
         # sorted(set(terms)) dispatching per kind, so the float order
         # matches bit-for-bit
-        term_clauses = [(t, None, w) for t, w in zip(terms, idfs)] + [
-            (key, list(g), w) for key, g, w in syn_groups
+        tb = (
+            list(term_boosts) if len(term_boosts) == len(terms)
+            else [1.0] * len(terms)
+        )
+        term_clauses = [
+            (t, None, w, b) for t, w, b in zip(terms, idfs, tb)
+        ] + [
+            (key, list(g), w, 1.0) for key, g, w in syn_groups
         ]
-        for term, members, w in sorted(term_clauses, key=lambda c: c[0]):
+        for term, members, w, b in sorted(term_clauses, key=lambda c: c[0]):
             n_terms += 1
             if members is None:
                 ri = rows.get(term)
@@ -2828,7 +2835,9 @@ class RangeScorer:
                 tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64)
                 dl = DECODE_TABLE[norms[ids]]
                 K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-                scores[ids] += w * (tfs / (tfs + K))
+                # boost AFTER the idf*impact product — the engine's
+                # (cached score_vec) * boost float order, bit-identical
+                scores[ids] += (w * (tfs / (tfs + K))) * b
                 if seen is not None:
                     seen[ids] += 1
                 continue
@@ -2852,7 +2861,7 @@ class RangeScorer:
                     seen[ids] += 1
         # fielded clauses after plain terms (the _accumulate order):
         # per-field BM25 — field avgdl shipped, field norms range-local
-        for fld, pterm, w, avgdl_f in sorted(
+        for fld, pterm, w, b, avgdl_f in sorted(
             field_clauses, key=lambda c: (c[0], c[1])
         ):
             n_terms += 1
@@ -2863,7 +2872,7 @@ class RangeScorer:
             tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64)
             dl = DECODE_TABLE[fnorms[fld][ids]]
             K = self.k1 * (1.0 - self.b + self.b * dl / avgdl_f)
-            scores[ids] += w * (tfs / (tfs + K))
+            scores[ids] += (w * (tfs / (tfs + K))) * b
             if seen is not None:
                 seen[ids] += 1
         # fielded phrase groups after fielded terms (_accumulate order):
@@ -2884,7 +2893,7 @@ class RangeScorer:
         for term, sides, tie in dismax_clauses:
             n_terms += 1
             best = tot = matched = None
-            for fld, lterm, w, avgdl_f in sides:
+            for fld, lterm, w, fboost, avgdl_f in sides:
                 ri = rows.get(lterm)
                 if ri is None:
                     continue
@@ -2897,7 +2906,8 @@ class RangeScorer:
                 dl = DECODE_TABLE[nsrc[ids]]
                 K = self.k1 * (1.0 - self.b + self.b * dl / adl)
                 dense = np.zeros(width, dtype=np.float64)
-                dense[ids] = w * (tfs / (tfs + K))
+                # (idf * impact) * fboost — engine's score_vec * fboost
+                dense[ids] = (w * (tfs / (tfs + K))) * fboost
                 if best is None:
                     best, tot = dense, dense.copy()
                     matched = np.zeros(width, dtype=bool)
@@ -3140,6 +3150,14 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
         raise ValueError("shards disagree on analyzer/BM25 pins")
     e0 = engines[0]
     parsed = e0._parse(query)
+    if (parsed.field_terms or parsed.prohibited_field_terms
+            or parsed.field_phrases or parsed.prohibited_field_phrases
+            or parsed.dismax):
+        raise ValueError(
+            "per-field scored clauses are not federated across shards "
+            "yet (the exact-stats exchange would need merged per-field "
+            "docCount/avgdl); query each shard's engine directly"
+        )
 
     # ---- exact global stats (the ExactStatsCache exchange) --------------
     n_global = sum(e.n_docs for e in engines)
@@ -3467,11 +3485,9 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
             continue
         doc_count, avgdl_f = engine._fstat(fld)
         w = engine.scoring.idf(doc_count, tp.df)
-        b = parsed.field_term_boosts.get(ft)
-        if b is not None:
-            w *= b
+        b = float(parsed.field_term_boosts.get(ft, 1.0))
         field_clauses.append(
-            [fld, f"{fld}\x1f{term}", float(w), float(avgdl_f)]
+            [fld, f"{fld}\x1f{term}", float(w), b, float(avgdl_f)]
         )
     # fielded PHRASE clauses: prefixed members + w = sum field idfs x
     # boost + field avgdl; the range task span-matches the field's
@@ -3504,8 +3520,8 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
                 if tpc is None:
                     continue
                 sides.append(
-                    ["content", term,
-                     float(engine.idf(tpc.df) * fboost), None]
+                    ["content", term, float(engine.idf(tpc.df)),
+                     float(fboost), None]
                 )
             else:
                 tpf = engine.field_term_postings(fld, term)
@@ -3514,8 +3530,8 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
                 doc_count, avgdl_f = engine._fstat(fld)
                 sides.append(
                     [fld, f"{fld}\x1f{term}",
-                     float(engine.scoring.idf(doc_count, tpf.df) * fboost),
-                     float(avgdl_f)]
+                     float(engine.scoring.idf(doc_count, tpf.df)),
+                     float(fboost), float(avgdl_f)]
                 )
         if not sides:
             if parsed.conjunctive:
@@ -3527,12 +3543,14 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
             and not field_clauses and not dismax_clauses \
             and not field_phrase_groups:
         return "zero"
-    # term weights ship as idf x boost (the per-range scorer is agnostic)
+    # term weights ship as UNBOOSTED idf + a parallel boost list: the
+    # range task computes (idf * impact) * boost — the engine's exact
+    # float multiplication order (boost applied AFTER the impact product)
     idfs = []
+    term_boosts = []
     for t in terms:
-        w = engine.idf(postings[t].df)
-        b = parsed.boosts.get(t)
-        idfs.append(w if b is None else w * b)
+        idfs.append(engine.idf(postings[t].df))
+        term_boosts.append(float(parsed.boosts.get(t, 1.0)))
     # negative / range filters + prohibited expansion/positional clauses
     # ship as the per-range dead-mask recipe (extras bundle)
     for rf in (*parsed.range_filters, *parsed.neg_range_filters):
@@ -3575,7 +3593,8 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     extras = [neg_filters, range_filters, neg_range_filters,
               prohibited_groups, prohibited_pos,
               spatial_filters, neg_spatial_filters,
-              field_clauses, dismax_clauses, field_phrase_groups]
+              field_clauses, dismax_clauses, field_phrase_groups,
+              term_boosts]
     return (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
             syn_groups, extras)
 

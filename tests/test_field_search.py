@@ -384,3 +384,14 @@ class TestLifecycle:
         assert check_index(idx)["ok"]
         e = SearchEngine(idx)
         assert e.search("path_text:mod0", k=3).num_rows > 0
+
+
+class TestShardedGuard:
+    def test_sharded_rejects_field_clauses_cleanly(self, field_index):
+        """Federation would silently mis-score field clauses (per-field
+        stats are not in the exact-stats exchange) — it must refuse."""
+        from solr_indexer_ray.pipelines.search import search_sharded
+
+        index_dir, _ = field_index
+        with pytest.raises(ValueError, match="federated"):
+            search_sharded([index_dir, index_dir], "path_text:mod0 parse")

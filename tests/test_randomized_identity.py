@@ -244,3 +244,93 @@ def test_random_boolean_trees_match_set_algebra(seed, tmp_path):
         b = search_partitioned(index_dir, q, k=10)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (seed, q)
         assert a["score"].to_pylist() == b["score"].to_pylist(), (seed, q)
+
+
+@pytest.mark.parametrize("seed", [7, 77])
+def test_random_field_queries_distributed_identity(seed, tmp_path):
+    """Random fielded queries (field terms/phrases, boosts, negation,
+    AND, mixed content terms, dismax qf): the per-range distributed
+    protocol must be bit-identical to the single engine (whose fielded
+    scoring is separately verified against an independent brute force in
+    test_field_search)."""
+    from solr_indexer_ray.functions.tokenize import simple_analyzer
+    from solr_indexer_ray.pipelines.search import search_partitioned
+
+    rng = np.random.default_rng(seed)
+    n_files = int(rng.integers(60, 140))
+    corpus = generate_corpus(n_files, seed=seed, mean_tokens=40)
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(corpus, path, row_group_size=32)
+    index_dir = str(tmp_path / "idx")
+    build_index(
+        path, index_dir,
+        config=IndexConfig(
+            docs_per_range=int(rng.choice([32, 64])), concurrency=2,
+            store_positions=True,
+            analyzed_fields=("path_text:path", "repo_text:repo"),
+        ),
+    )
+    engine = SearchEngine(index_dir)
+
+    ptoks = sorted({
+        t for p in corpus["path"].to_pylist() for t in simple_analyzer(p)
+    })
+    rtoks = sorted({
+        t for r in corpus["repo"].to_pylist() for t in simple_analyzer(r)
+    })
+    ctoks = sorted({
+        t for c in corpus["content"].to_pylist()[:20]
+        for t in simple_analyzer(c or "")
+    })[:80]
+    paths = corpus["path"].to_pylist()
+
+    def rand_query():
+        parts = []
+        n_cl = int(rng.integers(1, 4))
+        for _ in range(n_cl):
+            mode = int(rng.integers(6))
+            if mode == 0:
+                t = ptoks[int(rng.integers(len(ptoks)))]
+                neg = "-" if rng.integers(4) == 0 else ""
+                boost = f"^{int(rng.integers(2, 4))}" if (
+                    not neg and rng.integers(3) == 0
+                ) else ""
+                parts.append(f"{neg}path_text:{t}{boost}")
+            elif mode == 1:
+                t = rtoks[int(rng.integers(len(rtoks)))]
+                parts.append(f"repo_text:{t}")
+            elif mode == 2:
+                pt = simple_analyzer(paths[int(rng.integers(len(paths)))])
+                if len(pt) >= 2:
+                    j = int(rng.integers(len(pt) - 1))
+                    neg = "-" if rng.integers(4) == 0 else ""
+                    parts.append(f'{neg}path_text:"{pt[j]} {pt[j + 1]}"')
+                else:
+                    parts.append("path_text:zzmiss")
+            elif mode == 3:
+                parts.append("path_text:zzqqmiss")
+            elif mode == 4 and ctoks:
+                # plain boosted content term: exercises the shipped
+                # (idf*impact)*boost float order
+                t = ctoks[int(rng.integers(len(ctoks)))]
+                parts.append(f"{t}^{int(rng.integers(2, 5))}")
+            else:
+                parts.append(ctoks[int(rng.integers(len(ctoks)))])
+        q = " ".join(parts)
+        if rng.integers(4) == 0 and not any(
+            p.startswith("-") for p in parts
+        ):
+            q = " AND ".join(parts)
+        return q
+
+    for _ in range(25):
+        q = rand_query()
+        qf = None
+        tie = 0.0
+        if rng.integers(4) == 0 and ":" not in q and "AND" not in q:
+            qf = "content^1 path_text^2"
+            tie = float(rng.choice([0.0, 0.3]))
+        a = engine.search(q, k=10, fl=["doc_id"], qf=qf, tie=tie)
+        b = search_partitioned(index_dir, q, k=10, qf=qf, tie=tie)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (seed, q)
+        assert a["score"].to_pylist() == b["score"].to_pylist(), (seed, q)
