@@ -121,7 +121,8 @@ def cmd_search(args) -> int:
         from solr_indexer_ray.pipelines.search import search_sharded
 
         dirs = [args.output, *args.shards.split(",")]
-        t = search_sharded(dirs, args.query, k=args.k)
+        t = search_sharded(dirs, args.query, k=args.k,
+                           qf=args.qf, tie=args.tie)
     elif args.group:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
                                 group_limit=args.group_limit)

@@ -3121,7 +3121,8 @@ class RangeScorer:
         return out_docs - lo, freqs.astype(np.float64)
 
 
-def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
+def search_sharded(index_dirs, query: str, k: int = 10,
+                   qf: str | None = None, tie: float = 0.0) -> pa.Table:
     """Distributed search across MULTIPLE independent indexes — Solr's
     ``shards=`` multi-core search with **exact global statistics**
     (ExactStatsCache): N, avgdl and every term's df are merged across
@@ -3150,14 +3151,17 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
         raise ValueError("shards disagree on analyzer/BM25 pins")
     e0 = engines[0]
     parsed = e0._parse(query)
-    if (parsed.field_terms or parsed.prohibited_field_terms
-            or parsed.field_phrases or parsed.prohibited_field_phrases
-            or parsed.dismax):
-        raise ValueError(
-            "per-field scored clauses are not federated across shards "
-            "yet (the exact-stats exchange would need merged per-field "
-            "docCount/avgdl); query each shard's engine directly"
-        )
+    if qf is not None:
+        parsed = e0._apply_qf(parsed, qf, tie)
+    if parsed.field_terms or parsed.field_phrases or parsed.dismax \
+            or parsed.prohibited_field_terms \
+            or parsed.prohibited_field_phrases:
+        fps = {tuple(sorted(e.scored_fields)) for e in engines}
+        if len(fps) != 1 or not fps.pop():
+            raise ValueError(
+                "fielded clauses need every shard built with the same "
+                "analyzed_fields"
+            )
 
     # ---- exact global stats (the ExactStatsCache exchange) --------------
     n_global = sum(e.n_docs for e in engines)
@@ -3199,6 +3203,55 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
         m: sum(p[m].df for p in fz_shard if m in p) for m in all_fz_members
     }
 
+    # per-field exact global stats: docCount/avgdl merged like N/avgdl;
+    # field-term / field-phrase-member / dismax dfs merged over the
+    # shards' prefixed postings (the same ExactStatsCache exchange)
+    fstat_global = {}
+    for fld in e0.scored_fields:
+        nd = sum(
+            int((e.stats.get("field_stats") or {}).get(fld, {})
+                .get("n_docs", 0)) for e in engines
+        )
+        sdl = sum(
+            int((e.stats.get("field_stats") or {}).get(fld, {})
+                .get("sum_dl", 0)) for e in engines
+        )
+        fstat_global[fld] = (nd, (sdl / nd) if nd else 1.0)
+    f_pref = sorted(
+        {f"{fld}\x1f{t}" for fld, t in parsed.field_terms}
+        | {f"{fld}\x1f{t}" for fld, ph in parsed.field_phrases for t in ph}
+    )
+    fp_shard = [e.lookup_postings(f_pref) for e in engines]
+    fpdf_global = {
+        p: sum(s[p].df for s in fp_shard if p in s) for p in f_pref
+    }
+
+    def fidf(fld, df):
+        nd, _ = fstat_global[fld]
+        return math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+
+    dm_content = sorted(
+        {t for t, fp in parsed.dismax for f, _ in fp if f == "content"}
+    )
+    dmc_shard = [e.lookup_postings(dm_content) for e in engines]
+    dmc_df = {
+        t: sum(s[t].df for s in dmc_shard if t in s) for t in dm_content
+    }
+    dm_field = sorted(
+        {(f, t) for t, fp in parsed.dismax for f, _ in fp if f != "content"}
+    )
+    dmf_shard = [
+        e.lookup_postings([f"{f}\x1f{t}" for f, t in dm_field])
+        for e in engines
+    ]
+    dmf_df = {
+        (f, t): sum(
+            s[f"{f}\x1f{t}"].df for s in dmf_shard
+            if f"{f}\x1f{t}" in s
+        )
+        for f, t in dm_field
+    }
+
     required = parsed.scoring_clauses if parsed.conjunctive else 1
     hits = []
     for si, e in enumerate(engines):
@@ -3226,6 +3279,86 @@ def search_sharded(index_dirs, query: str, k: int = 10) -> pa.Table:
             )
             if seen is not None:
                 seen[tp.doc_ids] += 1
+
+        def K_field(eng, fld, ids):
+            _, av = fstat_global[fld]
+            dl = DECODE_TABLE[eng.field_norms(fld)[ids]]
+            return eng.k1 * (1.0 - eng.b + eng.b * dl / av)
+
+        for ft in sorted(set(parsed.field_terms)):
+            fld, term = ft
+            p = f"{fld}\x1f{term}"
+            df_f = fpdf_global.get(p, 0)
+            tp = fp_shard[si].get(p)
+            if tp is None or df_f == 0:
+                continue
+            w = fidf(fld, df_f)
+            b = parsed.field_term_boosts.get(ft)
+            if b is not None:
+                w *= b
+            scores[tp.doc_ids] += w * (
+                tp.tfs / (tp.tfs + K_field(e, fld, tp.doc_ids))
+            )
+            if seen is not None:
+                seen[tp.doc_ids] += 1
+        for fp in sorted(set(parsed.field_phrases)):
+            fld, ph = fp
+            if any(
+                fpdf_global.get(f"{fld}\x1f{t}", 0) == 0 for t in ph
+            ):
+                continue  # a member absent on every shard
+            w = float(
+                sum(fidf(fld, fpdf_global[f"{fld}\x1f{t}"]) for t in ph)
+            )
+            b = parsed.field_phrase_boosts.get(fp)
+            if b is not None:
+                w *= b
+            docs, freqs, _ = e.eval_field_phrase(fld, list(ph))
+            if docs.size:
+                scores[docs] += w * (
+                    freqs.astype(np.float64)
+                    / (freqs + K_field(e, fld, docs))
+                )
+                if seen is not None:
+                    seen[docs] += 1
+        for term, fpairs in parsed.dismax:
+            best = tot = matched = None
+            for fld, fboost in fpairs:
+                if fld == "content":
+                    tp = dmc_shard[si].get(term)
+                    dfv = dmc_df.get(term, 0)
+                    if tp is None or dfv == 0:
+                        continue
+                    val = (idf(dfv) * (
+                        tp.tfs / (tp.tfs + K_of(e, tp.doc_ids))
+                    )) * fboost
+                else:
+                    p = f"{fld}\x1f{term}"
+                    tp = dmf_shard[si].get(p)
+                    dfv = dmf_df.get((fld, term), 0)
+                    if tp is None or dfv == 0:
+                        continue
+                    val = (fidf(fld, dfv) * (
+                        tp.tfs
+                        / (tp.tfs + K_field(e, fld, tp.doc_ids))
+                    )) * fboost
+                dense = np.zeros(e.doc_space, dtype=np.float64)
+                dense[tp.doc_ids] = val
+                if best is None:
+                    best, tot = dense, dense.copy()
+                    matched = np.zeros(e.doc_space, dtype=bool)
+                else:
+                    np.maximum(best, dense, out=best)
+                    tot += dense
+                matched[tp.doc_ids] = True
+            if best is None:
+                continue
+            tie = parsed.dismax_tie
+            contrib = best if tie == 0.0 else best + tie * (tot - best)
+            docs = np.flatnonzero(matched)
+            scores[docs] += contrib[docs]
+            if seen is not None:
+                seen[docs] += 1
         for fz in sorted(set(parsed.fuzzies)):
             members = [
                 m for m in fuzzy_members[fz] if m in fz_shard[si]

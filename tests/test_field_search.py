@@ -386,12 +386,61 @@ class TestLifecycle:
         assert e.search("path_text:mod0", k=3).num_rows > 0
 
 
-class TestShardedGuard:
-    def test_sharded_rejects_field_clauses_cleanly(self, field_index):
-        """Federation would silently mis-score field clauses (per-field
-        stats are not in the exact-stats exchange) — it must refuse."""
+class TestShardedFields:
+    """Field clauses federate with exact global PER-FIELD stats: scores
+    over two disjoint shards equal a single union index (the
+    ExactStatsCache discipline extended to field docCount/avgdl/df)."""
+
+    @pytest.fixture(scope="class")
+    def split_indexes(self, small_corpus, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.config import IndexConfig
+        from solr_indexer_ray.pipelines.build import build_index
+
+        root = tmp_path_factory.mktemp("shardf")
+        n = small_corpus.num_rows
+        cfg = IndexConfig(concurrency=2, store_positions=True,
+                          analyzed_fields=("path_text:path",))
+        dirs = []
+        for name, tbl in [("a", small_corpus.slice(0, n // 2)),
+                          ("b", small_corpus.slice(n // 2)),
+                          ("union", small_corpus)]:
+            p = str(root / f"{name}.parquet")
+            pq.write_table(tbl, p, row_group_size=64)
+            d = str(root / f"idx_{name}")
+            build_index(p, d, config=cfg)
+            dirs.append(d)
+        return dirs
+
+    def test_equal_to_union_index(self, split_indexes):
         from solr_indexer_ray.pipelines.search import search_sharded
 
-        index_dir, _ = field_index
-        with pytest.raises(ValueError, match="federated"):
-            search_sharded([index_dir, index_dir], "path_text:mod0 parse")
+        da, db, du = split_indexes
+        eu = SearchEngine(du)
+        for q, qf in [("path_text:mod0 parse", None),
+                      ('path_text:"src mod1" read', None),
+                      ("-path_text:mod0 parse merge", None),
+                      ("parse txt", "content^1 path_text^2")]:
+            sh = search_sharded([da, db], q, k=10, qf=qf, tie=0.2)
+            un = eu.search(q, k=10, fl=["doc_id"], qf=qf, tie=0.2)
+            assert sh["score"].to_pylist() == pytest.approx(
+                un["score"].to_pylist(), rel=1e-12
+            ), q
+            # shard-local ids map back: shard 0 keeps ids, shard 1 is
+            # offset by the split point in the union index
+            half = eu.n_docs - SearchEngine(db).n_docs
+            mapped = [
+                d if s == 0 else d + half
+                for s, d in zip(sh["shard"].to_pylist(),
+                                sh["doc_id"].to_pylist())
+            ]
+            assert mapped == un["doc_id"].to_pylist(), q
+
+    def test_mismatched_shards_refused(self, split_indexes, built_index):
+        from solr_indexer_ray.pipelines.search import search_sharded
+
+        da, _, _ = split_indexes
+        plain_dir, _ = built_index   # no analyzed fields
+        with pytest.raises(ValueError, match="analyzed_fields"):
+            search_sharded([da, plain_dir], "path_text:mod0 x")
