@@ -82,6 +82,7 @@ def hybrid_search(
     exact_ranks: bool = False,
     distributed: bool = False,
     engine=None,
+    ann_index=None,
 ) -> pa.Table:
     """Fuse BM25 and cosine rankings for ``queries``.
 
@@ -107,10 +108,20 @@ def hybrid_search(
     depth = n_docs if exact_ranks else fuse_n
 
     # ---- dense side: ONE streaming pass for every query --------------
+    # (or a partition-pruned IVF probe when an ann_index is supplied —
+    # the corpus-scale path: only nprobe bucket partitions are read)
     qmat = np.asarray([v for _, _, v in queries], dtype=np.float64)
-    dense = brute_force_topk(
-        embeddings_ds, qmat, k=depth, vec_col=vec_col, id_col=id_col
-    )
+    if ann_index is not None:
+        if exact_ranks:
+            raise ValueError(
+                "exact_ranks needs the full cosine ranking; the IVF "
+                "probe is approximate (recall < 1 off-probe)"
+            )
+        dense = ann_index.search(qmat, k=depth)
+    else:
+        dense = brute_force_topk(
+            embeddings_ds, qmat, k=depth, vec_col=vec_col, id_col=id_col
+        )
     dense_by_q: dict[int, list] = {i: [] for i in range(len(queries))}
     d_q = dense["query_id"].to_numpy()
     d_id = dense["vec_id"].to_numpy()

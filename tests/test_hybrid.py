@@ -172,3 +172,35 @@ class TestWeighted:
         ds, mat = emb_ds
         with pytest.raises(ValueError, match="fusion method"):
             hybrid_search(index_dir, ds, _queries(mat, ["x"]), method="nope")
+
+
+class TestIvfHybrid:
+    def test_ivf_dense_side_full_probe_equals_brute(
+        self, built_index, emb_ds, tmp_path
+    ):
+        """With nprobe == n_buckets the IVF probe is exact, so IVF-backed
+        hybrid equals the brute-force-dense hybrid."""
+        from solr_indexer_ray.stages.ann import IvfIndex
+
+        index_dir, _ = built_index
+        ds, mat = emb_ds
+        ivf = IvfIndex(n_buckets=4, nprobe=4,
+                       index_dir=str(tmp_path / "ivf"))
+        ivf.build(ds)
+        q = _queries(mat, ["parse merge"])
+        a = hybrid_search(index_dir, ds, q, k=10, ann_index=ivf)
+        b = hybrid_search(index_dir, ds, q, k=10)
+        assert a.to_pylist() == b.to_pylist()
+
+    def test_exact_ranks_with_ivf_rejected(self, built_index, emb_ds,
+                                           tmp_path):
+        from solr_indexer_ray.stages.ann import IvfIndex
+
+        index_dir, _ = built_index
+        ds, mat = emb_ds
+        ivf = IvfIndex(n_buckets=4, nprobe=1,
+                       index_dir=str(tmp_path / "ivf2"))
+        ivf.build(ds)
+        with pytest.raises(ValueError, match="exact_ranks"):
+            hybrid_search(index_dir, ds, _queries(mat, ["x"]),
+                          ann_index=ivf, exact_ranks=True)
