@@ -200,10 +200,17 @@ def cmd_hybrid(args) -> int:
             return 1
         vec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
     emb_ds = ray.data.read_parquet(args.embeddings)
+    ann = None
+    if args.ivf_dir:
+        from solr_indexer_ray.stages.ann import IvfIndex
+
+        ann = IvfIndex.load(args.ivf_dir)
+        if args.nprobe:
+            ann.nprobe = args.nprobe
     out = hybrid_search(
         args.output, emb_ds, [(0, args.query, vec)], k=args.k,
         fuse_n=args.fuse_n, method=args.method,
-        w_text=args.w_text, w_vec=args.w_vec,
+        w_text=args.w_text, w_vec=args.w_vec, ann_index=ann,
     )
     for row in out.to_pylist():
         print(json.dumps(row, default=str))
@@ -521,6 +528,10 @@ def build_parser() -> argparse.ArgumentParser:
     ph.add_argument("--method", choices=["rrf", "weighted"], default="rrf")
     ph.add_argument("--w-text", type=float, default=0.5)
     ph.add_argument("--w-vec", type=float, default=0.5)
+    ph.add_argument("--ivf-dir",
+                    help="partitioned IvfIndex dir: partition-pruned "
+                         "dense side instead of the brute-force scan")
+    ph.add_argument("--nprobe", type=int)
     ph.set_defaults(fn=cmd_hybrid)
 
     pt = sub.add_parser("terms", help="enumerate index terms (Solr /terms)")
