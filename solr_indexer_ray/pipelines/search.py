@@ -1287,7 +1287,9 @@ class SearchEngine:
         (``qf="content^1 path_text^2"``; ``content`` = the default body
         field).  Per doc the clause scores max over the per-field BM25
         scores + ``tie`` * the rest (DisMax tiebreaker; Solr default 0).
-        Query-time term boosts multiply every field's boost."""
+        Query-time term boosts multiply every field's boost.  Documented
+        deviation: query-time synonym expansion does not apply inside
+        dismax clauses (the content side scores the literal term)."""
         import copy
 
         fpairs = []
