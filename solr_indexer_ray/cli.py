@@ -131,7 +131,7 @@ def cmd_search(args) -> int:
 
         _ensure_ray()
         t = search_partitioned(args.output, args.query, k=args.k,
-                               qf=args.qf, tie=args.tie)
+                               qf=args.qf, tie=args.tie, mm=args.mm)
     else:
         cursor = None
         if args.search_after:
@@ -140,7 +140,7 @@ def cmd_search(args) -> int:
         t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
                           sort=args.sort, start=args.start, hl=args.hl,
                           fq=args.fq, search_after=cursor,
-                          qf=args.qf, tie=args.tie)
+                          qf=args.qf, tie=args.tie, mm=args.mm)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet_query:
@@ -493,6 +493,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(free terms score max over fields; Solr qf)")
     ps.add_argument("--tie", type=float, default=0.0,
                     help="dismax tiebreaker (Solr tie)")
+    ps.add_argument("--mm",
+                    help='minimum should match (Solr mm): "2", "-1", '
+                         '"75%%", or conditional "2<-25%% 9<-3"')
     ps.add_argument("--explain", type=int, metavar="DOC_ID",
                     help="Solr debugQuery: per-clause score contributions "
                          "of one doc")

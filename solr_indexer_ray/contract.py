@@ -93,6 +93,19 @@ BOOST_QUERIES = [
     "spark^2 merge^2 the^0.1",
 ]
 
+#: minimum-should-match cases (Solr (e)dismax ``mm``): (query, spec) —
+#: int / percent / negative / conditional specs, filter + absent-term
+#: interactions, and a spec that clamps to all-required
+MM_CASES = [
+    ("spark merge window", "2"),
+    ("spark merge window batch", "75%"),
+    ("sort merge window", "-1"),
+    ("spark merge window batch stream", "2<-25% 4<3"),
+    ("lang:en spark merge window", "2"),
+    ("spark merge zzzznotaterm", "2"),
+    ("spark merge", "3"),
+]
+
 #: fuzzy cases (Lucene FuzzyQuery; blended SynonymQuery-stats rewrite,
 #: classic Levenshtein expansion against the index dictionary)
 FUZZY_QUERIES = [
@@ -1186,6 +1199,36 @@ def q_fuzzy_topk(sf_dir: str):
     from solr_indexer_ray.pipelines.search import SearchEngine
 
     return _rounded_topk_rows(SearchEngine(_bm25_index(sf_dir)), FUZZY_QUERIES)
+
+
+def q_mm_topk(sf_dir: str):
+    """Top-k with Solr minimum-should-match (``mm``): membership needs
+    >= resolved-mm distinct optional clauses; survivor scores are the
+    plain OR scores.  Same ranking key as q_bm25_topk."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, spec in MM_CASES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"],
+                             method="taat", mm=spec)
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "mm": spec, "doc_id": int(ids[i]),
+                 "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("mm", pa.string()),
+             ("doc_id", pa.int64()), ("score_r", pa.float64())]
+        ),
+    )
 
 
 def q_wildcard_infix_topk(sf_dir: str):

@@ -574,6 +574,57 @@ def fuzzy_topk_sql() -> str:
     return _BM25_CTES + blocks
 
 
+def _mm_query_block(q: str, spec: str) -> str:
+    """One mm case: the bm25 block with the HAVING count gate set to the
+    resolved minimum-should-match instead of the all-required AND count.
+    The grammar resolution (int / percent / negative / conditional) is
+    computed HERE with the same resolver the engine uses (unit-tested
+    against Solr's published examples); the SQL independently verifies
+    the per-doc clause counting + scoring semantics."""
+    from solr_indexer_ray.functions.queryparse import (
+        resolve_min_should_match,
+    )
+
+    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
+    terms = sorted(set(parsed.terms))
+    assert terms and not parsed.conjunctive and not parsed.prohibited, q
+    required = resolve_min_should_match(spec, parsed.scoring_clauses)
+    conds = [f"t.term IN ({_sql_list(terms)})"]
+    if parsed.filters:
+        fexpr = " AND ".join(
+            f"{fld} = '{val}'" for fld, val in sorted(parsed.filters.items())
+        )
+        conds.append(
+            f"t.doc_id IN (SELECT doc_id FROM documents WHERE {fexpr})"
+        )
+    qq = q.replace("'", "''")
+    return f"""
+SELECT '{qq}' AS query, '{spec}' AS mm, doc_id, score_r FROM (
+  SELECT t.doc_id AS doc_id,
+    round(sum(
+      ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {K1} * (1 - {B} + {B} * q.dlq / st.avgdl)))
+    ), 4) AS score_r
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN dlq q ON q.doc_id = t.doc_id
+  CROSS JOIN stats st
+  WHERE {' AND '.join(conds)}
+  GROUP BY t.doc_id
+  HAVING count(DISTINCT t.term) >= {required}
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, t.doc_id) <= {BM25_K}
+)"""
+
+
+def mm_topk_sql() -> str:
+    from solr_indexer_ray.contract import MM_CASES
+
+    blocks = "\nUNION ALL\n".join(
+        _mm_query_block(q, spec) for q, spec in MM_CASES
+    )
+    return _BM25_CTES + blocks
+
+
 def wildcard_infix_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in WILDCARD_INFIX_QUERIES
@@ -1829,6 +1880,7 @@ def oracle_sql_dict() -> dict:
         "near_topk": near_topk_sql(),
         "date_range_topk": date_range_topk_sql(),
         "fuzzy_topk": fuzzy_topk_sql(),
+        "mm_topk": mm_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),
         "regex_topk": regex_topk_sql(),
         "field_topk": field_topk_sql(),

@@ -225,6 +225,11 @@ class ParsedQuery:
     #: max over fields + tie * sum(rest) (Solr DisMax)
     dismax: list = field(default_factory=list)
     dismax_tie: float = 0.0
+    #: Solr (e)dismax ``mm`` resolved to an integer (see
+    #: :func:`resolve_min_should_match`): minimum number of DISTINCT
+    #: optional scoring clauses a doc must match.  0/1 = plain OR.
+    #: Engine-set from ``search(mm=...)``; never parsed from text.
+    min_should: int = 0
 
     @property
     def is_match_all(self) -> bool:
@@ -246,6 +251,41 @@ class ParsedQuery:
             + len(set(t for t, _ in self.dismax))
             + len(self.field_phrases)
         )
+
+
+def resolve_min_should_match(spec, n_optional: int) -> int:
+    """Solr dismax/edismax ``mm`` spec -> required optional-clause count.
+
+    Implements Solr's ``SolrPluginUtils.calculateMinShouldMatch`` grammar
+    (the ``mm`` parameter the reference's Solr queries are subject to —
+    queries flow verbatim to Solr, ``solrindexer/search.py:125-140``):
+
+    - positive integer ``"2"``: at least 2 clauses must match
+    - negative integer ``"-1"``: all but 1 (``n_optional - 1``)
+    - percentage ``"75%"``: ``int(n_optional * 0.75)`` (truncated)
+    - negative percentage ``"-25%"``: ``n_optional`` minus the truncated
+      percentage
+    - conditional pairs ``"2<-25% 9<-3"``: with ``n_optional <= 2`` all
+      clauses are required; the last pair whose bound is exceeded applies
+
+    The result is clamped to ``[0, n_optional]`` (Lucene's
+    ``BooleanQuery.setMinimumNumberShouldMatch`` range)."""
+    result = n_optional
+    s = str(spec).strip()
+    if "<" in s:
+        for cond in s.split():
+            ub_s, _, sub = cond.partition("<")
+            if n_optional <= int(ub_s):
+                break
+            result = resolve_min_should_match(sub, n_optional)
+        return max(0, min(n_optional, result))
+    if s.endswith("%"):
+        calc = n_optional * int(s[:-1]) / 100.0
+        result = n_optional + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(s)
+        result = n_optional + calc if calc < 0 else calc
+    return max(0, min(n_optional, result))
 
 
 def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,

@@ -50,6 +50,7 @@ from solr_indexer_ray.functions.queryparse import (
     has_group_syntax,
     parse_boolean,
     parse_query,
+    resolve_min_should_match,
 )
 from solr_indexer_ray.functions.smallfloat import DECODE_TABLE
 from solr_indexer_ray.functions.varint import (
@@ -1187,6 +1188,7 @@ class SearchEngine:
         search_after=None,
         qf: str | None = None,
         tie: float = 0.0,
+        mm=None,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -1207,11 +1209,21 @@ class SearchEngine:
         strictly after that ranking position — O(k) per page instead of
         ``start``'s O(start+k), the deep-paging form that scales.
         Relevance ranking only (pass the previous page's last row).
+        ``mm`` is Solr (e)dismax minimum-should-match (int / ``"-1"`` /
+        ``"75%"`` / conditional ``"2<-25% 9<-3"`` — see
+        :func:`resolve_min_should_match`): a doc must match at least that
+        many DISTINCT optional scoring clauses.  Applies to flat OR
+        queries (Solr: ``mm`` governs the optional clauses of the main
+        dismax boolean query; with ``AND`` every clause is already
+        required, and the lucene parser ignores ``mm``); scores are
+        unchanged — ``mm`` only gates membership.  Scores TAAT.
         """
         if start < 0:
             raise ValueError("start must be >= 0")
         if qf is not None and (sort is not None or start or search_after):
             raise ValueError("qf composes with relevance ranking only")
+        if mm is not None and sort is not None:
+            raise ValueError("mm composes with relevance ranking only")
         if search_after is not None:
             if sort is not None or start:
                 raise ValueError(
@@ -1219,10 +1231,12 @@ class SearchEngine:
                     "(no sort/start)"
                 )
             return self._search_after(query, k, fl, method, fq,
-                                      search_after, hl)
+                                      search_after, hl, mm=mm)
         parsed = self._parse(query)
         if qf is not None:
             parsed = self._apply_qf(parsed, qf, tie)
+        if mm is not None:
+            self._apply_mm(parsed, query, mm)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -1232,7 +1246,7 @@ class SearchEngine:
             t = self._search_sorted(parsed, query, k, fl, sort, start, fq=fq)
         elif start:
             deep = self.search(query, k=start + k, fl=["doc_id"],
-                               method=method, fq=fq)
+                               method=method, fq=fq, mm=mm)
             hits = list(
                 zip(deep["doc_id"].to_pylist(), deep["score"].to_pylist())
             )[start:]
@@ -1262,7 +1276,7 @@ class SearchEngine:
                 # no scoring clause (match-all / pure-filter query):
                 # filter match, score 0, doc_id order
                 hits = self._match_all(parsed, excluded, k)
-            elif method == "bmw" and not (
+            elif method == "bmw" and parsed.min_should <= 1 and not (
                 parsed.phrases or parsed.prefixes
                 or parsed.fuzzies or parsed.wildcards
                 or parsed.near_phrases
@@ -1280,6 +1294,27 @@ class SearchEngine:
                 hits = self._apply_elevation(query, hits, k)
             t = self._resolve(hits, fl)
         return self._add_highlights(parsed, t) if hl else t
+
+    def _apply_mm(self, parsed: ParsedQuery, query: str, mm) -> None:
+        """Resolve + attach Solr ``mm`` to a freshly-parsed query.
+
+        ``mm`` governs the OPTIONAL clauses of a dismax main query; with
+        ``AND`` every clause is already required and Solr's lucene parser
+        ignores ``mm``, so both are rejected explicitly here instead of
+        silently doing nothing."""
+        if parsed.conjunctive:
+            raise ValueError(
+                "mm applies to optional (OR) clauses; AND already "
+                "requires every clause"
+            )
+        if has_group_syntax(query or ""):
+            raise ValueError(
+                "mm is a dismax/edismax parameter; grouped boolean "
+                "queries express their own required counts"
+            )
+        parsed.min_should = resolve_min_should_match(
+            mm, parsed.scoring_clauses
+        )
 
     def _apply_qf(self, parsed: ParsedQuery, qf: str, tie: float):
         """Solr (e)dismax ``qf``: every free-text term becomes ONE
@@ -1664,8 +1699,13 @@ class SearchEngine:
         #: terms absent from the index (Lucene: AND with a non-existent
         #: term matches nothing), so count from the parse, not the lookup.
         required = parsed.scoring_clauses
+        if not parsed.conjunctive and parsed.min_should > 1:
+            # Solr mm: membership needs >= min_should optional clauses;
+            # scores are the plain OR scores of the survivors
+            required = parsed.min_should
         seen = (
-            np.zeros(self.doc_space, dtype=np.int32) if parsed.conjunctive else None
+            np.zeros(self.doc_space, dtype=np.int32)
+            if parsed.conjunctive or parsed.min_should > 1 else None
         )
         n_present = self._accumulate(parsed, postings, scores, seen)
         if n_present == 0:
@@ -1790,12 +1830,15 @@ class SearchEngine:
             return []
         return _select_topk(cand, scores[cand], k)
 
-    def _search_after(self, query, k, fl, method, fq, cursor, hl):
+    def _search_after(self, query, k, fl, method, fq, cursor, hl,
+                      mm=None):
         """Cursor paging (Solr cursorMark): score candidates once, keep
         those strictly after ``(score, doc_id)`` in ranking order, take
         top-k of the remainder."""
         cs, cid = float(cursor[0]), int(cursor[1])
         parsed = self._parse(query)
+        if mm is not None:
+            self._apply_mm(parsed, query, mm)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -2701,6 +2744,10 @@ class RangeScorer:
                     if "syn_groups_json" in batch else [],
                     *(json.loads(str(batch["extras_json"][i]))
                       if "extras_json" in batch else ([], [], [], [], [], [], [])),
+                    min_should=(
+                        int(batch["min_should"][i])
+                        if "min_should" in batch else 0
+                    ),
                 )
             )
         return pa.Table.from_pylist(
@@ -2717,7 +2764,8 @@ class RangeScorer:
                      prohibited_groups=(), prohibited_pos=(),
                      spatial_filters=(), neg_spatial_filters=(),
                      field_clauses=(), dismax_clauses=(),
-                     field_phrase_groups=(), term_boosts=()):
+                     field_phrase_groups=(), term_boosts=(),
+                     min_should=0):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
@@ -2725,7 +2773,7 @@ class RangeScorer:
             prohibited_groups, prohibited_pos,
             spatial_filters, neg_spatial_filters,
             field_clauses, dismax_clauses, field_phrase_groups,
-            term_boosts,
+            term_boosts, min_should=min_should,
         )
         if cand.size == 0:
             return []
@@ -2747,7 +2795,8 @@ class RangeScorer:
                           prohibited_pos=(), spatial_filters=(),
                           neg_spatial_filters=(),
                           field_clauses=(), dismax_clauses=(),
-                          field_phrase_groups=(), term_boosts=()):
+                          field_phrase_groups=(), term_boosts=(),
+                          min_should=0):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2812,7 +2861,10 @@ class RangeScorer:
             fnorms[f] = a
 
         scores = np.zeros(width, dtype=np.float64)
-        seen = np.zeros(width, dtype=np.int32) if conjunctive else None
+        seen = (
+            np.zeros(width, dtype=np.int32)
+            if conjunctive or min_should > 1 else None
+        )
         n_terms = 0
         # plain terms and synonym groups interleave at the mapped term's
         # sort position — the single-engine _accumulate iterates
@@ -2983,7 +3035,12 @@ class RangeScorer:
                 if seen is not None:
                     seen[ids] += 1
         if seen is not None:
-            cand = np.flatnonzero(seen >= n_terms)
+            # conjunctive: every shipped clause; mm: the driver-resolved
+            # optional-clause minimum (same per-range gating — each doc
+            # lives in exactly one range, so local counts are global)
+            cand = np.flatnonzero(
+                seen >= (n_terms if conjunctive else min_should)
+            )
         else:
             cand = np.flatnonzero(scores > 0.0)
         if cand.size:
@@ -3920,7 +3977,7 @@ class BoolRangeScorer:
 
 def search_partitioned(index_dir: str, query: str, k: int = 10,
                        synonyms=None, qf: str | None = None,
-                       tie: float = 0.0) -> pa.Table:
+                       tie: float = 0.0, mm=None) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
 
     Bit-identical to ``SearchEngine.search(..., method='taat')`` (tested);
@@ -3939,6 +3996,8 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
     parsed = engine._parse(query)
     if qf is not None:
         parsed = engine._apply_qf(parsed, qf, tie)
+    if mm is not None:
+        engine._apply_mm(parsed, query, mm)
 
     def _empty():
         return pa.table(
@@ -3986,7 +4045,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         # match-all / rare negative-clause forms: single-engine path
-        return engine.search(query, k=k)
+        return engine.search(query, k=k, mm=mm)
     if clauses == "zero":
         return _empty()
     (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
@@ -4003,6 +4062,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
             "filter_keys": sorted(parsed.filters),
             "filter_vals": [parsed.filters[f] for f in sorted(parsed.filters)],
             "conjunctive": parsed.conjunctive,
+            "min_should": int(parsed.min_should),
             "phrases_json": json.dumps(phrases),
             "prefix_groups_json": json.dumps(prefix_groups),
             "fuzzy_groups_json": json.dumps(fuzzy_groups),

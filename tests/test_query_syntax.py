@@ -575,3 +575,151 @@ class TestRegexQuery:
         e = SearchEngine(index_dir)
         assert e.expand_pattern("/zzqq[0-9]+x/") == []
         assert e.search("/zzqq[0-9]+x/", k=5, fl=["doc_id"]).num_rows == 0
+
+
+class TestMinimumShouldMatch:
+    """Solr (e)dismax ``mm``: membership needs >= mm optional clauses;
+    scores stay the plain OR scores (mm gates, never rescales)."""
+
+    def _pick_terms(self, e, n=3):
+        """n corpus terms with df >= 5 (stable across the fixed seed)."""
+        rows = e.terms(prefix="", limit=200, mincount=5)
+        terms = [t for t, _ in rows[:n]]
+        assert len(terms) == n
+        return terms
+
+    def test_resolver_solr_examples(self):
+        from solr_indexer_ray.functions.queryparse import (
+            resolve_min_should_match as r,
+        )
+
+        # Solr ref-guide examples at 5 optional clauses
+        assert r("3", 5) == 3
+        assert r("-2", 5) == 3
+        assert r("75%", 5) == 3          # int(3.75)
+        assert r("-25%", 5) == 4         # 5 + int(-1.25)
+        # conditional "2<-25% 9<-3"
+        assert r("2<-25% 9<-3", 2) == 2  # <= 2 -> all required
+        assert r("2<-25% 9<-3", 4) == 3
+        assert r("2<-25% 9<-3", 8) == 6
+        assert r("2<-25% 9<-3", 12) == 9
+        # clamps
+        assert r("9", 4) == 4
+        assert r("0", 4) == 0
+        assert r("-9", 4) == 0
+        assert r(2, 5) == 2              # plain int accepted
+
+    def test_membership_and_scores(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t1, t2, t3 = self._pick_terms(e)
+        q = f"{t1} {t2} {t3}"
+        full = e.search(q, k=e.n_docs, fl=["doc_id"])
+        mm2 = e.search(q, k=e.n_docs, fl=["doc_id"], mm=2)
+        # independent expectation: docs present in >= 2 single-term sets
+        sets = [
+            set(e.search(t, k=e.n_docs, fl=["doc_id"])["doc_id"].to_pylist())
+            for t in (t1, t2, t3)
+        ]
+        want = {
+            d for d in set().union(*sets)
+            if sum(d in s for s in sets) >= 2
+        }
+        assert set(mm2["doc_id"].to_pylist()) == want
+        # survivor scores equal the plain OR scores
+        orm = dict(zip(full["doc_id"].to_pylist(), full["score"].to_pylist()))
+        for d, s in zip(mm2["doc_id"].to_pylist(), mm2["score"].to_pylist()):
+            assert s == orm[d]
+
+    def test_all_required_equals_and(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t1, t2, t3 = self._pick_terms(e)
+        a = e.search(f"{t1} {t2} {t3}", k=30, fl=["doc_id"], mm="100%")
+        b = e.search(f"{t1} AND {t2} AND {t3}", k=30, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+        # over-required spec clamps to all
+        c = e.search(f"{t1} {t2} {t3}", k=30, fl=["doc_id"], mm="7")
+        assert c["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_mm_one_is_plain_or(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t1, t2, _ = self._pick_terms(e)
+        a = e.search(f"{t1} {t2}", k=e.n_docs, fl=["doc_id"])
+        b = e.search(f"{t1} {t2}", k=e.n_docs, fl=["doc_id"], mm=1)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_mixed_clause_kinds_count(self, built_index):
+        """mm counts every optional scoring clause kind (terms + the
+        constant-score prefix clause here), not just plain terms."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t1, t2, t3 = self._pick_terms(e)
+        q = f"{t1} {t3} {t2[:3]}*"
+        full = e.search(q, k=e.n_docs, fl=["doc_id"])
+        mm2 = e.search(q, k=e.n_docs, fl=["doc_id"], mm=2)
+        assert set(mm2["doc_id"].to_pylist()) <= set(full["doc_id"].to_pylist())
+        orm = dict(zip(full["doc_id"].to_pylist(), full["score"].to_pylist()))
+        for d, s in zip(mm2["doc_id"].to_pylist(), mm2["score"].to_pylist()):
+            assert s == orm[d]
+
+    def test_mm_with_fq_and_paging(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t1, t2, t3 = self._pick_terms(e)
+        q = f"{t1} {t2} {t3}"
+        allr = e.search(q, k=e.n_docs, fl=["doc_id"], mm=2)
+        page = e.search(q, k=5, fl=["doc_id"], mm=2, start=3)
+        assert page["doc_id"].to_pylist() == allr["doc_id"].to_pylist()[3:8]
+        first = e.search(q, k=5, fl=["doc_id"], mm=2)
+        cursor = (first["score"][-1].as_py(), first["doc_id"][-1].as_py())
+        nxt = e.search(q, k=5, fl=["doc_id"], mm=2, search_after=cursor)
+        assert nxt["doc_id"].to_pylist() == allr["doc_id"].to_pylist()[5:10]
+
+    def test_bmw_method_falls_back_taat(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t1, t2, t3 = self._pick_terms(e)
+        q = f"{t1} {t2} {t3}"
+        a = e.search(q, k=15, fl=["doc_id"], mm=2, method="bmw")
+        b = e.search(q, k=15, fl=["doc_id"], mm=2, method="taat")
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_errors(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        with pytest.raises(ValueError, match="optional"):
+            e.search("a AND b", mm=1)
+        with pytest.raises(ValueError, match="dismax"):
+            e.search("(a OR b) c", mm=1)
+        with pytest.raises(ValueError, match="relevance"):
+            e.search("a b", mm=1, sort="doc_id asc")
+
+    def test_distributed_identity(self, built_index):
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t1, t2, t3 = self._pick_terms(e)
+        for q, mm in [(f"{t1} {t2} {t3}", 2),
+                      (f"{t1} {t2} {t3}", "-1"),
+                      (f"{t1} {t2} {t3} zzqq", "75%")]:
+            a = e.search(q, k=20, fl=["doc_id"], mm=mm)
+            b = search_partitioned(index_dir, q, k=20, mm=mm)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (q, mm)
+            assert a["score"].to_pylist() == b["score"].to_pylist(), (q, mm)
+
+    def test_mm_with_qf_dismax(self, built_index):
+        """mm composes with qf: dismax clauses are the optional clauses."""
+        index_dir, _ = built_index
+        e = SearchEngine(index_dir)
+        t1, t2, t3 = self._pick_terms(e)
+        q = f"{t1} {t2} {t3}"
+        full = e.search(q, k=e.n_docs, fl=["doc_id"], qf="content")
+        mm2 = e.search(q, k=e.n_docs, fl=["doc_id"], qf="content", mm=2)
+        orm = dict(zip(full["doc_id"].to_pylist(), full["score"].to_pylist()))
+        assert 0 < mm2.num_rows < full.num_rows
+        for d, s in zip(mm2["doc_id"].to_pylist(), mm2["score"].to_pylist()):
+            assert s == orm[d]
