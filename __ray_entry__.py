@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_topk": c.q_wildcard_topk,
         "fuzzy_topk": c.q_fuzzy_topk,
         "mm_topk": c.q_mm_topk,
+        "pf_topk": c.q_pf_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,
         "regex_topk": c.q_regex_topk,
         "field_topk": c.q_field_topk,

@@ -131,7 +131,9 @@ def cmd_search(args) -> int:
 
         _ensure_ray()
         t = search_partitioned(args.output, args.query, k=args.k,
-                               qf=args.qf, tie=args.tie, mm=args.mm)
+                               qf=args.qf, tie=args.tie, mm=args.mm,
+                               pf=args.pf, ps=args.ps,
+                               pf2=args.pf2, pf3=args.pf3)
     else:
         cursor = None
         if args.search_after:
@@ -140,7 +142,9 @@ def cmd_search(args) -> int:
         t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
                           sort=args.sort, start=args.start, hl=args.hl,
                           fq=args.fq, search_after=cursor,
-                          qf=args.qf, tie=args.tie, mm=args.mm)
+                          qf=args.qf, tie=args.tie, mm=args.mm,
+                          pf=args.pf, ps=args.ps,
+                          pf2=args.pf2, pf3=args.pf3)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet_query:
@@ -496,6 +500,14 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--mm",
                     help='minimum should match (Solr mm): "2", "-1", '
                          '"75%%", or conditional "2<-25%% 9<-3"')
+    ps.add_argument("--pf",
+                    help='phrase fields (Solr edismax pf): boost docs '
+                         'where the whole query appears as a phrase, '
+                         'e.g. "content^2 path_text^1.5"')
+    ps.add_argument("--pf2", help="bigram phrase fields (Solr pf2)")
+    ps.add_argument("--pf3", help="trigram phrase fields (Solr pf3)")
+    ps.add_argument("--ps", type=int, default=0,
+                    help="phrase slop for pf clauses (Solr ps)")
     ps.add_argument("--explain", type=int, metavar="DOC_ID",
                     help="Solr debugQuery: per-clause score contributions "
                          "of one doc")

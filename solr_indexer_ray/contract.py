@@ -106,6 +106,23 @@ MM_CASES = [
     ("spark merge", "3"),
 ]
 
+#: edismax phrase-field cases: (query, search kwargs, explicit-clause
+#: equivalent).  The engine runs the pf form; the oracle (and the row
+#: label) uses the explicit rewrite — pf is BY CONSTRUCTION the same
+#: clauses appended score-only, and the identity is pytest-pinned.
+PF_CASES = [
+    ("spark merge", {"pf": "content^2"},
+     'spark merge "spark merge"^2'),
+    ("the batch join", {"pf": "content^1.5"},
+     'the batch join "the batch join"^1.5'),
+    ("sort merge window", {"pf2": "content^2"},
+     'sort merge window "sort merge"^2 "merge window"^2'),
+    ("spark merge line", {"pf": "content^3", "ps": 2},
+     'spark merge line "spark merge line"~2^3'),
+    ("key order stream batch", {"pf3": "content^2"},
+     'key order stream batch "key order stream"^2 "order stream batch"^2'),
+]
+
 #: fuzzy cases (Lucene FuzzyQuery; blended SynonymQuery-stats rewrite,
 #: classic Levenshtein expansion against the index dictionary)
 FUZZY_QUERIES = [
@@ -1227,6 +1244,37 @@ def q_mm_topk(sf_dir: str):
         schema=pa.schema(
             [("query", pa.string()), ("mm", pa.string()),
              ("doc_id", pa.int64()), ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_pf_topk(sf_dir: str):
+    """Top-k with edismax phrase fields (pf/pf2/pf3/ps): score-only
+    phrase-boost clauses over the free-term sequence.  Rows are labeled
+    with the explicit-clause equivalent query so the oracle can express
+    the same ranking in SQL."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, kwargs, label in PF_CASES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"],
+                             method="taat", **kwargs)
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": label, "doc_id": int(ids[i]),
+                 "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
         ),
     )
 

@@ -625,6 +625,18 @@ def mm_topk_sql() -> str:
     return _BM25_CTES + blocks
 
 
+def pf_topk_sql() -> str:
+    """edismax pf oracle: each case's SQL is the explicit-clause
+    equivalent query (term + boosted phrase/near clauses) — the engine's
+    pf rewrite is pytest-pinned to be clause-identical to it."""
+    from solr_indexer_ray.contract import PF_CASES
+
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(label) for _, _, label in PF_CASES
+    )
+    return _BM25_CTES + blocks
+
+
 def wildcard_infix_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in WILDCARD_INFIX_QUERIES
@@ -1881,6 +1893,7 @@ def oracle_sql_dict() -> dict:
         "date_range_topk": date_range_topk_sql(),
         "fuzzy_topk": fuzzy_topk_sql(),
         "mm_topk": mm_topk_sql(),
+        "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),
         "regex_topk": regex_topk_sql(),
         "field_topk": field_topk_sql(),

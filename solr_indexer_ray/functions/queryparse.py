@@ -230,6 +230,12 @@ class ParsedQuery:
     #: optional scoring clauses a doc must match.  0/1 = plain OR.
     #: Engine-set from ``search(mm=...)``; never parsed from text.
     min_should: int = 0
+    #: Solr edismax pf/pf2/pf3 phrase-boost clauses (engine-built; never
+    #: parsed from text): [(field_or_None, member_terms, slop, boost)].
+    #: SCORE-ONLY — they never gate membership, bump the AND/mm seen
+    #: counts, or count in ``scoring_clauses`` (Lucene: the pf phrase is
+    #: a separate SHOULD boost query outside minimumShouldMatch).
+    boost_phrases: list = field(default_factory=list)
 
     @property
     def is_match_all(self) -> bool:

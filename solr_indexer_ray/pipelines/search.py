@@ -1189,6 +1189,10 @@ class SearchEngine:
         qf: str | None = None,
         tie: float = 0.0,
         mm=None,
+        pf: str | None = None,
+        ps: int = 0,
+        pf2: str | None = None,
+        pf3: str | None = None,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -1224,6 +1228,14 @@ class SearchEngine:
             raise ValueError("qf composes with relevance ranking only")
         if mm is not None and sort is not None:
             raise ValueError("mm composes with relevance ranking only")
+        has_pf = pf or pf2 or pf3
+        if has_pf and sort is not None:
+            raise ValueError("pf composes with relevance ranking only")
+        if has_pf and has_group_syntax(query or ""):
+            raise ValueError(
+                "pf is a dismax/edismax parameter; use explicit phrase "
+                "clauses inside grouped boolean queries"
+            )
         if search_after is not None:
             if sort is not None or start:
                 raise ValueError(
@@ -1231,12 +1243,16 @@ class SearchEngine:
                     "(no sort/start)"
                 )
             return self._search_after(query, k, fl, method, fq,
-                                      search_after, hl, mm=mm)
+                                      search_after, hl, mm=mm,
+                                      pf=pf, ps=ps, pf2=pf2, pf3=pf3)
         parsed = self._parse(query)
+        free_seq = list(parsed.terms)  # pf sequence, before qf rewrites
         if qf is not None:
             parsed = self._apply_qf(parsed, qf, tie)
         if mm is not None:
             self._apply_mm(parsed, query, mm)
+        if has_pf:
+            self._apply_pf(parsed, free_seq, pf, ps, pf2, pf3)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -1246,7 +1262,8 @@ class SearchEngine:
             t = self._search_sorted(parsed, query, k, fl, sort, start, fq=fq)
         elif start:
             deep = self.search(query, k=start + k, fl=["doc_id"],
-                               method=method, fq=fq, mm=mm)
+                               method=method, fq=fq, mm=mm,
+                               pf=pf, ps=ps, pf2=pf2, pf3=pf3)
             hits = list(
                 zip(deep["doc_id"].to_pylist(), deep["score"].to_pylist())
             )[start:]
@@ -1281,7 +1298,7 @@ class SearchEngine:
                 or parsed.fuzzies or parsed.wildcards
                 or parsed.near_phrases
                 or parsed.field_terms or parsed.dismax
-                or parsed.field_phrases
+                or parsed.field_phrases or parsed.boost_phrases
             ):
                 hits = self._score_bmw(parsed, postings, excluded, k)
             else:
@@ -1315,6 +1332,49 @@ class SearchEngine:
         parsed.min_should = resolve_min_should_match(
             mm, parsed.scoring_clauses
         )
+
+    def _apply_pf(self, parsed: ParsedQuery, seq, pf, ps=0,
+                  pf2=None, pf3=None) -> None:
+        """Solr edismax phrase fields: append SCORE-ONLY phrase-boost
+        clauses over the free-term sequence ``seq`` (captured before
+        ``qf`` rewrites terms into dismax clauses).
+
+        ``pf`` adds the WHOLE query as one phrase per listed field
+        (skipped under 2 terms, like Solr); ``pf2``/``pf3`` add every
+        adjacent bigram/trigram.  ``ps`` is the phrase slop: 0 = exact
+        phrase, N = our ordered span-near (documented deviation: Lucene
+        sloppy phrases allow transpositions at slop >= 2; fielded pf
+        requires ps=0 — fielded proximity is not implemented).  Boost
+        syntax ``field^2``; ``content`` = the default body field."""
+        specs = [(pf, 0), (pf2, 2), (pf3, 3)]
+        slop = int(ps)
+        for spec, n in specs:
+            if not spec:
+                continue
+            if n == 0:
+                grams = [tuple(seq)] if len(seq) >= 2 else []
+            else:
+                grams = [
+                    tuple(seq[i:i + n]) for i in range(len(seq) - n + 1)
+                ]
+            for part in spec.split():
+                name, _, b = part.partition("^")
+                boost = float(b) if b else 1.0
+                if name != "content" and name not in self.scored_fields:
+                    raise ValueError(
+                        f"pf field {name!r} is not analyzed in this index "
+                        f"(have: content, {', '.join(self.scored_fields)})"
+                    )
+                if name != "content" and slop:
+                    raise ValueError(
+                        "ps > 0 on a fielded pf needs fielded proximity "
+                        "(not implemented); use ps=0"
+                    )
+                for g in grams:
+                    parsed.boost_phrases.append(
+                        (None if name == "content" else name,
+                         g, slop, boost)
+                    )
 
     def _apply_qf(self, parsed: ParsedQuery, qf: str, tie: float):
         """Solr (e)dismax ``qf``: every free-text term becomes ONE
@@ -1693,6 +1753,36 @@ class SearchEngine:
                 n_present += 1
         return n_present
 
+    def _add_boost_scores(self, parsed, scores) -> None:
+        """Add the edismax pf phrase-boost contributions into ``scores``.
+
+        Called AFTER membership is decided (Solr: the pf boost query
+        reranks the main query's matches, it never creates or removes
+        them — a doc matching only the pf phrase, possible with a fielded
+        pf, stays out).  No seen/n_present interaction by construction."""
+        for fld, g, slop, boost in sorted(
+            parsed.boost_phrases,
+            key=lambda c: (c[0] or "", c[1], c[2], c[3]),
+        ):
+            if fld is None:
+                docs, freqs, w = (
+                    self.eval_phrase(list(g)) if slop == 0
+                    else self.eval_near(g, slop)
+                )
+                if not docs.size:
+                    continue
+                K = self._norm_factor(self.norms[docs])
+            else:
+                docs, freqs, w = self.eval_field_phrase(fld, list(g))
+                if not docs.size:
+                    continue
+                doc_count, avgdl_f = self._fstat(fld)
+                dl = DECODE_TABLE[self.field_norms(fld)[docs]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / avgdl_f)
+            scores[docs] += (w * boost) * self.scoring.impact(
+                freqs.astype(np.float64), K
+            )
+
     def _score_taat(self, parsed, postings, excluded, k, after=None):
         scores = np.zeros(self.doc_space, dtype=np.float64)
         #: conjunction requires every DISTINCT query clause — including
@@ -1716,6 +1806,11 @@ class SearchEngine:
             # OR semantics: every contribution is > 0, so matches are
             # exactly the docs with a positive score
             cand = np.flatnonzero(scores > 0.0)
+        if parsed.boost_phrases:
+            # pf boost scores join AFTER membership (they rerank the
+            # main query's matches, never extend them) and BEFORE the
+            # cursor filter (the ranking the cursor walks includes them)
+            self._add_boost_scores(parsed, scores)
         if excluded is not None:
             cand = cand[~excluded[cand]]
         if after is not None:
@@ -1831,7 +1926,7 @@ class SearchEngine:
         return _select_topk(cand, scores[cand], k)
 
     def _search_after(self, query, k, fl, method, fq, cursor, hl,
-                      mm=None):
+                      mm=None, pf=None, ps=0, pf2=None, pf3=None):
         """Cursor paging (Solr cursorMark): score candidates once, keep
         those strictly after ``(score, doc_id)`` in ranking order, take
         top-k of the remainder."""
@@ -1839,6 +1934,8 @@ class SearchEngine:
         parsed = self._parse(query)
         if mm is not None:
             self._apply_mm(parsed, query, mm)
+        if pf or pf2 or pf3:
+            self._apply_pf(parsed, list(parsed.terms), pf, ps, pf2, pf3)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -2765,7 +2862,7 @@ class RangeScorer:
                      spatial_filters=(), neg_spatial_filters=(),
                      field_clauses=(), dismax_clauses=(),
                      field_phrase_groups=(), term_boosts=(),
-                     min_should=0):
+                     boost_groups=(), min_should=0):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
@@ -2773,7 +2870,7 @@ class RangeScorer:
             prohibited_groups, prohibited_pos,
             spatial_filters, neg_spatial_filters,
             field_clauses, dismax_clauses, field_phrase_groups,
-            term_boosts, min_should=min_should,
+            term_boosts, boost_groups, min_should=min_should,
         )
         if cand.size == 0:
             return []
@@ -2796,7 +2893,7 @@ class RangeScorer:
                           neg_spatial_filters=(),
                           field_clauses=(), dismax_clauses=(),
                           field_phrase_groups=(), term_boosts=(),
-                          min_should=0):
+                          boost_groups=(), min_should=0):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
@@ -2819,14 +2916,16 @@ class RangeScorer:
         dm_terms = {lt for _, sides, _ in dismax_clauses
                     for _, lt, _, _, _ in sides}
         fph_terms = {t for _, g, _, _ in field_phrase_groups for t in g}
+        bg_terms = {t for _, g, _, _, _ in boost_groups for t in g}
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
             | fuzzy_terms | near_terms | syn_terms | pg_terms | ppos_terms
-            | fld_terms | dm_terms | fph_terms
+            | fld_terms | dm_terms | fph_terms | bg_terms
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
-        if phrase_terms or near_terms or prohibited_pos or fph_terms:
+        if phrase_terms or near_terms or prohibited_pos or fph_terms \
+                or bg_terms:
             cols = [
                 "term", "range_id", "doc_ids", "tfs", "positions",
                 "block_last", "block_max_tf", "block_min_norm",
@@ -2847,6 +2946,7 @@ class RangeScorer:
             | {f for _, sides, _ in dismax_clauses
                for f, _, _, _, a in sides if a is not None}
             | {f for f, _, _, _ in field_phrase_groups}
+            | {f for f, _, _, _, _ in boost_groups if f}
         )
         dtab = self._docs.to_table(
             columns=["doc_id", "norm", *[f"norm_{f}" for f in flds]],
@@ -3043,6 +3143,20 @@ class RangeScorer:
             )
         else:
             cand = np.flatnonzero(scores > 0.0)
+        # edismax pf boost clauses join AFTER membership (score-only:
+        # they rerank the main query's matches, never extend them)
+        for fld, g, slop, w, avgdl_f in boost_groups:
+            if int(slop) == 0:
+                ids, freqs = self._eval_phrase_local(tbl, rows, g, lo)
+            else:
+                ids, freqs = self._eval_near_local(tbl, rows, g,
+                                                   int(slop), lo)
+            if ids.size:
+                nsrc = norms if not fld else fnorms[fld]
+                adl = self.avgdl if not fld else float(avgdl_f)
+                dl = DECODE_TABLE[nsrc[ids]]
+                K = self.k1 * (1.0 - self.b + self.b * dl / adl)
+                scores[ids] += w * (freqs / (freqs + K))
         if cand.size:
             # prohibitions + metadata/range filters, range-local
             dead = np.zeros(width, dtype=bool)
@@ -3560,6 +3674,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         parsed.phrases or parsed.near_phrases
         or parsed.prohibited_phrases or parsed.prohibited_near
         or parsed.field_phrases or parsed.prohibited_field_phrases
+        or parsed.boost_phrases
     ) and not engine.has_positions:
         return None  # positional clause on a non-positional index: let
         #              the single engine raise its clear rebuild error
@@ -3730,6 +3845,32 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
                 return "zero"  # AND with a fully-absent dismax clause
             continue
         dismax_clauses.append([term, sides, float(parsed.dismax_tie)])
+    # edismax pf boost clauses: SCORE-ONLY groups [fld_or_"", members
+    # (field-prefixed for fielded), slop, w = idf_sum x boost, avgdl_f
+    # (0 = content) — absent members just drop the clause (pf never
+    # gates membership, so no conjunctive/zero interaction)
+    boost_groups = []
+    for fld, g, slop, b in sorted(
+        parsed.boost_phrases, key=lambda c: (c[0] or "", c[1], c[2], c[3])
+    ):
+        if fld is None:
+            bpost = engine.lookup_postings(list(g))
+            if any(t not in bpost for t in g):
+                continue
+            w = float(sum(engine.idf(bpost[t].df) for t in g)) * b
+            boost_groups.append(["", list(g), int(slop), float(w), 0.0])
+        else:
+            pref = [f"{fld}\x1f{t}" for t in g]
+            fpost = engine.lookup_postings(pref)
+            if any(p not in fpost for p in pref):
+                continue
+            doc_count, avgdl_f = engine._fstat(fld)
+            w = float(sum(
+                engine.scoring.idf(doc_count, fpost[p].df) for p in pref
+            )) * b
+            boost_groups.append(
+                [fld, pref, int(slop), float(w), float(avgdl_f)]
+            )
     if not terms and not phrases and not prefix_groups and not fuzzy_groups \
             and not near_groups and not syn_groups \
             and not field_clauses and not dismax_clauses \
@@ -3786,7 +3927,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
               prohibited_groups, prohibited_pos,
               spatial_filters, neg_spatial_filters,
               field_clauses, dismax_clauses, field_phrase_groups,
-              term_boosts]
+              term_boosts, boost_groups]
     return (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
             syn_groups, extras)
 
@@ -3977,7 +4118,10 @@ class BoolRangeScorer:
 
 def search_partitioned(index_dir: str, query: str, k: int = 10,
                        synonyms=None, qf: str | None = None,
-                       tie: float = 0.0, mm=None) -> pa.Table:
+                       tie: float = 0.0, mm=None,
+                       pf: str | None = None, ps: int = 0,
+                       pf2: str | None = None,
+                       pf3: str | None = None) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
 
     Bit-identical to ``SearchEngine.search(..., method='taat')`` (tested);
@@ -3994,10 +4138,18 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
 
     engine = SearchEngine(index_dir, synonyms=synonyms)
     parsed = engine._parse(query)
+    free_seq = list(parsed.terms)
     if qf is not None:
         parsed = engine._apply_qf(parsed, qf, tie)
     if mm is not None:
         engine._apply_mm(parsed, query, mm)
+    if pf or pf2 or pf3:
+        if has_group_syntax(query or ""):
+            raise ValueError(
+                "pf is a dismax/edismax parameter; use explicit phrase "
+                "clauses inside grouped boolean queries"
+            )
+        engine._apply_pf(parsed, free_seq, pf, ps, pf2, pf3)
 
     def _empty():
         return pa.table(
@@ -4045,7 +4197,8 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         # match-all / rare negative-clause forms: single-engine path
-        return engine.search(query, k=k, mm=mm)
+        return engine.search(query, k=k, mm=mm, pf=pf, ps=ps,
+                             pf2=pf2, pf3=pf3)
     if clauses == "zero":
         return _empty()
     (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,

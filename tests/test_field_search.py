@@ -444,3 +444,54 @@ class TestShardedFields:
         plain_dir, _ = built_index   # no analyzed fields
         with pytest.raises(ValueError, match="analyzed_fields"):
             search_sharded([da, plain_dir], "path_text:mod0 x")
+
+
+class TestPhraseFieldsFielded:
+    """edismax pf over an extra analyzed field: SCORE-ONLY — it reranks
+    the main query's matches and never extends them (a doc matching only
+    the path phrase stays out unless qf gives it membership)."""
+
+    def test_fielded_pf_never_extends_membership(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        base = e.search("src mod0", k=e.n_docs, fl=["doc_id"])
+        wpf = e.search("src mod0", k=e.n_docs, fl=["doc_id"],
+                       pf="path_text^2")
+        assert set(wpf["doc_id"].to_pylist()) == set(base["doc_id"].to_pylist())
+
+    def test_fielded_pf_with_qf_composes(self, field_index):
+        """qf gives membership through path_text; pf adds exactly the
+        explicit fielded-phrase clause score on those members."""
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        q, qf = "src mod0", "content^1 path_text^1"
+        base = e.search(q, k=e.n_docs, fl=["doc_id"], qf=qf)
+        assert base.num_rows > 0
+        phr = e.search('path_text:"src mod0"^2', k=e.n_docs, fl=["doc_id"])
+        pmap = dict(zip(phr["doc_id"].to_pylist(), phr["score"].to_pylist()))
+        got = e.search(q, k=e.n_docs, fl=["doc_id"], qf=qf,
+                       pf="path_text^2")
+        assert set(got["doc_id"].to_pylist()) == set(base["doc_id"].to_pylist())
+        bmap = dict(zip(base["doc_id"].to_pylist(), base["score"].to_pylist()))
+        boosted = 0
+        for d, s in zip(got["doc_id"].to_pylist(), got["score"].to_pylist()):
+            assert s == bmap[d] + pmap.get(d, 0.0)
+            boosted += d in pmap
+        assert boosted > 0  # the phrase really contributed somewhere
+
+    def test_fielded_pf_distributed(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        for kw in [dict(pf="path_text^2"),
+                   dict(pf="content^1.5 path_text^2"),
+                   dict(pf="path_text^2", qf="content^1 path_text^2")]:
+            a = e.search("src mod0", k=25, fl=["doc_id"], **kw)
+            b = search_partitioned(index_dir, "src mod0", k=25, **kw)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), kw
+            assert a["score"].to_pylist() == b["score"].to_pylist(), kw
+
+    def test_fielded_ps_rejected(self, field_index):
+        index_dir, _ = field_index
+        e = SearchEngine(index_dir)
+        with pytest.raises(ValueError, match="fielded proximity"):
+            e.search("src mod0", pf="path_text^2", ps=2)

@@ -327,3 +327,113 @@ class TestDistributedProhibitedPositional:
             b = search_partitioned(idx, q, k=15)
             assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
             assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+class TestPhraseFields:
+    """edismax pf/pf2/pf3/ps: score-only phrase-boost clauses.  pf is BY
+    CONSTRUCTION the explicit boosted-phrase rewrite appended score-only;
+    these tests pin that identity plus the score-only membership rule."""
+
+    def test_pf_equals_explicit_phrase(self, pos_index):
+        index_dir, corpus, _ = pos_index
+        e = SearchEngine(index_dir)
+        a = e.search("parse read", k=30, fl=["doc_id"], pf="content^2")
+        b = e.search('parse read "parse read"^2', k=30, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_pf2_bigrams(self, pos_index):
+        index_dir, _, _ = pos_index
+        e = SearchEngine(index_dir)
+        a = e.search("parse read merge", k=30, fl=["doc_id"],
+                     pf2="content^1.5")
+        b = e.search(
+            'parse read merge "parse read"^1.5 "read merge"^1.5',
+            k=30, fl=["doc_id"],
+        )
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy())
+
+    def test_ps_slop_equals_near(self, pos_index):
+        index_dir, _, _ = pos_index
+        e = SearchEngine(index_dir)
+        a = e.search("parse read", k=30, fl=["doc_id"],
+                     pf="content^2", ps=3)
+        b = e.search('parse read "parse read"~3^2', k=30, fl=["doc_id"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_score_only_membership(self, pos_index):
+        """pf never changes the match set — OR, AND, and mm sets are
+        identical with and without it."""
+        index_dir, _, _ = pos_index
+        e = SearchEngine(index_dir)
+        for kw in [{}, {"mm": 2}]:
+            x = e.search("parse read merge", k=e.n_docs, fl=["doc_id"], **kw)
+            y = e.search("parse read merge", k=e.n_docs, fl=["doc_id"],
+                         pf="content^5", **kw)
+            assert set(x["doc_id"].to_pylist()) == set(y["doc_id"].to_pylist())
+        x = e.search("parse AND read", k=e.n_docs, fl=["doc_id"])
+        y = e.search("parse AND read", k=e.n_docs, fl=["doc_id"],
+                     pf="content^5")
+        assert set(x["doc_id"].to_pylist()) == set(y["doc_id"].to_pylist())
+
+    def test_pf_boost_changes_ranking(self, pos_index):
+        """A doc containing the exact phrase must outrank (or equal) its
+        no-pf position; a large boost puts phrase docs first."""
+        index_dir, corpus, _ = pos_index
+        e = SearchEngine(index_dir)
+        phrase_docs = set(
+            e.search('"parse read"', k=e.n_docs, fl=["doc_id"])
+            ["doc_id"].to_pylist()
+        )
+        if not phrase_docs:
+            pytest.skip("corpus has no 'parse read' bigram")
+        top = e.search("parse read", k=len(phrase_docs), fl=["doc_id"],
+                       pf="content^100")
+        assert set(top["doc_id"].to_pylist()) == phrase_docs
+
+    def test_single_term_skips_pf(self, pos_index):
+        index_dir, _, _ = pos_index
+        e = SearchEngine(index_dir)
+        a = e.search("parse", k=20, fl=["doc_id"], pf="content^2")
+        b = e.search("parse", k=20, fl=["doc_id"])
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_distributed_identity(self, pos_index):
+        index_dir, _, _ = pos_index
+        e = SearchEngine(index_dir)
+        cases = [
+            dict(q="parse read", pf="content^2"),
+            dict(q="parse read merge", pf="content^2", pf2="content^1.3"),
+            dict(q="parse read", pf="content^2", ps=4),
+            dict(q="parse AND read", pf="content^2"),
+            dict(q="parse read merge", pf="content^2", mm=2),
+        ]
+        for c in cases:
+            q = c.pop("q")
+            a = e.search(q, k=25, fl=["doc_id"], **c)
+            b = search_partitioned(index_dir, q, k=25, **c)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (q, c)
+            assert a["score"].to_pylist() == b["score"].to_pylist(), (q, c)
+
+    def test_cursor_paging_with_pf(self, pos_index):
+        index_dir, _, _ = pos_index
+        e = SearchEngine(index_dir)
+        allr = e.search("parse read", k=e.n_docs, fl=["doc_id"],
+                        pf="content^2")
+        first = e.search("parse read", k=5, fl=["doc_id"], pf="content^2")
+        cur = (first["score"][-1].as_py(), first["doc_id"][-1].as_py())
+        nxt = e.search("parse read", k=5, fl=["doc_id"], pf="content^2",
+                       search_after=cur)
+        assert nxt["doc_id"].to_pylist() == allr["doc_id"].to_pylist()[5:10]
+
+    def test_errors(self, pos_index):
+        index_dir, _, _ = pos_index
+        e = SearchEngine(index_dir)
+        with pytest.raises(ValueError, match="pf field"):
+            e.search("parse read", pf="nosuchfield^2")
+        with pytest.raises(ValueError, match="relevance"):
+            e.search("parse read", pf="content^2", sort="doc_id asc")
+        with pytest.raises(ValueError, match="dismax"):
+            e.search("(parse OR read) merge", pf="content^2")
