@@ -31,6 +31,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": c.q_doc_stats,
         "top_terms": c.q_top_terms,
         "bm25_topk": c.q_bm25_topk,
+        "stop_topk": c.q_stop_topk,
+        "stem_topk": c.q_stem_topk,           # rows-only (no SQL stemmer)
         "phrase_topk": c.q_phrase_topk,
         "near_topk": c.q_near_topk,
         "wildcard_topk": c.q_wildcard_topk,

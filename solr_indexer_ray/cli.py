@@ -49,9 +49,13 @@ def cmd_index(args) -> int:
         c for c in (getattr(args, "extra_stored", None) or "").split(",") if c
     )
     afields = tuple(getattr(args, "analyzed_fields", None) or ())
+    filters = tuple(
+        f for f in (getattr(args, "filters", None) or "").split(",") if f
+    )
     if (args.validate and not config.validate) or getattr(
         args, "positions", False
-    ) or getattr(args, "store_content", False) or extra or afields:
+    ) or getattr(args, "store_content", False) or extra or afields \
+            or filters:
         import dataclasses
 
         config = dataclasses.replace(
@@ -61,6 +65,7 @@ def cmd_index(args) -> int:
             store_content=config.store_content or args.store_content,
             extra_stored=tuple(config.extra_stored) + extra,
             analyzed_fields=tuple(config.analyzed_fields) + afields,
+            filters=tuple(config.filters) + filters,
         )
     t0 = time.time()
     if args.extend:
@@ -458,6 +463,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--extra-stored", dest="extra_stored",
                     help="comma-separated corpus columns to store "
                     "(typed ranges, bbox envelope columns)")
+    pi.add_argument("--filters",
+                    help='comma-separated token-filter chain, e.g. '
+                         '"stop,porter" (Solr analysis chain: StopFilter '
+                         '+ PorterStemFilter)')
     pi.add_argument("--analyzed-field", dest="analyzed_fields",
                     action="append", metavar="FIELD:SRC",
                     help="extra scored text field from a corpus column "

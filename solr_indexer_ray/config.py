@@ -67,6 +67,20 @@ class IndexConfig:
     #: name of the default analyzer for langs without a registered one.
     default_analyzer: str = "simple"
 
+    #: ordered token-filter chain applied AFTER tokenization (Solr
+    #: analysis chain: tokenizer -> filters; a stock ``text_en`` field is
+    #: tokenizer + StopFilter + PorterStemFilter).  Known filters:
+    #: ``"stop"`` (stopword removal, Lucene's classic English set unless
+    #: ``stopwords`` overrides) and ``"porter"`` (Porter 1980 stemming).
+    #: Applies to the default field AND every analyzed field; pinned in
+    #: stats.json so query parsing / oracle / shards / extensions agree.
+    #: See functions/filters.py for the position semantics note.
+    filters: tuple = ()
+
+    #: custom stop set for the ``stop`` filter (None = Lucene's classic
+    #: 33-word English set).  Pinned at build time.
+    stopwords: tuple | None = None
+
     # --- ray stage sizing -------------------------------------------------
     #: rows per batch in tokenize/doc-prep map_batches stages.
     batch_size: int = 4096

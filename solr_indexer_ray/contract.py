@@ -285,6 +285,33 @@ SQL_TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 )
 
+#: stop-filter contract cases (index built with filters=("stop",)):
+#: stopword-in-query forms (dropped clause), all-stopword queries (Lucene
+#: empty BooleanQuery -> 0 hits), AND interactions.  NO filter+stop-only
+#: combos (those are pure-filter matches, covered elsewhere).
+STOP_QUERIES = [
+    "the window",
+    "the batch join stream",
+    "spark AND the",
+    "the",
+    "a window the stream",
+    "sort AND the AND merge",
+    "window stream",
+]
+
+#: Porter-stem contract cases (index with filters=("stop", "porter")):
+#: inflected query forms that must match the corpus base forms via the
+#: shared stem (rows-only — no SQL stemmer; correctness is pytest-pinned
+#: against the paper's vectors + brute-force rank identity).
+STEM_QUERIES = [
+    "merged windows",
+    "queries",
+    "sorting AND joining",
+    "streams filtered",
+    "batched customers",
+    "the sorted merges",
+]
+
 
 # ===================================================================== #
 # helpers
@@ -1093,6 +1120,77 @@ def _bm25_index(sf_dir: str) -> str:
                     overwrite=True)
     _INDEX_CACHE[sf_dir] = index_dir
     return index_dir
+
+
+def _filtered_index(sf_dir: str, filters: tuple, subdir: str) -> str:
+    """Index over the same corpus with a token-filter chain
+    (IndexConfig.filters — Solr analysis-chain parity, SURVEY §8 O3ac)."""
+    key = (sf_dir, subdir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    _bm25_index(sf_dir)  # ensures the corpus parquet exists
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    index_dir = os.path.join(work, subdir)
+    if not BuildManifest(index_dir).is_committed():
+        build_index(
+            os.path.join(work, "corpus.parquet"), index_dir,
+            config=IndexConfig(concurrency=2, filters=filters),
+            registry=AnalyzerRegistry("simple", overrides={}),
+            overwrite=True,
+        )
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _topk_rows(engine, queries) -> pa.Table:
+    """Shared (round(score,4) desc, doc_id) top-k table builder."""
+    rows = []
+    for q in queries:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_stop_topk(sf_dir: str):
+    """BM25 over a stop-filtered index (Solr StopFilter): stopword query
+    atoms drop (Lucene QueryParser), all-stopword queries match nothing
+    (empty BooleanQuery), doclen/avgdl count post-filter tokens."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_filtered_index(sf_dir, ("stop",), "index_stop_v1"))
+    return _topk_rows(engine, STOP_QUERIES)
+
+
+def q_stem_topk(sf_dir: str):
+    """BM25 over a stop+Porter index (Solr text_en analysis chain):
+    inflected query forms match base-form docs via the shared stem.
+    Rows-only (no SQL stemmer); value correctness is pytest-pinned."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(
+        _filtered_index(sf_dir, ("stop", "porter"), "index_stem_v1")
+    )
+    return _topk_rows(engine, STEM_QUERIES)
 
 
 def q_bm25_topk(sf_dir: str):

@@ -46,7 +46,11 @@ from solr_indexer_ray.contract import (
     K1,
     SQL_TOKS,
 )
-from solr_indexer_ray.functions.queryparse import RANGE_FIELDS, parse_query
+from solr_indexer_ray.functions.queryparse import (
+    NO_MATCH_TERM,
+    RANGE_FIELDS,
+    parse_query,
+)
 
 #: parse-time range fields for the oracle generators: core + the
 #: synthetic mtime stored column of the contract index
@@ -83,9 +87,14 @@ def _pattern_cond(pat: str, col: str = "term") -> str:
 # --------------------------------------------------------------------- #
 # BM25 (programmatically generated from the same parsed queries)
 # --------------------------------------------------------------------- #
-_BM25_CTES = f"""
+def _bm25_ctes(toks_expr: str = SQL_TOKS) -> str:
+    """The shared BM25 CTE chain over a parameterized token expression —
+    the stop-filter oracle swaps in a ``list_filter(...NOT IN stoplist)``
+    token list and every downstream stat (dl, dlq, avgdl, tf, df)
+    follows POST-filter, matching the engine's Lucene norm semantics."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+  SELECT doc_id, lang, {toks_expr} AS toks FROM documents
 ),
 dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
 dlq AS (
@@ -107,10 +116,15 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 """
 
 
-def _bm25_query_block(q: str) -> str:
-    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
+#: the default (unfiltered) CTE chain — every non-filter oracle uses it.
+_BM25_CTES = _bm25_ctes()
+
+
+def _bm25_query_block(q: str, analyzer=None) -> str:
+    parsed = parse_query(q, analyzer or simple_analyzer,
+                         range_fields=SQL_RANGE_FIELDS)
     terms = sorted(set(parsed.terms))
-    if not terms:
+    if not terms or NO_MATCH_TERM in terms:
         return (
             f"SELECT '{q}' AS query, doc_id, 0.0 AS score_r "
             "FROM documents WHERE 1=0"
@@ -155,6 +169,29 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 def bm25_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(_bm25_query_block(q) for q in BM25_QUERIES)
     return _BM25_CTES + blocks
+
+
+def stop_topk_sql() -> str:
+    """BM25 over the stop-filtered analysis chain: the token CTE drops
+    the Lucene classic stop set (so dl/avgdl/tf/df are POST-filter, the
+    engine's norm semantics) and each query parses through the same
+    stop-wrapped analyzer — dropped atoms and the all-stopword empty
+    BooleanQuery (-> zero rows) fall out identically on both sides."""
+    from solr_indexer_ray.contract import STOP_QUERIES
+    from solr_indexer_ray.functions.filters import (
+        ENGLISH_STOPWORDS,
+        FilterChain,
+    )
+
+    analyze = FilterChain(("stop",)).wrap(simple_analyzer)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        f"x -> x <> '' AND x NOT IN ({_sql_list(sorted(ENGLISH_STOPWORDS))}))"
+    )
+    blocks = "\nUNION ALL\n".join(
+        _bm25_query_block(q, analyzer=analyze) for q in STOP_QUERIES
+    )
+    return _bm25_ctes(toks) + blocks
 
 
 def _phrase_ptf_expr(ph) -> str:
@@ -1887,6 +1924,7 @@ def oracle_sql_dict() -> dict:
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "jaccard_dedup_survivors": JACCARD_SURVIVORS_SQL,
         "bm25_topk": bm25_topk_sql(),
+        "stop_topk": stop_topk_sql(),
         "phrase_topk": phrase_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),
         "near_topk": near_topk_sql(),

@@ -294,8 +294,18 @@ def resolve_min_should_match(spec, n_optional: int) -> int:
     return max(0, min(n_optional, result))
 
 
+#: impossible term injected when every positive atom of a non-empty query
+#: was removed by the analysis chain (e.g. ``q="the"`` on a stop-filtered
+#: index): Lucene's empty BooleanQuery matches NOTHING, while this
+#: engine's empty parse means match-all — the sentinel (a NUL byte, which
+#: no analyzer can emit) makes every path (TAAT, distributed, facets,
+#: delete-by-query, shards) return 0 hits with no extra branching.
+NO_MATCH_TERM = "\x00"
+
+
 def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
-                scored_fields=()) -> ParsedQuery:
+                scored_fields=(), inject_no_match: bool = True
+                ) -> ParsedQuery:
     """Parse a query string; ``analyze(text) -> list[str]`` pins the
     analyzer.  ``range_fields`` lists the fields a range filter may
     target (engines pass their stored-column set so typed ranges over
@@ -307,6 +317,9 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
     analyzed, multiple tokens become multiple field-term clauses
     (Lucene ``field:(a b)`` OR semantics)."""
     out = ParsedQuery()
+    #: [dropped-atom count, saw explicit match-all atom] for the
+    #: filtered-to-nothing sentinel decision at the end
+    _drop_state = [0, False]
 
     def eat_quoted(m: re.Match) -> str:
         neg, fld, text = m.group(1) == "-", m.group(2), m.group(3)
@@ -326,6 +339,7 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
         if fld in scored_fields:
             toks = analyze(text)
             if not toks:
+                _drop_state[0] += 1
                 return " "
             if slop > 0:
                 raise ValueError(
@@ -350,6 +364,7 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
             return " "
         toks = analyze(text)
         if not toks:
+            _drop_state[0] += 1
             return " "
         if len(toks) == 1:  # single-term phrase rewrites to a term (Lucene)
             (out.prohibited if neg else out.terms).extend(toks)
@@ -393,6 +408,7 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
         if raw in ("OR", "||"):
             continue
         if raw in ("*", "*:*"):  # Solr match-all
+            _drop_state[1] = True
             continue
         neg = raw.startswith("-") and len(raw) > 1
         if neg:
@@ -436,6 +452,8 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
         fm = _FUZZY.match(raw)
         if fm:
             toks = analyze(fm.group(1))
+            if not toks:
+                _drop_state[0] += 1
             if toks:
                 edits = min(int(fm.group(2) or 2), 2)  # Lucene caps at 2
                 if edits == 0:  # term~0 is an exact term (Lucene)
@@ -452,6 +470,8 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
             "?" not in raw
         ):
             pre = analyze(raw[:-1])
+            if not pre:
+                _drop_state[0] += 1
             if pre:  # analyzed prefix: last emitted token stem
                 (out.prohibited_prefixes if neg else out.prefixes).append(
                     pre[-1]
@@ -468,10 +488,29 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
                 out.wildcard_boosts[pat] = boost
             continue
         toks = analyze(raw)
+        if not toks and not neg:
+            _drop_state[0] += 1
         (out.prohibited if neg else out.terms).extend(toks)
         if boost is not None and not neg:
             for t in toks:  # a multi-token raw clause boosts every token
                 out.boosts[t] = boost
+    if (
+        inject_no_match
+        and _drop_state[0]
+        and not _drop_state[1]
+        and out.is_match_all
+        and not (
+            out.prohibited or out.prohibited_phrases
+            or out.prohibited_prefixes or out.prohibited_fuzzies
+            or out.prohibited_wildcards or out.prohibited_near
+            or out.prohibited_field_terms or out.prohibited_field_phrases
+            or out.neg_filters or out.neg_range_filters
+            or out.neg_spatial_filters
+        )
+    ):
+        # every positive atom was analyzer-removed: Lucene's empty
+        # BooleanQuery matches nothing (see NO_MATCH_TERM)
+        out.terms.append(NO_MATCH_TERM)
     return out
 
 
@@ -636,7 +675,8 @@ def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS,
         elif atom.startswith("+") and len(atom) > 1:
             must = True
             atom = atom[1:]
-        parsed = parse_query(atom, analyze, range_fields, scored_fields)
+        parsed = parse_query(atom, analyze, range_fields, scored_fields,
+                             inject_no_match=False)
         if parsed.is_match_all and not parsed.prohibited and atom not in (
             "*", "*:*"
         ):

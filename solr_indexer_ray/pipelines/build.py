@@ -122,6 +122,13 @@ MERGED_POSTINGS_SCHEMA = pa.schema(
 
 
 
+def _filter_chain_stats(config: IndexConfig) -> dict:
+    """stats.json entries pinning the token-filter chain (empty = none)."""
+    from solr_indexer_ray.functions.filters import FilterChain
+
+    return FilterChain(config.filters, config.stopwords).to_stats()
+
+
 def _atomic_write_table(table: pa.Table, path: str, **kw) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(table, tmp, **kw)
@@ -140,6 +147,9 @@ class UnitIndexer:
                  doc_enricher=None):
         self.config = config or DEFAULT_CONFIG
         self.registry = registry or AnalyzerRegistry(self.config.default_analyzer)
+        from solr_indexer_ray.functions.filters import FilterChain
+
+        self.chain = FilterChain(self.config.filters, self.config.stopwords)
         self.manifest = BuildManifest(index_dir)
         self.index_dir = os.fspath(index_dir)
         #: optional stored-fields enrichment hook applied to each unit's
@@ -194,6 +204,12 @@ class UnitIndexer:
         tids_flat, doclens64, term_list = tokenize_unit(
             table["content"], langs, self.registry
         )
+        if self.chain:
+            from solr_indexer_ray.functions.filters import apply_chain_to_unit
+
+            tids_flat, doclens64, term_list = apply_chain_to_unit(
+                tids_flat, doclens64, term_list, self.chain
+            )
         doclens = doclens64.astype(np.int32)
 
         norms = encode_lengths(doclens)
@@ -215,6 +231,14 @@ class UnitIndexer:
             f_tids, f_dl, f_terms = tokenize_unit(
                 table[src], [None] * ndocs0, self.registry
             )
+            if self.chain:
+                from solr_indexer_ray.functions.filters import (
+                    apply_chain_to_unit,
+                )
+
+                f_tids, f_dl, f_terms = apply_chain_to_unit(
+                    f_tids, f_dl, f_terms, self.chain
+                )
             field_doclens[fname] = f_dl.astype(np.int32)
             f_norm = encode_lengths(f_dl.astype(np.int32))
             field_norms[fname] = f_norm
@@ -898,6 +922,7 @@ def _build_index_locked(input_paths, index_dir, config, registry,
         "b": config.b,
         "analyzer_default": registry.default,
         "analyzer_lang_map": registry.lang_map,
+        **_filter_chain_stats(config),
         "timings": {
             "stage1_s": round(t1 - t0, 3),
             "stage2_s": round(t2 - t1, 3),
@@ -971,6 +996,11 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
         store_content=bool(old.get("store_content", False)),
         extra_stored=tuple(old.get("extra_stored", ()) or ()),
         analyzed_fields=tuple(old.get("analyzed_fields", ()) or ()),
+        filters=tuple(old.get("filters", ()) or ()),
+        stopwords=(
+            tuple(old["stopwords"]) if old.get("stopwords") is not None
+            else None
+        ),
     )
     n_shards = int(old["n_shards"])
     base = int(old["doc_id_space"])

@@ -479,6 +479,17 @@ class SearchEngine:
             stats.get("analyzer_default", "simple"),
             overrides=stats.get("analyzer_lang_map") or {},
         )
+        # token-filter chain pinned at build time (stats.json): wrap every
+        # analyzer so query parsing / MLT / highlighting see exactly the
+        # indexed token stream (build applies the same chain vocab-level)
+        from solr_indexer_ray.functions.filters import (
+            FilterChain,
+            FilteredRegistry,
+        )
+
+        chain = FilterChain.from_stats(stats)
+        if chain:
+            self.registry = FilteredRegistry(self.registry, chain)
         self._postings_ds = pads.dataset(
             os.path.join(self.index_dir, "postings"), partitioning="hive"
         )
@@ -3317,6 +3328,8 @@ def search_sharded(index_dirs, query: str, k: int = 10,
     pins = {
         (e.stats.get("analyzer_default"),
          tuple(sorted((e.stats.get("analyzer_lang_map") or {}).items())),
+         tuple(e.stats.get("filters", ()) or ()),
+         tuple(e.stats.get("stopwords", ()) or ()),
          e.k1, e.b)
         for e in engines
     }
