@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_topk": c.q_near_topk,
         "wildcard_topk": c.q_wildcard_topk,
         "fuzzy_topk": c.q_fuzzy_topk,
+        "func_topk": c.q_func_topk,
         "mm_topk": c.q_mm_topk,
         "pf_topk": c.q_pf_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

@@ -138,7 +138,8 @@ def cmd_search(args) -> int:
         t = search_partitioned(args.output, args.query, k=args.k,
                                qf=args.qf, tie=args.tie, mm=args.mm,
                                pf=args.pf, ps=args.ps,
-                               pf2=args.pf2, pf3=args.pf3)
+                               pf2=args.pf2, pf3=args.pf3,
+                               bf=args.bf, boost=args.boost)
     else:
         cursor = None
         if args.search_after:
@@ -149,7 +150,8 @@ def cmd_search(args) -> int:
                           fq=args.fq, search_after=cursor,
                           qf=args.qf, tie=args.tie, mm=args.mm,
                           pf=args.pf, ps=args.ps,
-                          pf2=args.pf2, pf3=args.pf3)
+                          pf2=args.pf2, pf3=args.pf3,
+                          bf=args.bf, boost=args.boost)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet_query:
@@ -517,6 +519,13 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--pf3", help="trigram phrase fields (Solr pf3)")
     ps.add_argument("--ps", type=int, default=0,
                     help="phrase slop for pf clauses (Solr ps)")
+    ps.add_argument("--bf", action="append",
+                    help="additive boost function over stored numeric "
+                         "fields, e.g. recip(doclen,1,1000,1000) "
+                         "(Solr edismax bf; repeatable)")
+    ps.add_argument("--boost", action="append",
+                    help="multiplicative boost function "
+                         "(Solr edismax boost; repeatable)")
     ps.add_argument("--explain", type=int, metavar="DOC_ID",
                     help="Solr debugQuery: per-clause score contributions "
                          "of one doc")

@@ -136,6 +136,22 @@ FUZZY_QUERIES = [
     "qzqzqzqz~1",
 ]
 
+#: function-query boosts (edismax bf/boost): (query, bf list, boost list)
+#: — final = (base + sum(bf)) * product(boost); score-only, membership
+#: from the main query alone.  Expressions exercise the whole grammar
+#: (recip/log/sum/product/sqrt/map/min/max/sub/div/pow/ln) over the
+#: stored doclen column so the SQL oracle can reproduce values exactly.
+FUNC_QUERIES = [
+    ("window", ["recip(doclen,1,1000,1000)"], []),
+    ("spark merge", [], ["log(sum(doclen,10))"]),
+    ("the batch join stream",
+     ["sqrt(doclen)", "product(0.5,doclen)"], ["recip(doclen,1,200,200)"]),
+    ("sort AND merge", ["map(doclen,0,50,5)"], []),
+    ("key -join",
+     ["sub(max(doclen,60),min(doclen,60))"], ["div(doclen,100)"]),
+    ("lang:en spark window", ["pow(doclen,0.5)"], ["sum(ln(doclen),1)"]),
+]
+
 #: general wildcard cases (?, infix and leading *): constant-score union
 #: over LIKE-matching dictionary terms
 WILDCARD_INFIX_QUERIES = [
@@ -1314,6 +1330,40 @@ def q_fuzzy_topk(sf_dir: str):
     from solr_indexer_ray.pipelines.search import SearchEngine
 
     return _rounded_topk_rows(SearchEngine(_bm25_index(sf_dir)), FUZZY_QUERIES)
+
+
+def q_func_topk(sf_dir: str):
+    """Top-k with Solr function-query boosts (edismax ``bf``/``boost``):
+    ``final = (base + sum(bf)) * product(boost)`` over the stored doclen
+    column, score-only (membership from the main query alone).  Same
+    (round(score,4) desc, doc_id) ranking key as q_bm25_topk; the case
+    label pins query + expressions so the SQL oracle block matches 1:1."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, bf, boost in FUNC_QUERIES:
+        label = f"{q} | bf={';'.join(bf)} | boost={';'.join(boost)}"
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"],
+                             method="taat", bf=bf or None,
+                             boost=boost or None)
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": label, "doc_id": int(ids[i]),
+                 "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
 
 
 def q_mm_topk(sf_dir: str):

@@ -611,6 +611,123 @@ def fuzzy_topk_sql() -> str:
     return _BM25_CTES + blocks
 
 
+def _func_sql(node) -> str:
+    """Function-query AST -> DuckDB SQL (contract oracle for bf/boost).
+
+    Compiled from the SAME parsed AST the engine evaluates
+    (``functions.funcquery.parse_func``), so grammar drift is impossible;
+    only the evaluation backend differs (numpy vs DuckDB double math —
+    identical IEEE float64 operations).  Field references resolve to the
+    true document token count ``dd.dl`` (the engine's stored ``doclen``)."""
+    kind = node[0]
+    if kind == "num":
+        return repr(float(node[1]))
+    if kind == "field":
+        if node[1] != "doclen":
+            raise ValueError(
+                f"oracle supports doclen only, got {node[1]!r}"
+            )
+        return "dd.dl"
+    name, args = node[1], node[2]
+    a = [_func_sql(x) for x in args]
+    if name == "sum":
+        return "(" + " + ".join(a) + ")"
+    if name == "product":
+        return "(" + " * ".join(a) + ")"
+    if name == "sub":
+        return f"({a[0]} - {a[1]})"
+    if name == "div":
+        return f"({a[0]} / {a[1]})"
+    if name == "pow":
+        return f"pow({a[0]}, {a[1]})"
+    if name in ("abs", "sqrt", "ln", "exp"):
+        return f"{name}({a[0]})"
+    if name == "log":
+        return f"log10({a[0]})"
+    if name == "max":
+        return "greatest(" + ", ".join(a) + ")"
+    if name == "min":
+        return "least(" + ", ".join(a) + ")"
+    if name == "recip":
+        return f"({a[2]} / ({a[1]} * {a[0]} + {a[3]}))"
+    if name == "map":
+        default = a[4] if len(a) > 4 else a[0]
+        return (
+            f"(CASE WHEN {a[0]} BETWEEN {a[1]} AND {a[2]} "
+            f"THEN {a[3]} ELSE {default} END)"
+        )
+    raise ValueError(f"no SQL mapping for {name!r}")
+
+
+def _func_query_block(q: str, bf: list, boost: list) -> str:
+    """One bf/boost case: the bm25 base block wrapped with the function
+    arithmetic ``round((base + sum(bf)) * product(boost), 4)`` — the
+    engine's edismax composition — joined against the raw doc length."""
+    from solr_indexer_ray.functions.funcquery import parse_func
+
+    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
+    terms = sorted(set(parsed.terms))
+    label = f"{q} | bf={';'.join(bf)} | boost={';'.join(boost)}"
+    qq = label.replace("'", "''")
+    if not terms or NO_MATCH_TERM in terms:
+        return (
+            f"SELECT '{qq}' AS query, doc_id, 0.0 AS score_r "
+            "FROM documents WHERE 1=0"
+        )
+    conds = [f"t.term IN ({_sql_list(terms)})"]
+    if parsed.filters:
+        fexpr = " AND ".join(
+            f"{fld} = '{val}'" for fld, val in sorted(parsed.filters.items())
+        )
+        conds.append(
+            f"t.doc_id IN (SELECT doc_id FROM documents WHERE {fexpr})"
+        )
+    if parsed.prohibited:
+        conds.append(
+            "t.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN "
+            f"({_sql_list(sorted(set(parsed.prohibited)))}))"
+        )
+    having = (
+        f"HAVING count(DISTINCT t.term) = {len(terms)}"
+        if parsed.conjunctive
+        else ""
+    )
+    bf_sql = " + ".join(_func_sql(parse_func(e)) for e in bf) or "0.0"
+    boost_sql = " * ".join(
+        f"({_func_sql(parse_func(e))})" for e in boost
+    ) or "1.0"
+    return f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT b.doc_id AS doc_id,
+    round((b.base + {bf_sql}) * ({boost_sql}), 4) AS score_r
+  FROM (
+    SELECT t.doc_id AS doc_id,
+      sum(
+        ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        * (t.tf / (t.tf + {K1} * (1 - {B} + {B} * q.dlq / st.avgdl)))
+      ) AS base
+    FROM tf t
+    JOIN df d USING (term)
+    JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE {' AND '.join(conds)}
+    GROUP BY t.doc_id
+    {having}
+  ) b
+  JOIN dl dd ON dd.doc_id = b.doc_id
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, b.doc_id) <= {BM25_K}
+)"""
+
+
+def func_topk_sql() -> str:
+    from solr_indexer_ray.contract import FUNC_QUERIES
+
+    blocks = "\nUNION ALL\n".join(
+        _func_query_block(q, bf, boost) for q, bf, boost in FUNC_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
 def _mm_query_block(q: str, spec: str) -> str:
     """One mm case: the bm25 block with the HAVING count gate set to the
     resolved minimum-should-match instead of the all-required AND count.
@@ -1930,6 +2047,7 @@ def oracle_sql_dict() -> dict:
         "near_topk": near_topk_sql(),
         "date_range_topk": date_range_topk_sql(),
         "fuzzy_topk": fuzzy_topk_sql(),
+        "func_topk": func_topk_sql(),
         "mm_topk": mm_topk_sql(),
         "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

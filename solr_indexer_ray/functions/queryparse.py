@@ -236,6 +236,13 @@ class ParsedQuery:
     #: counts, or count in ``scoring_clauses`` (Lucene: the pf phrase is
     #: a separate SHOULD boost query outside minimumShouldMatch).
     boost_phrases: list = field(default_factory=list)
+    #: Solr function-query boosts (engine-built from ``bf``/``boost``;
+    #: never parsed from text): parsed funcquery ASTs.  SCORE-ONLY like
+    #: pf — ``boost_funcs`` add per-doc function values to matches
+    #: (edismax ``bf``), ``mult_funcs`` multiply the final score
+    #: (edismax ``boost`` / {!boost}).  Neither gates membership.
+    boost_funcs: list = field(default_factory=list)
+    mult_funcs: list = field(default_factory=list)
 
     @property
     def is_match_all(self) -> bool:

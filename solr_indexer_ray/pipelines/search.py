@@ -269,6 +269,23 @@ def _sorted_isin(a, b):
     return b[pos] == a
 
 
+def _func_values(col) -> np.ndarray:
+    """Stored column -> float64 values for function queries: numerics
+    cast, timestamps as epoch MILLISECONDS (Solr ``ms()`` convention),
+    nulls/NaN -> 0.0 (Solr's absent-numeric default)."""
+    if pa.types.is_timestamp(col.type):
+        col = pc.divide(
+            pc.cast(pc.cast(col, pa.int64()), pa.float64()), 1000.0
+        )
+    else:
+        col = pc.cast(col, pa.float64())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.nan_to_num(
+        col.to_numpy(zero_copy_only=False), nan=0.0
+    )
+
+
 def _phrase_freqs(docs, segments, phrase):
     """Vectorized ExactPhraseMatcher over ALL candidate docs at once.
 
@@ -508,6 +525,7 @@ class SearchEngine:
         self._field_norms: dict = {}  # analyzed field -> dense norm bytes
         self._pattern_cache: dict = {}  # wildcard pattern -> expansion
         self._bmw_cell_cache: dict = {}  # terms tuple -> cell grid/offsets
+        self._func_cols: dict = {}   # field -> dense float64 (bf/boost)
 
     # ------------------------------------------------------------------ #
     # small state
@@ -554,6 +572,7 @@ class SearchEngine:
         self._fuzzy_cache = {}
         self._pattern_cache = {}
         self._bmw_cell_cache = {}
+        self._func_cols = {}  # overlays (atomic updates) can move values
 
     def refresh(self) -> bool:
         """Reopen the searcher (Solr: openSearcher after a commit): re-read
@@ -1204,6 +1223,8 @@ class SearchEngine:
         ps: int = 0,
         pf2: str | None = None,
         pf3: str | None = None,
+        bf=None,
+        boost=None,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -1232,6 +1253,13 @@ class SearchEngine:
         dismax boolean query; with ``AND`` every clause is already
         required, and the lucene parser ignores ``mm``); scores are
         unchanged — ``mm`` only gates membership.  Scores TAAT.
+        ``bf`` / ``boost`` are Solr edismax FUNCTION QUERIES over stored
+        numeric/timestamp fields (``recip(doclen,1,1000,1000)``,
+        ``sqrt(stars)`` — see :mod:`..functions.funcquery`): ``bf``
+        values ADD to each match's score, ``boost`` values MULTIPLY the
+        final score (``final = (base + sum(bf)) * product(boost)``).
+        Score-only — they never gate membership.  Each accepts one
+        expression string or a list (repeated Solr params).
         """
         if start < 0:
             raise ValueError("start must be >= 0")
@@ -1247,6 +1275,16 @@ class SearchEngine:
                 "pf is a dismax/edismax parameter; use explicit phrase "
                 "clauses inside grouped boolean queries"
             )
+        has_func = bf is not None or boost is not None
+        if has_func and sort is not None:
+            raise ValueError(
+                "bf/boost compose with relevance ranking only"
+            )
+        if has_func and has_group_syntax(query or ""):
+            raise ValueError(
+                "bf/boost are dismax/edismax parameters; not supported "
+                "with grouped boolean queries"
+            )
         if search_after is not None:
             if sort is not None or start:
                 raise ValueError(
@@ -1255,7 +1293,8 @@ class SearchEngine:
                 )
             return self._search_after(query, k, fl, method, fq,
                                       search_after, hl, mm=mm,
-                                      pf=pf, ps=ps, pf2=pf2, pf3=pf3)
+                                      pf=pf, ps=ps, pf2=pf2, pf3=pf3,
+                                      bf=bf, boost=boost)
         parsed = self._parse(query)
         free_seq = list(parsed.terms)  # pf sequence, before qf rewrites
         if qf is not None:
@@ -1264,6 +1303,16 @@ class SearchEngine:
             self._apply_mm(parsed, query, mm)
         if has_pf:
             self._apply_pf(parsed, free_seq, pf, ps, pf2, pf3)
+        if has_func:
+            if parsed.scoring_clauses == 0:
+                raise ValueError(
+                    "bf/boost rerank a scored match set; match-all / "
+                    "pure-filter queries have none (sort by the field "
+                    "instead)"
+                )
+            parsed.boost_funcs, parsed.mult_funcs = self._prepare_funcs(
+                bf, boost
+            )
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -1274,7 +1323,8 @@ class SearchEngine:
         elif start:
             deep = self.search(query, k=start + k, fl=["doc_id"],
                                method=method, fq=fq, mm=mm,
-                               pf=pf, ps=ps, pf2=pf2, pf3=pf3)
+                               pf=pf, ps=ps, pf2=pf2, pf3=pf3,
+                               bf=bf, boost=boost)
             hits = list(
                 zip(deep["doc_id"].to_pylist(), deep["score"].to_pylist())
             )[start:]
@@ -1310,6 +1360,7 @@ class SearchEngine:
                 or parsed.near_phrases
                 or parsed.field_terms or parsed.dismax
                 or parsed.field_phrases or parsed.boost_phrases
+                or parsed.boost_funcs or parsed.mult_funcs
             ):
                 hits = self._score_bmw(parsed, postings, excluded, k)
             else:
@@ -1764,6 +1815,95 @@ class SearchEngine:
                 n_present += 1
         return n_present
 
+    def func_column(self, field: str) -> np.ndarray:
+        """Dense float64 doc-space array for a numeric/timestamp stored
+        column — the function-query (``bf``/``boost``) value source.
+
+        Missing values (null, or doc rows absent from the docs table)
+        read as 0.0 — Solr's default for absent numeric DocValues.
+        Timestamp columns evaluate as epoch MILLISECONDS (the ``ms()``
+        convention).  Atomic-update overlays are applied, so function
+        scores track ``update_doc`` changes like ``fl`` reads do."""
+        cached = self._func_cols.get(field)
+        if cached is not None:
+            return cached
+        if field not in self.stored_fields or field in ("doc_id",):
+            raise ValueError(
+                f"function queries need a stored numeric field; {field!r} "
+                f"is not one (have: {sorted(self.stored_fields)})"
+            )
+        t = self._docs_ds.to_table(columns=["doc_id", field])
+        col = t[field]
+        if not (
+            pa.types.is_timestamp(col.type)
+            or pa.types.is_integer(col.type)
+            or pa.types.is_floating(col.type)
+        ):
+            raise ValueError(
+                f"function queries need a numeric/timestamp field; "
+                f"{field!r} is {col.type}"
+            )
+        dense = np.zeros(self.doc_space, dtype=np.float64)
+        dense[t["doc_id"].to_numpy()] = _func_values(col)
+        for did, cols in self._load_overlays().items():
+            v = cols.get(field)
+            if isinstance(v, (int, float)) and 0 <= did < self.doc_space:
+                dense[did] = float(v)
+        self._func_cols[field] = dense
+        return dense
+
+    def _prepare_funcs(self, bf, boost):
+        """Parse + validate ``bf``/``boost`` expressions into AST lists.
+
+        Accepts a single expression string or a list of them (Solr allows
+        repeated ``bf``/``boost`` params; we do NOT whitespace-split a
+        single string — unlike Solr's infamous bf tokenization, an
+        expression with spaces inside parens stays one expression)."""
+        from solr_indexer_ray.functions.funcquery import (
+            func_fields,
+            parse_func,
+        )
+
+        def to_nodes(spec):
+            if spec is None:
+                return []
+            exprs = [spec] if isinstance(spec, str) else list(spec)
+            nodes = [parse_func(e) for e in exprs]
+            for nd in nodes:
+                for f in sorted(func_fields(nd)):
+                    self.func_column(f)  # eager validation + cache warm
+            return nodes
+
+        return to_nodes(bf), to_nodes(boost)
+
+    def _apply_func_scores(self, parsed, scores, cand) -> None:
+        """Apply function-query boosts to the matched docs' scores.
+
+        Solr edismax composition: ``bf`` functions join the main boolean
+        query as additive SHOULD clauses, then ``boost`` wraps the whole
+        thing in a multiplicative BoostedQuery — so
+        ``final = (base + sum(bf)) * product(boost)``.  Membership is
+        decided before this runs (function values never match docs)."""
+        from solr_indexer_ray.functions.funcquery import (
+            eval_func,
+            func_fields,
+        )
+
+        def value(node):
+            cols = {f: self.func_column(f)[cand]
+                    for f in sorted(func_fields(node))}
+            if not cols:  # constant expression
+                cols = {"": np.zeros(cand.size, dtype=np.float64)}
+                cols.pop("")
+                n1 = eval_func(node, {})
+                return np.full(cand.size, n1[0], dtype=np.float64)
+            return eval_func(node, cols)
+
+        for node in parsed.boost_funcs:
+            scores[cand] += value(node)
+        for node in parsed.mult_funcs:
+            scores[cand] *= value(node)
+
     def _add_boost_scores(self, parsed, scores) -> None:
         """Add the edismax pf phrase-boost contributions into ``scores``.
 
@@ -1822,6 +1962,9 @@ class SearchEngine:
             # main query's matches, never extend them) and BEFORE the
             # cursor filter (the ranking the cursor walks includes them)
             self._add_boost_scores(parsed, scores)
+        if parsed.boost_funcs or parsed.mult_funcs:
+            # function boosts (bf/boost): same score-only contract as pf
+            self._apply_func_scores(parsed, scores, cand)
         if excluded is not None:
             cand = cand[~excluded[cand]]
         if after is not None:
@@ -1937,7 +2080,8 @@ class SearchEngine:
         return _select_topk(cand, scores[cand], k)
 
     def _search_after(self, query, k, fl, method, fq, cursor, hl,
-                      mm=None, pf=None, ps=0, pf2=None, pf3=None):
+                      mm=None, pf=None, ps=0, pf2=None, pf3=None,
+                      bf=None, boost=None):
         """Cursor paging (Solr cursorMark): score candidates once, keep
         those strictly after ``(score, doc_id)`` in ranking order, take
         top-k of the remainder."""
@@ -1947,6 +2091,15 @@ class SearchEngine:
             self._apply_mm(parsed, query, mm)
         if pf or pf2 or pf3:
             self._apply_pf(parsed, list(parsed.terms), pf, ps, pf2, pf3)
+        if bf is not None or boost is not None:
+            if parsed.scoring_clauses == 0:
+                raise ValueError(
+                    "bf/boost rerank a scored match set; match-all / "
+                    "pure-filter queries have none"
+                )
+            parsed.boost_funcs, parsed.mult_funcs = self._prepare_funcs(
+                bf, boost
+            )
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -2873,7 +3026,7 @@ class RangeScorer:
                      spatial_filters=(), neg_spatial_filters=(),
                      field_clauses=(), dismax_clauses=(),
                      field_phrase_groups=(), term_boosts=(),
-                     boost_groups=(), min_should=0):
+                     boost_groups=(), func_boosts=(), min_should=0):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
@@ -2885,6 +3038,13 @@ class RangeScorer:
         )
         if cand.size == 0:
             return []
+        if func_boosts:
+            # bf/boost function queries: score-only per-doc adjustments
+            # from RANGE-LOCAL stored columns (driver ships only the
+            # parsed ASTs + any overlay values) — local = global because
+            # functions depend on nothing outside the doc's own row
+            self._apply_func_boosts(func_boosts, cand, scores,
+                                    lo, scores.shape[0])
         s = scores[cand]
         kk = min(self.k, cand.size)
         kth = -np.partition(-s, kk - 1)[kk - 1]
@@ -2895,6 +3055,47 @@ class RangeScorer:
             for o in order
         ]
 
+    def _apply_func_boosts(self, func_boosts, cand, scores, lo, width):
+        """Evaluate shipped bf/boost ASTs over this range's stored
+        columns and fold them into the candidate scores (same
+        ``(base + sum(bf)) * product(boost)`` composition as the single
+        engine's ``_apply_func_scores``)."""
+        from solr_indexer_ray.functions.funcquery import (
+            eval_func,
+            func_fields,
+        )
+
+        bf_nodes, mult_nodes, fov = func_boosts
+        if not (bf_nodes and len(bf_nodes)) and not (
+            mult_nodes and len(mult_nodes)
+        ):
+            return
+        fields = sorted({
+            f for nd in (*bf_nodes, *mult_nodes) for f in func_fields(nd)
+        })
+        dense: dict = {}
+        if fields:
+            flt = (pads.field("doc_id") >= lo) & (
+                pads.field("doc_id") < lo + width
+            )
+            t = self._docs.to_table(columns=["doc_id", *fields], filter=flt)
+            ids = t["doc_id"].to_numpy() - lo
+            for f in fields:
+                arr = np.zeros(width, dtype=np.float64)
+                arr[ids] = _func_values(t[f])
+                for did_s, v in (fov or {}).get(f, {}).items():
+                    did = int(did_s)
+                    if lo <= did < lo + width:
+                        arr[did - lo] = float(v)
+                dense[f] = arr
+        cols = {f: a[cand] for f, a in dense.items()}
+        for nd in bf_nodes:
+            v = eval_func(nd, cols)
+            scores[cand] += v if v.shape == cand.shape else v[0]
+        for nd in mult_nodes:
+            v = eval_func(nd, cols)
+            scores[cand] *= v if v.shape == cand.shape else v[0]
+
     def _candidates_range(self, rid, terms, idfs, prohibited, filters,
                           conjunctive, phrases=(), prefix_groups=(),
                           fuzzy_groups=(), near_groups=(),
@@ -2904,8 +3105,15 @@ class RangeScorer:
                           neg_spatial_filters=(),
                           field_clauses=(), dismax_clauses=(),
                           field_phrase_groups=(), term_boosts=(),
-                          boost_groups=(), min_should=0):
+                          boost_groups=(), func_boosts=(), min_should=0):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
+
+        ``func_boosts`` is accepted (the shipped extras list carries it
+        positionally) but IGNORED here: bf/boost function values are
+        score-only and never affect candidacy — ``_score_range`` applies
+        them after this returns.  Components that only need the match
+        set (stats/group/sorted/facet) therefore unpack the same extras
+        without scoring drift.
 
         ``phrases``: list of ``[member_terms, weight]`` — weights are the
         global phrase idf sums, computed driver-side like the term idfs.
@@ -3936,11 +4144,30 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         engine._spatial_expr(sf)  # eager column validation (driver-side)
     spatial_filters = [_sf_to_list(sf) for sf in parsed.spatial_filters]
     neg_spatial_filters = [_sf_to_list(sf) for sf in parsed.neg_spatial_filters]
+    # function-query boosts (bf/boost): the parsed ASTs are JSON-able
+    # nested lists; referenced-field overlays (atomic updates) ship along
+    # so range tasks score the same values the single engine reads
+    func_boosts = []
+    if parsed.boost_funcs or parsed.mult_funcs:
+        from solr_indexer_ray.functions.funcquery import func_fields
+
+        ffields = sorted({
+            f for nd in (*parsed.boost_funcs, *parsed.mult_funcs)
+            for f in func_fields(nd)
+        })
+        fov: dict = {}
+        for did, cols in engine._load_overlays().items():
+            for f in ffields:
+                v = cols.get(f)
+                if isinstance(v, (int, float)):
+                    fov.setdefault(f, {})[str(did)] = float(v)
+        func_boosts = [list(parsed.boost_funcs),
+                       list(parsed.mult_funcs), fov]
     extras = [neg_filters, range_filters, neg_range_filters,
               prohibited_groups, prohibited_pos,
               spatial_filters, neg_spatial_filters,
               field_clauses, dismax_clauses, field_phrase_groups,
-              term_boosts, boost_groups]
+              term_boosts, boost_groups, func_boosts]
     return (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
             syn_groups, extras)
 
@@ -4134,7 +4361,8 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
                        tie: float = 0.0, mm=None,
                        pf: str | None = None, ps: int = 0,
                        pf2: str | None = None,
-                       pf3: str | None = None) -> pa.Table:
+                       pf3: str | None = None,
+                       bf=None, boost=None) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
 
     Bit-identical to ``SearchEngine.search(..., method='taat')`` (tested);
@@ -4163,6 +4391,20 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
                 "clauses inside grouped boolean queries"
             )
         engine._apply_pf(parsed, free_seq, pf, ps, pf2, pf3)
+    if bf is not None or boost is not None:
+        if has_group_syntax(query or ""):
+            raise ValueError(
+                "bf/boost are dismax/edismax parameters; not supported "
+                "with grouped boolean queries"
+            )
+        if parsed.scoring_clauses == 0:
+            raise ValueError(
+                "bf/boost rerank a scored match set; match-all / "
+                "pure-filter queries have none"
+            )
+        parsed.boost_funcs, parsed.mult_funcs = engine._prepare_funcs(
+            bf, boost
+        )
 
     def _empty():
         return pa.table(
@@ -4211,7 +4453,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
     if clauses is None:
         # match-all / rare negative-clause forms: single-engine path
         return engine.search(query, k=k, mm=mm, pf=pf, ps=ps,
-                             pf2=pf2, pf3=pf3)
+                             pf2=pf2, pf3=pf3, bf=bf, boost=boost)
     if clauses == "zero":
         return _empty()
     (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
