@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_topk": c.q_wildcard_topk,
         "fuzzy_topk": c.q_fuzzy_topk,
         "func_topk": c.q_func_topk,
+        "bq_topk": c.q_bq_topk,
         "mm_topk": c.q_mm_topk,
         "pf_topk": c.q_pf_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

@@ -139,7 +139,7 @@ def cmd_search(args) -> int:
                                qf=args.qf, tie=args.tie, mm=args.mm,
                                pf=args.pf, ps=args.ps,
                                pf2=args.pf2, pf3=args.pf3,
-                               bf=args.bf, boost=args.boost)
+                               bf=args.bf, boost=args.boost, bq=args.bq)
     else:
         cursor = None
         if args.search_after:
@@ -151,7 +151,7 @@ def cmd_search(args) -> int:
                           qf=args.qf, tie=args.tie, mm=args.mm,
                           pf=args.pf, ps=args.ps,
                           pf2=args.pf2, pf3=args.pf3,
-                          bf=args.bf, boost=args.boost)
+                          bf=args.bf, boost=args.boost, bq=args.bq)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     if args.facet_query:
@@ -526,6 +526,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--boost", action="append",
                     help="multiplicative boost function "
                          "(Solr edismax boost; repeatable)")
+    ps.add_argument("--bq", action="append",
+                    help="boost query: its score adds to matches of the "
+                         "main query, e.g. 'spark^2' or lang:java^5 "
+                         "(Solr edismax bq; repeatable)")
     ps.add_argument("--explain", type=int, metavar="DOC_ID",
                     help="Solr debugQuery: per-clause score contributions "
                          "of one doc")

@@ -152,6 +152,18 @@ FUNC_QUERIES = [
     ("lang:en spark window", ["pow(doclen,0.5)"], ["sum(ln(doclen),1)"]),
 ]
 
+#: edismax boost queries: (main query, [bq, ...]) — each bq's own score
+#: (term boosts included; ConstantScore weight for pure-filter bq) adds
+#: to main-query matches; membership from the main query alone
+BQ_CASES = [
+    ("window", ["spark^2"]),
+    ("spark merge", ["lang:en^5"]),
+    ("the batch join stream", ["sort merge"]),
+    ("sort AND merge", ["window^2", "lang:en"]),
+    ("key -join", ["lang:en stream^3"]),
+    ("lang:en spark window", ["the^0.5"]),
+]
+
 #: general wildcard cases (?, infix and leading *): constant-score union
 #: over LIKE-matching dictionary terms
 WILDCARD_INFIX_QUERIES = [
@@ -1347,6 +1359,38 @@ def q_func_topk(sf_dir: str):
         full = engine.search(q, k=engine.n_docs, fl=["doc_id"],
                              method="taat", bf=bf or None,
                              boost=boost or None)
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": label, "doc_id": int(ids[i]),
+                 "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
+
+
+def q_bq_topk(sf_dir: str):
+    """Top-k with Solr edismax boost queries (``bq``): each bq's own
+    score (plus a ConstantScore weight for pure-filter bq) adds to
+    main-query matches before ranking; membership never extends.  Same
+    (round(score,4) desc, doc_id) ranking key as q_bm25_topk."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, bqs in BQ_CASES:
+        label = f"{q} | bq={';'.join(bqs)}"
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"],
+                             method="taat", bq=bqs)
         ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
         scores = _round_half_away(
             np.asarray(full["score"].to_pylist(), dtype=np.float64), 4

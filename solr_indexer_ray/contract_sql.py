@@ -719,6 +719,113 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 )"""
 
 
+def _scored_subq(parsed) -> str:
+    """Per-doc unrounded BM25 score subquery ``(doc_id, s)`` for a parsed
+    term query (filters gate, prohibited excluded, AND gates the distinct
+    count, per-term ``^w`` boosts multiply) — the building block the bq
+    oracle composes additively."""
+    terms = sorted(set(parsed.terms))
+    if not terms or NO_MATCH_TERM in terms:
+        return "SELECT doc_id, 0.0 AS s FROM documents WHERE 1=0"
+    if parsed.boosts:
+        cases = " ".join(
+            f"WHEN '{t}' THEN {float(w)!r}"
+            for t, w in sorted(parsed.boosts.items())
+        )
+        bexpr = f"(CASE t.term {cases} ELSE 1.0 END)"
+    else:
+        bexpr = "1.0"
+    conds = [f"t.term IN ({_sql_list(terms)})"]
+    if parsed.filters:
+        fexpr = " AND ".join(
+            f"{fld} = '{val}'" for fld, val in sorted(parsed.filters.items())
+        )
+        conds.append(
+            f"t.doc_id IN (SELECT doc_id FROM documents WHERE {fexpr})"
+        )
+    if parsed.prohibited:
+        conds.append(
+            "t.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN "
+            f"({_sql_list(sorted(set(parsed.prohibited)))}))"
+        )
+    having = (
+        f"HAVING count(DISTINCT t.term) = {len(terms)}"
+        if parsed.conjunctive
+        else ""
+    )
+    return f"""
+    SELECT t.doc_id AS doc_id,
+      sum(
+        ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        * (t.tf / (t.tf + {K1} * (1 - {B} + {B} * q.dlq / st.avgdl)))
+        * {bexpr}
+      ) AS s
+    FROM tf t
+    JOIN df d USING (term)
+    JOIN dlq q ON q.doc_id = t.doc_id
+    CROSS JOIN stats st
+    WHERE {' AND '.join(conds)}
+    GROUP BY t.doc_id
+    {having}"""
+
+
+def _bq_subq(bq: str) -> str:
+    """Per-doc contribution subquery for one bq string: its own score
+    for a scored bq, or the ConstantScore weight (product of filter
+    ``^w`` boosts) for a pure-metadata-filter bq — mirroring
+    ``SearchEngine._prepare_bq``."""
+    parsed = parse_query(bq, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
+    if parsed.scoring_clauses == 0:
+        const = 1.0
+        for w in parsed.filter_boosts.values():
+            const *= float(w)
+        fexpr = " AND ".join(
+            f"{fld} = '{val}'" for fld, val in sorted(parsed.filters.items())
+        )
+        return (
+            f"SELECT doc_id, {const!r} AS s FROM documents WHERE {fexpr}"
+        )
+    return _scored_subq(parsed)
+
+
+def _bq_query_block(q: str, bqs: list) -> str:
+    """One bq case: main-query per-doc score LEFT JOINed with each bq's
+    contribution, ``round(main + Σ coalesce(bq, 0), 4)`` — the engine's
+    additive composition."""
+    parsed = parse_query(q, simple_analyzer, range_fields=SQL_RANGE_FIELDS)
+    label = f"{q} | bq={';'.join(bqs)}"
+    qq = label.replace("'", "''")
+    terms = sorted(set(parsed.terms))
+    if not terms or NO_MATCH_TERM in terms:
+        return (
+            f"SELECT '{qq}' AS query, doc_id, 0.0 AS score_r "
+            "FROM documents WHERE 1=0"
+        )
+    joins = "\n  ".join(
+        f"LEFT JOIN ({_bq_subq(b)}) b{i} ON b{i}.doc_id = m.doc_id"
+        for i, b in enumerate(bqs)
+    )
+    total = " + ".join(
+        ["m.s"] + [f"coalesce(b{i}.s, 0.0)" for i in range(len(bqs))]
+    )
+    return f"""
+SELECT '{qq}' AS query, doc_id, score_r FROM (
+  SELECT m.doc_id AS doc_id, round({total}, 4) AS score_r
+  FROM ({_scored_subq(parsed)}) m
+  {joins}
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, m.doc_id) <= {BM25_K}
+)"""
+
+
+def bq_topk_sql() -> str:
+    from solr_indexer_ray.contract import BQ_CASES
+
+    blocks = "\nUNION ALL\n".join(
+        _bq_query_block(q, bqs) for q, bqs in BQ_CASES
+    )
+    return _BM25_CTES + blocks
+
+
 def func_topk_sql() -> str:
     from solr_indexer_ray.contract import FUNC_QUERIES
 
@@ -2048,6 +2155,7 @@ def oracle_sql_dict() -> dict:
         "date_range_topk": date_range_topk_sql(),
         "fuzzy_topk": fuzzy_topk_sql(),
         "func_topk": func_topk_sql(),
+        "bq_topk": bq_topk_sql(),
         "mm_topk": mm_topk_sql(),
         "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

@@ -243,6 +243,19 @@ class ParsedQuery:
     #: (edismax ``boost`` / {!boost}).  Neither gates membership.
     boost_funcs: list = field(default_factory=list)
     mult_funcs: list = field(default_factory=list)
+    #: trailing ``^w`` captured on metadata FILTER clauses
+    #: (``lang:java^5``).  Ignored by normal search (filters gate, they
+    #: don't score); read by the edismax ``bq`` path, where a pure-filter
+    #: boost query contributes a Lucene ConstantScoreQuery-style constant
+    #: (the product of these weights) to matching docs.
+    filter_boosts: dict = field(default_factory=dict)
+    #: Solr edismax boost queries (engine-built from ``bq``; never parsed
+    #: from text): [(sub ParsedQuery, constant)].  SCORE-ONLY like pf —
+    #: each bq's own score (plus the constant for pure-filter bq) is
+    #: added to docs matching BOTH the main query and the bq; membership
+    #: comes from the main query alone (edismax: bq joins the boolean
+    #: query as a SHOULD clause next to the required main query).
+    boost_queries: list = field(default_factory=list)
 
     @property
     def is_match_all(self) -> bool:
@@ -454,6 +467,8 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
                 # a trailing * on a filter value prefix-matches the
                 # metadata string (engine: starts_with pushdown)
                 (out.neg_filters if neg else out.filters)[fld] = val
+                if boost is not None and not neg:
+                    out.filter_boosts[fld] = boost
                 continue
             raw = val  # default-field alias or unknown field -> score terms
         fm = _FUZZY.match(raw)

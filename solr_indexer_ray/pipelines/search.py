@@ -1225,6 +1225,7 @@ class SearchEngine:
         pf3: str | None = None,
         bf=None,
         boost=None,
+        bq=None,
     ) -> pa.Table:
         """Top-k BM25 search; returns a table of stored fields + score.
 
@@ -1260,6 +1261,16 @@ class SearchEngine:
         final score (``final = (base + sum(bf)) * product(boost)``).
         Score-only — they never gate membership.  Each accepts one
         expression string or a list (repeated Solr params).
+        ``bq`` is the Solr edismax BOOST QUERY (one query string or a
+        list): each bq is parsed with the normal query syntax and its
+        per-doc score is ADDED to docs matching both the main query and
+        the bq (membership from the main query alone — edismax puts bq
+        next to the required main query as a SHOULD clause).  A
+        pure-metadata-filter bq (``lang:java^5``) contributes a
+        ConstantScoreQuery-style constant = the product of its filter
+        boosts (our metadata fields are filters, not scored text — a
+        documented deviation from Solr's per-field BM25 there).
+        Composition: ``final = (base + bf + pf + bq) * product(boost)``.
         """
         if start < 0:
             raise ValueError("start must be >= 0")
@@ -1276,13 +1287,13 @@ class SearchEngine:
                 "clauses inside grouped boolean queries"
             )
         has_func = bf is not None or boost is not None
-        if has_func and sort is not None:
+        if (has_func or bq is not None) and sort is not None:
             raise ValueError(
-                "bf/boost compose with relevance ranking only"
+                "bf/boost/bq compose with relevance ranking only"
             )
-        if has_func and has_group_syntax(query or ""):
+        if (has_func or bq is not None) and has_group_syntax(query or ""):
             raise ValueError(
-                "bf/boost are dismax/edismax parameters; not supported "
+                "bf/boost/bq are dismax/edismax parameters; not supported "
                 "with grouped boolean queries"
             )
         if search_after is not None:
@@ -1294,7 +1305,7 @@ class SearchEngine:
             return self._search_after(query, k, fl, method, fq,
                                       search_after, hl, mm=mm,
                                       pf=pf, ps=ps, pf2=pf2, pf3=pf3,
-                                      bf=bf, boost=boost)
+                                      bf=bf, boost=boost, bq=bq)
         parsed = self._parse(query)
         free_seq = list(parsed.terms)  # pf sequence, before qf rewrites
         if qf is not None:
@@ -1313,6 +1324,13 @@ class SearchEngine:
             parsed.boost_funcs, parsed.mult_funcs = self._prepare_funcs(
                 bf, boost
             )
+        if bq is not None:
+            if parsed.scoring_clauses == 0:
+                raise ValueError(
+                    "bq reranks a scored match set; match-all / "
+                    "pure-filter main queries have none"
+                )
+            parsed.boost_queries = self._prepare_bq(bq)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -1324,7 +1342,7 @@ class SearchEngine:
             deep = self.search(query, k=start + k, fl=["doc_id"],
                                method=method, fq=fq, mm=mm,
                                pf=pf, ps=ps, pf2=pf2, pf3=pf3,
-                               bf=bf, boost=boost)
+                               bf=bf, boost=boost, bq=bq)
             hits = list(
                 zip(deep["doc_id"].to_pylist(), deep["score"].to_pylist())
             )[start:]
@@ -1361,6 +1379,7 @@ class SearchEngine:
                 or parsed.field_terms or parsed.dismax
                 or parsed.field_phrases or parsed.boost_phrases
                 or parsed.boost_funcs or parsed.mult_funcs
+                or parsed.boost_queries
             ):
                 hits = self._score_bmw(parsed, postings, excluded, k)
             else:
@@ -1876,6 +1895,56 @@ class SearchEngine:
 
         return to_nodes(bf), to_nodes(boost)
 
+    def _prepare_bq(self, bq) -> list:
+        """Parse + validate edismax ``bq`` boost queries.
+
+        One query string or a list (Solr allows repeated ``bq`` params).
+        Returns ``[(sub ParsedQuery, constant), ...]``: ``constant`` is
+        the ConstantScoreQuery weight for a PURE-FILTER bq (product of
+        its ``^w`` filter boosts, default 1.0 — our metadata fields are
+        filters, not scored text fields; Solr would BM25-score them) and
+        0.0 for a scored bq (its contribution is its own query score,
+        clause boosts included in the parse)."""
+        specs = [bq] if isinstance(bq, str) else list(bq)
+        out = []
+        for s in specs:
+            if has_group_syntax(s or ""):
+                raise ValueError(
+                    "grouped boolean bq is not supported; flatten the "
+                    "boost query or use several bq params"
+                )
+            sub = self._parse(s)
+            if sub.is_match_all:
+                raise ValueError(
+                    "match-all bq adds the same constant to every match "
+                    "— a no-op for ranking; use bf for constant offsets"
+                )
+            const = 0.0
+            if sub.scoring_clauses == 0:
+                const = 1.0
+                for w in sub.filter_boosts.values():
+                    const *= float(w)
+            out.append((sub, const))
+        return out
+
+    def _add_bq_scores(self, parsed, scores, cand) -> None:
+        """Add edismax ``bq`` contributions to the matched docs' scores.
+
+        Each bq is evaluated as a dense (mask, scores) atom with the
+        SAME leaf evaluator the boolean-grouping path uses, then folded
+        in only where the MAIN query already matched — bq never extends
+        membership.  Pure-filter bq adds its constant; scored bq adds
+        its own per-doc score (zeros outside its match set already)."""
+        for sub, const in parsed.boost_queries:
+            mask, s = self._eval_leaf(sub)
+            sel = mask[cand]
+            idx = cand[sel]
+            if idx.size == 0:
+                continue
+            scores[idx] += s[idx]
+            if const:
+                scores[idx] += const
+
     def _apply_func_scores(self, parsed, scores, cand) -> None:
         """Apply function-query boosts to the matched docs' scores.
 
@@ -1962,6 +2031,10 @@ class SearchEngine:
             # main query's matches, never extend them) and BEFORE the
             # cursor filter (the ranking the cursor walks includes them)
             self._add_boost_scores(parsed, scores)
+        if parsed.boost_queries:
+            # bq boost queries: additive, before the multiplicative
+            # boost= functions so they're wrapped like every SHOULD clause
+            self._add_bq_scores(parsed, scores, cand)
         if parsed.boost_funcs or parsed.mult_funcs:
             # function boosts (bf/boost): same score-only contract as pf
             self._apply_func_scores(parsed, scores, cand)
@@ -2081,7 +2154,7 @@ class SearchEngine:
 
     def _search_after(self, query, k, fl, method, fq, cursor, hl,
                       mm=None, pf=None, ps=0, pf2=None, pf3=None,
-                      bf=None, boost=None):
+                      bf=None, boost=None, bq=None):
         """Cursor paging (Solr cursorMark): score candidates once, keep
         those strictly after ``(score, doc_id)`` in ranking order, take
         top-k of the remainder."""
@@ -2100,6 +2173,13 @@ class SearchEngine:
             parsed.boost_funcs, parsed.mult_funcs = self._prepare_funcs(
                 bf, boost
             )
+        if bq is not None:
+            if parsed.scoring_clauses == 0:
+                raise ValueError(
+                    "bq reranks a scored match set; match-all / "
+                    "pure-filter main queries have none"
+                )
+            parsed.boost_queries = self._prepare_bq(bq)
         if hl and not self.stats.get("store_content"):
             raise ValueError(
                 "highlighting needs stored content; rebuild with "
@@ -3026,7 +3106,8 @@ class RangeScorer:
                      spatial_filters=(), neg_spatial_filters=(),
                      field_clauses=(), dismax_clauses=(),
                      field_phrase_groups=(), term_boosts=(),
-                     boost_groups=(), func_boosts=(), min_should=0):
+                     boost_groups=(), func_boosts=(), bq_plans=(),
+                     min_should=0):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
@@ -3038,6 +3119,12 @@ class RangeScorer:
         )
         if cand.size == 0:
             return []
+        if bq_plans:
+            # bq boost queries: each ships as one compiled clause plan,
+            # evaluated range-locally and added to MAIN-query matches
+            # only — before the multiplicative boost= functions, same
+            # order as the single engine
+            self._apply_bq_boosts(bq_plans, cand, scores, lo)
         if func_boosts:
             # bf/boost function queries: score-only per-doc adjustments
             # from RANGE-LOCAL stored columns (driver ships only the
@@ -3054,6 +3141,23 @@ class RangeScorer:
             {"doc_id": int(cand[idx[o]] + lo), "score": float(s[idx[o]])}
             for o in order
         ]
+
+    def _apply_bq_boosts(self, bq_plans, cand, scores, lo):
+        """Fold shipped bq plans into the candidate scores (same
+        contract as ``SearchEngine._add_bq_scores``: contribution =
+        the bq's own range-local score + its pure-filter constant,
+        added only where the main query matched)."""
+        width = scores.shape[0]
+        rid = lo // self.dpr
+        for plan, const in bq_plans:
+            mask, s = _eval_plan_range(self, rid, plan, lo, width)
+            sel = mask[cand]
+            idx = cand[sel]
+            if idx.size == 0:
+                continue
+            scores[idx] += s[idx]
+            if const:
+                scores[idx] += const
 
     def _apply_func_boosts(self, func_boosts, cand, scores, lo, width):
         """Evaluate shipped bf/boost ASTs over this range's stored
@@ -3105,11 +3209,12 @@ class RangeScorer:
                           neg_spatial_filters=(),
                           field_clauses=(), dismax_clauses=(),
                           field_phrase_groups=(), term_boosts=(),
-                          boost_groups=(), func_boosts=(), min_should=0):
+                          boost_groups=(), func_boosts=(), bq_plans=(),
+                          min_should=0):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
-        ``func_boosts`` is accepted (the shipped extras list carries it
-        positionally) but IGNORED here: bf/boost function values are
+        ``func_boosts`` and ``bq_plans`` are accepted (the shipped extras
+        list carries them positionally) but IGNORED here: bf/boost/bq are
         score-only and never affect candidacy — ``_score_range`` applies
         them after this returns.  Components that only need the match
         set (stats/group/sorted/facet) therefore unpack the same extras
@@ -4163,11 +4268,21 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
                     fov.setdefault(f, {})[str(did)] = float(v)
         func_boosts = [list(parsed.boost_funcs),
                        list(parsed.mult_funcs), fov]
+    # bq boost queries: each compiles to one clause plan (the same
+    # {"leaf"/"match"/"zero"} shapes the grouped-boolean path ships);
+    # a bq the protocol can't express falls the whole query back to
+    # the single engine
+    bq_plans = []
+    for sub, const in parsed.boost_queries:
+        plan = _compile_bool_tree(engine, sub)
+        if plan is None:
+            return None
+        bq_plans.append([plan, float(const)])
     extras = [neg_filters, range_filters, neg_range_filters,
               prohibited_groups, prohibited_pos,
               spatial_filters, neg_spatial_filters,
               field_clauses, dismax_clauses, field_phrase_groups,
-              term_boosts, boost_groups, func_boosts]
+              term_boosts, boost_groups, func_boosts, bq_plans]
     return (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
             syn_groups, extras)
 
@@ -4291,69 +4406,76 @@ class BoolRangeScorer:
         ]
 
     def _eval(self, rid: int, tree, lo: int, width: int):
-        sc = self.scorer
-        if "op" in tree:
-            # same semantics as SearchEngine._eval_bool_node: negated
-            # children are MUST_NOT in both ops, OPT is mask-neutral,
-            # boost scales subtree scores
-            pos_mask = None
-            neg_mask = None
-            scores = np.zeros(width, dtype=np.float64)
-            for neg, child in tree["children"]:
-                m, s = self._eval(rid, child, lo, width)
-                if neg:
-                    neg_mask = (
-                        m.copy() if neg_mask is None else (neg_mask | m)
-                    )
-                    continue
-                scores += s
-                if pos_mask is None:
-                    pos_mask = m.copy()
-                elif tree["op"] == "AND":
-                    pos_mask &= m
-                else:
-                    pos_mask |= m
-            if tree["op"] == "OPT":
-                mask = np.ones(width, dtype=bool)
-            elif pos_mask is None:
-                mask = np.zeros(width, dtype=bool)  # pure-negative: nothing
+        return _eval_plan_range(self.scorer, rid, tree, lo, width)
+
+
+def _eval_plan_range(sc, rid: int, tree, lo: int, width: int):
+    """Dense range-local (mask, scores) for one compiled clause plan
+    ({"op"}/{"leaf"}/{"match"}/{"zero"} — :func:`_compile_bool_tree`).
+    Shared by the grouped-boolean range tasks and the distributed bq
+    path (each bq ships as one compiled plan)."""
+    if "op" in tree:
+        # same semantics as SearchEngine._eval_bool_node: negated
+        # children are MUST_NOT in both ops, OPT is mask-neutral,
+        # boost scales subtree scores
+        pos_mask = None
+        neg_mask = None
+        scores = np.zeros(width, dtype=np.float64)
+        for neg, child in tree["children"]:
+            m, s = _eval_plan_range(sc, rid, child, lo, width)
+            if neg:
+                neg_mask = (
+                    m.copy() if neg_mask is None else (neg_mask | m)
+                )
+                continue
+            scores += s
+            if pos_mask is None:
+                pos_mask = m.copy()
+            elif tree["op"] == "AND":
+                pos_mask &= m
             else:
-                mask = pos_mask
-            if neg_mask is not None:
-                mask = mask & ~neg_mask
-            scores[~mask] = 0.0
-            boost = float(tree.get("boost", 1.0))
-            if boost != 1.0:
-                scores *= boost
-            return mask, scores
-        if "zero" in tree:
-            return (
-                np.zeros(width, dtype=bool),
-                np.zeros(width, dtype=np.float64),
-            )
-        if "match" in tree:
-            m = tree["match"]
-            flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < lo + width)
-            for fld, val in zip(m["filter_keys"], m["filter_vals"]):
-                flt = flt & (pc.field(fld) == val)
-            t = sc._docs.to_table(columns=["doc_id"], filter=flt)
-            mask = np.zeros(width, dtype=bool)
-            mask[t["doc_id"].to_numpy() - lo] = True
-            return mask, np.zeros(width, dtype=np.float64)
-        b = tree["leaf"]
-        cand, scores, _lo = sc._candidates_range(
-            rid, list(b["terms"]), list(b["idfs"]), list(b["prohibited"]),
-            dict(zip(b["filter_keys"], b["filter_vals"])),
-            bool(b["conjunctive"]), b["phrases"], b["prefix_groups"],
-            b["fuzzy_groups"], b["near_groups"], b["syn_groups"],
-            *b.get("extras", ([], [], [], [], [], [], [])),
+                pos_mask |= m
+        if tree["op"] == "OPT":
+            mask = np.ones(width, dtype=bool)
+        elif pos_mask is None:
+            mask = np.zeros(width, dtype=bool)  # pure-negative: nothing
+        else:
+            mask = pos_mask
+        if neg_mask is not None:
+            mask = mask & ~neg_mask
+        scores[~mask] = 0.0
+        boost = float(tree.get("boost", 1.0))
+        if boost != 1.0:
+            scores *= boost
+        return mask, scores
+    if "zero" in tree:
+        return (
+            np.zeros(width, dtype=bool),
+            np.zeros(width, dtype=np.float64),
         )
+    if "match" in tree:
+        m = tree["match"]
+        flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < lo + width)
+        for fld, val in zip(m["filter_keys"], m["filter_vals"]):
+            flt = flt & (pc.field(fld) == val)
+        t = sc._docs.to_table(columns=["doc_id"], filter=flt)
         mask = np.zeros(width, dtype=bool)
-        out = np.zeros(width, dtype=np.float64)
-        if cand.size:
-            mask[cand] = True
-            out[cand] = scores[cand]
-        return mask, out
+        mask[t["doc_id"].to_numpy() - lo] = True
+        return mask, np.zeros(width, dtype=np.float64)
+    b = tree["leaf"]
+    cand, scores, _lo = sc._candidates_range(
+        rid, list(b["terms"]), list(b["idfs"]), list(b["prohibited"]),
+        dict(zip(b["filter_keys"], b["filter_vals"])),
+        bool(b["conjunctive"]), b["phrases"], b["prefix_groups"],
+        b["fuzzy_groups"], b["near_groups"], b["syn_groups"],
+        *b.get("extras", ([], [], [], [], [], [], [])),
+    )
+    mask = np.zeros(width, dtype=bool)
+    out = np.zeros(width, dtype=np.float64)
+    if cand.size:
+        mask[cand] = True
+        out[cand] = scores[cand]
+    return mask, out
 
 
 def search_partitioned(index_dir: str, query: str, k: int = 10,
@@ -4362,7 +4484,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
                        pf: str | None = None, ps: int = 0,
                        pf2: str | None = None,
                        pf3: str | None = None,
-                       bf=None, boost=None) -> pa.Table:
+                       bf=None, boost=None, bq=None) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
 
     Bit-identical to ``SearchEngine.search(..., method='taat')`` (tested);
@@ -4405,6 +4527,18 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
         parsed.boost_funcs, parsed.mult_funcs = engine._prepare_funcs(
             bf, boost
         )
+    if bq is not None:
+        if has_group_syntax(query or ""):
+            raise ValueError(
+                "bq is a dismax/edismax parameter; not supported with "
+                "grouped boolean queries"
+            )
+        if parsed.scoring_clauses == 0:
+            raise ValueError(
+                "bq reranks a scored match set; match-all / "
+                "pure-filter main queries have none"
+            )
+        parsed.boost_queries = engine._prepare_bq(bq)
 
     def _empty():
         return pa.table(
@@ -4453,7 +4587,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
     if clauses is None:
         # match-all / rare negative-clause forms: single-engine path
         return engine.search(query, k=k, mm=mm, pf=pf, ps=ps,
-                             pf2=pf2, pf3=pf3, bf=bf, boost=boost)
+                             pf2=pf2, pf3=pf3, bf=bf, boost=boost, bq=bq)
     if clauses == "zero":
         return _empty()
     (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
