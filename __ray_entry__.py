@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": c.q_fuzzy_topk,
         "func_topk": c.q_func_topk,
         "bq_topk": c.q_bq_topk,
+        "facet_stats": c.q_facet_stats,
         "mm_topk": c.q_mm_topk,
         "pf_topk": c.q_pf_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

@@ -166,6 +166,18 @@ def cmd_search(args) -> int:
             fq=args.fq,
         )
         print(json.dumps({"facets": facets}))
+    if args.facet_stats:
+        metrics = {}
+        for spec in args.stat or []:
+            name, _, expr = spec.partition("=")
+            if not expr:
+                raise SystemExit(
+                    f"--stat wants name=op(field), got {spec!r}"
+                )
+            metrics[name] = expr
+        fs = engine.facet_stats(args.query, args.facet_stats, metrics,
+                                fq=args.fq, limit=args.facet_limit)
+        print(json.dumps({"facet_stats": fs.to_pylist()}))
     print(f"# {t.num_rows} hits", file=sys.stderr)
     return 0
 
@@ -533,6 +545,12 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--explain", type=int, metavar="DOC_ID",
                     help="Solr debugQuery: per-clause score contributions "
                          "of one doc")
+    ps.add_argument("--facet-stats", metavar="FIELD",
+                    help="Solr JSON-facet terms bucket field; combine "
+                         "with --stat name=op(field)")
+    ps.add_argument("--stat", action="append",
+                    help="JSON-facet bucket metric, e.g. "
+                         "avg_len=avg(doclen) (repeatable)")
     ps.add_argument("--facet-query", action="append",
                     help="Solr facet.query (repeatable): count of the "
                          "match set intersected with this sub-query")

@@ -1378,6 +1378,31 @@ def q_func_topk(sf_dir: str):
     )
 
 
+#: JSON-facet stat metrics pinned by the facet_stats contract
+FACET_STATS_METRICS = {
+    "sum_len": "sum(doclen)",
+    "avg_len": "avg(doclen)",
+    "min_len": "min(doclen)",
+    "max_len": "max(doclen)",
+}
+
+
+def q_facet_stats(sf_dir: str):
+    """Solr JSON Facet API analogue: terms facet over ``lang`` with
+    nested sum/avg/min/max aggregates over ``doclen`` per bucket, via
+    the distributed per-range partial-aggregate path (count desc /
+    value asc bucket order; doclen is integral so partials merge
+    exactly)."""
+    from solr_indexer_ray.pipelines.search import facet_stats_partitioned
+
+    idx = _bm25_index(sf_dir)
+    parts = []
+    for q in FACET_QUERIES:
+        t = facet_stats_partitioned(idx, q, "lang", FACET_STATS_METRICS)
+        parts.append(t.add_column(0, "query", pa.array([q] * t.num_rows)))
+    return pa.concat_tables(parts)
+
+
 def q_bq_topk(sf_dir: str):
     """Top-k with Solr edismax boost queries (``bq``): each bq's own
     score (plus a ConstantScore weight for pure-filter bq) adds to

@@ -817,6 +817,34 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 )"""
 
 
+def facet_stats_sql() -> str:
+    """JSON-facet stats oracle: per bucket of ``lang`` over each facet
+    query's match set, count + sum/avg/min/max of the true doc length
+    (the engine's stored doclen = the toks CTE's dl) — bucket order
+    count desc / value asc, mincount 1."""
+    from solr_indexer_ray.contract import FACET_QUERIES
+
+    blocks = []
+    for q in FACET_QUERIES:
+        qq = q.replace("'", "''")
+        blocks.append(f"""
+SELECT query, value, count, sum_len, avg_len, min_len, max_len FROM (
+  SELECT '{qq}' AS query, d.lang AS value, count(*) AS count,
+         sum(dd.dl) * 1.0 AS sum_len,
+         sum(dd.dl) * 1.0 / count(*) AS avg_len,
+         min(dd.dl) * 1.0 AS min_len,
+         max(dd.dl) * 1.0 AS max_len
+  FROM documents d
+  JOIN dl dd ON dd.doc_id = d.doc_id
+  JOIN ({_match_docs_sql(q)}) m ON m.doc_id = d.doc_id
+  WHERE d.lang IS NOT NULL
+  GROUP BY d.lang
+  HAVING count(*) >= 1
+  QUALIFY row_number() OVER (ORDER BY count DESC, value) <= 100
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def bq_topk_sql() -> str:
     from solr_indexer_ray.contract import BQ_CASES
 
@@ -2156,6 +2184,7 @@ def oracle_sql_dict() -> dict:
         "fuzzy_topk": fuzzy_topk_sql(),
         "func_topk": func_topk_sql(),
         "bq_topk": bq_topk_sql(),
+        "facet_stats": facet_stats_sql(),
         "mm_topk": mm_topk_sql(),
         "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

@@ -2643,6 +2643,98 @@ class SearchEngine:
             out[fld] = buckets
         return out
 
+    def facet_stats(self, query: str, by: str, metrics: dict,
+                    fq=None, limit: int = 100,
+                    mincount: int = 1) -> pa.Table:
+        """Solr JSON Facet API analogue: a ``terms`` facet over ``by``
+        with nested stat aggregates per bucket.
+
+        ``metrics`` maps output column name -> a Solr JSON-facet stat
+        expression string: ``sum(field)`` / ``avg(field)`` /
+        ``min(field)`` / ``max(field)`` over a stored numeric field,
+        e.g. ``{"avg_len": "avg(doclen)"}``.  Buckets are ordered count
+        desc then value asc (Solr default ``sort: count desc``),
+        ``mincount`` defaults 1 and NULL bucket values are excluded
+        (JSON facet's ``missing`` bucket is opt-in and not implemented).
+
+        Returns a table ``(value, count, <metric columns...>)``.  The
+        distributed equivalent is :func:`facet_stats_partitioned`
+        (per-range partial (count, sum, min, max) rows -> small driver
+        merge — a pre-aggregated groupby, no shuffle; ``avg`` derives
+        from merged sum/count).
+        """
+        specs = self._parse_facet_stats(by, metrics)
+        ids = self.match_ids(query)
+        fqm = self._merge_fq_mask(None, fq)
+        if fqm is not None and ids.size:
+            ids = ids[~fqm[ids]]
+        fields = sorted({f for _, (_, f) in specs})
+        t = self._docs_ds.to_table(columns=["doc_id", by, *fields])
+        mask = np.zeros(self.doc_space, dtype=bool)
+        mask[ids] = True
+        t = t.filter(pa.array(mask[t["doc_id"].to_numpy()]))
+        t = t.filter(pc.is_valid(t[by]))
+        if t.num_rows == 0:
+            return self._facet_stats_table([], specs)
+        aggs = [([], "count_all")]
+        for f in fields:
+            aggs += [(f, "sum"), (f, "min"), (f, "max")]
+        g = pa.TableGroupBy(t.select([by, *fields]), by).aggregate(aggs)
+        rows = []
+        for r in g.to_pylist():
+            row = {"value": str(r[by]), "count": int(r["count_all"])}
+            for name, (op, f) in specs:
+                if op == "avg":
+                    row[name] = (
+                        float(r[f"{f}_sum"]) / row["count"]
+                        if row["count"] else None
+                    )
+                else:
+                    v = r[f"{f}_{op}"]
+                    row[name] = float(v) if v is not None else None
+            rows.append(row)
+        rows = sorted(
+            (r for r in rows if r["count"] >= mincount),
+            key=lambda r: (-r["count"], r["value"]),
+        )[:limit]
+        return self._facet_stats_table(rows, specs)
+
+    def _parse_facet_stats(self, by: str, metrics: dict) -> list:
+        """Validate + parse ``metrics`` stat expressions into
+        ``[(name, (op, field)), ...]`` (sorted by name for a stable
+        output schema)."""
+        if by not in self.stored_fields or by == "doc_id":
+            raise ValueError(f"cannot facet on field {by!r}")
+        if not metrics:
+            raise ValueError("facet_stats needs at least one metric")
+        specs = []
+        for name in sorted(metrics):
+            m = re.fullmatch(r"(sum|avg|min|max)\((\w+)\)",
+                             str(metrics[name]).strip())
+            if m is None:
+                raise ValueError(
+                    f"bad stat expression {metrics[name]!r} for "
+                    f"{name!r} (want op(field), op in sum/avg/min/max)"
+                )
+            op, f = m.group(1), m.group(2)
+            if f not in self.stored_fields or f == "doc_id":
+                raise ValueError(f"unknown stat field {f!r}")
+            ftype = self._docs_ds.schema.field(f).type
+            if not (pa.types.is_integer(ftype) or pa.types.is_floating(ftype)):
+                raise ValueError(
+                    f"stat field {f!r} must be numeric, is {ftype}"
+                )
+            specs.append((name, (op, f)))
+        return specs
+
+    @staticmethod
+    def _facet_stats_table(rows, specs) -> pa.Table:
+        schema = pa.schema(
+            [("value", pa.string()), ("count", pa.int64())]
+            + [(name, pa.float64()) for name, _ in specs]
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
     def terms(self, prefix: str = "", limit: int = 10,
               mincount: int = 1) -> list:
         """Solr /terms component: enumerate index terms with their df.
@@ -4857,6 +4949,46 @@ class StatsRangeTask(_MatchRangeTask):
         )
 
 
+class FacetStatsRangeTask(_MatchRangeTask):
+    """Per-range partials for the distributed JSON-facet stats: one row
+    per (range, bucket value) carrying count + per-field sum/min/max —
+    mergeable aggregates only (``avg`` derives on the driver), so a
+    range ships O(distinct values) rows regardless of match size."""
+
+    def __init__(self, index_dir: str, by: str, fields):
+        super().__init__(index_dir)
+        self.by = by
+        self.fields = list(fields)
+
+    def _empty(self) -> pa.Table:
+        cols = {"value": pa.array([], pa.string()),
+                "count": pa.array([], pa.int64())}
+        for f in self.fields:
+            for op in ("sum", "min", "max"):
+                cols[f"{f}_{op}"] = pa.array([], pa.float64())
+        return pa.table(cols)
+
+    def _reduce_range(self, ids, scores, lo) -> pa.Table:
+        t = self._docs_columns(ids, [self.by, *self.fields])
+        t = t.filter(pc.is_valid(t[self.by]))
+        if t.num_rows == 0:
+            return self._empty()
+        aggs = [([], "count_all")]
+        for f in self.fields:
+            aggs += [(f, "sum"), (f, "min"), (f, "max")]
+        g = pa.TableGroupBy(
+            t.select([self.by, *self.fields]), self.by
+        ).aggregate(aggs)
+        cols = {
+            "value": pc.cast(g[self.by], pa.string()),
+            "count": pc.cast(g["count_all"], pa.int64()),
+        }
+        for f in self.fields:
+            for op in ("sum", "min", "max"):
+                cols[f"{f}_{op}"] = pc.cast(g[f"{f}_{op}"], pa.float64())
+        return pa.table(cols)
+
+
 class SortRangeTask(_MatchRangeTask):
     """Per-range local top-k by the sort keys — the distributed sorted
     browse ships only k rows per range, never the full match set."""
@@ -4973,6 +5105,65 @@ def stats_partitioned(index_dir: str, query: str, field: str) -> dict:
         "sum": total,
         "mean": (total / count) if count else None,
     }
+
+
+def facet_stats_partitioned(index_dir: str, query: str, by: str,
+                            metrics: dict, limit: int = 100,
+                            mincount: int = 1) -> pa.Table:
+    """Distributed JSON-facet stats: per-range partial
+    (value, count, sum, min, max) rows merged on the driver — identical
+    output to ``SearchEngine.facet_stats`` (tested; integer stat fields
+    merge exactly, float sums can differ in the last ulp from the
+    single-pass order).  No shuffle: each range pre-aggregates its
+    matches and ships one row per bucket value."""
+    engine = SearchEngine(index_dir)
+    specs = engine._parse_facet_stats(by, metrics)
+    parsed = engine._parse(query)
+    clauses = _distributed_clauses(engine, parsed, query)
+    if clauses is None:
+        return engine.facet_stats(query, by, metrics, limit=limit,
+                                  mincount=mincount)
+    if clauses == "zero":
+        return SearchEngine._facet_stats_table([], specs)
+    fields = sorted({f for _, (_, f) in specs})
+    import pandas as pd
+    import ray.data as rd
+
+    def run(batch):
+        return FacetStatsRangeTask(index_dir, by, fields)(batch)
+
+    parts = (
+        rd.from_items(_range_items(engine, parsed, clauses))
+        .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    if not parts:
+        return SearchEngine._facet_stats_table([], specs)
+    df = pd.DataFrame(parts)
+    aggmap = {"count": "sum"}
+    for f in fields:
+        aggmap[f"{f}_sum"] = "sum"
+        aggmap[f"{f}_min"] = "min"
+        aggmap[f"{f}_max"] = "max"
+    m = df.groupby("value", sort=False).agg(aggmap).reset_index()
+    rows = []
+    for r in m.to_dict("records"):
+        row = {"value": str(r["value"]), "count": int(r["count"])}
+        for name, (op, f) in specs:
+            if op == "avg":
+                row[name] = (
+                    float(r[f"{f}_sum"]) / row["count"]
+                    if row["count"] else None
+                )
+            else:
+                v = r[f"{f}_{op}"]
+                row[name] = float(v) if v is not None else None
+        rows.append(row)
+    rows = sorted(
+        (r for r in rows if r["count"] >= mincount),
+        key=lambda r: (-r["count"], r["value"]),
+    )[:limit]
+    return SearchEngine._facet_stats_table(rows, specs)
 
 
 def group_partitioned(index_dir: str, query: str, group_field: str,

@@ -1,0 +1,142 @@
+"""Solr JSON Facet API analogue: terms facet with nested stat aggregates.
+
+Solr's JSON facet ``{type: terms, field: lang, facet: {avg_len:
+"avg(doclen)"}}`` shape — per-bucket sum/avg/min/max over a stored
+numeric field, buckets ordered count desc / value asc.  Pins the single
+engine against an independent pandas computation and the distributed
+per-range partial-aggregate path against the single engine.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from solr_indexer_ray.pipelines.search import (
+    SearchEngine,
+    facet_stats_partitioned,
+)
+
+METRICS = {
+    "sum_len": "sum(doclen)",
+    "avg_len": "avg(doclen)",
+    "min_len": "min(doclen)",
+    "max_len": "max(doclen)",
+}
+
+
+@pytest.fixture(scope="module")
+def engine(built_index):
+    index_dir, _ = built_index
+    return SearchEngine(index_dir)
+
+
+def _expected(engine, query, by="lang", mincount=1, limit=100):
+    """Independent brute force: match ids -> pandas groupby aggregates."""
+    ids = engine.match_ids(query)
+    t = engine._docs_ds.to_table(
+        columns=["doc_id", by, "doclen"]
+    ).to_pandas()
+    t = t[t["doc_id"].isin(ids) & t[by].notna()]
+    g = t.groupby(by)["doclen"]
+    df = pd.DataFrame({
+        "count": g.size(),
+        "sum_len": g.sum().astype(float),
+        "avg_len": g.mean(),
+        "min_len": g.min().astype(float),
+        "max_len": g.max().astype(float),
+    }).reset_index().rename(columns={by: "value"})
+    df["value"] = df["value"].astype(str)
+    df = df[df["count"] >= mincount]
+    df = df.sort_values(["count", "value"],
+                        ascending=[False, True],
+                        kind="mergesort").head(limit)
+    return df.reset_index(drop=True)
+
+
+class TestFacetStats:
+    @pytest.mark.parametrize("q", [
+        "def the index", "def AND index", "lang:go def", "def -the index",
+    ])
+    def test_matches_brute_force(self, engine, q):
+        got = engine.facet_stats(q, "lang", METRICS).to_pandas()
+        exp = _expected(engine, q)
+        assert got["value"].tolist() == exp["value"].tolist()
+        assert got["count"].tolist() == exp["count"].tolist()
+        for m in METRICS:
+            np.testing.assert_allclose(got[m], exp[m], rtol=1e-12)
+
+    def test_bucket_order_count_desc_value_asc(self, engine):
+        got = engine.facet_stats("def the index", "lang",
+                                 {"s": "sum(doclen)"})
+        rows = list(zip(got["count"].to_pylist(),
+                        got["value"].to_pylist()))
+        assert rows == sorted(rows, key=lambda r: (-r[0], r[1]))
+
+    def test_mincount_and_limit(self, engine):
+        full = engine.facet_stats("def the index", "lang",
+                                  {"s": "sum(doclen)"})
+        top1 = engine.facet_stats("def the index", "lang",
+                                  {"s": "sum(doclen)"}, limit=1)
+        assert top1.num_rows == 1
+        assert top1["value"][0] == full["value"][0]
+        hi = int(max(full["count"].to_pylist()))
+        gated = engine.facet_stats("def the index", "lang",
+                                   {"s": "sum(doclen)"}, mincount=hi)
+        assert all(c >= hi for c in gated["count"].to_pylist())
+
+    def test_no_match_is_empty(self, engine):
+        t = engine.facet_stats("zzzznotaterm", "lang",
+                               {"s": "sum(doclen)"})
+        assert t.num_rows == 0
+        assert t.column_names == ["value", "count", "s"]
+
+    def test_metric_schema_sorted_by_name(self, engine):
+        t = engine.facet_stats("def", "lang",
+                               {"z_max": "max(doclen)",
+                                "a_min": "min(doclen)"})
+        assert t.column_names == ["value", "count", "a_min", "z_max"]
+
+    def test_errors(self, engine):
+        with pytest.raises(ValueError, match="cannot facet"):
+            engine.facet_stats("def", "nosuchfield", {"s": "sum(doclen)"})
+        with pytest.raises(ValueError, match="bad stat expression"):
+            engine.facet_stats("def", "lang", {"s": "median(doclen)"})
+        with pytest.raises(ValueError, match="unknown stat field"):
+            engine.facet_stats("def", "lang", {"s": "sum(nosuch)"})
+        with pytest.raises(ValueError, match="must be numeric"):
+            engine.facet_stats("def", "lang", {"s": "sum(repo)"})
+        with pytest.raises(ValueError, match="at least one metric"):
+            engine.facet_stats("def", "lang", {})
+
+
+class TestDistributedFacetStats:
+    @pytest.mark.parametrize("q", [
+        "def the index", "def AND index", "lang:go def", "def -the index",
+    ])
+    def test_identical_to_single_engine(self, built_index, q):
+        index_dir, _ = built_index
+        eng = SearchEngine(index_dir)
+        single = eng.facet_stats(q, "lang", METRICS)
+        dist = facet_stats_partitioned(index_dir, q, "lang", METRICS)
+        assert dist.column_names == single.column_names
+        assert dist["value"].to_pylist() == single["value"].to_pylist()
+        assert dist["count"].to_pylist() == single["count"].to_pylist()
+        for m in METRICS:
+            # doclen is integral: per-range partial sums merge exactly
+            assert dist[m].to_pylist() == single[m].to_pylist()
+
+    def test_zero_match_distributed(self, built_index):
+        index_dir, _ = built_index
+        t = facet_stats_partitioned(index_dir, "zzzznotaterm", "lang",
+                                    {"s": "sum(doclen)"})
+        assert t.num_rows == 0
+
+    def test_group_by_repo(self, built_index):
+        index_dir, _ = built_index
+        eng = SearchEngine(index_dir)
+        single = eng.facet_stats("def the index", "repo",
+                                 {"avg_len": "avg(doclen)"})
+        dist = facet_stats_partitioned(index_dir, "def the index", "repo",
+                                       {"avg_len": "avg(doclen)"})
+        assert dist["value"].to_pylist() == single["value"].to_pylist()
+        assert dist["avg_len"].to_pylist() == single["avg_len"].to_pylist()
