@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "func_topk": c.q_func_topk,
         "bq_topk": c.q_bq_topk,
         "facet_stats": c.q_facet_stats,
+        "term_vectors": c.q_term_vectors,
         "mm_topk": c.q_mm_topk,
         "pf_topk": c.q_pf_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

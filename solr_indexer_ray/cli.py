@@ -196,6 +196,18 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_tv(args) -> int:
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    t = SearchEngine(args.output).term_vectors(
+        args.id, with_positions=args.positions
+    )
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
+    print(f"# {t.num_rows} terms", file=sys.stderr)
+    return 0
+
+
 def cmd_hybrid(args) -> int:
     """Hybrid BM25 + embedding-cosine retrieval (RRF / weighted fusion).
 
@@ -568,6 +580,15 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--min-term-freq", type=int, default=2)
     pm.add_argument("--min-doc-freq", type=int, default=5)
     pm.set_defaults(fn=cmd_mlt)
+
+    pt = sub.add_parser(
+        "tv", help="term vector of one doc (Solr /tvrh): term, tf, df"
+    )
+    pt.add_argument("-o", "--output", required=True)
+    pt.add_argument("--id", type=int, required=True)
+    pt.add_argument("--positions", action="store_true",
+                    help="include 0-based token positions")
+    pt.set_defaults(fn=cmd_tv)
 
     ph = sub.add_parser(
         "hybrid", help="hybrid BM25 + embedding-cosine retrieval (RRF)"

@@ -1378,6 +1378,9 @@ def q_func_topk(sf_dir: str):
     )
 
 
+#: doc ids pinned by the term_vectors contract (< n_docs at sf >= 0.01)
+TV_DOC_IDS = [0, 7, 123, 456]
+
 #: JSON-facet stat metrics pinned by the facet_stats contract
 FACET_STATS_METRICS = {
     "sum_len": "sum(doclen)",
@@ -1400,6 +1403,23 @@ def q_facet_stats(sf_dir: str):
     for q in FACET_QUERIES:
         t = facet_stats_partitioned(idx, q, "lang", FACET_STATS_METRICS)
         parts.append(t.add_column(0, "query", pa.array([q] * t.num_rows)))
+    return pa.concat_tables(parts)
+
+
+def q_term_vectors(sf_dir: str):
+    """Solr TermVectorComponent (/tvrh): per-doc term vectors with tf,
+    index-wide df and 0-based token positions, re-derived from the
+    stored body with the pinned analyzer."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    parts = []
+    for did in TV_DOC_IDS:
+        t = engine.term_vectors(did, with_positions=True)
+        parts.append(
+            t.add_column(0, "doc_id",
+                         pa.array([did] * t.num_rows, pa.int64()))
+        )
     return pa.concat_tables(parts)
 
 

@@ -817,6 +817,25 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 )"""
 
 
+def term_vectors_sql() -> str:
+    """Term-vector oracle: per pinned doc, tf + index df + 0-based
+    positions (zipped unnests over the token list) — the engine
+    re-derives the same vector from the stored body."""
+    from solr_indexer_ray.contract import TV_DOC_IDS
+
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return _BM25_CTES + f""", pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS p
+  FROM toks WHERE doc_id IN ({ids})
+)
+SELECT p.doc_id AS doc_id, p.term AS term, count(*) AS tf,
+       any_value(d.df) AS df,
+       string_agg(CAST(p.p AS VARCHAR), ',' ORDER BY p.p) AS positions
+FROM pos p JOIN df d USING (term)
+GROUP BY p.doc_id, p.term"""
+
+
 def facet_stats_sql() -> str:
     """JSON-facet stats oracle: per bucket of ``lang`` over each facet
     query's match set, count + sum/avg/min/max of the true doc length
@@ -2185,6 +2204,7 @@ def oracle_sql_dict() -> dict:
         "func_topk": func_topk_sql(),
         "bq_topk": bq_topk_sql(),
         "facet_stats": facet_stats_sql(),
+        "term_vectors": term_vectors_sql(),
         "mm_topk": mm_topk_sql(),
         "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

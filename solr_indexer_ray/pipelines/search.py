@@ -2924,6 +2924,54 @@ class SearchEngine:
             }
         )
 
+    def term_vectors(self, doc_id: int,
+                     with_positions: bool = False) -> pa.Table:
+        """Solr TermVectorComponent (``/tvrh``): one document's term
+        vector over the default field — ``(term, tf, df)`` rows ordered
+        by term asc, plus a comma-joined ``positions`` column (0-based
+        token indices, the same coordinates the positional postings
+        store) when ``with_positions``.
+
+        Like :meth:`more_like_this`, the vector is re-derived from the
+        stored body with the pinned analyzer chain (Solr reanalyzes the
+        stored field when ``termVectors`` aren't stored), so it requires
+        ``store_content=True``.  ``df`` is the index-wide document
+        frequency (tombstoned docs still count until compaction — Lucene
+        semantics, same as the /terms component).
+        """
+        if not self.stats.get("store_content"):
+            raise ValueError(
+                "term_vectors needs stored content; rebuild with "
+                "IndexConfig(store_content=True)"
+            )
+        row = self.get(doc_id)
+        if row is None:
+            raise ValueError(f"doc {doc_id} not found")
+        toks = self.registry.tokenize(row.get("content") or "",
+                                      row.get("lang"))
+        tfm: dict = {}
+        pos: dict = {}
+        for i, t in enumerate(toks):
+            tfm[t] = tfm.get(t, 0) + 1
+            if with_positions:
+                pos.setdefault(t, []).append(i)
+        terms = sorted(tfm)
+        postings = self.lookup_postings(terms)
+        cols = {
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([tfm[t] for t in terms], pa.int64()),
+            "df": pa.array(
+                [int(postings[t].df) if t in postings else 0
+                 for t in terms],
+                pa.int64(),
+            ),
+        }
+        if with_positions:
+            cols["positions"] = pa.array(
+                [",".join(map(str, pos[t])) for t in terms], pa.string()
+            )
+        return pa.table(cols)
+
     def more_like_this(self, doc_id: int, k: int = 10, fl=None,
                        max_query_terms: int = 25, min_term_freq: int = 2,
                        min_doc_freq: int = 5) -> pa.Table:

@@ -88,3 +88,48 @@ class TestMLT:
                     config=IndexConfig(docs_per_range=64, block_size=16))
         with pytest.raises(ValueError, match="store_content"):
             SearchEngine(str(tmp_path / "idx")).more_like_this(0)
+
+
+class TestTermVectors:
+    """Solr TermVectorComponent (/tvrh): per-doc term vector re-derived
+    from the stored body — tf/positions vs direct tokenization, df vs
+    the index's postings."""
+
+    def test_tf_and_positions_match_analyzer(self, midx):
+        idx, corpus = midx
+        eng = SearchEngine(idx)
+        for did in (0, 7, 63):
+            row = corpus.slice(did, 1).to_pylist()[0]
+            toks = eng.registry.tokenize(row["content"], row["lang"])
+            t = eng.term_vectors(did, with_positions=True)
+            assert t["term"].to_pylist() == sorted(set(toks))
+            for term, tf, ps in zip(t["term"].to_pylist(),
+                                    t["tf"].to_pylist(),
+                                    t["positions"].to_pylist()):
+                want = [i for i, x in enumerate(toks) if x == term]
+                assert tf == len(want)
+                assert ps == ",".join(map(str, want))
+
+    def test_df_matches_postings(self, midx):
+        idx, _ = midx
+        eng = SearchEngine(idx)
+        t = eng.term_vectors(5)
+        terms = t["term"].to_pylist()
+        postings = eng.lookup_postings(terms)
+        for term, df in zip(terms, t["df"].to_pylist()):
+            assert df == postings[term].df
+
+    def test_no_positions_column_by_default(self, midx):
+        idx, _ = midx
+        t = SearchEngine(idx).term_vectors(3)
+        assert t.column_names == ["term", "tf", "df"]
+
+    def test_missing_doc_raises(self, midx):
+        idx, _ = midx
+        with pytest.raises(ValueError, match="not found"):
+            SearchEngine(idx).term_vectors(10**9)
+
+    def test_requires_stored_content(self, built_index):
+        idx, _ = built_index  # session index: store_content=False
+        with pytest.raises(ValueError, match="stored content"):
+            SearchEngine(idx).term_vectors(0)
