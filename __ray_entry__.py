@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bq_topk": c.q_bq_topk,
         "facet_stats": c.q_facet_stats,
         "term_vectors": c.q_term_vectors,
+        "lm_quality": c.q_lm_quality,
         "mm_topk": c.q_mm_topk,
         "pf_topk": c.q_pf_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

@@ -383,6 +383,24 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_lmscore(args) -> int:
+    """Per-doc bigram-LM quality scores (CCNet-style head/middle/tail
+    signal): train on the input corpus, score every doc, write parquet."""
+    import ray.data as rd
+
+    from solr_indexer_ray.stages.curation import lm_quality_score
+
+    _ensure_ray()
+    out = lm_quality_score(
+        rd.read_parquet(args.input, columns=[args.id_col, args.text_col]),
+        text_col=args.text_col, id_col=args.id_col, alpha=args.alpha,
+    )
+    out.write_parquet(args.dest)
+    n_out = rd.read_parquet(args.dest).count()
+    print(json.dumps({"rows": int(n_out), "dest": args.dest}))
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Deterministic domain-mixture subsampling (md5-keyed, RNG-free)."""
     import ray.data as rd
@@ -683,6 +701,17 @@ def build_parser() -> argparse.ArgumentParser:
     pdc.add_argument("--min-matches", type=int, default=1)
     pdc.add_argument("--mode", choices=["flag", "drop"], default="flag")
     pdc.set_defaults(fn=cmd_decontaminate)
+
+    plm = sub.add_parser(
+        "lmscore",
+        help="per-doc bigram-LM quality scores (CCNet-style signal)",
+    )
+    plm.add_argument("-i", "--input", required=True)
+    plm.add_argument("--dest", required=True)
+    plm.add_argument("--text-col", default="text")
+    plm.add_argument("--id-col", default="doc_id")
+    plm.add_argument("--alpha", type=float, default=0.5)
+    plm.set_defaults(fn=cmd_lmscore)
 
     psm = sub.add_parser(
         "sample", help="deterministic domain-mixture subsampling"

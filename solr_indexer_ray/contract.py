@@ -1406,6 +1406,25 @@ def q_facet_stats(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def q_lm_quality(sf_dir: str):
+    """CCNet-style bigram-LM quality signal: per-doc mean log-prob under
+    an add-0.5 bigram model trained on the corpus (combiner-groupby
+    training pass, broadcast count tables, streamed scoring — see
+    stages/curation.lm_quality_score).  avg_logp rounded half-away to 4;
+    ppl omitted (exp() can differ in the last ulp across libms)."""
+    from solr_indexer_ray.stages.curation import lm_quality_score
+
+    out = lm_quality_score(_documents(sf_dir)).take_all()
+    return pa.Table.from_pylist(
+        [{"doc_id": r["doc_id"], "n_bigrams": r["n_bigrams"],
+          "avg_logp": r["avg_logp"]} for r in out],
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+             ("avg_logp", pa.float64())]
+        ),
+    )
+
+
 def q_term_vectors(sf_dir: str):
     """Solr TermVectorComponent (/tvrh): per-doc term vectors with tf,
     index-wide df and 0-based token positions, re-derived from the

@@ -817,6 +817,39 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 )"""
 
 
+#: bigram-LM quality oracle: same add-0.5 model as
+#: stages/curation.lm_quality_score — unigram head counts, zipped-slice
+#: bigram unnest, ln((c+a)/(head+a*V)) averaged per doc, round 4
+LM_QUALITY_SQL = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT t AS w, count(*) AS c
+  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uni),
+bigr AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM toks WHERE len(toks) >= 2
+),
+bcnt AS (SELECT w1, w2, count(*) AS c FROM bigr GROUP BY 1, 2),
+scored AS (
+  SELECT g.doc_id, count(*) AS n_bigrams,
+         avg(ln((coalesce(bc.c, 0) + 0.5) / (u.c + 0.5 * v.v))) AS s
+  FROM bigr g
+  JOIN uni u ON u.w = g.w1
+  LEFT JOIN bcnt bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+  CROSS JOIN v
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       round(s.s, 4) AS avg_logp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def term_vectors_sql() -> str:
     """Term-vector oracle: per pinned doc, tf + index df + 0-based
     positions (zipped unnests over the token list) — the engine
@@ -2205,6 +2238,7 @@ def oracle_sql_dict() -> dict:
         "bq_topk": bq_topk_sql(),
         "facet_stats": facet_stats_sql(),
         "term_vectors": term_vectors_sql(),
+        "lm_quality": LM_QUALITY_SQL,
         "mm_topk": mm_topk_sql(),
         "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

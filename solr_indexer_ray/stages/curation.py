@@ -112,6 +112,136 @@ def decontaminate(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def train_bigram_counts(ds, text_col: str = "text"):
+    """Corpus unigram + bigram counts — the training pass of the
+    :func:`lm_quality_score` language model.
+
+    Ray shape: per-batch PARTIAL counts (one ``np.unique`` over the
+    batch's token/bigram keys) feed a ``groupby(key).sum`` — the
+    classic combiner pattern, so the shuffle moves one row per distinct
+    key per batch, never per token.  Returns ``(uni, big)`` dicts
+    (token -> count, "w1 w2" -> count) on the driver — bounded by the
+    corpus vocabulary; at web scale you'd cap to the top-K n-grams with
+    an add-alpha backoff for the tail (the model is for QUALITY
+    BUCKETING, not generation — CCNet keeps only a pruned LM too).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = [simple_analyzer(t or "")
+                for t in batch[text_col].to_pylist()]
+        unis: list = []
+        bigs: list = []
+        for ts in toks:
+            unis.extend(ts)
+            bigs.extend(
+                f"{a} {b}" for a, b in zip(ts, ts[1:])
+            )
+        keys, counts, kinds = [], [], []
+        for kind, seq in (("u", unis), ("b", bigs)):
+            if not seq:
+                continue
+            u, c = np.unique(np.asarray(seq, dtype=object), return_counts=True)
+            keys.extend(u.tolist())
+            counts.extend(c.tolist())
+            kinds.extend([kind] * len(u))
+        return pa.table(
+            {"kind": pa.array(kinds, pa.string()),
+             "key": pa.array(keys, pa.string()),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    uni = {r["key"]: int(r["n"]) for r in agg if r["kind"] == "u"}
+    big = {r["key"]: int(r["n"]) for r in agg if r["kind"] == "b"}
+    return uni, big
+
+
+def lm_quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
+                     alpha: float = 0.5, counts=None, ndigits: int = 4):
+    """CCNet-style n-gram LM quality signal: per-doc mean log-probability
+    under an add-``alpha`` bigram model trained on the corpus itself
+    (docs full of common constructions score high; line noise scores
+    low — CCNet buckets head/middle/tail exactly this way).
+
+    ``logp(w2|w1) = ln((c(w1 w2) + alpha) / (c(w1) + alpha * V))`` with
+    ``V`` = distinct unigram count; a doc's score is the mean over its
+    bigram positions (rounded half-away to ``ndigits`` so the DuckDB
+    oracle is float-order-independent), and ``ppl = exp(-score)``.
+    Docs with fewer than 2 tokens score NULL.
+
+    Ray shape: training is the combiner-groupby of
+    :func:`train_bigram_counts`; scoring broadcasts the count tables
+    once (``ray.put`` of sorted key arrays) and STREAMS the corpus
+    through a vectorized ``searchsorted`` lookup — no shuffle, no
+    driver materialization of the corpus.
+    """
+    import ray
+
+    uni, big = counts if counts is not None else train_bigram_counts(
+        ds, text_col
+    )
+    v = len(uni)
+    uk = np.array(sorted(uni), dtype=object)
+    uc = np.array([uni[k] for k in uk], dtype=np.float64)
+    bk = np.array(sorted(big), dtype=object)
+    bc = np.array([big[k] for k in bk], dtype=np.float64)
+    ref = ray.put((uk, uc, bk, bc))
+
+    def score(batch: pa.Table) -> pa.Table:
+        uk_, uc_, bk_, bc_ = ray.get(ref)
+        n_out = np.zeros(batch.num_rows, dtype=np.int64)
+        s_out = np.full(batch.num_rows, np.nan)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            ts = simple_analyzer(t or "")
+            if len(ts) < 2:
+                continue
+            grams = np.array(
+                [f"{a} {b}" for a, b in zip(ts, ts[1:])], dtype=object
+            )
+            heads = np.array(ts[:-1], dtype=object)
+            gi = np.searchsorted(bk_, grams)
+            gi[gi == bk_.size] = 0
+            gc = np.where(bk_[gi] == grams, bc_[gi], 0.0)
+            hi = np.searchsorted(uk_, heads)
+            hi[hi == uk_.size] = 0
+            hc = np.where(uk_[hi] == heads, uc_[hi], 0.0)
+            lp = np.log((gc + alpha) / (hc + alpha * v))
+            n_out[i] = lp.size
+            s_out[i] = lp.mean()
+        # round half away from zero (numpy/python round are banker's)
+        r = np.where(
+            np.isnan(s_out), np.nan,
+            np.copysign(
+                np.floor(np.abs(s_out) * 10.0 ** ndigits + 0.5)
+                / 10.0 ** ndigits,
+                s_out,
+            ),
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(n_out, pa.int64()),
+                "avg_logp": pa.array(
+                    [None if np.isnan(x) else float(x) for x in r],
+                    pa.float64(),
+                ),
+                "ppl": pa.array(
+                    [None if np.isnan(x) else float(np.exp(-x))
+                     for x in r],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def accept_fraction(doc_id: int) -> float:
     """Deterministic uniform-[0,1) acceptance coordinate of a row:
     the first 8 hex digits of md5(str(doc_id)) / 2^32 — the same value

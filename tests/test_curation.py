@@ -1,6 +1,8 @@
 """Curation operators: benchmark decontamination + deterministic mixture
 sampling (`stages/curation.py`)."""
 
+import json
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -100,3 +102,88 @@ def test_accept_fraction_uniformity():
     vals = np.array([accept_fraction(i) for i in range(2000)])
     assert 0.0 <= vals.min() and vals.max() < 1.0
     assert abs(vals.mean() - 0.5) < 0.02
+
+
+class TestLmQualityScore:
+    """CCNet-style bigram-LM quality signal: hand-computed counts on a
+    tiny corpus, smoothing math, and the common-text > noise ordering."""
+
+    ROWS = [
+        {"doc_id": 0, "text": "a b a b"},
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": "x"},          # < 2 tokens -> NULL score
+        {"doc_id": 3, "text": ""},
+    ]
+
+    def test_counts(self):
+        from solr_indexer_ray.stages.curation import train_bigram_counts
+
+        uni, big = train_bigram_counts(_ds(self.ROWS))
+        assert uni == {"a": 3, "b": 3, "c": 1, "x": 1}
+        assert big == {"a b": 3, "b a": 1, "b c": 1}
+
+    def test_scores_hand_computed(self):
+        from solr_indexer_ray.stages.curation import lm_quality_score
+
+        alpha, v = 0.5, 4
+        out = {
+            r["doc_id"]: r
+            for r in lm_quality_score(
+                _ds(self.ROWS), alpha=alpha
+            ).take_all()
+        }
+
+        def lp(big_c, head_c):
+            return np.log((big_c + alpha) / (head_c + alpha * v))
+
+        # doc 0: "a b","b a","a b" over heads a,b,a
+        exp0 = np.mean([lp(3, 3), lp(1, 3), lp(3, 3)])
+        assert out[0]["n_bigrams"] == 3
+        assert out[0]["avg_logp"] == pytest.approx(exp0, abs=1e-4)
+        # doc 1: "a b","b c"
+        exp1 = np.mean([lp(3, 3), lp(1, 3)])
+        assert out[1]["avg_logp"] == pytest.approx(exp1, abs=1e-4)
+        assert out[1]["ppl"] == pytest.approx(
+            np.exp(-out[1]["avg_logp"]), rel=1e-9
+        )
+        # short / empty docs: no bigrams, NULL score
+        assert out[2]["n_bigrams"] == 0 and out[2]["avg_logp"] is None
+        assert out[3]["avg_logp"] is None
+
+    def test_common_text_beats_noise(self):
+        from solr_indexer_ray.stages.curation import lm_quality_score
+
+        rows = [
+            {"doc_id": i, "text": "the data the data the data"}
+            for i in range(20)
+        ] + [{"doc_id": 100, "text": "zq xv qk jw zz pq"}]
+        out = {r["doc_id"]: r["avg_logp"]
+               for r in lm_quality_score(_ds(rows)).take_all()}
+        assert out[0] > out[100]
+
+    def test_cli_lmscore(self, tmp_path, capsys):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.cli import main
+
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(pa.Table.from_pylist(self.ROWS), src)
+        dest = str(tmp_path / "scored")
+        assert main(["lmscore", "-i", src, "--dest", dest]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] == len(self.ROWS)
+        assert pq.read_table(dest).column("avg_logp").null_count == 2
+
+    def test_unseen_bigram_backoff(self):
+        from solr_indexer_ray.stages.curation import (
+            lm_quality_score,
+            train_bigram_counts,
+        )
+
+        counts = train_bigram_counts(_ds(self.ROWS))
+        # score a doc whose bigrams/heads the model never saw
+        out = lm_quality_score(
+            _ds([{"doc_id": 9, "text": "zz qq"}]), counts=counts
+        ).take_all()[0]
+        # c=0, head=0 -> ln(alpha / (alpha * V)) = -ln(V)
+        assert out["avg_logp"] == pytest.approx(-np.log(4), abs=1e-4)
