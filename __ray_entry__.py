@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_component": c.q_terms_component,
         "field_stats": c.q_field_stats,
         "grouped": c.q_grouped,
+        "collapse_topk": c.q_collapse_topk,
         "suggest": c.q_suggest,
         "boosted_topk": c.q_boosted_topk,
         "range_facets": c.q_range_facets,

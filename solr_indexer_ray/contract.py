@@ -224,6 +224,13 @@ GROUP_CASES = [
     ("win* batch", "lang", 6, 1),
 ]
 
+#: collapse cases: (query, collapse field, k heads, expand_limit)
+COLLAPSE_CASES = [
+    ("spark merge", "lang", 5, 2),
+    ("window", "repo", 4, 0),
+    ("win* batch", "lang", 6, 1),
+]
+
 #: MoreLikeThis sources (doc ids into the documents table)
 MLT_DOCS = [7, 123, 321]
 MLT_PARAMS = {"max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5}
@@ -1753,6 +1760,29 @@ def q_grouped(sf_dir: str):
     for q, fld, kg, gl in GROUP_CASES:
         t = engine.group_search(q, fld, k_groups=kg, group_limit=gl,
                                 round_scores=4)
+        parts.append(
+            t.append_column(
+                "case", pa.array([f"{q}|{fld}"] * t.num_rows, pa.string())
+            )
+        )
+    out = pa.concat_tables(parts)
+    return out.rename_columns(
+        [c if c != "score" else "score_r" for c in out.column_names]
+    )
+
+
+def q_collapse_topk(sf_dir: str):
+    """Solr field collapsing (CollapsingQParser {!collapse field=F} +
+    ExpandComponent): one head per group value ranked by relevance, plus
+    each head's next expand_limit group members by score (scores rounded
+    4dp before ranking so the SQL oracle matches)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    parts = []
+    for q, fld, k, el in COLLAPSE_CASES:
+        t = engine.collapse_search(q, fld, k=k, expand_limit=el,
+                                   round_scores=4)
         parts.append(
             t.append_column(
                 "case", pa.array([f"{q}|{fld}"] * t.num_rows, pa.string())

@@ -25,6 +25,7 @@ from solr_indexer_ray.contract import (
     FACET_FIELDS,
     FACET_QUERIES,
     GROUP_CASES,
+    COLLAPSE_CASES,
     PHRASE_QUERIES,
     PIVOT_CASES,
     RANGE_FACET_CASES,
@@ -1601,6 +1602,40 @@ WHERE group_rank < {kg}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def collapse_topk_sql() -> str:
+    """Field-collapsing oracle: per-doc rounded BM25 over the match set,
+    head = row_number 1 within each group (score_r desc, doc_id), heads
+    dense-ranked by their (best score, head doc id); rows with position
+    <= expand_limit are the head + its expanded members."""
+    blocks = []
+    for q, fld, k, el in COLLAPSE_CASES:
+        case = f"{q}|{fld}".replace("'", "''")
+        src = _FACET_SRC[fld]
+        scored = f"""
+    SELECT d.{src} AS grp, s.doc_id AS doc_id, s.score_r AS score_r
+    FROM ({_scored_match_sql(q)}) s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE d.{src} IS NOT NULL"""
+        blocks.append(f"""
+SELECT '{case}' AS "case", rank, position, doc_id, score_r, grp AS "group"
+FROM (
+  SELECT grp, doc_id, score_r,
+    row_number() OVER (PARTITION BY grp ORDER BY score_r DESC, doc_id) - 1
+      AS position,
+    dense_rank() OVER (ORDER BY best_s DESC, best_d) - 1 AS rank
+  FROM (
+    SELECT grp, doc_id, score_r,
+      max(score_r) OVER (PARTITION BY grp) AS best_s,
+      first_value(doc_id) OVER (
+        PARTITION BY grp ORDER BY score_r DESC, doc_id
+      ) AS best_d
+    FROM ({scored})
+  )
+  QUALIFY position <= {el}
+)
+WHERE rank < {k}""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def _scored_match_sql(q: str) -> str:
     """Per-doc rounded BM25 score over the FULL match set of ``q`` (no
     top-k) — shared by the grouping oracle."""
@@ -2258,6 +2293,7 @@ def oracle_sql_dict() -> dict:
         "terms_component": terms_component_sql(),
         "field_stats": field_stats_sql(),
         "grouped": grouped_sql(),
+        "collapse_topk": collapse_topk_sql(),
         "suggest": suggest_sql(),
         "boosted_topk": boosted_topk_sql(),
         "range_facets": range_facets_sql(),

@@ -1274,6 +1274,22 @@ class SearchEngine:
         """
         if start < 0:
             raise ValueError("start must be >= 0")
+        fq, _collapse = _extract_collapse_fq(fq)
+        if _collapse is not None:
+            field, npol = _collapse
+            if sort is not None or search_after is not None or hl:
+                raise ValueError(
+                    "{!collapse} composes with relevance ranking only "
+                    "(no sort/search_after/hl)"
+                )
+            heads = self.collapse_search(
+                query, field, k=start + k, fq=fq, null_policy=npol,
+                method=method, qf=qf, tie=tie, mm=mm, pf=pf, ps=ps,
+                pf2=pf2, pf3=pf3, bf=bf, boost=boost, bq=bq,
+            )
+            hits = list(zip(heads["doc_id"].to_pylist(),
+                            heads["score"].to_pylist()))[start:start + k]
+            return self._resolve(hits, fl)
         if qf is not None and (sort is not None or start or search_after):
             raise ValueError("qf composes with relevance ranking only")
         if mm is not None and sort is not None:
@@ -2923,6 +2939,58 @@ class SearchEngine:
                 "score": pa.array(out["score"].astype("float64")),
             }
         )
+
+    def collapse_search(self, query: str, field: str, k: int = 10,
+                        fq=None, null_policy: str = "ignore",
+                        expand_limit: int = 0,
+                        round_scores: int | None = None,
+                        **search_kwargs) -> pa.Table:
+        """Solr field collapsing (CollapsingQParser ``{!collapse
+        field=F}`` + ExpandComponent ``expand=true``): collapse the match
+        set to one document per ``field`` value — the group head is the
+        highest-scoring doc (ties by ascending doc id, the max-score
+        selector Solr defaults to) — and rank the heads by relevance.
+
+        ``null_policy`` mirrors Solr's ``nullPolicy``: ``"ignore"``
+        (default) drops docs with a null collapse value, ``"expand"``
+        treats each null doc as its own group, ``"collapse"`` folds all
+        nulls into one group.  ``expand_limit`` > 0 is the
+        ExpandComponent: each returned head also carries its group's next
+        ``expand_limit`` docs by score (Solr ``expand.rows``, default
+        ``expand.sort=score desc``).
+
+        Returns ``(rank, position, doc_id, score, group)`` rows: ``rank``
+        orders the k heads, ``position`` 0 is the head, 1.. are expanded
+        members.  ``round_scores`` rounds (half-away) before ranking so a
+        SQL oracle is float-order-independent.  Extra ``search_kwargs``
+        (``qf``, ``mm``, ``bf``/``boost``/``bq``…) pass through to the
+        underlying relevance query.
+
+        The reference delegates this to Solr; collapsing is how its
+        dataset catalogue shows one hit per parent dataset
+        (``solrindexer/search.py:125-140`` passes arbitrary Solr params).
+        """
+        if field not in self.stored_fields or field == "doc_id":
+            raise ValueError(f"cannot collapse on field {field!r}")
+        if null_policy not in ("ignore", "expand", "collapse"):
+            raise ValueError(f"bad nullPolicy {null_policy!r}")
+        full = self.search(query, k=self.doc_space, fl=["doc_id"], fq=fq,
+                           **search_kwargs)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"doc_id": full["doc_id"].to_numpy(),
+             "score": full["score"].to_numpy()}
+        )
+        if not df.empty:
+            ids = df["doc_id"].to_numpy()
+            t = self._docs_ds.to_table(columns=["doc_id", field])
+            mask = np.zeros(self.doc_space, dtype=bool)
+            mask[ids] = True
+            t = t.filter(pa.array(mask[t["doc_id"].to_numpy()]))
+            df = df.merge(t.to_pandas(), on="doc_id", how="left")
+        return _collapse_frame(df, field, k, null_policy, expand_limit,
+                               round_scores)
 
     def term_vectors(self, doc_id: int,
                      with_positions: bool = False) -> pa.Table:
@@ -5270,6 +5338,145 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
             "score": pa.array(out["score"].astype("float64")),
         }
     )
+
+
+_COLLAPSE_FQ_RE = re.compile(r"^\{!collapse\s+([^}]*)\}\s*$")
+
+
+def _extract_collapse_fq(fq):
+    """Split Solr ``{!collapse field=F nullPolicy=P}`` directives out of a
+    filter-query list.  Returns ``(remaining_fq, (field, null_policy) |
+    None)``; at most one collapse directive is allowed (Solr rejects
+    multiple collapses on different fields too)."""
+    if not fq:
+        return fq, None
+    fqs = [fq] if isinstance(fq, str) else list(fq)
+    rest, spec = [], None
+    for f in fqs:
+        m = _COLLAPSE_FQ_RE.match(f) if isinstance(f, str) else None
+        if m is None:
+            rest.append(f)
+            continue
+        if spec is not None:
+            raise ValueError("at most one {!collapse} filter per query")
+        params = dict(
+            p.split("=", 1) for p in m.group(1).split() if "=" in p
+        )
+        if "field" not in params:
+            raise ValueError("{!collapse} requires field=")
+        spec = (params["field"], params.get("nullPolicy", "ignore"))
+    return (rest or None), spec
+
+
+def _collapse_frame(df, field: str, k: int, null_policy: str,
+                    expand_limit: int,
+                    round_scores: int | None) -> pa.Table:
+    """Collapse a ``(doc_id, score, <field>)`` frame to ranked group heads
+    (+ expanded members) — shared by ``SearchEngine.collapse_search`` and
+    ``collapse_partitioned`` so both paths are definitionally identical."""
+    empty = pa.table(
+        {"rank": pa.array([], pa.int64()),
+         "position": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64()),
+         "group": pa.array([], pa.string())}
+    )
+    if df.empty:
+        return empty
+    df = df.copy()
+    if round_scores is not None:
+        m = 10.0 ** round_scores
+        s = df["score"].to_numpy(dtype=float)
+        df["score"] = np.copysign(np.floor(np.abs(s) * m + 0.5) / m, s)
+    import pandas as pd
+
+    isnull = df[field].isna()
+    # group keys: "v"+value for real values, "n"(+doc_id) for null groups —
+    # a structural prefix rather than a NUL sentinel, because pandas'
+    # groupby hashtable compares strings C-style (a \x00 inside a key
+    # truncates comparison and collides distinct keys)
+    if null_policy == "ignore":
+        df = df[~isnull]
+        if df.empty:
+            return empty
+        df["_grp"] = ["v" + str(v)
+                      for v in df[field].to_numpy(dtype=object)]
+    elif null_policy == "expand":  # each null doc is its own group
+        df["_grp"] = [
+            ("n" + str(d)) if pd.isna(v) else "v" + str(v)
+            for v, d in zip(df[field].to_numpy(dtype=object),
+                            df["doc_id"].to_numpy())
+        ]
+    else:  # "collapse": all nulls fold into one group
+        df["_grp"] = [
+            "n" if pd.isna(v) else "v" + str(v)
+            for v in df[field].to_numpy(dtype=object)
+        ]
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+    df["position"] = df.groupby("_grp", sort=False).cumcount()
+    heads = df[df["position"] == 0].reset_index(drop=True).head(k)
+    order = {v: i for i, v in enumerate(heads["_grp"])}
+    out = df[df["_grp"].isin(order) & (df["position"] <= expand_limit)].copy()
+    out["rank"] = out["_grp"].map(order)
+    out = out.sort_values(["rank", "position"])
+    return pa.table(
+        {
+            "rank": pa.array(out["rank"].astype("int64")),
+            "position": pa.array(out["position"].astype("int64")),
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "score": pa.array(out["score"].astype("float64")),
+            "group": pa.array(
+                [v[1:] if v.startswith("v") else None
+                 for v in out["_grp"]],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def collapse_partitioned(index_dir: str, query: str, field: str,
+                         k: int = 10, null_policy: str = "ignore",
+                         expand_limit: int = 0,
+                         round_scores: int | None = None) -> pa.Table:
+    """Distributed field collapsing: per-range per-group top docs (the
+    ``GroupRangeTask`` partials — a superset of every group's global head
+    + expand members), collapsed on the driver — identical to
+    ``SearchEngine.collapse_search`` (tested)."""
+    engine = SearchEngine(index_dir)
+    if null_policy not in ("ignore", "expand", "collapse"):
+        raise ValueError(f"bad nullPolicy {null_policy!r}")
+    parsed = engine._parse(query)
+    clauses = _distributed_clauses(engine, parsed, query)
+    if clauses is None or clauses == "zero":
+        return engine.collapse_search(
+            query, field, k=k, null_policy=null_policy,
+            expand_limit=expand_limit, round_scores=round_scores,
+        )
+    if field not in engine.stored_fields or field == "doc_id":
+        raise ValueError(f"cannot collapse on field {field!r}")
+    # per-range cap: head + expand members per non-null group; under
+    # nullPolicy=expand each null doc is a 1-doc group, so a range must
+    # ship its k best nulls (they all compete for the k head slots)
+    glim = expand_limit + 1
+    if null_policy == "expand":
+        glim = max(glim, k)
+    import pandas as pd
+    import ray.data as rd
+
+    def run(batch):
+        return GroupRangeTask(index_dir, field, glim)(batch)
+
+    parts = (
+        rd.from_items(_range_items(engine, parsed, clauses))
+        .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    if not parts:
+        return _collapse_frame(pd.DataFrame(), field, k, null_policy,
+                               expand_limit, round_scores)
+    return _collapse_frame(pd.DataFrame(parts), field, k, null_policy,
+                           expand_limit, round_scores)
 
 
 def sorted_partitioned(index_dir: str, query: str, sort: str,
