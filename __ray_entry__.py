@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_stats": c.q_field_stats,
         "grouped": c.q_grouped,
         "collapse_topk": c.q_collapse_topk,
+        "rerank_topk": c.q_rerank_topk,
         "suggest": c.q_suggest,
         "boosted_topk": c.q_boosted_topk,
         "range_facets": c.q_range_facets,

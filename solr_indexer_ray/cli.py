@@ -131,6 +131,13 @@ def cmd_search(args) -> int:
     elif args.group:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
                                 group_limit=args.group_limit)
+    elif args.rerank_query:
+        t = engine.rerank_search(
+            args.query, args.rerank_query, k=args.k, fl=fl,
+            rerank_docs=args.rerank_docs,
+            rerank_weight=args.rerank_weight,
+            fq=args.fq, start=args.start,
+        )
     elif args.distributed:
         from solr_indexer_ray.pipelines.search import search_partitioned
 
@@ -542,6 +549,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="highlight snippets (needs store_content index)")
     ps.add_argument("--group", help="group results by field (Solr group=true)")
     ps.add_argument("--group-limit", type=int, default=1)
+    ps.add_argument("--rerank-query",
+                    help="rescore the top window with this query "
+                         "(Solr rq={!rerank})")
+    ps.add_argument("--rerank-docs", type=int, default=200)
+    ps.add_argument("--rerank-weight", type=float, default=2.0)
     ps.add_argument("--facet", help="comma-separated facet fields")
     ps.add_argument("--facet-limit", type=int, default=100)
     ps.add_argument("--facet-mincount", type=int, default=0)

@@ -231,6 +231,13 @@ COLLAPSE_CASES = [
     ("win* batch", "lang", 6, 1),
 ]
 
+#: rerank cases: (query, rerank query, k, rerank_docs, rerank_weight)
+RERANK_CASES = [
+    ("spark merge", "window", 10, 5, 2.0),
+    ("window", "batch", 10, 30, 3.0),
+    ("spark OR batch", "win*", 8, 12, 1.5),
+]
+
 #: MoreLikeThis sources (doc ids into the documents table)
 MLT_DOCS = [7, 123, 321]
 MLT_PARAMS = {"max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5}
@@ -1768,6 +1775,30 @@ def q_grouped(sf_dir: str):
     out = pa.concat_tables(parts)
     return out.rename_columns(
         [c if c != "score" else "score_r" for c in out.column_names]
+    )
+
+
+def q_rerank_topk(sf_dir: str):
+    """Solr ReRankQParserPlugin: the main query's top-N window rescored
+    by main + weight * rerank-query score and re-sorted; the tail keeps
+    its original order (component scores rounded 4dp before combining so
+    the SQL oracle matches)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, rq, k, n, w in RERANK_CASES:
+        t = engine.rerank_search(q, rq, k=k, rerank_docs=n,
+                                 rerank_weight=w, fl=["doc_id"],
+                                 round_scores=4)
+        for i, r in enumerate(t.to_pylist()):
+            rows.append({"query": f"{q}|{rq}", "rank": i,
+                         "doc_id": r["doc_id"], "score_r": r["score"]})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("query", pa.string()), ("rank", pa.int64()),
+                          ("doc_id", pa.int64()),
+                          ("score_r", pa.float64())]),
     )
 
 

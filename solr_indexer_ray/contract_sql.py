@@ -26,6 +26,7 @@ from solr_indexer_ray.contract import (
     FACET_QUERIES,
     GROUP_CASES,
     COLLAPSE_CASES,
+    RERANK_CASES,
     PHRASE_QUERIES,
     PIVOT_CASES,
     RANGE_FACET_CASES,
@@ -1602,6 +1603,45 @@ WHERE group_rank < {kg}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def rerank_topk_sql() -> str:
+    """ReRank oracle: main ranking (rounded BM25, row_number), top-N
+    window LEFT-JOINed with the rerank query's rounded scores and
+    re-sorted by the combined score, tail appended in original order."""
+    blocks = []
+    for q, rq, k, n, w in RERANK_CASES:
+        case = f"{q}|{rq}".replace("'", "''")
+        lim = max(n, k)
+        blocks.append(f"""
+SELECT '{case}' AS query, rn - 1 AS rank, doc_id, score_c AS score_r
+FROM (
+  SELECT doc_id, score_c,
+    row_number() OVER (
+      ORDER BY seg,
+        CASE WHEN seg = 0 THEN -score_c ELSE 0 END,
+        CASE WHEN seg = 0 THEN doc_id ELSE pos END
+    ) AS rn
+  FROM (
+    SELECT 0 AS seg, m.doc_id,
+           m.score_r + {float(w)!r} * coalesce(r.score_r, 0) AS score_c,
+           CAST(0 AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id, score_r,
+        row_number() OVER (ORDER BY score_r DESC, doc_id) AS pos
+      FROM ({_scored_match_sql(q)})
+    ) m LEFT JOIN ({_scored_match_sql(rq)}) r USING (doc_id)
+    WHERE m.pos <= {n}
+    UNION ALL
+    SELECT 1, doc_id, score_r, pos FROM (
+      SELECT doc_id, score_r,
+        row_number() OVER (ORDER BY score_r DESC, doc_id) AS pos
+      FROM ({_scored_match_sql(q)})
+    ) WHERE pos > {n} AND pos <= {lim}
+  )
+)
+WHERE rn <= {k}""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def collapse_topk_sql() -> str:
     """Field-collapsing oracle: per-doc rounded BM25 over the match set,
     head = row_number 1 within each group (score_r desc, doc_id), heads
@@ -2294,6 +2334,7 @@ def oracle_sql_dict() -> dict:
         "field_stats": field_stats_sql(),
         "grouped": grouped_sql(),
         "collapse_topk": collapse_topk_sql(),
+        "rerank_topk": rerank_topk_sql(),
         "suggest": suggest_sql(),
         "boosted_topk": boosted_topk_sql(),
         "range_facets": range_facets_sql(),

@@ -2992,6 +2992,39 @@ class SearchEngine:
         return _collapse_frame(df, field, k, null_policy, expand_limit,
                                round_scores)
 
+    def rerank_search(self, query: str, rerank_query: str, k: int = 10,
+                      rerank_docs: int = 200, rerank_weight: float = 2.0,
+                      fq=None, fl=None, start: int = 0,
+                      round_scores: int | None = None) -> pa.Table:
+        """Solr ReRankQParserPlugin (``rq={!rerank reRankQuery=...
+        reRankDocs=N reRankWeight=W}``): rescore the main query's top
+        ``rerank_docs`` hits by adding ``rerank_weight`` x the rerank
+        query's BM25 score (docs not matching the rerank query keep their
+        main score), re-sort that segment by the combined score (ties by
+        ascending doc id), and leave hits below the segment in their
+        original order — exactly Solr's two-pass rescoring shape, where
+        only the top-N window is eligible to move.
+
+        ``round_scores`` rounds both component scores (half-away) before
+        combining so a SQL oracle reproduces the ranking.  Returns rows
+        ``[start, start+k)`` of the rescored ranking via the normal
+        stored-field resolution (``fl``).
+        """
+        if rerank_docs < 1:
+            raise ValueError("rerank_docs must be >= 1")
+        if start < 0:
+            raise ValueError("start must be >= 0")
+        n = max(int(rerank_docs), start + k)
+        main = self.search(query, k=n, fl=["doc_id"], fq=fq)
+        rr = self.search(rerank_query, k=self.doc_space, fl=["doc_id"])
+        rmap = dict(zip(rr["doc_id"].to_pylist(),
+                        rr["score"].to_pylist()))
+        hits = _rerank_combine(
+            main["doc_id"].to_pylist(), main["score"].to_pylist(),
+            rmap, int(rerank_docs), float(rerank_weight), round_scores,
+        )
+        return self._resolve(hits[start:start + k], fl)
+
     def term_vectors(self, doc_id: int,
                      with_positions: bool = False) -> pa.Table:
         """Solr TermVectorComponent (``/tvrh``): one document's term
@@ -5432,6 +5465,102 @@ def _collapse_frame(df, field: str, k: int, null_policy: str,
                 pa.string(),
             ),
         }
+    )
+
+
+def _rerank_combine(ids, main_scores, rmap: dict, rerank_docs: int,
+                    rerank_weight: float,
+                    round_scores: int | None):
+    """Combine a ranked main hit list with rerank-query scores: the top
+    ``rerank_docs`` segment is rescored ``main + weight * rerank`` and
+    re-sorted (score desc, doc id asc); the tail keeps its original order
+    and scores — shared by ``SearchEngine.rerank_search`` and
+    ``rerank_partitioned``."""
+    def _r(x):
+        if round_scores is None:
+            return float(x)
+        m = 10.0 ** round_scores
+        return float(np.copysign(np.floor(abs(x) * m + 0.5) / m, x))
+
+    seg = min(rerank_docs, len(ids))
+    head = [
+        (d, _r(s) + rerank_weight * _r(rmap.get(d, 0.0)))
+        for d, s in zip(ids[:seg], main_scores[:seg])
+    ]
+    head.sort(key=lambda t: (-t[1], t[0]))
+    tail = [(d, _r(s)) for d, s in zip(ids[seg:], main_scores[seg:])]
+    return head + tail
+
+
+class RerankRangeTask(_MatchRangeTask):
+    """Per-range partials for distributed reranking: each range scores
+    the RERANK query and ships only the rows whose doc ids are in the
+    broadcast candidate set (the main query's top-N) — O(N) rows total,
+    never the rerank query's full match set."""
+
+    def __init__(self, index_dir: str, candidates: np.ndarray):
+        super().__init__(index_dir)
+        self.candidates = np.sort(np.asarray(candidates, dtype=np.int64))
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+
+    def _reduce_range(self, ids, scores, lo) -> pa.Table:
+        keep = np.isin(ids, self.candidates)
+        return pa.table(
+            {"doc_id": pa.array(ids[keep], pa.int64()),
+             "score": pa.array(scores[keep], pa.float64())}
+        )
+
+
+def rerank_partitioned(index_dir: str, query: str, rerank_query: str,
+                       k: int = 10, rerank_docs: int = 200,
+                       rerank_weight: float = 2.0,
+                       round_scores: int | None = None) -> pa.Table:
+    """Distributed reranking: the main top-N comes from
+    ``search_partitioned`` (k rows per range), the rerank scores from
+    per-range tasks that ship only candidate rows — identical to
+    ``SearchEngine.rerank_search`` (tested)."""
+    if rerank_docs < 1:
+        raise ValueError("rerank_docs must be >= 1")
+    engine = SearchEngine(index_dir)
+    n = max(int(rerank_docs), k)
+    main = search_partitioned(index_dir, query, k=n)
+    ids = main["doc_id"].to_pylist()
+    parsed_rr = engine._parse(rerank_query)
+    clauses_rr = _distributed_clauses(engine, parsed_rr, rerank_query)
+    if clauses_rr == "zero":
+        rmap: dict = {}
+    elif clauses_rr is None or not ids:
+        rr = engine.search(rerank_query, k=engine.doc_space,
+                           fl=["doc_id"])
+        rmap = dict(zip(rr["doc_id"].to_pylist(),
+                        rr["score"].to_pylist()))
+    else:
+        import ray.data as rd
+
+        cand = np.asarray(ids, dtype=np.int64)
+
+        def run(batch):
+            return RerankRangeTask(index_dir, cand)(batch)
+
+        parts = (
+            rd.from_items(_range_items(engine, parsed_rr, clauses_rr))
+            .map_batches(run, batch_size=1, batch_format="numpy",
+                         num_cpus=1)
+            .take_all()
+        )
+        rmap = {r["doc_id"]: r["score"] for r in parts}
+    hits = _rerank_combine(ids, main["score"].to_pylist(), rmap,
+                           int(rerank_docs), float(rerank_weight),
+                           round_scores)
+    return pa.Table.from_pylist(
+        [{"doc_id": d, "score": s} for d, s in hits[:k]],
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("score", pa.float64())]),
     )
 
 
