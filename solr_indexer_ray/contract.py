@@ -238,6 +238,13 @@ RERANK_CASES = [
     ("spark OR batch", "win*", 8, 12, 1.5),
 ]
 
+#: join cases: (inner query, from field, to field)
+JOIN_CASES = [
+    ("window", "repo", "repo"),
+    ("spark merge", "lang", "lang"),
+    ("win* batch", "lang", "repo"),
+]
+
 #: MoreLikeThis sources (doc ids into the documents table)
 MLT_DOCS = [7, 123, 321]
 MLT_PARAMS = {"max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5}
@@ -1775,6 +1782,23 @@ def q_grouped(sf_dir: str):
     out = pa.concat_tables(parts)
     return out.rename_columns(
         [c if c != "score" else "score_r" for c in out.column_names]
+    )
+
+
+def q_join_matches(sf_dir: str):
+    """Solr JoinQParserPlugin ({!join from=F to=T}inner): the full
+    constant-score match set of each query-time semi-join."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, ff, ft in JOIN_CASES:
+        for d in engine.match_ids(f"{{!join from={ff} to={ft}}}{q}"):
+            rows.append({"query": f"{q}|{ff}|{ft}", "doc_id": int(d)})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("query", pa.string()),
+                          ("doc_id", pa.int64())]),
     )
 
 

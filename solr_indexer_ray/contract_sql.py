@@ -27,6 +27,7 @@ from solr_indexer_ray.contract import (
     GROUP_CASES,
     COLLAPSE_CASES,
     RERANK_CASES,
+    JOIN_CASES,
     PHRASE_QUERIES,
     PIVOT_CASES,
     RANGE_FACET_CASES,
@@ -1603,6 +1604,24 @@ WHERE group_rank < {kg}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def join_matches_sql() -> str:
+    """Join oracle: semi-join the to-column against the DISTINCT
+    from-column values of the inner query's match set."""
+    blocks = []
+    for q, ff, ft in JOIN_CASES:
+        case = f"{q}|{ff}|{ft}".replace("'", "''")
+        fsrc, tsrc = _FACET_SRC[ff], _FACET_SRC[ft]
+        blocks.append(f"""
+SELECT '{case}' AS query, d.doc_id AS doc_id
+FROM documents d
+WHERE d.{tsrc} IN (
+  SELECT DISTINCT i.{fsrc} FROM documents i
+  JOIN ({_scored_match_sql(q)}) s ON s.doc_id = i.doc_id
+  WHERE i.{fsrc} IS NOT NULL
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def rerank_topk_sql() -> str:
     """ReRank oracle: main ranking (rounded BM25, row_number), top-N
     window LEFT-JOINed with the rerank query's rounded scores and
@@ -2335,6 +2354,7 @@ def oracle_sql_dict() -> dict:
         "grouped": grouped_sql(),
         "collapse_topk": collapse_topk_sql(),
         "rerank_topk": rerank_topk_sql(),
+        "join_matches": join_matches_sql(),
         "suggest": suggest_sql(),
         "boosted_topk": boosted_topk_sql(),
         "range_facets": range_facets_sql(),

@@ -1290,6 +1290,22 @@ class SearchEngine:
             hits = list(zip(heads["doc_id"].to_pylist(),
                             heads["score"].to_pylist()))[start:start + k]
             return self._resolve(hits, fl)
+        if _JOIN_Q_RE.match(query or ""):
+            # Solr {!join} as the main query: constant-score matches
+            # (score mode "none"), ordered by ascending doc id
+            if (any(x is not None for x in (sort, search_after, qf, mm,
+                                            pf, pf2, pf3, bf, boost, bq))
+                    or hl or ps):
+                raise ValueError(
+                    "{!join} as the main query is constant-score; only "
+                    "k/fl/start/fq compose with it"
+                )
+            ids = self.match_ids(query)
+            fqm = self._merge_fq_mask(None, fq)
+            if fqm is not None and ids.size:
+                ids = ids[~fqm[ids]]
+            hits = [(int(d), 1.0) for d in ids[start:start + k]]
+            return self._resolve(hits, fl)
         if qf is not None and (sort is not None or start or search_after):
             raise ValueError("qf composes with relevance ranking only")
         if mm is not None and sort is not None:
@@ -2554,10 +2570,60 @@ class SearchEngine:
         docs = np.flatnonzero(acc)
         return docs, acc[docs], max(tp.df for tp in tps)
 
+    def join_match_ids(self, inner_query: str, from_field: str,
+                       to_field: str) -> np.ndarray:
+        """Solr JoinQParserPlugin (``{!join from=F to=T}inner``): doc ids
+        whose ``to_field`` value appears among the ``from_field`` values
+        of the inner query's matches — a query-time semi-join.
+
+        Ray shape: the inner match set reduces to a DISTINCT value set
+        (small by construction — field cardinality, not match count),
+        then one vectorized ``pc.is_in`` scan over the ``to_field``
+        column; at corpus scale the value set broadcasts and each doc
+        range scans its own slice.  Like Solr, join matches are
+        constant-score (score mode ``none``)."""
+        for f in (from_field, to_field):
+            if f not in self.stored_fields or f == "doc_id":
+                raise ValueError(f"cannot join on field {f!r}")
+        inner = self.match_ids(inner_query)
+        src = self._docs_ds.to_table(columns=["doc_id", from_field])
+        mask = np.zeros(self.doc_space, dtype=bool)
+        mask[inner] = True
+        vals = src[from_field].filter(
+            pa.array(mask[src["doc_id"].to_numpy()])
+        )
+        vset = pc.unique(pc.drop_null(vals))
+        if len(vset) == 0:
+            return np.array([], dtype=np.int64)
+        dst = self._docs_ds.to_table(columns=["doc_id", to_field])
+        hit = pc.is_in(dst[to_field], value_set=vset)
+        ids = dst["doc_id"].to_numpy()[
+            pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+        ]
+        ids = ids[self.present[ids]]
+        if self.tombstones:
+            ids = ids[~np.isin(
+                ids, np.fromiter(self.tombstones, dtype=np.int64)
+            )]
+        return np.sort(ids).astype(np.int64)
+
     def match_ids(self, query: str) -> np.ndarray:
         """ALL doc ids matching a query (no top-k) — delete-by-query and
         faceting both consume the full match set.  Same clause semantics as
-        :meth:`search` (terms/phrases/prefixes/filters/prohibitions)."""
+        :meth:`search` (terms/phrases/prefixes/filters/prohibitions).
+        ``{!join from=F to=T}inner`` (Solr JoinQParserPlugin) routes to
+        :meth:`join_match_ids`, so joins work anywhere a query string
+        does — fq, delete-by-query, facet.query."""
+        jm = _JOIN_Q_RE.match(query or "")
+        if jm is not None:
+            params = dict(
+                p.split("=", 1) for p in jm.group(1).split() if "=" in p
+            )
+            if "from" not in params or "to" not in params:
+                raise ValueError("{!join} requires from= and to=")
+            return self.join_match_ids(
+                jm.group(2).strip(), params["from"], params["to"]
+            )
         ast = (
             self._parse_bool(query)
             if has_group_syntax(query or "") else None
@@ -5374,6 +5440,7 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
 
 
 _COLLAPSE_FQ_RE = re.compile(r"^\{!collapse\s+([^}]*)\}\s*$")
+_JOIN_Q_RE = re.compile(r"^\{!join\s+([^}]*)\}(.*)$")
 
 
 def _extract_collapse_fq(fq):
