@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": c.q_collapse_topk,
         "rerank_topk": c.q_rerank_topk,
         "join_matches": c.q_join_matches,
+        "geofilt_matches": c.q_geofilt_matches,
         "suggest": c.q_suggest,
         "boosted_topk": c.q_boosted_topk,
         "range_facets": c.q_range_facets,

@@ -238,6 +238,16 @@ RERANK_CASES = [
     ("spark OR batch", "win*", 8, 12, 1.5),
 ]
 
+#: point-distance spatial cases: (parser kind, pt lat, pt lon, d km) —
+#: lat/lon stored columns derive from doc_id arithmetic (see
+#: documents_to_corpus_table) so the SQL oracle recomputes them exactly;
+#: every d sits km away from any doc's distance (float-noise-proof)
+GEOFILT_CASES = [
+    ("geofilt", 10.0, 20.0, 3000.0),
+    ("geofilt", -45.0, 170.0, 2500.0),
+    ("bbox", 60.0, -50.0, 4000.0),
+]
+
 #: join cases: (inner query, from field, to field)
 JOIN_CASES = [
     ("window", "repo", "repo"),
@@ -1156,12 +1166,13 @@ def _bm25_index(sf_dir: str) -> str:
         documents_to_corpus_table(docs), corpus_path, row_group_size=4096
     )
     # v2: layout includes the mtime extra stored column (date ranges)
-    index_dir = os.path.join(work, "index_full_v2")
+    index_dir = os.path.join(work, "index_full_v3")
     registry = AnalyzerRegistry("simple", overrides={})
     # positions + stored content: ONE shared index serves bm25/phrase/
     # wildcard/range/sort/facet/mlt contract queries
     config = IndexConfig(concurrency=2, store_positions=True,
-                         store_content=True, extra_stored=("mtime",))
+                         store_content=True,
+                         extra_stored=("mtime", "lat", "lon", "bbox"))
     from solr_indexer_ray.state.manifest import BuildManifest
 
     if not BuildManifest(index_dir).is_committed():
@@ -1782,6 +1793,27 @@ def q_grouped(sf_dir: str):
     out = pa.concat_tables(parts)
     return out.rename_columns(
         [c if c != "score" else "score_r" for c in out.column_names]
+    )
+
+
+def q_geofilt_matches(sf_dir: str):
+    """Solr point-distance spatial filters ({!geofilt} haversine radius,
+    {!bbox} circumscribing rectangle) over the stored lat/lon columns:
+    the full constant-score match set per case."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for kind, plat, plon, d in GEOFILT_CASES:
+        ids = engine.match_ids(
+            f"{{!{kind} sfield=lat,lon pt={plat},{plon} d={d}}}"
+        )
+        rows += [{"query": f"{kind}|{plat},{plon}|{d}", "doc_id": int(i)}
+                 for i in ids]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("query", pa.string()),
+                          ("doc_id", pa.int64())]),
     )
 
 

@@ -28,6 +28,7 @@ from solr_indexer_ray.contract import (
     COLLAPSE_CASES,
     RERANK_CASES,
     JOIN_CASES,
+    GEOFILT_CASES,
     PHRASE_QUERIES,
     PIVOT_CASES,
     RANGE_FACET_CASES,
@@ -1604,6 +1605,37 @@ WHERE group_rank < {kg}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+_EARTH_R = 6371.0087714150598  # Solr DistanceUtils.EARTH_MEAN_RADIUS_KM
+
+
+def geofilt_matches_sql() -> str:
+    """Point-distance oracle: recompute the synthetic lat/lon columns
+    from doc_id arithmetic and apply the same haversine (geofilt) /
+    wrapped-rectangle (bbox) predicates the engine evaluates."""
+    blocks = []
+    for kind, plat, plon, d in GEOFILT_CASES:
+        case = f"{kind}|{plat},{plon}|{d}"
+        if kind == "geofilt":
+            pred = f"""
+2 * {_EARTH_R!r} * asin(sqrt(least(1.0,
+    pow(sin(radians(lat - {plat!r}) / 2), 2)
+    + cos(radians({plat!r})) * cos(radians(lat))
+      * pow(sin(radians(lon - {plon!r}) / 2), 2)))) <= {d!r}"""
+        else:  # bbox: circumscribing rectangle, dateline-wrapped lon
+            pred = f"""
+abs(lat - {plat!r}) <= degrees({d!r} / {_EARTH_R!r})
+AND abs(((lon - {plon!r} + 540.0) % 360.0) - 180.0)
+    <= degrees({d!r} / ({_EARTH_R!r} * cos(radians({plat!r}))))"""
+        blocks.append(f"""
+SELECT '{case}' AS query, doc_id FROM (
+  SELECT doc_id,
+    ((doc_id * 37) % 1700) / 10.0 - 85.0 AS lat,
+    ((doc_id * 73) % 3600) / 10.0 - 180.0 AS lon
+  FROM documents
+) WHERE {pred}""")
+    return "\nUNION ALL\n".join(blocks)
+
+
 def join_matches_sql() -> str:
     """Join oracle: semi-join the to-column against the DISTINCT
     from-column values of the inner query's match set."""
@@ -2355,6 +2387,7 @@ def oracle_sql_dict() -> dict:
         "collapse_topk": collapse_topk_sql(),
         "rerank_topk": rerank_topk_sql(),
         "join_matches": join_matches_sql(),
+        "geofilt_matches": geofilt_matches_sql(),
         "suggest": suggest_sql(),
         "boosted_topk": boosted_topk_sql(),
         "range_facets": range_facets_sql(),

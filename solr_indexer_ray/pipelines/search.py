@@ -526,6 +526,7 @@ class SearchEngine:
         self._pattern_cache: dict = {}  # wildcard pattern -> expansion
         self._bmw_cell_cache: dict = {}  # terms tuple -> cell grid/offsets
         self._func_cols: dict = {}   # field -> dense float64 (bf/boost)
+        self._geo_cache: dict = {}   # sfield -> dense lat/lon (or bbox)
 
     # ------------------------------------------------------------------ #
     # small state
@@ -573,6 +574,7 @@ class SearchEngine:
         self._pattern_cache = {}
         self._bmw_cell_cache = {}
         self._func_cols = {}  # overlays (atomic updates) can move values
+        self._geo_cache = {}
 
     def refresh(self) -> bool:
         """Reopen the searcher (Solr: openSearcher after a commit): re-read
@@ -1290,15 +1292,17 @@ class SearchEngine:
             hits = list(zip(heads["doc_id"].to_pylist(),
                             heads["score"].to_pylist()))[start:start + k]
             return self._resolve(hits, fl)
-        if _JOIN_Q_RE.match(query or ""):
-            # Solr {!join} as the main query: constant-score matches
-            # (score mode "none"), ordered by ascending doc id
+        if (_JOIN_Q_RE.match(query or "")
+                or _GEO_Q_RE.match(query or "")
+                or _INTERSECTS_Q_RE.match(query or "")):
+            # Solr {!join} / {!geofilt} / {!bbox} / {!intersects} as the
+            # main query: constant-score matches, ascending doc id
             if (any(x is not None for x in (sort, search_after, qf, mm,
                                             pf, pf2, pf3, bf, boost, bq))
                     or hl or ps):
                 raise ValueError(
-                    "{!join} as the main query is constant-score; only "
-                    "k/fl/start/fq compose with it"
+                    "filter directives as the main query are "
+                    "constant-score; only k/fl/start/fq compose with them"
                 )
             ids = self.match_ids(query)
             fqm = self._merge_fq_mask(None, fq)
@@ -2600,20 +2604,177 @@ class SearchEngine:
         ids = dst["doc_id"].to_numpy()[
             pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
         ]
-        ids = ids[self.present[ids]]
-        if self.tombstones:
+        return self._live_ids(ids)
+
+    def _live_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Restrict raw docs-table ids to live docs (present, not
+        tombstoned), sorted ascending."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if ids.size:
+            ids = ids[self.present[ids]]
+        if self.tombstones and ids.size:
             ids = ids[~np.isin(
                 ids, np.fromiter(self.tombstones, dtype=np.int64)
             )]
-        return np.sort(ids).astype(np.int64)
+        return np.sort(ids)
+
+    def _geo_columns(self, sfield: str):
+        """Dense per-doc (lat, lon) arrays for a spatial field spec —
+        either ``"latcol,loncol"`` (two stored numeric columns) or one
+        stored string column holding Solr's ``"lat,lon"`` point format.
+        Parsed once per engine instance (the spatial analogue of the
+        filterCache)."""
+        cached = self._geo_cache.get(sfield)
+        if cached is not None:
+            return cached
+        lat = np.full(self.doc_space, np.nan)
+        lon = np.full(self.doc_space, np.nan)
+        if "," in sfield:
+            latc, lonc = (c.strip() for c in sfield.split(",", 1))
+            for c in (latc, lonc):
+                if c not in self.stored_fields:
+                    raise ValueError(f"unknown spatial column {c!r}")
+            t = self._docs_ds.to_table(columns=["doc_id", latc, lonc])
+            ids = t["doc_id"].to_numpy()
+            lat[ids] = t[latc].to_numpy(zero_copy_only=False).astype(float)
+            lon[ids] = t[lonc].to_numpy(zero_copy_only=False).astype(float)
+        else:
+            if sfield not in self.stored_fields:
+                raise ValueError(f"unknown spatial field {sfield!r}")
+            t = self._docs_ds.to_table(columns=["doc_id", sfield])
+            ids = t["doc_id"].to_numpy()
+            for i, v in zip(ids, t[sfield].to_pylist()):
+                if not v:
+                    continue
+                try:
+                    a, b = v.split(",", 1)
+                    lat[i], lon[i] = float(a), float(b)
+                except ValueError:
+                    continue
+        self._geo_cache[sfield] = (lat, lon)
+        return lat, lon
+
+    def geo_match_ids(self, kind: str, params: dict) -> np.ndarray:
+        """Solr spatial filters: ``{!geofilt sfield=lat,lon pt=LAT,LON
+        d=KM}`` (great-circle haversine radius, Solr's mean earth radius)
+        and ``{!bbox ...}`` (the rectangle that circumscribes the circle —
+        Solr's cheaper approximation), with dateline wrap on longitude.
+
+        Reference analogue: the geo extent fields the reference feeds
+        Solr's spatial search (``solrindexer/spatial.py:86-112`` builds
+        the ENVELOPE / point fields this filters against)."""
+        for p in ("sfield", "pt", "d"):
+            if p not in params:
+                raise ValueError(f"{{!{kind}}} requires {p}=")
+        lat, lon = self._geo_columns(params["sfield"])
+        try:
+            plat, plon = (float(x) for x in params["pt"].split(",", 1))
+            d = float(params["d"])
+        except ValueError as e:
+            raise ValueError(f"bad {{!{kind}}} pt/d: {e}") from None
+        R = 6371.0087714150598  # Solr DistanceUtils.EARTH_MEAN_RADIUS_KM
+        if kind == "geofilt":
+            la1, la2 = np.radians(plat), np.radians(lat)
+            dla = np.radians(lat - plat)
+            dlo = np.radians(lon - plon)
+            a = (np.sin(dla / 2.0) ** 2
+                 + np.cos(la1) * np.cos(la2) * np.sin(dlo / 2.0) ** 2)
+            dist = 2.0 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+            with np.errstate(invalid="ignore"):
+                hit = dist <= d
+        else:  # bbox: circumscribing rectangle, lon wraps the dateline
+            dlat = np.degrees(d / R)
+            coslat = np.cos(np.radians(plat))
+            with np.errstate(invalid="ignore"):
+                hit = np.abs(lat - plat) <= dlat
+                if coslat <= 1e-12 or np.degrees(d / (R * coslat)) >= 180:
+                    hit &= ~np.isnan(lon)  # pole / global span: any lon
+                else:
+                    dlon = np.degrees(d / (R * coslat))
+                    dd = np.abs((lon - plon + 180.0) % 360.0 - 180.0)
+                    hit &= dd <= dlon
+        hit &= ~np.isnan(lat) & ~np.isnan(lon)
+        return self._live_ids(np.flatnonzero(hit))
+
+    def envelope_match_ids(self, field: str, envelope: str) -> np.ndarray:
+        """Solr RPT-style rectangle intersection (``bbox:"Intersects(
+        ENVELOPE(w, e, n, s))"``, spelled ``{!intersects sfield=F}
+        ENVELOPE(...)`` here): docs whose stored ENVELOPE rectangle
+        intersects the query rectangle, dateline-crossing (w > e) handled
+        on both sides by interval splitting — the query shape the
+        reference's ``bbox`` field exists for (``solrindexer/spatial.py:
+        86-112``, searched via Solr spatial syntax)."""
+        from solr_indexer_ray.functions.spatial import (
+            SpatialError,
+            parse_envelope_to_bbox,
+        )
+
+        if field not in self.stored_fields:
+            raise ValueError(f"unknown spatial field {field!r}")
+        qw, qs, qe, qn = parse_envelope_to_bbox(envelope)
+        cached = self._geo_cache.get(("env", field))
+        if cached is None:
+            w = np.full(self.doc_space, np.nan)
+            s = np.full(self.doc_space, np.nan)
+            e = np.full(self.doc_space, np.nan)
+            n = np.full(self.doc_space, np.nan)
+            t = self._docs_ds.to_table(columns=["doc_id", field])
+            for i, v in zip(t["doc_id"].to_numpy(),
+                            t[field].to_pylist()):
+                if not v:
+                    continue
+                try:
+                    w[i], s[i], e[i], n[i] = parse_envelope_to_bbox(v)
+                except SpatialError:
+                    continue
+            cached = (w, s, e, n)
+            self._geo_cache[("env", field)] = cached
+        w, s, e, n = cached
+
+        def lon_overlap(aw, ae, bw, be):
+            # split dateline-crossing rectangles into two intervals
+            a_parts = [(aw, ae)] if aw <= ae else [(aw, 180.0),
+                                                   (-180.0, ae)]
+            hit = np.zeros(self.doc_space, dtype=bool)
+            b_cross = bw > be
+            for lo, hi in a_parts:
+                with np.errstate(invalid="ignore"):
+                    plain = (bw <= hi) & (be >= lo) & ~b_cross
+                    crossed = b_cross & ((bw <= hi) | (be >= lo))
+                hit |= np.where(np.isnan(bw), False, plain | crossed)
+            return hit
+
+        with np.errstate(invalid="ignore"):
+            lat_hit = (s <= qn) & (n >= qs)
+        hit = lon_overlap(qw, qe, w, e) & np.where(np.isnan(s), False,
+                                                   lat_hit)
+        return self._live_ids(np.flatnonzero(hit))
 
     def match_ids(self, query: str) -> np.ndarray:
         """ALL doc ids matching a query (no top-k) — delete-by-query and
         faceting both consume the full match set.  Same clause semantics as
         :meth:`search` (terms/phrases/prefixes/filters/prohibitions).
-        ``{!join from=F to=T}inner`` (Solr JoinQParserPlugin) routes to
-        :meth:`join_match_ids`, so joins work anywhere a query string
-        does — fq, delete-by-query, facet.query."""
+        Filter directives route to their own evaluators, so they work
+        anywhere a query string does — fq, delete-by-query, facet.query:
+        ``{!join from=F to=T}inner`` (Solr JoinQParserPlugin),
+        ``{!geofilt}`` / ``{!bbox}`` (spatial radius), and
+        ``{!intersects sfield=F}ENVELOPE(...)`` (rectangle
+        intersection)."""
+        gm = _GEO_Q_RE.match(query or "")
+        if gm is not None:
+            params = dict(
+                p.split("=", 1) for p in gm.group(2).split() if "=" in p
+            )
+            return self.geo_match_ids(gm.group(1), params)
+        im = _INTERSECTS_Q_RE.match(query or "")
+        if im is not None:
+            params = dict(
+                p.split("=", 1) for p in im.group(1).split() if "=" in p
+            )
+            if "sfield" not in params:
+                raise ValueError("{!intersects} requires sfield=")
+            return self.envelope_match_ids(params["sfield"],
+                                           im.group(2).strip())
         jm = _JOIN_Q_RE.match(query or "")
         if jm is not None:
             params = dict(
@@ -5441,6 +5602,8 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
 
 _COLLAPSE_FQ_RE = re.compile(r"^\{!collapse\s+([^}]*)\}\s*$")
 _JOIN_Q_RE = re.compile(r"^\{!join\s+([^}]*)\}(.*)$")
+_GEO_Q_RE = re.compile(r"^\{!(geofilt|bbox)\s+([^}]*)\}\s*$")
+_INTERSECTS_Q_RE = re.compile(r"^\{!intersects\s+([^}]*)\}(.*)$")
 
 
 def _extract_collapse_fq(fq):

@@ -171,6 +171,10 @@ def documents_to_corpus_table(documents: pa.Table) -> pa.Table:
     ``mtime`` is a deterministic synthetic modified-time —
     ``2024-01-01T00:00:00Z + doc_id hours`` — so date-typed range queries
     have a timestamp stored column a SQL oracle can recompute.
+    ``lat``/``lon``/``bbox`` are deterministic synthetic geo columns
+    (integer-modular grids over doc_id, bbox = the ±5° ENVELOPE around
+    the point with latitude clipping and longitude dateline wrap) so
+    spatial filters have stored columns a SQL oracle can recompute.
     """
     from datetime import datetime, timedelta
 
@@ -182,6 +186,17 @@ def documents_to_corpus_table(documents: pa.Table) -> pa.Table:
     ]
     base = datetime(2024, 1, 1)
     mtimes = [base + timedelta(hours=int(d)) for d in doc_ids]
+    lat = [((int(d) * 37) % 1700) / 10.0 - 85.0 for d in doc_ids]
+    lon = [((int(d) * 73) % 3600) / 10.0 - 180.0 for d in doc_ids]
+
+    def wrap(x: float) -> float:
+        return ((x + 540.0) % 360.0) - 180.0
+
+    bbox = [
+        f"ENVELOPE({wrap(lo - 5)}, {wrap(lo + 5)}, "
+        f"{min(la + 5.0, 90.0)}, {max(la - 5.0, -90.0)})"
+        for la, lo in zip(lat, lon)
+    ]
     return pa.table(
         {
             "repo": documents["source"],
@@ -190,5 +205,8 @@ def documents_to_corpus_table(documents: pa.Table) -> pa.Table:
             "lang": documents["lang"],
             "content": documents["text"],
             "mtime": pa.array(mtimes, pa.timestamp("us")),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+            "bbox": pa.array(bbox, pa.string()),
         }
     )
