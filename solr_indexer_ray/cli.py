@@ -408,6 +408,34 @@ def cmd_lmscore(args) -> int:
     return 0
 
 
+def cmd_paradedup(args) -> int:
+    """C4-style global paragraph dedup: duplicate spans removed, first
+    occurrence kept, survivors reassembled; writes parquet."""
+    import ray.data as rd
+
+    from solr_indexer_ray.stages.curation import paragraph_dedup
+
+    _ensure_ray()
+    sep = args.separator.encode().decode("unicode_escape")
+    out = paragraph_dedup(
+        rd.read_parquet(args.input, columns=[args.id_col, args.text_col]),
+        text_col=args.text_col, id_col=args.id_col,
+        separator=sep, min_chars=args.min_chars,
+    )
+    out.write_parquet(args.dest)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(args.dest).to_table(columns=["n_dropped"])
+    import pyarrow.compute as _pc
+
+    print(json.dumps({
+        "rows": t.num_rows,
+        "paras_dropped": int(_pc.sum(t["n_dropped"]).as_py() or 0),
+        "dest": args.dest,
+    }))
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Deterministic domain-mixture subsampling (md5-keyed, RNG-free)."""
     import ray.data as rd
@@ -713,6 +741,20 @@ def build_parser() -> argparse.ArgumentParser:
     pdc.add_argument("--min-matches", type=int, default=1)
     pdc.add_argument("--mode", choices=["flag", "drop"], default="flag")
     pdc.set_defaults(fn=cmd_decontaminate)
+
+    ppd = sub.add_parser(
+        "paradedup",
+        help="global paragraph dedup (C4-style keep-first)",
+    )
+    ppd.add_argument("-i", "--input", required=True)
+    ppd.add_argument("--dest", required=True)
+    ppd.add_argument("--text-col", default="text")
+    ppd.add_argument("--id-col", default="doc_id")
+    ppd.add_argument("--separator", default="\\n",
+                     help=r"span separator (escapes OK, default \n)")
+    ppd.add_argument("--min-chars", type=int, default=1,
+                     help="spans shorter than this are never deduped")
+    ppd.set_defaults(fn=cmd_paradedup)
 
     plm = sub.add_parser(
         "lmscore",

@@ -1438,6 +1438,23 @@ def q_facet_stats(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """C4-style global paragraph dedup over the documents table: spans
+    split on the literal ' the ' token (the corpus has no newlines),
+    duplicates dropped keep-first, survivors reassembled (see
+    stages/curation.paragraph_dedup)."""
+    from solr_indexer_ray.stages.curation import paragraph_dedup
+
+    out = paragraph_dedup(_documents(sf_dir),
+                          separator=" the ").take_all()
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                          ("n_paras", pa.int64()),
+                          ("n_dropped", pa.int64())]),
+    )
+
+
 def q_lm_quality(sf_dir: str):
     """CCNet-style bigram-LM quality signal: per-doc mean log-prob under
     an add-0.5 bigram model trained on the corpus (combiner-groupby

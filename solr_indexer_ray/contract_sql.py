@@ -821,6 +821,31 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 )"""
 
 
+#: paragraph-dedup oracle: spans via string_split on the literal
+#: separator, keep = short span OR window-min first occurrence
+#: (doc_id * 2^20 + index), survivors reassembled with ordered
+#: string_agg — the same C4 keep-first rule as
+#: stages/curation.paragraph_dedup
+PARAGRAPH_DEDUP_SQL = """
+WITH paras AS (
+  SELECT doc_id, generate_subscripts(ps, 1) - 1 AS i, unnest(ps) AS p
+  FROM (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents)
+),
+marked AS (
+  SELECT doc_id, i, p,
+    (length(p) < 1 OR doc_id * 1048576 + i
+        = min(doc_id * 1048576 + i) OVER (PARTITION BY p)) AS keep
+  FROM paras
+)
+SELECT doc_id,
+  coalesce(string_agg(p, ' the ' ORDER BY i) FILTER (WHERE keep), '')
+    AS text,
+  count(*) AS n_paras,
+  count(*) FILTER (WHERE NOT keep) AS n_dropped
+FROM marked GROUP BY doc_id
+"""
+
+
 #: bigram-LM quality oracle: same add-0.5 model as
 #: stages/curation.lm_quality_score — unigram head counts, zipped-slice
 #: bigram unnest, ln((c+a)/(head+a*V)) averaged per doc, round 4
@@ -2365,6 +2390,7 @@ def oracle_sql_dict() -> dict:
         "facet_stats": facet_stats_sql(),
         "term_vectors": term_vectors_sql(),
         "lm_quality": LM_QUALITY_SQL,
+        "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "mm_topk": mm_topk_sql(),
         "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

@@ -242,6 +242,126 @@ def lm_quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def paragraph_keepers(ds, text_col: str = "text", id_col: str = "doc_id",
+                      separator: str = "\n", min_chars: int = 1):
+    """Training pass of :func:`paragraph_dedup`: for every distinct
+    paragraph (length >= ``min_chars``) the key of its FIRST occurrence —
+    ``doc_id * 2^20 + paragraph_index`` (the C4 keep-first rule made
+    deterministic).
+
+    Ray shape: per-batch PARTIAL first-occurrence keys per paragraph
+    hash feed a ``groupby(hash).min(key)`` — the combiner pattern; the
+    shuffle moves one row per distinct paragraph per batch.  Returns
+    sorted (hashes, keeper_keys) arrays on the driver — bounded by the
+    corpus's distinct paragraph count; at web scale you'd keep the
+    keeper table AS a dataset and apply it with a second hash-partition
+    join instead of a broadcast.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        hs: list = []
+        ks: list = []
+        for d, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for i, p in enumerate((t or "").split(separator)):
+                if len(p) < min_chars:
+                    continue
+                hs.append(_para_hash(p))
+                ks.append(int(d) * (1 << 20) + i)
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        h = np.asarray(hs, np.int64)
+        k = np.asarray(ks, np.int64)
+        order = np.lexsort((k, h))
+        h, k = h[order], k[order]
+        first = np.ones(h.size, dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        return pa.table({"h": pa.array(h[first], pa.int64()),
+                         "k": pa.array(k[first], pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("k", alias_name="k"))
+        .take_all()
+    )
+    if not agg:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    h = np.array([r["h"] for r in agg], np.int64)
+    k = np.array([r["k"] for r in agg], np.int64)
+    order = np.argsort(h)
+    return h[order], k[order]
+
+
+def _para_hash(p: str) -> int:
+    """64-bit paragraph identity for the dedup shuffle (md5-derived;
+    paragraph-content equality up to negligible collision odds)."""
+    return int.from_bytes(
+        hashlib.md5(p.encode("utf-8", "surrogatepass")).digest()[:8],
+        "big", signed=True,
+    )
+
+
+def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                    separator: str = "\n", min_chars: int = 1,
+                    keepers=None):
+    """C4-style global paragraph deduplication: split every doc on
+    ``separator``, drop any paragraph (length >= ``min_chars``) that
+    already occurred earlier in the corpus — earlier = lower
+    ``(doc_id, paragraph_index)`` — and reassemble the survivors.
+    Short paragraphs are never deduplicated (C4 dedups long spans, not
+    blank lines / braces).
+
+    Ray shape: training is the combiner-groupby of
+    :func:`paragraph_keepers`; the apply pass broadcasts the sorted
+    keeper arrays once (``ray.put``) and STREAMS the corpus through a
+    vectorized ``searchsorted`` membership test — no shuffle, no driver
+    materialization of the corpus.  Returns ``(id_col, text_col,
+    n_paras, n_dropped)`` rows; a doc whose every paragraph drops keeps
+    an empty string.
+    """
+    import ray
+
+    h, k = keepers if keepers is not None else paragraph_keepers(
+        ds, text_col, id_col, separator, min_chars
+    )
+    ref = ray.put((h, k))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        h_, k_ = ray.get(ref)
+        ids, texts, nps, nds = [], [], [], []
+        for d, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            paras = (t or "").split(separator)
+            kept = []
+            dropped = 0
+            for i, p in enumerate(paras):
+                if len(p) < min_chars:
+                    kept.append(p)
+                    continue
+                key = int(d) * (1 << 20) + i
+                j = np.searchsorted(h_, _para_hash(p))
+                if j < h_.size and h_[j] == _para_hash(p) \
+                        and k_[j] != key:
+                    dropped += 1
+                    continue
+                kept.append(p)
+            ids.append(d)
+            texts.append(separator.join(kept))
+            nps.append(len(paras))
+            nds.append(dropped)
+        return pa.table(
+            {id_col: pa.array(ids, batch[id_col].type),
+             text_col: pa.array(texts, pa.string()),
+             "n_paras": pa.array(nps, pa.int64()),
+             "n_dropped": pa.array(nds, pa.int64())}
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def accept_fraction(doc_id: int) -> float:
     """Deterministic uniform-[0,1) acceptance coordinate of a row:
     the first 8 hex digits of md5(str(doc_id)) / 2^32 — the same value

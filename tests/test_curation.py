@@ -104,6 +104,81 @@ def test_accept_fraction_uniformity():
     assert abs(vals.mean() - 0.5) < 0.02
 
 
+class TestParagraphDedup:
+    """C4-style global paragraph dedup: exact duplicate spans removed,
+    first (doc_id, index) occurrence kept, short spans untouched."""
+
+    ROWS = [
+        {"doc_id": 0, "text": "alpha beta\ncommon line here\nuniq zero"},
+        {"doc_id": 1, "text": "common line here\nuniq one"},
+        {"doc_id": 2, "text": "zz\ncommon line here\nalpha beta"},
+        {"doc_id": 3, "text": "common line here"},
+        {"doc_id": 4, "text": ""},
+    ]
+
+    def _run(self, rows=None, **kw):
+        from solr_indexer_ray.stages.curation import paragraph_dedup
+
+        out = paragraph_dedup(_ds(rows or self.ROWS), **kw).take_all()
+        return {r["doc_id"]: r for r in out}
+
+    def test_first_occurrence_kept(self):
+        out = self._run()
+        assert out[0]["text"] == self.ROWS[0]["text"]  # first owner
+        assert out[0]["n_dropped"] == 0
+        assert out[1]["text"] == "uniq one"
+        assert out[1]["n_dropped"] == 1
+        assert out[2]["text"] == "zz"
+        assert out[2]["n_dropped"] == 2
+        assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+        assert out[4]["text"] == "" and out[4]["n_paras"] == 1
+        assert out[4]["n_dropped"] == 0  # empty span is short -> kept
+
+    def test_same_doc_duplicates_drop(self):
+        out = self._run([{"doc_id": 9, "text": "dup line\nx\ndup line"}])
+        assert out[9]["text"] == "dup line\nx"
+        assert out[9]["n_dropped"] == 1
+
+    def test_min_chars_protects_short_spans(self):
+        rows = [{"doc_id": 0, "text": "ab\nlong duplicate span"},
+                {"doc_id": 1, "text": "ab\nlong duplicate span"}]
+        out = self._run(rows, min_chars=5)
+        assert out[1]["text"] == "ab"       # "ab" < 5 chars: kept twice
+        assert out[1]["n_dropped"] == 1
+
+    def test_idempotent(self):
+        from solr_indexer_ray.stages.curation import paragraph_dedup
+
+        once = paragraph_dedup(_ds(self.ROWS)).take_all()
+        again = paragraph_dedup(
+            _ds([{"doc_id": r["doc_id"], "text": r["text"]}
+                 for r in once])
+        ).take_all()
+        assert all(r["n_dropped"] == 0 for r in again)
+        assert ({r["doc_id"]: r["text"] for r in again}
+                == {r["doc_id"]: r["text"] for r in once})
+
+    def test_custom_separator(self):
+        rows = [{"doc_id": 0, "text": "aa SEP bb"},
+                {"doc_id": 1, "text": "bb SEP aa"}]
+        out = self._run(rows, separator=" SEP ")
+        assert out[0]["text"] == "aa SEP bb"
+        assert out[1]["text"] == "" and out[1]["n_dropped"] == 2
+
+    def test_cli_paradedup(self, tmp_path, capsys):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.cli import main
+
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(pa.Table.from_pylist(self.ROWS), src)
+        dest = str(tmp_path / "dd")
+        assert main(["paradedup", "-i", src, "--dest", dest]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] == len(self.ROWS)
+        assert out["paras_dropped"] == 4
+
+
 class TestLmQualityScore:
     """CCNet-style bigram-LM quality signal: hand-computed counts on a
     tiny corpus, smoothing math, and the common-text > noise ordering."""
