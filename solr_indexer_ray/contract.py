@@ -150,6 +150,7 @@ FUNC_QUERIES = [
     ("key -join",
      ["sub(max(doclen,60),min(doclen,60))"], ["div(doclen,100)"]),
     ("lang:en spark window", ["pow(doclen,0.5)"], ["sum(ln(doclen),1)"]),
+    ("window batch", ["recip(geodist(lat,lon,10,20),1,1000,1)"], []),
 ]
 
 #: edismax boost queries: (main query, [bq, ...]) — each bq's own score

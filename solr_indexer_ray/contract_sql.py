@@ -627,13 +627,25 @@ def _func_sql(node) -> str:
     if kind == "num":
         return repr(float(node[1]))
     if kind == "field":
-        if node[1] != "doclen":
-            raise ValueError(
-                f"oracle supports doclen only, got {node[1]!r}"
-            )
-        return "dd.dl"
+        if node[1] == "doclen":
+            return "dd.dl"
+        if node[1] == "lat":  # synthetic geo columns recompute exactly
+            return "(((dd.doc_id * 37) % 1700) / 10.0 - 85.0)"
+        if node[1] == "lon":
+            return "(((dd.doc_id * 73) % 3600) / 10.0 - 180.0)"
+        raise ValueError(
+            f"oracle supports doclen/lat/lon only, got {node[1]!r}"
+        )
     name, args = node[1], node[2]
     a = [_func_sql(x) for x in args]
+    if name == "geodist":
+        lat, lon, plat, plon = a
+        return (
+            f"(2.0 * {_EARTH_R} * asin(sqrt(least(1.0, "
+            f"pow(sin(radians(({lat}) - ({plat})) / 2), 2) "
+            f"+ cos(radians({plat})) * cos(radians({lat})) "
+            f"* pow(sin(radians(({lon}) - ({plon})) / 2), 2)))))"
+        )
     if name == "sum":
         return "(" + " + ".join(a) + ")"
     if name == "product":
@@ -1630,7 +1642,8 @@ WHERE group_rank < {kg}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
-_EARTH_R = 6371.0087714150598  # Solr DistanceUtils.EARTH_MEAN_RADIUS_KM
+_EARTH_R = "CAST(6371.0087714150598 AS DOUBLE)"  # Solr mean earth radius;
+#: cast keeps DuckDB from parsing the literal as DECIMAL (overflow)
 
 
 def geofilt_matches_sql() -> str:
@@ -1642,15 +1655,15 @@ def geofilt_matches_sql() -> str:
         case = f"{kind}|{plat},{plon}|{d}"
         if kind == "geofilt":
             pred = f"""
-2 * {_EARTH_R!r} * asin(sqrt(least(1.0,
+2 * {_EARTH_R} * asin(sqrt(least(1.0,
     pow(sin(radians(lat - {plat!r}) / 2), 2)
     + cos(radians({plat!r})) * cos(radians(lat))
       * pow(sin(radians(lon - {plon!r}) / 2), 2)))) <= {d!r}"""
         else:  # bbox: circumscribing rectangle, dateline-wrapped lon
             pred = f"""
-abs(lat - {plat!r}) <= degrees({d!r} / {_EARTH_R!r})
+abs(lat - {plat!r}) <= degrees({d!r} / {_EARTH_R})
 AND abs(((lon - {plon!r} + 540.0) % 360.0) - 180.0)
-    <= degrees({d!r} / ({_EARTH_R!r} * cos(radians({plat!r}))))"""
+    <= degrees({d!r} / ({_EARTH_R} * cos(radians({plat!r}))))"""
         blocks.append(f"""
 SELECT '{case}' AS query, doc_id FROM (
   SELECT doc_id,

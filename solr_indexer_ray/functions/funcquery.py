@@ -23,6 +23,9 @@ Functions (Solr semantics; Java float math via numpy float64):
     map(x, lo, hi, target [, default])  = target where lo<=x<=hi,
                                           else default (default: x)
     field(name)        = the field's value (bare names work too)
+    geodist(latcol, loncol, pt_lat, pt_lon)  = haversine km to the point
+        (Solr's geodist(sfield, lat, lon) with the point split across
+        two numeric columns; missing coords evaluate as 0,0)
 
 Missing numeric values evaluate as 0.0 (Solr's default for absent
 numeric DocValues); timestamp fields evaluate as epoch milliseconds
@@ -68,6 +71,7 @@ _ARITY = {
     "recip": (4, 4),
     "map": (4, 5),
     "field": (1, 1),
+    "geodist": (4, 4),
 }
 
 _UNSUPPORTED = {"scale", "query", "ord", "rord", "norm", "docfreq",
@@ -224,6 +228,21 @@ def eval_func(node, cols) -> np.ndarray:
             a = eval_func(args[2], cols)
             b = eval_func(args[3], cols)
             return a / (m * x + b)
+        if name == "geodist":
+            # geodist(latcol, loncol, pt_lat, pt_lon) -> km (haversine,
+            # Solr's mean earth radius).  Solr spells this
+            # geodist(sfield, lat, lon) with one point-typed field; our
+            # spatial points live in two numeric columns, hence 4 args.
+            lat = eval_func(args[0], cols)
+            lon = eval_func(args[1], cols)
+            plat = eval_func(args[2], cols)
+            plon = eval_func(args[3], cols)
+            la1, la2 = np.radians(plat), np.radians(lat)
+            h = (np.sin(np.radians(lat - plat) / 2.0) ** 2
+                 + np.cos(la1) * np.cos(la2)
+                 * np.sin(np.radians(lon - plon) / 2.0) ** 2)
+            return (2.0 * 6371.0087714150598
+                    * np.arcsin(np.sqrt(np.minimum(h, 1.0))))
         if name == "map":
             x = eval_func(args[0], cols)
             lo = eval_func(args[1], cols)

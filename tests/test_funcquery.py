@@ -136,6 +136,27 @@ class TestEval:
         out = eval_func(parse_func("div(1,x)"), cols)
         assert np.isinf(out[0]) and out[1] == 0.5
 
+    def test_geodist(self):
+        import math
+
+        cols = {"la": np.array([0.0, 48.8566, 10.0]),
+                "lo": np.array([0.0, 2.3522, 20.0])}
+        d = eval_func(parse_func("geodist(la, lo, 10, 20)"), cols)
+        assert d[2] == 0.0
+
+        def hv(lat, lon, plat=10.0, plon=20.0):
+            r = 6371.0087714150598
+            a = (math.sin(math.radians(lat - plat) / 2) ** 2
+                 + math.cos(math.radians(plat))
+                 * math.cos(math.radians(lat))
+                 * math.sin(math.radians(lon - plon) / 2) ** 2)
+            return 2 * r * math.asin(math.sqrt(a))
+
+        assert d[0] == pytest.approx(hv(0.0, 0.0), rel=1e-12)
+        assert d[1] == pytest.approx(hv(48.8566, 2.3522), rel=1e-12)
+        # Paris -> (10,20) is ~4500 km: sanity-anchor the magnitude
+        assert 4000 < d[1] < 5200
+
     def test_constant_expression(self):
         out = eval_func(parse_func("sum(2,3)"), {})
         assert out.tolist() == [5.0]

@@ -135,6 +135,41 @@ class TestGeofilt:
             eng.match_ids("{!geofilt sfield=nope,lon pt=0,0 d=1}")
 
 
+class TestGeodistFunc:
+    """geodist() as a bf/boost function query over the lat/lon stored
+    columns — distance-based score shaping (Solr bf=recip(geodist..))."""
+
+    BF = "recip(geodist(lat,lon,10,20),1,1000,1)"
+
+    def test_bf_adds_distance_decay(self, gidx):
+        idx, corpus = gidx
+        eng = SearchEngine(idx)
+        base = eng.search("def read", k=200, fl=["doc_id"])
+        boosted = eng.search("def read", k=200, fl=["doc_id"],
+                             bf=self.BF)
+        bs = dict(zip(base["doc_id"].to_pylist(),
+                      base["score"].to_pylist()))
+        la, lo = coords(corpus)
+        for d, s in zip(boosted["doc_id"].to_pylist(),
+                        boosted["score"].to_pylist()):
+            # missing coordinate components read as 0.0 (the numeric
+            # DocValues default), per component
+            dist = haversine(10.0, 20.0, np.nan_to_num(la[d]),
+                             np.nan_to_num(lo[d]))
+            assert s == pytest.approx(bs[d] + 1000.0 / (dist + 1.0),
+                                      rel=1e-9)
+
+    def test_distributed_identity(self, gidx):
+        from solr_indexer_ray.pipelines.search import search_partitioned
+
+        idx, _ = gidx
+        single = SearchEngine(idx).search("def read", k=10,
+                                          fl=["doc_id"], bf=self.BF)
+        dist = search_partitioned(idx, "def read", k=10, bf=self.BF)
+        assert single["doc_id"].to_pylist() == dist["doc_id"].to_pylist()
+        assert single["score"].to_pylist() == dist["score"].to_pylist()
+
+
 class TestIntersects:
     @pytest.mark.parametrize("env", [
         "ENVELOPE(-30, 30, 40, -40)",
