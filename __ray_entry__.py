@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": c.q_more_like_this,
         "terms_component": c.q_terms_component,
         "field_stats": c.q_field_stats,
+        "stats_percentiles": c.q_stats_percentiles,
         "grouped": c.q_grouped,
         "collapse_topk": c.q_collapse_topk,
         "rerank_topk": c.q_rerank_topk,

@@ -78,6 +78,8 @@ TERMS_CASES = [("", 20, 1), ("s", 15, 1), ("wi", 10, 1), ("zz", 5, 1)]
 #: stats component cases: (query, numeric field)
 STATS_CASES = [("spark merge", "doclen"), ("*:*", "doclen"),
                ("lang:en win*", "doclen")]
+#: percentile points for the stats-percentiles contract
+PCT_POINTS = [5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
 
 #: range-facet cases: (query, start, end, gap)
 RANGE_FACET_CASES = [("spark merge", 0, 500, 50), ("win*", 40, 240, 40)]
@@ -1811,6 +1813,34 @@ def q_grouped(sf_dir: str):
     out = pa.concat_tables(parts)
     return out.rename_columns(
         [c if c != "score" else "score_r" for c in out.column_names]
+    )
+
+
+def q_stats_percentiles(sf_dir: str):
+    """Solr stats.field percentiles: exact linear-interpolated quantiles
+    (SQL quantile_cont semantics — Solr's t-digest approximation made
+    exact) of the doclen column over each case's match set, rounded 6dp
+    so the DuckDB oracle is float-order-independent."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, fld in STATS_CASES:
+        out = engine.field_stats(q, fld, percentiles=PCT_POINTS)
+        for p in PCT_POINTS:
+            v = out["percentiles"][str(p)]
+            rows.append({
+                "case": f"{q}|{fld}", "p": float(p),
+                "value": None if v is None else float(
+                    np.copysign(
+                        np.floor(abs(v) * 1e6 + 0.5) / 1e6, v
+                    )
+                ),
+            })
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("case", pa.string()), ("p", pa.float64()),
+                          ("value", pa.float64())]),
     )
 
 

@@ -1609,6 +1609,29 @@ SELECT '{case}' AS "case", stat, value FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def stats_percentiles_sql() -> str:
+    """Percentiles oracle: ``quantile_cont`` at each point over the
+    match set's doclen values (linear interpolation — the same
+    definition the engine's exact histogram percentiles use)."""
+    from solr_indexer_ray.contract import PCT_POINTS
+
+    blocks = []
+    plist = ", ".join(repr(float(p)) for p in PCT_POINTS)
+    qlist = ", ".join(
+        f"quantile_cont(v, {float(p) / 100.0!r})" for p in PCT_POINTS
+    )
+    for q, fld in STATS_CASES:
+        case = f"{q}|{fld}".replace("'", "''")
+        m = (f"(SELECT dl.dl AS v FROM dl "
+             f"JOIN ({_match_docs_sql(q)}) USING (doc_id))")
+        blocks.append(f"""
+SELECT '{case}' AS "case", p, round(v, 6) AS value FROM (
+  SELECT unnest([{plist}]) AS p, unnest([{qlist}]) AS v
+  FROM {m}
+)""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def grouped_sql() -> str:
     """Grouping oracle: per-doc rounded BM25 over the match set, then
     row_number within group (score_r desc, doc_id) for position and
@@ -2422,6 +2445,7 @@ def oracle_sql_dict() -> dict:
         "more_like_this": more_like_this_sql(),
         "terms_component": terms_component_sql(),
         "field_stats": field_stats_sql(),
+        "stats_percentiles": stats_percentiles_sql(),
         "grouped": grouped_sql(),
         "collapse_topk": collapse_topk_sql(),
         "rerank_topk": rerank_topk_sql(),

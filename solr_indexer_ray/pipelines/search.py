@@ -3073,10 +3073,18 @@ class SearchEngine:
             self._suggest_cache = (terms, dfs, lens, counts)
         return self._suggest_cache
 
-    def field_stats(self, query: str, field: str, fq=None) -> dict:
+    def field_stats(self, query: str, field: str, fq=None,
+                    percentiles=None) -> dict:
         """Solr stats component (``stats.field``) over the numeric
         ``doclen`` field or any stored field: min/max/sum/mean/count/
-        missing of the FULL match set of ``query``."""
+        missing of the FULL match set of ``query``.
+
+        ``percentiles`` (Solr ``stats.field={!percentiles='5,50,95'}f``)
+        adds a ``percentiles`` dict for numeric fields — EXACT
+        linear-interpolated quantiles (SQL ``quantile_cont`` semantics),
+        computed from the match set's value histogram; Solr approximates
+        with a t-digest, we don't need to (documented deviation: ours are
+        exact)."""
         if field not in self.stored_fields or field == "doc_id":
             raise ValueError(f"cannot compute stats on field {field!r}")
         ids = self.match_ids(query)
@@ -3094,10 +3102,25 @@ class SearchEngine:
             "min": pc.min(vals).as_py(),
             "max": pc.max(vals).as_py(),
         }
-        if pa.types.is_integer(vals.type) or pa.types.is_floating(vals.type):
+        numeric = (pa.types.is_integer(vals.type)
+                   or pa.types.is_floating(vals.type))
+        if numeric:
             s = pc.sum(vals).as_py() or 0
             out["sum"] = s
             out["mean"] = (s / count) if count else None
+        if percentiles is not None:
+            if not numeric:
+                raise ValueError(
+                    f"percentiles need a numeric field; {field!r} "
+                    f"is {vals.type}"
+                )
+            vc = pc.value_counts(pc.drop_null(vals)).to_pylist()
+            vs = np.array([r["values"] for r in vc], dtype=np.float64)
+            cs = np.array([r["counts"] for r in vc], dtype=np.int64)
+            order = np.argsort(vs)
+            pv = _weighted_percentiles(vs[order], cs[order],
+                                       list(percentiles))
+            out["percentiles"] = dict(zip(map(str, percentiles), pv))
         return out
 
     def group_search(self, query: str, group_field: str,
@@ -5438,15 +5461,78 @@ class GroupRangeTask(_MatchRangeTask):
         ).replace_schema_metadata(None)
 
 
-def stats_partitioned(index_dir: str, query: str, field: str) -> dict:
+def _weighted_percentiles(values: np.ndarray, counts: np.ndarray,
+                          ps) -> list:
+    """Exact linear-interpolated percentiles (numpy ``linear`` / SQL
+    ``quantile_cont`` semantics) from a sorted-distinct-value histogram —
+    rank space never expands, so a merged per-range histogram yields the
+    same result as the raw value multiset."""
+    n = int(counts.sum()) if counts.size else 0
+    if n == 0:
+        return [None] * len(ps)
+    cum = np.cumsum(counts)
+    out = []
+    for p in ps:
+        r = (float(p) / 100.0) * (n - 1)
+        i0 = int(np.floor(r))
+        frac = r - i0
+        v0 = float(values[np.searchsorted(cum, i0, side="right")])
+        if frac == 0.0:
+            out.append(v0)
+            continue
+        v1 = float(values[np.searchsorted(cum, i0 + 1, side="right")])
+        out.append(v0 + (v1 - v0) * frac)
+    return out
+
+
+class HistStatsRangeTask(_MatchRangeTask):
+    """Per-range value HISTOGRAM of a numeric field over the match set —
+    one (value, count) row per distinct value per range (null value row =
+    missing count), the mergeable partial that makes distributed
+    percentiles EXACT (t-digest-free) when field cardinality is bounded,
+    as it is for doc-length-like numerics."""
+
+    def __init__(self, index_dir: str, field: str):
+        super().__init__(index_dir)
+        self.field = field
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {"value": pa.array([], pa.float64()),
+             "count": pa.array([], pa.int64())}
+        )
+
+    def _reduce_range(self, ids, scores, lo) -> pa.Table:
+        vals = self._docs_columns(ids, [self.field])[self.field]
+        missing = vals.null_count
+        vc = pc.value_counts(pc.drop_null(vals))
+        values = pc.cast(vc.field("values"), pa.float64()).to_pylist()
+        counts = pc.cast(vc.field("counts"), pa.int64()).to_pylist()
+        if missing:
+            values.append(None)
+            counts.append(int(missing))
+        return pa.table(
+            {"value": pa.array(values, pa.float64()),
+             "count": pa.array(counts, pa.int64())}
+        )
+
+
+def stats_partitioned(index_dir: str, query: str, field: str,
+                      percentiles=None) -> dict:
     """Distributed stats component: per-range (count, min, max, sum)
     partials merged on the driver — identical to
-    ``SearchEngine.field_stats`` (tested)."""
+    ``SearchEngine.field_stats`` (tested).  With ``percentiles``, the
+    partials become per-range value histograms (one row per distinct
+    value per range — still a pre-aggregated combiner, no shuffle) and
+    every stat incl. the percentiles derives exactly from the merge."""
     engine = SearchEngine(index_dir)
     parsed = engine._parse(query)
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
-        return engine.field_stats(query, field)
+        return engine.field_stats(query, field, percentiles=percentiles)
+    if percentiles is not None:
+        return _stats_hist_partitioned(engine, index_dir, parsed, clauses,
+                                       query, field, list(percentiles))
     if field not in engine.stored_fields or field == "doc_id":
         raise ValueError(f"cannot compute stats on field {field!r}")
     empty = {"count": 0, "missing": 0, "min": None, "max": None,
@@ -5480,6 +5566,64 @@ def stats_partitioned(index_dir: str, query: str, field: str) -> dict:
         if maxs else None,
         "sum": total,
         "mean": (total / count) if count else None,
+    }
+
+
+def _stats_hist_partitioned(engine, index_dir, parsed, clauses, query,
+                            field, percentiles) -> dict:
+    """Histogram-partial distributed stats (the percentiles path of
+    :func:`stats_partitioned`)."""
+    if field not in engine.stored_fields or field == "doc_id":
+        raise ValueError(f"cannot compute stats on field {field!r}")
+    empty = {"count": 0, "missing": 0, "min": None, "max": None,
+             "sum": 0, "mean": None,
+             "percentiles": {str(p): None for p in percentiles}}
+    if clauses == "zero":
+        return empty
+    import ray.data as rd
+
+    def run(batch):
+        return HistStatsRangeTask(index_dir, field)(batch)
+
+    parts = (
+        rd.from_items(_range_items(engine, parsed, clauses))
+        .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    if not parts:
+        return empty
+    merged: dict = {}
+    missing = 0
+    for r in parts:
+        if r["value"] is None or (isinstance(r["value"], float)
+                                  and np.isnan(r["value"])):
+            missing += int(r["count"])
+        else:
+            v = float(r["value"])
+            merged[v] = merged.get(v, 0) + int(r["count"])
+    if not merged:
+        out = dict(empty)
+        out["missing"] = int(missing)
+        return out
+    vs = np.array(sorted(merged), dtype=np.float64)
+    cs = np.array([merged[v] for v in vs], dtype=np.int64)
+    n = int(cs.sum())
+    total = float((vs * cs).sum())
+    if total == int(total):
+        total = int(total)
+
+    def _num(x):
+        return int(x) if x == int(x) else float(x)
+
+    pv = _weighted_percentiles(vs, cs, percentiles)
+    return {
+        "count": n,
+        "missing": int(missing),
+        "min": _num(vs[0]),
+        "max": _num(vs[-1]),
+        "sum": total,
+        "mean": (total / n) if n else None,
+        "percentiles": dict(zip(map(str, percentiles), pv)),
     }
 
 
