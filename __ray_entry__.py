@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_component": c.q_terms_component,
         "field_stats": c.q_field_stats,
         "stats_percentiles": c.q_stats_percentiles,
+        "analysis_tokens": c.q_analysis_tokens,
         "grouped": c.q_grouped,
         "collapse_topk": c.q_collapse_topk,
         "rerank_topk": c.q_rerank_topk,

@@ -260,6 +260,17 @@ def cmd_hybrid(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Solr /analysis/field analogue: per-stage token streams of the
+    index's pinned analysis chain for a piece of text."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    t = SearchEngine(args.output).analyze(args.text, lang=args.lang)
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_terms(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
@@ -667,6 +678,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "dense side instead of the brute-force scan")
     ph.add_argument("--nprobe", type=int)
     ph.set_defaults(fn=cmd_hybrid)
+
+    pan = sub.add_parser(
+        "analyze", help="per-stage analysis-chain token streams "
+        "(Solr /analysis/field)"
+    )
+    pan.add_argument("-o", "--output", required=True)
+    pan.add_argument("--text", required=True)
+    pan.add_argument("--lang")
+    pan.set_defaults(fn=cmd_analyze)
 
     pt = sub.add_parser("terms", help="enumerate index terms (Solr /terms)")
     pt.add_argument("-o", "--output", required=True)

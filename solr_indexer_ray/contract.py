@@ -234,6 +234,9 @@ COLLAPSE_CASES = [
     ("win* batch", "lang", 6, 1),
 ]
 
+#: /analysis handler pinned docs (token streams re-derived per stage)
+ANALYZE_DOCS = [3, 77, 210]
+
 #: rerank cases: (query, rerank query, k, rerank_docs, rerank_weight)
 RERANK_CASES = [
     ("spark merge", "window", 10, 5, 2.0),
@@ -1813,6 +1816,29 @@ def q_grouped(sf_dir: str):
     out = pa.concat_tables(parts)
     return out.rename_columns(
         [c if c != "score" else "score_r" for c in out.column_names]
+    )
+
+
+def q_analysis_tokens(sf_dir: str):
+    """Solr /analysis/field analogue: the tokenizer-stage token stream
+    (term + 0-based position) of pinned documents under the index's
+    pinned chain (plain simple analyzer here, so one stage)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for doc in ANALYZE_DOCS:
+        content = engine.get(doc)["content"]
+        t = engine.analyze(content)
+        for r in t.to_pylist():
+            if r["stage"] == 0:
+                rows.append({"doc_id": doc, "position": r["position"],
+                             "term": r["term"]})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("position", pa.int64()),
+                          ("term", pa.string())]),
     )
 
 

@@ -1609,6 +1609,21 @@ SELECT '{case}' AS "case", stat, value FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def analysis_tokens_sql() -> str:
+    """Analysis-handler oracle: ordered token stream of the pinned docs
+    under the same tokenization (zipped unnest + subscripts)."""
+    from solr_indexer_ray.contract import ANALYZE_DOCS
+
+    ids = ", ".join(str(d) for d in ANALYZE_DOCS)
+    return f"""
+SELECT doc_id, generate_subscripts(toks, 1) - 1 AS position,
+       unnest(toks) AS term
+FROM (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+  WHERE doc_id IN ({ids})
+)"""
+
+
 def stats_percentiles_sql() -> str:
     """Percentiles oracle: ``quantile_cont`` at each point over the
     match set's doclen values (linear interpolation — the same
@@ -2446,6 +2461,7 @@ def oracle_sql_dict() -> dict:
         "terms_component": terms_component_sql(),
         "field_stats": field_stats_sql(),
         "stats_percentiles": stats_percentiles_sql(),
+        "analysis_tokens": analysis_tokens_sql(),
         "grouped": grouped_sql(),
         "collapse_topk": collapse_topk_sql(),
         "rerank_topk": rerank_topk_sql(),

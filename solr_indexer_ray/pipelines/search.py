@@ -3073,6 +3073,53 @@ class SearchEngine:
             self._suggest_cache = (terms, dfs, lens, counts)
         return self._suggest_cache
 
+    def analyze(self, text: str, lang=None) -> pa.Table:
+        """Solr FieldAnalysisRequestHandler (``/analysis/field``)
+        analogue: the token stream after each stage of the index's
+        PINNED analysis chain — stage 0 is the tokenizer (per-``lang``
+        routing, like the build), then one stage per token filter in
+        chain order.  Returns ``(stage, stage_name, position, term)``
+        rows.
+
+        Positions re-enumerate after a removing filter (our positional
+        postings store post-filter stream indices — unlike Lucene's
+        position-increment gaps, a documented deviation pinned in the
+        phrase tests).  The reference's analysis debugging happens
+        server-side in Solr's analysis screen over the same chain
+        concept (analyzers declared by the configset, README.md:25).
+        """
+        from solr_indexer_ray.functions.filters import FilteredRegistry
+
+        if isinstance(self.registry, FilteredRegistry):
+            base = self.registry.registry
+            chain = self.registry.chain
+            filters = list(chain.filters)
+        else:
+            base, chain, filters = self.registry, None, []
+        rows = []
+
+        def emit(stage, name, toks):
+            rows.extend(
+                {"stage": stage, "stage_name": name, "position": i,
+                 "term": t}
+                for i, t in enumerate(toks)
+            )
+
+        toks = base.tokenize(text or "", lang)
+        emit(0, f"tokenizer:{base.analyzer_name(lang)}", toks)
+        for si, f in enumerate(filters):
+            sub = type(chain)((f,), stopwords=chain.stopwords)
+            toks = [m for m in (sub.map_term(t) for t in toks)
+                    if m is not None]
+            emit(si + 1, f"filter:{f}", toks)
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("stage", pa.int64()), ("stage_name", pa.string()),
+                 ("position", pa.int64()), ("term", pa.string())]
+            ),
+        )
+
     def field_stats(self, query: str, field: str, fq=None,
                     percentiles=None) -> dict:
         """Solr stats component (``stats.field``) over the numeric

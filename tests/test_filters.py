@@ -276,6 +276,35 @@ def stem_engine(stem_index):
     return SearchEngine(stem_index[0])
 
 
+class TestAnalyzeHandler:
+    """/analysis/field analogue: per-stage token streams of the pinned
+    chain."""
+
+    def test_stages_over_filtered_index(self, stem_engine):
+        t = stem_engine.analyze("The running dogs are fast")
+        by_stage: dict = {}
+        for r in t.to_pylist():
+            by_stage.setdefault(r["stage_name"], []).append(r["term"])
+        assert by_stage["tokenizer:simple"] == [
+            "the", "running", "dogs", "are", "fast"]
+        assert by_stage["filter:stop"] == ["running", "dogs", "fast"]
+        assert by_stage["filter:porter"] == ["run", "dog", "fast"]
+        # positions re-enumerate per stage
+        stops = [r for r in t.to_pylist()
+                 if r["stage_name"] == "filter:stop"]
+        assert [r["position"] for r in stops] == [0, 1, 2]
+        # final stage equals what the engine's registry tokenizes
+        assert by_stage["filter:porter"] == stem_engine.registry.tokenize(
+            "The running dogs are fast")
+
+    def test_unfiltered_index_single_stage(self, built_index):
+        from solr_indexer_ray.pipelines.search import SearchEngine
+
+        t = SearchEngine(built_index[0]).analyze("Hello WorldFoo")
+        assert set(t["stage"].to_pylist()) == {0}
+        assert t.num_rows >= 2
+
+
 class TestFilteredIndex:
     def test_stats_pin_chain(self, stem_index):
         _, stats = stem_index
