@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_stats": c.q_field_stats,
         "stats_percentiles": c.q_stats_percentiles,
         "analysis_tokens": c.q_analysis_tokens,
+        "stream_rollup": c.q_stream_rollup,
+        "stream_join": c.q_stream_join,
+        "stream_unique": c.q_stream_unique,
         "grouped": c.q_grouped,
         "collapse_topk": c.q_collapse_topk,
         "rerank_topk": c.q_rerank_topk,

@@ -271,6 +271,22 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Solr /stream analogue: evaluate a streaming expression compiled
+    to a Ray Data pipeline; prints result rows as JSON lines."""
+    from solr_indexer_ray.pipelines.streaming import compile_stream_expr
+
+    _ensure_ray()
+    ds = compile_stream_expr(args.expr, args.output,
+                             num_partitions=args.num_partitions)
+    n = 0
+    for row in ds.iter_rows():
+        print(json.dumps(row, default=str))
+        n += 1
+    print(f"# {n} rows", file=sys.stderr)
+    return 0
+
+
 def cmd_terms(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
@@ -678,6 +694,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "dense side instead of the brute-force scan")
     ph.add_argument("--nprobe", type=int)
     ph.set_defaults(fn=cmd_hybrid)
+
+    pst = sub.add_parser(
+        "stream",
+        help="evaluate a streaming expression (Solr /stream)",
+    )
+    pst.add_argument("-o", "--output", required=True,
+                     help="index dir (any collection name resolves here)")
+    pst.add_argument("--expr", required=True)
+    pst.add_argument("--num-partitions", type=int, default=8)
+    pst.set_defaults(fn=cmd_stream)
 
     pan = sub.add_parser(
         "analyze", help="per-stage analysis-chain token streams "

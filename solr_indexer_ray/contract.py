@@ -1819,6 +1819,66 @@ def q_grouped(sf_dir: str):
     )
 
 
+def q_stream_rollup(sf_dir: str):
+    """Solr streaming expression rollup(search(...)) compiled to a Ray
+    Data pipeline: full-export source under a broadcast match mask ->
+    groupby aggregate (see pipelines/streaming.py)."""
+    from solr_indexer_ray.pipelines.streaming import compile_stream_expr
+
+    ds = compile_stream_expr(
+        'rollup(search(docs, q="spark merge", fl="lang,doclen,doc_id"), '
+        'over="lang", sum(doclen), count(*), avg(doclen))',
+        _bm25_index(sf_dir),
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["lang"])
+    return pa.Table.from_pylist(
+        [{"lang": r["lang"], "sum(doclen)": int(r["sum(doclen)"]),
+          "count(*)": int(r["count(*)"]),
+          "avg(doclen)": float(r["avg(doclen)"])} for r in rows],
+        schema=pa.schema([("lang", pa.string()),
+                          ("sum(doclen)", pa.int64()),
+                          ("count(*)", pa.int64()),
+                          ("avg(doclen)", pa.float64())]),
+    )
+
+
+def q_stream_join(sf_dir: str):
+    """Streaming-expression innerJoin of two search exports (hash join
+    via Dataset.join)."""
+    from solr_indexer_ray.pipelines.streaming import compile_stream_expr
+
+    ds = compile_stream_expr(
+        'innerJoin(search(docs, q="spark merge", fl="doc_id,lang"), '
+        'search(docs, q="window", fl="doc_id,doclen"), on="doc_id")',
+        _bm25_index(sf_dir), num_partitions=4,
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(
+        [{"doc_id": int(r["doc_id"]), "lang": r["lang"],
+          "doclen": int(r["doclen"])} for r in rows],
+        schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                          ("doclen", pa.int64())]),
+    )
+
+
+def q_stream_unique(sf_dir: str):
+    """Streaming-expression unique(search(...), over=lang): one row per
+    key, pinned to the min-doc_id rule so SQL reproduces it."""
+    from solr_indexer_ray.pipelines.streaming import compile_stream_expr
+
+    ds = compile_stream_expr(
+        'unique(search(docs, q="window", fl="doc_id,lang"), '
+        'over="lang")',
+        _bm25_index(sf_dir),
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["lang"])
+    return pa.Table.from_pylist(
+        [{"lang": r["lang"], "doc_id": int(r["doc_id"])} for r in rows],
+        schema=pa.schema([("lang", pa.string()),
+                          ("doc_id", pa.int64())]),
+    )
+
+
 def q_analysis_tokens(sf_dir: str):
     """Solr /analysis/field analogue: the tokenizer-stage token stream
     (term + 0-based position) of pinned documents under the index's

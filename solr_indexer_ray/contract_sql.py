@@ -1609,6 +1609,42 @@ SELECT '{case}' AS "case", stat, value FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def stream_rollup_sql() -> str:
+    """rollup(search(...)) oracle: grouped aggregates over the match
+    set's docs (doclen = dl; lang from documents)."""
+    m = _match_docs_sql("spark merge")
+    return _BM25_CTES + f"""
+SELECT d.lang AS lang, sum(dl.dl) AS "sum(doclen)",
+       count(*) AS "count(*)",
+       sum(dl.dl) * 1.0 / count(*) AS "avg(doclen)"
+FROM ({m}) s
+JOIN documents d ON d.doc_id = s.doc_id
+JOIN dl ON dl.doc_id = s.doc_id
+GROUP BY d.lang"""
+
+
+def stream_join_sql() -> str:
+    """innerJoin(search, search) oracle: intersection of the two match
+    sets joined back to lang/doclen."""
+    left = _match_docs_sql("spark merge")
+    right = _match_docs_sql("window")
+    return _BM25_CTES + f"""
+SELECT l.doc_id AS doc_id, d.lang AS lang, dl.dl AS doclen
+FROM ({left}) l
+JOIN ({right}) r ON r.doc_id = l.doc_id
+JOIN documents d ON d.doc_id = l.doc_id
+JOIN dl ON dl.doc_id = l.doc_id"""
+
+
+def stream_unique_sql() -> str:
+    """unique(search, over=lang) oracle: min doc_id per lang."""
+    m = _match_docs_sql("window")
+    return _BM25_CTES + f"""
+SELECT d.lang AS lang, min(s.doc_id) AS doc_id
+FROM ({m}) s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.lang"""
+
+
 def analysis_tokens_sql() -> str:
     """Analysis-handler oracle: ordered token stream of the pinned docs
     under the same tokenization (zipped unnest + subscripts)."""
@@ -2462,6 +2498,9 @@ def oracle_sql_dict() -> dict:
         "field_stats": field_stats_sql(),
         "stats_percentiles": stats_percentiles_sql(),
         "analysis_tokens": analysis_tokens_sql(),
+        "stream_rollup": stream_rollup_sql(),
+        "stream_join": stream_join_sql(),
+        "stream_unique": stream_unique_sql(),
         "grouped": grouped_sql(),
         "collapse_topk": collapse_topk_sql(),
         "rerank_topk": rerank_topk_sql(),

@@ -1,0 +1,370 @@
+"""Solr streaming expressions compiled to Ray Data pipelines.
+
+Solr's ``/stream`` handler evaluates composable stream expressions —
+``search`` sources decorated by ``select`` / ``sort`` / ``top`` /
+``unique`` / ``rollup`` / ``innerJoin`` / ... — over exported result
+sets.  The reference exposes whatever the Solr server supports by
+passing requests through (``/root/reference/solrindexer/search.py:
+211-237`` issues raw GETs against any handler); this module implements
+the core expression set natively, and the compilation target is the
+idiomatic one for this engine: a lazy ``ray.data.Dataset`` pipeline —
+sources stream the docs table under a broadcast match mask, decorators
+become ``map_batches`` / ``sort`` / ``groupby().aggregate`` /
+``Dataset.join`` stages, and the streaming executor schedules the whole
+tree with backpressure.
+
+Supported expressions (Solr semantics; deviations documented inline):
+
+    search(COLL, q="...", fl="a,b,score", [sort="f asc,g desc"],
+           [rows=N], [fq="..."])
+    select(stream, "f1", "f2 as g2", ...)
+    sort(stream, by="f asc, g desc")
+    top(stream, n=N, sort="f desc")
+    unique(stream, over="f")              # keeps the min-doc_id row
+    rollup(stream, over="f", sum(a), min(a), max(a), avg(a), count(*))
+    innerJoin(left, right, on="k" | on="lk=rk")
+    leftOuterJoin(left, right, on=...)
+    hashJoin(left, hashed=right, on=...)  # alias of innerJoin here
+    merge(left, right, on="f asc")
+
+``COLL`` is a logical collection name resolved through the compiler's
+``collections`` map (Solr collection -> index dir).  ``unique`` keeps
+the row with the smallest ``doc_id`` per key (Solr keeps the first in
+stream order; ours is pinned to a deterministic rule so a SQL oracle
+can reproduce it — requires ``doc_id`` in ``fl``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["parse_stream_expr", "compile_stream_expr", "StreamExprError"]
+
+
+class StreamExprError(ValueError):
+    pass
+
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<num>-?\d+\.?\d*)"
+    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_.]*|\*)"
+    r"|(?P<punct>[(),=]))"
+)
+
+
+class Node:
+    """One parsed expression: name, positional args (Node | str | float),
+    keyword args (str -> str | float | Node)."""
+
+    __slots__ = ("name", "args", "kwargs")
+
+    def __init__(self, name, args, kwargs):
+        self.name = name
+        self.args = args
+        self.kwargs = kwargs
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        parts = [repr(a) for a in self.args]
+        parts += [f"{k}={v!r}" for k, v in self.kwargs.items()]
+        return f"{self.name}({', '.join(parts)})"
+
+
+def _tokenize(s: str) -> list:
+    out, pos = [], 0
+    while pos < len(s):
+        if s[pos:].strip() == "":
+            break
+        m = _TOKEN.match(s, pos)
+        if m is None:
+            raise StreamExprError(
+                f"bad stream-expression syntax at {s[pos:pos + 16]!r}"
+            )
+        pos = m.end()
+        if m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1].replace('\\"', '"')))
+        elif m.group("num") is not None:
+            out.append(("num", float(m.group("num"))))
+        elif m.group("ident") is not None:
+            out.append(("ident", m.group("ident")))
+        else:
+            out.append(("punct", m.group("punct")))
+    return out
+
+
+def parse_stream_expr(s: str) -> Node:
+    toks = _tokenize(s)
+    pos = 0
+
+    def peek(off=0):
+        i = pos + off
+        return toks[i] if i < len(toks) else (None, None)
+
+    def parse_value():
+        nonlocal pos
+        kind, val = peek()
+        if kind in ("str", "num"):
+            pos += 1
+            return val
+        if kind == "ident":
+            if peek(1) == ("punct", "("):
+                return parse_call()
+            pos += 1
+            return val
+        raise StreamExprError(f"expected a value, got {val!r}")
+
+    def parse_call():
+        nonlocal pos
+        kind, name = peek()
+        if kind != "ident" or peek(1) != ("punct", "("):
+            raise StreamExprError("expected expression call")
+        pos += 2
+        args, kwargs = [], {}
+        if peek() != ("punct", ")"):
+            while True:
+                kind, val = peek()
+                if (kind == "ident" and peek(1) == ("punct", "=")):
+                    pos += 2
+                    kwargs[val] = parse_value()
+                else:
+                    args.append(parse_value())
+                if peek() == ("punct", ","):
+                    pos += 1
+                    continue
+                break
+        if peek() != ("punct", ")"):
+            raise StreamExprError(f"expected ')' in {name}(...)")
+        pos += 1
+        return Node(name, args, kwargs)
+
+    node = parse_call()
+    if pos != len(toks):
+        raise StreamExprError(f"trailing input in stream expression {s!r}")
+    return node
+
+
+# --------------------------------------------------------------------- #
+# compilation
+# --------------------------------------------------------------------- #
+def _parse_sort(spec: str):
+    keys, desc = [], []
+    for part in str(spec).split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        keys.append(toks[0])
+        order = toks[1].lower() if len(toks) > 1 else "asc"
+        if order not in ("asc", "desc"):
+            raise StreamExprError(f"bad sort direction in {spec!r}")
+        desc.append(order == "desc")
+    if not keys:
+        raise StreamExprError(f"empty sort spec {spec!r}")
+    return keys, desc
+
+
+def _need(node: Node, key: str):
+    if key not in node.kwargs:
+        raise StreamExprError(f"{node.name}() requires {key}=")
+    return node.kwargs[key]
+
+
+class StreamCompiler:
+    """Compile a parsed stream expression into a lazy Ray Dataset."""
+
+    def __init__(self, collections, num_partitions: int = 8):
+        #: collection name -> index dir (or a single dir for any name)
+        self.collections = collections
+        self.num_partitions = num_partitions
+
+    def _index_dir(self, coll) -> str:
+        if isinstance(self.collections, str):
+            return self.collections
+        try:
+            return self.collections[coll]
+        except KeyError:
+            raise StreamExprError(f"unknown collection {coll!r}") from None
+
+    def compile(self, node) -> "ray.data.Dataset":  # noqa: F821
+        if isinstance(node, str):
+            node = parse_stream_expr(node)
+        fn = getattr(self, f"_c_{node.name}", None)
+        if fn is None:
+            raise StreamExprError(
+                f"unsupported stream expression {node.name!r}"
+            )
+        return fn(node)
+
+    # -- source -------------------------------------------------------- #
+    def _c_search(self, node: Node):
+        import ray
+        import ray.data as rd
+
+        from solr_indexer_ray.pipelines.search import SearchEngine
+
+        if not node.args:
+            raise StreamExprError("search() requires a collection")
+        engine = SearchEngine(self._index_dir(node.args[0]))
+        q = _need(node, "q")
+        fl = [f.strip() for f in str(_need(node, "fl")).split(",") if f]
+        rows = node.kwargs.get("rows")
+        fq = node.kwargs.get("fq")
+        want_score = "score" in fl
+        stored = [f for f in fl if f != "score"]
+        if want_score or rows is not None:
+            # scored / bounded exports resolve through the ranked path
+            t = engine.search(q, k=int(rows) if rows else engine.doc_space,
+                              fl=stored or ["doc_id"], fq=fq)
+            ds = rd.from_arrow(t.select(fl))
+        else:
+            # unscored full export STREAMS the docs table under a
+            # broadcast match mask (the /export handler shape)
+            ids = engine.match_ids(q)
+            if fq is not None:
+                fqm = engine._merge_fq_mask(None, fq)
+                if fqm is not None and ids.size:
+                    ids = ids[~fqm[ids]]
+            mask = np.zeros(engine.doc_space, dtype=bool)
+            mask[ids] = True
+            ref = ray.put(mask)
+            import os
+
+            def keep(batch: pa.Table) -> pa.Table:
+                m = ray.get(ref)
+                return batch.filter(
+                    pa.array(m[batch["doc_id"].to_numpy()])
+                )
+
+            cols = sorted({*stored, "doc_id"})
+            ds = rd.read_parquet(
+                os.path.join(engine.index_dir, "docs"), columns=cols
+            ).map_batches(keep, batch_format="pyarrow")
+            if stored != cols:
+                ds = ds.select_columns(stored or ["doc_id"])
+        if "sort" in node.kwargs:
+            keys, desc = _parse_sort(node.kwargs["sort"])
+            ds = ds.sort(keys, descending=desc)
+        return ds
+
+    # -- decorators ------------------------------------------------------ #
+    def _c_select(self, node: Node):
+        if not node.args:
+            raise StreamExprError("select() requires a stream")
+        ds = self.compile(node.args[0])
+        fields = []
+        for a in node.args[1:]:
+            if not isinstance(a, str):
+                raise StreamExprError("select() fields must be strings")
+            m = re.match(r"^\s*(\S+)(?:\s+as\s+(\S+))?\s*$", a)
+            if m is None:
+                raise StreamExprError(f"bad select field {a!r}")
+            fields.append((m.group(1), m.group(2) or m.group(1)))
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({dst: batch[src] for src, dst in fields})
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    def _c_sort(self, node: Node):
+        ds = self.compile(node.args[0])
+        keys, desc = _parse_sort(_need(node, "by"))
+        return ds.sort(keys, descending=desc)
+
+    def _c_top(self, node: Node):
+        ds = self.compile(node.args[0])
+        keys, desc = _parse_sort(_need(node, "sort"))
+        n = int(_need(node, "n"))
+        return ds.sort(keys, descending=desc).limit(n)
+
+    def _c_unique(self, node: Node):
+        ds = self.compile(node.args[0])
+        over = str(_need(node, "over"))
+
+        def first_row(group: pa.Table) -> pa.Table:
+            order = np.argsort(group["doc_id"].to_numpy(),
+                               kind="stable")
+            return group.take(order[:1])
+
+        return ds.groupby(over).map_groups(
+            first_row, batch_format="pyarrow"
+        )
+
+    def _c_rollup(self, node: Node):
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        ds = self.compile(node.args[0])
+        over = str(_need(node, "over"))
+        aggs = []
+        for a in node.args[1:]:
+            if not isinstance(a, Node) or len(a.args) != 1:
+                raise StreamExprError(
+                    "rollup() metrics look like sum(field) / count(*)"
+                )
+            fld = a.args[0]
+            alias = f"{a.name}({fld})"
+            if a.name == "count":
+                aggs.append(Count(alias_name=alias))
+            elif a.name == "sum":
+                aggs.append(Sum(str(fld), alias_name=alias))
+            elif a.name == "min":
+                aggs.append(Min(str(fld), alias_name=alias))
+            elif a.name == "max":
+                aggs.append(Max(str(fld), alias_name=alias))
+            elif a.name == "avg":
+                aggs.append(Mean(str(fld), alias_name=alias))
+            else:
+                raise StreamExprError(
+                    f"unsupported rollup metric {a.name!r}"
+                )
+        if not aggs:
+            raise StreamExprError("rollup() requires at least one metric")
+        return ds.groupby(over).aggregate(*aggs)
+
+    def _join(self, node: Node, how: str):
+        if len(node.args) == 2:
+            left, right = node.args
+        elif len(node.args) == 1 and "hashed" in node.kwargs:
+            left, right = node.args[0], node.kwargs["hashed"]
+        else:
+            raise StreamExprError(f"{node.name}() requires two streams")
+        on = str(_need(node, "on"))
+        if "=" in on:
+            lk, rk = (x.strip() for x in on.split("=", 1))
+        else:
+            lk = rk = on.strip()
+        lds = self.compile(left)
+        rds = self.compile(right)
+        return lds.join(
+            rds, join_type=how, num_partitions=self.num_partitions,
+            on=(lk,), right_on=(rk,), right_suffix="_r",
+        )
+
+    def _c_innerJoin(self, node: Node):
+        return self._join(node, "inner")
+
+    def _c_hashJoin(self, node: Node):
+        return self._join(node, "inner")
+
+    def _c_leftOuterJoin(self, node: Node):
+        return self._join(node, "left_outer")
+
+    def _c_merge(self, node: Node):
+        if len(node.args) < 2:
+            raise StreamExprError("merge() requires two streams")
+        ds = self.compile(node.args[0])
+        for sub in node.args[1:]:
+            ds = ds.union(self.compile(sub))
+        keys, desc = _parse_sort(_need(node, "on"))
+        return ds.sort(keys, descending=desc)
+
+
+def compile_stream_expr(expr: str, collections,
+                        num_partitions: int = 8):
+    """Parse + compile a Solr streaming expression into a lazy Ray
+    Dataset.  ``collections`` maps collection names to index dirs (a
+    bare string serves every name)."""
+    return StreamCompiler(collections, num_partitions).compile(
+        parse_stream_expr(expr)
+    )

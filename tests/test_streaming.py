@@ -1,0 +1,193 @@
+"""Solr streaming expressions compiled to Ray Data pipelines
+(pipelines/streaming.py): parser, every expression type vs pandas
+ground truth, and join/rollup shapes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from solr_indexer_ray.pipelines.search import SearchEngine
+from solr_indexer_ray.pipelines.streaming import (
+    Node,
+    StreamExprError,
+    compile_stream_expr,
+    parse_stream_expr,
+)
+
+
+class TestParser:
+    def test_nested_with_kwargs(self):
+        n = parse_stream_expr(
+            'top(search(docs, q="def read", fl="doc_id,lang"), '
+            'n=5, sort="doc_id asc")'
+        )
+        assert n.name == "top"
+        assert isinstance(n.args[0], Node)
+        assert n.args[0].name == "search"
+        assert n.args[0].args == ["docs"]
+        assert n.args[0].kwargs == {"q": "def read", "fl": "doc_id,lang"}
+        assert n.kwargs["n"] == 5.0
+        assert n.kwargs["sort"] == "doc_id asc"
+
+    def test_quoted_commas_and_escapes(self):
+        n = parse_stream_expr('search(c, q="a, \\"b\\"", fl="doc_id")')
+        assert n.kwargs["q"] == 'a, "b"'
+
+    def test_metric_args(self):
+        n = parse_stream_expr(
+            'rollup(search(c, q="x", fl="lang"), over="lang", '
+            "sum(doclen), count(*))"
+        )
+        metrics = n.args[1:]
+        assert [m.name for m in metrics] == ["sum", "count"]
+        assert metrics[0].args == ["doclen"]
+        assert metrics[1].args == ["*"]
+
+    @pytest.mark.parametrize("bad", [
+        "nope", "f(", 'f(a=)', 'top(search(c, q="x", fl="y") extra',
+    ])
+    def test_errors(self, bad):
+        with pytest.raises(StreamExprError):
+            parse_stream_expr(bad)
+
+
+@pytest.fixture(scope="module")
+def sidx(built_index):
+    return built_index[0]
+
+
+def _docs_frame(idx, cols):
+    eng = SearchEngine(idx)
+    return eng._docs_ds.to_table(columns=cols).to_pandas()
+
+
+class TestCompile:
+    def test_search_full_export_streams_match_set(self, sidx):
+        eng = SearchEngine(sidx)
+        ds = compile_stream_expr(
+            'search(docs, q="def read", fl="doc_id,lang")', sidx
+        )
+        rows = ds.take_all()
+        assert sorted(r["doc_id"] for r in rows) == sorted(
+            eng.match_ids("def read").tolist()
+        )
+        assert set(rows[0]) == {"doc_id", "lang"}
+
+    def test_search_rows_and_score(self, sidx):
+        eng = SearchEngine(sidx)
+        ds = compile_stream_expr(
+            'search(docs, q="def read", fl="doc_id,score", rows=5)', sidx
+        )
+        rows = ds.take_all()
+        top = eng.search("def read", k=5, fl=["doc_id"])
+        assert [r["doc_id"] for r in rows] == top["doc_id"].to_pylist()
+        assert [r["score"] for r in rows] == top["score"].to_pylist()
+
+    def test_select_rename(self, sidx):
+        ds = compile_stream_expr(
+            'select(search(docs, q="def read", fl="doc_id,doclen"), '
+            '"doc_id", "doclen as len")', sidx
+        )
+        rows = ds.take_all()
+        assert set(rows[0]) == {"doc_id", "len"}
+
+    def test_top_sorted(self, sidx):
+        eng = SearchEngine(sidx)
+        ds = compile_stream_expr(
+            'top(search(docs, q="def read", fl="doc_id,doclen"), '
+            'n=7, sort="doclen desc, doc_id asc")', sidx
+        )
+        rows = ds.take_all()
+        ids = eng.match_ids("def read")
+        df = _docs_frame(sidx, ["doc_id", "doclen"])
+        df = df[df.doc_id.isin(ids)].sort_values(
+            ["doclen", "doc_id"], ascending=[False, True]
+        ).head(7)
+        assert [r["doc_id"] for r in rows] == df["doc_id"].tolist()
+
+    def test_unique_keeps_min_doc(self, sidx):
+        ds = compile_stream_expr(
+            'unique(search(docs, q="def read", fl="doc_id,lang"), '
+            'over="lang")', sidx
+        )
+        rows = ds.take_all()
+        eng = SearchEngine(sidx)
+        ids = set(eng.match_ids("def read").tolist())
+        df = _docs_frame(sidx, ["doc_id", "lang"])
+        df = df[df.doc_id.isin(ids)]
+        exp = df.groupby("lang", dropna=False)["doc_id"].min()
+        got = {r["lang"]: r["doc_id"] for r in rows}
+        assert got == exp.to_dict()
+
+    def test_rollup_vs_pandas(self, sidx):
+        ds = compile_stream_expr(
+            'rollup(search(docs, q="def read", fl="lang,doclen,doc_id"),'
+            ' over="lang", sum(doclen), count(*), avg(doclen))', sidx
+        )
+        rows = {r["lang"]: r for r in ds.take_all()}
+        eng = SearchEngine(sidx)
+        ids = set(eng.match_ids("def read").tolist())
+        df = _docs_frame(sidx, ["doc_id", "lang", "doclen"])
+        df = df[df.doc_id.isin(ids)]
+        for lang, g in df.groupby("lang"):
+            assert rows[lang]["sum(doclen)"] == g.doclen.sum()
+            assert rows[lang]["count(*)"] == len(g)
+            assert rows[lang]["avg(doclen)"] == pytest.approx(
+                g.doclen.mean()
+            )
+
+    def test_inner_join(self, sidx):
+        ds = compile_stream_expr(
+            'innerJoin('
+            ' search(docs, q="def read", fl="doc_id,lang"),'
+            ' search(docs, q="merge", fl="doc_id,doclen"),'
+            ' on="doc_id")', sidx, num_partitions=2
+        )
+        rows = ds.take_all()
+        eng = SearchEngine(sidx)
+        both = (set(eng.match_ids("def read").tolist())
+                & set(eng.match_ids("merge").tolist()))
+        assert sorted(r["doc_id"] for r in rows) == sorted(both)
+        assert {"lang", "doclen"} <= set(rows[0]) if rows else True
+
+    def test_left_outer_join(self, sidx):
+        ds = compile_stream_expr(
+            'leftOuterJoin('
+            ' search(docs, q="def read", fl="doc_id,lang"),'
+            ' search(docs, q="merge", fl="doc_id,doclen"),'
+            ' on="doc_id")', sidx, num_partitions=2
+        )
+        rows = ds.take_all()
+        eng = SearchEngine(sidx)
+        left = set(eng.match_ids("def read").tolist())
+        right = set(eng.match_ids("merge").tolist())
+        assert sorted(r["doc_id"] for r in rows) == sorted(left)
+        for r in rows:
+            if r["doc_id"] not in right:
+                assert r["doclen"] is None or (
+                    isinstance(r["doclen"], float)
+                    and np.isnan(r["doclen"])
+                )
+
+    def test_merge_union_sort(self, sidx):
+        ds = compile_stream_expr(
+            'merge('
+            ' search(docs, q="lang:go def", fl="doc_id"),'
+            ' search(docs, q="lang:c def", fl="doc_id"),'
+            ' on="doc_id asc")', sidx
+        )
+        rows = [r["doc_id"] for r in ds.take_all()]
+        eng = SearchEngine(sidx)
+        exp = sorted(eng.match_ids("lang:go def").tolist()
+                     + eng.match_ids("lang:c def").tolist())
+        assert rows == exp
+
+    def test_collection_map_and_errors(self, sidx):
+        with pytest.raises(StreamExprError, match="unknown collection"):
+            compile_stream_expr(
+                'search(nope, q="x", fl="doc_id")', {"docs": sidx}
+            )
+        with pytest.raises(StreamExprError, match="unsupported"):
+            compile_stream_expr('frobnicate(x)', sidx)
+        with pytest.raises(StreamExprError, match="requires q="):
+            compile_stream_expr('search(docs, fl="doc_id")', sidx)
