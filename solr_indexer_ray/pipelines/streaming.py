@@ -350,6 +350,114 @@ class StreamCompiler:
     def _c_leftOuterJoin(self, node: Node):
         return self._join(node, "left_outer")
 
+    def _c_intersect(self, node: Node):
+        return self._set_op(node, keep_matching=True)
+
+    def _c_complement(self, node: Node):
+        return self._set_op(node, keep_matching=False)
+
+    def _set_op(self, node: Node, keep_matching: bool):
+        """Solr intersect()/complement(): left rows whose key does /
+        does not appear in the right stream.  The right side reduces to
+        its DISTINCT key set (bounded by key cardinality) and broadcasts
+        — a map-side semi/anti join, no shuffle."""
+        import ray
+
+        if len(node.args) != 2:
+            raise StreamExprError(f"{node.name}() requires two streams")
+        on = str(_need(node, "on"))
+        if "=" in on:
+            lk, rk = (x.strip() for x in on.split("=", 1))
+        else:
+            lk = rk = on.strip()
+        lds = self.compile(node.args[0])
+        rds = self.compile(node.args[1])
+        keys = set()
+        for batch in rds.select_columns([rk]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            keys.update(batch[rk].to_pylist())
+        ref = ray.put(keys)
+
+        def flt(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            hit = np.array(
+                [v in ks for v in batch[lk].to_pylist()], dtype=bool
+            )
+            return batch.filter(pa.array(hit if keep_matching else ~hit))
+
+        return lds.map_batches(flt, batch_format="pyarrow")
+
+    def _c_fetch(self, node: Node):
+        """Solr fetch(): enrich stream rows with stored fields looked up
+        from a collection by key — a left-outer Dataset.join against the
+        pruned docs table."""
+        import os
+
+        import ray.data as rd
+
+        if len(node.args) != 2:
+            raise StreamExprError(
+                "fetch() requires (stream, collection)"
+            )
+        ds = self.compile(node.args[0])
+        index_dir = self._index_dir(node.args[1])
+        on = str(node.kwargs.get("on", "doc_id"))
+        fl = [f.strip() for f in str(_need(node, "fl")).split(",") if f]
+        docs = rd.read_parquet(
+            os.path.join(index_dir, "docs"),
+            columns=sorted({on, *fl}),
+        )
+        return ds.join(
+            docs, join_type="left_outer",
+            num_partitions=self.num_partitions,
+            on=(on,), right_on=(on,), right_suffix="_r",
+        )
+
+    def _c_stats(self, node: Node):
+        """Solr stats() stream: one tuple of scalar aggregates over a
+        query's match set."""
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        if not node.args:
+            raise StreamExprError("stats() requires a collection")
+        metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise StreamExprError("stats() requires at least one metric")
+        fields = sorted({str(m.args[0]) for m in metrics
+                         if m.args and m.args[0] != "*"})
+        src = Node("search", [node.args[0]], {
+            "q": _need(node, "q"),
+            "fl": ",".join(["doc_id", *fields]),
+        })
+        ds = self._c_search(src)
+        aggs = []
+        for m in metrics:
+            if len(m.args) != 1:
+                raise StreamExprError(
+                    "stats() metrics look like sum(field) / count(*)"
+                )
+            fld = m.args[0]
+            alias = f"{m.name}({fld})"
+            if m.name == "count":
+                aggs.append(Count(alias_name=alias))
+            elif m.name == "sum":
+                aggs.append(Sum(str(fld), alias_name=alias))
+            elif m.name == "min":
+                aggs.append(Min(str(fld), alias_name=alias))
+            elif m.name == "max":
+                aggs.append(Max(str(fld), alias_name=alias))
+            elif m.name == "avg":
+                aggs.append(Mean(str(fld), alias_name=alias))
+            else:
+                raise StreamExprError(
+                    f"unsupported stats metric {m.name!r}"
+                )
+        import ray.data as rd
+
+        row = ds.aggregate(*aggs)
+        return rd.from_items([row])
+
     def _c_merge(self, node: Node):
         if len(node.args) < 2:
             raise StreamExprError("merge() requires two streams")

@@ -182,6 +182,48 @@ class TestCompile:
                      + eng.match_ids("lang:c def").tolist())
         assert rows == exp
 
+    def test_intersect_and_complement(self, sidx):
+        eng = SearchEngine(sidx)
+        left = set(eng.match_ids("def read").tolist())
+        right = set(eng.match_ids("merge").tolist())
+        inter = compile_stream_expr(
+            'intersect(search(docs, q="def read", fl="doc_id,lang"), '
+            'search(docs, q="merge", fl="doc_id"), on="doc_id")', sidx
+        ).take_all()
+        assert sorted(r["doc_id"] for r in inter) == sorted(left & right)
+        comp = compile_stream_expr(
+            'complement(search(docs, q="def read", fl="doc_id"), '
+            'search(docs, q="merge", fl="doc_id"), on="doc_id")', sidx
+        ).take_all()
+        assert sorted(r["doc_id"] for r in comp) == sorted(left - right)
+
+    def test_fetch_enriches(self, sidx):
+        rows = compile_stream_expr(
+            'fetch(top(search(docs, q="def read", fl="doc_id,score"), '
+            'n=5, sort="score desc, doc_id asc"), docs, on="doc_id", '
+            'fl="lang,doclen")', sidx, num_partitions=2
+        ).take_all()
+        assert len(rows) == 5
+        df = _docs_frame(sidx, ["doc_id", "lang", "doclen"])
+        m = df.set_index("doc_id")
+        for r in rows:
+            assert r["lang"] == m.loc[r["doc_id"], "lang"]
+            assert r["doclen"] == m.loc[r["doc_id"], "doclen"]
+
+    def test_stats_scalar_tuple(self, sidx):
+        rows = compile_stream_expr(
+            'stats(docs, q="def read", sum(doclen), count(*), '
+            "avg(doclen))", sidx
+        ).take_all()
+        assert len(rows) == 1
+        eng = SearchEngine(sidx)
+        ids = set(eng.match_ids("def read").tolist())
+        df = _docs_frame(sidx, ["doc_id", "doclen"])
+        df = df[df.doc_id.isin(ids)]
+        assert rows[0]["sum(doclen)"] == df.doclen.sum()
+        assert rows[0]["count(*)"] == len(df)
+        assert rows[0]["avg(doclen)"] == pytest.approx(df.doclen.mean())
+
     def test_collection_map_and_errors(self, sidx):
         with pytest.raises(StreamExprError, match="unknown collection"):
             compile_stream_expr(
