@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": c.q_term_vectors,
         "lm_quality": c.q_lm_quality,
         "paragraph_dedup": c.q_paragraph_dedup,
+        "packed_sequences": c.q_packed_sequences,
         "mm_topk": c.q_mm_topk,
         "pf_topk": c.q_pf_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

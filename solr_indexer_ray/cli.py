@@ -463,6 +463,31 @@ def cmd_paradedup(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Greedy contiguous sequence packing into fixed token budgets;
+    writes (doc_id, n_tokens, bin) parquet."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from solr_indexer_ray.stages.curation import pack_sequences
+
+    _ensure_ray()
+    t = pack_sequences(
+        rd.read_parquet(args.input, columns=[args.id_col, args.text_col]),
+        budget=args.budget, text_col=args.text_col, id_col=args.id_col,
+    )
+    pq.write_table(t, args.dest)
+    import pyarrow.compute as _pc
+
+    print(json.dumps({
+        "rows": t.num_rows,
+        "bins": int(_pc.max(t["bin"]).as_py() or 0) + 1
+        if t.num_rows else 0,
+        "dest": args.dest,
+    }))
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Deterministic domain-mixture subsampling (md5-keyed, RNG-free)."""
     import ray.data as rd
@@ -801,6 +826,16 @@ def build_parser() -> argparse.ArgumentParser:
     ppd.add_argument("--min-chars", type=int, default=1,
                      help="spans shorter than this are never deduped")
     ppd.set_defaults(fn=cmd_paradedup)
+
+    ppk = sub.add_parser(
+        "pack", help="greedy sequence packing into token budgets"
+    )
+    ppk.add_argument("-i", "--input", required=True)
+    ppk.add_argument("--dest", required=True)
+    ppk.add_argument("--budget", type=int, required=True)
+    ppk.add_argument("--text-col", default="text")
+    ppk.add_argument("--id-col", default="doc_id")
+    ppk.set_defaults(fn=cmd_pack)
 
     plm = sub.add_parser(
         "lmscore",

@@ -1461,6 +1461,14 @@ def q_paragraph_dedup(sf_dir: str):
     )
 
 
+def q_packed_sequences(sf_dir: str):
+    """Greedy contiguous sequence packing (budget 128 tokens) over the
+    documents table — see stages/curation.pack_sequences."""
+    from solr_indexer_ray.stages.curation import pack_sequences
+
+    return pack_sequences(_documents(sf_dir), budget=128)
+
+
 def q_lm_quality(sf_dir: str):
     """CCNet-style bigram-LM quality signal: per-doc mean log-prob under
     an add-0.5 bigram model trained on the corpus (combiner-groupby

@@ -858,6 +858,29 @@ FROM marked GROUP BY doc_id
 """
 
 
+#: sequence-packing oracle: the greedy contiguous scan as a recursive
+#: CTE — each step either adds the next doc's token count to the
+#: current bin or opens a new one, exactly
+#: stages/curation.pack_sequences with budget 128
+PACKED_SEQUENCES_SQL = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, len({SQL_TOKS}) AS n FROM documents),
+ord AS (
+  SELECT doc_id, n, row_number() OVER (ORDER BY doc_id) AS rn FROM toks
+),
+pack AS (
+  SELECT rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.doc_id, o.n,
+    CASE WHEN p.fill + o.n <= 128 THEN p.bin ELSE p.bin + 1 END,
+    CASE WHEN p.fill + o.n <= 128 THEN p.fill + o.n ELSE o.n END
+  FROM pack p JOIN ord o ON o.rn = p.rn + 1
+)
+SELECT doc_id, n AS n_tokens, bin FROM pack
+"""
+
+
 #: bigram-LM quality oracle: same add-0.5 model as
 #: stages/curation.lm_quality_score — unigram head counts, zipped-slice
 #: bigram unnest, ln((c+a)/(head+a*V)) averaged per doc, round 4
@@ -2478,6 +2501,7 @@ def oracle_sql_dict() -> dict:
         "term_vectors": term_vectors_sql(),
         "lm_quality": LM_QUALITY_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+        "packed_sequences": PACKED_SEQUENCES_SQL,
         "mm_topk": mm_topk_sql(),
         "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

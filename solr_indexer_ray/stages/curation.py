@@ -362,6 +362,58 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def pack_sequences(ds, budget: int, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Greedy contiguous sequence packing: walk docs in ascending
+    ``id_col`` order, filling fixed token-budget bins — a doc whose
+    tokens would overflow the current bin starts the next one (an
+    oversized doc occupies a bin alone).  The packing every LLM trainer
+    runs before writing context-length shards.
+
+    Returns ``(doc_id, n_tokens, bin)`` rows.  Ray shape: token counting
+    streams through ``map_batches``; the greedy scan itself is inherently
+    sequential, so only the (doc_id, n_tokens) int pairs reach the driver
+    — 16 bytes/doc.  At extreme corpus scale you pack per input shard
+    instead (bins never cross shard boundaries — which is how training
+    shards are laid out anyway) and this same scan runs inside
+    ``map_groups`` per shard.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col],
+             "n_tokens": pa.array(
+                 [len(simple_analyzer(t or ""))
+                  for t in batch[text_col].to_pylist()],
+                 pa.int64(),
+             )}
+        )
+
+    rows = ds.map_batches(count, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    ids, toks, bins = [], [], []
+    b, fill = 0, 0
+    for i, r in enumerate(rows):
+        n = int(r["n_tokens"])
+        if i == 0:
+            fill = n
+        elif fill + n <= budget:
+            fill += n
+        else:
+            b += 1
+            fill = n
+        ids.append(r[id_col])
+        toks.append(n)
+        bins.append(b)
+    return pa.table(
+        {id_col: pa.array(ids, pa.int64()),
+         "n_tokens": pa.array(toks, pa.int64()),
+         "bin": pa.array(bins, pa.int64())}
+    )
+
+
 def accept_fraction(doc_id: int) -> float:
     """Deterministic uniform-[0,1) acceptance coordinate of a row:
     the first 8 hex digits of md5(str(doc_id)) / 2^32 — the same value

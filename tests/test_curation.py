@@ -179,6 +179,51 @@ class TestParagraphDedup:
         assert out["paras_dropped"] == 4
 
 
+class TestPackSequences:
+    """Greedy contiguous sequence packing into fixed token budgets."""
+
+    ROWS = [
+        {"doc_id": 0, "text": "a b c"},        # 3 tokens
+        {"doc_id": 1, "text": "d e"},          # 2 -> bin 0 (5/6)
+        {"doc_id": 2, "text": "f g"},          # 2 -> overflow, bin 1
+        {"doc_id": 3, "text": "h i j k l m n"},  # 7 > budget: own bin 2
+        {"doc_id": 4, "text": "o"},            # bin 3 (7 filled bin 2)
+        {"doc_id": 5, "text": ""},             # 0 tokens, stays bin 3
+    ]
+
+    def test_hand_packed(self):
+        from solr_indexer_ray.stages.curation import pack_sequences
+
+        t = pack_sequences(_ds(self.ROWS), budget=6)
+        got = list(zip(t["doc_id"].to_pylist(), t["n_tokens"].to_pylist(),
+                       t["bin"].to_pylist()))
+        assert got == [(0, 3, 0), (1, 2, 0), (2, 2, 1), (3, 7, 2),
+                       (4, 1, 3), (5, 0, 3)]
+
+    def test_bin_fills_never_exceed_budget_except_oversized(self):
+        from solr_indexer_ray.stages.curation import pack_sequences
+
+        rows = [{"doc_id": i, "text": " ".join(["w"] * ((i * 7) % 11))}
+                for i in range(60)]
+        t = pack_sequences(_ds(rows), budget=16)
+        fills: dict = {}
+        for n, b in zip(t["n_tokens"].to_pylist(), t["bin"].to_pylist()):
+            fills[b] = fills.get(b, 0) + n
+        for b, f in fills.items():
+            assert f <= 16 or f == max(
+                n for n, bb in zip(t["n_tokens"].to_pylist(),
+                                   t["bin"].to_pylist()) if bb == b
+            )
+        # bins are contiguous and start at 0
+        assert sorted(fills) == list(range(len(fills)))
+
+    def test_budget_validation(self):
+        from solr_indexer_ray.stages.curation import pack_sequences
+
+        with pytest.raises(ValueError, match="budget"):
+            pack_sequences(_ds(self.ROWS), budget=0)
+
+
 class TestLmQualityScore:
     """CCNet-style bigram-LM quality signal: hand-computed counts on a
     tiny corpus, smoothing math, and the common-text > noise ordering."""
