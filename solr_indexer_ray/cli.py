@@ -271,6 +271,19 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_sigterms(args) -> int:
+    """Significant terms of a query's match set (JLH scoring)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    t = SearchEngine(args.output).significant_terms(
+        args.query, limit=args.k, min_doc_freq=args.min_df,
+        max_doc_freq=args.max_df,
+    )
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_stream(args) -> int:
     """Solr /stream analogue: evaluate a streaming expression compiled
     to a Ray Data pipeline; prints result rows as JSON lines."""
@@ -719,6 +732,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "dense side instead of the brute-force scan")
     ph.add_argument("--nprobe", type=int)
     ph.set_defaults(fn=cmd_hybrid)
+
+    psg = sub.add_parser(
+        "sigterms",
+        help="significant terms of a match set (foreground vs index)",
+    )
+    psg.add_argument("-o", "--output", required=True)
+    psg.add_argument("-q", "--query", required=True)
+    psg.add_argument("-k", type=int, default=10)
+    psg.add_argument("--min-df", type=int, default=5)
+    psg.add_argument("--max-df", type=float, default=0.5)
+    psg.set_defaults(fn=cmd_sigterms)
 
     pst = sub.add_parser(
         "stream",

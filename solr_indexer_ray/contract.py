@@ -1827,6 +1827,36 @@ def q_grouped(sf_dir: str):
     )
 
 
+#: significant-terms cases: (query, limit, min_df, max_df fraction)
+SIGTERM_CASES = [
+    ("lang:en spark", 10, 2, 0.9),
+    ("window merge", 12, 20, 0.85),
+]
+
+
+def q_significant_terms(sf_dir: str):
+    """Significant terms (Solr SignificantTermsQParser analogue): JLH
+    foreground-vs-background scoring over each query's match set,
+    scores rounded 6dp before ranking so the SQL oracle matches."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    parts = []
+    for q, k, mindf, maxdf in SIGTERM_CASES:
+        t = engine.significant_terms(q, limit=k, min_doc_freq=mindf,
+                                     max_doc_freq=maxdf,
+                                     round_scores=6)
+        parts.append(
+            t.append_column(
+                "query", pa.array([q] * t.num_rows, pa.string())
+            )
+        )
+    out = pa.concat_tables(parts)
+    return out.rename_columns(
+        [c if c != "score" else "score_r" for c in out.column_names]
+    )
+
+
 def q_stream_rollup(sf_dir: str):
     """Solr streaming expression rollup(search(...)) compiled to a Ray
     Data pipeline: full-export source under a broadcast match mask ->

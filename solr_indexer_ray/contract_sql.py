@@ -1632,6 +1632,44 @@ SELECT '{case}' AS "case", stat, value FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def significant_terms_sql() -> str:
+    """Significant-terms oracle: candidate terms by background df
+    bounds, foreground df from the match set, JLH score rounded 6dp,
+    top-k by (score desc, term asc)."""
+    from solr_indexer_ray.contract import SIGTERM_CASES
+
+    blocks = []
+    for q, k, mindf, maxdf in SIGTERM_CASES:
+        qq = q.replace("'", "''")
+        m = _match_docs_sql(q)
+        blocks.append(f"""
+SELECT '{qq}' AS query, term, fg, bg, score_r FROM (
+  SELECT term, fg, bg, score_r,
+    row_number() OVER (ORDER BY score_r DESC, term) AS rn
+  FROM (
+    SELECT c.term AS term, f.fg AS fg, c.df AS bg,
+      round(CASE
+        WHEN f.fg * 1.0 / fgs.n > c.df * 1.0 / st.n_docs THEN
+          (f.fg * 1.0 / fgs.n - c.df * 1.0 / st.n_docs)
+          * ((f.fg * 1.0 / fgs.n) / (c.df * 1.0 / st.n_docs))
+        ELSE 0.0 END, 6) AS score_r
+    FROM (
+      SELECT term, df FROM df CROSS JOIN stats s2
+      WHERE df >= {mindf} AND df <= {maxdf!r} * s2.n_docs
+    ) c
+    JOIN (
+      SELECT t.term, count(DISTINCT t.doc_id) AS fg
+      FROM tf t JOIN ({m}) mm ON mm.doc_id = t.doc_id
+      GROUP BY t.term
+    ) f ON f.term = c.term
+    CROSS JOIN (SELECT count(*) AS n FROM ({m})) fgs
+    CROSS JOIN stats st
+  )
+)
+WHERE rn <= {k}""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def stream_rollup_sql() -> str:
     """rollup(search(...)) oracle: grouped aggregates over the match
     set's docs (doclen = dl; lang from documents)."""
@@ -2523,6 +2561,7 @@ def oracle_sql_dict() -> dict:
         "stats_percentiles": stats_percentiles_sql(),
         "analysis_tokens": analysis_tokens_sql(),
         "stream_rollup": stream_rollup_sql(),
+        "significant_terms": significant_terms_sql(),
         "stream_join": stream_join_sql(),
         "stream_unique": stream_unique_sql(),
         "grouped": grouped_sql(),

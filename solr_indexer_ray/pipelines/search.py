@@ -3004,6 +3004,86 @@ class SearchEngine:
         )
         return [(t_, int(c)) for t_, c in rows if c >= mincount][:limit]
 
+    def significant_terms(self, query: str, limit: int = 10,
+                          min_doc_freq: int = 5,
+                          max_doc_freq: float = 0.5,
+                          round_scores: int | None = None) -> pa.Table:
+        """Solr SignificantTermsQParser analogue: terms unusually common
+        in the query's match set (foreground) relative to the whole
+        index (background), scored with the published JLH heuristic
+        (the significance default ES documents):
+        ``score = (fg_pct - bg_pct) * (fg_pct / bg_pct)`` when the
+        foreground rate exceeds the background rate, else 0.
+
+        ``min_doc_freq`` / ``max_doc_freq`` bound candidate background
+        df (absolute int / fraction of the index — Solr's minDocFreq /
+        maxDocFreq).  Returns ``(term, fg, bg, score)`` rows, score desc
+        then term asc, foreground-present terms only.  df is Lucene-style
+        (tombstones count until merge, like /terms).
+
+        Single-engine shape: candidate postings intersect a dense match
+        mask (vectorized); at corpus scale the same computation is a
+        ``map_batches`` over the postings dataset against a broadcast
+        mask, then a per-term sum — no shuffle beyond the existing
+        postings partitioning.
+        """
+        ids = self.match_ids(query)
+        fg_size = int(ids.size)
+        bg_size = int(self.n_docs)
+        empty = pa.table(
+            {"term": pa.array([], pa.string()),
+             "fg": pa.array([], pa.int64()),
+             "bg": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if fg_size == 0:
+            return empty
+        mask = np.zeros(self.doc_space, dtype=bool)
+        mask[ids] = True
+        max_df = (max_doc_freq if max_doc_freq > 1
+                  else max_doc_freq * bg_size)
+        t = self._postings_ds.to_table(columns=["term", "df"])
+        if self.scored_fields:
+            t = t.filter(pc.invert(pc.match_substring(t["term"], "\x1f")))
+        agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
+        cand = sorted(
+            (term, int(df)) for term, df in
+            zip(agg["term"].to_pylist(), agg["df_sum"].to_pylist())
+            if min_doc_freq <= df <= max_df
+        )
+        rows = []
+        for i in range(0, len(cand), 256):
+            chunk = cand[i:i + 256]
+            postings = self.lookup_postings([c[0] for c in chunk])
+            for term, bg in chunk:
+                tp = postings.get(term)
+                if tp is None:
+                    continue
+                fg = int(mask[tp.doc_ids].sum())
+                if fg == 0:
+                    continue
+                fg_pct = fg / fg_size
+                bg_pct = bg / bg_size
+                score = (
+                    (fg_pct - bg_pct) * (fg_pct / bg_pct)
+                    if fg_pct > bg_pct else 0.0
+                )
+                if round_scores is not None:
+                    m = 10.0 ** round_scores
+                    score = float(
+                        np.copysign(np.floor(abs(score) * m + 0.5) / m,
+                                    score)
+                    )
+                rows.append((term, fg, bg, score))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        rows = rows[:limit]
+        return pa.table(
+            {"term": pa.array([r[0] for r in rows], pa.string()),
+             "fg": pa.array([r[1] for r in rows], pa.int64()),
+             "bg": pa.array([r[2] for r in rows], pa.int64()),
+             "score": pa.array([r[3] for r in rows], pa.float64())}
+        )
+
     def suggest(self, word: str, count: int = 5,
                 max_distance: int = 2) -> list:
         """Solr spellcheck component: suggest index terms within
