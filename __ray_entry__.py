@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analysis_tokens": c.q_analysis_tokens,
         "stream_rollup": c.q_stream_rollup,
         "significant_terms": c.q_significant_terms,
+        "luke_fields": c.q_luke_fields,
         "stream_join": c.q_stream_join,
         "stream_unique": c.q_stream_unique,
         "grouped": c.q_grouped,

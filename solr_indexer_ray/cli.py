@@ -271,6 +271,14 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_luke(args) -> int:
+    """Index introspection (Solr /admin/luke)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    print(json.dumps(SearchEngine(args.output).luke()))
+    return 0
+
+
 def cmd_sigterms(args) -> int:
     """Significant terms of a query's match set (JLH scoring)."""
     from solr_indexer_ray.pipelines.search import SearchEngine
@@ -732,6 +740,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "dense side instead of the brute-force scan")
     ph.add_argument("--nprobe", type=int)
     ph.set_defaults(fn=cmd_hybrid)
+
+    plk = sub.add_parser(
+        "luke", help="index introspection (Solr /admin/luke)"
+    )
+    plk.add_argument("-o", "--output", required=True)
+    plk.set_defaults(fn=cmd_luke)
 
     psg = sub.add_parser(
         "sigterms",

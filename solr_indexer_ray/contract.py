@@ -1834,6 +1834,28 @@ SIGTERM_CASES = [
 ]
 
 
+def q_luke_fields(sf_dir: str):
+    """Solr /admin/luke analogue: the stored-field inventory (name,
+    arrow type, non-null doc count) plus meta rows for the doc and
+    distinct-term counts — all recomputable relationally."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    info = SearchEngine(_bm25_index(sf_dir)).luke()
+    rows = [
+        {"field": name, "type": f["type"], "docs": f["docs"]}
+        for name, f in sorted(info["fields"].items())
+    ]
+    rows.append({"field": "__n_docs__", "type": "meta",
+                 "docs": info["n_docs"]})
+    rows.append({"field": "__n_terms__", "type": "meta",
+                 "docs": info["n_terms"]})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("field", pa.string()), ("type", pa.string()),
+                          ("docs", pa.int64())]),
+    )
+
+
 def q_significant_terms(sf_dir: str):
     """Significant terms (Solr SignificantTermsQParser analogue): JLH
     foreground-vs-background scoring over each query's match set,

@@ -1632,6 +1632,30 @@ SELECT '{case}' AS "case", stat, value FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def luke_fields_sql() -> str:
+    """Luke oracle: the expected stored-field inventory of the contract
+    index (every synthesized column is non-null for all docs) plus doc
+    and distinct-term counts recomputed from the documents table."""
+    fields = [
+        ("bbox", "string"), ("commit", "string"), ("content", "string"),
+        ("doc_id", "int64"), ("doclen", "int32"), ("lang", "string"),
+        ("lat", "double"), ("lon", "double"),
+        ("mtime", "timestamp[us]"), ("norm", "uint8"),
+        ("path", "string"), ("repo", "string"), ("sha256", "string"),
+    ]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS field, '{t}' AS type, "
+        f"(SELECT count(*) FROM documents) AS docs"
+        for n, t in fields
+    )
+    return _BM25_CTES + f"""
+{rows}
+UNION ALL
+SELECT '__n_docs__', 'meta', (SELECT count(*) FROM documents)
+UNION ALL
+SELECT '__n_terms__', 'meta', (SELECT count(*) FROM df)"""
+
+
 def significant_terms_sql() -> str:
     """Significant-terms oracle: candidate terms by background df
     bounds, foreground df from the match set, JLH score rounded 6dp,
@@ -2562,6 +2586,7 @@ def oracle_sql_dict() -> dict:
         "analysis_tokens": analysis_tokens_sql(),
         "stream_rollup": stream_rollup_sql(),
         "significant_terms": significant_terms_sql(),
+        "luke_fields": luke_fields_sql(),
         "stream_join": stream_join_sql(),
         "stream_unique": stream_unique_sql(),
         "grouped": grouped_sql(),

@@ -3004,6 +3004,39 @@ class SearchEngine:
         )
         return [(t_, int(c)) for t_, c in rows if c >= mincount][:limit]
 
+    def luke(self) -> dict:
+        """Solr Luke handler (``/admin/luke``) analogue: index
+        introspection — doc counts, distinct default-field term count,
+        build toggles, and per-stored-field type + non-null doc count.
+        The reference surfaces the same shape through Solr's admin API
+        (``solrindexer/mmd.py:1306-1332`` ``get_status``)."""
+        t = self._postings_ds.to_table(columns=["term"])
+        terms = t["term"]
+        if self.scored_fields:
+            terms = terms.filter(
+                pc.invert(pc.match_substring(terms, "\x1f"))
+            )
+        n_terms = len(pc.unique(terms))
+        docs = self._docs_ds.to_table()
+        fields = {}
+        for name in docs.column_names:
+            col = docs[name]
+            fields[name] = {
+                "type": str(col.type),
+                "docs": int(len(col) - col.null_count),
+            }
+        deleted = len(self.tombstones)
+        return {
+            "n_docs": int(self.n_docs),
+            "live_docs": int(docs.num_rows - deleted),
+            "deleted_docs": int(deleted),
+            "n_terms": int(n_terms),
+            "has_positions": bool(self.has_positions),
+            "store_content": bool(self.stats.get("store_content")),
+            "filters": list(self.stats.get("filters", []) or []),
+            "fields": fields,
+        }
+
     def significant_terms(self, query: str, limit: int = 10,
                           min_doc_freq: int = 5,
                           max_doc_freq: float = 0.5,
