@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": c.q_lm_quality,
         "paragraph_dedup": c.q_paragraph_dedup,
         "packed_sequences": c.q_packed_sequences,
+        "train_valid_split": c.q_train_valid_split,
+        "shuffled_order": c.q_shuffled_order,
         "mm_topk": c.q_mm_topk,
         "pf_topk": c.q_pf_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

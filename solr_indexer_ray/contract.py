@@ -1461,6 +1461,34 @@ def q_paragraph_dedup(sf_dir: str):
     )
 
 
+def q_train_valid_split(sf_dir: str):
+    """Deterministic md5-keyed train/validation split (20% valid)."""
+    from solr_indexer_ray.stages.curation import split_train_valid
+
+    out = split_train_valid(_documents(sf_dir), valid_frac=0.2).take_all()
+    return pa.Table.from_pylist(
+        [{"doc_id": r["doc_id"], "split": r["split"]} for r in out],
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("split", pa.string())]),
+    )
+
+
+def q_shuffled_order(sf_dir: str):
+    """Deterministic global shuffle: rank of every doc under the
+    md5-key ordering (a full distributed sort, oracle-reproducible)."""
+    from solr_indexer_ray.stages.curation import shuffle_deterministic
+
+    out = shuffle_deterministic(
+        _documents(sf_dir).select_columns(["doc_id"])
+    ).take_all()
+    return pa.Table.from_pylist(
+        [{"rank": i, "doc_id": r["doc_id"]}
+         for i, r in enumerate(out)],
+        schema=pa.schema([("rank", pa.int64()),
+                          ("doc_id", pa.int64())]),
+    )
+
+
 def q_packed_sequences(sf_dir: str):
     """Greedy contiguous sequence packing (budget 128 tokens) over the
     documents table — see stages/curation.pack_sequences."""

@@ -858,6 +858,23 @@ FROM marked GROUP BY doc_id
 """
 
 
+#: split oracle: same md5-coordinate rule as curation.accept_fraction
+TRAIN_VALID_SPLIT_SQL = """
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINT64
+            / 4294967296.0 < 0.2
+       THEN 'valid' ELSE 'train' END AS split
+FROM documents
+"""
+
+#: deterministic-shuffle oracle: rank under the md5-key ordering
+SHUFFLED_ORDER_SQL = """
+SELECT row_number() OVER (ORDER BY md5(doc_id::VARCHAR)) - 1 AS rank,
+       doc_id
+FROM documents
+"""
+
+
 #: sequence-packing oracle: the greedy contiguous scan as a recursive
 #: CTE — each step either adds the next doc's token count to the
 #: current bin or opens a new one, exactly
@@ -2564,6 +2581,8 @@ def oracle_sql_dict() -> dict:
         "lm_quality": LM_QUALITY_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "packed_sequences": PACKED_SEQUENCES_SQL,
+        "train_valid_split": TRAIN_VALID_SPLIT_SQL,
+        "shuffled_order": SHUFFLED_ORDER_SQL,
         "mm_topk": mm_topk_sql(),
         "pf_topk": pf_topk_sql(),
         "wildcard_infix_topk": wildcard_infix_topk_sql(),

@@ -362,6 +362,43 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def split_train_valid(ds, valid_frac: float, id_col: str = "doc_id"):
+    """Deterministic train/validation split: a row lands in ``valid``
+    iff its :func:`accept_fraction` coordinate (md5 of the id — RNG-free,
+    resumable, oracle-reproducible) falls below ``valid_frac``.  Adds a
+    ``split`` column; no shuffle, pure map."""
+    if not 0.0 <= valid_frac <= 1.0:
+        raise ValueError("valid_frac must be in [0, 1]")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        split = [
+            "valid" if accept_fraction(int(d)) < valid_frac else "train"
+            for d in batch[id_col].to_pylist()
+        ]
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def shuffle_deterministic(ds, id_col: str = "doc_id"):
+    """Deterministic global example shuffle for training-data layout:
+    order rows by ``md5(str(id))`` — a full distributed ``Dataset.sort``
+    on the derived key, reproducible run-to-run and by a SQL oracle
+    (``ORDER BY md5(id::VARCHAR)``), unlike ``random_shuffle()``'s
+    seeded-but-engine-specific permutation.  The hash key column
+    ``shuffle_key`` stays on the output for verification/resume."""
+    def key(batch: pa.Table) -> pa.Table:
+        ks = [
+            hashlib.md5(str(int(d)).encode()).hexdigest()
+            for d in batch[id_col].to_pylist()
+        ]
+        return batch.append_column(
+            "shuffle_key", pa.array(ks, pa.string())
+        )
+
+    return ds.map_batches(key, batch_format="pyarrow").sort("shuffle_key")
+
+
 def pack_sequences(ds, budget: int, text_col: str = "text",
                    id_col: str = "doc_id") -> pa.Table:
     """Greedy contiguous sequence packing: walk docs in ascending

@@ -179,6 +179,48 @@ class TestParagraphDedup:
         assert out["paras_dropped"] == 4
 
 
+class TestSplitAndShuffle:
+    def test_split_deterministic_and_sized(self):
+        from solr_indexer_ray.stages.curation import (
+            accept_fraction,
+            split_train_valid,
+        )
+
+        rows = [{"doc_id": i, "text": "x"} for i in range(400)]
+        out = split_train_valid(_ds(rows), valid_frac=0.2).take_all()
+        for r in out:
+            exp = ("valid" if accept_fraction(r["doc_id"]) < 0.2
+                   else "train")
+            assert r["split"] == exp
+        frac = sum(r["split"] == "valid" for r in out) / len(out)
+        assert 0.1 < frac < 0.3
+        # rerun identical
+        again = split_train_valid(_ds(rows), valid_frac=0.2).take_all()
+        assert ({r["doc_id"]: r["split"] for r in again}
+                == {r["doc_id"]: r["split"] for r in out})
+
+    def test_split_validates(self):
+        from solr_indexer_ray.stages.curation import split_train_valid
+
+        with pytest.raises(ValueError, match="valid_frac"):
+            split_train_valid(_ds([{"doc_id": 0, "text": ""}]), 1.5)
+
+    def test_shuffle_deterministic_order(self):
+        import hashlib as hl
+
+        from solr_indexer_ray.stages.curation import (
+            shuffle_deterministic,
+        )
+
+        rows = [{"doc_id": i, "text": "x"} for i in range(200)]
+        out = shuffle_deterministic(_ds(rows)).take_all()
+        got = [r["doc_id"] for r in out]
+        exp = sorted(range(200),
+                     key=lambda i: hl.md5(str(i).encode()).hexdigest())
+        assert got == exp
+        assert got != list(range(200))  # actually permuted
+
+
 class TestPackSequences:
     """Greedy contiguous sequence packing into fixed token budgets."""
 
