@@ -458,6 +458,55 @@ class StreamCompiler:
         row = ds.aggregate(*aggs)
         return rd.from_items([row])
 
+    def _c_facet(self, node: Node):
+        """Solr facet() stream: grouped aggregates over a query's match
+        set, ordered by a bucket sort, limited — rollup + top in one
+        expression (runs as groupby().aggregate -> sort -> limit)."""
+        if not node.args:
+            raise StreamExprError("facet() requires a collection")
+        buckets = str(_need(node, "buckets"))
+        metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise StreamExprError("facet() requires at least one metric")
+        fields = sorted({str(m.args[0]) for m in metrics
+                         if m.args and m.args[0] != "*"})
+        rollup = Node("rollup", [
+            Node("search", [node.args[0]], {
+                "q": _need(node, "q"),
+                "fl": ",".join(["doc_id", buckets, *fields]),
+            }),
+            *metrics,
+        ], {"over": buckets})
+        ds = self._c_rollup(rollup)
+        sort_spec = node.kwargs.get("bucketSorts",
+                                    f"{metrics[0].name}({metrics[0].args[0]}) desc")
+        keys, desc = _parse_sort(sort_spec)
+        ds = ds.sort(keys, descending=desc)
+        limit = node.kwargs.get("bucketSizeLimit")
+        if limit is not None:
+            ds = ds.limit(int(limit))
+        return ds
+
+    def _c_significantTerms(self, node: Node):
+        """Solr significantTerms() stream: the engine's JLH
+        foreground-vs-background component as a stream source."""
+        import ray.data as rd
+
+        from solr_indexer_ray.pipelines.search import SearchEngine
+
+        if not node.args:
+            raise StreamExprError(
+                "significantTerms() requires a collection"
+            )
+        engine = SearchEngine(self._index_dir(node.args[0]))
+        t = engine.significant_terms(
+            str(_need(node, "q")),
+            limit=int(node.kwargs.get("limit", 10)),
+            min_doc_freq=int(node.kwargs.get("minDocFreq", 5)),
+            max_doc_freq=float(node.kwargs.get("maxDocFreq", 0.5)),
+        )
+        return rd.from_arrow(t)
+
     def _c_merge(self, node: Node):
         if len(node.args) < 2:
             raise StreamExprError("merge() requires two streams")

@@ -224,6 +224,34 @@ class TestCompile:
         assert rows[0]["count(*)"] == len(df)
         assert rows[0]["avg(doclen)"] == pytest.approx(df.doclen.mean())
 
+    def test_facet_stream(self, sidx):
+        rows = compile_stream_expr(
+            'facet(docs, q="def read", buckets="lang", '
+            'bucketSorts="count(*) desc, lang asc", bucketSizeLimit=3, '
+            "count(*), sum(doclen))", sidx
+        ).take_all()
+        assert len(rows) <= 3
+        eng = SearchEngine(sidx)
+        ids = set(eng.match_ids("def read").tolist())
+        df = _docs_frame(sidx, ["doc_id", "lang", "doclen"])
+        df = df[df.doc_id.isin(ids)]
+        counts = df.groupby("lang").size().sort_values(ascending=False)
+        assert [r["count(*)"] for r in rows] == counts.head(3).tolist()
+        for r in rows:
+            g = df[df.lang == r["lang"]]
+            assert r["sum(doclen)"] == g.doclen.sum()
+
+    def test_significant_terms_stream(self, sidx):
+        rows = compile_stream_expr(
+            'significantTerms(docs, q="lang:python def", limit=5, '
+            "minDocFreq=2)", sidx
+        ).take_all()
+        eng = SearchEngine(sidx)
+        t = eng.significant_terms("lang:python def", limit=5,
+                                  min_doc_freq=2)
+        assert [r["term"] for r in rows] == t["term"].to_pylist()
+        assert [r["score"] for r in rows] == t["score"].to_pylist()
+
     def test_collection_map_and_errors(self, sidx):
         with pytest.raises(StreamExprError, match="unknown collection"):
             compile_stream_expr(
