@@ -131,6 +131,11 @@ def cmd_search(args) -> int:
     elif args.group:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
                                 group_limit=args.group_limit)
+    elif args.ltr_model:
+        with open(args.ltr_model) as f:
+            model = json.load(f)
+        t = engine.ltr_search(args.query, model, k=args.k, fl=fl,
+                              rerank_docs=args.rerank_docs)
     elif args.rerank_query:
         t = engine.rerank_search(
             args.query, args.rerank_query, k=args.k, fl=fl,
@@ -655,6 +660,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(Solr rq={!rerank})")
     ps.add_argument("--rerank-docs", type=int, default=200)
     ps.add_argument("--rerank-weight", type=float, default=2.0)
+    ps.add_argument("--ltr-model",
+                    help="LTR LinearModel JSON file (reranks the top "
+                         "--rerank-docs window)")
     ps.add_argument("--facet", help="comma-separated facet fields")
     ps.add_argument("--facet-limit", type=int, default=100)
     ps.add_argument("--facet-mincount", type=int, default=0)

@@ -1862,6 +1862,40 @@ SIGTERM_CASES = [
 ]
 
 
+#: LTR contract model (LinearModel shape; see SearchEngine.ltr_search)
+LTR_MODEL = {
+    "type": "linear",
+    "features": [
+        {"name": "bm25", "type": "originalScore"},
+        {"name": "decay", "type": "function",
+         "expr": "recip(doclen,1,1000,1000)"},
+        {"name": "is_en", "type": "query", "q": "lang:en"},
+        {"name": "aux", "type": "queryScore", "q": "window"},
+    ],
+    "weights": {"bm25": 1.0, "decay": 3.0, "is_en": 0.5, "aux": 2.0},
+}
+LTR_CASE = ("spark merge", 10, 30)  # (query, k, rerank_docs)
+
+
+def q_ltr_topk(sf_dir: str):
+    """Solr LTR LinearModel rescoring: the main query's top-N window
+    rescored by a weighted linear feature model (original score +
+    function + match indicator + auxiliary query score), components
+    rounded 4dp before weighting so the SQL oracle matches."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    q, k, n = LTR_CASE
+    t = engine.ltr_search(q, LTR_MODEL, k=k, rerank_docs=n,
+                          fl=["doc_id"], round_scores=4)
+    return pa.Table.from_pylist(
+        [{"rank": i, "doc_id": r["doc_id"], "score_r": r["score"]}
+         for i, r in enumerate(t.to_pylist())],
+        schema=pa.schema([("rank", pa.int64()), ("doc_id", pa.int64()),
+                          ("score_r", pa.float64())]),
+    )
+
+
 def q_luke_fields(sf_dir: str):
     """Solr /admin/luke analogue: the stored-field inventory (name,
     arrow type, non-null doc count) plus meta rows for the doc and

@@ -1649,6 +1649,52 @@ SELECT '{case}' AS "case", stat, value FROM (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def ltr_topk_sql() -> str:
+    """LTR oracle: main ranking's top-N window rescored by the same
+    linear feature arithmetic (rounded components), tail in original
+    order — the rerank oracle shape plus feature joins."""
+    from solr_indexer_ray.contract import LTR_CASE
+
+    q, k, n = LTR_CASE
+    lim = max(n, k)
+    feat = (
+        "round(1.0 * m.score_r"
+        " + 3.0 * (1000.0 / (dd.dl + 1000.0))"
+        " + 0.5 * (CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END)"
+        " + 2.0 * coalesce(r.score_r, 0), 4)"
+    )
+    return _BM25_CTES + f"""
+SELECT rn - 1 AS rank, doc_id, score_c AS score_r
+FROM (
+  SELECT doc_id, score_c,
+    row_number() OVER (
+      ORDER BY seg,
+        CASE WHEN seg = 0 THEN -score_c ELSE 0 END,
+        CASE WHEN seg = 0 THEN doc_id ELSE pos END
+    ) AS rn
+  FROM (
+    SELECT 0 AS seg, m.doc_id, {feat} AS score_c,
+           CAST(0 AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id, score_r,
+        row_number() OVER (ORDER BY score_r DESC, doc_id) AS pos
+      FROM ({_scored_match_sql(q)})
+    ) m
+    LEFT JOIN ({_scored_match_sql("window")}) r USING (doc_id)
+    JOIN dl dd ON dd.doc_id = m.doc_id
+    JOIN documents d ON d.doc_id = m.doc_id
+    WHERE m.pos <= {n}
+    UNION ALL
+    SELECT 1, doc_id, score_r, pos FROM (
+      SELECT doc_id, score_r,
+        row_number() OVER (ORDER BY score_r DESC, doc_id) AS pos
+      FROM ({_scored_match_sql(q)})
+    ) WHERE pos > {n} AND pos <= {lim}
+  )
+)
+WHERE rn <= {k}"""
+
+
 def luke_fields_sql() -> str:
     """Luke oracle: the expected stored-field inventory of the contract
     index (every synthesized column is non-null for all docs) plus doc
@@ -2606,6 +2652,7 @@ def oracle_sql_dict() -> dict:
         "stream_rollup": stream_rollup_sql(),
         "significant_terms": significant_terms_sql(),
         "luke_fields": luke_fields_sql(),
+        "ltr_topk": ltr_topk_sql(),
         "stream_join": stream_join_sql(),
         "stream_unique": stream_unique_sql(),
         "grouped": grouped_sql(),

@@ -3435,6 +3435,101 @@ class SearchEngine:
         )
         return self._resolve(hits[start:start + k], fl)
 
+    def ltr_search(self, query: str, model: dict, k: int = 10,
+                   rerank_docs: int = 200, fl=None,
+                   round_scores: int | None = None) -> pa.Table:
+        """Solr Learning-to-Rank plugin analogue (LinearModel): rescore
+        the main query's top ``rerank_docs`` window with a weighted
+        linear feature model, tail order preserved — the same two-pass
+        window shape as :meth:`rerank_search` (Solr LTR reranks through
+        the same rq mechanism).
+
+        ``model`` mirrors Solr's LinearModel JSON::
+
+            {"type": "linear",
+             "features": [
+               {"name": "bm25",  "type": "originalScore"},
+               {"name": "decay", "type": "function",
+                "expr": "recip(doclen,1,1000,1000)"},
+               {"name": "is_py", "type": "query", "q": "lang:python"},
+               {"name": "aux",   "type": "queryScore", "q": "merge"},
+               {"name": "bias",  "type": "value", "value": 0.1}],
+             "weights": {"bm25": 1.0, "decay": 2.0, ...}}
+
+        Feature types map to Solr's: ``originalScore`` =
+        OriginalScoreFeature; ``function`` = a function-query expression
+        over stored fields (covers FieldValueFeature via a bare field
+        name); ``query`` = SolrFeature as a 0/1 match indicator;
+        ``queryScore`` = SolrFeature's score; ``value`` =
+        ValueFeature.  ``round_scores`` rounds query-score components
+        before weighting and the final model score (half-away), so a SQL
+        oracle reproduces the ranking.
+        """
+        from solr_indexer_ray.functions.funcquery import (
+            eval_func,
+            func_fields,
+            parse_func,
+        )
+
+        if model.get("type", "linear") != "linear":
+            raise ValueError("only linear LTR models are supported")
+        feats = model.get("features") or []
+        weights = model.get("weights") or {}
+        if not feats:
+            raise ValueError("LTR model needs at least one feature")
+        for f in feats:
+            if f.get("name") not in weights:
+                raise ValueError(f"no weight for feature {f.get('name')!r}")
+        if rerank_docs < 1:
+            raise ValueError("rerank_docs must be >= 1")
+
+        def _r(x):
+            if round_scores is None:
+                return float(x)
+            m = 10.0 ** round_scores
+            return float(np.copysign(np.floor(abs(x) * m + 0.5) / m, x))
+
+        main = self.search(query, k=max(int(rerank_docs), k),
+                           fl=["doc_id"])
+        ids = main["doc_id"].to_pylist()
+        scores = main["score"].to_pylist()
+        seg = min(int(rerank_docs), len(ids))
+        cand = np.asarray(ids[:seg], dtype=np.int64)
+        total = np.zeros(seg, dtype=np.float64)
+        for f in feats:
+            w = float(weights[f["name"]])
+            ftype = f.get("type", "function")
+            if ftype == "originalScore":
+                vals = np.array([_r(s) for s in scores[:seg]])
+            elif ftype == "function":
+                node = parse_func(f["expr"])
+                cols = {name: self.func_column(name)
+                        for name in sorted(func_fields(node))}
+                full = eval_func(node, cols if cols else
+                                 {"__n__": np.zeros(self.doc_space)})
+                vals = full[cand]
+            elif ftype == "query":
+                mask = np.zeros(self.doc_space, dtype=bool)
+                mask[self.match_ids(f["q"])] = True
+                vals = mask[cand].astype(np.float64)
+            elif ftype == "queryScore":
+                t = self.search(f["q"], k=self.doc_space, fl=["doc_id"])
+                smap = dict(zip(t["doc_id"].to_pylist(),
+                                t["score"].to_pylist()))
+                vals = np.array([_r(smap.get(int(d), 0.0))
+                                 for d in cand])
+            elif ftype == "value":
+                vals = np.full(seg, float(f["value"]))
+            else:
+                raise ValueError(f"unknown LTR feature type {ftype!r}")
+            total += w * vals
+        head = sorted(
+            ((int(d), _r(s)) for d, s in zip(cand, total)),
+            key=lambda t_: (-t_[1], t_[0]),
+        )
+        tail = [(int(d), _r(s)) for d, s in zip(ids[seg:], scores[seg:])]
+        return self._resolve((head + tail)[:k], fl)
+
     def term_vectors(self, doc_id: int,
                      with_positions: bool = False) -> pa.Table:
         """Solr TermVectorComponent (``/tvrh``): one document's term

@@ -1,0 +1,94 @@
+"""Learning-to-rank rescoring (Solr LTR LinearModel analogue):
+weighted feature model over the top-N window, tail preserved."""
+
+import numpy as np
+import pytest
+
+from solr_indexer_ray.pipelines.search import SearchEngine
+
+MODEL = {
+    "type": "linear",
+    "features": [
+        {"name": "bm25", "type": "originalScore"},
+        {"name": "decay", "type": "function",
+         "expr": "recip(doclen,1,1000,1000)"},
+        {"name": "is_py", "type": "query", "q": "lang:python"},
+        {"name": "aux", "type": "queryScore", "q": "merge"},
+        {"name": "bias", "type": "value", "value": 0.25},
+    ],
+    "weights": {"bm25": 1.0, "decay": 3.0, "is_py": 0.5,
+                "aux": 2.0, "bias": 1.0},
+}
+
+
+class TestLtr:
+    def test_vs_brute_force(self, built_index):
+        idx, _ = built_index
+        eng = SearchEngine(idx)
+        q, n = "def read", 25
+        got = eng.ltr_search(q, MODEL, k=n, rerank_docs=n)
+        main = eng.search(q, k=n, fl=["doc_id"])
+        ids = main["doc_id"].to_pylist()
+        ms = dict(zip(ids, main["score"].to_pylist()))
+        aux = eng.search("merge", k=10**6, fl=["doc_id"])
+        am = dict(zip(aux["doc_id"].to_pylist(),
+                      aux["score"].to_pylist()))
+        pyset = set(eng.match_ids("lang:python").tolist())
+        dl = eng.func_column("doclen")
+        exp = []
+        for d in ids:
+            s = (1.0 * ms[d]
+                 + 3.0 * (1000.0 / (dl[d] + 1000.0))
+                 + 0.5 * (1.0 if d in pyset else 0.0)
+                 + 2.0 * am.get(d, 0.0)
+                 + 1.0 * 0.25)
+            exp.append((d, s))
+        exp.sort(key=lambda t: (-t[1], t[0]))
+        assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+        for g, (_, e) in zip(got["score"].to_pylist(), exp):
+            assert g == pytest.approx(e, rel=1e-12)
+
+    def test_original_score_identity(self, built_index):
+        idx, _ = built_index
+        eng = SearchEngine(idx)
+        model = {"type": "linear",
+                 "features": [{"name": "s", "type": "originalScore"}],
+                 "weights": {"s": 1.0}}
+        got = eng.ltr_search("def read", model, k=10, rerank_docs=500)
+        base = eng.search("def read", k=10, fl=got.column_names[:-1])
+        assert got["doc_id"].to_pylist() == base["doc_id"].to_pylist()
+        assert got["score"].to_pylist() == pytest.approx(
+            base["score"].to_pylist()
+        )
+
+    def test_tail_preserved(self, built_index):
+        idx, _ = built_index
+        eng = SearchEngine(idx)
+        base = eng.search("def read", k=20, fl=["doc_id"])
+        got = eng.ltr_search("def read", MODEL, k=20, rerank_docs=5)
+        assert (got["doc_id"].to_pylist()[5:]
+                == base["doc_id"].to_pylist()[5:])
+        assert (got["score"].to_pylist()[5:]
+                == base["score"].to_pylist()[5:])
+
+    def test_round_scores(self, built_index):
+        idx, _ = built_index
+        t = SearchEngine(idx).ltr_search("def read", MODEL, k=10,
+                                         rerank_docs=10, round_scores=4)
+        for s in t["score"].to_pylist():
+            assert round(s, 4) == pytest.approx(s, abs=1e-9)
+
+    def test_model_validation(self, built_index):
+        idx, _ = built_index
+        eng = SearchEngine(idx)
+        with pytest.raises(ValueError, match="linear"):
+            eng.ltr_search("def", {"type": "lambdamart",
+                                   "features": [], "weights": {}})
+        with pytest.raises(ValueError, match="no weight"):
+            eng.ltr_search("def", {
+                "features": [{"name": "x", "type": "originalScore"}],
+                "weights": {}})
+        with pytest.raises(ValueError, match="unknown LTR feature"):
+            eng.ltr_search("def", {
+                "features": [{"name": "x", "type": "nope"}],
+                "weights": {"x": 1.0}})
