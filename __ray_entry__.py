@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_topk": c.q_ltr_topk,
         "stream_join": c.q_stream_join,
         "stream_unique": c.q_stream_unique,
+        "stream_nodes": c.q_stream_nodes,
         "grouped": c.q_grouped,
         "collapse_topk": c.q_collapse_topk,
         "rerank_topk": c.q_rerank_topk,

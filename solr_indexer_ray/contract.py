@@ -2001,6 +2001,25 @@ def q_stream_unique(sf_dir: str):
     )
 
 
+def q_stream_nodes(sf_dir: str):
+    """Streaming-expression graph hop (Solr nodes()/gatherNodes): langs
+    gathered from docs sharing a repo with the match set, with counts."""
+    from solr_indexer_ray.pipelines.streaming import compile_stream_expr
+
+    ds = compile_stream_expr(
+        'nodes(docs, search(docs, q="window", fl="doc_id,repo"), '
+        'walk="repo->repo", gather="lang")',
+        _bm25_index(sf_dir),
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["node"])
+    return pa.Table.from_pylist(
+        [{"node": r["node"], "count(*)": int(r["count(*)"])}
+         for r in rows],
+        schema=pa.schema([("node", pa.string()),
+                          ("count(*)", pa.int64())]),
+    )
+
+
 def q_analysis_tokens(sf_dir: str):
     """Solr /analysis/field analogue: the tokenizer-stage token stream
     (term + 0-based position) of pinned documents under the index's

@@ -1793,6 +1793,19 @@ FROM ({m}) s JOIN documents d ON d.doc_id = s.doc_id
 GROUP BY d.lang"""
 
 
+def stream_nodes_sql() -> str:
+    """nodes() oracle: semi-join hop then grouped gather counts."""
+    m = _match_docs_sql("window")
+    return _BM25_CTES + f"""
+SELECT d.lang AS node, count(*) AS "count(*)"
+FROM documents d
+WHERE d.source IN (
+  SELECT DISTINCT i.source FROM documents i
+  JOIN ({m}) mm ON mm.doc_id = i.doc_id
+)
+GROUP BY d.lang"""
+
+
 def analysis_tokens_sql() -> str:
     """Analysis-handler oracle: ordered token stream of the pinned docs
     under the same tokenization (zipped unnest + subscripts)."""
@@ -2655,6 +2668,7 @@ def oracle_sql_dict() -> dict:
         "ltr_topk": ltr_topk_sql(),
         "stream_join": stream_join_sql(),
         "stream_unique": stream_unique_sql(),
+        "stream_nodes": stream_nodes_sql(),
         "grouped": grouped_sql(),
         "collapse_topk": collapse_topk_sql(),
         "rerank_topk": rerank_topk_sql(),

@@ -458,6 +458,53 @@ class StreamCompiler:
         row = ds.aggregate(*aggs)
         return rd.from_items([row])
 
+    def _c_nodes(self, node: Node):
+        """Solr graph traversal (``nodes()`` / gatherNodes): one hop —
+        collect the incoming stream's walk-source values, find docs in
+        the collection whose walk-target field matches (a broadcast
+        semi-join over the streamed docs table), and emit one row per
+        distinct gathered value with its doc count.  Multi-hop = nested
+        nodes() expressions."""
+        import os
+
+        import ray
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        if len(node.args) != 2:
+            raise StreamExprError(
+                "nodes() requires (collection, stream)"
+            )
+        index_dir = self._index_dir(node.args[0])
+        walk = str(_need(node, "walk"))
+        if "->" not in walk:
+            raise StreamExprError('nodes() walk looks like "src->dst"')
+        src, dst = (x.strip() for x in walk.split("->", 1))
+        gather = str(_need(node, "gather"))
+        in_ds = self.compile(node.args[1])
+        vals = set()
+        for batch in in_ds.select_columns([src]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            vals.update(v for v in batch[src].to_pylist()
+                        if v is not None)
+        ref = ray.put(vals)
+
+        def hop(batch: pa.Table) -> pa.Table:
+            vs = ray.get(ref)
+            hit = np.array(
+                [v in vs for v in batch[dst].to_pylist()], dtype=bool
+            )
+            t = batch.filter(pa.array(hit))
+            return pa.table({"node": t[gather]})
+
+        docs = rd.read_parquet(
+            os.path.join(index_dir, "docs"),
+            columns=sorted({dst, gather}),
+        )
+        out = docs.map_batches(hop, batch_format="pyarrow")
+        return out.groupby("node").aggregate(Count(alias_name="count(*)"))
+
     def _c_facet(self, node: Node):
         """Solr facet() stream: grouped aggregates over a query's match
         set, ordered by a bucket sort, limited — rollup + top in one

@@ -252,6 +252,29 @@ class TestCompile:
         assert [r["term"] for r in rows] == t["term"].to_pylist()
         assert [r["score"] for r in rows] == t["score"].to_pylist()
 
+    def test_nodes_one_hop(self, sidx):
+        rows = compile_stream_expr(
+            'nodes(docs, search(docs, q="merge", fl="doc_id,repo"), '
+            'walk="repo->repo", gather="lang")', sidx
+        ).take_all()
+        eng = SearchEngine(sidx)
+        ids = set(eng.match_ids("merge").tolist())
+        df = _docs_frame(sidx, ["doc_id", "repo", "lang"])
+        repos = set(df[df.doc_id.isin(ids)].repo)
+        hop = df[df.repo.isin(repos)]
+        exp = hop.groupby("lang").size().to_dict()
+        assert {r["node"]: r["count(*)"] for r in rows} == exp
+
+    def test_nodes_two_hops_nested(self, sidx):
+        # langs reachable from repos reachable from the match's langs
+        rows = compile_stream_expr(
+            'nodes(docs, nodes(docs, '
+            'search(docs, q="merge", fl="doc_id,lang"), '
+            'walk="lang->lang", gather="repo"), '
+            'walk="node->repo", gather="lang")', sidx
+        ).take_all()
+        assert rows and all("node" in r for r in rows)
+
     def test_collection_map_and_errors(self, sidx):
         with pytest.raises(StreamExprError, match="unknown collection"):
             compile_stream_expr(
