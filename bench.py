@@ -335,6 +335,62 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     hybrid_search(index_dir, emb_ds, hq, k=10, engine=engine)
     hybrid_ms = round((time.perf_counter() - t0) / len(hq) * 1000, 1)
 
+    # ---- phase 8: round-2c surface — collapse / rerank / join / LTR /
+    # significant terms / streaming expressions ------------------------
+    def _med_ms(fn, items):
+        ls = np.zeros(len(items))
+        for i, it in enumerate(items):
+            t = time.perf_counter()
+            fn(it)
+            ls[i] = time.perf_counter() - t
+        return round(float(np.percentile(ls, 50)) * 1000, 3)
+
+    base_qs = [f"{a} {b}" for a, b in zip(stems[:20], stems[7:27])]
+    collapse_p50 = _med_ms(
+        lambda q: engine.search(q, k=10, fl=["doc_id"],
+                                fq=["{!collapse field=lang}"]),
+        base_qs,
+    )
+    rerank_p50 = _med_ms(
+        lambda q: engine.rerank_search(q, "merge", k=10,
+                                       rerank_docs=100, fl=["doc_id"]),
+        base_qs,
+    )
+    join_p50 = _med_ms(
+        lambda q: engine.search(
+            q, k=10, fl=["doc_id"],
+            fq=["{!join from=repo to=repo}lang:go"],
+        ),
+        base_qs,
+    )
+    sig_p50 = _med_ms(
+        lambda q: engine.significant_terms(q, limit=10, min_doc_freq=5),
+        base_qs[:8],
+    )
+    _ltr_model = {
+        "type": "linear",
+        "features": [
+            {"name": "s", "type": "originalScore"},
+            {"name": "d", "type": "function",
+             "expr": "recip(doclen,1,1000,1000)"},
+        ],
+        "weights": {"s": 1.0, "d": 2.0},
+    }
+    ltr_p50 = _med_ms(
+        lambda q: engine.ltr_search(q, _ltr_model, k=10,
+                                    rerank_docs=100, fl=["doc_id"]),
+        base_qs,
+    )
+    from solr_indexer_ray.pipelines.streaming import compile_stream_expr
+
+    t0 = time.perf_counter()
+    compile_stream_expr(
+        'rollup(search(docs, q="def read", fl="lang,doclen,doc_id"), '
+        'over="lang", count(*), sum(doclen))',
+        index_dir,
+    ).take_all()
+    stream_rollup_s = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
 
     total = build_s + query_seq_s + query_dist_s
@@ -377,6 +433,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "field_p50_ms": field_p50,
             "qf_p50_ms": qf_p50,
             "hybrid_per_query_ms": hybrid_ms,
+            "collapse_p50_ms": collapse_p50,
+            "rerank_p50_ms": rerank_p50,
+            "join_fq_p50_ms": join_p50,
+            "sigterms_p50_ms": sig_p50,
+            "ltr_p50_ms": ltr_p50,
+            "stream_rollup_s": stream_rollup_s,
         },
     }
 

@@ -527,6 +527,7 @@ class SearchEngine:
         self._bmw_cell_cache: dict = {}  # terms tuple -> cell grid/offsets
         self._func_cols: dict = {}   # field -> dense float64 (bf/boost)
         self._geo_cache: dict = {}   # sfield -> dense lat/lon (or bbox)
+        self._field_tab_cache: dict = {}  # field -> (doc_id, field) table
 
     # ------------------------------------------------------------------ #
     # small state
@@ -575,6 +576,7 @@ class SearchEngine:
         self._bmw_cell_cache = {}
         self._func_cols = {}  # overlays (atomic updates) can move values
         self._geo_cache = {}
+        self._field_tab_cache = {}
 
     def refresh(self) -> bool:
         """Reopen the searcher (Solr: openSearcher after a commit): re-read
@@ -2618,6 +2620,18 @@ class SearchEngine:
             )]
         return np.sort(ids)
 
+    def _field_table(self, field: str) -> pa.Table:
+        """Cached ``(doc_id, field)`` projection of the docs table — the
+        grouping/collapsing value source (re-read per query otherwise;
+        the column cache is the docValues analogue)."""
+        cached = self._field_tab_cache.get(field)
+        if cached is None:
+            cached = self._docs_ds.to_table(columns=["doc_id", field])
+            if len(self._field_tab_cache) > 16:
+                self._field_tab_cache.clear()
+            self._field_tab_cache[field] = cached
+        return cached
+
     def _geo_columns(self, sfield: str):
         """Dense per-doc (lat, lon) arrays for a spatial field spec —
         either ``"latcol,loncol"`` (two stored numeric columns) or one
@@ -3316,7 +3330,7 @@ class SearchEngine:
                  "score": pa.array([], pa.float64())}
             )
         ids = df["doc_id"].to_numpy()
-        t = self._docs_ds.to_table(columns=["doc_id", group_field])
+        t = self._field_table(group_field)
         mask = np.zeros(self.doc_space, dtype=bool)
         mask[ids] = True
         t = t.filter(pa.array(mask[t["doc_id"].to_numpy()]))
@@ -3394,7 +3408,7 @@ class SearchEngine:
         )
         if not df.empty:
             ids = df["doc_id"].to_numpy()
-            t = self._docs_ds.to_table(columns=["doc_id", field])
+            t = self._field_table(field)
             mask = np.zeros(self.doc_space, dtype=bool)
             mask[ids] = True
             t = t.filter(pa.array(mask[t["doc_id"].to_numpy()]))
