@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_rollup": c.q_stream_rollup,
         "significant_terms": c.q_significant_terms,
         "luke_fields": c.q_luke_fields,
+        "result_clusters": c.q_result_clusters,
         "ltr_topk": c.q_ltr_topk,
         "stream_join": c.q_stream_join,
         "stream_unique": c.q_stream_unique,

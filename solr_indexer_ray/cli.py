@@ -276,6 +276,21 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """Cluster a query's result page by embeddings (Solr clustering
+    component analogue)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+    from solr_indexer_ray.stages.cluster import cluster_results
+
+    t = cluster_results(
+        SearchEngine(args.output), args.query, args.embeddings,
+        k_clusters=args.clusters, top_n=args.top_n,
+    )
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_luke(args) -> int:
     """Index introspection (Solr /admin/luke)."""
     from solr_indexer_ray.pipelines.search import SearchEngine
@@ -748,6 +763,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "dense side instead of the brute-force scan")
     ph.add_argument("--nprobe", type=int)
     ph.set_defaults(fn=cmd_hybrid)
+
+    pcl = sub.add_parser(
+        "cluster",
+        help="cluster a result page by embeddings (Solr clustering)",
+    )
+    pcl.add_argument("-o", "--output", required=True)
+    pcl.add_argument("-q", "--query", required=True)
+    pcl.add_argument("--embeddings", required=True)
+    pcl.add_argument("--clusters", type=int, default=5)
+    pcl.add_argument("--top-n", type=int, default=50)
+    pcl.set_defaults(fn=cmd_cluster)
 
     plk = sub.add_parser(
         "luke", help="index introspection (Solr /admin/luke)"

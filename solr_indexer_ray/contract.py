@@ -1896,6 +1896,21 @@ def q_ltr_topk(sf_dir: str):
     )
 
 
+def q_result_clusters(sf_dir: str):
+    """Solr ClusteringComponent analogue: the top-50 hits of one query
+    clustered over the embeddings table (deterministic spherical
+    k-means; rows-only — Lloyd iterations aren't SQL-expressible, the
+    pytest suite pins the algebra)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+    from solr_indexer_ray.stages.cluster import cluster_results
+
+    return cluster_results(
+        SearchEngine(_bm25_index(sf_dir)), "spark merge",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        k_clusters=4, top_n=50,
+    )
+
+
 def q_luke_fields(sf_dir: str):
     """Solr /admin/luke analogue: the stored-field inventory (name,
     arrow type, non-null doc count) plus meta rows for the doc and
