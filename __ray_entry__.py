@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_nodes": c.q_stream_nodes,
         "grouped": c.q_grouped,
         "collapse_topk": c.q_collapse_topk,
+        "collations": c.q_collations,
         "rerank_topk": c.q_rerank_topk,
         "join_matches": c.q_join_matches,
         "geofilt_matches": c.q_geofilt_matches,

@@ -338,6 +338,14 @@ def cmd_terms(args) -> int:
     return 0
 
 
+def cmd_collate(args) -> int:
+    """Spellcheck collation: corrected query + hit count."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    print(json.dumps(SearchEngine(args.output).collate(args.query)))
+    return 0
+
+
 def cmd_suggest(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
@@ -817,6 +825,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--limit", type=int, default=10)
     pt.add_argument("--mincount", type=int, default=1)
     pt.set_defaults(fn=cmd_terms)
+
+    pco2 = sub.add_parser(
+        "collate", help="spellcheck collation (corrected query + hits)"
+    )
+    pco2.add_argument("-o", "--output", required=True)
+    pco2.add_argument("-q", "--query", required=True)
+    pco2.set_defaults(fn=cmd_collate)
 
     psu = sub.add_parser("suggest", help="spellcheck suggestions for a word")
     psu.add_argument("-o", "--output", required=True)

@@ -2148,6 +2148,30 @@ def q_rerank_topk(sf_dir: str):
     )
 
 
+#: collation cases: (query with ≤1 misspelled word, the known word)
+COLLATE_CASES = ["spak merge", "windwo batch", "spark qqqqzzzz"]
+
+
+def q_collations(sf_dir: str):
+    """Solr spellcheck collation: misspelled free terms replaced by
+    their best suggestion (distance asc, df desc, term asc), corrected
+    query + its hit count; NULL collation when nothing corrects."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q in COLLATE_CASES:
+        out = engine.collate(q)
+        rows.append({"query": q, "collation": out["collation"],
+                     "hits": out["hits"]})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("query", pa.string()),
+                          ("collation", pa.string()),
+                          ("hits", pa.int64())]),
+    )
+
+
 def q_collapse_topk(sf_dir: str):
     """Solr field collapsing (CollapsingQParser {!collapse field=F} +
     ExpandComponent): one head per group value ranked by relevance, plus

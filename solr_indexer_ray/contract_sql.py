@@ -1966,6 +1966,36 @@ WHERE rn <= {k}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def collations_sql() -> str:
+    """Collation oracle: per misspelled word the suggester's argmin
+    (levenshtein asc, df desc, term asc) substitutes into the query;
+    hits = distinct docs matching any corrected term (OR semantics)."""
+    blocks = []
+    for q in ["spak merge", "windwo batch", "spark qqqqzzzz"]:
+        w1, w2 = q.split()
+        qq = q.replace("'", "''")
+
+        def best(w):
+            return f"""(
+  SELECT term FROM df
+  WHERE levenshtein(term, '{w}') BETWEEN 1 AND 2
+  ORDER BY levenshtein(term, '{w}'), df DESC, term LIMIT 1)"""
+
+        def fixed(w):
+            return (f"coalesce(CASE WHEN EXISTS "
+                    f"(SELECT 1 FROM df WHERE term = '{w}') "
+                    f"THEN '{w}' ELSE {best(w)} END, '{w}')")
+
+        blocks.append(f"""
+SELECT '{qq}' AS query,
+  CASE WHEN {fixed(w1)} = '{w1}' AND {fixed(w2)} = '{w2}'
+       THEN NULL
+       ELSE {fixed(w1)} || ' ' || {fixed(w2)} END AS collation,
+  (SELECT count(DISTINCT doc_id) FROM tf
+   WHERE term IN ({fixed(w1)}, {fixed(w2)})) AS hits""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def collapse_topk_sql() -> str:
     """Field-collapsing oracle: per-doc rounded BM25 over the match set,
     head = row_number 1 within each group (score_r desc, doc_id), heads
@@ -2671,6 +2701,7 @@ def oracle_sql_dict() -> dict:
         "stream_nodes": stream_nodes_sql(),
         "grouped": grouped_sql(),
         "collapse_topk": collapse_topk_sql(),
+        "collations": collations_sql(),
         "rerank_topk": rerank_topk_sql(),
         "join_matches": join_matches_sql(),
         "geofilt_matches": geofilt_matches_sql(),

@@ -3131,6 +3131,49 @@ class SearchEngine:
              "score": pa.array([r[3] for r in rows], pa.float64())}
         )
 
+    def collate(self, query: str, max_distance: int = 2) -> dict:
+        """Solr spellcheck collation (``spellcheck.collate=true``):
+        rewrite the query by replacing every FREE term absent from the
+        index dictionary with its best suggestion (distance asc, df
+        desc, term asc — the suggester's ranking), then report the
+        corrected query and its hit count.  Terms with no suggestion,
+        fielded filters, phrases and operators pass through unchanged —
+        Solr collations substitute only the misspelled tokens.
+
+        Returns ``{"collation": str | None, "hits": int, "corrections":
+        {orig: fixed}}``; ``collation`` is None when nothing needed
+        correcting (Solr omits the collation then)."""
+        parsed = self._parse(query)
+        known = set(self.lookup_postings(sorted(set(parsed.terms))))
+        corrections: dict = {}
+        for term in sorted(set(parsed.terms)):
+            if term in known:
+                continue
+            sugg = self.suggest(term, count=1,
+                                max_distance=max_distance)
+            if sugg:
+                corrections[term] = sugg[0][0]
+        if not corrections:
+            return {"collation": None, "hits": int(len(
+                self.match_ids(query)
+            )), "corrections": {}}
+        out_tokens = []
+        for raw in (query or "").split():
+            # substitute only bare free terms (no field:, quotes, ops,
+            # wildcards, boosts) whose analyzed form was corrected
+            bare = re.fullmatch(r"[A-Za-z0-9_]+", raw)
+            toks = self.registry.tokenize(raw, None) if bare else []
+            if bare and len(toks) == 1 and toks[0] in corrections:
+                out_tokens.append(corrections[toks[0]])
+            else:
+                out_tokens.append(raw)
+        collation = " ".join(out_tokens)
+        return {
+            "collation": collation,
+            "hits": int(len(self.match_ids(collation))),
+            "corrections": corrections,
+        }
+
     def suggest(self, word: str, count: int = 5,
                 max_distance: int = 2) -> list:
         """Solr spellcheck component: suggest index terms within

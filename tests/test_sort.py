@@ -171,6 +171,26 @@ class TestSuggest:
         assert eng.suggest("qqqqzzzz") == []
         assert eng.suggest("") == []
 
+    def test_collate(self, sidx):
+        idx, _, _ = sidx
+        eng = SearchEngine(idx)
+        out = eng.collate("parze merge")
+        assert out["collation"] == "parse merge"
+        assert out["corrections"] == {"parze": "parse"}
+        assert out["hits"] == len(eng.match_ids("parse merge"))
+        # nothing misspelled -> no collation, hits of the original
+        ok = eng.collate("parse merge")
+        assert ok["collation"] is None and ok["corrections"] == {}
+        assert ok["hits"] == len(eng.match_ids("parse merge"))
+        # unknown beyond edit distance passes through uncorrected
+        far = eng.collate("qqqqzzzz merge")
+        assert far["collation"] is None
+        # filters / boosts / phrases survive untouched around the fix
+        mix = eng.collate("lang:python parze^2 merge")
+        assert mix["corrections"] == {"parze": "parse"}
+        # boosted token is not a bare term: left as-is in the collation
+        assert mix["collation"] == "lang:python parze^2 merge"
+
     def test_vs_brute_force(self, sidx):
         idx, oracle, _ = sidx
 
