@@ -151,7 +151,8 @@ def cmd_search(args) -> int:
                                qf=args.qf, tie=args.tie, mm=args.mm,
                                pf=args.pf, ps=args.ps,
                                pf2=args.pf2, pf3=args.pf3,
-                               bf=args.bf, boost=args.boost, bq=args.bq)
+                               bf=args.bf, boost=args.boost, bq=args.bq,
+                               fq=args.fq)
     else:
         cursor = None
         if args.search_after:

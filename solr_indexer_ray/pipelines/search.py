@@ -3892,6 +3892,8 @@ class RangeScorer:
                         int(batch["min_should"][i])
                         if "min_should" in batch else 0
                     ),
+                    excl=(list(batch["excl"][i])
+                          if "excl" in batch else ()),
                 )
             )
         return pa.Table.from_pylist(
@@ -3910,7 +3912,7 @@ class RangeScorer:
                      field_clauses=(), dismax_clauses=(),
                      field_phrase_groups=(), term_boosts=(),
                      boost_groups=(), func_boosts=(), bq_plans=(),
-                     min_should=0):
+                     min_should=0, excl=()):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
@@ -3920,6 +3922,12 @@ class RangeScorer:
             field_clauses, dismax_clauses, field_phrase_groups,
             term_boosts, boost_groups, min_should=min_should,
         )
+        if len(excl) and cand.size:
+            # per-range fq exclusion slice (Solr applies fq on every
+            # shard before collecting) — removed BEFORE the local top-k
+            cand = cand[~np.isin(
+                cand + lo, np.asarray(list(excl), dtype=np.int64)
+            )]
         if cand.size == 0:
             return []
         if bq_plans:
@@ -5287,7 +5295,8 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
                        pf: str | None = None, ps: int = 0,
                        pf2: str | None = None,
                        pf3: str | None = None,
-                       bf=None, boost=None, bq=None) -> pa.Table:
+                       bf=None, boost=None, bq=None,
+                       fq=None) -> pa.Table:
     """Distributed top-k: fan out per doc range, merge local top-k.
 
     Bit-identical to ``SearchEngine.search(..., method='taat')`` (tested);
@@ -5350,6 +5359,11 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
         )
 
     if has_group_syntax(query or ""):
+        if fq is not None:
+            # grouped boolean + fq: single-engine path (the clause-tree
+            # plan has no exclusion slot; fq is a pure restriction, so
+            # semantics are unchanged)
+            return engine.search(query, k=k, fl=["doc_id"], fq=fq)
         ast = engine._parse_bool(query)
         tree = (
             _compile_bool_tree(engine, ast) if ast is not None else None
@@ -5390,14 +5404,15 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
     if clauses is None:
         # match-all / rare negative-clause forms: single-engine path
         return engine.search(query, k=k, mm=mm, pf=pf, ps=ps,
-                             pf2=pf2, pf3=pf3, bf=bf, boost=boost, bq=bq)
+                             pf2=pf2, pf3=pf3, bf=bf, boost=boost,
+                             bq=bq, fq=fq)
     if clauses == "zero":
         return _empty()
     (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
      syn_groups, extras) = clauses
-    n_ranges = (engine.doc_space + int(engine.stats["docs_per_range"]) - 1) // int(
-        engine.stats["docs_per_range"]
-    )
+    dpr = int(engine.stats["docs_per_range"])
+    n_ranges = (engine.doc_space + dpr - 1) // dpr
+    fq_excl = _fq_excluded_by_range(engine, fq, dpr)
     items = [
         {
             "range_id": r,
@@ -5414,6 +5429,7 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
             "near_groups_json": json.dumps(near_groups),
             "syn_groups_json": json.dumps(syn_groups),
             "extras_json": json.dumps(extras),
+            "excl": fq_excl.get(r, []),
         }
         for r in range(n_ranges)
     ]
@@ -5498,10 +5514,37 @@ class FacetRangeCounter:
         )
 
 
-def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
+def _fq_excluded_by_range(engine: SearchEngine, fq, dpr: int) -> dict:
+    """Bucket a filter-query exclusion set per doc range (the same
+    shipping shape as tombstone slices: each range carries at most
+    ``docs_per_range`` excluded ids; at extreme scale a broadcast mask
+    via ``ray.put`` replaces the per-item lists)."""
+    if not fq:
+        return {}
+    m = engine._merge_fq_mask(None, fq)
+    if m is None:
+        return {}
+    ids = np.flatnonzero(m)
+    if ids.size == 0:
+        return {}
+    bounds = np.searchsorted(ids, np.arange(
+        0, (int(ids[-1]) // dpr + 2) * dpr, dpr
+    ))
+    out: dict = {}
+    for r in range(len(bounds) - 1):
+        part = ids[bounds[r]:bounds[r + 1]]
+        if part.size:
+            out[r] = part.tolist()
+    return out
+
+
+def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses,
+                 fq=None) -> list:
     """One task-item per doc range for the distributed match paths:
-    prepared clauses + the range's slice of the tombstone set (tiny per
-    range — per-range exclusion instead of a driver-side post-filter)."""
+    prepared clauses + the range's slice of the tombstone set AND the
+    filter-query exclusion set (tiny per range — per-range exclusion
+    instead of a driver-side post-filter; Solr distributed requests
+    apply fq on every shard the same way)."""
     import json
 
     (terms, idfs, phrases, prefix_groups, fuzzy_groups, near_groups,
@@ -5511,6 +5554,10 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
     tombs_by_range: dict = {}
     for d in engine.tombstones:
         tombs_by_range.setdefault(d // dpr, []).append(d)
+    for r, ids in _fq_excluded_by_range(engine, fq, dpr).items():
+        cur = set(tombs_by_range.get(r, ()))
+        cur.update(ids)
+        tombs_by_range[r] = list(cur)
     return [
         {
             "range_id": r,
@@ -5533,7 +5580,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses) -> list:
 
 
 def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
-                      mincount: int = 0) -> dict:
+                      mincount: int = 0, fq=None) -> dict:
     """Distributed field facets: per-range match + partial value counts,
     summed on the driver (identical buckets to ``SearchEngine.facet``,
     tested).  Tombstones are partitioned per range and shipped with the
@@ -5546,10 +5593,11 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
     parsed = engine._parse(query)
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
-        return engine.facet(query, fields, limit=limit, mincount=mincount)
+        return engine.facet(query, fields, limit=limit, mincount=mincount,
+                            fq=fq)
     totals: dict = {}
     if clauses != "zero":
-        items = _range_items(engine, parsed, clauses)
+        items = _range_items(engine, parsed, clauses, fq=fq)
 
         def run(batch: dict) -> pa.Table:
             return FacetRangeCounter(index_dir, fields)(batch)
@@ -5830,7 +5878,7 @@ class HistStatsRangeTask(_MatchRangeTask):
 
 
 def stats_partitioned(index_dir: str, query: str, field: str,
-                      percentiles=None) -> dict:
+                      percentiles=None, fq=None) -> dict:
     """Distributed stats component: per-range (count, min, max, sum)
     partials merged on the driver — identical to
     ``SearchEngine.field_stats`` (tested).  With ``percentiles``, the
@@ -5841,10 +5889,12 @@ def stats_partitioned(index_dir: str, query: str, field: str,
     parsed = engine._parse(query)
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
-        return engine.field_stats(query, field, percentiles=percentiles)
+        return engine.field_stats(query, field, percentiles=percentiles,
+                                  fq=fq)
     if percentiles is not None:
         return _stats_hist_partitioned(engine, index_dir, parsed, clauses,
-                                       query, field, list(percentiles))
+                                       query, field, list(percentiles),
+                                       fq=fq)
     if field not in engine.stored_fields or field == "doc_id":
         raise ValueError(f"cannot compute stats on field {field!r}")
     empty = {"count": 0, "missing": 0, "min": None, "max": None,
@@ -5857,7 +5907,7 @@ def stats_partitioned(index_dir: str, query: str, field: str,
         return StatsRangeTask(index_dir, field)(batch)
 
     parts = (
-        rd.from_items(_range_items(engine, parsed, clauses))
+        rd.from_items(_range_items(engine, parsed, clauses, fq=fq))
         .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
         .take_all()
     )
@@ -5882,7 +5932,7 @@ def stats_partitioned(index_dir: str, query: str, field: str,
 
 
 def _stats_hist_partitioned(engine, index_dir, parsed, clauses, query,
-                            field, percentiles) -> dict:
+                            field, percentiles, fq=None) -> dict:
     """Histogram-partial distributed stats (the percentiles path of
     :func:`stats_partitioned`)."""
     if field not in engine.stored_fields or field == "doc_id":
@@ -5898,7 +5948,7 @@ def _stats_hist_partitioned(engine, index_dir, parsed, clauses, query,
         return HistStatsRangeTask(index_dir, field)(batch)
 
     parts = (
-        rd.from_items(_range_items(engine, parsed, clauses))
+        rd.from_items(_range_items(engine, parsed, clauses, fq=fq))
         .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
         .take_all()
     )
@@ -5941,7 +5991,7 @@ def _stats_hist_partitioned(engine, index_dir, parsed, clauses, query,
 
 def facet_stats_partitioned(index_dir: str, query: str, by: str,
                             metrics: dict, limit: int = 100,
-                            mincount: int = 1) -> pa.Table:
+                            mincount: int = 1, fq=None) -> pa.Table:
     """Distributed JSON-facet stats: per-range partial
     (value, count, sum, min, max) rows merged on the driver — identical
     output to ``SearchEngine.facet_stats`` (tested; integer stat fields
@@ -5954,7 +6004,7 @@ def facet_stats_partitioned(index_dir: str, query: str, by: str,
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         return engine.facet_stats(query, by, metrics, limit=limit,
-                                  mincount=mincount)
+                                  mincount=mincount, fq=fq)
     if clauses == "zero":
         return SearchEngine._facet_stats_table([], specs)
     fields = sorted({f for _, (_, f) in specs})
@@ -5965,7 +6015,7 @@ def facet_stats_partitioned(index_dir: str, query: str, by: str,
         return FacetStatsRangeTask(index_dir, by, fields)(batch)
 
     parts = (
-        rd.from_items(_range_items(engine, parsed, clauses))
+        rd.from_items(_range_items(engine, parsed, clauses, fq=fq))
         .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
         .take_all()
     )
@@ -5999,7 +6049,8 @@ def facet_stats_partitioned(index_dir: str, query: str, by: str,
 
 
 def group_partitioned(index_dir: str, query: str, group_field: str,
-                      k_groups: int = 10, group_limit: int = 1) -> pa.Table:
+                      k_groups: int = 10, group_limit: int = 1,
+                      fq=None) -> pa.Table:
     """Distributed result grouping: per-range per-group top docs, global
     re-rank on the driver — identical to ``SearchEngine.group_search``
     (tested; per-range scores are bit-identical to the single engine)."""
@@ -6008,7 +6059,7 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None or clauses == "zero":
         return engine.group_search(query, group_field, k_groups=k_groups,
-                                   group_limit=group_limit)
+                                   group_limit=group_limit, fq=fq)
     if group_field not in engine.stored_fields or group_field == "doc_id":
         raise ValueError(f"cannot group on field {group_field!r}")
     import pandas as pd
@@ -6018,7 +6069,7 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
         return GroupRangeTask(index_dir, group_field, group_limit)(batch)
 
     parts = (
-        rd.from_items(_range_items(engine, parsed, clauses))
+        rd.from_items(_range_items(engine, parsed, clauses, fq=fq))
         .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
         .take_all()
     )
@@ -6205,7 +6256,8 @@ class RerankRangeTask(_MatchRangeTask):
 def rerank_partitioned(index_dir: str, query: str, rerank_query: str,
                        k: int = 10, rerank_docs: int = 200,
                        rerank_weight: float = 2.0,
-                       round_scores: int | None = None) -> pa.Table:
+                       round_scores: int | None = None,
+                       fq=None) -> pa.Table:
     """Distributed reranking: the main top-N comes from
     ``search_partitioned`` (k rows per range), the rerank scores from
     per-range tasks that ship only candidate rows — identical to
@@ -6214,7 +6266,7 @@ def rerank_partitioned(index_dir: str, query: str, rerank_query: str,
         raise ValueError("rerank_docs must be >= 1")
     engine = SearchEngine(index_dir)
     n = max(int(rerank_docs), k)
-    main = search_partitioned(index_dir, query, k=n)
+    main = search_partitioned(index_dir, query, k=n, fq=fq)
     ids = main["doc_id"].to_pylist()
     parsed_rr = engine._parse(rerank_query)
     clauses_rr = _distributed_clauses(engine, parsed_rr, rerank_query)
@@ -6253,7 +6305,8 @@ def rerank_partitioned(index_dir: str, query: str, rerank_query: str,
 def collapse_partitioned(index_dir: str, query: str, field: str,
                          k: int = 10, null_policy: str = "ignore",
                          expand_limit: int = 0,
-                         round_scores: int | None = None) -> pa.Table:
+                         round_scores: int | None = None,
+                         fq=None) -> pa.Table:
     """Distributed field collapsing: per-range per-group top docs (the
     ``GroupRangeTask`` partials — a superset of every group's global head
     + expand members), collapsed on the driver — identical to
@@ -6266,7 +6319,7 @@ def collapse_partitioned(index_dir: str, query: str, field: str,
     if clauses is None or clauses == "zero":
         return engine.collapse_search(
             query, field, k=k, null_policy=null_policy,
-            expand_limit=expand_limit, round_scores=round_scores,
+            expand_limit=expand_limit, round_scores=round_scores, fq=fq,
         )
     if field not in engine.stored_fields or field == "doc_id":
         raise ValueError(f"cannot collapse on field {field!r}")
@@ -6283,7 +6336,7 @@ def collapse_partitioned(index_dir: str, query: str, field: str,
         return GroupRangeTask(index_dir, field, glim)(batch)
 
     parts = (
-        rd.from_items(_range_items(engine, parsed, clauses))
+        rd.from_items(_range_items(engine, parsed, clauses, fq=fq))
         .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
         .take_all()
     )
@@ -6295,7 +6348,7 @@ def collapse_partitioned(index_dir: str, query: str, field: str,
 
 
 def sorted_partitioned(index_dir: str, query: str, sort: str,
-                       k: int = 10) -> pa.Table:
+                       k: int = 10, fq=None) -> pa.Table:
     """Distributed field-sorted browse: per-range local top-k by the sort
     keys (k rows shipped per range, never the full match set), k-way merge
     on the driver — identical doc order to
@@ -6304,7 +6357,8 @@ def sorted_partitioned(index_dir: str, query: str, sort: str,
     parsed = engine._parse(query)
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None or clauses == "zero":
-        return engine.search(query, k=k, fl=["doc_id"], sort=sort)
+        return engine.search(query, k=k, fl=["doc_id"], sort=sort,
+                             fq=fq)
     keys = []
     for part in sort.split(","):
         toks = part.split()
@@ -6326,7 +6380,7 @@ def sorted_partitioned(index_dir: str, query: str, sort: str,
         return SortRangeTask(index_dir, keys, k)(batch)
 
     parts = (
-        rd.from_items(_range_items(engine, parsed, clauses))
+        rd.from_items(_range_items(engine, parsed, clauses, fq=fq))
         .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
         .take_all()
     )

@@ -75,3 +75,62 @@ def test_distributed_respect_tombstones(tmp_path, ray_session):
     a = eng.search("def", k=8, fl=["doc_id"], sort="doclen asc")
     b = sorted_partitioned(idx, "def", "doclen asc", k=8)
     assert b["doc_id"].to_pylist() == a["doc_id"].to_pylist()
+
+
+class TestDistributedFq:
+    """fq ships through the per-range protocol: every distributed
+    component with an fq parameter matches its single-engine twin."""
+
+    FQS = [["lang:python"], ["doclen:[40 TO 200]", "-lang:go"]]
+
+    def test_search_partitioned_fq(self, didx):
+        from solr_indexer_ray.pipelines.search import (
+            SearchEngine,
+            search_partitioned,
+        )
+
+        idx = didx
+        eng = SearchEngine(idx)
+        for fq in self.FQS:
+            for q in ("def read", "merge value", "pars*"):
+                single = eng.search(q, k=10, fl=["doc_id"], fq=fq)
+                dist = search_partitioned(idx, q, k=10, fq=fq)
+                assert (single["doc_id"].to_pylist()
+                        == dist["doc_id"].to_pylist()), (q, fq)
+                assert (single["score"].to_pylist()
+                        == dist["score"].to_pylist())
+
+    def test_components_fq(self, didx):
+        from solr_indexer_ray.pipelines.search import (
+            SearchEngine,
+            collapse_partitioned,
+            facet_partitioned,
+            group_partitioned,
+            sorted_partitioned,
+            stats_partitioned,
+        )
+
+        idx = didx
+        eng = SearchEngine(idx)
+        fq = ["lang:python"]
+        q = "def read"
+        assert (facet_partitioned(idx, q, ["repo"], fq=fq)
+                == eng.facet(q, ["repo"], fq=fq))
+        assert (stats_partitioned(idx, q, "doclen", fq=fq)
+                == eng.field_stats(q, "doclen", fq=fq))
+        assert (stats_partitioned(idx, q, "doclen",
+                                  percentiles=[25, 50, 75], fq=fq)
+                == eng.field_stats(q, "doclen",
+                                   percentiles=[25, 50, 75], fq=fq))
+        assert (group_partitioned(idx, q, "repo", k_groups=4,
+                                  group_limit=2, fq=fq).to_pylist()
+                == eng.group_search(q, "repo", k_groups=4,
+                                    group_limit=2, fq=fq).to_pylist())
+        assert (collapse_partitioned(idx, q, "repo", k=5,
+                                     fq=fq).to_pylist()
+                == eng.collapse_search(q, "repo", k=5,
+                                       fq=fq).to_pylist())
+        assert (sorted_partitioned(idx, q, "doclen desc", k=8,
+                                   fq=fq)["doc_id"].to_pylist()
+                == eng.search(q, k=8, fl=["doc_id"], sort="doclen desc",
+                              fq=fq)["doc_id"].to_pylist())
