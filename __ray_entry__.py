@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped": c.q_grouped,
         "collapse_topk": c.q_collapse_topk,
         "collations": c.q_collations,
+        "autocomplete": c.q_autocomplete,
         "rerank_topk": c.q_rerank_topk,
         "join_matches": c.q_join_matches,
         "geofilt_matches": c.q_geofilt_matches,

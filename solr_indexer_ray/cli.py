@@ -339,6 +339,20 @@ def cmd_terms(args) -> int:
     return 0
 
 
+def cmd_autocomplete(args) -> int:
+    """Prefix autocomplete with optional context filtering (Solr
+    /suggest)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    out = SearchEngine(args.output).autocomplete(
+        args.prefix, count=args.k,
+        context_fq=args.cfq if args.cfq else None,
+    )
+    for term, w in out:
+        print(json.dumps({"term": term, "weight": w}))
+    return 0
+
+
 def cmd_collate(args) -> int:
     """Spellcheck collation: corrected query + hit count."""
     from solr_indexer_ray.pipelines.search import SearchEngine
@@ -826,6 +840,17 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--limit", type=int, default=10)
     pt.add_argument("--mincount", type=int, default=1)
     pt.set_defaults(fn=cmd_terms)
+
+    pac = sub.add_parser(
+        "autocomplete",
+        help="prefix completion with context filtering (Solr /suggest)",
+    )
+    pac.add_argument("-o", "--output", required=True)
+    pac.add_argument("--prefix", required=True)
+    pac.add_argument("-k", type=int, default=5)
+    pac.add_argument("--cfq", action="append",
+                     help="context filter query (repeatable)")
+    pac.set_defaults(fn=cmd_autocomplete)
 
     pco2 = sub.add_parser(
         "collate", help="spellcheck collation (corrected query + hits)"

@@ -2148,6 +2148,31 @@ def q_rerank_topk(sf_dir: str):
     )
 
 
+#: autocomplete cases: (prefix, context filter or None, count)
+AUTOCOMPLETE_CASES = [("wi", None, 5), ("s", "lang:en", 8),
+                      ("b", None, 6)]
+
+
+def q_autocomplete(sf_dir: str):
+    """Solr Suggester analogue: prefix completion ranked by df (or by
+    context-restricted df under a context filter query)."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for prefix, cfq, k in AUTOCOMPLETE_CASES:
+        out = engine.autocomplete(prefix, count=k,
+                                  context_fq=[cfq] if cfq else None)
+        for term, w in out:
+            rows.append({"case": f"{prefix}|{cfq}", "term": term,
+                         "weight": w})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("case", pa.string()), ("term", pa.string()),
+                          ("weight", pa.int64())]),
+    )
+
+
 #: collation cases: (query with ≤1 misspelled word, the known word)
 COLLATE_CASES = ["spak merge", "windwo batch", "spark qqqqzzzz"]
 

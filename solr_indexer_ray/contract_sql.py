@@ -1966,6 +1966,34 @@ WHERE rn <= {k}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def autocomplete_sql() -> str:
+    """Autocomplete oracle: prefix scan ranked by df, or by the
+    context-restricted distinct-doc count under a filter."""
+    from solr_indexer_ray.contract import AUTOCOMPLETE_CASES
+
+    blocks = []
+    for prefix, cfq, k in AUTOCOMPLETE_CASES:
+        case = f"{prefix}|{cfq}"
+        if cfq is None:
+            inner = f"""
+  SELECT term, df AS weight FROM df WHERE term LIKE '{prefix}%'"""
+        else:
+            fld, val = cfq.split(":", 1)
+            src = {"lang": "lang", "repo": "source"}[fld]
+            inner = f"""
+  SELECT t.term AS term, count(DISTINCT t.doc_id) AS weight
+  FROM tf t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE t.term LIKE '{prefix}%' AND d.{src} = '{val}'
+  GROUP BY t.term"""
+        blocks.append(f"""
+SELECT '{case}' AS "case", term, weight FROM (
+  SELECT term, weight,
+    row_number() OVER (ORDER BY weight DESC, term) AS rn
+  FROM ({inner}) WHERE weight > 0
+) WHERE rn <= {k}""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def collations_sql() -> str:
     """Collation oracle: per misspelled word the suggester's argmin
     (levenshtein asc, df desc, term asc) substitutes into the query;
@@ -2702,6 +2730,7 @@ def oracle_sql_dict() -> dict:
         "grouped": grouped_sql(),
         "collapse_topk": collapse_topk_sql(),
         "collations": collations_sql(),
+        "autocomplete": autocomplete_sql(),
         "rerank_topk": rerank_topk_sql(),
         "join_matches": join_matches_sql(),
         "geofilt_matches": geofilt_matches_sql(),

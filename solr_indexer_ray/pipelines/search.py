@@ -3131,6 +3131,44 @@ class SearchEngine:
              "score": pa.array([r[3] for r in rows], pa.float64())}
         )
 
+    def autocomplete(self, prefix: str, count: int = 5,
+                     context_fq=None) -> list:
+        """Solr Suggester (``/suggest``, AnalyzingInfixSuggester shape)
+        analogue: prefix-completion over the term dictionary ranked by
+        weight = document frequency, with optional CONTEXT FILTERING
+        (Solr ``suggest.cfq``): when ``context_fq`` is given, the weight
+        becomes the term's df WITHIN the context's match set, and terms
+        absent from the context drop out.
+
+        Returns ``[(term, weight), ...]`` ordered weight desc then term
+        asc.  Context weights intersect candidate postings with the
+        cached context mask — bounded by the candidate count, and the
+        same postings-vs-mask shape :meth:`significant_terms` uses."""
+        if not prefix:
+            return []
+        cands = self.terms(prefix=prefix, limit=10 ** 9, mincount=1)
+        if context_fq is None:
+            ranked = sorted(cands, key=lambda t: (-t[1], t[0]))
+            return ranked[:count]
+        member = np.zeros(self.doc_space, dtype=bool)
+        fqm = self._merge_fq_mask(None, context_fq)
+        member = ~fqm if fqm is not None else np.ones(
+            self.doc_space, dtype=bool
+        )
+        out = []
+        names = [t for t, _ in cands]
+        for i in range(0, len(names), 256):
+            postings = self.lookup_postings(names[i:i + 256])
+            for t_ in names[i:i + 256]:
+                tp = postings.get(t_)
+                if tp is None:
+                    continue
+                w = int(member[tp.doc_ids].sum())
+                if w > 0:
+                    out.append((t_, w))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:count]
+
     def collate(self, query: str, max_distance: int = 2) -> dict:
         """Solr spellcheck collation (``spellcheck.collate=true``):
         rewrite the query by replacing every FREE term absent from the

@@ -171,6 +171,31 @@ class TestSuggest:
         assert eng.suggest("qqqqzzzz") == []
         assert eng.suggest("") == []
 
+    def test_autocomplete(self, sidx):
+        idx, oracle, corpus = sidx
+        eng = SearchEngine(idx)
+        out = eng.autocomplete("pa", count=5)
+        assert out
+        # ranking mirrors /terms (df desc, term asc) on the prefix scan
+        exp = sorted(eng.terms(prefix="pa", limit=10 ** 9),
+                     key=lambda t: (-t[1], t[0]))[:5]
+        assert out == exp
+        assert eng.autocomplete("") == []
+        assert eng.autocomplete("zzzz") == []
+
+    def test_autocomplete_context(self, sidx):
+        idx, oracle, corpus = sidx
+        eng = SearchEngine(idx)
+        ctx = set(eng.match_ids("lang:python").tolist())
+        out = eng.autocomplete("pa", count=10,
+                               context_fq=["lang:python"])
+        for t_, w in out:
+            tp = eng.lookup_postings([t_])[t_]
+            assert w == len(set(tp.doc_ids.tolist()) & ctx)
+            assert w > 0
+        ws = [w for _, w in out]
+        assert ws == sorted(ws, reverse=True)
+
     def test_collate(self, sidx):
         idx, _, _ = sidx
         eng = SearchEngine(idx)
