@@ -5221,7 +5221,9 @@ class BoolRangeScorer:
         for i in range(len(batch["range_id"])):
             rid = int(batch["range_id"][i])
             tree = json.loads(str(batch["tree_json"][i]))
-            out.extend(self._score_range(rid, tree))
+            excl = (list(batch["excl"][i])
+                    if "excl" in batch else ())
+            out.extend(self._score_range(rid, tree, excl))
         return pa.Table.from_pylist(
             out,
             schema=pa.schema(
@@ -5229,7 +5231,7 @@ class BoolRangeScorer:
             ),
         )
 
-    def _score_range(self, rid: int, tree) -> list:
+    def _score_range(self, rid: int, tree, excl=()) -> list:
         sc = self.scorer
         lo, hi = rid * sc.dpr, (rid + 1) * sc.dpr
         width = hi - lo
@@ -5241,6 +5243,13 @@ class BoolRangeScorer:
         present[dtab["doc_id"].to_numpy() - lo] = True
         mask, scores = self._eval(rid, tree, lo, width)
         mask &= present
+        if len(excl):
+            # per-range tombstone/fq exclusion BEFORE the local top-k —
+            # a range whose top-k would otherwise fill with deleted docs
+            # must still surface its live matches
+            ex = np.asarray(list(excl), dtype=np.int64) - lo
+            ex = ex[(ex >= 0) & (ex < width)]
+            mask[ex] = False
         cand = np.flatnonzero(mask)
         if cand.size == 0:
             return []
@@ -5408,11 +5417,14 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
         )
         if tree is None:
             return engine.search(query, k=k)
-        n_ranges = (
-            engine.doc_space + int(engine.stats["docs_per_range"]) - 1
-        ) // int(engine.stats["docs_per_range"])
+        dpr_b = int(engine.stats["docs_per_range"])
+        n_ranges = (engine.doc_space + dpr_b - 1) // dpr_b
+        tombs_b: dict = {}
+        for d_ in engine.tombstones:
+            tombs_b.setdefault(d_ // dpr_b, []).append(d_)
         items = [
-            {"range_id": r, "tree_json": json.dumps(tree)}
+            {"range_id": r, "tree_json": json.dumps(tree),
+             "excl": sorted(tombs_b.get(r, []))}
             for r in range(n_ranges)
         ]
 
@@ -5425,10 +5437,6 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
                          num_cpus=1)
             .take_all()
         )
-        if engine.tombstones:
-            partials = [
-                r for r in partials if r["doc_id"] not in engine.tombstones
-            ]
         partials.sort(key=lambda r: (-r["score"], r["doc_id"]))
         top = partials[:k]
         return pa.Table.from_pylist(
@@ -5451,6 +5459,8 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
     dpr = int(engine.stats["docs_per_range"])
     n_ranges = (engine.doc_space + dpr - 1) // dpr
     fq_excl = _fq_excluded_by_range(engine, fq, dpr)
+    for d_ in engine.tombstones:
+        fq_excl.setdefault(d_ // dpr, []).append(int(d_))
     items = [
         {
             "range_id": r,
@@ -5480,8 +5490,6 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
         .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
         .take_all()
     )
-    if engine.tombstones:
-        partials = [r for r in partials if r["doc_id"] not in engine.tombstones]
     partials.sort(key=lambda r: (-r["score"], r["doc_id"]))
     top = partials[:k]
     return pa.Table.from_pylist(

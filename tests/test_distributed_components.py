@@ -134,3 +134,40 @@ class TestDistributedFq:
                                    fq=fq)["doc_id"].to_pylist()
                 == eng.search(q, k=8, fl=["doc_id"], sort="doclen desc",
                               fq=fq)["doc_id"].to_pylist())
+
+
+class TestDistributedTombstones:
+    """Tombstones ship per range and apply BEFORE the local top-k: a
+    range whose top-k would fill with deleted docs must still surface
+    its live matches (regression: the driver-side post-filter lost
+    them)."""
+
+    def test_search_after_heavy_deletes(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.pipelines.mutate import delete_by_id
+        from solr_indexer_ray.pipelines.search import (
+            SearchEngine,
+            search_partitioned,
+        )
+        from solr_indexer_ray.sources.corpus import generate_corpus
+
+        d = str(tmp_path)
+        corpus = generate_corpus(150, seed=29, mean_tokens=40)
+        pq.write_table(corpus, d + "/c.parquet", row_group_size=32)
+        build_index(d + "/c.parquet", d + "/idx",
+                    config=IndexConfig(docs_per_range=64, block_size=16,
+                                       store_positions=True))
+        top = SearchEngine(d + "/idx").search(
+            "def read", k=5, fl=["doc_id"]
+        )["doc_id"].to_pylist()
+        delete_by_id(d + "/idx", top)
+        eng = SearchEngine(d + "/idx")
+        for q in ("def read", "(def OR read) AND value", "merge pars*",
+                  '"def index"'):
+            s = eng.search(q, k=3, fl=["doc_id"])
+            p = search_partitioned(d + "/idx", q, k=3)
+            assert s["doc_id"].to_pylist() == p["doc_id"].to_pylist(), q
+            assert s["score"].to_pylist() == p["score"].to_pylist(), q
+            for did in top:
+                assert did not in p["doc_id"].to_pylist()
