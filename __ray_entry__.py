@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": c.q_collapse_topk,
         "collations": c.q_collations,
         "autocomplete": c.q_autocomplete,
+        "blockjoin_matches": c.q_blockjoin_matches,
         "rerank_topk": c.q_rerank_topk,
         "join_matches": c.q_join_matches,
         "geofilt_matches": c.q_geofilt_matches,

@@ -2148,6 +2148,80 @@ def q_rerank_topk(sf_dir: str):
     )
 
 
+def _blockjoin_index(sf_dir: str) -> str:
+    """Contract index with flat parent/child columns derived from
+    doc_id arithmetic (every 5th doc is a parent; children reference
+    the preceding parent) — the {!parent}/{!child} surface."""
+    key = ("blockjoin", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.sources.corpus import documents_to_corpus_table
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    os.makedirs(work, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    corpus = documents_to_corpus_table(docs)
+    ids = docs["doc_id"].to_pylist()
+    corpus = corpus.append_column(
+        "ptype",
+        pa.array(["parent" if d % 5 == 0 else "child" for d in ids],
+                 pa.string()),
+    )
+    corpus = corpus.append_column(
+        "nodekey", pa.array([f"n{d}" for d in ids], pa.string())
+    )
+    corpus = corpus.append_column(
+        "pref",
+        pa.array([None if d % 5 == 0 else f"n{(d // 5) * 5}"
+                  for d in ids], pa.string()),
+    )
+    corpus_path = os.path.join(work, "corpus_bj.parquet")
+    pq.write_table(corpus, corpus_path, row_group_size=4096)
+    index_dir = os.path.join(work, "index_bj_v1")
+    config = IndexConfig(concurrency=2,
+                         extra_stored=("ptype", "nodekey", "pref"))
+    if not BuildManifest(index_dir).is_committed():
+        build_index(corpus_path, index_dir, config=config,
+                    registry=AnalyzerRegistry("simple", overrides={}),
+                    overwrite=True)
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+#: block-join cases: (kind, inner query)
+BLOCKJOIN_CASES = [("parent", "window"), ("parent", "spark merge"),
+                   ("child", "window batch")]
+
+
+def q_blockjoin_matches(sf_dir: str):
+    """Solr block-join parsers over flat rows: parents of matching
+    children ({!parent which=...}) and children of matching parents
+    ({!child of=...}), full constant-score match sets."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_blockjoin_index(sf_dir))
+    rows = []
+    for kind, q in BLOCKJOIN_CASES:
+        gate = "which" if kind == "parent" else "of"
+        ids = engine.match_ids(
+            f"{{!{kind} {gate}='ptype:parent' key=nodekey ref=pref}}{q}"
+        )
+        rows += [{"query": f"{kind}|{q}", "doc_id": int(d)}
+                 for d in ids]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("query", pa.string()),
+                          ("doc_id", pa.int64())]),
+    )
+
+
 #: autocomplete cases: (prefix, context filter or None, count)
 AUTOCOMPLETE_CASES = [("wi", None, 5), ("s", "lang:en", 8),
                       ("b", None, 6)]

@@ -1966,6 +1966,38 @@ WHERE rn <= {k}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def blockjoin_matches_sql() -> str:
+    """Block-join oracle: parent/child columns recompute from doc_id
+    arithmetic (parent iff doc_id % 5 = 0; child pref = the preceding
+    parent's key) and the hop is a plain semi-join."""
+    from solr_indexer_ray.contract import BLOCKJOIN_CASES
+
+    blocks = []
+    for kind, q in BLOCKJOIN_CASES:
+        case = f"{kind}|{q}".replace("'", "''")
+        m = _match_docs_sql(q)
+        if kind == "parent":
+            body = f"""
+SELECT '{case}' AS query, d.doc_id AS doc_id
+FROM documents d
+WHERE d.doc_id % 5 = 0 AND d.doc_id IN (
+  SELECT (i.doc_id // 5) * 5 FROM documents i
+  JOIN ({m}) mm ON mm.doc_id = i.doc_id
+  WHERE i.doc_id % 5 <> 0
+)"""
+        else:
+            body = f"""
+SELECT '{case}' AS query, d.doc_id AS doc_id
+FROM documents d
+WHERE d.doc_id % 5 <> 0 AND (d.doc_id // 5) * 5 IN (
+  SELECT p.doc_id FROM documents p
+  JOIN ({m}) mm ON mm.doc_id = p.doc_id
+  WHERE p.doc_id % 5 = 0
+)"""
+        blocks.append(body)
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def autocomplete_sql() -> str:
     """Autocomplete oracle: prefix scan ranked by df, or by the
     context-restricted distinct-doc count under a filter."""
@@ -2731,6 +2763,7 @@ def oracle_sql_dict() -> dict:
         "collapse_topk": collapse_topk_sql(),
         "collations": collations_sql(),
         "autocomplete": autocomplete_sql(),
+        "blockjoin_matches": blockjoin_matches_sql(),
         "rerank_topk": rerank_topk_sql(),
         "join_matches": join_matches_sql(),
         "geofilt_matches": geofilt_matches_sql(),

@@ -324,8 +324,8 @@ NO_MATCH_TERM = "\x00"
 
 
 def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
-                scored_fields=(), inject_no_match: bool = True
-                ) -> ParsedQuery:
+                scored_fields=(), inject_no_match: bool = True,
+                filter_fields=FILTER_FIELDS) -> ParsedQuery:
     """Parse a query string; ``analyze(text) -> list[str]`` pins the
     analyzer.  ``range_fields`` lists the fields a range filter may
     target (engines pass their stored-column set so typed ranges over
@@ -335,7 +335,11 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
     SCORED fielded term clause (Lucene fielded TermQuery over that
     field's postings/stats/norms), not a metadata filter; the value is
     analyzed, multiple tokens become multiple field-term clauses
-    (Lucene ``field:(a b)`` OR semantics)."""
+    (Lucene ``field:(a b)`` OR semantics).  ``filter_fields`` lists
+    the metadata columns an equality/prefix filter may target — engines
+    pass their string-typed stored-column set so filters over
+    extra_stored columns parse (Solr: any indexed field is
+    queryable)."""
     out = ParsedQuery()
     #: [dropped-atom count, saw explicit match-all atom] for the
     #: filtered-to-nothing sentinel decision at the end
@@ -379,7 +383,7 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
                 if boost is not None and not neg:
                     out.field_phrase_boosts[clause] = boost
             return " "
-        if fld in FILTER_FIELDS:
+        if fld in filter_fields:
             (out.neg_filters if neg else out.filters)[fld] = text
             return " "
         toks = analyze(text)
@@ -463,7 +467,7 @@ def parse_query(q: str, analyze, range_fields=RANGE_FIELDS,
                     if boost is not None and not neg:
                         out.field_term_boosts[clause] = boost
                 continue
-            if fld in FILTER_FIELDS:
+            if fld in filter_fields:
                 # a trailing * on a filter value prefix-matches the
                 # metadata string (engine: starts_with pushdown)
                 (out.neg_filters if neg else out.filters)[fld] = val
@@ -631,7 +635,7 @@ def has_group_syntax(q: str) -> bool:
 
 
 def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS,
-                  scored_fields=()):
+                  scored_fields=(), filter_fields=FILTER_FIELDS):
     """Parse a parenthesized boolean query into a clause tree, or return
     ``None`` when the query has no grouping (the flat model applies).
 
@@ -698,6 +702,7 @@ def parse_boolean(q: str, analyze, range_fields=RANGE_FIELDS,
             must = True
             atom = atom[1:]
         parsed = parse_query(atom, analyze, range_fields, scored_fields,
+                             filter_fields=filter_fields,
                              inject_no_match=False)
         if parsed.is_match_all and not parsed.prohibited and atom not in (
             "*", "*:*"

@@ -528,6 +528,7 @@ class SearchEngine:
         self._func_cols: dict = {}   # field -> dense float64 (bf/boost)
         self._geo_cache: dict = {}   # sfield -> dense lat/lon (or bbox)
         self._field_tab_cache: dict = {}  # field -> (doc_id, field) table
+        self._filter_fields = None   # dynamic filterable-column set
 
     # ------------------------------------------------------------------ #
     # small state
@@ -641,11 +642,36 @@ class SearchEngine:
             for s in self.stats.get("analyzed_fields", ()) or ()
         )
 
+    @property
+    def filter_fields(self) -> tuple:
+        """Metadata columns an equality/prefix filter may target: the
+        core set plus every STRING-typed stored column (extra_stored
+        included — Solr: any indexed field is queryable), excluding
+        default-field aliases (``content:`` keeps meaning the scored
+        default field) and extra analyzed fields."""
+        if self._filter_fields is None:
+            from solr_indexer_ray.functions.queryparse import (
+                DEFAULT_FIELD_ALIASES,
+                FILTER_FIELDS,
+            )
+
+            schema = self._docs_ds.schema
+            extra = tuple(
+                n for n, t in zip(schema.names, schema.types)
+                if pa.types.is_string(t)
+                and n not in FILTER_FIELDS
+                and n not in DEFAULT_FIELD_ALIASES
+                and n not in self.scored_fields
+            )
+            self._filter_fields = tuple(FILTER_FIELDS) + extra
+        return self._filter_fields
+
     def _parse(self, query: str) -> ParsedQuery:
         return parse_query(
             query, self.registry.analyzer_for(None),
             range_fields=self.range_fields,
             scored_fields=self.scored_fields,
+            filter_fields=self.filter_fields,
         )
 
     def _parse_bool(self, query: str):
@@ -653,6 +679,7 @@ class SearchEngine:
             query, self.registry.analyzer_for(None),
             range_fields=self.range_fields,
             scored_fields=self.scored_fields,
+            filter_fields=self.filter_fields,
         )
 
     # ------------------------------------------------------------------ #
@@ -2764,6 +2791,43 @@ class SearchEngine:
                                                    lat_hit)
         return self._live_ids(np.flatnonzero(hit))
 
+    def block_join_ids(self, kind: str, params: dict,
+                       inner_query: str) -> np.ndarray:
+        """Solr block-join query parsers over FLAT parent/child rows:
+        ``{!parent which='<parentFilter>' key=K ref=R}childQuery`` —
+        parents (docs matching ``which``) having at least one child
+        (``child.R == parent.K``) matching the child query — and
+        ``{!child of='<parentFilter>' key=K ref=R}parentQuery`` —
+        children of parents matching both ``of`` and the parent query.
+
+        Solr's BlockJoinQParser requires nested-block indexing; our rows
+        are flat with an explicit reference column (the reference's own
+        shape: ``related_dataset_id`` child→parent refs resolved by a
+        post-pass semi-join, ``solrindexer/tools.py:106-136``), so the
+        same semantics compose from :meth:`join_match_ids` + the
+        parent-filter intersection."""
+        for p in ("key", "ref"):
+            if p not in params:
+                raise ValueError(f"{{!{kind}}} requires {p}=")
+        key, ref = params["key"], params["ref"]
+        pfilter = params.get("which" if kind == "parent" else "of")
+        if pfilter is None:
+            raise ValueError(
+                "{!parent} requires which= / {!child} requires of="
+            )
+        if kind == "parent":
+            cand = self.join_match_ids(inner_query, ref, key)
+            gate = self.match_ids(pfilter)
+            return np.intersect1d(cand, gate).astype(np.int64)
+        # child: docs referencing a parent that matches both the parent
+        # query and the of-filter; parents themselves are excluded (Solr
+        # {!child} returns child documents only)
+        pq_ = (f"({inner_query}) AND ({pfilter})"
+               if inner_query.strip() else pfilter)
+        cand = self.join_match_ids(pq_, key, ref)
+        parents_all = self.match_ids(pfilter)
+        return np.setdiff1d(cand, parents_all).astype(np.int64)
+
     def match_ids(self, query: str) -> np.ndarray:
         """ALL doc ids matching a query (no top-k) — delete-by-query and
         faceting both consume the full match set.  Same clause semantics as
@@ -2771,9 +2835,20 @@ class SearchEngine:
         Filter directives route to their own evaluators, so they work
         anywhere a query string does — fq, delete-by-query, facet.query:
         ``{!join from=F to=T}inner`` (Solr JoinQParserPlugin),
+        ``{!parent}`` / ``{!child}`` (block joins over flat rows),
         ``{!geofilt}`` / ``{!bbox}`` (spatial radius), and
         ``{!intersects sfield=F}ENVELOPE(...)`` (rectangle
         intersection)."""
+        bm = _BLOCKJOIN_Q_RE.match(query or "")
+        if bm is not None:
+            params = {
+                k: v.strip("'\"")
+                for k, v in re.findall(
+                    r"(\w+)=('[^']*'|\"[^\"]*\"|\S+)", bm.group(2)
+                )
+            }
+            return self.block_join_ids(bm.group(1), params,
+                                       bm.group(3).strip())
         gm = _GEO_Q_RE.match(query or "")
         if gm is not None:
             params = dict(
@@ -6156,6 +6231,7 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
 _COLLAPSE_FQ_RE = re.compile(r"^\{!collapse\s+([^}]*)\}\s*$")
 _JOIN_Q_RE = re.compile(r"^\{!join\s+([^}]*)\}(.*)$")
 _GEO_Q_RE = re.compile(r"^\{!(geofilt|bbox)\s+([^}]*)\}\s*$")
+_BLOCKJOIN_Q_RE = re.compile(r"^\{!(parent|child)\s+([^}]*)\}(.*)$")
 _INTERSECTS_Q_RE = re.compile(r"^\{!intersects\s+([^}]*)\}(.*)$")
 
 
