@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": c.q_term_vectors,
         "lm_quality": c.q_lm_quality,
         "paragraph_dedup": c.q_paragraph_dedup,
+        "gopher_filter": c.q_gopher_filter,
         "packed_sequences": c.q_packed_sequences,
         "train_valid_split": c.q_train_valid_split,
         "shuffled_order": c.q_shuffled_order,

@@ -481,6 +481,31 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_qualityfilter(args) -> int:
+    """Gopher-style quality gate: keep flags + violated rules +
+    raw signals; writes parquet."""
+    import ray.data as rd
+
+    from solr_indexer_ray.stages.curation import gopher_quality_filter
+
+    _ensure_ray()
+    out = gopher_quality_filter(
+        rd.read_parquet(args.input, columns=[args.id_col, args.text_col]),
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    out.write_parquet(args.dest)
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(args.dest).to_table(columns=["keep"])
+    print(json.dumps({
+        "rows": t.num_rows,
+        "kept": int(_pc.sum(_pc.cast(t["keep"], "int64")).as_py() or 0),
+        "dest": args.dest,
+    }))
+    return 0
+
+
 def cmd_lmscore(args) -> int:
     """Per-doc bigram-LM quality scores (CCNet-style head/middle/tail
     signal): train on the input corpus, score every doc, write parquet."""
@@ -949,6 +974,16 @@ def build_parser() -> argparse.ArgumentParser:
     ppk.add_argument("--text-col", default="text")
     ppk.add_argument("--id-col", default="doc_id")
     ppk.set_defaults(fn=cmd_pack)
+
+    pqf = sub.add_parser(
+        "qualityfilter",
+        help="Gopher-style quality gate (keep flags + signals)",
+    )
+    pqf.add_argument("-i", "--input", required=True)
+    pqf.add_argument("--dest", required=True)
+    pqf.add_argument("--text-col", default="text")
+    pqf.add_argument("--id-col", default="doc_id")
+    pqf.set_defaults(fn=cmd_qualityfilter)
 
     plm = sub.add_parser(
         "lmscore",

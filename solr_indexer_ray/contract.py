@@ -1444,6 +1444,24 @@ def q_facet_stats(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style quality gate over the documents table: keep flag,
+    violated-rule names and the raw signals (default thresholds)."""
+    from solr_indexer_ray.stages.curation import gopher_quality_filter
+
+    out = gopher_quality_filter(_documents(sf_dir)).take_all()
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("keep", pa.bool_()),
+             ("violations", pa.string()), ("n_tokens", pa.int64()),
+             ("mean_token_len", pa.float64()),
+             ("alpha_frac", pa.float64()), ("dup_frac", pa.float64()),
+             ("top_frac", pa.float64())]
+        ),
+    )
+
+
 def q_paragraph_dedup(sf_dir: str):
     """C4-style global paragraph dedup over the documents table: spans
     split on the literal ' the ' token (the corpus has no newlines),

@@ -833,6 +833,51 @@ SELECT '{qq}' AS query, doc_id, score_r FROM (
 )"""
 
 
+#: Gopher-quality-gate oracle: the same signals from grouped per-token
+#: counts (mean length / alpha fraction / dup fraction / top fraction),
+#: thresholds and violation order matching
+#: stages/curation.gopher_quality_filter defaults
+GOPHER_FILTER_SQL = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+flat AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+pertok AS (SELECT doc_id, t, count(*) AS c FROM flat GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+    sum(c) AS n,
+    sum(length(t) * c) * 1.0 / sum(c) AS mean_len,
+    sum(CASE WHEN regexp_matches(t, '[a-z]') THEN c ELSE 0 END) * 1.0
+      / sum(c) AS alpha,
+    1.0 - count(*) * 1.0 / sum(c) AS dup,
+    max(c) * 1.0 / sum(c) AS top
+  FROM pertok GROUP BY doc_id
+),
+gated AS (
+  SELECT d.doc_id AS doc_id,
+    coalesce(s.n, 0) AS n_tokens,
+    coalesce(s.mean_len, 0.0) AS mean_token_len,
+    coalesce(s.alpha, 0.0) AS alpha_frac,
+    coalesce(s.dup, 0.0) AS dup_frac,
+    coalesce(s.top, 0.0) AS top_frac
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT doc_id,
+  (violations = '') AS keep, violations, n_tokens, mean_token_len,
+  alpha_frac, dup_frac, top_frac
+FROM (
+  SELECT *,
+    concat_ws(',',
+      CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN NULL
+           ELSE 'n_tokens' END,
+      CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN NULL
+           ELSE 'mean_token_len' END,
+      CASE WHEN alpha_frac >= 0.8 THEN NULL ELSE 'alpha_frac' END,
+      CASE WHEN dup_frac <= 0.4 THEN NULL ELSE 'dup_frac' END,
+      CASE WHEN top_frac <= 0.3 THEN NULL ELSE 'top_frac' END
+    ) AS violations
+  FROM gated
+)"""
+
+
 #: paragraph-dedup oracle: spans via string_split on the literal
 #: separator, keep = short span OR window-min first occurrence
 #: (doc_id * 2^20 + index), survivors reassembled with ordered
@@ -2729,6 +2774,7 @@ def oracle_sql_dict() -> dict:
         "term_vectors": term_vectors_sql(),
         "lm_quality": LM_QUALITY_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+        "gopher_filter": GOPHER_FILTER_SQL,
         "packed_sequences": PACKED_SEQUENCES_SQL,
         "train_valid_split": TRAIN_VALID_SPLIT_SQL,
         "shuffled_order": SHUFFLED_ORDER_SQL,

@@ -362,6 +362,74 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def gopher_quality_filter(ds, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_tokens: int = 50,
+                          max_tokens: int = 100_000,
+                          min_mean_token_len: float = 3.0,
+                          max_mean_token_len: float = 10.0,
+                          min_alpha_frac: float = 0.8,
+                          max_dup_frac: float = 0.4,
+                          max_top_frac: float = 0.3):
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1, the
+    rule set DataComp/Dolma-style pipelines reuse): token-count bounds,
+    mean token length bounds, a minimum fraction of tokens containing an
+    alphabetic character, and repetition caps (duplicate-token and
+    top-token fractions).
+
+    Pure per-doc map — no shuffle, no state; emits one row per doc with
+    ``keep``, the comma-joined names of every violated rule, and the raw
+    signals (so thresholds can be re-tuned from the output without a
+    second pass).
+    """
+    def gate(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in
+                ("keep", "violations", "n_tokens", "mean_token_len",
+                 "alpha_frac", "dup_frac", "top_frac")}
+        for t in batch[text_col].to_pylist():
+            toks = simple_analyzer(t or "")
+            n = len(toks)
+            mean_len = (sum(len(x) for x in toks) / n) if n else 0.0
+            alpha = (sum(1 for x in toks if any(c.isalpha() for c in x))
+                     / n) if n else 0.0
+            counts: dict = {}
+            for x in toks:
+                counts[x] = counts.get(x, 0) + 1
+            dup = (1.0 - len(counts) / n) if n else 0.0
+            top = (max(counts.values()) / n) if n else 0.0
+            bad = []
+            if not min_tokens <= n <= max_tokens:
+                bad.append("n_tokens")
+            if not min_mean_token_len <= mean_len <= max_mean_token_len:
+                bad.append("mean_token_len")
+            if alpha < min_alpha_frac:
+                bad.append("alpha_frac")
+            if dup > max_dup_frac:
+                bad.append("dup_frac")
+            if top > max_top_frac:
+                bad.append("top_frac")
+            rows["keep"].append(not bad)
+            rows["violations"].append(",".join(bad))
+            rows["n_tokens"].append(n)
+            rows["mean_token_len"].append(mean_len)
+            rows["alpha_frac"].append(alpha)
+            rows["dup_frac"].append(dup)
+            rows["top_frac"].append(top)
+        return pa.table(
+            {id_col: batch[id_col],
+             "keep": pa.array(rows["keep"], pa.bool_()),
+             "violations": pa.array(rows["violations"], pa.string()),
+             "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+             "mean_token_len": pa.array(rows["mean_token_len"],
+                                        pa.float64()),
+             "alpha_frac": pa.array(rows["alpha_frac"], pa.float64()),
+             "dup_frac": pa.array(rows["dup_frac"], pa.float64()),
+             "top_frac": pa.array(rows["top_frac"], pa.float64())}
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def split_train_valid(ds, valid_frac: float, id_col: str = "doc_id"):
     """Deterministic train/validation split: a row lands in ``valid``
     iff its :func:`accept_fraction` coordinate (md5 of the id — RNG-free,

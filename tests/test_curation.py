@@ -179,6 +179,48 @@ class TestParagraphDedup:
         assert out["paras_dropped"] == 4
 
 
+class TestGopherQualityFilter:
+    def test_rules_hand_computed(self):
+        from solr_indexer_ray.stages.curation import (
+            gopher_quality_filter,
+        )
+
+        rows = [
+            {"doc_id": 0, "text": " ".join(f"word{i}" for i in range(60))},
+            {"doc_id": 1, "text": "too short"},
+            {"doc_id": 2, "text": " ".join(["spam"] * 80)},
+            {"doc_id": 3, "text": " ".join(["1234 5678"] * 40)},
+            {"doc_id": 4, "text": ""},
+        ]
+        out = {r["doc_id"]: r for r in gopher_quality_filter(
+            _ds(rows)).take_all()}
+        assert out[0]["keep"] and out[0]["violations"] == ""
+        assert not out[1]["keep"]
+        assert "n_tokens" in out[1]["violations"]
+        assert not out[2]["keep"]  # one token repeated 80x
+        assert "dup_frac" in out[2]["violations"]
+        assert "top_frac" in out[2]["violations"]
+        assert not out[3]["keep"]  # digit tokens: alpha_frac = 0
+        assert "alpha_frac" in out[3]["violations"]
+        assert out[2]["dup_frac"] == pytest.approx(1.0 - 1 / 80)
+        assert out[2]["top_frac"] == pytest.approx(1.0)
+        assert out[4]["n_tokens"] == 0 and not out[4]["keep"]
+
+    def test_signals_match_textstats(self):
+        from solr_indexer_ray.functions.textstats import repetition_stats
+        from solr_indexer_ray.functions.tokenize import simple_analyzer
+        from solr_indexer_ray.stages.curation import (
+            gopher_quality_filter,
+        )
+
+        text = "the quick brown fox the quick dog jumps " * 10
+        out = gopher_quality_filter(
+            _ds([{"doc_id": 0, "text": text}])).take_all()[0]
+        dup, top = repetition_stats(simple_analyzer(text))
+        assert out["dup_frac"] == pytest.approx(dup)
+        assert out["top_frac"] == pytest.approx(top)
+
+
 class TestSplitAndShuffle:
     def test_split_deterministic_and_sized(self):
         from solr_indexer_ray.stages.curation import (
