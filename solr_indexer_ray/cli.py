@@ -127,7 +127,7 @@ def cmd_search(args) -> int:
 
         dirs = [args.output, *args.shards.split(",")]
         t = search_sharded(dirs, args.query, k=args.k,
-                           qf=args.qf, tie=args.tie)
+                           qf=args.qf, tie=args.tie, fq=args.fq)
     elif args.group:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
                                 group_limit=args.group_limit)

@@ -4543,7 +4543,8 @@ class RangeScorer:
 
 
 def search_sharded(index_dirs, query: str, k: int = 10,
-                   qf: str | None = None, tie: float = 0.0) -> pa.Table:
+                   qf: str | None = None, tie: float = 0.0,
+                   fq=None) -> pa.Table:
     """Distributed search across MULTIPLE independent indexes — Solr's
     ``shards=`` multi-core search with **exact global statistics**
     (ExactStatsCache): N, avgdl and every term's df are merged across
@@ -4553,8 +4554,10 @@ def search_sharded(index_dirs, query: str, k: int = 10,
     Returns ``(shard, doc_id, score)`` rows — doc ids are shard-local
     (Solr returns per-core ids + shard address the same way).  Supports
     terms/phrases/prefixes/fuzzies/wildcards with boosts, filters,
-    prohibitions and range filters; ties break by (shard, doc_id)
-    ascending.  Parenthesized boolean grouping is not federated yet.
+    prohibitions and range filters; ``fq`` applies per shard (Solr
+    evaluates filter queries on every shard); ties break by (shard,
+    doc_id) ascending.  Parenthesized boolean grouping is not federated
+    yet.
     """
     if has_group_syntax(query or ""):
         raise ValueError(
@@ -4854,7 +4857,7 @@ def search_sharded(index_dirs, query: str, k: int = 10,
             np.flatnonzero(seen >= required)
             if seen is not None else np.flatnonzero(scores > 0.0)
         )
-        excluded = e._excluded_mask(parsed)
+        excluded = e._merge_fq_mask(e._excluded_mask(parsed), fq)
         if excluded is not None and cand.size:
             cand = cand[~excluded[cand]]
         for d, s in _select_topk(cand, scores[cand], k):

@@ -248,3 +248,22 @@ class TestDistributedSynonyms:
             synonyms={"zzqx": ["zzqy"]},
         )
         assert t.num_rows == 0
+
+
+class TestShardedFq:
+    """fq applies per shard (Solr evaluates filter queries on every
+    shard): federated results equal a union index under the same fq."""
+
+    def test_fq_identity_vs_union(self, shards):
+        fq = ["lang:python"]
+        single = SearchEngine(f"{shards}/idx_all")
+        for q in ("def read", "merge pars*"):
+            fed = search_sharded([f"{shards}/idx_a", f"{shards}/idx_b"],
+                                 q, k=10, fq=fq)
+            uni = single.search(q, k=10, fl=["doc_id"], fq=fq)
+            assert to_global(fed["shard"].to_pylist(),
+                             fed["doc_id"].to_pylist()) == (
+                uni["doc_id"].to_pylist()
+            ), q
+            assert np.allclose(fed["score"].to_pylist(),
+                               uni["score"].to_pylist(), rtol=1e-12), q
