@@ -628,6 +628,7 @@ def cmd_export(args) -> int:
     print(json.dumps(export_matches(
         args.output, args.query, args.dest,
         fl=args.fl.split(",") if args.fl else None, fq=args.fq,
+        sort=args.sort,
     )))
     return 0
 
@@ -1026,6 +1027,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--dest", required=True)
     pe.add_argument("--fl", help="comma-separated field projection")
     pe.add_argument("--fq", action="append")
+    pe.add_argument("--sort", help='export order, e.g. "doclen desc"')
     pe.set_defaults(fn=cmd_export)
 
     pb = sub.add_parser("backup", help="snapshot a committed index")

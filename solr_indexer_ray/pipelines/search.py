@@ -4875,7 +4875,7 @@ def search_sharded(index_dirs, query: str, k: int = 10,
 
 
 def export_matches(index_dir: str, query: str, dest: str, fl=None,
-                   fq=None) -> dict:
+                   fq=None, sort: str | None = None) -> dict:
     """Solr /export handler analogue: stream EVERY doc matching ``query``
     into partitioned parquet at ``dest``.
 
@@ -4883,6 +4883,10 @@ def export_matches(index_dir: str, query: str, dest: str, fl=None,
     per doc-id slot, ~128 MB per 10^9 docs); each docs-table block filters
     against it inside ``map_batches`` and the streaming executor writes
     shards as they complete — no driver materialization, no shuffle.
+    ``sort`` (Solr /export REQUIRES one; ours defaults to doc-id order)
+    runs a distributed ``Dataset.sort`` on the filtered stream before the
+    write — the one genuinely wide step, and exactly the sort-exchange
+    Solr's export does per shard.
     """
     import ray
     import ray.data as rd
@@ -4904,6 +4908,18 @@ def export_matches(index_dir: str, query: str, dest: str, fl=None,
     ds = rd.read_parquet(
         os.path.join(engine.index_dir, "docs"), columns=columns
     ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    if sort:
+        keys, desc = [], []
+        for part in sort.split(","):
+            toks = part.split()
+            if not toks:
+                continue
+            keys.append(toks[0])
+            order = toks[1].lower() if len(toks) > 1 else "asc"
+            if order not in ("asc", "desc"):
+                raise ValueError(f"bad sort direction in {sort!r}")
+            desc.append(order == "desc")
+        ds = ds.sort(keys, descending=desc)
     ds.write_parquet(dest)
     return {"dest": os.fspath(dest), "n_docs": int(ids.size)}
 

@@ -134,3 +134,10 @@ def test_export_matches(tmp_path, ray_session):
     sub = set(eng.match_ids("lang:python def").tolist())
     got2 = pads.dataset(str(tmp_path / "out2")).to_table()
     assert set(got2["doc_id"].to_pylist()) == sub and res2["n_docs"] == len(sub)
+    # sorted export (Solr /export requires a sort)
+    export_matches(idx, "def", str(tmp_path / "out3"),
+                   fl=["doc_id", "doclen"], sort="doclen desc, doc_id asc")
+    got3 = pads.dataset(str(tmp_path / "out3")).to_table()
+    keys = list(zip([-x for x in got3["doclen"].to_pylist()],
+                    got3["doc_id"].to_pylist()))
+    assert keys == sorted(keys)
