@@ -125,3 +125,62 @@ class TestEngineRobustness:
         except ValueError:
             return
         assert t.num_rows <= 5
+
+
+class TestStreamExprProperties:
+    """Stream-expression parser: structured inputs round-trip, arbitrary
+    inputs either parse or raise StreamExprError — never anything else."""
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=150,
+              suppress_health_check=[HealthCheck.filter_too_much])
+    def test_parse_never_crashes(self, q):
+        from solr_indexer_ray.pipelines.streaming import (
+            StreamExprError,
+            parse_stream_expr,
+        )
+
+        try:
+            parse_stream_expr(q)
+        except StreamExprError:
+            pass
+
+    @given(
+        st.recursive(
+            st.tuples(
+                st.sampled_from(["search", "sort", "top"]),
+                st.text(alphabet="abcdef ,*", max_size=12),
+            ),
+            lambda kids: st.tuples(
+                st.sampled_from(["select", "unique", "rollup"]), kids
+            ),
+            max_leaves=4,
+        )
+    )
+    @settings(max_examples=80)
+    def test_structured_roundtrip(self, tree):
+        from solr_indexer_ray.pipelines.streaming import parse_stream_expr
+
+        def render(node):
+            if isinstance(node[1], str):
+                esc = node[1].replace('"', '\\"')
+                return f'{node[0]}(coll, q="{esc}", fl="doc_id")'
+            return f'{node[0]}({render(node[1])}, over="x")'
+
+        expr = render(tree)
+        parsed = parse_stream_expr(expr)
+        assert parsed.name == tree[0]
+
+    @given(st.text(alphabet='{}!=abcdef ', max_size=40))
+    @settings(max_examples=150)
+    def test_directive_regexes_never_crash(self, q):
+        """The local-params directives (collapse/join/geo/blockjoin)
+        reject garbage with ValueError, never anything else."""
+        from solr_indexer_ray.pipelines.search import (
+            _extract_collapse_fq,
+        )
+
+        try:
+            _extract_collapse_fq([q])
+        except ValueError:
+            pass
