@@ -3225,7 +3225,6 @@ class SearchEngine:
         if context_fq is None:
             ranked = sorted(cands, key=lambda t: (-t[1], t[0]))
             return ranked[:count]
-        member = np.zeros(self.doc_space, dtype=bool)
         fqm = self._merge_fq_mask(None, context_fq)
         member = ~fqm if fqm is not None else np.ones(
             self.doc_space, dtype=bool
