@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": c.q_collapse_topk,
         "collations": c.q_collations,
         "autocomplete": c.q_autocomplete,
+        "date_range_facets": c.q_date_range_facets,
         "blockjoin_matches": c.q_blockjoin_matches,
         "rerank_topk": c.q_rerank_topk,
         "join_matches": c.q_join_matches,

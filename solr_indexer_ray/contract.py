@@ -2240,6 +2240,39 @@ def q_blockjoin_matches(sf_dir: str):
     )
 
 
+#: date-range facet cases: (query, start, end, gap) over mtime
+DATE_RANGE_FACET_CASES = [
+    ("spark merge", "2024-01-03T00:00:00Z", "2024-01-10T00:00:00Z",
+     "+1DAY"),
+    ("window", "2024-01-01T00:00:00Z", "2024-01-02T12:00:00Z",
+     "+6HOURS"),
+]
+
+
+def q_date_range_facets(sf_dir: str):
+    """Solr date-range faceting (facet.range over a timestamp column /
+    the timeseries shape): fixed-gap buckets labeled by bucket-start
+    instant, plus (before)/(after) rows."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    rows = []
+    for q, start, end, gap in DATE_RANGE_FACET_CASES:
+        case = f"{q}|{start}|{gap}"
+        out = engine.range_facet(q, "mtime", start, end, gap)
+        rows += [{"case": case, "bucket": b, "count": c}
+                 for b, c in out["buckets"]]
+        rows.append({"case": case, "bucket": "(before)",
+                     "count": out["before"]})
+        rows.append({"case": case, "bucket": "(after)",
+                     "count": out["after"]})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("case", pa.string()), ("bucket", pa.string()),
+                          ("count", pa.int64())]),
+    )
+
+
 #: autocomplete cases: (prefix, context filter or None, count)
 AUTOCOMPLETE_CASES = [("wi", None, 5), ("s", "lang:en", 8),
                       ("b", None, 6)]

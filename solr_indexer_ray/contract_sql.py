@@ -2043,6 +2043,44 @@ WHERE d.doc_id % 5 <> 0 AND (d.doc_id // 5) * 5 IN (
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def date_range_facets_sql() -> str:
+    """Date-range facet oracle: mtime recomputes from doc_id arithmetic
+    (base + doc_id hours), bucket index = integer division over
+    epoch microseconds, zero buckets via generate_series."""
+    import numpy as np
+
+    from solr_indexer_ray.contract import DATE_RANGE_FACET_CASES
+    from solr_indexer_ray.pipelines.search import _parse_datemath_gap_us
+
+    blocks = []
+    mt = ("epoch_us(TIMESTAMP '2024-01-01 00:00:00' "
+          "+ to_hours(s.doc_id))")
+    for q, start, end, gap in DATE_RANGE_FACET_CASES:
+        case = f"{q}|{start}|{gap}".replace("'", "''")
+        s_us = int(np.datetime64(start.rstrip("Z"), "us")
+                   .astype(np.int64))
+        e_us = int(np.datetime64(end.rstrip("Z"), "us")
+                   .astype(np.int64))
+        g_us = _parse_datemath_gap_us(gap)
+        n = (e_us - s_us + g_us - 1) // g_us
+        m = _match_docs_sql(q)
+        blocks.append(f"""
+SELECT '{case}' AS "case",
+  strftime(make_timestamp({s_us} + b.i * {g_us}),
+           '%Y-%m-%dT%H:%M:%SZ') AS bucket,
+  (SELECT count(*) FROM ({m}) s
+   WHERE ({mt} - {s_us}) // {g_us} = b.i
+     AND {mt} >= {s_us} AND {mt} < {e_us}) AS count
+FROM (SELECT unnest(generate_series(0, {n - 1})) AS i) b
+UNION ALL
+SELECT '{case}', '(before)',
+  (SELECT count(*) FROM ({m}) s WHERE {mt} < {s_us})
+UNION ALL
+SELECT '{case}', '(after)',
+  (SELECT count(*) FROM ({m}) s WHERE {mt} >= {e_us})""")
+    return _BM25_CTES + "\nUNION ALL\n".join(blocks)
+
+
 def autocomplete_sql() -> str:
     """Autocomplete oracle: prefix scan ranked by df, or by the
     context-restricted distinct-doc count under a filter."""
@@ -2809,6 +2847,7 @@ def oracle_sql_dict() -> dict:
         "collapse_topk": collapse_topk_sql(),
         "collations": collations_sql(),
         "autocomplete": autocomplete_sql(),
+        "date_range_facets": date_range_facets_sql(),
         "blockjoin_matches": blockjoin_matches_sql(),
         "rerank_topk": rerank_topk_sql(),
         "join_matches": join_matches_sql(),

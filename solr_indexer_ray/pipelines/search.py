@@ -2528,36 +2528,78 @@ class SearchEngine:
                     )
         return self._overlays
 
-    def range_facet(self, query: str, field: str, start: int, end: int,
-                    gap: int, fq=None) -> dict:
+    def range_facet(self, query: str, field: str, start, end,
+                    gap, fq=None) -> dict:
         """Solr ``facet.range``: histogram buckets ``[start+i·gap,
-        start+(i+1)·gap)`` over the numeric ``field`` of the FULL match
-        set, plus ``before``/``after`` counts (``facet.range.other=all``).
-        Every bucket in [start, end) is emitted, zero counts included."""
-        if field != "doclen":
-            raise ValueError("range facets support the numeric doclen field")
-        if gap <= 0 or end <= start:
-            raise ValueError("need gap > 0 and end > start")
+        start+(i+1)·gap)`` over a numeric or TIMESTAMP ``field`` of the
+        FULL match set, plus ``before``/``after`` counts
+        (``facet.range.other=all``).  Every bucket in [start, end) is
+        emitted, zero counts included.
+
+        Date ranges (Solr date faceting / the timeseries() stream
+        shape): ``start``/``end`` are strict ISO instants
+        (``2024-01-01T00:00:00Z``) and ``gap`` is fixed-length DateMath
+        (``+1HOUR`` / ``+6HOURS`` / ``+1DAY`` / ``+30MINUTES`` /
+        ``+N SECONDS``); bucket labels are the bucket-start instants.
+        Variable-length units (MONTH/YEAR) are not supported — a
+        documented deviation (fixed arithmetic keeps the SQL oracle
+        exact)."""
         ids = self.match_ids(query)
         fqm = self._merge_fq_mask(None, fq)
         if fqm is not None and ids.size:
             ids = ids[~fqm[ids]]
         mask = np.zeros(self.doc_space, dtype=bool)
         mask[ids] = True
-        t = self._docs_ds.to_table(columns=["doc_id", field])
-        vals = t[field].to_numpy()[mask[t["doc_id"].to_numpy()]]
-        n_buckets = (end - start + gap - 1) // gap
-        idx = (vals - start) // gap
-        inside = (idx >= 0) & (idx < n_buckets) & (vals < end)
+        if field == "doclen":
+            if gap <= 0 or end <= start:
+                raise ValueError("need gap > 0 and end > start")
+            t = self._docs_ds.to_table(columns=["doc_id", field])
+            vals = t[field].to_numpy()[mask[t["doc_id"].to_numpy()]]
+            labels = None
+            s_i, e_i, g_i = int(start), int(end), int(gap)
+        else:
+            col_field = self._docs_ds.schema.field(field) \
+                if field in self.stored_fields else None
+            if col_field is None or not pa.types.is_timestamp(
+                col_field.type
+            ):
+                raise ValueError(
+                    "range facets support doclen or a timestamp "
+                    f"stored column; {field!r} is neither"
+                )
+            s_i = int(np.datetime64(str(start).rstrip("Z"), "us")
+                      .astype(np.int64))
+            e_i = int(np.datetime64(str(end).rstrip("Z"), "us")
+                      .astype(np.int64))
+            g_i = _parse_datemath_gap_us(gap)
+            if e_i <= s_i:
+                raise ValueError("need end > start")
+            t = self._docs_ds.to_table(columns=["doc_id", field])
+            hit = mask[t["doc_id"].to_numpy()]
+            vals = (t[field].cast(pa.timestamp("us")).to_numpy()
+                    .astype("datetime64[us]").astype(np.int64)[hit])
+
+            def labels(i):
+                from datetime import datetime, timezone
+
+                ts = datetime.fromtimestamp(
+                    (s_i + i * g_i) / 1e6, tz=timezone.utc
+                )
+                return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+        n_buckets = (e_i - s_i + g_i - 1) // g_i
+        idx = (vals - s_i) // g_i
+        inside = (idx >= 0) & (idx < n_buckets) & (vals < e_i)
         counts = np.bincount(idx[inside].astype(np.int64),
                              minlength=n_buckets)
         return {
             "buckets": [
-                (int(start + i * gap), int(counts[i]))
+                ((int(s_i + i * g_i) if labels is None else labels(i)),
+                 int(counts[i]))
                 for i in range(n_buckets)
             ],
-            "before": int((vals < start).sum()),
-            "after": int((vals >= end).sum()),
+            "before": int((vals < s_i).sum()),
+            "after": int((vals >= e_i).sum()),
         }
 
     def pivot_facet(self, query: str, fields, mincount: int = 1,
@@ -6244,6 +6286,27 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
             "score": pa.array(out["score"].astype("float64")),
         }
     )
+
+
+_DATEMATH_GAP = re.compile(r"^\+(\d+)(SECONDS?|MINUTES?|HOURS?|DAYS?)$")
+
+
+def _parse_datemath_gap_us(gap) -> int:
+    """Fixed-length Solr DateMath gap -> microseconds (+1DAY, +6HOURS,
+    +30MINUTES, +45SECONDS)."""
+    m = _DATEMATH_GAP.match(str(gap).strip().upper())
+    if m is None:
+        raise ValueError(
+            f"bad date gap {gap!r}; want +N(SECONDS|MINUTES|HOURS|DAYS)"
+        )
+    n = int(m.group(1))
+    unit = m.group(2).rstrip("S") + "S"
+    scale = {"SECONDS": 1, "MINUTES": 60, "HOURS": 3600,
+             "DAYS": 86400}[unit]
+    us = n * scale * 1_000_000
+    if us <= 0:
+        raise ValueError("gap must be positive")
+    return us
 
 
 _COLLAPSE_FQ_RE = re.compile(r"^\{!collapse\s+([^}]*)\}\s*$")

@@ -233,3 +233,67 @@ class TestDateRanges:
         t = eng.search("mtime:[2024-03-01T00:00:00Z TO *]", k=2000,
                        fl=["doc_id"])
         assert t.num_rows == corpus.num_rows + 20
+
+
+class TestDateRangeFacets:
+    """Date-typed facet.range over a timestamp extra_stored column:
+    bucket-start instant labels, before/after, zero buckets kept."""
+
+    def test_vs_brute_force(self, dfidx):
+        from datetime import datetime, timedelta, timezone
+
+        idx, corpus = dfidx
+        eng = SearchEngine(idx)
+        out = eng.range_facet(
+            "def read", "mtime",
+            "2024-03-02T00:00:00Z", "2024-03-08T00:00:00Z", "+1DAY",
+        )
+        ids = set(eng.match_ids("def read").tolist())
+        mt = corpus["mtime"].to_pylist()
+        lo = datetime(2024, 3, 2)
+        hi = datetime(2024, 3, 8)
+        vals = [mt[d] for d in ids]
+        exp_counts = {}
+        for i in range(6):
+            b0 = lo + timedelta(days=i)
+            exp_counts[b0.strftime("%Y-%m-%dT%H:%M:%SZ")] = sum(
+                b0 <= v < b0 + timedelta(days=1) for v in vals
+            )
+        assert dict(out["buckets"]) == exp_counts
+        assert out["before"] == sum(v < lo for v in vals)
+        assert out["after"] == sum(v >= hi for v in vals)
+        # zero buckets present, labels ordered
+        assert len(out["buckets"]) == 6
+
+    def test_hour_gap_and_errors(self, dfidx):
+        idx, _ = dfidx
+        eng = SearchEngine(idx)
+        out = eng.range_facet("def", "mtime", "2024-03-01T00:00:00Z",
+                              "2024-03-01T12:00:00Z", "+6HOURS")
+        assert [b for b, _ in out["buckets"]] == [
+            "2024-03-01T00:00:00Z", "2024-03-01T06:00:00Z"]
+        with pytest.raises(ValueError, match="bad date gap"):
+            eng.range_facet("def", "mtime", "2024-03-01T00:00:00Z",
+                            "2024-03-02T00:00:00Z", "+1MONTH")
+        with pytest.raises(ValueError, match="timestamp"):
+            eng.range_facet("def", "lang", "a", "b", "+1DAY")
+
+    @pytest.fixture(scope="class")
+    def dfidx(self, tmp_path_factory):
+        from datetime import datetime, timedelta
+
+        corpus = generate_corpus(120, seed=9, mean_tokens=40)
+        base = datetime(2024, 3, 1)
+        mtimes = [base + timedelta(hours=3 * i)
+                  for i in range(corpus.num_rows)]
+        corpus = corpus.append_column(
+            "mtime", pa.array(mtimes, pa.timestamp("us"))
+        )
+        path = tmp_path_factory.mktemp("dfcorpus") / "c.parquet"
+        pq.write_table(corpus, path, row_group_size=64)
+        idx = str(tmp_path_factory.mktemp("dfidx") / "idx")
+        build_index(
+            str(path), idx,
+            config=IndexConfig(concurrency=2, extra_stored=("mtime",)),
+        )
+        return idx, corpus
