@@ -505,6 +505,27 @@ class StreamCompiler:
         out = docs.map_batches(hop, batch_format="pyarrow")
         return out.groupby("node").aggregate(Count(alias_name="count(*)"))
 
+    def _c_timeseries(self, node: Node):
+        """Solr timeseries() stream: fixed-gap date buckets of a query's
+        match set over a timestamp field (count per bucket; compose
+        rollup() over a search export for per-bucket metrics)."""
+        import ray.data as rd
+
+        from solr_indexer_ray.pipelines.search import SearchEngine
+
+        if not node.args:
+            raise StreamExprError("timeseries() requires a collection")
+        engine = SearchEngine(self._index_dir(node.args[0]))
+        out = engine.range_facet(
+            str(_need(node, "q")), str(_need(node, "field")),
+            _need(node, "start"), _need(node, "end"),
+            _need(node, "gap"),
+        )
+        return rd.from_items(
+            [{"bucket": b, "count(*)": int(c)}
+             for b, c in out["buckets"]]
+        )
+
     def _c_facet(self, node: Node):
         """Solr facet() stream: grouped aggregates over a query's match
         set, ordered by a bucket sort, limited — rollup + top in one

@@ -3,6 +3,7 @@
 ground truth, and join/rollup shapes."""
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 import pytest
 
@@ -284,3 +285,36 @@ class TestCompile:
             compile_stream_expr('frobnicate(x)', sidx)
         with pytest.raises(StreamExprError, match="requires q="):
             compile_stream_expr('search(docs, fl="doc_id")', sidx)
+
+
+def test_timeseries_stream(sidx, tmp_path_factory):
+    """timeseries() buckets equal range_facet's over the same field."""
+    from datetime import datetime, timedelta
+
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(100, seed=5, mean_tokens=30)
+    base = datetime(2024, 6, 1)
+    corpus = corpus.append_column(
+        "mtime",
+        pa.array([base + timedelta(hours=2 * i)
+                  for i in range(corpus.num_rows)], pa.timestamp("us")),
+    )
+    d = tmp_path_factory.mktemp("tsidx")
+    pq.write_table(corpus, str(d / "c.parquet"), row_group_size=32)
+    build_index(str(d / "c.parquet"), str(d / "idx"),
+                config=IndexConfig(concurrency=1,
+                                   extra_stored=("mtime",)))
+    rows = compile_stream_expr(
+        'timeseries(docs, q="def", field="mtime", '
+        'start="2024-06-01T00:00:00Z", end="2024-06-04T00:00:00Z", '
+        'gap="+1DAY")', str(d / "idx")
+    ).take_all()
+    exp = SearchEngine(str(d / "idx")).range_facet(
+        "def", "mtime", "2024-06-01T00:00:00Z", "2024-06-04T00:00:00Z",
+        "+1DAY")
+    assert [(r["bucket"], r["count(*)"]) for r in rows] == exp["buckets"]
