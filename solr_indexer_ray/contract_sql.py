@@ -638,6 +638,8 @@ def _func_sql(node) -> str:
         )
     name, args = node[1], node[2]
     a = [_func_sql(x) for x in args]
+    if name == "ms":
+        return a[0] if len(a) == 1 else f"({a[0]} - {a[1]})"
     if name == "geodist":
         lat, lon, plat, plon = a
         return (

@@ -26,6 +26,8 @@ Functions (Solr semantics; Java float math via numpy float64):
     geodist(latcol, loncol, pt_lat, pt_lon)  = haversine km to the point
         (Solr's geodist(sfield, lat, lon) with the point split across
         two numeric columns; missing coords evaluate as 0,0)
+    ms(a [, b])        = epoch milliseconds (timestamps already evaluate
+        as epoch ms) or the difference a - b; pass NOW as a literal
 
 Missing numeric values evaluate as 0.0 (Solr's default for absent
 numeric DocValues); timestamp fields evaluate as epoch milliseconds
@@ -72,10 +74,11 @@ _ARITY = {
     "map": (4, 5),
     "field": (1, 1),
     "geodist": (4, 4),
+    "ms": (1, 2),
 }
 
 _UNSUPPORTED = {"scale", "query", "ord", "rord", "norm", "docfreq",
-                "idf", "tf", "ms"}
+                "idf", "tf"}
 
 
 def _tokenize(s: str) -> list:
@@ -228,6 +231,16 @@ def eval_func(node, cols) -> np.ndarray:
             a = eval_func(args[2], cols)
             b = eval_func(args[3], cols)
             return a / (m * x + b)
+        if name == "ms":
+            # Solr ms(): epoch-millisecond value (1-arg) or difference
+            # ms(a,b) = a - b; timestamp columns already evaluate as
+            # epoch ms, so recip(ms(NOW_MS,mtime),m,a,b) recency boosts
+            # work with NOW shipped as a literal (no wall-clock reads
+            # inside the engine — determinism keeps oracles exact)
+            a = eval_func(args[0], cols)
+            if len(args) == 1:
+                return a
+            return a - eval_func(args[1], cols)
         if name == "geodist":
             # geodist(latcol, loncol, pt_lat, pt_lon) -> km (haversine,
             # Solr's mean earth radius).  Solr spells this

@@ -70,7 +70,7 @@ class TestParser:
         with pytest.raises(FuncQueryError):
             parse_func(bad)
 
-    @pytest.mark.parametrize("fn", ["scale", "query", "ord", "ms"])
+    @pytest.mark.parametrize("fn", ["scale", "query", "ord", "rord"])
     def test_unsupported_functions_explicit(self, fn):
         with pytest.raises(FuncQueryError, match="not supported"):
             parse_func(f"{fn}(doclen)")
@@ -350,3 +350,19 @@ class TestDistributedIdentity:
         assert dist["score"].to_pylist() == single["score"].to_pylist()
         # the boosted doc leads: its function value dominates
         assert dist["doc_id"][0].as_py() == did
+
+
+class TestMs:
+    def test_ms_identity_and_diff(self):
+        cols = {"mt": np.array([1000.0, 2000.0, 0.0])}
+        assert eval_func(parse_func("ms(mt)"), cols).tolist() == [
+            1000.0, 2000.0, 0.0]
+        got = eval_func(parse_func("ms(5000, mt)"), cols)
+        assert got.tolist() == [4000.0, 3000.0, 5000.0]
+
+    def test_recency_boost_shape(self):
+        # recip(ms(NOW,mt), m, a, b): newer docs (larger mt) score higher
+        cols = {"mt": np.array([0.0, 9.0e5, 1.0e6])}
+        v = eval_func(parse_func("recip(ms(1000000, mt),1,1000,1000)"),
+                      cols)
+        assert v[2] > v[1] > v[0]
