@@ -144,6 +144,47 @@ class TestEveryQueryShape:
                 q, kw)
             assert s["score"].to_pylist() == p["score"].to_pylist()
 
+    def test_extend_inherits_all_features(self, kidx, tmp_path):
+        import shutil
+
+        from solr_indexer_ray.pipelines.build import extend_index
+
+        work = str(tmp_path / "idx")
+        shutil.copytree(kidx, work,
+                        ignore=shutil.ignore_patterns(".build_lock"))
+        n0 = SearchEngine(work).n_docs
+        extra = generate_corpus(40, seed=43, mean_tokens=30,
+                                with_edge_rows=False)
+        m = extra.num_rows
+        base = datetime(2024, 7, 1)
+        extra = extra.append_column(
+            "mtime", pa.array([base + timedelta(hours=i)
+                               for i in range(m)], pa.timestamp("us")))
+        extra = extra.append_column(
+            "lat", pa.array([10.0] * m, pa.float64()))
+        extra = extra.append_column(
+            "lon", pa.array([20.0] * m, pa.float64()))
+        extra = extra.append_column(
+            "stars", pa.array([99.0] * m, pa.float64()))
+        path = str(tmp_path / "extra.parquet")
+        pq.write_table(extra, path, row_group_size=32)
+        extend_index(path, work)
+        eng = SearchEngine(work)
+        assert eng.n_docs == n0 + m
+        # new rows reachable via every feature class
+        new_ids = set(range(n0, n0 + m))
+        geo = set(eng.match_ids(
+            "{!geofilt sfield=lat,lon pt=10,20 d=1}").tolist())
+        assert new_ids <= geo
+        dr = set(eng.match_ids(
+            "mtime:[2024-07-01T00:00:00Z TO *]").tolist())
+        assert new_ids == dr
+        assert set(eng.match_ids("stars:[99 TO 99]").tolist()) == new_ids
+        # stop chain + analyzed field still apply to the extension
+        assert eng.search("the", k=3).num_rows == 0
+        ft = eng.search("path_text:mod1 def", k=50, fl=["doc_id"])
+        assert any(d >= n0 for d in ft["doc_id"].to_pylist())
+
     def test_lifecycle_roundtrip(self, kidx, tmp_path):
         import shutil
 
