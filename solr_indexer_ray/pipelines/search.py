@@ -3637,9 +3637,20 @@ class SearchEngine:
             raise ValueError("start must be >= 0")
         n = max(int(rerank_docs), start + k)
         main = self.search(query, k=n, fl=["doc_id"], fq=fq)
-        rr = self.search(rerank_query, k=self.doc_space, fl=["doc_id"])
-        rmap = dict(zip(rr["doc_id"].to_pylist(),
-                        rr["score"].to_pylist()))
+        # rerank scores come from the dense leaf evaluator (the boolean
+        # path's atom): no full-match top-k sort just to read scores for
+        # an N-doc window (was the dominant cost at match sets >> N)
+        if has_group_syntax(rerank_query or ""):
+            rr = self.search(rerank_query, k=self.doc_space,
+                             fl=["doc_id"])
+            rmap = dict(zip(rr["doc_id"].to_pylist(),
+                            rr["score"].to_pylist()))
+        else:
+            mask, dense = self._eval_leaf(self._parse(rerank_query))
+            cand = np.asarray(main["doc_id"].to_pylist(),
+                              dtype=np.int64)
+            rmap = {int(d): float(dense[d])
+                    for d in cand if mask[d]}
         hits = _rerank_combine(
             main["doc_id"].to_pylist(), main["score"].to_pylist(),
             rmap, int(rerank_docs), float(rerank_weight), round_scores,
@@ -3724,11 +3735,13 @@ class SearchEngine:
                 mask[self.match_ids(f["q"])] = True
                 vals = mask[cand].astype(np.float64)
             elif ftype == "queryScore":
-                t = self.search(f["q"], k=self.doc_space, fl=["doc_id"])
-                smap = dict(zip(t["doc_id"].to_pylist(),
-                                t["score"].to_pylist()))
-                vals = np.array([_r(smap.get(int(d), 0.0))
-                                 for d in cand])
+                # dense leaf evaluation: candidate lookups only, no
+                # full-match top-k sort (same shortcut as rerank_search)
+                mask, dense = self._eval_leaf(self._parse(f["q"]))
+                vals = np.array([
+                    _r(dense[int(d)]) if mask[int(d)] else 0.0
+                    for d in cand
+                ])
             elif ftype == "value":
                 vals = np.full(seg, float(f["value"]))
             else:
