@@ -1458,6 +1458,38 @@ class SearchEngine:
             t = self._resolve(hits, fl)
         return self._add_highlights(parsed, t) if hl else t
 
+    def _full_match_arrays(self, query: str, fq=None):
+        """``(ids, scores)`` of a plain query's FULL match set, UNRANKED
+        — the value source for grouping/collapsing, which re-order
+        themselves (skips ``_select_topk``'s full sort + tuple list +
+        ``_resolve`` round-trip).  Returns None for query shapes with
+        their own pipelines (grouped boolean, filter directives,
+        match-all, elevation) — callers fall back to ``search()``.
+        Scores are bit-identical to the ranked path (same
+        ``_match_score_arrays`` under ``_score_taat``)."""
+        if has_group_syntax(query or ""):
+            return None
+        if (_JOIN_Q_RE.match(query or "")
+                or _GEO_Q_RE.match(query or "")
+                or _INTERSECTS_Q_RE.match(query or "")
+                or _BLOCKJOIN_Q_RE.match(query or "")):
+            return None
+        if query in self.elevate:
+            return None
+        parsed = self._parse(query)
+        if parsed.scoring_clauses == 0:
+            return None
+        want = list(parsed.terms)
+        if self.synonyms:
+            for t_ in parsed.terms:
+                want += self.synonyms.get(t_, [])
+        postings = self.lookup_postings(want)
+        excluded = self._merge_fq_mask(self._excluded_mask(parsed), fq)
+        arrays = self._match_score_arrays(parsed, postings, excluded)
+        if arrays is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return arrays
+
     def _apply_mm(self, parsed: ParsedQuery, query: str, mm) -> None:
         """Resolve + attach Solr ``mm`` to a freshly-parsed query.
 
@@ -2069,6 +2101,22 @@ class SearchEngine:
             )
 
     def _score_taat(self, parsed, postings, excluded, k, after=None):
+        arrays = self._match_score_arrays(parsed, postings, excluded,
+                                          after=after)
+        if arrays is None:
+            return []
+        cand, s = arrays
+        if cand.size == 0:
+            return []
+        return _select_topk(cand, s, k)
+
+    def _match_score_arrays(self, parsed, postings, excluded,
+                            after=None):
+        """The TAAT scorer up to (but not including) the top-k cut:
+        ``(cand ids, their scores)`` UNRANKED — the value source for
+        components that re-order themselves (grouping, collapsing) and
+        for the ranked path's ``_select_topk``.  Returns None when
+        nothing matches."""
         scores = np.zeros(self.doc_space, dtype=np.float64)
         #: conjunction requires every DISTINCT query clause — including
         #: terms absent from the index (Lucene: AND with a non-existent
@@ -2084,7 +2132,7 @@ class SearchEngine:
         )
         n_present = self._accumulate(parsed, postings, scores, seen)
         if n_present == 0:
-            return []
+            return None
         if seen is not None:
             cand = np.flatnonzero(seen >= required)
         else:
@@ -2111,9 +2159,7 @@ class SearchEngine:
             cs, cid = after
             sa = scores[cand]
             cand = cand[(sa < cs) | ((sa == cs) & (cand > cid))]
-        if cand.size == 0:
-            return []
-        return _select_topk(cand, scores[cand], k)
+        return cand, scores[cand]
 
     # -- parenthesized boolean grouping --------------------------------- #
     def _eval_leaf(self, parsed: ParsedQuery):
@@ -3511,13 +3557,18 @@ class SearchEngine:
         """
         if group_field not in self.stored_fields or group_field == "doc_id":
             raise ValueError(f"cannot group on field {group_field!r}")
-        full = self.search(query, k=self.doc_space, fl=["doc_id"], fq=fq)
         import pandas as pd
 
-        df = pd.DataFrame(
-            {"doc_id": full["doc_id"].to_numpy(),
-             "score": full["score"].to_numpy()}
-        )
+        arrays = self._full_match_arrays(query, fq=fq)
+        if arrays is not None:
+            df = pd.DataFrame({"doc_id": arrays[0], "score": arrays[1]})
+        else:
+            full = self.search(query, k=self.doc_space, fl=["doc_id"],
+                               fq=fq)
+            df = pd.DataFrame(
+                {"doc_id": full["doc_id"].to_numpy(),
+                 "score": full["score"].to_numpy()}
+            )
         if df.empty:
             return pa.table(
                 {"group": pa.array([], pa.string()),
@@ -3595,14 +3646,19 @@ class SearchEngine:
             raise ValueError(f"cannot collapse on field {field!r}")
         if null_policy not in ("ignore", "expand", "collapse"):
             raise ValueError(f"bad nullPolicy {null_policy!r}")
-        full = self.search(query, k=self.doc_space, fl=["doc_id"], fq=fq,
-                           **search_kwargs)
         import pandas as pd
 
-        df = pd.DataFrame(
-            {"doc_id": full["doc_id"].to_numpy(),
-             "score": full["score"].to_numpy()}
-        )
+        arrays = (self._full_match_arrays(query, fq=fq)
+                  if not search_kwargs else None)
+        if arrays is not None:
+            df = pd.DataFrame({"doc_id": arrays[0], "score": arrays[1]})
+        else:
+            full = self.search(query, k=self.doc_space, fl=["doc_id"],
+                               fq=fq, **search_kwargs)
+            df = pd.DataFrame(
+                {"doc_id": full["doc_id"].to_numpy(),
+                 "score": full["score"].to_numpy()}
+            )
         if not df.empty:
             ids = df["doc_id"].to_numpy()
             t = self._field_table(field)
@@ -6376,45 +6432,59 @@ def _collapse_frame(df, field: str, k: int, null_policy: str,
         df["score"] = np.copysign(np.floor(np.abs(s) * m + 0.5) / m, s)
     import pandas as pd
 
-    isnull = df[field].isna()
-    # group keys: "v"+value for real values, "n"(+doc_id) for null groups —
-    # a structural prefix rather than a NUL sentinel, because pandas'
-    # groupby hashtable compares strings C-style (a \x00 inside a key
-    # truncates comparison and collides distinct keys)
+    doc_ids = df["doc_id"].to_numpy().astype(np.int64)
+    scores = df["score"].to_numpy().astype(np.float64)
+    # hash-factorize the raw group values (no sort, no sentinel-string
+    # construction); nulls come back as code -1 and route per policy
+    codes, uniques = pd.factorize(df[field], use_na_sentinel=True)
+    codes = codes.astype(np.int64)
+    n_real = len(uniques)
+    null_rows = codes < 0
     if null_policy == "ignore":
-        df = df[~isnull]
-        if df.empty:
+        keep = ~null_rows
+        if not keep.any():
             return empty
-        df["_grp"] = ["v" + str(v)
-                      for v in df[field].to_numpy(dtype=object)]
+        doc_ids, scores, codes = (doc_ids[keep], scores[keep],
+                                  codes[keep])
     elif null_policy == "expand":  # each null doc is its own group
-        df["_grp"] = [
-            ("n" + str(d)) if pd.isna(v) else "v" + str(v)
-            for v, d in zip(df[field].to_numpy(dtype=object),
-                            df["doc_id"].to_numpy())
-        ]
+        codes = codes.copy()
+        codes[null_rows] = n_real + np.arange(int(null_rows.sum()))
     else:  # "collapse": all nulls fold into one group
-        df["_grp"] = [
-            "n" if pd.isna(v) else "v" + str(v)
-            for v in df[field].to_numpy(dtype=object)
-        ]
-    df = df.sort_values(["score", "doc_id"], ascending=[False, True],
-                        kind="mergesort")
-    df["position"] = df.groupby("_grp", sort=False).cumcount()
-    heads = df[df["position"] == 0].reset_index(drop=True).head(k)
-    order = {v: i for i, v in enumerate(heads["_grp"])}
-    out = df[df["_grp"].isin(order) & (df["position"] <= expand_limit)].copy()
-    out["rank"] = out["_grp"].map(order)
-    out = out.sort_values(["rank", "position"])
+        codes = codes.copy()
+        codes[null_rows] = n_real
+    n = doc_ids.size
+    # rank order (score desc, doc_id asc), then a vectorized per-group
+    # cumcount in that order — no pandas groupby machinery in the loop
+    order = np.lexsort((doc_ids, -scores))
+    codes_r = codes[order]
+    perm = np.argsort(codes_r, kind="stable")  # groups contiguous,
+    sorted_codes = codes_r[perm]               # rank order kept inside
+    starts = np.flatnonzero(
+        np.r_[True, sorted_codes[1:] != sorted_codes[:-1]]
+    )
+    sizes = np.diff(np.r_[starts, n])
+    cum = np.arange(n) - np.repeat(starts, sizes)
+    position = np.empty(n, dtype=np.int64)
+    position[perm] = cum
+    head_rows = np.flatnonzero(position == 0)[:k]  # rank order already
+    rank_of_code = np.full(int(codes_r.max()) + 1, -1, dtype=np.int64)
+    rank_of_code[codes_r[head_rows]] = np.arange(head_rows.size)
+    ranks = rank_of_code[codes_r]
+    sel = (ranks >= 0) & (position <= expand_limit)
+    out_order = np.lexsort((position[sel], ranks[sel]))
+    idx = np.flatnonzero(sel)[out_order]
+    ids_r = doc_ids[order]
+    scores_r = scores[order]
+    out_codes = codes_r[idx]
     return pa.table(
         {
-            "rank": pa.array(out["rank"].astype("int64")),
-            "position": pa.array(out["position"].astype("int64")),
-            "doc_id": pa.array(out["doc_id"].astype("int64")),
-            "score": pa.array(out["score"].astype("float64")),
+            "rank": pa.array(ranks[idx], pa.int64()),
+            "position": pa.array(position[idx], pa.int64()),
+            "doc_id": pa.array(ids_r[idx], pa.int64()),
+            "score": pa.array(scores_r[idx], pa.float64()),
             "group": pa.array(
-                [v[1:] if v.startswith("v") else None
-                 for v in out["_grp"]],
+                [str(uniques[c]) if c < n_real else None
+                 for c in out_codes],
                 pa.string(),
             ),
         }
