@@ -213,8 +213,38 @@ class StreamCompiler:
         fq = node.kwargs.get("fq")
         want_score = "score" in fl
         stored = [f for f in fl if f != "score"]
-        if want_score or rows is not None:
-            # scored / bounded exports resolve through the ranked path
+        arrays = (engine._full_match_arrays(q, fq=fq)
+                  if want_score and rows is None else None)
+        if arrays is not None:
+            # scored FULL export STREAMS too: the dense score array
+            # broadcasts once (8 B/doc-slot, the same class as the
+            # match bitmap) and each docs block attaches its slice
+            ids, sc = arrays
+            dense = np.zeros(engine.doc_space, dtype=np.float64)
+            dense[ids] = sc
+            mask = np.zeros(engine.doc_space, dtype=bool)
+            mask[ids] = True
+            sref = ray.put((mask, dense))
+            import os
+
+            def attach(batch: pa.Table) -> pa.Table:
+                m, s = ray.get(sref)
+                t = batch.filter(
+                    pa.array(m[batch["doc_id"].to_numpy()])
+                )
+                t = t.append_column(
+                    "score", pa.array(s[t["doc_id"].to_numpy()],
+                                      pa.float64())
+                )
+                return t.select(fl)
+
+            cols = sorted({*stored, "doc_id"})
+            ds = rd.read_parquet(
+                os.path.join(engine.index_dir, "docs"), columns=cols
+            ).map_batches(attach, batch_format="pyarrow")
+        elif want_score or rows is not None:
+            # bounded / special-shape scored exports resolve through the
+            # ranked path
             t = engine.search(q, k=int(rows) if rows else engine.doc_space,
                               fl=stored or ["doc_id"], fq=fq)
             ds = rd.from_arrow(t.select(fl))

@@ -318,3 +318,18 @@ def test_timeseries_stream(sidx, tmp_path_factory):
         "def", "mtime", "2024-06-01T00:00:00Z", "2024-06-04T00:00:00Z",
         "+1DAY")
     assert [(r["bucket"], r["count(*)"]) for r in rows] == exp["buckets"]
+
+
+def test_scored_full_export_streams(sidx):
+    """Scored full exports stream (broadcast dense scores) and match the
+    ranked engine's (doc_id -> score) map exactly."""
+    eng = SearchEngine(sidx)
+    rows = compile_stream_expr(
+        'search(docs, q="def read", fl="doc_id,score,lang")', sidx
+    ).take_all()
+    full = eng.search("def read", k=eng.doc_space, fl=["doc_id"])
+    exp = dict(zip(full["doc_id"].to_pylist(),
+                   full["score"].to_pylist()))
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert got == exp
+    assert all(set(r) == {"doc_id", "score", "lang"} for r in rows)
