@@ -319,7 +319,17 @@ def cmd_stream(args) -> int:
     from solr_indexer_ray.pipelines.streaming import compile_stream_expr
 
     _ensure_ray()
-    ds = compile_stream_expr(args.expr, args.output,
+    collections = args.output
+    if args.collection:
+        collections = {}
+        for spec in args.collection:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(
+                    f"--collection wants name=dir, got {spec!r}"
+                )
+            collections[name] = path
+    ds = compile_stream_expr(args.expr, collections,
                              num_partitions=args.num_partitions)
     n = 0
     for row in ds.iter_rows():
@@ -849,6 +859,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="index dir (any collection name resolves here)")
     pst.add_argument("--expr", required=True)
     pst.add_argument("--num-partitions", type=int, default=8)
+    pst.add_argument("--collection", action="append",
+                     help="name=dir mapping (repeatable); expressions "
+                          "can then join across different indexes")
     pst.set_defaults(fn=cmd_stream)
 
     pan = sub.add_parser(
