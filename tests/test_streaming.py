@@ -333,3 +333,30 @@ def test_scored_full_export_streams(sidx):
     got = {r["doc_id"]: r["score"] for r in rows}
     assert got == exp
     assert all(set(r) == {"doc_id", "score", "lang"} for r in rows)
+
+
+def test_cross_collection_join(built_index, tmp_path_factory):
+    """One expression joins across TWO different indexes via the
+    collections mapping (Solr-style multi-collection streaming)."""
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.sources.corpus import generate_corpus
+
+    idx_a = built_index[0]
+    d = tmp_path_factory.mktemp("xcoll")
+    corpus_b = generate_corpus(60, seed=51, mean_tokens=30,
+                               with_edge_rows=False)
+    pq.write_table(corpus_b, str(d / "b.parquet"), row_group_size=32)
+    build_index(str(d / "b.parquet"), str(d / "idx_b"),
+                config=IndexConfig(concurrency=1))
+    rows = compile_stream_expr(
+        'innerJoin(search(a, q="def", fl="doc_id,lang"), '
+        'search(b, q="def", fl="doc_id,doclen"), on="doc_id")',
+        {"a": idx_a, "b": str(d / "idx_b")}, num_partitions=2,
+    ).take_all()
+    ea, eb = SearchEngine(idx_a), SearchEngine(str(d / "idx_b"))
+    exp = (set(ea.match_ids("def").tolist())
+           & set(eb.match_ids("def").tolist()))
+    assert sorted(r["doc_id"] for r in rows) == sorted(exp)
