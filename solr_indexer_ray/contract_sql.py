@@ -855,7 +855,7 @@ sig AS (
 ),
 gated AS (
   SELECT d.doc_id AS doc_id,
-    coalesce(s.n, 0) AS n_tokens,
+    coalesce(s.n, 0)::BIGINT AS n_tokens,
     coalesce(s.mean_len, 0.0) AS mean_token_len,
     coalesce(s.alpha, 0.0) AS alpha_frac,
     coalesce(s.dup, 0.0) AS dup_frac,
@@ -1809,7 +1809,7 @@ def stream_rollup_sql() -> str:
     set's docs (doclen = dl; lang from documents)."""
     m = _match_docs_sql("spark merge")
     return _BM25_CTES + f"""
-SELECT d.lang AS lang, sum(dl.dl) AS "sum(doclen)",
+SELECT d.lang AS lang, CAST(sum(dl.dl) AS BIGINT) AS "sum(doclen)",
        count(*) AS "count(*)",
        sum(dl.dl) * 1.0 / count(*) AS "avg(doclen)"
 FROM ({m}) s

@@ -55,6 +55,15 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list:
     if len(a) == len(b):
         for col in a.columns:
             av, bv = a[col], b[col]
+            # The driver's value hash is dtype-sensitive: int64 vs float64
+            # hash-mismatch even when every value compares equal.  Flag
+            # numeric-kind drift explicitly (bool/int vs float).
+            ak, bk = av.dtype.kind, bv.dtype.kind
+            num = set("biuf")
+            if ak != bk and ak in num and bk in num and {ak, bk} & {"f"}:
+                problems.append(
+                    f"dtype drift on {col!r}: mine={av.dtype} oracle={bv.dtype}"
+                )
             try:
                 same = av.equals(bv) or (av.astype(object) == bv.astype(object)).all()
             except (TypeError, ValueError):
