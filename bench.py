@@ -84,6 +84,11 @@ def ensure_corpus(n_files: int) -> str:
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # Host-state markers (VERDICT r2 #9): the sandbox host is shared, and
+    # absolute throughput moves ~2-3x with background load — loadavg at
+    # start/end makes each BENCH_r{N}.json interpretable.
+    load_start = round(os.getloadavg()[0], 2)
+
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -331,6 +336,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     hq = [
         (i, q, rng.standard_normal(dim)) for i, q in enumerate(_query_set(5))
     ]
+    # brute-force dense side (the exact_ranks oracle mode): full-corpus
+    # stream per query batch
+    t0 = time.perf_counter()
+    hybrid_search(index_dir, emb_ds, hq, k=10, engine=engine)
+    hybrid_brute_ms = round((time.perf_counter() - t0) / len(hq) * 1000, 1)
+    # default production path (r3): persisted IVF probe auto-discovered
+    # at {index_dir}/ann_ivf — partition-pruned bucket reads
+    from solr_indexer_ray.stages.hybrid import build_hybrid_ann
+
+    t0 = time.perf_counter()
+    build_hybrid_ann(index_dir, emb_ds, n_buckets=16, nprobe=3)
+    hybrid_ann_build_s = round(time.perf_counter() - t0, 3)
+    hybrid_search(index_dir, emb_ds, hq, k=10, engine=engine)  # warm
     t0 = time.perf_counter()
     hybrid_search(index_dir, emb_ds, hq, k=10, engine=engine)
     hybrid_ms = round((time.perf_counter() - t0) / len(hq) * 1000, 1)
@@ -405,6 +423,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         },
         "sf": sf,
         "num_cpus": num_cpus,
+        "host": {
+            "loadavg_1m_start": load_start,
+            "loadavg_1m_end": round(os.getloadavg()[0], 2),
+            "cpu_count": os.cpu_count(),
+        },
         "detail": {
             "n_docs": int(n_docs),
             "docs_per_sec": round(n_docs / build_s, 1),
@@ -433,6 +456,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "field_p50_ms": field_p50,
             "qf_p50_ms": qf_p50,
             "hybrid_per_query_ms": hybrid_ms,
+            "hybrid_brute_per_query_ms": hybrid_brute_ms,
+            "hybrid_ann_build_s": hybrid_ann_build_s,
             "collapse_p50_ms": collapse_p50,
             "rerank_p50_ms": rerank_p50,
             "join_fq_p50_ms": join_p50,
@@ -491,6 +516,11 @@ def run_scaling(sf_dir: str) -> dict:
         "pair_2_to_8": pair(2, 8),
         "pair_8_to_32": pair(8, 32),
         "scaling_efficiency": pair(2, 8)["scaling_efficiency"],
+        "host": {
+            # per-level markers: contention hits high-concurrency levels
+            # hardest (see BASELINE.md host-variance note)
+            str(n): results[n]["host"] for n in results
+        },
     }
 
 

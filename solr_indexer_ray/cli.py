@@ -563,21 +563,24 @@ def cmd_paradedup(args) -> int:
 
 
 def cmd_pack(args) -> int:
-    """Greedy contiguous sequence packing into fixed token budgets;
+    """Greedy contiguous sequence packing into fixed token budgets
+    (shard-parallel: bins never cross doc_id//shard_size boundaries);
     writes (doc_id, n_tokens, bin) parquet."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from solr_indexer_ray.stages.curation import pack_sequences
 
     _ensure_ray()
-    t = pack_sequences(
+    out = pack_sequences(
         rd.read_parquet(args.input, columns=[args.id_col, args.text_col]),
         budget=args.budget, text_col=args.text_col, id_col=args.id_col,
+        shard_size=args.shard_size,
     )
-    pq.write_table(t, args.dest)
+    out.write_parquet(args.dest)
     import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
 
+    t = pads.dataset(args.dest).to_table(columns=["bin"])
     print(json.dumps({
         "rows": t.num_rows,
         "bins": int(_pc.max(t["bin"]).as_py() or 0) + 1
@@ -987,6 +990,11 @@ def build_parser() -> argparse.ArgumentParser:
     ppk.add_argument("--budget", type=int, required=True)
     ppk.add_argument("--text-col", default="text")
     ppk.add_argument("--id-col", default="doc_id")
+    ppk.add_argument(
+        "--shard-size", type=int, default=1 << 20,
+        help="bins never cross doc_id//shard_size boundaries "
+             "(per-shard parallel packing)",
+    )
     ppk.set_defaults(fn=cmd_pack)
 
     pqf = sub.add_parser(

@@ -1508,22 +1508,31 @@ def q_shuffled_order(sf_dir: str):
 
 
 def q_packed_sequences(sf_dir: str):
-    """Greedy contiguous sequence packing (budget 128 tokens) over the
-    documents table — see stages/curation.pack_sequences."""
+    """Greedy contiguous sequence packing (budget 128 tokens, bins
+    break at doc_id//150 shard boundaries) over the documents table —
+    the shard-parallel map_groups + prefix-sum-rebase path of
+    stages/curation.pack_sequences; shard_size=150 exercises real
+    multi-shard packing at sf0.01 (500 docs -> 4 shards)."""
     from solr_indexer_ray.stages.curation import pack_sequences
 
-    return pack_sequences(_documents(sf_dir), budget=128)
+    return pack_sequences(_documents(sf_dir), budget=128, shard_size=150)
 
 
 def q_lm_quality(sf_dir: str):
     """CCNet-style bigram-LM quality signal: per-doc mean log-prob under
-    an add-0.5 bigram model trained on the corpus (combiner-groupby
-    training pass, broadcast count tables, streamed scoring — see
+    an add-0.5 bigram model with SCALE-BOUNDED training state: trained
+    on the deterministic md5 half-sample of the corpus, count tables
+    pruned to the top-24 unigrams / top-600 bigrams (distributed
+    sort+limit — genuinely prunes sf0.01's 31/916 distinct keys), and
+    scoring streamed over all docs (see
     stages/curation.lm_quality_score).  avg_logp rounded half-away to 4;
     ppl omitted (exp() can differ in the last ulp across libms)."""
     from solr_indexer_ray.stages.curation import lm_quality_score
 
-    out = lm_quality_score(_documents(sf_dir)).take_all()
+    out = lm_quality_score(
+        _documents(sf_dir), train_sample_rate=0.5,
+        max_unigrams=24, max_bigrams=600,
+    ).take_all()
     return pa.Table.from_pylist(
         [{"doc_id": r["doc_id"], "n_bigrams": r["n_bigrams"],
           "avg_logp": r["avg_logp"]} for r in out],

@@ -881,10 +881,10 @@ FROM (
 
 
 #: paragraph-dedup oracle: spans via string_split on the literal
-#: separator, keep = short span OR window-min first occurrence
-#: (doc_id * 2^20 + index), survivors reassembled with ordered
-#: string_agg — the same C4 keep-first rule as
-#: stages/curation.paragraph_dedup
+#: separator, keep = short span OR (doc_id, index)-lexicographic first
+#: occurrence, survivors reassembled with ordered string_agg — the same
+#: C4 keep-first rule as stages/curation.paragraph_dedup (join method:
+#: exact tuple ordering, no composite-key bit packing)
 PARAGRAPH_DEDUP_SQL = """
 WITH paras AS (
   SELECT doc_id, generate_subscripts(ps, 1) - 1 AS i, unnest(ps) AS p
@@ -892,8 +892,8 @@ WITH paras AS (
 ),
 marked AS (
   SELECT doc_id, i, p,
-    (length(p) < 1 OR doc_id * 1048576 + i
-        = min(doc_id * 1048576 + i) OVER (PARTITION BY p)) AS keep
+    (length(p) < 1 OR row_number()
+        OVER (PARTITION BY p ORDER BY doc_id, i) = 1) AS keep
   FROM paras
 )
 SELECT doc_id,
@@ -924,21 +924,26 @@ FROM documents
 
 #: sequence-packing oracle: the greedy contiguous scan as a recursive
 #: CTE — each step either adds the next doc's token count to the
-#: current bin or opens a new one, exactly
-#: stages/curation.pack_sequences with budget 128
+#: current bin or opens a new one; a shard boundary (doc_id // 150)
+#: always opens a new bin — exactly stages/curation.pack_sequences
+#: with budget 128, shard_size 150 (bins never cross training shards)
 PACKED_SEQUENCES_SQL = f"""
 WITH RECURSIVE
-toks AS (SELECT doc_id, len({SQL_TOKS}) AS n FROM documents),
+toks AS (SELECT doc_id, len({SQL_TOKS}) AS n,
+                doc_id // 150 AS shard FROM documents),
 ord AS (
-  SELECT doc_id, n, row_number() OVER (ORDER BY doc_id) AS rn FROM toks
+  SELECT doc_id, n, shard,
+         row_number() OVER (ORDER BY doc_id) AS rn FROM toks
 ),
 pack AS (
-  SELECT rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  SELECT rn, doc_id, n, shard, CAST(0 AS BIGINT) AS bin, n AS fill
   FROM ord WHERE rn = 1
   UNION ALL
-  SELECT o.rn, o.doc_id, o.n,
-    CASE WHEN p.fill + o.n <= 128 THEN p.bin ELSE p.bin + 1 END,
-    CASE WHEN p.fill + o.n <= 128 THEN p.fill + o.n ELSE o.n END
+  SELECT o.rn, o.doc_id, o.n, o.shard,
+    CASE WHEN o.shard = p.shard AND p.fill + o.n <= 128
+         THEN p.bin ELSE p.bin + 1 END,
+    CASE WHEN o.shard = p.shard AND p.fill + o.n <= 128
+         THEN p.fill + o.n ELSE o.n END
   FROM pack p JOIN ord o ON o.rn = p.rn + 1
 )
 SELECT doc_id, n AS n_tokens, bin FROM pack
@@ -946,27 +951,47 @@ SELECT doc_id, n AS n_tokens, bin FROM pack
 
 
 #: bigram-LM quality oracle: same add-0.5 model as
-#: stages/curation.lm_quality_score — unigram head counts, zipped-slice
-#: bigram unnest, ln((c+a)/(head+a*V)) averaged per doc, round 4
+#: stages/curation.lm_quality_score with the SCALE-BOUNDED training
+#: state pinned — trained on the deterministic md5 half-sample
+#: (accept_fraction < 0.5), count tables pruned to the top-24 unigrams
+#: / top-600 bigrams by (count DESC, key ASC), V = retained unigram
+#: rows, pruned keys back off to count 0.  Scoring covers ALL docs:
+#: ln((c+a)/(head+a*V)) averaged per doc, round 4.
 LM_QUALITY_SQL = f"""
 WITH toks AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+train AS (
+  SELECT toks FROM toks
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINT64
+        / 4294967296.0 < 0.5
+),
 uni AS (
   SELECT t AS w, count(*) AS c
-  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1
+  FROM (SELECT unnest(toks) AS t FROM train) GROUP BY 1
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, t ASC) <= 24
 ),
 v AS (SELECT count(*) AS v FROM uni),
+tbigr AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM train WHERE len(toks) >= 2
+),
+bcnt AS (
+  SELECT w1, w2, count(*) AS c FROM tbigr GROUP BY 1, 2
+  QUALIFY row_number()
+      OVER (ORDER BY count(*) DESC, (w1 || ' ' || w2) ASC) <= 600
+),
 bigr AS (
   SELECT doc_id,
          unnest(toks[1:len(toks) - 1]) AS w1,
          unnest(toks[2:len(toks)]) AS w2
   FROM toks WHERE len(toks) >= 2
 ),
-bcnt AS (SELECT w1, w2, count(*) AS c FROM bigr GROUP BY 1, 2),
 scored AS (
   SELECT g.doc_id, count(*) AS n_bigrams,
-         avg(ln((coalesce(bc.c, 0) + 0.5) / (u.c + 0.5 * v.v))) AS s
+         avg(ln((coalesce(bc.c, 0) + 0.5)
+                / (coalesce(u.c, 0) + 0.5 * v.v))) AS s
   FROM bigr g
-  JOIN uni u ON u.w = g.w1
+  LEFT JOIN uni u ON u.w = g.w1
   LEFT JOIN bcnt bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
   CROSS JOIN v
   GROUP BY g.doc_id

@@ -112,7 +112,11 @@ def decontaminate(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
-def train_bigram_counts(ds, text_col: str = "text"):
+def train_bigram_counts(ds, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        sample_rate: float = 1.0,
+                        max_unigrams: int | None = None,
+                        max_bigrams: int | None = None):
     """Corpus unigram + bigram counts — the training pass of the
     :func:`lm_quality_score` language model.
 
@@ -120,14 +124,29 @@ def train_bigram_counts(ds, text_col: str = "text"):
     batch's token/bigram keys) feed a ``groupby(key).sum`` — the
     classic combiner pattern, so the shuffle moves one row per distinct
     key per batch, never per token.  Returns ``(uni, big)`` dicts
-    (token -> count, "w1 w2" -> count) on the driver — bounded by the
-    corpus vocabulary; at web scale you'd cap to the top-K n-grams with
-    an add-alpha backoff for the tail (the model is for QUALITY
-    BUCKETING, not generation — CCNet keeps only a pruned LM too).
+    (token -> count, "w1 w2" -> count) on the driver.
+
+    What reaches the driver is BOUNDED, CCNet-style (the model is for
+    QUALITY BUCKETING, not generation — CCNet keeps a pruned LM too):
+
+    - ``sample_rate`` trains on the deterministic md5 subset
+      (``accept_fraction(doc_id) < sample_rate`` — RNG-free, resumable,
+      oracle-reproducible; the same coordinate as
+      :func:`split_train_valid`), bounding the count table by the
+      sample's vocabulary instead of the corpus's.
+    - ``max_unigrams`` / ``max_bigrams`` keep only the top-K rows per
+      kind by ``(count DESC, key ASC)`` — the sort + limit run as
+      DISTRIBUTED Dataset ops over the aggregated count table, so only
+      K rows ever reach the driver; pruned keys back off to count 0
+      (pure add-alpha smoothing) at scoring time.
     """
     def partial(batch: pa.Table) -> pa.Table:
-        toks = [simple_analyzer(t or "")
-                for t in batch[text_col].to_pylist()]
+        texts = batch[text_col].to_pylist()
+        if sample_rate < 1.0:
+            ids = batch[id_col].to_pylist()
+            texts = [t for d, t in zip(ids, texts)
+                     if accept_fraction(int(d)) < sample_rate]
+        toks = [simple_analyzer(t or "") for t in texts]
         unis: list = []
         bigs: list = []
         for ts in toks:
@@ -149,21 +168,41 @@ def train_bigram_counts(ds, text_col: str = "text"):
              "n": pa.array(counts, pa.int64())}
         )
 
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["kind", "key"])
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
     )
-    uni = {r["key"]: int(r["n"]) for r in agg if r["kind"] == "u"}
-    big = {r["key"]: int(r["n"]) for r in agg if r["kind"] == "b"}
+    if max_unigrams is None and max_bigrams is None:
+        rows = agg.take_all()
+    else:
+        # The count table is consumed once per kind; materialize it in
+        # the (distributed) object store so the corpus pass runs once.
+        agg = agg.materialize()
+        rows = []
+        for kind, cap in (("u", max_unigrams), ("b", max_bigrams)):
+            part = agg.map_batches(
+                lambda t, kind=kind: t.filter(pc.equal(t["kind"], kind)),
+                batch_format="pyarrow",
+            )
+            if cap is not None:
+                part = part.sort(
+                    ["n", "key"], descending=[True, False]
+                ).limit(int(cap))
+            rows.extend(part.take_all())
+    uni = {r["key"]: int(r["n"]) for r in rows if r["kind"] == "u"}
+    big = {r["key"]: int(r["n"]) for r in rows if r["kind"] == "b"}
     return uni, big
 
 
 def lm_quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
-                     alpha: float = 0.5, counts=None, ndigits: int = 4):
+                     alpha: float = 0.5, counts=None, ndigits: int = 4,
+                     train_sample_rate: float = 1.0,
+                     max_unigrams: int | None = None,
+                     max_bigrams: int | None = None):
     """CCNet-style n-gram LM quality signal: per-doc mean log-probability
     under an add-``alpha`` bigram model trained on the corpus itself
     (docs full of common constructions score high; line noise scores
@@ -176,17 +215,23 @@ def lm_quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
     Docs with fewer than 2 tokens score NULL.
 
     Ray shape: training is the combiner-groupby of
-    :func:`train_bigram_counts`; scoring broadcasts the count tables
-    once (``ray.put`` of sorted key arrays) and STREAMS the corpus
-    through a vectorized ``searchsorted`` lookup — no shuffle, no
-    driver materialization of the corpus.
+    :func:`train_bigram_counts` — bounded at scale by
+    ``train_sample_rate`` (deterministic md5 doc sample) and
+    ``max_unigrams``/``max_bigrams`` (distributed top-K prune; pruned
+    keys score as count 0, pure smoothing backoff).  ``V`` is the
+    retained unigram-table size, so the model is self-consistent under
+    pruning.  Scoring broadcasts the (bounded) count tables once
+    (``ray.put`` of sorted key arrays) and STREAMS the corpus through a
+    vectorized ``searchsorted`` lookup — no shuffle, no driver
+    materialization of the corpus.
     """
     import ray
 
     uni, big = counts if counts is not None else train_bigram_counts(
-        ds, text_col
+        ds, text_col, id_col, sample_rate=train_sample_rate,
+        max_unigrams=max_unigrams, max_bigrams=max_bigrams,
     )
-    v = len(uni)
+    v = len(uni) or 1  # empty model: denominator stays positive
     uk = np.array(sorted(uni), dtype=object)
     uc = np.array([uni[k] for k in uk], dtype=np.float64)
     bk = np.array(sorted(big), dtype=object)
@@ -205,12 +250,20 @@ def lm_quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
                 [f"{a} {b}" for a, b in zip(ts, ts[1:])], dtype=object
             )
             heads = np.array(ts[:-1], dtype=object)
-            gi = np.searchsorted(bk_, grams)
-            gi[gi == bk_.size] = 0
-            gc = np.where(bk_[gi] == grams, bc_[gi], 0.0)
-            hi = np.searchsorted(uk_, heads)
-            hi[hi == uk_.size] = 0
-            hc = np.where(uk_[hi] == heads, uc_[hi], 0.0)
+            # Empty count tables (pruned-to-nothing or <2-token training
+            # corpus) back off to count 0 everywhere.
+            if bk_.size:
+                gi = np.searchsorted(bk_, grams)
+                gi[gi == bk_.size] = 0
+                gc = np.where(bk_[gi] == grams, bc_[gi], 0.0)
+            else:
+                gc = np.zeros(grams.size)
+            if uk_.size:
+                hi = np.searchsorted(uk_, heads)
+                hi[hi == uk_.size] = 0
+                hc = np.where(uk_[hi] == heads, uc_[hi], 0.0)
+            else:
+                hc = np.zeros(heads.size)
             lp = np.log((gc + alpha) / (hc + alpha * v))
             n_out[i] = lp.size
             s_out[i] = lp.mean()
@@ -265,6 +318,14 @@ def paragraph_keepers(ds, text_col: str = "text", id_col: str = "doc_id",
             for i, p in enumerate((t or "").split(separator)):
                 if len(p) < min_chars:
                     continue
+                if i >= (1 << 20):
+                    raise ValueError(
+                        f"doc {d} has >= 2^20 spans; the composite "
+                        "int64 keeper key would alias into the next "
+                        "doc's key space — use paragraph_dedup("
+                        "method='join'), whose (doc_id, idx) tuple "
+                        "ordering has no such limit"
+                    )
                 hs.append(_para_hash(p))
                 ks.append(int(d) * (1 << 20) + i)
         if not hs:
@@ -306,7 +367,7 @@ def _para_hash(p: str) -> int:
 
 def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                     separator: str = "\n", min_chars: int = 1,
-                    keepers=None):
+                    keepers=None, method: str = "join"):
     """C4-style global paragraph deduplication: split every doc on
     ``separator``, drop any paragraph (length >= ``min_chars``) that
     already occurred earlier in the corpus — earlier = lower
@@ -314,15 +375,38 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     Short paragraphs are never deduplicated (C4 dedups long spans, not
     blank lines / braces).
 
-    Ray shape: training is the combiner-groupby of
-    :func:`paragraph_keepers`; the apply pass broadcasts the sorted
-    keeper arrays once (``ray.put``) and STREAMS the corpus through a
-    vectorized ``searchsorted`` membership test — no shuffle, no driver
-    materialization of the corpus.  Returns ``(id_col, text_col,
-    n_paras, n_dropped)`` rows; a doc whose every paragraph drops keeps
-    an empty string.
+    Ray shape, ``method="join"`` (default, the 100-TB path): span rows
+    ``(hash, doc_id, idx)`` — 24 bytes per long paragraph, never the
+    text — shuffle once through ``groupby(hash).map_groups``, which
+    emits a DROP row for every span that is not its group's
+    ``(doc_id, idx)``-lexicographic minimum (exact tuple ordering — no
+    composite-key bit packing, so docs with >= 2^20 spans are fine).
+    Drops fold to one ``(doc_id, drop_idxs)`` row per affected doc and
+    cogroup back to the corpus as a tagged ``union`` +
+    ``groupby(doc_id).map_groups`` equi-join — the keeper/drop tables
+    never touch the driver.  (``Dataset.join`` was rejected: Arrow's
+    hash join chokes on the empty right-side partitions a sparse drop
+    table produces, and its aggregator pool deadlocks when
+    num_partitions exceeds the CPU budget.)
+
+    ``method="broadcast"`` (or an explicit ``keepers=`` pair) keeps the
+    round-2 small/medium-corpus path: :func:`paragraph_keepers`'s sorted
+    arrays broadcast once via ``ray.put`` and the corpus streams through
+    a ``searchsorted`` membership test — zero join shuffles, but the
+    broadcast is one entry per DISTINCT paragraph, so it is bounded by
+    driver memory.
+
+    Returns ``(id_col, text_col, n_paras, n_dropped)`` rows; a doc whose
+    every paragraph drops keeps an empty string.
     """
     import ray
+
+    if keepers is None and method == "join":
+        return _paragraph_dedup_join(
+            ds, text_col, id_col, separator, min_chars
+        )
+    if keepers is None and method != "broadcast":
+        raise ValueError(f"unknown method: {method!r}")
 
     h, k = keepers if keepers is not None else paragraph_keepers(
         ds, text_col, id_col, separator, min_chars
@@ -360,6 +444,92 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def _paragraph_dedup_join(ds, text_col: str, id_col: str, separator: str,
+                          min_chars: int):
+    """Distributed keep-first paragraph dedup (see
+    :func:`paragraph_dedup` ``method="join"``)."""
+    def spans(batch: pa.Table) -> pa.Table:
+        hs: list = []
+        ds_: list = []
+        is_: list = []
+        for d, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for i, p in enumerate((t or "").split(separator)):
+                if len(p) < min_chars:
+                    continue
+                hs.append(_para_hash(p))
+                ds_.append(int(d))
+                is_.append(i)
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "sdoc": pa.array(ds_, pa.int64()),
+                         "sidx": pa.array(is_, pa.int64())})
+
+    def non_first(group: pa.Table) -> pa.Table:
+        d = group["sdoc"].to_numpy(zero_copy_only=False)
+        i = group["sidx"].to_numpy(zero_copy_only=False)
+        # identical hash == identical paragraph (md5 identity); the
+        # group's (doc_id, idx) lexicographic minimum survives
+        order = np.lexsort((i, d))
+        drop = np.ones(d.size, dtype=bool)
+        drop[order[0]] = False
+        return pa.table({"sdoc": pa.array(d[drop], pa.int64()),
+                         "sidx": pa.array(i[drop], pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        d = group["sdoc"].to_numpy(zero_copy_only=False)
+        i = np.sort(group["sidx"].to_numpy(zero_copy_only=False))
+        # one (doc_id, NULL text, comma-joined drop idxs) row per
+        # affected doc, schema-aligned with the tagged docs side
+        return pa.table({
+            id_col: pa.array([int(d[0])], pa.int64()),
+            text_col: pa.array([None], pa.string()),
+            "drop_idxs": pa.array([",".join(map(str, i.tolist()))],
+                                  pa.string()),
+        })
+
+    drops = (
+        ds.map_batches(spans, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(non_first, batch_format="pyarrow")
+        .groupby("sdoc")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pa.array([int(d) for d in batch[id_col].to_pylist()],
+                             pa.int64()),
+            text_col: batch[text_col].cast(pa.string()),
+            "drop_idxs": pa.array([None] * batch.num_rows, pa.string()),
+        })
+
+    docs = ds.select_columns([id_col, text_col]).map_batches(
+        tag_docs, batch_format="pyarrow"
+    )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        # cogroup: 1 doc row (text non-null) + at most 1 drop row
+        texts = group[text_col].to_pylist()
+        dridx = group["drop_idxs"].to_pylist()
+        t = next((x for x in texts if x is not None), "")
+        dr = next((x for x in dridx if x is not None), None)
+        paras = t.split(separator)
+        bad = set(map(int, dr.split(","))) if dr else ()
+        kept = [p for i, p in enumerate(paras) if i not in bad]
+        return pa.table(
+            {id_col: pa.array([int(group[id_col][0].as_py())], pa.int64()),
+             text_col: pa.array([separator.join(kept)], pa.string()),
+             "n_paras": pa.array([len(paras)], pa.int64()),
+             "n_dropped": pa.array([len(bad)], pa.int64())}
+        )
+
+    return (
+        docs.union(drops)
+        .groupby(id_col)
+        .map_groups(assemble, batch_format="pyarrow")
+    )
 
 
 def gopher_quality_filter(ds, text_col: str = "text",
@@ -468,55 +638,102 @@ def shuffle_deterministic(ds, id_col: str = "doc_id"):
 
 
 def pack_sequences(ds, budget: int, text_col: str = "text",
-                   id_col: str = "doc_id") -> pa.Table:
+                   id_col: str = "doc_id",
+                   shard_size: int = 1 << 20):
     """Greedy contiguous sequence packing: walk docs in ascending
     ``id_col`` order, filling fixed token-budget bins — a doc whose
     tokens would overflow the current bin starts the next one (an
     oversized doc occupies a bin alone).  The packing every LLM trainer
     runs before writing context-length shards.
 
-    Returns ``(doc_id, n_tokens, bin)`` rows.  Ray shape: token counting
-    streams through ``map_batches``; the greedy scan itself is inherently
-    sequential, so only the (doc_id, n_tokens) int pairs reach the driver
-    — 16 bytes/doc.  At extreme corpus scale you pack per input shard
-    instead (bins never cross shard boundaries — which is how training
-    shards are laid out anyway) and this same scan runs inside
-    ``map_groups`` per shard.
+    SHARDED SEMANTICS (how training shards are laid out anyway): bins
+    never cross a shard boundary, where shard = ``doc_id //
+    shard_size`` — the first doc of each shard always opens a fresh
+    bin.  With one shard the result is the classic global greedy scan.
+
+    Returns a ``Dataset`` of ``(doc_id, n_tokens, bin)`` rows with
+    GLOBALLY sequential bin ids.  Ray shape: token counting streams
+    through ``map_batches``; each shard's greedy scan runs inside
+    ``groupby(shard).map_groups`` (sequential only within its shard —
+    at most ``shard_size`` int pairs per task); the packed int rows are
+    materialized in the object store (24 bytes/doc, spillable) and the
+    driver sees ONE ``(shard, n_bins)`` summary row per shard, whose
+    prefix sum rebases local bin ids to the global numbering — bit-equal
+    to a single sequential scan, because every shard transition forces a
+    bin break by definition.
     """
+    import ray
+
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
 
     def count(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
         return pa.table(
-            {id_col: batch[id_col],
+            {id_col: pa.array([int(d) for d in ids], pa.int64()),
              "n_tokens": pa.array(
                  [len(simple_analyzer(t or ""))
                   for t in batch[text_col].to_pylist()],
                  pa.int64(),
-             )}
+             ),
+             "shard": pa.array([int(d) // shard_size for d in ids],
+                               pa.int64())}
         )
 
-    rows = ds.map_batches(count, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r[id_col])
-    ids, toks, bins = [], [], []
-    b, fill = 0, 0
-    for i, r in enumerate(rows):
-        n = int(r["n_tokens"])
-        if i == 0:
-            fill = n
-        elif fill + n <= budget:
-            fill += n
-        else:
-            b += 1
-            fill = n
-        ids.append(r[id_col])
-        toks.append(n)
-        bins.append(b)
-    return pa.table(
-        {id_col: pa.array(ids, pa.int64()),
-         "n_tokens": pa.array(toks, pa.int64()),
-         "bin": pa.array(bins, pa.int64())}
+    def pack_shard(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        toks = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, toks = ids[order], toks[order]
+        bins = np.zeros(ids.size, dtype=np.int64)
+        b, fill = 0, 0
+        for i in range(ids.size):
+            n = int(toks[i])
+            if i == 0:
+                fill = n
+            elif fill + n <= budget:
+                fill += n
+            else:
+                b += 1
+                fill = n
+            bins[i] = b
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "shard": group["shard"].take(pa.array(order)),
+             "local_bin": pa.array(bins, pa.int64())}
+        )
+
+    packed = (
+        ds.map_batches(count, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pyarrow")
+        .materialize()  # consumed twice: summaries + rebase
     )
+    # One row per shard reaches the driver.
+    summary = packed.groupby("shard").max("local_bin").take_all()
+    summary.sort(key=lambda r: r["shard"])
+    shard_ids = np.array([int(r["shard"]) for r in summary], np.int64)
+    nbins = np.array([int(r["max(local_bin)"]) + 1 for r in summary],
+                     np.int64)
+    offsets = np.concatenate(([0], np.cumsum(nbins)[:-1])) \
+        if nbins.size else np.empty(0, np.int64)
+    ref = ray.put((shard_ids, offsets))
+
+    def rebase(batch: pa.Table) -> pa.Table:
+        sk, offs = ray.get(ref)
+        sh = batch["shard"].to_numpy(zero_copy_only=False)
+        lb = batch["local_bin"].to_numpy(zero_copy_only=False)
+        gb = offs[np.searchsorted(sk, sh)] + lb
+        return pa.table(
+            {id_col: batch[id_col],
+             "n_tokens": batch["n_tokens"],
+             "bin": pa.array(gb, pa.int64())}
+        )
+
+    return packed.map_batches(rebase, batch_format="pyarrow")
 
 
 def accept_fraction(doc_id: int) -> float:

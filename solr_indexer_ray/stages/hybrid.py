@@ -47,6 +47,39 @@ import pyarrow as pa
 
 RRF_K = 60          # the SIGIR-2009 constant; every engine ships 60
 FUSE_N = 50         # per-list depth entering fusion
+ANN_SUBDIR = "ann_ivf"  # conventional persisted-IVF location in an index
+
+
+def build_hybrid_ann(index_dir: str, embeddings_ds, *,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     n_buckets: int = 16, nprobe: int = 3, **ivf_kw):
+    """Build and persist the dense-side :class:`stages.ann.IvfIndex` at
+    the conventional ``{index_dir}/ann_ivf`` location.  Once present,
+    :func:`hybrid_search` probes it by default instead of brute-force
+    streaming the whole embedding corpus per query batch."""
+    import os
+
+    from solr_indexer_ray.stages.ann import IvfIndex
+
+    idx = IvfIndex(
+        n_buckets=n_buckets, nprobe=nprobe,
+        index_dir=os.path.join(index_dir, ANN_SUBDIR), **ivf_kw,
+    )
+    idx.build(embeddings_ds, vec_col=vec_col, id_col=id_col)
+    return idx
+
+
+def _discover_ann(index_dir: str):
+    """Load the persisted IVF index at ``{index_dir}/ann_ivf`` if one
+    exists; else None (brute-force fallback)."""
+    import os
+
+    from solr_indexer_ray.stages.ann import IvfIndex
+
+    path = os.path.join(index_dir, ANN_SUBDIR)
+    if os.path.exists(os.path.join(path, "centroids.parquet")):
+        return IvfIndex.load(path)
+    return None
 HYBRID_SCHEMA = pa.schema(
     [("query_id", pa.int64()), ("doc_id", pa.int64()),
      ("rrf_r", pa.float64())]
@@ -107,10 +140,15 @@ def hybrid_search(
     n_docs = engine.n_docs
     depth = n_docs if exact_ranks else fuse_n
 
-    # ---- dense side: ONE streaming pass for every query --------------
-    # (or a partition-pruned IVF probe when an ann_index is supplied —
-    # the corpus-scale path: only nprobe bucket partitions are read)
+    # ---- dense side ----------------------------------------------------
+    # Default (r3): a persisted IvfIndex at {index_dir}/ann_ivf is
+    # auto-discovered and PROBED (partition-pruned reads — the
+    # corpus-scale path); brute-force full-corpus streaming is the
+    # fallback when no index exists, and the pinned exact_ranks oracle
+    # mode (the probe is approximate: recall < 1 off-probe).
     qmat = np.asarray([v for _, _, v in queries], dtype=np.float64)
+    if ann_index is None and not exact_ranks:
+        ann_index = _discover_ann(index_dir)
     if ann_index is not None:
         if exact_ranks:
             raise ValueError(

@@ -165,6 +165,42 @@ class TestParagraphDedup:
         assert out[0]["text"] == "aa SEP bb"
         assert out[1]["text"] == "" and out[1]["n_dropped"] == 2
 
+    def test_join_and_broadcast_methods_agree(self):
+        """The distributed-join default and the round-2 broadcast path
+        must produce identical output on every corpus shape."""
+        rows = self.ROWS + [
+            {"doc_id": 5, "text": "uniq zero\ncommon line here\nzz"},
+            {"doc_id": 6, "text": "only unique content here"},
+        ]
+        a = self._run(rows, method="join")
+        b = self._run(rows, method="broadcast")
+        assert a == b
+
+    def test_join_method_no_duplicates_corpus(self):
+        """Empty drop table short-circuits the join (Dataset.join
+        rejects an empty build side)."""
+        rows = [{"doc_id": 0, "text": "aa\nbb"},
+                {"doc_id": 1, "text": "cc\ndd"}]
+        out = self._run(rows, method="join")
+        assert all(r["n_dropped"] == 0 for r in out.values())
+        assert out[0]["text"] == "aa\nbb"
+
+    def test_unknown_method_rejected(self):
+        with pytest.raises(ValueError, match="method"):
+            self._run(method="nope")
+
+    def test_broadcast_overflow_guard(self):
+        """Docs with >= 2^20 spans would alias the composite int64
+        keeper key (ADVICE r2): the broadcast path must refuse, the
+        join path must handle them."""
+        from solr_indexer_ray.stages.curation import paragraph_keepers
+
+        big = "\n".join(f"span {i}" for i in range((1 << 20) + 2))
+        rows = [{"doc_id": 0, "text": big}]
+        # the ValueError surfaces wrapped in ray.exceptions.RayTaskError
+        with pytest.raises(Exception, match="2\\^20"):
+            paragraph_keepers(_ds(rows))
+
     def test_cli_paradedup(self, tmp_path, capsys):
         import pyarrow.parquet as pq
 
@@ -275,29 +311,30 @@ class TestPackSequences:
         {"doc_id": 5, "text": ""},             # 0 tokens, stays bin 3
     ]
 
-    def test_hand_packed(self):
+    @staticmethod
+    def _packed(ds, **kw):
+        """pack_sequences returns a streaming Dataset; collect sorted
+        (doc_id, n_tokens, bin) triples for assertion."""
         from solr_indexer_ray.stages.curation import pack_sequences
 
-        t = pack_sequences(_ds(self.ROWS), budget=6)
-        got = list(zip(t["doc_id"].to_pylist(), t["n_tokens"].to_pylist(),
-                       t["bin"].to_pylist()))
+        rows = pack_sequences(ds, **kw).take_all()
+        rows.sort(key=lambda r: r["doc_id"])
+        return [(r["doc_id"], r["n_tokens"], r["bin"]) for r in rows]
+
+    def test_hand_packed(self):
+        got = self._packed(_ds(self.ROWS), budget=6)
         assert got == [(0, 3, 0), (1, 2, 0), (2, 2, 1), (3, 7, 2),
                        (4, 1, 3), (5, 0, 3)]
 
     def test_bin_fills_never_exceed_budget_except_oversized(self):
-        from solr_indexer_ray.stages.curation import pack_sequences
-
         rows = [{"doc_id": i, "text": " ".join(["w"] * ((i * 7) % 11))}
                 for i in range(60)]
-        t = pack_sequences(_ds(rows), budget=16)
+        got = self._packed(_ds(rows), budget=16)
         fills: dict = {}
-        for n, b in zip(t["n_tokens"].to_pylist(), t["bin"].to_pylist()):
+        for _, n, b in got:
             fills[b] = fills.get(b, 0) + n
         for b, f in fills.items():
-            assert f <= 16 or f == max(
-                n for n, bb in zip(t["n_tokens"].to_pylist(),
-                                   t["bin"].to_pylist()) if bb == b
-            )
+            assert f <= 16 or f == max(n for _, n, bb in got if bb == b)
         # bins are contiguous and start at 0
         assert sorted(fills) == list(range(len(fills)))
 
@@ -306,6 +343,41 @@ class TestPackSequences:
 
         with pytest.raises(ValueError, match="budget"):
             pack_sequences(_ds(self.ROWS), budget=0)
+        with pytest.raises(ValueError, match="shard_size"):
+            pack_sequences(_ds(self.ROWS), budget=4, shard_size=0)
+
+    def test_sharded_equals_sequential_reference(self):
+        """The shard-parallel path (map_groups per shard + prefix-sum
+        rebase) must be bit-equal to one sequential greedy scan that
+        breaks bins at shard boundaries."""
+        rng = [((i * 13) % 23) for i in range(97)]
+        rows = [{"doc_id": i * 3, "text": " ".join(["w"] * n)}
+                for i, n in enumerate(rng)]  # gappy ids
+        budget, shard = 20, 50
+        got = self._packed(_ds(rows), budget=budget, shard_size=shard)
+
+        # independent sequential reference
+        exp, b, fill, prev_shard = [], -1, 0, None
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            n = len(r["text"].split()) if r["text"] else 0
+            s = r["doc_id"] // shard
+            if prev_shard is None or s != prev_shard or fill + n > budget:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            prev_shard = s
+            exp.append((r["doc_id"], n, b))
+        assert got == exp
+
+    def test_shard_boundary_forces_bin_break(self):
+        rows = [{"doc_id": 9, "text": "a b"},
+                {"doc_id": 10, "text": "c d"}]  # shard 0 | shard 1
+        got = self._packed(_ds(rows), budget=100, shard_size=10)
+        assert got == [(9, 2, 0), (10, 2, 1)]
+        # one shard -> classic global greedy, same docs share a bin
+        got = self._packed(_ds(rows), budget=100, shard_size=100)
+        assert got == [(9, 2, 0), (10, 2, 0)]
 
 
 class TestLmQualityScore:
@@ -377,6 +449,64 @@ class TestLmQualityScore:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["rows"] == len(self.ROWS)
         assert pq.read_table(dest).column("avg_logp").null_count == 2
+
+    def test_sampled_training_matches_reference(self):
+        """sample_rate trains on the deterministic md5 subset — the
+        counts must equal a hand-filtered retrain."""
+        from solr_indexer_ray.stages.curation import (
+            accept_fraction,
+            train_bigram_counts,
+        )
+
+        rows = [{"doc_id": i, "text": f"a b w{i % 5} a"}
+                for i in range(40)]
+        kept = [r for r in rows if accept_fraction(r["doc_id"]) < 0.5]
+        assert 0 < len(kept) < len(rows)  # the sample really filters
+        got = train_bigram_counts(_ds(rows), sample_rate=0.5)
+        exp = train_bigram_counts(_ds(kept))
+        assert got == exp
+
+    def test_topk_pruning_by_count_then_key(self):
+        from solr_indexer_ray.stages.curation import train_bigram_counts
+
+        uni, big = train_bigram_counts(
+            _ds(self.ROWS), max_unigrams=2, max_bigrams=1
+        )
+        # full counts: uni a:3 b:3 c:1 x:1; big "a b":3 "b a":1 "b c":1
+        assert uni == {"a": 3, "b": 3}          # top-2 (ties -> key asc)
+        assert big == {"a b": 3}
+
+    def test_pruned_model_scores_with_backoff(self):
+        """Pruned keys back off to count 0; V = retained unigram rows."""
+        from solr_indexer_ray.stages.curation import lm_quality_score
+
+        out = {
+            r["doc_id"]: r
+            for r in lm_quality_score(
+                _ds(self.ROWS), max_unigrams=2, max_bigrams=1
+            ).take_all()
+        }
+        alpha, v = 0.5, 2
+
+        def lp(big_c, head_c):
+            return np.log((big_c + alpha) / (head_c + alpha * v))
+
+        # doc 1 "a b c": bigrams "a b"(kept c=3, head a kept c=3),
+        # "b c"(pruned -> 0, head b kept c=3)
+        exp1 = np.mean([lp(3, 3), lp(0, 3)])
+        assert out[1]["avg_logp"] == pytest.approx(exp1, abs=1e-4)
+
+    def test_empty_count_tables_back_off(self):
+        """ADVICE r2: externally supplied empty count tables must score
+        as pure smoothing backoff, not IndexError."""
+        from solr_indexer_ray.stages.curation import lm_quality_score
+
+        out = lm_quality_score(
+            _ds([{"doc_id": 0, "text": "a b c"}]), counts=({}, {})
+        ).take_all()[0]
+        # c=0, head=0, V=1 -> ln(0.5 / 0.5) = 0
+        assert out["avg_logp"] == pytest.approx(0.0, abs=1e-9)
+        assert out["n_bigrams"] == 2
 
     def test_unseen_bigram_backoff(self):
         from solr_indexer_ray.stages.curation import (

@@ -204,3 +204,32 @@ class TestIvfHybrid:
         with pytest.raises(ValueError, match="exact_ranks"):
             hybrid_search(index_dir, ds, _queries(mat, ["x"]),
                           ann_index=ivf, exact_ranks=True)
+
+    def test_persisted_ivf_auto_discovered(self, built_index, emb_ds,
+                                           tmp_path):
+        """r3 default: a persisted IvfIndex at {index_dir}/ann_ivf is
+        probed automatically when no ann_index is passed; exact_ranks
+        still bypasses it (the brute-force oracle mode)."""
+        from solr_indexer_ray.stages.ann import IvfIndex
+        from solr_indexer_ray.stages.hybrid import build_hybrid_ann
+
+        index_dir, _ = built_index
+        ds, mat = emb_ds
+        engine = SearchEngine(index_dir)
+        # the shared built_index must stay ANN-free for the other tests:
+        # stage the ann_ivf dir elsewhere and pass the engine explicitly
+        fake_root = str(tmp_path / "idxroot")
+        built = build_hybrid_ann(fake_root, ds, n_buckets=4, nprobe=4)
+        assert isinstance(built, IvfIndex)
+        q = _queries(mat, ["parse merge"])
+        auto = hybrid_search(fake_root, ds, q, k=10, engine=engine)
+        explicit = hybrid_search(index_dir, ds, q, k=10, engine=engine,
+                                 ann_index=built)
+        assert auto.to_pylist() == explicit.to_pylist()
+        # full probe (nprobe == n_buckets) is exact -> matches brute
+        brute = hybrid_search(index_dir, ds, q, k=10, engine=engine)
+        assert auto.to_pylist() == brute.to_pylist()
+        # exact_ranks ignores the persisted index instead of raising
+        exact = hybrid_search(fake_root, ds, q, k=10, engine=engine,
+                              exact_ranks=True)
+        assert exact.num_rows == 10
