@@ -130,12 +130,14 @@ def cmd_search(args) -> int:
                            qf=args.qf, tie=args.tie, fq=args.fq)
     elif args.group:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
-                                group_limit=args.group_limit)
+                                group_limit=args.group_limit,
+                                fq=args.fq)
     elif args.ltr_model:
         with open(args.ltr_model) as f:
             model = json.load(f)
         t = engine.ltr_search(args.query, model, k=args.k, fl=fl,
-                              rerank_docs=args.rerank_docs)
+                              rerank_docs=args.rerank_docs,
+                              fq=args.fq, start=args.start)
     elif args.rerank_query:
         t = engine.rerank_search(
             args.query, args.rerank_query, k=args.k, fl=fl,

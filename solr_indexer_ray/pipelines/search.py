@@ -1323,9 +1323,11 @@ class SearchEngine:
             return self._resolve(hits, fl)
         if (_JOIN_Q_RE.match(query or "")
                 or _GEO_Q_RE.match(query or "")
-                or _INTERSECTS_Q_RE.match(query or "")):
-            # Solr {!join} / {!geofilt} / {!bbox} / {!intersects} as the
-            # main query: constant-score matches, ascending doc id
+                or _INTERSECTS_Q_RE.match(query or "")
+                or _BLOCKJOIN_Q_RE.match(query or "")):
+            # Solr {!join} / {!geofilt} / {!bbox} / {!intersects} /
+            # {!parent} / {!child} as the main query: constant-score
+            # matches, ascending doc id
             if (any(x is not None for x in (sort, search_after, qf, mm,
                                             pf, pf2, pf3, bf, boost, bq))
                     or hl or ps):
@@ -3714,7 +3716,8 @@ class SearchEngine:
         return self._resolve(hits[start:start + k], fl)
 
     def ltr_search(self, query: str, model: dict, k: int = 10,
-                   rerank_docs: int = 200, fl=None,
+                   rerank_docs: int = 200, fl=None, fq=None,
+                   start: int = 0,
                    round_scores: int | None = None) -> pa.Table:
         """Solr Learning-to-Rank plugin analogue (LinearModel): rescore
         the main query's top ``rerank_docs`` window with a weighted
@@ -3741,7 +3744,10 @@ class SearchEngine:
         ``queryScore`` = SolrFeature's score; ``value`` =
         ValueFeature.  ``round_scores`` rounds query-score components
         before weighting and the final model score (half-away), so a SQL
-        oracle reproduces the ranking.
+        oracle reproduces the ranking.  ``fq`` filters the main query's
+        match set (same as :meth:`rerank_search` — Solr applies fq
+        before the LTR rescoring window); ``start`` pages the rescored
+        ranking.
         """
         from solr_indexer_ray.functions.funcquery import (
             eval_func,
@@ -3755,11 +3761,20 @@ class SearchEngine:
         weights = model.get("weights") or {}
         if not feats:
             raise ValueError("LTR model needs at least one feature")
+        _FEAT_REQ = {"function": "expr", "query": "q",
+                     "queryScore": "q", "value": "value"}
         for f in feats:
             if f.get("name") not in weights:
                 raise ValueError(f"no weight for feature {f.get('name')!r}")
+            need = _FEAT_REQ.get(f.get("type", "function"))
+            if need and need not in f:
+                raise ValueError(
+                    f"feature {f.get('name')!r} ({f.get('type')}) "
+                    f"needs a {need!r} key")
         if rerank_docs < 1:
             raise ValueError("rerank_docs must be >= 1")
+        if start < 0:
+            raise ValueError("start must be >= 0")
 
         def _r(x):
             if round_scores is None:
@@ -3767,8 +3782,8 @@ class SearchEngine:
             m = 10.0 ** round_scores
             return float(np.copysign(np.floor(abs(x) * m + 0.5) / m, x))
 
-        main = self.search(query, k=max(int(rerank_docs), k),
-                           fl=["doc_id"])
+        main = self.search(query, k=max(int(rerank_docs), start + k),
+                           fl=["doc_id"], fq=fq)
         ids = main["doc_id"].to_pylist()
         scores = main["score"].to_pylist()
         seg = min(int(rerank_docs), len(ids))
@@ -3808,7 +3823,7 @@ class SearchEngine:
             key=lambda t_: (-t_[1], t_[0]),
         )
         tail = [(int(d), _r(s)) for d, s in zip(ids[seg:], scores[seg:])]
-        return self._resolve((head + tail)[:k], fl)
+        return self._resolve((head + tail)[start:start + k], fl)
 
     def term_vectors(self, doc_id: int,
                      with_positions: bool = False) -> pa.Table:

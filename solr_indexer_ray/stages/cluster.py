@@ -85,7 +85,8 @@ def cluster_results(engine, query: str, embeddings, k_clusters: int = 5,
     hits = engine.search(query, k=top_n, fl=["doc_id"])
     ids = hits["doc_id"].to_pylist()
     scores = dict(zip(ids, hits["score"].to_pylist()))
-    if not ids:
+
+    def _empty() -> pa.Table:
         return pa.table(
             {"cluster": pa.array([], pa.int64()),
              "size": pa.array([], pa.int64()),
@@ -94,6 +95,9 @@ def cluster_results(engine, query: str, embeddings, k_clusters: int = 5,
              "score": pa.array([], pa.float64()),
              "sim": pa.array([], pa.float64())}
         )
+
+    if not ids:
+        return _empty()
     ds = (pads.dataset(embeddings) if isinstance(embeddings, str)
           else embeddings)
     t = ds.to_table(columns=[id_col, vec_col],
@@ -101,6 +105,8 @@ def cluster_results(engine, query: str, embeddings, k_clusters: int = 5,
     have = t[id_col].to_pylist()
     mat_by_id = dict(zip(have, vectors_to_matrix(t[vec_col])))
     kept = [d for d in ids if d in mat_by_id]  # rank order preserved
+    if not kept:  # hits exist but none has an embedding row
+        return _empty()
     mat = _unit_rows(np.array([mat_by_id[d] for d in kept]))
     labels, centroids = kmeans_deterministic(mat, k_clusters, iters)
     sims = (mat * centroids[labels]).sum(axis=1)

@@ -98,3 +98,32 @@ class TestBlockJoin:
             eng.match_ids("{!parent which='ptype:parent'}merge")
         with pytest.raises(ValueError, match="requires which="):
             eng.match_ids("{!parent key=nodekey ref=pref}merge")
+
+    def test_main_query_constant_score(self, bjidx):
+        """{!parent}/{!child} as the MAIN query routes through the
+        constant-score directive branch of SearchEngine.search()
+        (ADVICE r2: previously parsed as literal tokens)."""
+        idx, _ = bjidx
+        eng = SearchEngine(idx)
+        bj = "{!parent which='ptype:parent' key=nodekey ref=pref}merge"
+        exp = eng.match_ids(bj).tolist()
+        t = eng.search(bj, k=10)
+        assert t["doc_id"].to_pylist() == exp[:10]
+        assert set(t["score"].to_pylist()) <= {1.0}
+        # start paging + fq compose
+        t2 = eng.search(bj, k=5, start=5)
+        assert t2["doc_id"].to_pylist() == exp[5:10]
+        t3 = eng.search(bj, k=100, fq=["lang:python"])
+        allowed = set(eng.match_ids("lang:python").tolist())
+        assert set(t3["doc_id"].to_pylist()) == set(exp) & allowed
+        # rank params are rejected, same as the other directives
+        with pytest.raises(ValueError, match="constant-score"):
+            eng.search(bj, k=5, sort="doclen desc")
+
+    def test_main_query_child_side(self, bjidx):
+        idx, _ = bjidx
+        eng = SearchEngine(idx)
+        bj = "{!child of='ptype:parent' key=nodekey ref=pref}merge"
+        exp = eng.match_ids(bj).tolist()
+        t = eng.search(bj, k=10**6)
+        assert t["doc_id"].to_pylist() == exp

@@ -92,3 +92,26 @@ class TestLtr:
             eng.ltr_search("def", {
                 "features": [{"name": "x", "type": "nope"}],
                 "weights": {"x": 1.0}})
+
+    def test_fq_and_start(self, built_index):
+        """ADVICE r2: --ltr-model used to silently drop fq/start.  fq
+        filters the main match set BEFORE the rescoring window (same as
+        rerank_search); start pages the rescored ranking."""
+        idx, _ = built_index
+        eng = SearchEngine(idx)
+        q, n = "def read", 25
+        got = eng.ltr_search(q, MODEL, k=n, rerank_docs=n,
+                             fq=["lang:python"])
+        allowed = set(eng.match_ids("lang:python").tolist())
+        ids = got["doc_id"].to_pylist()
+        assert ids and set(ids) <= allowed
+        # identical to rescoring the fq-filtered main ranking by hand
+        main = eng.search(q, k=n, fl=["doc_id"], fq=["lang:python"])
+        assert set(ids) <= set(main["doc_id"].to_pylist())
+        # start paging: rows [5, 10) of the start=0 ranking
+        full = eng.ltr_search(q, MODEL, k=10, rerank_docs=n)
+        page = eng.ltr_search(q, MODEL, k=5, rerank_docs=n, start=5)
+        assert (page["doc_id"].to_pylist()
+                == full["doc_id"].to_pylist()[5:10])
+        with pytest.raises(ValueError, match="start"):
+            eng.ltr_search(q, MODEL, k=5, start=-1)
