@@ -23,10 +23,63 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Dict order matters: the driver's correctness sweep checks the FIRST
+    # ~50 entries (CORRECTNESS_r02 was exactly the first 50 keys).  Queries
+    # without a driver row from rounds 1-2 lead, previously-green ones
+    # follow, so cumulative driver coverage reaches every entry.
     from solr_indexer_ray import contract as c
 
     return {
-        # inverted-index / BM25 family (SURVEY §2.6 A6, §2.7 O3-O5)
+        # --- never driver-checked in rounds 1-2 (verdict r2 item 2) ---
+        "date_range_facets": c.q_date_range_facets,
+        "blockjoin_matches": c.q_blockjoin_matches,
+        "rerank_topk": c.q_rerank_topk,
+        "join_matches": c.q_join_matches,
+        "geofilt_matches": c.q_geofilt_matches,
+        "atomic_updates": c.q_atomic_updates,
+        "pii_scrub": c.q_pii_scrub,
+        "repetition_stats": c.q_repetition_stats,
+        "decontaminated": c.q_decontaminated,
+        "mixture_sample": c.q_mixture_sample,
+        "jaccard_dedup_survivors": c.q_jaccard_dedup_survivors,
+        "hybrid_topk": c.q_hybrid_topk,
+        "ann_ivf_topk": c.q_ann_ivf_topk,
+        "embedding_dups_ivf": c.q_embedding_dups_ivf,  # rows-only (recall<1)
+        "multimodal_decode_meta": c.q_multimodal_decode_meta,
+        "kmv_sample": c.q_kmv_sample,
+        "heavy_hitters": c.q_heavy_hitters,
+        "quantile_sketch": c.q_quantile_sketch,
+        "hll_distinct": c.q_hll_distinct,        # rows-only (pytest bounds)
+        # --- checked in round 1 only (fresh re-verify next) ---
+        "suggest": c.q_suggest,
+        "boosted_topk": c.q_boosted_topk,
+        "range_facets": c.q_range_facets,
+        "pivot_facets": c.q_pivot_facets,
+        "sharded_topk": c.q_sharded_topk,
+        "synonym_topk": c.q_synonym_topk,
+        "delete_by_query_remaining": c.q_delete_by_query_remaining,
+        "doc_get": c.q_doc_get,
+        "doc_sha256": c.q_doc_sha256,
+        "text_quality": c.q_text_quality,
+        "lang_counts": c.q_lang_counts,
+        "exact_dedup": c.q_exact_dedup,
+        "upsert_latest": c.q_upsert_latest,
+        "ngram_jaccard_dups": c.q_ngram_jaccard_dups,
+        "minhash_dups": c.q_minhash_dups,           # rows-only (LSH)
+        "simhash_dups": c.q_simhash_dups,           # rows-only
+        "fingerprints": c.q_fingerprints,           # rows-only
+        "ann_topk": c.q_ann_topk,
+        "embedding_dups": c.q_embedding_dups,
+        "multimodal_decode": c.q_multimodal_decode,
+        "parent_flags": c.q_parent_flags,
+        "unresolved_refs": c.q_unresolved_refs,
+        "pricing_summary": c.q_pricing_summary,
+        "top_customers": c.q_top_customers,
+        "events_window": c.q_events_window,
+        "events_props": c.q_events_props,
+        "user_sessions": c.q_user_sessions,
+        "session_windows": c.q_session_windows,
+        # --- green in round 2 (inverted-index / BM25 family) ---
         "term_df": c.q_term_df,
         "doc_stats": c.q_doc_stats,
         "top_terms": c.q_top_terms,
@@ -77,60 +130,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": c.q_collapse_topk,
         "collations": c.q_collations,
         "autocomplete": c.q_autocomplete,
-        "date_range_facets": c.q_date_range_facets,
-        "blockjoin_matches": c.q_blockjoin_matches,
-        "rerank_topk": c.q_rerank_topk,
-        "join_matches": c.q_join_matches,
-        "geofilt_matches": c.q_geofilt_matches,
-        "suggest": c.q_suggest,
-        "boosted_topk": c.q_boosted_topk,
-        "range_facets": c.q_range_facets,
-        "pivot_facets": c.q_pivot_facets,
-        "sharded_topk": c.q_sharded_topk,
-        "synonym_topk": c.q_synonym_topk,
-        "delete_by_query_remaining": c.q_delete_by_query_remaining,
-        "doc_get": c.q_doc_get,
-        "atomic_updates": c.q_atomic_updates,
-        # per-row invariants / projections (§2.2-2.3)
-        "doc_sha256": c.q_doc_sha256,
-        "pii_scrub": c.q_pii_scrub,
-        "text_quality": c.q_text_quality,
-        "lang_counts": c.q_lang_counts,
-        "repetition_stats": c.q_repetition_stats,
-        # curation (decontamination + mixture sampling)
-        "decontaminated": c.q_decontaminated,
-        "mixture_sample": c.q_mixture_sample,
-        # dedup family (§2.8 + training-data extensions)
-        "exact_dedup": c.q_exact_dedup,
-        "upsert_latest": c.q_upsert_latest,
-        "ngram_jaccard_dups": c.q_ngram_jaccard_dups,
-        "jaccard_dedup_survivors": c.q_jaccard_dedup_survivors,
-        "minhash_dups": c.q_minhash_dups,           # rows-only (LSH)
-        "simhash_dups": c.q_simhash_dups,           # rows-only
-        "fingerprints": c.q_fingerprints,           # rows-only
-        # embeddings
-        "ann_topk": c.q_ann_topk,
-        "hybrid_topk": c.q_hybrid_topk,
-        "ann_ivf_topk": c.q_ann_ivf_topk,
-        "embedding_dups": c.q_embedding_dups,
-        "embedding_dups_ivf": c.q_embedding_dups_ivf,  # rows-only (recall<1)
-        # multimodal plumbing (synthetic media; _meta is oracle-checked)
-        "multimodal_decode": c.q_multimodal_decode,
-        "multimodal_decode_meta": c.q_multimodal_decode_meta,
-        # sketch aggregates (mergeable per-block partials, driver merge)
-        "kmv_sample": c.q_kmv_sample,
-        "heavy_hitters": c.q_heavy_hitters,
-        "quantile_sketch": c.q_quantile_sketch,
-        "hll_distinct": c.q_hll_distinct,        # rows-only (pytest bounds)
-        # relational machinery (§2.5 J2, §2.6 A1-A3, §2.7, §2.9)
-        "parent_flags": c.q_parent_flags,
-        "unresolved_refs": c.q_unresolved_refs,
-        "pricing_summary": c.q_pricing_summary,
-        "top_customers": c.q_top_customers,
-        "events_window": c.q_events_window,
-        "events_props": c.q_events_props,
-        "user_sessions": c.q_user_sessions,
-        "session_windows": c.q_session_windows,
     }
 
 
