@@ -319,3 +319,62 @@ class TestCursorPaging:
             eng.search("def", search_after=(1.0, 2), sort="doclen asc")
         with pytest.raises(ValueError, match="search_after"):
             eng.search("def", search_after=(1.0, 2), start=3)
+
+
+class TestFuzzyScan:
+    """Sorted-array trie walk (Levenshtein automaton analogue) used by
+    suggest/expand_fuzzy — vs a brute-force DP reference."""
+
+    @staticmethod
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    def test_randomized_vs_bruteforce(self):
+        import random
+        from solr_indexer_ray.pipelines.search import _fuzzy_scan
+        rng = random.Random(11)
+        for _ in range(120):
+            vocab = sorted({
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 50))
+            })
+            w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            cap = rng.randint(1, 3)
+            got = set(_fuzzy_scan(w, vocab, cap))
+            exp = {(i, self._lev(w, t)) for i, t in enumerate(vocab)
+                   if self._lev(w, t) <= cap}
+            assert got == exp
+
+    def test_prefix_skip_codepoint_bound(self):
+        # subtree skip at the top of the codepoint range must not drop
+        # or loop on terms starting with U+10FFFF
+        from solr_indexer_ray.pipelines.search import _fuzzy_scan
+        hi = chr(0x10FFFF)
+        vocab = sorted(["z", "z" + hi, hi, hi * 2, hi + "a"])
+        got = set(_fuzzy_scan("z", vocab, 1))
+        exp = {(i, self._lev("z", t)) for i, t in enumerate(vocab)
+               if self._lev("z", t) <= 1}
+        assert got == exp
+
+    def test_adversarial_vocab_fast(self):
+        # 40k near-identical identifiers: the walk must prune subtrees,
+        # not DP the whole dictionary (was ~1.6 s, budget 150 ms here)
+        import time
+        from solr_indexer_ray.pipelines.search import _fuzzy_scan
+        vocab = sorted({
+            f"handler_{a}{b}{c}{d}"
+            for a in "abcdefghij" for b in "abcdefghij"
+            for c in "abcdefghij"
+            for d in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN"
+        })
+        t0 = time.time()
+        out = _fuzzy_scan("handelr_abcd", vocab, 2)
+        assert (time.time() - t0) < 0.15
+        assert out  # transposition costs 2 classic edits -> matches exist
