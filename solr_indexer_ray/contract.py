@@ -2255,6 +2255,10 @@ DATE_RANGE_FACET_CASES = [
      "+1DAY"),
     ("window", "2024-01-01T00:00:00Z", "2024-01-02T12:00:00Z",
      "+6HOURS"),
+    # calendar gap (Solr +1MONTH DateMath); day-1 start is clamp-free,
+    # so the interval-arithmetic SQL oracle is exact
+    ("spark", "2024-01-01T00:00:00Z", "2024-06-01T00:00:00Z",
+     "+1MONTH"),
 ]
 
 

@@ -2072,12 +2072,18 @@ WHERE d.doc_id % 5 <> 0 AND (d.doc_id // 5) * 5 IN (
 
 def date_range_facets_sql() -> str:
     """Date-range facet oracle: mtime recomputes from doc_id arithmetic
-    (base + doc_id hours), bucket index = integer division over
-    epoch microseconds, zero buckets via generate_series."""
+    (base + doc_id hours); fixed gaps bucket by integer division over
+    epoch microseconds, calendar gaps (+NMONTHS/+NYEARS, clamp-free
+    day-1 starts) by DuckDB interval arithmetic; zero buckets via
+    generate_series."""
     import numpy as np
 
     from solr_indexer_ray.contract import DATE_RANGE_FACET_CASES
-    from solr_indexer_ray.pipelines.search import _parse_datemath_gap_us
+    from solr_indexer_ray.pipelines.search import (
+        _DATEMATH_CAL_GAP,
+        _date_bucket_bounds,
+        _parse_datemath_gap_us,
+    )
 
     blocks = []
     mt = ("epoch_us(TIMESTAMP '2024-01-01 00:00:00' "
@@ -2088,17 +2094,35 @@ def date_range_facets_sql() -> str:
                    .astype(np.int64))
         e_us = int(np.datetime64(end.rstrip("Z"), "us")
                    .astype(np.int64))
-        g_us = _parse_datemath_gap_us(gap)
-        n = (e_us - s_us + g_us - 1) // g_us
         m = _match_docs_sql(q)
-        blocks.append(f"""
+        cal = _DATEMATH_CAL_GAP.match(str(gap).strip().upper())
+        if cal:
+            months = int(cal.group(1)) * (
+                12 if cal.group(2).startswith("Y") else 1)
+            n = len(_date_bucket_bounds(s_us, e_us, gap)) - 1
+            ts0 = f"make_timestamp({s_us})"
+            lo = f"epoch_us({ts0} + to_months((b.i * {months})::INT))"
+            hi = (f"epoch_us({ts0} "
+                  f"+ to_months(((b.i + 1) * {months})::INT))")
+            bucket_sel = f"""
+SELECT '{case}' AS "case",
+  strftime({ts0} + to_months((b.i * {months})::INT),
+           '%Y-%m-%dT%H:%M:%SZ') AS bucket,
+  (SELECT count(*) FROM ({m}) s
+   WHERE {mt} >= {lo} AND {mt} < {hi} AND {mt} < {e_us}) AS count
+FROM (SELECT unnest(generate_series(0, {n - 1})) AS i) b"""
+        else:
+            g_us = _parse_datemath_gap_us(gap)
+            n = (e_us - s_us + g_us - 1) // g_us
+            bucket_sel = f"""
 SELECT '{case}' AS "case",
   strftime(make_timestamp({s_us} + b.i * {g_us}),
            '%Y-%m-%dT%H:%M:%SZ') AS bucket,
   (SELECT count(*) FROM ({m}) s
    WHERE ({mt} - {s_us}) // {g_us} = b.i
      AND {mt} >= {s_us} AND {mt} < {e_us}) AS count
-FROM (SELECT unnest(generate_series(0, {n - 1})) AS i) b
+FROM (SELECT unnest(generate_series(0, {n - 1})) AS i) b"""
+        blocks.append(f"""{bucket_sel}
 UNION ALL
 SELECT '{case}', '(before)',
   (SELECT count(*) FROM ({m}) s WHERE {mt} < {s_us})

@@ -2616,12 +2616,14 @@ class SearchEngine:
 
         Date ranges (Solr date faceting / the timeseries() stream
         shape): ``start``/``end`` are strict ISO instants
-        (``2024-01-01T00:00:00Z``) and ``gap`` is fixed-length DateMath
+        (``2024-01-01T00:00:00Z``) and ``gap`` is DateMath — fixed-length
         (``+1HOUR`` / ``+6HOURS`` / ``+1DAY`` / ``+30MINUTES`` /
-        ``+N SECONDS``); bucket labels are the bucket-start instants.
-        Variable-length units (MONTH/YEAR) are not supported — a
-        documented deviation (fixed arithmetic keeps the SQL oracle
-        exact)."""
+        ``+N SECONDS``) or calendar-length (``+1MONTH`` / ``+N MONTHS``
+        / ``+1YEAR``); bucket labels are the bucket-start instants.
+        Calendar buckets follow Solr's DateMathParser semantics: each
+        edge is the previous edge plus the gap (java.util.Calendar
+        month-add, day-of-month clamped to the target month's length),
+        so a Jan-31 start yields Feb-28/29 then Mar-28/29 edges."""
         ids = self.match_ids(query)
         fqm = self._merge_fq_mask(None, fq)
         if fqm is not None and ids.size:
@@ -2633,7 +2635,6 @@ class SearchEngine:
                 raise ValueError("need gap > 0 and end > start")
             t = self._docs_ds.to_table(columns=["doc_id", field])
             vals = t[field].to_numpy()[mask[t["doc_id"].to_numpy()]]
-            labels = None
             s_i, e_i, g_i = int(start), int(end), int(gap)
         else:
             col_field = self._docs_ds.schema.field(field) \
@@ -2649,21 +2650,31 @@ class SearchEngine:
                       .astype(np.int64))
             e_i = int(np.datetime64(str(end).rstrip("Z"), "us")
                       .astype(np.int64))
-            g_i = _parse_datemath_gap_us(gap)
             if e_i <= s_i:
                 raise ValueError("need end > start")
             t = self._docs_ds.to_table(columns=["doc_id", field])
             hit = mask[t["doc_id"].to_numpy()]
             vals = (t[field].cast(pa.timestamp("us")).to_numpy()
                     .astype("datetime64[us]").astype(np.int64)[hit])
+            bounds = _date_bucket_bounds(s_i, e_i, gap)
+            n_buckets = len(bounds) - 1
+            idx = np.searchsorted(bounds, vals, side="right") - 1
+            inside = (idx >= 0) & (idx < n_buckets) & (vals < e_i)
+            counts = np.bincount(idx[inside].astype(np.int64),
+                                 minlength=n_buckets)
+            from datetime import datetime, timezone
 
-            def labels(i):
-                from datetime import datetime, timezone
+            def _lab(us):
+                return datetime.fromtimestamp(
+                    us / 1e6, tz=timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
 
-                ts = datetime.fromtimestamp(
-                    (s_i + i * g_i) / 1e6, tz=timezone.utc
-                )
-                return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            return {
+                "buckets": [(_lab(int(bounds[i])), int(counts[i]))
+                            for i in range(n_buckets)],
+                "before": int((vals < s_i).sum()),
+                "after": int((vals >= e_i).sum()),
+            }
 
         n_buckets = (e_i - s_i + g_i - 1) // g_i
         idx = (vals - s_i) // g_i
@@ -2672,8 +2683,7 @@ class SearchEngine:
                              minlength=n_buckets)
         return {
             "buckets": [
-                ((int(s_i + i * g_i) if labels is None else labels(i)),
-                 int(counts[i]))
+                (int(s_i + i * g_i), int(counts[i]))
                 for i in range(n_buckets)
             ],
             "before": int((vals < s_i).sum()),
@@ -6379,6 +6389,49 @@ def group_partitioned(index_dir: str, query: str, group_field: str,
 
 
 _DATEMATH_GAP = re.compile(r"^\+(\d+)(SECONDS?|MINUTES?|HOURS?|DAYS?)$")
+_DATEMATH_CAL_GAP = re.compile(r"^\+(\d+)(MONTHS?|YEARS?)$")
+
+
+def _add_months_clamped(dt, n: int):
+    """``dt`` plus ``n`` calendar months, day-of-month clamped to the
+    target month's length — java.util.Calendar.add semantics, which is
+    what Solr's DateMathParser applies for +NMONTHS/+NYEARS."""
+    import calendar
+
+    y = dt.year + (dt.month - 1 + n) // 12
+    m = (dt.month - 1 + n) % 12 + 1
+    d = min(dt.day, calendar.monthrange(y, m)[1])
+    return dt.replace(year=y, month=m, day=d)
+
+
+def _date_bucket_bounds(s_us: int, e_us: int, gap) -> np.ndarray:
+    """Bucket boundary instants (epoch microseconds, ascending) for a
+    date range facet: ``[b0=start, b1, ..., bK]`` with bucket i =
+    ``[b_i, b_{i+1})`` and ``b_{K-1} < end <= b_K``.
+
+    Fixed-length gaps are start + i*gap; calendar gaps (MONTH/YEAR)
+    follow Solr's iterative DateMathParser evaluation — each edge is the
+    PREVIOUS edge plus the gap, so day-of-month clamping "sticks" (a
+    Jan-31 monthly series runs Jan 31, Feb 28/29, Mar 28/29, ...).
+    """
+    m = _DATEMATH_CAL_GAP.match(str(gap).strip().upper())
+    if m is None:
+        g_us = _parse_datemath_gap_us(gap)
+        n = (e_us - s_us + g_us - 1) // g_us
+        return s_us + g_us * np.arange(n + 1, dtype=np.int64)
+    months = int(m.group(1)) * (12 if m.group(2).startswith("Y") else 1)
+    if months <= 0:
+        raise ValueError("gap must be positive")
+    from datetime import datetime, timedelta, timezone
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    us = timedelta(microseconds=1)
+    cur = epoch + timedelta(microseconds=s_us)
+    bounds = [s_us]
+    while bounds[-1] < e_us:
+        cur = _add_months_clamped(cur, months)
+        bounds.append((cur - epoch) // us)
+    return np.asarray(bounds, dtype=np.int64)
 
 
 def _parse_datemath_gap_us(gap) -> int:

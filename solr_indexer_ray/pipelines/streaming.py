@@ -536,9 +536,10 @@ class StreamCompiler:
         return out.groupby("node").aggregate(Count(alias_name="count(*)"))
 
     def _c_timeseries(self, node: Node):
-        """Solr timeseries() stream: fixed-gap date buckets of a query's
-        match set over a timestamp field (count per bucket; compose
-        rollup() over a search export for per-bucket metrics)."""
+        """Solr timeseries() stream: DateMath-gap buckets (fixed +NDAYS
+        or calendar +NMONTHS/+NYEARS) of a query's match set over a
+        timestamp field (count per bucket; compose rollup() over a
+        search export for per-bucket metrics)."""
         import ray.data as rd
 
         from solr_indexer_ray.pipelines.search import SearchEngine

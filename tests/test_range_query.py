@@ -274,9 +274,56 @@ class TestDateRangeFacets:
             "2024-03-01T00:00:00Z", "2024-03-01T06:00:00Z"]
         with pytest.raises(ValueError, match="bad date gap"):
             eng.range_facet("def", "mtime", "2024-03-01T00:00:00Z",
-                            "2024-03-02T00:00:00Z", "+1MONTH")
+                            "2024-03-02T00:00:00Z", "+1FORTNIGHT")
         with pytest.raises(ValueError, match="timestamp"):
             eng.range_facet("def", "lang", "a", "b", "+1DAY")
+
+    def test_month_gap_vs_brute_force(self, dfidx):
+        from datetime import datetime
+
+        idx, corpus = dfidx
+        eng = SearchEngine(idx)
+        out = eng.range_facet(
+            "def", "mtime",
+            "2024-01-01T00:00:00Z", "2024-05-01T00:00:00Z", "+1MONTH",
+        )
+        assert [b for b, _ in out["buckets"]] == [
+            "2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z",
+            "2024-03-01T00:00:00Z", "2024-04-01T00:00:00Z"]
+        ids = set(eng.match_ids("def").tolist())
+        mt = corpus["mtime"].to_pylist()
+        vals = [mt[d] for d in ids]
+        edges = [datetime(2024, m, 1) for m in (1, 2, 3, 4, 5)]
+        for (lab, cnt), lo, hi in zip(out["buckets"], edges, edges[1:]):
+            assert cnt == sum(lo <= v < hi for v in vals)
+        assert out["before"] == sum(v < edges[0] for v in vals)
+        assert out["after"] == sum(v >= edges[-1] for v in vals)
+
+    def test_month_gap_clamped_edges(self, dfidx):
+        # Solr DateMathParser iterative semantics: day-of-month clamping
+        # sticks (Jan 31 -> Feb 29 -> Mar 29 in a leap year)
+        idx, _ = dfidx
+        eng = SearchEngine(idx)
+        out = eng.range_facet(
+            "def", "mtime",
+            "2024-01-31T00:00:00Z", "2024-04-01T00:00:00Z", "+1MONTH",
+        )
+        assert [b for b, _ in out["buckets"]] == [
+            "2024-01-31T00:00:00Z", "2024-02-29T00:00:00Z",
+            "2024-03-29T00:00:00Z"]
+
+    def test_year_gap(self, dfidx):
+        idx, _ = dfidx
+        eng = SearchEngine(idx)
+        out = eng.range_facet(
+            "def", "mtime",
+            "2023-01-01T00:00:00Z", "2025-01-01T00:00:00Z", "+1YEAR",
+        )
+        assert [b for b, _ in out["buckets"]] == [
+            "2023-01-01T00:00:00Z", "2024-01-01T00:00:00Z"]
+        # all corpus mtimes live in 2024 -> first bucket empty
+        assert out["buckets"][0][1] == 0
+        assert out["before"] == 0 and out["after"] == 0
 
     @pytest.fixture(scope="class")
     def dfidx(self, tmp_path_factory):
