@@ -1343,10 +1343,24 @@ class SearchEngine:
                     "{!collapse} composes with relevance ranking only "
                     "(no sort/search_after/hl)"
                 )
+            # pass only non-default rank params through: an empty
+            # search_kwargs lets collapse_search take the unranked
+            # _full_match_arrays fast path instead of a full top-k sort
+            extra = {
+                kk: vv for kk, vv in dict(
+                    qf=qf, mm=mm, pf=pf, pf2=pf2, pf3=pf3,
+                    bf=bf, boost=boost, bq=bq,
+                ).items() if vv is not None
+            }
+            if ps:  # proximity slop: default 0
+                extra["ps"] = ps
+            if tie:
+                extra["tie"] = tie
+            if method != "taat":
+                extra["method"] = method
             heads = self.collapse_search(
                 query, field, k=start + k, fq=fq, null_policy=npol,
-                method=method, qf=qf, tie=tie, mm=mm, pf=pf, ps=ps,
-                pf2=pf2, pf3=pf3, bf=bf, boost=boost, bq=bq,
+                **extra,
             )
             hits = list(zip(heads["doc_id"].to_pylist(),
                             heads["score"].to_pylist()))[start:start + k]
@@ -1735,32 +1749,26 @@ class SearchEngine:
         if not keys:
             raise ValueError(f"empty sort spec {sort!r}")
 
-        # full match set with scores (score may itself be a sort key)
-        full = self.search(query, k=self.doc_space, fl=["doc_id"], fq=fq)
-        if full.num_rows == 0:
+        # full match set with scores (score may itself be a sort key);
+        # the unranked arrays skip the ranked path's full top-k sort +
+        # Python tuple materialization
+        arrays = self._full_match_arrays(query, fq=fq)
+        if arrays is not None:
+            doc_ids, scores = arrays
+        else:
+            full = self.search(query, k=self.doc_space, fl=["doc_id"],
+                               fq=fq)
+            doc_ids = full["doc_id"].to_numpy()
+            scores = full["score"].to_numpy()
+        if doc_ids.size == 0:
             return self._resolve([], fl)
         import pandas as pd
 
-        df = pd.DataFrame(
-            {"doc_id": full["doc_id"].to_numpy(),
-             "score": full["score"].to_numpy()}
-        )
-        need = [f for f, _ in keys if f not in ("score", "doc_id")]
-        if need:
-            ids = df["doc_id"].to_numpy()
-            if ids.size > 10_000:
-                # large match set: a full column scan + dense mask beats an
-                # isin pushdown over a huge id list
-                t = self._docs_ds.to_table(columns=["doc_id", *need])
-                mask = np.zeros(self.doc_space, dtype=bool)
-                mask[ids] = True
-                t = t.filter(pa.array(mask[t["doc_id"].to_numpy()]))
-            else:
-                t = self._docs_ds.to_table(
-                    columns=["doc_id", *need],
-                    filter=pc.field("doc_id").isin(ids.tolist()),
-                )
-            df = df.merge(t.to_pandas(), on="doc_id", how="left")
+        df = pd.DataFrame({"doc_id": doc_ids, "score": scores})
+        for f in {f for f, _ in keys if f not in ("score", "doc_id")}:
+            # cached dense per-doc column (docValues analogue): one
+            # gather per query instead of a hash join
+            df[f] = self._dense_field(f)[doc_ids]
         # vectorized multi-key sort; NaN/None always last (Solr
         # sortMissingLast-ish), ascending doc_id as the final tie-break
         df = df.sort_values(
@@ -2789,6 +2797,62 @@ class SearchEngine:
             self._field_tab_cache[field] = cached
         return cached
 
+    def _dense_field(self, field: str) -> np.ndarray:
+        """Dense per-doc column array (position d = doc d's value):
+        float64/NaN for numerics, datetime64/NaT for timestamps, object/
+        None otherwise — the sort-key value source, cached per engine."""
+        cache = getattr(self, "_dense_field_cache", None)
+        if cache is None:
+            cache = self._dense_field_cache = {}
+        hit = cache.get(field)
+        if hit is None:
+            t = self._field_table(field)
+            ids = t["doc_id"].to_numpy()
+            col = t[field]
+            if pa.types.is_timestamp(col.type):
+                dense = np.full(self.doc_space, np.datetime64("NaT"),
+                                dtype="datetime64[us]")
+                dense[ids] = (col.cast(pa.timestamp("us"))
+                              .to_numpy(zero_copy_only=False))
+            elif (pa.types.is_integer(col.type)
+                  or pa.types.is_floating(col.type)):
+                dense = np.full(self.doc_space, np.nan)
+                dense[ids] = col.to_numpy(zero_copy_only=False).astype(
+                    np.float64)
+            else:
+                dense = np.full(self.doc_space, None, dtype=object)
+                dense[ids] = np.asarray(col.to_pylist(), dtype=object)
+            if len(cache) > 16:
+                cache.clear()
+            cache[field] = dense
+            hit = dense
+        return hit
+
+    def _field_codes(self, field: str):
+        """``(dense codes, labels)`` for a stored field: position d of
+        the dense int64 array is doc d's factorized group code (-1 for
+        null/missing), ``labels[c]`` its display value.  Factorized once
+        per engine per field — collapse/group queries then just gather,
+        no per-query join or factorize."""
+        cache = getattr(self, "_field_codes_cache", None)
+        if cache is None:
+            cache = self._field_codes_cache = {}
+        hit = cache.get(field)
+        if hit is None:
+            import pandas as pd
+
+            t = self._field_table(field)
+            codes, uniques = pd.factorize(
+                t[field].to_pandas(), use_na_sentinel=True
+            )
+            dense = np.full(self.doc_space, -1, dtype=np.int64)
+            dense[t["doc_id"].to_numpy()] = codes.astype(np.int64)
+            hit = (dense, [str(u) for u in uniques])
+            if len(cache) > 16:
+                cache.clear()
+            cache[field] = hit
+        return hit
+
     def _geo_columns(self, sfield: str):
         """Dense per-doc (lat, lon) arrays for a spatial field spec —
         either ``"latcol,loncol"`` (two stored numeric columns) or one
@@ -3664,19 +3728,26 @@ class SearchEngine:
             raise ValueError(f"cannot collapse on field {field!r}")
         if null_policy not in ("ignore", "expand", "collapse"):
             raise ValueError(f"bad nullPolicy {null_policy!r}")
-        import pandas as pd
-
         arrays = (self._full_match_arrays(query, fq=fq)
                   if not search_kwargs else None)
         if arrays is not None:
-            df = pd.DataFrame({"doc_id": arrays[0], "score": arrays[1]})
-        else:
-            full = self.search(query, k=self.doc_space, fl=["doc_id"],
-                               fq=fq, **search_kwargs)
-            df = pd.DataFrame(
-                {"doc_id": full["doc_id"].to_numpy(),
-                 "score": full["score"].to_numpy()}
-            )
+            # dense-codes fast path: unranked match arrays + a cached
+            # per-doc factorization of the collapse field (the docValues
+            # analogue) — no pandas join, no full top-k sort
+            ids = arrays[0].astype(np.int64)
+            scores = arrays[1].astype(np.float64)
+            dense, uniques = self._field_codes(field)
+            return _collapse_codes(ids, scores, dense[ids], uniques, k,
+                                   null_policy, expand_limit,
+                                   round_scores)
+        import pandas as pd
+
+        full = self.search(query, k=self.doc_space, fl=["doc_id"],
+                           fq=fq, **search_kwargs)
+        df = pd.DataFrame(
+            {"doc_id": full["doc_id"].to_numpy(),
+             "score": full["score"].to_numpy()}
+        )
         if not df.empty:
             ids = df["doc_id"].to_numpy()
             t = self._field_table(field)
@@ -6499,11 +6570,6 @@ def _collapse_frame(df, field: str, k: int, null_policy: str,
     )
     if df.empty:
         return empty
-    df = df.copy()
-    if round_scores is not None:
-        m = 10.0 ** round_scores
-        s = df["score"].to_numpy(dtype=float)
-        df["score"] = np.copysign(np.floor(np.abs(s) * m + 0.5) / m, s)
     import pandas as pd
 
     doc_ids = df["doc_id"].to_numpy().astype(np.int64)
@@ -6511,7 +6577,33 @@ def _collapse_frame(df, field: str, k: int, null_policy: str,
     # hash-factorize the raw group values (no sort, no sentinel-string
     # construction); nulls come back as code -1 and route per policy
     codes, uniques = pd.factorize(df[field], use_na_sentinel=True)
-    codes = codes.astype(np.int64)
+    return _collapse_codes(
+        doc_ids, scores, codes.astype(np.int64),
+        [str(u) for u in uniques], k, null_policy, expand_limit,
+        round_scores,
+    )
+
+
+def _collapse_codes(doc_ids, scores, codes, uniques, k: int,
+                    null_policy: str, expand_limit: int,
+                    round_scores: int | None) -> pa.Table:
+    """Collapse pre-factorized ``(doc_id, score, group-code)`` arrays —
+    the pure-numpy core under ``_collapse_frame`` and the engine's
+    dense-codes fast path (``uniques``: list of group labels, code -1 =
+    null group value)."""
+    empty = pa.table(
+        {"rank": pa.array([], pa.int64()),
+         "position": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64()),
+         "group": pa.array([], pa.string())}
+    )
+    if doc_ids.size == 0:
+        return empty
+    if round_scores is not None:
+        m = 10.0 ** round_scores
+        scores = np.copysign(np.floor(np.abs(scores) * m + 0.5) / m,
+                             scores)
     n_real = len(uniques)
     null_rows = codes < 0
     if null_policy == "ignore":

@@ -274,12 +274,31 @@ class IvfIndex:
         return self
 
     # -- search ------------------------------------------------------------
-    def search(self, queries: np.ndarray, k: int = 10) -> pa.Table:
-        import ray
-        import ray.data
-        import pyarrow.compute as pc
-        from ray.data.datasource.partitioning import PathPartitionFilter
+    #: query-batch size at/above which search() fans out as a Ray Data
+    #: job instead of probing in-process (the Ray job has ~1-2 s fixed
+    #: scheduling overhead — right for offline fan-out over huge
+    #: buckets, wrong for serving-style small batches)
+    RAY_QUERY_THRESHOLD = 64
+    #: in-process bucket cache cap (rows); whole cache drops when
+    #: exceeded so a serving engine's working set stays bounded
+    CACHE_ROWS = 2_000_000
 
+    def search(self, queries: np.ndarray, k: int = 10,
+               mode: str = "auto") -> pa.Table:
+        """Probe the ``nprobe`` nearest buckets per query.
+
+        ``mode="local"`` reads the probed bucket partitions in-process
+        (pyarrow partition-pruned reads, per-bucket LRU cache) and
+        scores them with one matmul — the serving path, ~ms warm.
+        ``mode="ray"`` streams the probed partitions through a
+        ``map_batches`` partial-top-k job — the offline fan-out path for
+        bucket sets that dwarf one worker's memory.  ``"auto"`` picks
+        ray for query batches of ``RAY_QUERY_THRESHOLD``+ queries.
+        Both paths return identical rows (same scoring, same
+        (similarity desc, vec_id asc) tie-break).
+        """
+        if mode not in ("auto", "local", "ray"):
+            raise ValueError(f"bad search mode {mode!r}")
         q = _unit_rows(np.asarray(queries, dtype=np.float64))
         # (Q, n_buckets) probe mask: top-nprobe centroids per query
         cscore = q @ self.centroids.T
@@ -289,6 +308,59 @@ class IvfIndex:
         probe_mask = np.zeros((q.shape[0], nb), dtype=bool)
         probe_mask[np.arange(q.shape[0])[:, None], probe] = True
         wanted = {int(b) for b in np.unique(probe)}
+        if mode == "local" or (mode == "auto"
+                               and q.shape[0] < self.RAY_QUERY_THRESHOLD):
+            return self._search_local(q, probe_mask, wanted, k)
+        return self._search_ray(q, probe_mask, wanted, k)
+
+    def _load_bucket(self, b: int):
+        """(ids, unit matrix) of one bucket partition, LRU-ish cached."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        cache = getattr(self, "_bucket_cache", None)
+        if cache is None:
+            cache = self._bucket_cache = {}
+            self._bucket_cache_rows = 0
+        hit = cache.get(b)
+        if hit is not None:
+            return hit
+        ds = pads.dataset(self._bucket_root, partitioning="hive")
+        t = ds.to_table(
+            columns=[self.id_col, self.vec_col],
+            filter=pc.field("bucket") == b,
+        )
+        ids = t[self.id_col].to_numpy().astype(np.int64)
+        mat = vectors_to_matrix(t[self.vec_col])
+        if self._bucket_cache_rows + ids.size > self.CACHE_ROWS:
+            cache.clear()
+            self._bucket_cache_rows = 0
+        cache[b] = (ids, mat)
+        self._bucket_cache_rows += ids.size
+        return cache[b]
+
+    def _search_local(self, q, probe_mask, wanted, k: int) -> pa.Table:
+        parts = [self._load_bucket(b) for b in sorted(wanted)]
+        parts = [(i, m, b) for (i, m), b in zip(parts, sorted(wanted))
+                 if i.size]
+        if not parts:
+            return pa.Table.from_pylist([], schema=TOPK_SCHEMA)
+        ids = np.concatenate([i for i, _m, _b in parts])
+        mat = np.vstack([m for _i, m, _b in parts])
+        row_bucket = np.concatenate(
+            [np.full(i.size, b, np.int64) for i, _m, b in parts]
+        )
+        sims = q @ mat.T  # vectors stored unit-normalized
+        sims = np.where(probe_mask[:, row_bucket], sims, -np.inf)
+        # every candidate row is present, so the "partial" IS the final
+        # (same ordering contract as _merge_partials)
+        return _partial_topk_table(sims, ids, k)
+
+    def _search_ray(self, q, probe_mask, wanted, k: int) -> pa.Table:
+        import ray
+        import ray.data
+        import pyarrow.compute as pc
+        from ray.data.datasource.partitioning import PathPartitionFilter
 
         ds = ray.data.read_parquet(
             self._bucket_root,

@@ -246,6 +246,27 @@ class TestEmbeddingOps:
         assert got[0]["vec_id"] == 0
         assert got[0]["similarity"] == pytest.approx(1.0)
 
+    def test_ivf_local_vs_ray_parity(self, emb_ds, tmp_path):
+        """search(mode="local") (in-process partition-pruned probe, the
+        serving path) returns exactly the rows of the Ray Data fan-out
+        path — same scoring, same tie-breaks."""
+        from solr_indexer_ray.stages.ann import IvfIndex
+
+        rows = emb_ds.take_all()
+        q = np.array([r["embedding"] for r in rows[:4]])
+        ivf = IvfIndex(
+            n_buckets=4, nprobe=2, index_dir=str(tmp_path / "ivfp")
+        ).build(emb_ds)
+        loc = ivf.search(q, k=5, mode="local").to_pylist()
+        ray_ = ivf.search(q, k=5, mode="ray").to_pylist()
+        assert loc == ray_
+        # warm cache: repeated local probes don't re-read partitions
+        again = ivf.search(q, k=5, mode="local").to_pylist()
+        assert again == loc
+        import pytest as _pt
+        with _pt.raises(ValueError, match="mode"):
+            ivf.search(q, k=5, mode="nope")
+
     def test_ivf_recall(self, emb_ds):
         from solr_indexer_ray.stages.ann import IvfIndex, brute_force_topk
 
