@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": c.q_heavy_hitters,
         "quantile_sketch": c.q_quantile_sketch,
         "hll_distinct": c.q_hll_distinct,        # rows-only (pytest bounds)
+        # --- new in round 3 (Solr /sql handler) ---
+        "sql_group_agg": c.q_sql_group_agg,
+        "sql_select_where": c.q_sql_select_where,
         # --- checked in round 1 only (fresh re-verify next) ---
         "suggest": c.q_suggest,
         "boosted_topk": c.q_boosted_topk,

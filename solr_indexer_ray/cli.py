@@ -341,6 +341,32 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Solr /sql analogue: parse a Parallel-SQL statement, compile it
+    onto the streaming machinery, print result rows as JSON lines."""
+    from solr_indexer_ray.pipelines.sql import execute_sql
+
+    _ensure_ray()
+    collections = args.output
+    if args.collection:
+        collections = {}
+        for spec in args.collection:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(
+                    f"--collection wants name=dir, got {spec!r}"
+                )
+            collections[name] = path
+    ds = execute_sql(args.query, collections,
+                     num_partitions=args.num_partitions)
+    n = 0
+    for row in ds.iter_rows():
+        print(json.dumps(row, default=str))
+        n += 1
+    print(f"# {n} rows", file=sys.stderr)
+    return 0
+
+
 def cmd_terms(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
@@ -868,6 +894,20 @@ def build_parser() -> argparse.ArgumentParser:
                      help="name=dir mapping (repeatable); expressions "
                           "can then join across different indexes")
     pst.set_defaults(fn=cmd_stream)
+
+    psq = sub.add_parser(
+        "sql",
+        help="run a Parallel SQL statement (Solr /sql)",
+    )
+    psq.add_argument("-o", "--output", required=True,
+                     help="index dir (any collection name resolves here)")
+    psq.add_argument("--query", "-q", required=True,
+                     help="SELECT statement (see pipelines.sql docstring "
+                          "for the supported subset)")
+    psq.add_argument("--num-partitions", type=int, default=8)
+    psq.add_argument("--collection", action="append",
+                     help="name=dir mapping (repeatable)")
+    psq.set_defaults(fn=cmd_sql)
 
     pan = sub.add_parser(
         "analyze", help="per-stage analysis-chain token streams "

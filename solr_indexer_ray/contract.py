@@ -1983,6 +1983,55 @@ def q_significant_terms(sf_dir: str):
     )
 
 
+#: /sql statements pinned by the contract (pipelines/sql.py — the Solr
+#: Parallel SQL handler analogue; the oracle runs the semantically
+#: identical SQL over the raw parquet + recomputed token stats)
+SQL_CASES = {
+    "sql_group_agg": (
+        "SELECT lang, count(*) AS n, sum(doclen) AS sum_dl, "
+        "avg(doclen) AS avg_dl FROM docs WHERE content = 'spark' "
+        "GROUP BY lang HAVING count(*) >= 2 ORDER BY n DESC, lang ASC"
+    ),
+    "sql_select_where": (
+        "SELECT doc_id, lang, doclen FROM docs "
+        "WHERE content = 'spark window' AND doclen BETWEEN 20 AND 90 "
+        "AND lang IN ('en', 'de') "
+        "ORDER BY doclen DESC, doc_id ASC LIMIT 50"
+    ),
+}
+
+
+def q_sql_group_agg(sf_dir: str):
+    """Solr /sql handler analogue: GROUP BY aggregation with HAVING,
+    compiled onto the streaming export + Ray groupby (pipelines/sql.py,
+    the same SQL->streaming-expression lowering as Solr's Calcite
+    handler)."""
+    from solr_indexer_ray.pipelines.sql import sql_to_table
+
+    t = sql_to_table(SQL_CASES["sql_group_agg"],
+                     {"docs": _bm25_index(sf_dir)})
+    return pa.table(
+        {"lang": t["lang"].cast(pa.string()),
+         "n": t["n"].cast(pa.int64()),
+         "sum_dl": t["sum_dl"].cast(pa.int64()),
+         "avg_dl": t["avg_dl"].cast(pa.float64())}
+    )
+
+
+def q_sql_select_where(sf_dir: str):
+    """Solr /sql projection shape: WHERE (text query + range + IN) ->
+    fq lowering, ORDER BY + LIMIT over the streamed export."""
+    from solr_indexer_ray.pipelines.sql import sql_to_table
+
+    t = sql_to_table(SQL_CASES["sql_select_where"],
+                     {"docs": _bm25_index(sf_dir)})
+    return pa.table(
+        {"doc_id": t["doc_id"].cast(pa.int64()),
+         "lang": t["lang"].cast(pa.string()),
+         "doclen": t["doclen"].cast(pa.int64())}
+    )
+
+
 def q_stream_rollup(sf_dir: str):
     """Solr streaming expression rollup(search(...)) compiled to a Ray
     Data pipeline: full-export source under a broadcast match mask ->

@@ -1843,6 +1843,35 @@ JOIN dl ON dl.doc_id = s.doc_id
 GROUP BY d.lang"""
 
 
+def sql_group_agg_sql() -> str:
+    """/sql GROUP BY oracle: the statement's own semantics over the raw
+    parquet — text predicate = the engine match set, doclen = dl."""
+    m = _match_docs_sql("spark")
+    return _BM25_CTES + f"""
+SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(dl.dl) AS BIGINT) AS sum_dl,
+       sum(dl.dl) * 1.0 / count(*) AS avg_dl
+FROM ({m}) s
+JOIN documents d ON d.doc_id = s.doc_id
+JOIN dl ON dl.doc_id = s.doc_id
+GROUP BY d.lang HAVING count(*) >= 2
+ORDER BY n DESC, lang ASC"""
+
+
+def sql_select_where_sql() -> str:
+    """/sql projection oracle: text match + BETWEEN + IN + ORDER BY +
+    LIMIT, same column names as the engine output."""
+    m = _match_docs_sql("spark window")
+    return _BM25_CTES + f"""
+SELECT s.doc_id AS doc_id, d.lang AS lang,
+       CAST(dl.dl AS BIGINT) AS doclen
+FROM ({m}) s
+JOIN documents d ON d.doc_id = s.doc_id
+JOIN dl ON dl.doc_id = s.doc_id
+WHERE dl.dl BETWEEN 20 AND 90 AND d.lang IN ('en', 'de')
+ORDER BY doclen DESC, doc_id ASC LIMIT 50"""
+
+
 def stream_join_sql() -> str:
     """innerJoin(search, search) oracle: intersection of the two match
     sets joined back to lang/doclen."""
@@ -2888,6 +2917,8 @@ def oracle_sql_dict() -> dict:
         "stats_percentiles": stats_percentiles_sql(),
         "analysis_tokens": analysis_tokens_sql(),
         "stream_rollup": stream_rollup_sql(),
+        "sql_group_agg": sql_group_agg_sql(),
+        "sql_select_where": sql_select_where_sql(),
         "significant_terms": significant_terms_sql(),
         "luke_fields": luke_fields_sql(),
         "ltr_topk": ltr_topk_sql(),
