@@ -50,9 +50,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": c.q_heavy_hitters,
         "quantile_sketch": c.q_quantile_sketch,
         "hll_distinct": c.q_hll_distinct,        # rows-only (pytest bounds)
-        # --- new in round 3 (Solr /sql handler) ---
+        # --- new in round 3 (/sql handler, tree-ensemble LTR) ---
         "sql_group_agg": c.q_sql_group_agg,
         "sql_select_where": c.q_sql_select_where,
+        "ltr_trees_topk": c.q_ltr_trees_topk,
         # --- checked in round 1 only (fresh re-verify next) ---
         "suggest": c.q_suggest,
         "boosted_topk": c.q_boosted_topk,

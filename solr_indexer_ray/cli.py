@@ -288,6 +288,7 @@ def cmd_cluster(args) -> int:
     t = cluster_results(
         SearchEngine(args.output), args.query, args.embeddings,
         k_clusters=args.clusters, top_n=args.top_n,
+        label_terms=args.label_terms,
     )
     for row in t.to_pylist():
         print(json.dumps(row))
@@ -863,6 +864,9 @@ def build_parser() -> argparse.ArgumentParser:
     pcl.add_argument("--embeddings", required=True)
     pcl.add_argument("--clusters", type=int, default=5)
     pcl.add_argument("--top-n", type=int, default=50)
+    pcl.add_argument("--label-terms", type=int, default=0,
+                     help="label clusters with their N most distinctive "
+                          "terms (carrot2-style; 0 = no labels)")
     pcl.set_defaults(fn=cmd_cluster)
 
     plk = sub.add_parser(

@@ -1903,6 +1903,48 @@ LTR_MODEL = {
 }
 LTR_CASE = ("spark merge", 10, 30)  # (query, k, rerank_docs)
 
+#: Solr MultipleAdditiveTreesModel analogue (the lambdaMART ensemble
+#: format) — small enough that the oracle renders it as nested CASEs
+LTR_TREE_MODEL = {
+    "type": "trees",
+    "features": [
+        {"name": "bm25", "type": "originalScore"},
+        {"name": "dl", "type": "function", "expr": "doclen"},
+        {"name": "is_en", "type": "query", "q": "lang:en"},
+    ],
+    "trees": [
+        {"weight": 2.0, "root": {
+            "feature": "dl", "threshold": 40,
+            "left": {"value": 1.0},
+            "right": {"feature": "is_en", "threshold": 0.5,
+                      "left": {"value": 0.2}, "right": {"value": 0.8}},
+        }},
+        {"weight": 1.5, "root": {
+            "feature": "bm25", "threshold": 2.0,
+            "left": {"value": 0.1}, "right": {"value": 1.0},
+        }},
+    ],
+}
+
+
+def q_ltr_trees_topk(sf_dir: str):
+    """Solr LTR MultipleAdditiveTreesModel rescoring (lambdaMART
+    ensembles train into this format): the same top-N window shape as
+    q_ltr_topk, scored by Σ weight_t · tree_t(features); components
+    rounded 4dp so the nested-CASE SQL oracle matches exactly."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bm25_index(sf_dir))
+    q, k, n = LTR_CASE
+    t = engine.ltr_search(q, LTR_TREE_MODEL, k=k, rerank_docs=n,
+                          fl=["doc_id"], round_scores=4)
+    return pa.Table.from_pylist(
+        [{"rank": i, "doc_id": r["doc_id"], "score_r": r["score"]}
+         for i, r in enumerate(t.to_pylist())],
+        schema=pa.schema([("rank", pa.int64()), ("doc_id", pa.int64()),
+                          ("score_r", pa.float64())]),
+    )
+
 
 def q_ltr_topk(sf_dir: str):
     """Solr LTR LinearModel rescoring: the main query's top-N window

@@ -1829,6 +1829,66 @@ WHERE rn <= {k}""")
     return _BM25_CTES + "\nUNION ALL\n".join(blocks)
 
 
+def _tree_case_sql(node, fexpr: dict) -> str:
+    """Render a MultipleAdditiveTrees node as nested SQL CASEs (left
+    branch when feature <= threshold, Solr branching)."""
+    if "value" in node:
+        return str(float(node["value"]))
+    return (
+        f"(CASE WHEN {fexpr[node['feature']]} <= {float(node['threshold'])} "
+        f"THEN {_tree_case_sql(node['left'], fexpr)} "
+        f"ELSE {_tree_case_sql(node['right'], fexpr)} END)"
+    )
+
+
+def ltr_trees_topk_sql() -> str:
+    """Tree-ensemble LTR oracle: the linear-LTR window shape with the
+    model's trees rendered as nested CASEs over the same feature SQL."""
+    from solr_indexer_ray.contract import LTR_CASE, LTR_TREE_MODEL
+
+    q, k, n = LTR_CASE
+    lim = max(n, k)
+    fexpr = {
+        "bm25": "m.score_r",
+        "dl": "dd.dl",
+        "is_en": "(CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END)",
+    }
+    total = " + ".join(
+        f"{float(t.get('weight', 1.0))} * {_tree_case_sql(t['root'], fexpr)}"
+        for t in LTR_TREE_MODEL["trees"]
+    )
+    feat = f"round({total}, 4)"
+    return _BM25_CTES + f"""
+SELECT rn - 1 AS rank, doc_id, score_c AS score_r
+FROM (
+  SELECT doc_id, score_c,
+    row_number() OVER (
+      ORDER BY seg,
+        CASE WHEN seg = 0 THEN -score_c ELSE 0 END,
+        CASE WHEN seg = 0 THEN doc_id ELSE pos END
+    ) AS rn
+  FROM (
+    SELECT 0 AS seg, m.doc_id, {feat} AS score_c,
+           CAST(0 AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id, score_r,
+        row_number() OVER (ORDER BY score_r DESC, doc_id) AS pos
+      FROM ({_scored_match_sql(q)})
+    ) m
+    JOIN dl dd ON dd.doc_id = m.doc_id
+    JOIN documents d ON d.doc_id = m.doc_id
+    WHERE m.pos <= {n}
+    UNION ALL
+    SELECT 1, doc_id, score_r, pos FROM (
+      SELECT doc_id, score_r,
+        row_number() OVER (ORDER BY score_r DESC, doc_id) AS pos
+      FROM ({_scored_match_sql(q)})
+    ) WHERE pos > {n} AND pos <= {lim}
+  )
+) WHERE rn <= {k}
+ORDER BY rank"""
+
+
 def stream_rollup_sql() -> str:
     """rollup(search(...)) oracle: grouped aggregates over the match
     set's docs (doclen = dl; lang from documents)."""
@@ -2919,6 +2979,7 @@ def oracle_sql_dict() -> dict:
         "stream_rollup": stream_rollup_sql(),
         "sql_group_agg": sql_group_agg_sql(),
         "sql_select_where": sql_select_where_sql(),
+        "ltr_trees_topk": ltr_trees_topk_sql(),
         "significant_terms": significant_terms_sql(),
         "luke_fields": luke_fields_sql(),
         "ltr_topk": ltr_topk_sql(),

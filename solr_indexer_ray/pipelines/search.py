@@ -3343,7 +3343,22 @@ class SearchEngine:
         mask, then a per-term sum — no shuffle beyond the existing
         postings partitioning.
         """
-        ids = self.match_ids(query)
+        return self.significant_terms_for_ids(
+            self.match_ids(query), limit=limit,
+            min_doc_freq=min_doc_freq, max_doc_freq=max_doc_freq,
+            round_scores=round_scores,
+        )
+
+    def significant_terms_for_ids(self, ids, limit: int = 10,
+                                  min_doc_freq: int = 5,
+                                  max_doc_freq: float = 0.5,
+                                  round_scores: int | None = None
+                                  ) -> pa.Table:
+        """JLH significant terms over an EXPLICIT foreground doc-id set
+        — the label source for result clustering (carrot2 labels a
+        cluster by its most distinctive terms; here: member docs as
+        foreground vs the index as background)."""
+        ids = np.asarray(ids, dtype=np.int64)
         fg_size = int(ids.size)
         bg_size = int(self.n_docs)
         empty = pa.table(
@@ -3806,11 +3821,20 @@ class SearchEngine:
                    rerank_docs: int = 200, fl=None, fq=None,
                    start: int = 0,
                    round_scores: int | None = None) -> pa.Table:
-        """Solr Learning-to-Rank plugin analogue (LinearModel): rescore
-        the main query's top ``rerank_docs`` window with a weighted
-        linear feature model, tail order preserved — the same two-pass
-        window shape as :meth:`rerank_search` (Solr LTR reranks through
-        the same rq mechanism).
+        """Solr Learning-to-Rank plugin analogue: rescore the main
+        query's top ``rerank_docs`` window with a feature model, tail
+        order preserved — the same two-pass window shape as
+        :meth:`rerank_search` (Solr LTR reranks through the same rq
+        mechanism).  Two model classes, mirroring Solr's:
+
+        - ``type="linear"`` (LinearModel): weighted feature sum.
+        - ``type="trees"`` / ``"multipleadditivetrees"``
+          (MultipleAdditiveTreesModel — lambdaMART ensembles train into
+          this format): ``score = Σ_t weight_t · tree_t(features)``
+          where each tree node is ``{"feature": F, "threshold": T,
+          "left": ..., "right": ...}`` (left when feature <= threshold,
+          Solr branching) and each leaf ``{"value": v}``; evaluation is
+          vectorized ``np.where`` over the candidate window.
 
         ``model`` mirrors Solr's LinearModel JSON::
 
@@ -3842,22 +3866,31 @@ class SearchEngine:
             parse_func,
         )
 
-        if model.get("type", "linear") != "linear":
-            raise ValueError("only linear LTR models are supported")
+        mtype = model.get("type", "linear")
+        if mtype not in ("linear", "trees", "multipleadditivetrees"):
+            raise ValueError(f"unknown LTR model type {mtype!r}")
+        is_linear = mtype == "linear"
         feats = model.get("features") or []
         weights = model.get("weights") or {}
+        trees = model.get("trees") or []
         if not feats:
             raise ValueError("LTR model needs at least one feature")
+        feat_names = {f.get("name") for f in feats}
         _FEAT_REQ = {"function": "expr", "query": "q",
                      "queryScore": "q", "value": "value"}
         for f in feats:
-            if f.get("name") not in weights:
+            if is_linear and f.get("name") not in weights:
                 raise ValueError(f"no weight for feature {f.get('name')!r}")
             need = _FEAT_REQ.get(f.get("type", "function"))
             if need and need not in f:
                 raise ValueError(
                     f"feature {f.get('name')!r} ({f.get('type')}) "
                     f"needs a {need!r} key")
+        if not is_linear:
+            if not trees:
+                raise ValueError("tree LTR model needs a trees list")
+            for t_ in trees:
+                _validate_ltr_tree(t_.get("root"), feat_names)
         if rerank_docs < 1:
             raise ValueError("rerank_docs must be >= 1")
         if start < 0:
@@ -3876,8 +3909,8 @@ class SearchEngine:
         seg = min(int(rerank_docs), len(ids))
         cand = np.asarray(ids[:seg], dtype=np.int64)
         total = np.zeros(seg, dtype=np.float64)
+        fvals: dict[str, np.ndarray] = {}
         for f in feats:
-            w = float(weights[f["name"]])
             ftype = f.get("type", "function")
             if ftype == "originalScore":
                 vals = np.array([_r(s) for s in scores[:seg]])
@@ -3904,7 +3937,15 @@ class SearchEngine:
                 vals = np.full(seg, float(f["value"]))
             else:
                 raise ValueError(f"unknown LTR feature type {ftype!r}")
-            total += w * vals
+            fvals[f["name"]] = vals
+            if is_linear:
+                total += float(weights[f["name"]]) * vals
+        if not is_linear:
+            # Solr MultipleAdditiveTreesModel: score = Σ weight_t ·
+            # tree_t(features), branch left when feature <= threshold
+            for t_ in trees:
+                total += (float(t_.get("weight", 1.0))
+                          * _eval_ltr_tree(t_["root"], fvals, seg))
         head = sorted(
             ((int(d), _r(s)) for d, s in zip(cand, total)),
             key=lambda t_: (-t_[1], t_[0]),
@@ -6654,6 +6695,40 @@ def _collapse_codes(doc_ids, scores, codes, uniques, k: int,
                 pa.string(),
             ),
         }
+    )
+
+
+def _validate_ltr_tree(node, feat_names: set) -> None:
+    """Recursively validate a MultipleAdditiveTrees node: a leaf holds
+    ``value``; an internal node holds feature/threshold/left/right with
+    a declared feature name."""
+    if not isinstance(node, dict):
+        raise ValueError("tree node must be an object")
+    if "value" in node:
+        float(node["value"])
+        return
+    for key in ("feature", "threshold", "left", "right"):
+        if key not in node:
+            raise ValueError(f"tree node missing {key!r}")
+    if node["feature"] not in feat_names:
+        raise ValueError(
+            f"tree references undeclared feature {node['feature']!r}")
+    float(node["threshold"])
+    _validate_ltr_tree(node["left"], feat_names)
+    _validate_ltr_tree(node["right"], feat_names)
+
+
+def _eval_ltr_tree(node, fvals: dict, n: int) -> np.ndarray:
+    """Vectorized regression-tree evaluation over the candidate window
+    (Solr MultipleAdditiveTreesModel: left branch when feature value
+    <= threshold)."""
+    if "value" in node:
+        return np.full(n, float(node["value"]))
+    mask = fvals[node["feature"]] <= float(node["threshold"])
+    return np.where(
+        mask,
+        _eval_ltr_tree(node["left"], fvals, n),
+        _eval_ltr_tree(node["right"], fvals, n),
     )
 
 

@@ -71,7 +71,8 @@ def kmeans_deterministic(mat: np.ndarray, k: int, iters: int = 10):
 def cluster_results(engine, query: str, embeddings, k_clusters: int = 5,
                     top_n: int = 50, iters: int = 10,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> pa.Table:
+                    id_col: str = "vec_id",
+                    label_terms: int = 0) -> pa.Table:
     """Cluster a query's top ``top_n`` hits by their embeddings (Solr
     ClusteringComponent shape: clusters of the current result page).
 
@@ -81,20 +82,27 @@ def cluster_results(engine, query: str, embeddings, k_clusters: int = 5,
     score, sim)`` rows — clusters ordered by best-hit rank (Solr lists
     clusters by their top document), members by rank inside each,
     ``sim`` = cosine similarity to the cluster centroid.
+
+    ``label_terms`` > 0 adds a carrot2-style ``label`` column: each
+    cluster labeled by its ``label_terms`` most DISTINCTIVE terms —
+    member docs as the JLH foreground vs the whole index as background
+    (``SearchEngine.significant_terms_for_ids``), space-joined in score
+    order.  No stored content needed: labels derive from the postings.
     """
     hits = engine.search(query, k=top_n, fl=["doc_id"])
     ids = hits["doc_id"].to_pylist()
     scores = dict(zip(ids, hits["score"].to_pylist()))
 
     def _empty() -> pa.Table:
-        return pa.table(
-            {"cluster": pa.array([], pa.int64()),
-             "size": pa.array([], pa.int64()),
-             "position": pa.array([], pa.int64()),
-             "doc_id": pa.array([], pa.int64()),
-             "score": pa.array([], pa.float64()),
-             "sim": pa.array([], pa.float64())}
-        )
+        cols = {"cluster": pa.array([], pa.int64()),
+                "size": pa.array([], pa.int64()),
+                "position": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "sim": pa.array([], pa.float64())}
+        if label_terms > 0:
+            cols["label"] = pa.array([], pa.string())
+        return pa.table(cols)
 
     if not ids:
         return _empty()
@@ -129,11 +137,21 @@ def cluster_results(engine, query: str, embeddings, k_clusters: int = 5,
                      "score": float(scores[d]),
                      "sim": float(sims[rank])})
     rows.sort(key=lambda r: (r["cluster"], r["position"]))
-    return pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [("cluster", pa.int64()), ("size", pa.int64()),
-             ("position", pa.int64()), ("doc_id", pa.int64()),
-             ("score", pa.float64()), ("sim", pa.float64())]
-        ),
-    )
+    schema = [("cluster", pa.int64()), ("size", pa.int64()),
+              ("position", pa.int64()), ("doc_id", pa.int64()),
+              ("score", pa.float64()), ("sim", pa.float64())]
+    if label_terms > 0:
+        members: dict = {}
+        for d, lb in zip(kept, labels):
+            members.setdefault(cluster_rank[int(lb)], []).append(int(d))
+        lab = {}
+        for c, docs in members.items():
+            t = engine.significant_terms_for_ids(
+                np.asarray(docs, dtype=np.int64), limit=label_terms,
+                min_doc_freq=1,
+            )
+            lab[c] = " ".join(t["term"].to_pylist())
+        for r in rows:
+            r["label"] = lab.get(r["cluster"], "")
+        schema.append(("label", pa.string()))
+    return pa.Table.from_pylist(rows, schema=pa.schema(schema))

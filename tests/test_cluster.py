@@ -108,3 +108,28 @@ class TestClusterResults:
         t = cluster_results(SearchEngine(idx), "zzznotaterm",
                             cl_embeddings)
         assert t.num_rows == 0
+
+    def test_labels(self, built_index, cl_embeddings):
+        """carrot2-style labels: each cluster labeled by its most
+        distinctive terms (JLH over member docs vs the index)."""
+        idx, _ = built_index
+        eng = SearchEngine(idx)
+        t = cluster_results(eng, "merge", cl_embeddings, k_clusters=3,
+                            label_terms=3)
+        assert "label" in t.column_names
+        rows = t.to_pylist()
+        by_c = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], r["label"])
+            assert r["label"] == by_c[r["cluster"]]  # same per cluster
+            assert 1 <= len(r["label"].split()) <= 3
+        # labels equal the significant-terms of exactly the member set
+        import numpy as np
+        for c, lab in by_c.items():
+            docs = [r["doc_id"] for r in rows if r["cluster"] == c]
+            sig = eng.significant_terms_for_ids(
+                np.asarray(docs), limit=3, min_doc_freq=1)
+            assert lab == " ".join(sig["term"].to_pylist())
+        # no-labels mode keeps the original schema
+        t2 = cluster_results(eng, "merge", cl_embeddings, k_clusters=3)
+        assert "label" not in t2.column_names

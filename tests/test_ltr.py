@@ -81,7 +81,7 @@ class TestLtr:
     def test_model_validation(self, built_index):
         idx, _ = built_index
         eng = SearchEngine(idx)
-        with pytest.raises(ValueError, match="linear"):
+        with pytest.raises(ValueError, match="unknown LTR model type"):
             eng.ltr_search("def", {"type": "lambdamart",
                                    "features": [], "weights": {}})
         with pytest.raises(ValueError, match="no weight"):
@@ -115,3 +115,86 @@ class TestLtr:
                 == full["doc_id"].to_pylist()[5:10])
         with pytest.raises(ValueError, match="start"):
             eng.ltr_search(q, MODEL, k=5, start=-1)
+
+
+TREE_MODEL = {
+    "type": "trees",
+    "features": [
+        {"name": "bm25", "type": "originalScore"},
+        {"name": "len", "type": "function", "expr": "doclen"},
+        {"name": "is_py", "type": "query", "q": "lang:python"},
+    ],
+    "trees": [
+        {"weight": 2.0, "root": {
+            "feature": "len", "threshold": 60,
+            "left": {"value": 1.0},
+            "right": {"feature": "is_py", "threshold": 0.5,
+                      "left": {"value": 0.2}, "right": {"value": 0.7}},
+        }},
+        {"weight": 1.0, "root": {
+            "feature": "bm25", "threshold": 1.0,
+            "left": {"value": 0.0}, "right": {"value": 3.0},
+        }},
+    ],
+}
+
+
+class TestLtrTrees:
+    """Solr MultipleAdditiveTreesModel (lambdaMART ensemble format):
+    vectorized tree evaluation vs a per-doc Python reference."""
+
+    @staticmethod
+    def _eval_ref(node, feats):
+        while "value" not in node:
+            node = (node["left"]
+                    if feats[node["feature"]] <= float(node["threshold"])
+                    else node["right"])
+        return float(node["value"])
+
+    def test_vs_scalar_reference(self, built_index):
+        idx, _ = built_index
+        eng = SearchEngine(idx)
+        q, n = "def read", 30
+        got = eng.ltr_search(q, TREE_MODEL, k=n, rerank_docs=n)
+        main = eng.search(q, k=n, fl=["doc_id", "doclen", "lang"])
+        py = set(eng.match_ids("lang:python").tolist())
+        exp = []
+        for did, s, dl, lang in zip(main["doc_id"].to_pylist(),
+                                    main["score"].to_pylist(),
+                                    main["doclen"].to_pylist(),
+                                    main["lang"].to_pylist()):
+            feats = {"bm25": s, "len": float(dl),
+                     "is_py": 1.0 if did in py else 0.0}
+            total = sum(
+                t["weight"] * self._eval_ref(t["root"], feats)
+                for t in TREE_MODEL["trees"]
+            )
+            exp.append((did, total))
+        exp.sort(key=lambda p: (-p[1], p[0]))
+        assert got["doc_id"].to_pylist() == [d for d, _ in exp][:n]
+        assert got["score"].to_pylist() == pytest.approx(
+            [s for _, s in exp][:n])
+
+    def test_validation(self, built_index):
+        idx, _ = built_index
+        eng = SearchEngine(idx)
+        with pytest.raises(ValueError, match="trees list"):
+            eng.ltr_search("def", {"type": "trees",
+                                   "features": TREE_MODEL["features"]})
+        with pytest.raises(ValueError, match="undeclared feature"):
+            eng.ltr_search("def", {
+                "type": "trees",
+                "features": [{"name": "bm25", "type": "originalScore"}],
+                "trees": [{"root": {"feature": "nope", "threshold": 1,
+                                    "left": {"value": 0},
+                                    "right": {"value": 1}}}]})
+        with pytest.raises(ValueError, match="missing 'left'"):
+            eng.ltr_search("def", {
+                "type": "trees",
+                "features": [{"name": "bm25", "type": "originalScore"}],
+                "trees": [{"root": {"feature": "bm25", "threshold": 1,
+                                    "right": {"value": 1}}}]})
+        # linear models still demand weights
+        with pytest.raises(ValueError, match="no weight"):
+            eng.ltr_search("def", {
+                "features": [{"name": "bm25", "type": "originalScore"}]})
