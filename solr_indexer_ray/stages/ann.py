@@ -82,12 +82,26 @@ def _matrix_to_list_array(mat: np.ndarray) -> pa.Array:
 def _partial_topk_table(
     sims: np.ndarray, ids: np.ndarray, k: int
 ) -> pa.Table:
-    """Per-batch partial top-k rows for every query: sims is (Q, n)."""
+    """Per-batch partial top-k rows for every query: sims is (Q, n).
+
+    Exact (similarity desc, vec_id asc) top-k: argpartition finds the
+    k-th similarity, boundary ties are kept and resolved by the lexsort
+    over the (small) candidate slice — O(n + k log k) per query instead
+    of a full O(n log n) lexsort."""
     out_q, out_v, out_s = [], [], []
     kk = min(k, ids.size)
     for qi in range(sims.shape[0]):
         s = sims[qi]
-        idx = np.lexsort((ids, -s))[:kk]
+        if ids.size > 2 * kk > 0:
+            kth = -np.partition(-s, kk - 1)[kk - 1]
+            if np.isneginf(kth):
+                cand = np.flatnonzero(~np.isneginf(s))
+            else:
+                cand = np.flatnonzero(s >= kth)
+            order = np.lexsort((ids[cand], -s[cand]))[:kk]
+            idx = cand[order]
+        else:
+            idx = np.lexsort((ids, -s))[:kk]
         if np.isneginf(s[idx]).any():  # drop masked (unprobed) rows
             idx = idx[~np.isneginf(s[idx])]
         out_q.append(np.full(idx.size, qi, np.int64))

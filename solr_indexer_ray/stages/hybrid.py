@@ -69,17 +69,34 @@ def build_hybrid_ann(index_dir: str, embeddings_ds, *,
     return idx
 
 
+#: discovered-IvfIndex memo: realpath -> (centroids mtime, instance).
+#: Reusing the instance keeps its in-process bucket cache warm across
+#: hybrid_search calls (a fresh instance per call re-reads every probed
+#: partition); the mtime guard drops the memo after a rebuild.
+_ANN_CACHE: dict = {}
+
+
 def _discover_ann(index_dir: str):
-    """Load the persisted IVF index at ``{index_dir}/ann_ivf`` if one
-    exists; else None (brute-force fallback)."""
+    """Load (memoized) the persisted IVF index at ``{index_dir}/ann_ivf``
+    if one exists; else None (brute-force fallback)."""
     import os
 
     from solr_indexer_ray.stages.ann import IvfIndex
 
     path = os.path.join(index_dir, ANN_SUBDIR)
-    if os.path.exists(os.path.join(path, "centroids.parquet")):
-        return IvfIndex.load(path)
-    return None
+    meta = os.path.join(path, "centroids.parquet")
+    if not os.path.exists(meta):
+        return None
+    key = os.path.realpath(path)
+    mtime = os.path.getmtime(meta)
+    hit = _ANN_CACHE.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    idx = IvfIndex.load(path)
+    if len(_ANN_CACHE) > 8:
+        _ANN_CACHE.clear()
+    _ANN_CACHE[key] = (mtime, idx)
+    return idx
 HYBRID_SCHEMA = pa.schema(
     [("query_id", pa.int64()), ("doc_id", pa.int64()),
      ("rrf_r", pa.float64())]
