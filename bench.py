@@ -409,6 +409,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).take_all()
     stream_rollup_s = round(time.perf_counter() - t0, 3)
 
+    # /sql handler: SQL -> streaming lowering, groupby aggregate
+    from solr_indexer_ray.pipelines.sql import execute_sql
+
+    t0 = time.perf_counter()
+    execute_sql(
+        "SELECT lang, count(*) AS n, sum(doclen) AS s FROM docs "
+        "WHERE content = 'def read' GROUP BY lang ORDER BY n DESC",
+        index_dir,
+    ).take_all()
+    sql_group_s = round(time.perf_counter() - t0, 3)
+
+    # spellcheck suggester: sorted-trie automaton walk (r3) — p50 over
+    # misspellings of real corpus terms (warm term dictionary)
+    sugg_words = [w[:3] + "z" + w[4:] if len(w) > 4 else w + "z"
+                  for w in stems[:12]]
+    engine.suggest(sugg_words[0])  # build the sorted dictionary once
+    sugg_p50 = _med_ms(lambda w: engine.suggest(w, count=5), sugg_words)
+
     ray.shutdown()
 
     total = build_s + query_seq_s + query_dist_s
@@ -464,6 +482,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "sigterms_p50_ms": sig_p50,
             "ltr_p50_ms": ltr_p50,
             "stream_rollup_s": stream_rollup_s,
+            "sql_group_s": sql_group_s,
+            "suggest_p50_ms": sugg_p50,
         },
     }
 
