@@ -92,9 +92,12 @@ class TestEveryVerb:
             ["stream", "-o", e["idx"], "--expr",
              'rollup(search(docs, q="def", fl="lang,doc_id"), '
              'over="lang", count(*))'],
+            ["sql", "-o", e["idx"], "-q",
+             "SELECT lang, count(*) AS n FROM docs "
+             "WHERE content = 'def' GROUP BY lang ORDER BY n DESC"],
             ["cluster", "-o", e["idx"], "-q", "def",
              "--embeddings", e["emb"], "--clusters", "2",
-             "--top-n", "10"],
+             "--top-n", "10", "--label-terms", "2"],
             ["hybrid", "-o", e["idx"], "-q", "def read",
              "--embeddings", e["emb"], "--vec-id", "3", "-k", "3"],
             ["export", "-o", e["idx"], "-q", "def",
