@@ -404,7 +404,7 @@ def execute_sql(sql: str, collections, num_partitions: int = 8):
         {it.arg for it in stmt.items if it.func is None}
         | {it.arg for it in aggs_items if it.arg != "*"}
         | set(stmt.group_by)
-        | ({k for k, _ in stmt.order_by if k != "score"}
+        | ({k for k, _ in stmt.order_by}
            if not aggs_items else set())
     )
     search_kwargs = {

@@ -185,3 +185,13 @@ class TestExecution:
                 "ORDER BY nope DESC",
                 colls,
             )
+
+    def test_order_by_score(self, sql_env):
+        colls, _, eng = sql_env
+        t = sql_to_table(
+            "SELECT doc_id FROM docs WHERE content = 'def read' "
+            "ORDER BY score DESC, doc_id ASC LIMIT 5",
+            colls,
+        )
+        exp = eng.search("def read", k=5, fl=["doc_id"])
+        assert t["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
