@@ -3147,21 +3147,24 @@ class SearchEngine:
         fqm = self._merge_fq_mask(None, fq)
         if fqm is not None and ids.size:
             ids = ids[~fqm[ids]]
-        mask = np.zeros(self.doc_space, dtype=bool)
-        mask[ids] = True
         out = {}
         for fld in fields:
-            t = self._docs_ds.to_table(columns=["doc_id", fld])
-            vals = t[fld]
-            hit = pa.array(mask[t["doc_id"].to_numpy()])
-            counted = pc.value_counts(vals.filter(hit))
-            counts = {
-                str(s["values"]): int(s["counts"])
-                for s in counted.to_pylist()
-            }
+            # cached dense per-doc codes (docValues analogue): one
+            # gather + bincount per query, no parquet re-read or
+            # hash-based value_counts
+            dense, labels = self._field_codes(fld)
+            codes = dense[ids]
+            real = codes[codes >= 0]
+            cnt = np.bincount(real, minlength=len(labels))
+            counts = {labels[i]: int(cnt[i]) for i in np.nonzero(cnt)[0]}
+            n_null = int(codes.size - real.size)
+            if n_null:  # null bucket, same str() key as before
+                counts["None"] = n_null
             if mincount <= 0:
-                for v in pc.unique(vals).to_pylist():
-                    counts.setdefault(str(v), 0)
+                for v in labels:
+                    counts.setdefault(v, 0)
+                if (dense < 0).any():
+                    counts.setdefault("None", 0)
             buckets = sorted(
                 ((v, c) for v, c in counts.items() if c >= mincount),
                 key=lambda b: (-b[1], b[0]),
