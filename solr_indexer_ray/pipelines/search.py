@@ -3661,14 +3661,25 @@ class SearchEngine:
 
         arrays = self._full_match_arrays(query, fq=fq)
         if arrays is not None:
-            df = pd.DataFrame({"doc_id": arrays[0], "score": arrays[1]})
-        else:
-            full = self.search(query, k=self.doc_space, fl=["doc_id"],
-                               fq=fq)
-            df = pd.DataFrame(
-                {"doc_id": full["doc_id"].to_numpy(),
-                 "score": full["score"].to_numpy()}
+            # dense-codes fast path: grouping IS collapsing with all
+            # nulls folded into one group and group_limit members kept
+            ids = arrays[0].astype(np.int64)
+            scores = arrays[1].astype(np.float64)
+            dense, uniques = self._field_codes(group_field)
+            t = _collapse_codes(ids, scores, dense[ids], uniques,
+                                k_groups, "collapse", group_limit - 1,
+                                round_scores)
+            return pa.table(
+                {"group": t["group"], "group_rank": t["rank"],
+                 "position": t["position"], "doc_id": t["doc_id"],
+                 "score": t["score"]}
             )
+        full = self.search(query, k=self.doc_space, fl=["doc_id"],
+                           fq=fq)
+        df = pd.DataFrame(
+            {"doc_id": full["doc_id"].to_numpy(),
+             "score": full["score"].to_numpy()}
+        )
         if df.empty:
             return pa.table(
                 {"group": pa.array([], pa.string()),
