@@ -14,13 +14,13 @@ Solr surface its users reach the same way.
 
 Supported subset (the core of Solr /sql's documented surface):
 
-    SELECT <field[, ...] | agg(field)[ AS alias][, ...]>
+    SELECT [DISTINCT] <field[, ...] | agg(field)[ AS alias][, ...]>
     FROM <collection>
     [WHERE <pred> [AND <pred>]...]
     [GROUP BY f1[, f2 ...]]
     [HAVING <agg cmp number> [AND ...]]
     [ORDER BY key [ASC|DESC][, ...]]
-    [LIMIT n]
+    [LIMIT n [OFFSET m]]
 
 Predicates: ``f = v`` / ``f <> v`` / ``f != v`` (equality on stored
 fields; on the default text field ``=`` is a full-text query, Solr
@@ -111,6 +111,8 @@ class SelectStmt:
     having: list = dc_field(default_factory=list)   # (name, op, number)
     order_by: list = dc_field(default_factory=list)  # (name, asc)
     limit: int | None = None
+    offset: int = 0
+    distinct: bool = False
 
 
 def parse_sql(sql: str) -> SelectStmt:
@@ -153,6 +155,10 @@ def parse_sql(sql: str) -> SelectStmt:
 
     # ---- SELECT list --------------------------------------------------
     expect_kw("SELECT")
+    distinct = False
+    if kw("DISTINCT"):
+        pos += 1
+        distinct = True
     items = []
     while True:
         kind, val = peek()
@@ -184,7 +190,8 @@ def parse_sql(sql: str) -> SelectStmt:
     expect_kw("FROM")
     collection = take_ident()
 
-    stmt = SelectStmt(items=items, collection=collection)
+    stmt = SelectStmt(items=items, collection=collection,
+                      distinct=distinct)
 
     # ---- WHERE ----------------------------------------------------------
     if kw("WHERE"):
@@ -297,6 +304,14 @@ def parse_sql(sql: str) -> SelectStmt:
             raise SqlError(f"expected a number after LIMIT, got {val!r}")
         pos += 1
         stmt.limit = int(float(val))
+        if kw("OFFSET"):
+            pos += 1
+            kind, val = peek()
+            if kind != "num":
+                raise SqlError(
+                    f"expected a number after OFFSET, got {val!r}")
+            pos += 1
+            stmt.offset = int(float(val))
 
     if pos != len(toks):
         raise SqlError(f"trailing input after statement: "
@@ -320,6 +335,16 @@ def _validate(stmt: SelectStmt) -> None:
                        "without GROUP BY")
     if stmt.having and not has_agg:
         raise SqlError("HAVING requires aggregates")
+    if stmt.distinct:
+        if has_agg:
+            raise SqlError("DISTINCT applies to plain projections")
+        sel = {it.out_name for it in stmt.items} \
+            | {it.arg for it in stmt.items}
+        bad = [k for k, _ in stmt.order_by if k not in sel]
+        if bad:
+            raise SqlError(
+                f"ORDER BY columns {bad} must appear in a DISTINCT "
+                "select list")
 
 
 # --------------------------------------------------------------------- #
@@ -418,23 +443,36 @@ def execute_sql(sql: str, collections, num_partitions: int = 8):
 
     if not aggs_items:
         # plain projection: /export stream + sort + limit
-        if stmt.order_by:
+        if stmt.order_by and not stmt.distinct:
             search_kwargs["sort"] = ", ".join(
                 f"{k} {'asc' if asc else 'desc'}"
                 for k, asc in stmt.order_by
             )
-        elif stmt.limit is not None:
+        elif stmt.limit is not None and not stmt.order_by \
+                and not stmt.distinct:
             # no ORDER BY: Solr /sql's LIMIT path ranks by score
-            search_kwargs["rows"] = stmt.limit
+            search_kwargs["rows"] = stmt.limit + stmt.offset
         ds = compiler.compile(src)
         out_cols = [it.out_name for it in stmt.items]
         sel_cols = [it.arg for it in stmt.items]
         ds = ds.select_columns(sel_cols)
         if sel_cols != out_cols:
             ds = _rename(ds, dict(zip(sel_cols, out_cols)))
-        if stmt.limit is not None:
-            ds = ds.limit(stmt.limit)
-        return ds
+        if stmt.distinct:
+            # distributed row dedup: groupby the full select list (the
+            # unique() stream shape), then re-apply ORDER BY — the
+            # dedup shuffle does not preserve the export order
+            from ray.data.aggregate import Count
+
+            key = out_cols[0] if len(out_cols) == 1 else out_cols
+            ds = (ds.groupby(key)
+                    .aggregate(Count(on=out_cols[0], alias_name="__c"))
+                    .select_columns(out_cols))
+            if stmt.order_by:
+                ds = ds.sort([k for k, _ in stmt.order_by],
+                             descending=[not asc
+                                         for _, asc in stmt.order_by])
+        return _page(ds, stmt)
 
     # aggregation: groupby (or global) over the streamed export
     ds = compiler.compile(src)
@@ -494,8 +532,6 @@ def execute_sql(sql: str, collections, num_partitions: int = 8):
             keys.append(col)
             desc.append(not asc)
         agg_ds = agg_ds.sort(keys, descending=desc)
-    if stmt.limit is not None:
-        agg_ds = agg_ds.limit(stmt.limit)
 
     # final projection: SELECT order, aliases applied
     out_names = [it.out_name for it in stmt.items]
@@ -504,7 +540,20 @@ def execute_sql(sql: str, collections, num_partitions: int = 8):
     agg_ds = agg_ds.select_columns(src_names)
     if src_names != out_names:
         agg_ds = _rename(agg_ds, dict(zip(src_names, out_names)))
-    return agg_ds
+    return _page(agg_ds, stmt)
+
+
+def _page(ds, stmt: SelectStmt):
+    """Apply LIMIT/OFFSET.  OFFSET materializes offset+limit rows on the
+    driver — the page, which is exactly Solr deep-paging's cost."""
+    if stmt.limit is None:
+        return ds
+    if not stmt.offset:
+        return ds.limit(stmt.limit)
+    import ray.data as rd
+
+    rows = ds.limit(stmt.offset + stmt.limit).take_all()
+    return rd.from_items(rows[stmt.offset:])
 
 
 def _rename(ds, mapping: dict):

@@ -195,3 +195,51 @@ class TestExecution:
         )
         exp = eng.search("def read", k=5, fl=["doc_id"])
         assert t["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+
+    def test_distinct(self, sql_env):
+        colls, df, _ = sql_env
+        t = sql_to_table(
+            "SELECT DISTINCT lang FROM docs WHERE doclen >= 40 "
+            "ORDER BY lang ASC",
+            colls,
+        )
+        exp = sorted(df[df.doclen >= 40]["lang"].unique())
+        assert t["lang"].to_pylist() == exp
+        t2 = sql_to_table(
+            "SELECT DISTINCT repo, lang FROM docs "
+            "ORDER BY repo ASC, lang ASC LIMIT 4",
+            colls,
+        )
+        exp2 = (df[["repo", "lang"]].drop_duplicates()
+                .sort_values(["repo", "lang"]).head(4))
+        assert t2.to_pylist() == exp2.to_dict("records")
+        with pytest.raises(SqlError, match="DISTINCT"):
+            parse_sql("SELECT DISTINCT count(*) FROM c")
+        with pytest.raises(SqlError, match="DISTINCT"):
+            parse_sql("SELECT DISTINCT lang FROM c ORDER BY doclen")
+
+    def test_limit_offset(self, sql_env):
+        colls, df, _ = sql_env
+        full = sql_to_table(
+            "SELECT doc_id FROM docs WHERE lang = 'go' "
+            "ORDER BY doc_id ASC LIMIT 10",
+            colls,
+        )["doc_id"].to_pylist()
+        page = sql_to_table(
+            "SELECT doc_id FROM docs WHERE lang = 'go' "
+            "ORDER BY doc_id ASC LIMIT 4 OFFSET 3",
+            colls,
+        )["doc_id"].to_pylist()
+        assert page == full[3:7]
+        # grouped paging too
+        g_full = sql_to_table(
+            "SELECT lang, count(*) AS n FROM docs GROUP BY lang "
+            "ORDER BY n DESC, lang ASC LIMIT 10",
+            colls,
+        )["lang"].to_pylist()
+        g_page = sql_to_table(
+            "SELECT lang, count(*) AS n FROM docs GROUP BY lang "
+            "ORDER BY n DESC, lang ASC LIMIT 2 OFFSET 2",
+            colls,
+        )["lang"].to_pylist()
+        assert g_page == g_full[2:4]
