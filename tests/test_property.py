@@ -184,3 +184,81 @@ class TestStreamExprProperties:
             _extract_collapse_fq([q])
         except ValueError:
             pass
+
+
+class TestFuzzyScanProperty:
+    """Sorted-trie automaton walk == brute-force banded DP for arbitrary
+    unicode vocabularies and caps."""
+
+    @staticmethod
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    @given(
+        st.lists(st.text(alphabet="abé\U0001F600", min_size=1,
+                         max_size=5), min_size=0, max_size=40),
+        st.text(alphabet="abé\U0001F600", min_size=1, max_size=5),
+        st.integers(min_value=0, max_value=3),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_vs_bruteforce(self, vocab, word, cap):
+        from solr_indexer_ray.pipelines.search import _fuzzy_scan
+
+        vocab = sorted(set(vocab))
+        got = set(_fuzzy_scan(word, vocab, cap))
+        exp = {(i, self._lev(word, t)) for i, t in enumerate(vocab)
+               if self._lev(word, t) <= cap}
+        assert got == exp
+
+
+class TestSqlParserProperty:
+    """Generated valid statements parse back to their components; junk
+    raises SqlError, never an unexpected exception type."""
+
+    idents = st.text(alphabet="abcdefgz_", min_size=1, max_size=8)
+
+    @given(
+        st.lists(idents, min_size=1, max_size=3, unique=True),
+        idents,
+        st.integers(min_value=0, max_value=999),
+        st.integers(min_value=0, max_value=99),
+        st.booleans(),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_roundtrip(self, cols, coll, lim, off, distinct):
+        from solr_indexer_ray.pipelines.sql import parse_sql
+
+        kw = {"select", "distinct", "from", "where", "group", "by",
+              "having", "order", "limit", "offset", "as", "and", "or",
+              "in", "between", "asc", "desc"} | set(
+                  ("count", "sum", "min", "max", "avg"))
+        cols = [c for c in cols if c.lower() not in kw]
+        coll = coll if coll.lower() not in kw else coll + "x"
+        if not cols:
+            return
+        sel = ("DISTINCT " if distinct else "") + ", ".join(cols)
+        sql = (f"SELECT {sel} FROM {coll} "
+               f"ORDER BY {cols[0]} DESC LIMIT {lim} OFFSET {off}")
+        s = parse_sql(sql)
+        assert [it.out_name for it in s.items] == cols
+        assert s.collection == coll
+        assert s.distinct is distinct
+        assert s.limit == lim and s.offset == off
+        assert s.order_by == [(cols[0], False)]
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_junk_never_crashes(self, junk):
+        from solr_indexer_ray.pipelines.sql import SqlError, parse_sql
+
+        try:
+            parse_sql(junk)
+        except SqlError:
+            pass
