@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_group_agg": c.q_sql_group_agg,
         "sql_select_where": c.q_sql_select_where,
         "ltr_trees_topk": c.q_ltr_trees_topk,
+        "multimodal_frames": c.q_multimodal_frames,  # rows-only (plumbing)
         # --- checked in round 1 only (fresh re-verify next) ---
         "suggest": c.q_suggest,
         "boosted_topk": c.q_boosted_topk,

@@ -1100,6 +1100,21 @@ def q_multimodal_decode(sf_dir: str):
     return out.drop_columns(["features"])  # list<float> hashes poorly; keep scalars
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video frame sampling (rows-only): deterministic fake videos ->
+    uniformly sampled frames re-emitted as image blobs -> decode pool.
+    Pins the full video->frames->decode composition shape."""
+    from solr_indexer_ray.stages import multimodal
+
+    ds = rd.from_arrow(multimodal.fake_video_table(32, seed=13))
+    frames = multimodal.sample_frames(ds, n_samples=3, concurrency=2,
+                                      batch_size=8)
+    out = multimodal.decode_media(frames, concurrency=2, batch_size=16)
+    return out.drop_columns(["features"]).sort(
+        ["media_id", "frame_index"]
+    )
+
+
 def q_multimodal_decode_meta(sf_dir: str):
     """VALUE-CHECKED multimodal decode: media blobs derive
     deterministically from the documents table (synthetic header +

@@ -197,3 +197,187 @@ def decode_media(ds, concurrency: int = 2, batch_size: int = 32, strict=False):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --------------------------------------------------------------------- #
+# video frame sampling + standalone feature extraction
+# --------------------------------------------------------------------- #
+VIDEO_MAGIC = b"FAKEVID1"
+
+
+def make_fake_video(media_id: int, n_frames: int, width: int,
+                    height: int) -> bytes:
+    """Deterministic synthetic video blob:
+    ``FAKEVID1 | n:uint32le | w:uint32le | h:uint32le | n·w·h frame
+    bytes`` — frame f's payload derives from (media_id, f)."""
+    frames = []
+    for f in range(n_frames):
+        rng = np.random.default_rng(media_id * 10_007 + f)
+        frames.append(
+            rng.integers(0, 256, size=width * height, dtype=np.uint8)
+        )
+    return (VIDEO_MAGIC + struct.pack("<III", n_frames, width, height)
+            + b"".join(fr.tobytes() for fr in frames))
+
+
+def fake_video_table(n: int, seed: int = 0) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "video",
+                "mime": "video/x-fake",
+                "data": make_fake_video(
+                    i, int(rng.integers(3, 12)),
+                    int(rng.integers(8, 24)), int(rng.integers(8, 24)),
+                ),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _try_import_video():
+    for mod in ("av", "cv2"):
+        try:
+            return __import__(mod)
+        except ImportError:
+            continue
+    return None
+
+
+class FrameSampleStage:
+    """Actor-pool flat-map stage: video blob -> one row per uniformly
+    sampled frame, each frame emitted as an image blob (``FAKEIMG1``
+    format) so the output composes directly with
+    :class:`DecodeImageStage` / :class:`FeatureExtractStage` /
+    :class:`ResizeImageStage`.
+
+    ``n_samples`` frames are taken at uniform temporal positions
+    (``round(linspace(0, n-1, n_samples))``, deduplicated — the standard
+    pre-training video treatment).  Real containers (mp4 etc.) need a
+    codec library (PyAV / OpenCV, neither in this container): with none
+    importable a non-synthetic blob raises ``NotImplementedError`` in
+    ``strict`` mode and is skipped otherwise; the Ray-side plumbing —
+    schema, actor signature, per-frame fan-out — is real and tested.
+    """
+
+    def __init__(self, n_samples: int = 4, strict: bool = False):
+        if n_samples < 1:
+            raise ValueError("n_samples must be >= 1")
+        self.n_samples = n_samples
+        self.codec = _try_import_video()
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for mid, blob in zip(batch["media_id"].to_pylist(),
+                             batch["data"].to_pylist()):
+            if blob[: len(VIDEO_MAGIC)] != VIDEO_MAGIC:
+                if self.codec is not None:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real-container frame extraction is not wired "
+                        "to a codec in this build"
+                    )
+                if self.strict:
+                    raise NotImplementedError(
+                        "no video codec available in this environment "
+                        "(install av or opencv) and blob is not a "
+                        "synthetic fake"
+                    )
+                continue
+            n, w, h = struct.unpack(
+                "<III", blob[len(VIDEO_MAGIC):len(VIDEO_MAGIC) + 12]
+            )
+            frames = np.frombuffer(
+                blob[len(VIDEO_MAGIC) + 12:], dtype=np.uint8
+            ).reshape(n, w * h)
+            idx = np.unique(
+                np.round(np.linspace(0, n - 1, self.n_samples))
+                .astype(np.int64)
+            )
+            for f in idx:
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "frame_index": int(f),
+                        "kind": "image",
+                        "mime": "image/x-fake",
+                        "data": MAGIC + struct.pack("<II", w, h)
+                        + frames[f].tobytes(),
+                    }
+                )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [("media_id", pa.int64()), ("frame_index", pa.int64()),
+                 ("kind", pa.string()), ("mime", pa.string()),
+                 ("data", pa.binary())]
+            ),
+        )
+
+
+class FeatureExtractStage:
+    """Actor-pool stage: blob -> L2-unit histogram embedding
+    (``embedding: list<float>``), the ANN-ready output — feeds
+    ``stages.ann.brute_force_topk`` / ``IvfIndex`` and the
+    embedding-dedup family directly.
+
+    ``bins`` sets the embedding dimensionality.  Decoder resolution
+    happens once per actor (``__init__``): synthetic blobs extract
+    deterministically everywhere; real images go through Pillow when
+    importable; otherwise ``strict`` raises the clearly-marked
+    ``NotImplementedError``.
+    """
+
+    def __init__(self, bins: int = FEATURE_BINS, strict: bool = False):
+        if bins < 2:
+            raise ValueError("bins must be >= 2")
+        self.bins = bins
+        self._decoder = DecodeImageStage(strict=strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for blob in batch["data"].to_pylist():
+            _w, _h, payload = self._decoder._decode(blob)
+            hist, _ = np.histogram(
+                payload, bins=self.bins, range=(0, 256)
+            )
+            v = hist.astype(np.float64)
+            nrm = float(np.linalg.norm(v))
+            if nrm > 0:
+                v = v / nrm
+            feats.append(v.astype(np.float32).tolist())
+        batch = batch.drop_columns(["data"])
+        return batch.append_column(
+            "embedding", pa.array(feats, pa.list_(pa.float32()))
+        )
+
+
+def sample_frames(ds, n_samples: int = 4, concurrency: int = 2,
+                  batch_size: int = 8, strict: bool = False):
+    """Run the frame-sampling actor pool (small batches: video payloads
+    are the largest blobs in the pipeline)."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"n_samples": n_samples, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def extract_features(ds, bins: int = FEATURE_BINS, concurrency: int = 2,
+                     batch_size: int = 32, strict: bool = False):
+    """Run the feature-extraction actor pool; output rows carry an
+    ANN-ready unit-norm ``embedding`` column instead of the raw bytes."""
+    return ds.map_batches(
+        FeatureExtractStage,
+        fn_constructor_kwargs={"bins": bins, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

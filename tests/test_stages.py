@@ -1,5 +1,7 @@
 """Stage tests: validation/errors, dedup family, ANN, multimodal plumbing."""
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -365,6 +367,87 @@ class TestMultimodal:
             struct_w for struct_w in
             multimodal.DecodeImageStage()(t)["width"].to_pylist()
         ]
+
+
+class TestFrameSampleAndFeatures:
+    """Video frame-sample + standalone feature extraction (the rest of
+    the brief's multimodal list beyond decode/resize)."""
+
+    def test_frame_sample_plumbing(self):
+        from solr_indexer_ray.stages import multimodal
+
+        vids = multimodal.fake_video_table(6, seed=3)
+        ds = rd.from_arrow(vids)
+        out = multimodal.sample_frames(ds, n_samples=3, concurrency=2,
+                                       batch_size=2)
+        rows = sorted(out.take_all(),
+                      key=lambda r: (r["media_id"], r["frame_index"]))
+        assert rows
+        by_vid = {}
+        for r in rows:
+            by_vid.setdefault(r["media_id"], []).append(r["frame_index"])
+            # sampled frames are valid image blobs
+            assert r["data"][:len(multimodal.MAGIC)] == multimodal.MAGIC
+            assert r["kind"] == "image"
+        for mid, idxs in by_vid.items():
+            n = struct.unpack(
+                "<III", vids["data"][mid].as_py()[8:20])[0]
+            assert 1 <= len(idxs) <= 3
+            assert idxs[0] == 0 and idxs[-1] == n - 1  # uniform span
+            assert idxs == sorted(set(idxs))
+
+    def test_frames_compose_with_decode(self):
+        from solr_indexer_ray.stages import multimodal
+
+        stage = multimodal.FrameSampleStage(n_samples=2)
+        frames = stage(multimodal.fake_video_table(3, seed=1))
+        decoded = multimodal.DecodeImageStage()(frames)
+        assert decoded.num_rows == frames.num_rows
+        assert "features" in decoded.column_names
+
+    def test_frame_sample_deterministic_and_strict(self):
+        from solr_indexer_ray.stages import multimodal
+
+        stage = multimodal.FrameSampleStage(n_samples=4)
+        t = multimodal.fake_video_table(4, seed=9)
+        assert stage(t).equals(stage(t))
+        if multimodal._try_import_video() is None:
+            bad = pa.table(
+                {"media_id": [0], "kind": ["video"], "mime": ["x"],
+                 "data": [b"not-a-video"]},
+                schema=multimodal.MEDIA_SCHEMA.remove(0).insert(
+                    0, pa.field("media_id", pa.int64())),
+            )
+            with pytest.raises(NotImplementedError):
+                multimodal.FrameSampleStage(n_samples=2, strict=True)(bad)
+            # non-strict: skipped, empty output
+            assert multimodal.FrameSampleStage(n_samples=2)(bad)\
+                .num_rows == 0
+        with pytest.raises(ValueError):
+            multimodal.FrameSampleStage(n_samples=0)
+
+    def test_feature_extract_ann_ready(self):
+        from solr_indexer_ray.stages import multimodal
+        from solr_indexer_ray.stages.ann import brute_force_topk
+
+        imgs = multimodal.fake_media_table(12, seed=5)
+        ds = rd.from_arrow(imgs)
+        out = multimodal.extract_features(ds, bins=8, concurrency=2,
+                                          batch_size=4)
+        rows = sorted(out.take_all(), key=lambda r: r["media_id"])
+        assert len(rows) == 12
+        mat = np.array([r["embedding"] for r in rows])
+        assert mat.shape == (12, 8)
+        assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+        # ANN composition: each embedding's nearest neighbour is itself
+        emb_ds = rd.from_items(
+            [{"vec_id": r["media_id"], "embedding": r["embedding"]}
+             for r in rows]
+        )
+        top = brute_force_topk(emb_ds, mat[:3], k=1).to_pylist()
+        assert [r["vec_id"] for r in top] == [0, 1, 2]
+        with pytest.raises(ValueError):
+            multimodal.FeatureExtractStage(bins=1)
 
 
 class TestNearDedupSurvivors:
