@@ -2814,6 +2814,12 @@ class SearchEngine:
                                 dtype="datetime64[us]")
                 dense[ids] = (col.cast(pa.timestamp("us"))
                               .to_numpy(zero_copy_only=False))
+            elif pa.types.is_integer(col.type) and col.null_count == 0:
+                # exact int64 sort keys (values past 2^53 would lose
+                # low bits as float64); holes never appear in match sets
+                dense = np.zeros(self.doc_space, dtype=np.int64)
+                dense[ids] = col.to_numpy(zero_copy_only=False).astype(
+                    np.int64)
             elif (pa.types.is_integer(col.type)
                   or pa.types.is_floating(col.type)):
                 dense = np.full(self.doc_space, np.nan)
@@ -2829,11 +2835,13 @@ class SearchEngine:
         return hit
 
     def _field_codes(self, field: str):
-        """``(dense codes, labels)`` for a stored field: position d of
-        the dense int64 array is doc d's factorized group code (-1 for
-        null/missing), ``labels[c]`` its display value.  Factorized once
-        per engine per field — collapse/group queries then just gather,
-        no per-query join or factorize."""
+        """``(dense codes, labels, has_null)`` for a stored field:
+        position d of the dense int64 array is doc d's factorized group
+        code (-1 for null/missing), ``labels[c]`` its display value,
+        ``has_null`` whether the COLUMN itself holds nulls (code -1 in a
+        sparse doc-id space can also mean "slot outside the docs
+        table").  Factorized once per engine per field — collapse/group/
+        facet queries then just gather, no per-query join or factorize."""
         cache = getattr(self, "_field_codes_cache", None)
         if cache is None:
             cache = self._field_codes_cache = {}
@@ -2842,12 +2850,19 @@ class SearchEngine:
             import pandas as pd
 
             t = self._field_table(field)
+            col = t[field]
             codes, uniques = pd.factorize(
-                t[field].to_pandas(), use_na_sentinel=True
+                col.to_pandas(), use_na_sentinel=True
             )
+            if pa.types.is_integer(col.type):
+                # int64-with-nulls round-trips through pandas as
+                # float64; str() labels must stay '5', not '5.0'
+                labels = [str(int(u)) for u in uniques]
+            else:
+                labels = [str(u) for u in uniques]
             dense = np.full(self.doc_space, -1, dtype=np.int64)
             dense[t["doc_id"].to_numpy()] = codes.astype(np.int64)
-            hit = (dense, [str(u) for u in uniques])
+            hit = (dense, labels, col.null_count > 0)
             if len(cache) > 16:
                 cache.clear()
             cache[field] = hit
@@ -3152,7 +3167,7 @@ class SearchEngine:
             # cached dense per-doc codes (docValues analogue): one
             # gather + bincount per query, no parquet re-read or
             # hash-based value_counts
-            dense, labels = self._field_codes(fld)
+            dense, labels, has_null = self._field_codes(fld)
             codes = dense[ids]
             real = codes[codes >= 0]
             cnt = np.bincount(real, minlength=len(labels))
@@ -3163,7 +3178,7 @@ class SearchEngine:
             if mincount <= 0:
                 for v in labels:
                     counts.setdefault(v, 0)
-                if (dense < 0).any():
+                if has_null:  # true column nulls only, not doc-id holes
                     counts.setdefault("None", 0)
             buckets = sorted(
                 ((v, c) for v, c in counts.items() if c >= mincount),
@@ -3665,7 +3680,7 @@ class SearchEngine:
             # nulls folded into one group and group_limit members kept
             ids = arrays[0].astype(np.int64)
             scores = arrays[1].astype(np.float64)
-            dense, uniques = self._field_codes(group_field)
+            dense, uniques, _hn = self._field_codes(group_field)
             t = _collapse_codes(ids, scores, dense[ids], uniques,
                                 k_groups, "collapse", group_limit - 1,
                                 round_scores)
@@ -3765,7 +3780,7 @@ class SearchEngine:
             # analogue) — no pandas join, no full top-k sort
             ids = arrays[0].astype(np.int64)
             scores = arrays[1].astype(np.float64)
-            dense, uniques = self._field_codes(field)
+            dense, uniques, _hn = self._field_codes(field)
             return _collapse_codes(ids, scores, dense[ids], uniques, k,
                                    null_policy, expand_limit,
                                    round_scores)

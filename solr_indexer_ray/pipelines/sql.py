@@ -352,6 +352,10 @@ def _validate(stmt: SelectStmt) -> None:
 # --------------------------------------------------------------------- #
 def _fq_literal(v) -> str:
     if isinstance(v, str):
+        if '"' in v:
+            raise SqlError(
+                "string literals containing double quotes are not "
+                f"supported in predicates: {v!r}")
         # quote anything beyond plain word chars so the engine's query
         # parser can't misread it (slashes read as regex, etc.)
         return v if re.fullmatch(r"[\w.-]+", v) else f'"{v}"'
@@ -394,7 +398,12 @@ def where_to_query(preds: list) -> tuple[str, list]:
             fqs.append(f"({ors})")
         else:  # pragma: no cover - parser emits only the ops above
             raise SqlError(f"unsupported predicate op {p.op!r}")
-    return " ".join(q_parts), fqs
+    if len(q_parts) > 1:
+        # ANDed text predicates must intersect (SQL semantics); a single
+        # free query string keeps the engine's default-OR behavior
+        # (Solr /sql passes the search body through verbatim)
+        return " AND ".join(f"({p})" for p in q_parts), fqs
+    return (q_parts[0] if q_parts else ""), fqs
 
 
 _CMP = {
@@ -423,13 +432,34 @@ def execute_sql(sql: str, collections, num_partitions: int = 8):
     q, fqs = where_to_query(stmt.where)
     compiler = StreamCompiler(collections, num_partitions=num_partitions)
 
+    if any(it.func is None and it.arg == "*" for it in stmt.items):
+        # SELECT *: expand to the collection's stored fields (Solr /sql
+        # returns all stored fields)
+        from solr_indexer_ray.pipelines.search import SearchEngine
+
+        eng = SearchEngine(compiler._index_dir(stmt.collection))
+        star = [SelectItem(None, f, None) for f in eng.stored_fields]
+        stmt.items = [
+            x for it in stmt.items
+            for x in (star if it.func is None and it.arg == "*"
+                      else [it])
+        ]
+
     aggs_items = [it for it in stmt.items if it.func is not None]
+    # select-list alias -> source column (for ORDER BY resolution on
+    # plain projections; aggregate aliases resolve via canon_names)
+    alias_src = {it.alias: it.arg for it in stmt.items
+                 if it.alias and it.func is None}
+
+    def _src_key(k: str) -> str:
+        return alias_src.get(k, k)
+
     # columns the source export must carry
     need_cols = sorted(
         {it.arg for it in stmt.items if it.func is None}
         | {it.arg for it in aggs_items if it.arg != "*"}
         | set(stmt.group_by)
-        | ({k for k, _ in stmt.order_by}
+        | ({_src_key(k) for k, _ in stmt.order_by}
            if not aggs_items else set())
     )
     search_kwargs = {
@@ -445,7 +475,7 @@ def execute_sql(sql: str, collections, num_partitions: int = 8):
         # plain projection: /export stream + sort + limit
         if stmt.order_by and not stmt.distinct:
             search_kwargs["sort"] = ", ".join(
-                f"{k} {'asc' if asc else 'desc'}"
+                f"{_src_key(k)} {'asc' if asc else 'desc'}"
                 for k, asc in stmt.order_by
             )
         elif stmt.limit is not None and not stmt.order_by \
@@ -461,15 +491,17 @@ def execute_sql(sql: str, collections, num_partitions: int = 8):
         if stmt.distinct:
             # distributed row dedup: groupby the full select list (the
             # unique() stream shape), then re-apply ORDER BY — the
-            # dedup shuffle does not preserve the export order
-            from ray.data.aggregate import Count
-
+            # dedup shuffle does not preserve the export order.  Sort
+            # keys resolve to OUTPUT names (the rename already ran).
+            src_to_out = dict(zip(sel_cols, out_cols))
             key = out_cols[0] if len(out_cols) == 1 else out_cols
             ds = (ds.groupby(key)
                     .aggregate(Count(on=out_cols[0], alias_name="__c"))
                     .select_columns(out_cols))
             if stmt.order_by:
-                ds = ds.sort([k for k, _ in stmt.order_by],
+                keys = [k if k in out_cols else src_to_out.get(k, k)
+                        for k, _ in stmt.order_by]
+                ds = ds.sort(keys,
                              descending=[not asc
                                          for _, asc in stmt.order_by])
         return _page(ds, stmt)

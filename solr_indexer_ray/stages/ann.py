@@ -293,9 +293,11 @@ class IvfIndex:
     #: scheduling overhead — right for offline fan-out over huge
     #: buckets, wrong for serving-style small batches)
     RAY_QUERY_THRESHOLD = 64
-    #: in-process bucket cache cap (rows); whole cache drops when
-    #: exceeded so a serving engine's working set stays bounded
-    CACHE_ROWS = 2_000_000
+    #: in-process bucket cache cap (BYTES of ids+vectors); the cache
+    #: drops when exceeded and a single bucket larger than the cap is
+    #: served uncached, so a serving engine's resident working set
+    #: stays bounded regardless of vector dimensionality
+    CACHE_BYTES = 1 << 30
 
     def search(self, queries: np.ndarray, k: int = 10,
                mode: str = "auto") -> pa.Table:
@@ -335,7 +337,7 @@ class IvfIndex:
         cache = getattr(self, "_bucket_cache", None)
         if cache is None:
             cache = self._bucket_cache = {}
-            self._bucket_cache_rows = 0
+            self._bucket_cache_bytes = 0
         hit = cache.get(b)
         if hit is not None:
             return hit
@@ -346,11 +348,14 @@ class IvfIndex:
         )
         ids = t[self.id_col].to_numpy().astype(np.int64)
         mat = vectors_to_matrix(t[self.vec_col])
-        if self._bucket_cache_rows + ids.size > self.CACHE_ROWS:
+        nbytes = ids.nbytes + mat.nbytes
+        if nbytes > self.CACHE_BYTES:
+            return ids, mat  # oversized bucket: serve uncached
+        if self._bucket_cache_bytes + nbytes > self.CACHE_BYTES:
             cache.clear()
-            self._bucket_cache_rows = 0
+            self._bucket_cache_bytes = 0
         cache[b] = (ids, mat)
-        self._bucket_cache_rows += ids.size
+        self._bucket_cache_bytes += nbytes
         return cache[b]
 
     def _search_local(self, q, probe_mask, wanted, k: int) -> pa.Table:

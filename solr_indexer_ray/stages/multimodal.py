@@ -275,16 +275,14 @@ class FrameSampleStage:
         for mid, blob in zip(batch["media_id"].to_pylist(),
                              batch["data"].to_pylist()):
             if blob[: len(VIDEO_MAGIC)] != VIDEO_MAGIC:
-                if self.codec is not None:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real-container frame extraction is not wired "
-                        "to a codec in this build"
-                    )
+                # strict raises the clearly-marked stub; non-strict
+                # skips the row — codec or not (real-container
+                # extraction is not wired to a decoder in this build)
                 if self.strict:
                     raise NotImplementedError(
-                        "no video codec available in this environment "
-                        "(install av or opencv) and blob is not a "
-                        "synthetic fake"
+                        "real-container frame extraction is not "
+                        "implemented (synthetic FAKEVID1 blobs only; "
+                        "wire av/opencv decode here)"
                     )
                 continue
             n, w, h = struct.unpack(

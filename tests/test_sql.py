@@ -243,3 +243,51 @@ class TestExecution:
             colls,
         )["lang"].to_pylist()
         assert g_page == g_full[2:4]
+
+    def test_anded_text_predicates_intersect(self, sql_env):
+        """Review r3: two content predicates must intersect (SQL AND),
+        not union through the engine's default-OR free query."""
+        colls, _, eng = sql_env
+        t = sql_to_table(
+            "SELECT doc_id FROM docs WHERE content = 'def' "
+            "AND content = 'read' ORDER BY doc_id ASC",
+            colls,
+        )
+        exp = sorted(set(eng.match_ids("def").tolist())
+                     & set(eng.match_ids("read").tolist()))
+        assert t["doc_id"].to_pylist() == exp
+
+    def test_order_by_alias_projection(self, sql_env):
+        colls, df, _ = sql_env
+        t = sql_to_table(
+            "SELECT doc_id, doclen AS d FROM docs WHERE lang = 'go' "
+            "ORDER BY d DESC, doc_id ASC LIMIT 5",
+            colls,
+        )
+        exp = (df[df.lang == "go"]
+               .sort_values(["doclen", "doc_id"],
+                            ascending=[False, True]).head(5))
+        assert t["doc_id"].to_pylist() == exp["doc_id"].tolist()
+        assert t.column_names == ["doc_id", "d"]
+        # DISTINCT + aliased order key
+        t2 = sql_to_table(
+            "SELECT DISTINCT lang AS l FROM docs ORDER BY l ASC LIMIT 3",
+            colls,
+        )
+        assert t2["l"].to_pylist() == sorted(df.lang.unique())[:3]
+
+    def test_select_star(self, sql_env):
+        colls, df, eng = sql_env
+        t = sql_to_table(
+            "SELECT * FROM docs WHERE lang = 'go' "
+            "ORDER BY doc_id ASC LIMIT 2",
+            colls,
+        )
+        assert t.column_names == list(eng.stored_fields)
+        assert t.num_rows == 2
+
+    def test_double_quote_literal_rejected(self, sql_env):
+        colls, _, _ = sql_env
+        with pytest.raises(SqlError, match="double quotes"):
+            sql_to_table(
+                "SELECT doc_id FROM docs WHERE repo = 'a\"b'", colls)
