@@ -3391,15 +3391,12 @@ class SearchEngine:
         mask[ids] = True
         max_df = (max_doc_freq if max_doc_freq > 1
                   else max_doc_freq * bg_size)
-        t = self._postings_ds.to_table(columns=["term", "df"])
-        if self.scored_fields:
-            t = t.filter(pc.invert(pc.match_substring(t["term"], "\x1f")))
-        agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
-        cand = sorted(
-            (term, int(df)) for term, df in
-            zip(agg["term"].to_pylist(), agg["df_sum"].to_pylist())
-            if min_doc_freq <= df <= max_df
-        )
+        # term dictionary + summed df, cached per engine (the same
+        # sorted dictionary the suggester walks)
+        terms_all, dfs_all = self._suggest_state()
+        keep = (dfs_all >= min_doc_freq) & (dfs_all <= max_df)
+        cand = [(terms_all[i], int(dfs_all[i]))
+                for i in np.flatnonzero(keep)]
         rows = []
         for i in range(0, len(cand), 256):
             chunk = cand[i:i + 256]
