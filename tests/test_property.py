@@ -262,3 +262,64 @@ class TestSqlParserProperty:
             parse_sql(junk)
         except SqlError:
             pass
+
+
+class TestCollapseCodesProperty:
+    """_collapse_codes (the numpy core under collapse/group fast paths)
+    vs a pandas reference for random score/code distributions."""
+
+    @given(
+        st.integers(min_value=1, max_value=60),   # n rows
+        st.integers(min_value=1, max_value=5),    # n groups
+        st.integers(min_value=1, max_value=8),    # k heads
+        st.integers(min_value=0, max_value=3),    # expand_limit
+        st.sampled_from(["ignore", "expand", "collapse"]),
+        st.randoms(use_true_random=False),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_vs_pandas(self, n, ng, k, expand, policy, rng):
+        import pandas as pd
+
+        from solr_indexer_ray.pipelines.search import _collapse_codes
+
+        doc_ids = np.arange(n, dtype=np.int64)
+        rng.shuffle(doc_ids)
+        scores = np.array([round(rng.random(), 2) for _ in range(n)])
+        codes = np.array(
+            [rng.randrange(-1, ng) for _ in range(n)], dtype=np.int64
+        )
+        labels = [f"g{i}" for i in range(ng)]
+        got = _collapse_codes(
+            doc_ids.copy(), scores.copy(), codes.copy(), labels,
+            k, policy, expand, None,
+        ).to_pylist()
+
+        # reference: pandas rank-order + per-group head selection
+        df = pd.DataFrame(
+            {"doc_id": doc_ids, "score": scores, "code": codes}
+        )
+        if policy == "ignore":
+            df = df[df.code >= 0]
+        elif policy == "expand":
+            nulls = df.code < 0
+            df.loc[nulls, "code"] = ng + np.arange(int(nulls.sum()))
+        else:
+            df.loc[df.code < 0, "code"] = ng
+        if df.empty:
+            assert got == []
+            return
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True], kind="mergesort")
+        df["position"] = df.groupby("code", sort=False).cumcount()
+        heads = df[df.position == 0].head(k)
+        order = {c: i for i, c in enumerate(heads.code)}
+        out = df[df.code.isin(order) & (df.position <= expand)].copy()
+        out["rank"] = out.code.map(order)
+        out = out.sort_values(["rank", "position"])
+        exp = [
+            {"rank": int(r["rank"]), "position": int(r.position),
+             "doc_id": int(r.doc_id), "score": float(r.score),
+             "group": labels[int(r.code)] if r.code < ng else None}
+            for _, r in out.iterrows()
+        ]
+        assert got == exp
