@@ -5933,6 +5933,163 @@ class FacetRangeCounter:
         )
 
 
+class RangeFacetCounter:
+    """Per-doc-range date/numeric range-facet task: range-local match,
+    then bucket-count the field slice against the broadcast bucket
+    boundaries.  The driver sums per-range partials (pre-aggregated,
+    no shuffle) — the distributed form of
+    :meth:`SearchEngine.range_facet`.  Emits ``(bucket_idx, count)``
+    rows with idx -1 = before, -2 = after."""
+
+    def __init__(self, index_dir: str, field: str, bounds: list,
+                 e_us: int, is_timestamp: bool):
+        self.scorer = RangeScorer(index_dir)
+        self.field = field
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.e_us = int(e_us)
+        self.is_timestamp = is_timestamp
+
+    def __call__(self, batch: dict) -> pa.Table:
+        import json
+
+        idxs, counts = [], []
+        for i in range(len(batch["range_id"])):
+            rid = int(batch["range_id"][i])
+            cand, _, lo = self.scorer._candidates_range(
+                rid,
+                list(batch["terms"][i]),
+                list(batch["idfs"][i]),
+                list(batch["prohibited"][i]),
+                dict(zip(batch["filter_keys"][i], batch["filter_vals"][i])),
+                bool(batch["conjunctive"][i]),
+                json.loads(str(batch["phrases_json"][i])),
+                json.loads(str(batch["prefix_groups_json"][i])),
+                json.loads(str(batch["fuzzy_groups_json"][i]))
+                if "fuzzy_groups_json" in batch else [],
+                json.loads(str(batch["near_groups_json"][i]))
+                if "near_groups_json" in batch else [],
+                json.loads(str(batch["syn_groups_json"][i]))
+                if "syn_groups_json" in batch else [],
+                *(json.loads(str(batch["extras_json"][i]))
+                  if "extras_json" in batch else ([], [], [], [], [], [], [])),
+            )
+            tombs = np.asarray(list(batch["tombs"][i]), dtype=np.int64)
+            if tombs.size and cand.size:
+                cand = cand[~np.isin(cand + lo, tombs)]
+            if cand.size == 0:
+                continue
+            hi = lo + self.scorer.dpr
+            t = self.scorer._docs.to_table(
+                columns=["doc_id", self.field],
+                filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi),
+            )
+            mask = np.zeros(self.scorer.dpr, dtype=bool)
+            mask[cand] = True
+            hit = mask[t["doc_id"].to_numpy() - lo]
+            col = t[self.field]
+            if self.is_timestamp:
+                vals = (col.cast(pa.timestamp("us")).to_numpy()
+                        .astype("datetime64[us]").astype(np.int64)[hit])
+            else:
+                vals = col.to_numpy(zero_copy_only=False).astype(
+                    np.int64)[hit]
+            n_buckets = self.bounds.size - 1
+            bidx = np.searchsorted(self.bounds, vals, side="right") - 1
+            inside = (bidx >= 0) & (bidx < n_buckets) & (vals < self.e_us)
+            cnt = np.bincount(bidx[inside].astype(np.int64),
+                              minlength=n_buckets)
+            for b in np.nonzero(cnt)[0]:
+                idxs.append(int(b))
+                counts.append(int(cnt[b]))
+            before = int((vals < self.bounds[0]).sum())
+            after = int((vals >= self.e_us).sum())
+            if before:
+                idxs.append(-1)
+                counts.append(before)
+            if after:
+                idxs.append(-2)
+                counts.append(after)
+        return pa.table(
+            {"bucket_idx": pa.array(idxs, pa.int64()),
+             "count": pa.array(counts, pa.int64())}
+        )
+
+
+def range_facet_partitioned(index_dir: str, query: str, field: str,
+                            start, end, gap, fq=None) -> dict:
+    """Distributed ``facet.range``: per-range bucket-count partials,
+    summed on the driver — identical buckets to
+    :meth:`SearchEngine.range_facet` (tested).  Bucket boundaries
+    (including calendar DateMath edges) are computed once on the driver
+    and shipped with the task."""
+    import ray.data as rd
+    from datetime import datetime, timezone
+
+    engine = SearchEngine(index_dir)
+    parsed = engine._parse(query)
+    clauses = _distributed_clauses(engine, parsed, query)
+    if clauses is None:
+        return engine.range_facet(query, field, start, end, gap, fq=fq)
+    if field == "doclen":
+        if int(gap) <= 0 or int(end) <= int(start):
+            raise ValueError("need gap > 0 and end > start")
+        s_i, e_i, g_i = int(start), int(end), int(gap)
+        n = (e_i - s_i + g_i - 1) // g_i
+        bounds = s_i + g_i * np.arange(n + 1, dtype=np.int64)
+        labels = [int(b) for b in bounds[:-1]]
+        is_ts = False
+    else:
+        col_field = engine._docs_ds.schema.field(field) \
+            if field in engine.stored_fields else None
+        if col_field is None or not pa.types.is_timestamp(col_field.type):
+            raise ValueError(
+                "range facets support doclen or a timestamp stored "
+                f"column; {field!r} is neither")
+        s_i = int(np.datetime64(str(start).rstrip("Z"), "us")
+                  .astype(np.int64))
+        e_i = int(np.datetime64(str(end).rstrip("Z"), "us")
+                  .astype(np.int64))
+        if e_i <= s_i:
+            raise ValueError("need end > start")
+        bounds = _date_bucket_bounds(s_i, e_i, gap)
+        labels = [
+            datetime.fromtimestamp(int(b) / 1e6, tz=timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ")
+            for b in bounds[:-1]
+        ]
+        is_ts = True
+    n_buckets = len(labels)
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    before = after = 0
+    if clauses != "zero":
+        items = _range_items(engine, parsed, clauses, fq=fq)
+        blist = [int(b) for b in bounds]
+
+        def run(batch: dict) -> pa.Table:
+            return RangeFacetCounter(index_dir, field, blist, e_i,
+                                     is_ts)(batch)
+
+        partials = (
+            rd.from_items(items)
+            .map_batches(run, batch_size=1, batch_format="numpy",
+                         num_cpus=1)
+            .take_all()
+        )
+        for r in partials:
+            b = int(r["bucket_idx"])
+            if b == -1:
+                before += int(r["count"])
+            elif b == -2:
+                after += int(r["count"])
+            else:
+                counts[b] += int(r["count"])
+    return {
+        "buckets": [(labels[i], int(counts[i])) for i in range(n_buckets)],
+        "before": int(before),
+        "after": int(after),
+    }
+
+
 def _fq_excluded_by_range(engine: SearchEngine, fq, dpr: int) -> dict:
     """Bucket a filter-query exclusion set per doc range (the same
     shipping shape as tombstone slices: each range carries at most

@@ -344,3 +344,68 @@ class TestDateRangeFacets:
             config=IndexConfig(concurrency=2, extra_stored=("mtime",)),
         )
         return idx, corpus
+
+
+class TestRangeFacetPartitioned:
+    """Distributed facet.range: per-range bucket partials must equal the
+    single-engine implementation bucket for bucket (dates incl. calendar
+    gaps, numeric doclen, fq, deletes)."""
+
+    @pytest.fixture(scope="class")
+    def dpidx(self, tmp_path_factory):
+        from datetime import datetime, timedelta
+
+        corpus = generate_corpus(140, seed=21, mean_tokens=40)
+        base = datetime(2024, 1, 10)
+        corpus = corpus.append_column(
+            "mtime",
+            pa.array([base + timedelta(hours=7 * i)
+                      for i in range(corpus.num_rows)],
+                     pa.timestamp("us")),
+        )
+        path = tmp_path_factory.mktemp("dpc") / "c.parquet"
+        pq.write_table(corpus, path, row_group_size=32)
+        idx = str(tmp_path_factory.mktemp("dpi") / "idx")
+        build_index(
+            str(path), idx,
+            config=IndexConfig(docs_per_range=48, concurrency=2,
+                               extra_stored=("mtime",)),
+        )
+        return idx
+
+    @pytest.mark.parametrize("case", [
+        ("def", "mtime", "2024-01-10T00:00:00Z", "2024-02-10T00:00:00Z",
+         "+5DAYS", None),
+        ("def read", "mtime", "2024-01-01T00:00:00Z",
+         "2024-04-01T00:00:00Z", "+1MONTH", None),
+        ("read", "mtime", "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z",
+         "+12HOURS", ["lang:python"]),
+        ("def", "doclen", 10, 100, 15, None),
+    ])
+    def test_identity_vs_single_engine(self, dpidx, case):
+        from solr_indexer_ray.pipelines.search import (
+            range_facet_partitioned,
+        )
+
+        q, fld, s, e, g, fq = case
+        eng = SearchEngine(dpidx)
+        single = eng.range_facet(q, fld, s, e, g, fq=fq)
+        dist = range_facet_partitioned(dpidx, q, fld, s, e, g, fq=fq)
+        assert dist == single
+
+    def test_identity_after_deletes(self, dpidx, tmp_path):
+        import shutil
+
+        from solr_indexer_ray.pipelines import mutate
+        from solr_indexer_ray.pipelines.search import (
+            range_facet_partitioned,
+        )
+
+        idx2 = str(tmp_path / "idx2")
+        shutil.copytree(dpidx, idx2)
+        mutate.delete_by_id(idx2, [3, 7, 50, 51, 52, 99])
+        eng = SearchEngine(idx2)
+        args = ("def", "mtime", "2024-01-10T00:00:00Z",
+                "2024-02-10T00:00:00Z", "+1DAY")
+        assert (range_facet_partitioned(idx2, *args)
+                == eng.range_facet(*args))
