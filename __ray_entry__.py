@@ -30,6 +30,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from solr_indexer_ray import contract as c
 
     return {
+        # --- new in round 4 (fl transformers; re-check of the reworked
+        # dedup/curation paths comes right after) ---
+        "fl_transformers": c.q_fl_transformers,
         # --- never driver-checked in rounds 1-2 (verdict r2 item 2) ---
         "date_range_facets": c.q_date_range_facets,
         "blockjoin_matches": c.q_blockjoin_matches,

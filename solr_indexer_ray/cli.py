@@ -23,6 +23,24 @@ import sys
 import time
 
 
+def _format_xml_display(xml_text: str) -> str:
+    """Pretty-format an XML string for terminal display; returns the text
+    unchanged if it does not parse (reference ``_format_xml_for_display``,
+    ``solrindexer/search.py:74-82`` — lxml there, stdlib minidom here)."""
+    if not xml_text:
+        return xml_text
+    try:
+        from xml.dom import minidom
+
+        pretty = minidom.parseString(xml_text).toprettyxml(indent="  ")
+        # minidom prepends the <?xml?> declaration and pads blank lines
+        lines = [ln for ln in pretty.splitlines()
+                 if ln.strip() and not ln.startswith("<?xml")]
+        return "\n".join(lines)
+    except Exception:
+        return xml_text
+
+
 def _ensure_ray():
     import ray
 
@@ -167,7 +185,15 @@ def cmd_search(args) -> int:
                           pf=args.pf, ps=args.ps,
                           pf2=args.pf2, pf3=args.pf3,
                           bf=args.bf, boost=args.boost, bq=args.bq)
+    xml_fields = [f.split(":[", 1)[0] for f in (fl or [])
+                  if f.endswith(":[xml]")]
     for row in t.to_pylist():
+        if args.pretty_xml:
+            # reference _print_pretty_xml (solrindexer/search.py:74-96):
+            # raw-XML display mode prints the formatted document instead
+            # of embedding it in the JSON row
+            for f in xml_fields:
+                print(_format_xml_display(row.pop(f, None) or ""))
         print(json.dumps(row, default=str))
     if args.facet_query:
         print(json.dumps(
@@ -741,7 +767,13 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-o", "--output", required=True)
     ps.add_argument("-q", "--query", required=True)
     ps.add_argument("-k", type=int, default=10)  # Solr default rows=10
-    ps.add_argument("--fl", help="comma-separated field projection")
+    ps.add_argument("--fl",
+                    help="comma-separated field projection; supports Solr "
+                         "transformers field:[json] (parse stored JSON) "
+                         "and field:[xml] (raw XML passthrough)")
+    ps.add_argument("--pretty-xml", action="store_true",
+                    help="print [xml] fl fields as formatted XML text "
+                         "instead of embedding them in the JSON row")
     ps.add_argument("--method", default="taat", choices=["taat", "bmw"])
     ps.add_argument("--start", type=int, default=0,
                     help="paging offset (Solr start)")

@@ -904,6 +904,80 @@ def _geo_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _fl_index(sf_dir: str) -> str:
+    """Contract index with extra stored serialized columns for the Solr fl
+    field transformers (reference SOLR_FL/SOLR_MMD_FL,
+    ``solrindexer/search.py:46-47``): ``meta_json`` (a JSON string built
+    deterministically from lang/n_chars) and ``doc_xml`` (an XML string
+    from doc_id/lang) — the same strings the SQL oracle recomputes."""
+    key = ("fl", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import json
+
+    import pyarrow.parquet as pq
+
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.sources.corpus import documents_to_corpus_table
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    os.makedirs(work, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    corpus = documents_to_corpus_table(docs)
+    ids = docs["doc_id"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    nchars = docs["n_chars"].to_pylist()
+    meta = [
+        json.dumps({"lang": l, "n": int(n)}, sort_keys=True)
+        for l, n in zip(langs, nchars)
+    ]
+    xml = [
+        f'<doc id="{i}"><lang>{l}</lang></doc>'
+        for i, l in zip(ids, langs)
+    ]
+    corpus = corpus.append_column("meta_json", pa.array(meta))
+    corpus = corpus.append_column("doc_xml", pa.array(xml))
+    corpus_path = os.path.join(work, "corpus_fl.parquet")
+    pq.write_table(corpus, corpus_path, row_group_size=4096)
+    index_dir = os.path.join(work, "index_fl_v1")
+    config = IndexConfig(
+        concurrency=2, extra_stored=("meta_json", "doc_xml"),
+    )
+    if not BuildManifest(index_dir).is_committed():
+        build_index(corpus_path, index_dir, config=config,
+                    registry=AnalyzerRegistry("simple", overrides={}),
+                    overwrite=True)
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_fl_transformers(sf_dir: str):
+    """fl field transformers: ``meta_json:[json]`` parses the stored JSON
+    string into a struct (fields then extracted as scalar columns) and
+    ``doc_xml:[xml]`` passes the raw XML through — full store→search→
+    transform round-trip; the SQL oracle recomputes both serializations
+    from the documents table."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_fl_index(sf_dir))
+    n = engine.count()
+    t = engine.search(
+        "", k=n, sort="doc_id asc",
+        fl=["doc_id", "meta_json:[json]", "doc_xml:[xml]"],
+    )
+    meta = t["meta_json"].combine_chunks()
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "meta_lang": pc.struct_field(meta, "lang"),
+        "meta_n": pc.struct_field(meta, "n"),
+        "doc_xml": t["doc_xml"],
+    })
+
+
 def _bm25_field_index(sf_dir: str) -> str:
     """Contract index with extra ANALYZED fields: path_text (from the
     synthesized path "doc_<id>.txt") and repo_text (from repo=source) —

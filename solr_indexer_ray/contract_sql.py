@@ -2920,9 +2920,21 @@ FROM events GROUP BY event_type, window_start
 """
 
 
+FL_TRANSFORMERS_SQL = """
+SELECT doc_id,
+  lang AS meta_lang,
+  n_chars AS meta_n,
+  '<doc id="' || CAST(doc_id AS VARCHAR) || '"><lang>' || lang
+    || '</lang></doc>' AS doc_xml
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def oracle_sql_dict() -> dict:
     """name -> SQL for every SQL-expressible query in contract.queries()."""
     return {
+        "fl_transformers": FL_TRANSFORMERS_SQL,
         "term_df": TERM_DF_SQL,
         "doc_stats": DOC_STATS_SQL,
         "top_terms": TOP_TERMS_SQL,

@@ -63,6 +63,10 @@ from solr_indexer_ray.state.manifest import BuildManifest
 
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
+#: Solr fl field-transformer entry, ``field:[json]`` / ``field:[xml]``
+#: (reference ``solrindexer/search.py:46-47``).
+_FL_TRANSFORMER_RE = re.compile(r"^([A-Za-z_][\w.]*):\[(json|xml)\]$")
+
 
 def _typed_range_expr(schema, rf):
     """Lucene range filter -> pyarrow dataset expression (row-group
@@ -2550,8 +2554,80 @@ class SearchEngine:
     # ------------------------------------------------------------------ #
     # resolution / projection (reference: fl field lists, realtime get)
     # ------------------------------------------------------------------ #
+    def _parse_fl(self, fl):
+        """Split an ``fl`` list into source-field names + transformers.
+
+        Solr field-transformer syntax (reference ``solrindexer/search.py:46-47``:
+        ``fl="*,personnel_json:[json]"`` / ``"mmd_xml_file:[xml]"``):
+
+        - ``field:[json]`` — the stored string field holds serialized JSON;
+          parse it and return the structured value under the same name.
+        - ``field:[xml]``  — the stored string field holds raw XML; returned
+          verbatim (the CLI owns pretty display, like the reference's
+          ``_print_pretty_xml``).
+        - ``*`` — every stored field (reference ``SOLR_FL`` leads with it).
+
+        Returns ``(fields, transforms)`` where ``fields`` is the projection
+        list (order preserved) and ``transforms`` is ``[(field, kind)]``.
+        """
+        fields, transforms, seen = [], [], set()
+
+        def add(name):
+            if name not in seen:
+                seen.add(name)
+                fields.append(name)
+
+        for entry in fl:
+            m = _FL_TRANSFORMER_RE.match(entry)
+            if m:
+                field, kind = m.group(1), m.group(2)
+                add(field)
+                transforms.append((field, kind))
+            elif entry == "*":
+                for name in self.stored_fields:
+                    add(name)
+            else:
+                add(entry)
+        return fields, transforms
+
+    @staticmethod
+    def _apply_fl_transforms(t: pa.Table, transforms) -> pa.Table:
+        """Apply ``[json]``/``[xml]`` fl transformers to resolved columns.
+
+        ``[json]`` parses each string value into a structured Arrow value
+        (struct/list/scalar inferred); values that fail to parse — and
+        columns whose parsed values do not share an inferrable type — fall
+        back to the raw string, matching Solr's raw-value behavior.
+        """
+        import json as _json
+
+        for field, kind in transforms:
+            if kind != "json" or field not in t.column_names:
+                continue  # [xml] is verbatim passthrough
+            raw = t[field].to_pylist()
+            parsed = []
+            ok = True
+            for v in raw:
+                if v is None:
+                    parsed.append(None)
+                    continue
+                try:
+                    parsed.append(_json.loads(v))
+                except (ValueError, TypeError):
+                    ok = False
+                    break
+            if not ok:
+                continue
+            try:
+                arr = pa.array(parsed)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                continue
+            t = t.set_column(t.column_names.index(field), field, arr)
+        return t
+
     def _resolve(self, hits, fl=None) -> pa.Table:
         fl = list(fl) if fl else self.stored_fields
+        fl, fl_transforms = self._parse_fl(fl)
         ids = [d for d, _ in hits]
         scores = {d: s for d, s in hits}
         if set(fl) <= {"doc_id"} and not self._load_overlays():
@@ -2567,9 +2643,10 @@ class SearchEngine:
         if not ids:
             t = self._docs_ds.to_table(columns=cols,
                                        filter=pc.field("doc_id") == -1)
-            return t.append_column("score", pa.array([], pa.float64())).select(
+            t = t.append_column("score", pa.array([], pa.float64())).select(
                 [*fl, "score"]
             )
+            return self._apply_fl_transforms(t, fl_transforms)
         t = self._docs_ds.to_table(
             columns=cols, filter=pc.field("doc_id").isin(ids)
         )
@@ -2581,7 +2658,8 @@ class SearchEngine:
             "score", pa.array([scores[d] for d in t["doc_id"].to_pylist()])
         )
         t = self._apply_overlays(t)
-        return t.select([*fl, "score"])
+        return self._apply_fl_transforms(t.select([*fl, "score"]),
+                                         fl_transforms)
 
     def _apply_overlays(self, t: pa.Table) -> pa.Table:
         overlays = self._load_overlays()

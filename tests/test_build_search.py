@@ -159,3 +159,90 @@ class TestSearchAPI:
         st = engine.status()
         assert st["committed"] is True
         assert st["live_docs"] == stats["n_docs"]
+
+
+class TestFlTransformers:
+    """Solr fl field transformers ``field:[json]`` / ``field:[xml]``
+    (reference SOLR_FL / SOLR_MMD_FL, solrindexer/search.py:46-47)."""
+
+    @pytest.fixture(scope="class")
+    def jidx(self, tmp_path_factory, ray_session):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.config import IndexConfig
+        from solr_indexer_ray.pipelines.build import build_index
+        from solr_indexer_ray.sources.corpus import generate_corpus
+
+        d = tmp_path_factory.mktemp("flidx")
+        corpus = generate_corpus(40, seed=5, mean_tokens=30)
+        langs = corpus["lang"].to_pylist()
+        meta = [
+            json.dumps({"lang": langs[i], "n": i}, sort_keys=True)
+            for i in range(corpus.num_rows)
+        ]
+        bad = list(meta)
+        bad[3] = "{not json"  # unparseable row -> whole column stays raw
+        xml = [
+            f'<doc id="{i}"><lang>{langs[i]}</lang></doc>'
+            for i in range(corpus.num_rows)
+        ]
+        corpus = corpus.append_column("meta_json", pa.array(meta))
+        corpus = corpus.append_column("meta_bad", pa.array(bad))
+        corpus = corpus.append_column("doc_xml", pa.array(xml))
+        pq.write_table(corpus, str(d / "c.parquet"))
+        build_index(
+            str(d / "c.parquet"), str(d / "idx"),
+            config=IndexConfig(
+                concurrency=1,
+                extra_stored=("meta_json", "meta_bad", "doc_xml"),
+            ),
+        )
+        return str(d / "idx")
+
+    def test_json_roundtrip(self, jidx):
+        import pyarrow as pa
+
+        eng = SearchEngine(jidx)
+        t = eng.search("", k=40, fl=["doc_id", "meta_json:[json]"],
+                       sort="doc_id asc")
+        assert t.column_names == ["doc_id", "meta_json", "score"]
+        assert pa.types.is_struct(t.schema.field("meta_json").type)
+        for row in t.to_pylist():
+            assert row["meta_json"]["n"] == row["doc_id"]
+
+    def test_json_fallback_on_bad_value(self, jidx):
+        """A single unparseable value keeps the whole column raw (Solr
+        raw-value behavior; never a crash)."""
+        import pyarrow as pa
+
+        eng = SearchEngine(jidx)
+        t = eng.search("", k=40, fl=["meta_bad:[json]"], sort="doc_id asc")
+        assert t.num_rows == 40
+        assert pa.types.is_string(t.schema.field("meta_bad").type)
+        assert t["meta_bad"].to_pylist()[3] == "{not json"
+
+    def test_xml_passthrough(self, jidx):
+        eng = SearchEngine(jidx)
+        t = eng.search("", k=5, fl=["doc_id", "doc_xml:[xml]"],
+                       sort="doc_id asc")
+        rows = t.to_pylist()
+        assert rows[0]["doc_xml"] == '<doc id="0"><lang>' \
+            + rows[0]["doc_xml"].split("<lang>")[1]
+        assert all(r["doc_xml"].startswith("<doc id=") for r in rows)
+
+    def test_star_expands_stored_fields(self, jidx):
+        eng = SearchEngine(jidx)
+        t = eng.search("def", k=3, fl=["*"])
+        for f in eng.stored_fields:
+            assert f in t.column_names
+
+    def test_cli_pretty_xml_formatter(self):
+        from solr_indexer_ray.cli import _format_xml_display
+
+        out = _format_xml_display("<a><b>x</b></a>")
+        assert "<a>" in out and "  <b>x</b>" in out
+        assert _format_xml_display("not <xml") == "not <xml"
+        assert _format_xml_display("") == ""
