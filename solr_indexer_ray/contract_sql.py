@@ -2920,6 +2920,96 @@ FROM events GROUP BY event_type, window_start
 """
 
 
+#: FNV-1a 64-bit per token (per-byte xor/multiply mod 2^64, recursive over
+#: chars — tokens are pure [a-z0-9] so ord() == the utf-8 byte), then the
+#: order-sensitive rolling fingerprint sum(fnv_i % M61 * B^i) mod M61
+#: (functions/textstats.py fingerprint/fnv1a64) — recursive over token
+#: positions.  HUGEINT holds every intermediate product (< 2^122).
+FINGERPRINTS_SQL = """
+WITH RECURSIVE arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         generate_subscripts(arr, 1) - 1 AS i
+  FROM arrs
+),
+vocab AS (SELECT DISTINCT tok FROM toks),
+fnv AS (
+  SELECT tok, CAST(1 AS BIGINT) AS j,
+         CAST('14695981039346656037' AS HUGEINT) AS h
+  FROM vocab
+  UNION ALL
+  SELECT tok, j + 1,
+    (CAST(xor(CAST(h AS UBIGINT), CAST(ord(substr(tok, j, 1)) AS UBIGINT))
+          AS HUGEINT) * 1099511628211)
+      % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv WHERE j <= length(tok)
+),
+tok_h AS (
+  SELECT tok, h FROM fnv WHERE j = length(tok) + 1
+),
+ntok AS (
+  SELECT d.doc_id, count(t.tok) AS n
+  FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+roll AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS i,
+         CAST(0 AS HUGEINT) AS h, CAST(1 AS HUGEINT) AS p
+  FROM documents
+  UNION ALL
+  SELECT r.doc_id, r.i + 1,
+    (r.h + (f.h % 2305843009213693951) * r.p) % 2305843009213693951,
+    (r.p * 1000003) % 2305843009213693951
+  FROM roll r
+  JOIN toks t ON t.doc_id = r.doc_id AND t.i = r.i
+  JOIN tok_h f ON f.tok = t.tok
+)
+SELECT r.doc_id, CAST(r.h AS BIGINT) AS fingerprint
+FROM roll r JOIN ntok n ON n.doc_id = r.doc_id AND r.i = n.n
+ORDER BY r.doc_id
+"""
+
+
+#: Frame sampling oracle: videos derive from documents (n_frames =
+#: 2+(n_chars%7), w = 3+(doc_id%5), h = 2+(doc_id%4)); sampled indexes
+#: are unique(round(linspace(0, n-1, 3))) = {0, mid, n-1} where mid uses
+#: numpy round-HALF-EVEN for the (n even) k+0.5 midpoint; per-frame
+#: n_bytes = 16-byte FAKEIMG1 header + w*h payload.
+MULTIMODAL_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         2 + (n_chars % 7) AS n,
+         3 + (doc_id % 5) AS w,
+         2 + (doc_id % 4) AS h
+  FROM documents
+),
+m AS (
+  SELECT media_id, n, w, h,
+    CASE WHEN (n - 1) % 2 = 0 THEN (n - 1) // 2
+         WHEN ((n - 1) // 2) % 2 = 0 THEN (n - 1) // 2
+         ELSE (n - 1) // 2 + 1 END AS mid
+  FROM v
+),
+f AS (
+  SELECT media_id, 0 AS frame_index, w, h FROM m
+  UNION
+  SELECT media_id, mid, w, h FROM m
+  UNION
+  SELECT media_id, n - 1, w, h FROM m
+)
+SELECT media_id, CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(16 + w * h AS BIGINT) AS n_bytes
+FROM f
+ORDER BY media_id, frame_index
+"""
+
+
 FL_TRANSFORMERS_SQL = """
 SELECT doc_id,
   lang AS meta_lang,
@@ -2935,6 +3025,8 @@ def oracle_sql_dict() -> dict:
     """name -> SQL for every SQL-expressible query in contract.queries()."""
     return {
         "fl_transformers": FL_TRANSFORMERS_SQL,
+        "fingerprints": FINGERPRINTS_SQL,
+        "multimodal_frames": MULTIMODAL_FRAMES_SQL,
         "term_df": TERM_DF_SQL,
         "doc_stats": DOC_STATS_SQL,
         "top_terms": TOP_TERMS_SQL,
