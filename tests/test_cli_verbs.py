@@ -169,3 +169,49 @@ class TestEveryVerb:
         ):
             rc, _ = _run(capsys, argv)
             assert rc == 0, argv
+
+
+class TestJobSubmitRehearsal:
+    """``ray job submit``-shaped run (VERDICT r3 item 8): each CLI verb as
+    a job payload in a FRESH python subprocess with an explicit
+    ``RAY_ADDRESS=local`` env — the closest cluster-submission rehearsal
+    the sandbox allows (the ``ray[default]`` job SDK is not in the
+    container; BASELINE.md documents this).  Pins that the CLI owns its
+    Ray session correctly when launched cold, exactly as a job driver
+    process would be."""
+
+    def test_index_search_sql_subprocess(self, cli_env, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        env = {**os.environ, "RAY_ADDRESS": "local"}
+        idx = str(tmp_path / "jobidx")
+        jobs = [
+            ["index", "-i", cli_env["corpus"], "-o", idx],
+            ["status", "-o", idx],
+            ["search", "-o", idx, "-q", "def index", "-k", "3"],
+            ["sql", "-o", idx, "-q",
+             "SELECT lang, count(*) AS n FROM docs "
+             "GROUP BY lang ORDER BY n DESC"],
+        ]
+        for argv in jobs:
+            p = subprocess.run(
+                [sys.executable, "-m", "solr_indexer_ray.cli", *argv],
+                capture_output=True, text=True, env=env,
+                cwd=os.getcwd(), timeout=300,
+            )
+            assert p.returncode == 0, (argv, p.stderr[-2000:])
+            json_lines = [ln for ln in p.stdout.splitlines()
+                          if ln.startswith("{")]
+            assert json_lines, (argv, p.stdout[-500:])
+        # the index verb's stats line reported every row indexed
+        stats = json.loads(
+            [ln for ln in subprocess.run(
+                [sys.executable, "-m", "solr_indexer_ray.cli",
+                 "status", "-o", idx],
+                capture_output=True, text=True, env=env,
+                cwd=os.getcwd(), timeout=300,
+            ).stdout.splitlines() if ln.startswith("{")][-1]
+        )
+        assert stats["committed"] is True and stats["n_docs"] == 80
