@@ -432,6 +432,39 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     engine.suggest(sugg_words[0])  # build the sorted dictionary once
     sugg_p50 = _med_ms(lambda w: engine.suggest(w, count=5), sugg_words)
 
+    # ---- dedup stage throughput (VERDICT r3 item 3 done-criterion):
+    # MinHash-LSH end-to-end over a slice of the bench corpus, autoscaled
+    # actor pool (new default) vs the old pinned concurrency=2 — the row
+    # that shows the pool parameterization pays at 32 cpus.
+    from solr_indexer_ray.stages.dedup import minhash_lsh_pairs
+
+    n_dedup = min(n_docs, 50_000)
+    dedup_path = os.path.join(BENCH_ROOT, f"dedup-{n_dedup}-{SEED}.parquet")
+    if not os.path.exists(dedup_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(corpus_path, columns=["content"]).slice(0, n_dedup)
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(t.num_rows), pa.int64()),
+                "text": t["content"],
+            }),
+            dedup_path, row_group_size=max(256, n_dedup // 64),
+        )
+
+    def dedup_run(concurrency):
+        ds = rd.read_parquet(dedup_path, override_num_blocks=num_cpus * 2)
+        t0 = time.perf_counter()
+        n_pairs = minhash_lsh_pairs(
+            ds, num_perm=64, bands=16, concurrency=concurrency
+        ).count()
+        return time.perf_counter() - t0, n_pairs
+
+    dedup_run(2)  # warm-up (untimed): worker import + page cache
+    dedup_c2_s, _ = dedup_run(2)           # old pinned pool
+    dedup_auto_s, dedup_pairs = dedup_run(None)  # autoscaled (new default)
+
     ray.shutdown()
 
     total = build_s + query_seq_s + query_dist_s
@@ -489,6 +522,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "stream_rollup_s": stream_rollup_s,
             "sql_group_s": sql_group_s,
             "suggest_p50_ms": sugg_p50,
+            "dedup_minhash_docs_per_sec": round(n_dedup / dedup_auto_s, 1),
+            "dedup_minhash_docs_per_sec_c2": round(n_dedup / dedup_c2_s, 1),
+            "dedup_pool_speedup": round(dedup_c2_s / dedup_auto_s, 2),
+            "dedup_minhash_pairs": int(dedup_pairs),
+            "dedup_n_docs": int(n_dedup),
         },
     }
 

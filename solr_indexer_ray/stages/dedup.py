@@ -19,23 +19,23 @@ from __future__ import annotations
 
 import logging
 import os
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _LOG = logging.getLogger(__name__)
 
 from solr_indexer_ray.functions.hashing import (
-    band_keys,
+    band_keys_batch,
     minhash_params,
-    minhash_signature,
+    minhash_signatures_batch,
     sha256_hex,
     shingle_hashes,
-    simhash64,
     simhash_band_keys,
 )
 from solr_indexer_ray.functions.tokenize import simple_analyzer
-from solr_indexer_ray.stages.pool import resolve_pool
 
 PAIR_SCHEMA = pa.schema(
     [("id_a", pa.int64()), ("id_b", pa.int64()), ("similarity", pa.float64())]
@@ -140,35 +140,44 @@ def exact_dup_dropped_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
 # --------------------------------------------------------------------- #
 # shingle explode (shared by jaccard + minhash verify)
 # --------------------------------------------------------------------- #
-class _ShingleExploder:
+def _task_pool_kwargs(concurrency) -> dict:
+    """map_batches kwargs for the vectorized hasher kernels.
+
+    These kernels hold no real state (hash params are lru_cached at module
+    level per worker), so they run as PLAIN TASKS: warm Ray workers, no
+    actor cold-start, elastic up to the whole cluster — the scalable
+    default that a fixed pool (the old hardcoded ``concurrency=2``) and
+    even a cluster-sized actor pool (per-job actor spin-up) both lose to.
+    An explicit ``concurrency`` caps concurrent tasks instead.
+    """
+    return {} if concurrency is None else {"concurrency": concurrency}
+
+
+def _explode_shingles(batch: pa.Table, *, text_col: str, id_col: str,
+                      n: int) -> pa.Table:
     """doc rows -> (shingle_hash, doc_id, n_shingles) rows."""
-
-    def __init__(self, text_col: str, id_col: str, n: int):
-        self.text_col, self.id_col, self.n = text_col, id_col, n
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sh_out, id_out, cnt_out = [], [], []
-        for text, did in zip(
-            batch[self.text_col].to_pylist(), batch[self.id_col].to_pylist()
-        ):
-            sh = shingle_hashes(simple_analyzer(text or ""), self.n)
-            sh_out.append(sh.astype(np.int64))
-            id_out.append(np.full(sh.size, did, dtype=np.int64))
-            cnt_out.append(np.full(sh.size, sh.size, dtype=np.int64))
-        if not sh_out:
-            sh_all = np.empty(0, np.int64)
-            id_all = cnt_all = sh_all
-        else:
-            sh_all = np.concatenate(sh_out)
-            id_all = np.concatenate(id_out)
-            cnt_all = np.concatenate(cnt_out)
-        return pa.table(
-            {
-                "shingle": pa.array(sh_all, pa.int64()),
-                "doc_id": pa.array(id_all, pa.int64()),
-                "n_shingles": pa.array(cnt_all, pa.int64()),
-            }
-        )
+    sh_out, id_out, cnt_out = [], [], []
+    for text, did in zip(
+        batch[text_col].to_pylist(), batch[id_col].to_pylist()
+    ):
+        sh = shingle_hashes(simple_analyzer(text or ""), n)
+        sh_out.append(sh.astype(np.int64))
+        id_out.append(np.full(sh.size, did, dtype=np.int64))
+        cnt_out.append(np.full(sh.size, sh.size, dtype=np.int64))
+    if not sh_out:
+        sh_all = np.empty(0, np.int64)
+        id_all = cnt_all = sh_all
+    else:
+        sh_all = np.concatenate(sh_out)
+        id_all = np.concatenate(id_out)
+        cnt_all = np.concatenate(cnt_out)
+    return pa.table(
+        {
+            "shingle": pa.array(sh_all, pa.int64()),
+            "doc_id": pa.array(id_all, pa.int64()),
+            "n_shingles": pa.array(cnt_all, pa.int64()),
+        }
+    )
 
 
 def ngram_jaccard_pairs(
@@ -199,15 +208,14 @@ def ngram_jaccard_pairs(
     under-reports similarity for pairs sharing hot shingles, never
     over-reports pairs.
 
-    ``concurrency``: shingle-explode actor pool size; ``None`` (default)
-    resolves to an autoscaling pool sized to the cluster
-    (:func:`solr_indexer_ray.stages.pool.resolve_pool`).
+    ``concurrency``: ``None`` (default) runs the shingle explode as an
+    elastic task pool (see :func:`_task_pool_kwargs`); an int caps it.
     """
     exploded = ds.map_batches(
-        _ShingleExploder,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
+        _explode_shingles,
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
         batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency),
+        **_task_pool_kwargs(concurrency),
     )
 
     def pairs_in_group(group: pa.Table) -> pa.Table:
@@ -271,29 +279,29 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------- #
 # MinHash + LSH
 # --------------------------------------------------------------------- #
-class _MinHasher:
-    """doc rows -> (band_key, doc_id) rows; permutation params built once
-    per actor (stateful stage, SURVEY.md ST2 pattern)."""
+@_lru_cache(maxsize=32)
+def _cached_minhash_params(num_perm: int, seed: int):
+    return minhash_params(num_perm, seed)
 
-    def __init__(self, text_col, id_col, n, num_perm, bands, seed):
-        self.text_col, self.id_col, self.n = text_col, id_col, n
-        self.bands = bands
-        self.a, self.b = minhash_params(num_perm, seed)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, ids = [], []
-        for text, did in zip(
-            batch[self.text_col].to_pylist(), batch[self.id_col].to_pylist()
-        ):
-            sh = shingle_hashes(simple_analyzer(text or ""), self.n)
-            sig = minhash_signature(sh, self.a, self.b)
-            for key in band_keys(sig, self.bands):
-                keys.append(key)
-                ids.append(did)
-        return pa.table(
-            {"band_key": pa.array(keys, pa.string()),
-             "doc_id": pa.array(ids, pa.int64())}
-        )
+def _minhash_batch(batch: pa.Table, *, text_col, id_col, n, num_perm,
+                   bands, seed) -> pa.Table:
+    """doc rows -> (band_key, doc_id) rows, vectorized across the whole
+    batch: per-doc shingle arrays -> one reduceat minhash -> one band-mix
+    matmul; no per-doc Python beyond tokenize+shingle (memoized token
+    hashes).  Permutation params are lru_cached per worker process."""
+    a, b = _cached_minhash_params(num_perm, seed)
+    sh_list = [
+        shingle_hashes(simple_analyzer(t or ""), n)
+        for t in batch[text_col].to_pylist()
+    ]
+    sigs = minhash_signatures_batch(sh_list, a, b)
+    keys = band_keys_batch(sigs, bands)  # (n_docs, bands) int64
+    ids = batch[id_col].to_numpy()
+    return pa.table(
+        {"band_key": pa.array(keys.ravel(), pa.int64()),
+         "doc_id": pa.array(np.repeat(ids, bands), pa.int64())}
+    )
 
 
 def minhash_lsh_pairs(
@@ -336,13 +344,83 @@ def minhash_lsh_pairs(
     import ray.data as rd
 
     hashed = ds.map_batches(
-        _MinHasher,
-        fn_constructor_kwargs={
+        _minhash_batch,
+        fn_kwargs={
             "text_col": text_col, "id_col": id_col, "n": n,
             "num_perm": num_perm, "bands": bands, "seed": 1,
         },
         batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency),
+        **_task_pool_kwargs(concurrency),
+    )
+
+    # Candidate extraction: ONE range-partitioned sort shuffle, then a
+    # vectorized per-block pass.  Within each sorted block every interior
+    # bucket is complete, so singleton buckets (the overwhelming
+    # majority) are dropped by a numpy unique/count — NO per-group Python
+    # call per singleton (a groupby().map_groups() here costs one Python
+    # call per band key, ~10^13 of them at 100 TB).  Buckets that may
+    # span a block boundary (the block's min/max key) pass through as
+    # leftover rows — tiny (2 keys per block) — and resolve in a second
+    # groupby over just those rows, so a mass-duplicated bucket larger
+    # than a block still aggregates distributed.
+    mixed_schema = pa.schema(
+        [("band_key", pa.int64()), ("doc_id", pa.int64()),
+         ("id_a", pa.int64()), ("id_b", pa.int64())]
+    )
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        keys = batch["band_key"].to_numpy()
+        if keys.size == 0:
+            return mixed_schema.empty_table()
+        ids = batch["doc_id"].to_numpy()
+        boundary = (keys == keys[0]) | (keys == keys[-1])
+        uk, starts, cnts = np.unique(
+            keys, return_index=True, return_counts=True
+        )
+        out_a, out_b = [], []
+        # python loop ONLY over duplicated interior buckets (rare)
+        for j in np.flatnonzero(cnts >= 2):
+            s = starts[j]
+            if boundary[s]:
+                continue
+            gids = np.unique(ids[s:s + cnts[j]])
+            if gids.size < 2:
+                continue
+            a, b = _bucket_pairs(gids, clique_cap, "minhash_lsh",
+                                 int(uk[j]))
+            out_a.append(a)
+            out_b.append(b)
+        n_left = int(boundary.sum())
+        a_all = (np.concatenate(out_a) if out_a
+                 else np.empty(0, np.int64)).astype(np.int64)
+        b_all = (np.concatenate(out_b) if out_b
+                 else np.empty(0, np.int64)).astype(np.int64)
+        null_left = pa.nulls(n_left, pa.int64())
+        null_pairs = pa.nulls(a_all.size, pa.int64())
+        return pa.table(
+            {
+                "band_key": pa.concat_arrays(
+                    [pa.array(keys[boundary], pa.int64()), null_pairs]
+                ),
+                "doc_id": pa.concat_arrays(
+                    [pa.array(ids[boundary], pa.int64()), null_pairs]
+                ),
+                "id_a": pa.concat_arrays(
+                    [null_left, pa.array(a_all, pa.int64())]
+                ),
+                "id_b": pa.concat_arrays(
+                    [null_left, pa.array(b_all, pa.int64())]
+                ),
+            },
+            schema=mixed_schema,
+        )
+
+    # mixed is TINY (pairs + per-block boundary rows); materializing it
+    # is bounded by the candidate count, never O(corpus).
+    mixed = (
+        hashed.sort("band_key")
+        .map_batches(block_pairs, batch_size=None, batch_format="pyarrow")
+        .materialize()
     )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
@@ -357,20 +435,28 @@ def minhash_lsh_pairs(
             {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
         )
 
-    cand = (
-        hashed.groupby("band_key")
+    leftover_pairs = (
+        mixed.map_batches(
+            lambda t: t.filter(pc.is_valid(t["doc_id"])),
+            batch_format="pyarrow",
+        )
+        .groupby("band_key")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
     # Only the candidate id pairs reach the driver (ints, star-bounded —
     # O(docs·bands) worst case); the per-doc shingle state stays remote.
-    cand_rows = cand.take_all()
+    # Cross-band duplicate pairs dedup here with one np.unique — no extra
+    # shuffle job.
+    cand_rows = [
+        r for r in mixed.take_all() if r["id_a"] is not None
+    ] + leftover_pairs.take_all()
     if not cand_rows:
         return rd.from_arrow(pa.Table.from_pylist([], schema=PAIR_SCHEMA))
 
     pair_a = np.array([int(r["id_a"]) for r in cand_rows], dtype=np.int64)
     pair_b = np.array([int(r["id_b"]) for r in cand_rows], dtype=np.int64)
+    uniq = np.unique(np.stack([pair_a, pair_b], axis=1), axis=0)
+    pair_a, pair_b = uniq[:, 0].copy(), uniq[:, 1].copy()
     members: dict = {}
     for k in range(pair_a.size):
         members.setdefault(int(pair_a[k]), []).append(k)
@@ -469,31 +555,46 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------- #
-class _SimHasher:
-    def __init__(self, text_col, id_col, bands):
-        self.text_col, self.id_col, self.bands = text_col, id_col, bands
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, ids, sigs = [], [], []
-        for text, did in zip(
-            batch[self.text_col].to_pylist(), batch[self.id_col].to_pylist()
-        ):
-            toks = simple_analyzer(text or "")
-            counts: dict = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-            sig = simhash64(counts)
-            for key in simhash_band_keys(sig, self.bands):
-                keys.append(key)
-                ids.append(did)
-                sigs.append(sig - (1 << 63))  # store as signed int64
-        return pa.table(
-            {
-                "band_key": pa.array(keys, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sigs, pa.int64()),
-            }
+
+def _simhash64_vec(th: np.ndarray, w: np.ndarray) -> int:
+    """Vectorized :func:`simhash64` over per-distinct-token hashes ``th``
+    with counts ``w`` — identical output, no Python loop over tokens."""
+    if th.size == 0:
+        return 0
+    bits = ((th[:, None] >> _SHIFTS64[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = ((2 * bits - 1) * w[:, None].astype(np.int64)).sum(axis=0)
+    return int(
+        ((votes > 0).astype(np.uint64) << _SHIFTS64).sum(dtype=np.uint64)
+    )
+
+
+def _simhash_batch(batch: pa.Table, *, text_col, id_col,
+                   bands) -> pa.Table:
+    keys, ids, sigs = [], [], []
+    from solr_indexer_ray.functions.hashing import token_hashes
+
+    for text, did in zip(
+        batch[text_col].to_pylist(), batch[id_col].to_pylist()
+    ):
+        th, w = np.unique(
+            token_hashes(simple_analyzer(text or "")), return_counts=True
         )
+        sig = _simhash64_vec(th, w)
+        for key in simhash_band_keys(sig, bands):
+            keys.append(key)
+            ids.append(did)
+            sigs.append(sig - (1 << 63))  # store as signed int64
+    return pa.table(
+        {
+            "band_key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "sig": pa.array(sigs, pa.int64()),
+        }
+    )
 
 
 def simhash_pairs(
@@ -517,12 +618,12 @@ def simhash_pairs(
     (XOR + byte-table popcount), no Python pair loop.
     """
     hashed = ds.map_batches(
-        _SimHasher,
-        fn_constructor_kwargs={
+        _simhash_batch,
+        fn_kwargs={
             "text_col": text_col, "id_col": id_col, "bands": bands,
         },
         batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency),
+        **_task_pool_kwargs(concurrency),
     )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
