@@ -1,17 +1,20 @@
-"""Geospatial string-format kernels (SURVEY.md §2.3 F4–F9), pure Python.
+"""Geospatial string-format kernels (SURVEY.md §2.3 F4–F10), pure Python.
 
 Reference: ``/root/reference/solrindexer/spatial.py``.  The reference uses
 shapely/pygml; this container has neither, and the operations the reference
 actually performs on bboxes are closed-form — envelope formatting, rectangle
 polygons, centroids, segmentization — so they are implemented directly.
-(Exotic GML parsing, F10, has no analogue for a source-code corpus and is
-out of scope; the batch-fn pattern it would use is the same as these.)
+F10 (GML XML -> WKT, ``solrindexer/spatial.py:80-83``) is a clean-room
+stdlib-``xml.etree`` parser for the GML geometry subset the reference's
+metadata path feeds it (Point/LineString/Polygon, posList/pos/coordinates,
+EPSG:4326 axis-order handling).
 """
 
 from __future__ import annotations
 
 import json
 import re
+import xml.etree.ElementTree as _ET
 
 
 class SpatialError(ValueError):
@@ -163,6 +166,114 @@ def segmentize_wkt(wkt: str, max_segment: float = 10.0, geojson: bool = False):
         coords = ", ".join(f"{x} {y}" for x, y in pts)
         out = f"LINESTRING ({coords})"
     return wkt_to_geojson(out) if geojson else out
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def _axis_latlon(srs: str | None) -> bool:
+    """True when the srsName declares lat/lon axis order.
+
+    GML 3 with ``urn:ogc:def:crs:EPSG::4326`` (or any EPSG 4326 spelling
+    other than CRS84) lists latitude first; WKT wants lon/lat, so those
+    coordinates must be swapped.  ``CRS84`` and unqualified geometries are
+    already lon/lat.
+    """
+    if not srs:
+        return False
+    s = srs.lower()
+    if "crs84" in s:
+        return False
+    return "4326" in s
+
+
+def _gml_coords(node, srs: str | None):
+    """Collect the coordinate pairs under one GML geometry/ring node."""
+    latlon = _axis_latlon(srs)
+    dim = 2
+    for el in node.iter():
+        name = _localname(el.tag)
+        if name in ("poslist", "pos"):
+            d = el.get("srsDimension") or node.get("srsDimension")
+            if d:
+                dim = int(d)
+            vals = [float(v) for v in (el.text or "").split()]
+            if len(vals) % dim:
+                raise SpatialError(
+                    f"GML {name} has {len(vals)} values, not a multiple of "
+                    f"srsDimension={dim}")
+            pts = [tuple(vals[i:i + 2]) for i in range(0, len(vals), dim)]
+            return [(y, x) for x, y in pts] if latlon else pts
+        if name == "coordinates":
+            # GML 2 style: "x,y x,y ..." (cs=",", ts=" " defaults)
+            cs = el.get("cs", ",")
+            ts = el.get("ts", " ")
+            pts = []
+            for tok in (el.text or "").replace("\n", ts).split(ts):
+                tok = tok.strip()
+                if not tok:
+                    continue
+                x, y = (float(v) for v in tok.split(cs)[:2])
+                pts.append((x, y))
+            return [(y, x) for x, y in pts] if latlon else pts
+    raise SpatialError("GML geometry has no posList/pos/coordinates")
+
+
+def _fmt_pts(pts) -> str:
+    # same float formatting as the bbox->WKT kernels above ("0.0", not "0")
+    return ", ".join(f"{float(x)} {float(y)}" for x, y in pts)
+
+
+def parse_gml_to_wkt(gml: str) -> str:
+    """GML geometry XML string -> WKT (``solrindexer/spatial.py:80-83`` F10).
+
+    Clean-room stdlib parser for the subset the reference's pygml/pygeoif
+    path consumes from metadata polygons: ``gml:Point`` (pos),
+    ``gml:LineString`` (posList), ``gml:Polygon`` (exterior + interior
+    LinearRings), GML 2 ``coordinates``, any/no namespace, and EPSG:4326
+    lat/lon axis order via ``srsName`` (swapped to WKT lon/lat; ``CRS84``
+    and bare geometries pass through).  Unclosed rings are closed, matching
+    the reference's downstream ``validate_fix_geometry`` behavior.
+    """
+    try:
+        root = _ET.fromstring((gml or "").strip())
+    except _ET.ParseError as exc:
+        raise SpatialError(f"invalid GML XML: {exc}") from exc
+    srs = root.get("srsName")
+    kind = _localname(root.tag)
+    if kind == "point":
+        pts = _gml_coords(root, srs)
+        if not pts:
+            raise SpatialError("GML Point with no coordinates")
+        return f"POINT ({_fmt_pts(pts[:1])})"
+    if kind in ("linestring", "curve"):
+        pts = _gml_coords(root, srs)
+        if len(pts) < 2:
+            raise SpatialError("GML LineString needs >= 2 points")
+        return f"LINESTRING ({_fmt_pts(pts)})"
+    if kind == "polygon":
+        exterior, interiors = None, []
+        for child in root:
+            role = _localname(child.tag)
+            if role not in ("exterior", "interior", "outerboundaryis",
+                            "innerboundaryis"):
+                continue
+            pts = _gml_coords(child, srs)
+            if pts and pts[0] != pts[-1]:
+                pts.append(pts[0])
+            if len(pts) < 4:
+                raise SpatialError("GML ring needs >= 3 distinct points")
+            if role in ("exterior", "outerboundaryis"):
+                exterior = pts
+            else:
+                interiors.append(pts)
+        if exterior is None:
+            raise SpatialError("GML Polygon has no exterior ring")
+        body = ", ".join(f"({_fmt_pts(pts)})"
+                         for pts in [exterior, *interiors])
+        return f"POLYGON ({body})"
+    raise SpatialError(f"unsupported GML geometry: {kind!r}")
 
 
 def validate_fix_geometry(wkt: str):

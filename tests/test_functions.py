@@ -142,6 +142,96 @@ class TestSpatial:
         out = spatial.segmentize_wkt("LINESTRING (0 0, 30 0)", max_segment=10.0)
         assert out == "LINESTRING (0.0 0.0, 10.0 0.0, 20.0 0.0, 30.0 0.0)"
 
+    def test_gml_polygon_poslist_latlon(self):
+        # GML3 urn EPSG:4326 lists latitude first; WKT must come out lon/lat
+        gml = (
+            '<gml:Polygon xmlns:gml="http://www.opengis.net/gml" '
+            'srsName="urn:ogc:def:crs:EPSG::4326">'
+            "<gml:exterior><gml:LinearRing>"
+            "<gml:posList>60 -10 60 20 40 20 40 -10 60 -10</gml:posList>"
+            "</gml:LinearRing></gml:exterior></gml:Polygon>"
+        )
+        assert spatial.parse_gml_to_wkt(gml) == (
+            "POLYGON ((-10.0 60.0, 20.0 60.0, 20.0 40.0, "
+            "-10.0 40.0, -10.0 60.0))"
+        )
+
+    def test_gml_polygon_crs84_no_swap_and_ring_close(self):
+        gml = (
+            '<Polygon srsName="http://www.opengis.net/def/crs/OGC/1.3/CRS84">'
+            "<exterior><LinearRing>"
+            "<posList>0 0 4 0 4 4 0 4</posList>"  # unclosed on purpose
+            "</LinearRing></exterior></Polygon>"
+        )
+        assert spatial.parse_gml_to_wkt(gml) == (
+            "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+        )
+
+    def test_gml_polygon_interior_ring(self):
+        gml = (
+            "<gml:Polygon xmlns:gml=\"http://www.opengis.net/gml/3.2\">"
+            "<gml:exterior><gml:LinearRing>"
+            "<gml:posList>0 0 10 0 10 10 0 10 0 0</gml:posList>"
+            "</gml:LinearRing></gml:exterior>"
+            "<gml:interior><gml:LinearRing>"
+            "<gml:posList>2 2 4 2 4 4 2 4 2 2</gml:posList>"
+            "</gml:LinearRing></gml:interior></gml:Polygon>"
+        )
+        wkt = spatial.parse_gml_to_wkt(gml)
+        assert wkt == (
+            "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), "
+            "(2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0))"
+        )
+
+    def test_gml_point_and_linestring(self):
+        pt = '<gml:Point xmlns:gml="x"><gml:pos>1.5 2.5</gml:pos></gml:Point>'
+        assert spatial.parse_gml_to_wkt(pt) == "POINT (1.5 2.5)"
+        ln = ("<LineString><posList>0 0 5 5 10 0</posList></LineString>")
+        assert spatial.parse_gml_to_wkt(ln) == (
+            "LINESTRING (0.0 0.0, 5.0 5.0, 10.0 0.0)"
+        )
+
+    def test_gml2_coordinates_and_outer_boundary(self):
+        gml = (
+            "<Polygon><outerBoundaryIs><LinearRing>"
+            "<coordinates>0,0 3,0 3,3 0,3 0,0</coordinates>"
+            "</LinearRing></outerBoundaryIs></Polygon>"
+        )
+        assert spatial.parse_gml_to_wkt(gml) == (
+            "POLYGON ((0.0 0.0, 3.0 0.0, 3.0 3.0, 0.0 3.0, 0.0 0.0))"
+        )
+
+    def test_gml_srs_dimension_3_drops_z(self):
+        gml = (
+            "<LineString><posList srsDimension=\"3\">"
+            "0 0 100 5 5 200</posList></LineString>"
+        )
+        assert spatial.parse_gml_to_wkt(gml) == "LINESTRING (0.0 0.0, 5.0 5.0)"
+
+    def test_gml_roundtrips_into_geojson(self):
+        gml = (
+            "<Polygon><exterior><LinearRing>"
+            "<posList>0 0 1 0 1 1 0 1 0 0</posList>"
+            "</LinearRing></exterior></Polygon>"
+        )
+        gj = json.loads(spatial.wkt_to_geojson(spatial.parse_gml_to_wkt(gml)))
+        assert gj["type"] == "Polygon"
+        assert gj["coordinates"][0][0] == [0.0, 0.0]
+
+    def test_gml_errors(self):
+        with pytest.raises(spatial.SpatialError):
+            spatial.parse_gml_to_wkt("<not xml")
+        with pytest.raises(spatial.SpatialError):
+            spatial.parse_gml_to_wkt("<Circle><pos>0 0</pos></Circle>")
+        with pytest.raises(spatial.SpatialError):
+            spatial.parse_gml_to_wkt("<Polygon><exterior><LinearRing>"
+                                     "<posList>0 0 1 1</posList>"
+                                     "</LinearRing></exterior></Polygon>")
+        with pytest.raises(spatial.SpatialError):
+            spatial.parse_gml_to_wkt(
+                "<LineString><posList srsDimension='3'>0 0 1 1</posList>"
+                "</LineString>")
+
     def test_validate_fix_geometry(self):
         fixed, was_fixed = spatial.validate_fix_geometry(
             "POLYGON ((0 0, 1 0, 1 0, 1 1, 0 1))"
