@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 4 (fl transformers; re-check of the reworked
         # dedup/curation paths comes right after) ---
         "fl_transformers": c.q_fl_transformers,
+        "gml_extent_wkt": c.q_gml_extent_wkt,  # r4: F10 GML->WKT, value-checked
         "lm_quality": c.q_lm_quality,  # r4: bounded default training caps
         # --- never driver-checked in rounds 1-2 (verdict r2 item 2) ---
         "date_range_facets": c.q_date_range_facets,
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_sample": c.q_kmv_sample,
         "heavy_hitters": c.q_heavy_hitters,
         "quantile_sketch": c.q_quantile_sketch,
+        "hll_registers": c.q_hll_registers,  # r4: sketch state value-checked
         "hll_distinct": c.q_hll_distinct,        # rows-only (pytest bounds)
         # --- new in round 3 (/sql handler, tree-ensemble LTR) ---
         "sql_group_agg": c.q_sql_group_agg,

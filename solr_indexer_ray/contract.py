@@ -978,6 +978,41 @@ def q_fl_transformers(sf_dir: str):
     })
 
 
+def q_gml_extent_wkt(sf_dir: str):
+    """F10 GML->WKT as a distributed batch fn (the reference's
+    ``_extract_geographic_extent`` polygon path, ``solrindexer/mmd.py:430``
+    + ``spatial.py:80-83``): each event derives a deterministic integer
+    lat/lon box, is serialized to a GML 3 Polygon (urn EPSG:4326, lat/lon
+    axis order), and ``parse_gml_to_wkt`` recovers lon/lat WKT inside
+    ``map_batches``; the SQL oracle rebuilds the same WKT by string
+    concatenation over the same integer arithmetic."""
+    from solr_indexer_ray.functions.spatial import parse_gml_to_wkt
+
+    def to_wkt(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        w = ids % 340 - 170
+        s = ids % 160 - 80
+        e = w + 1 + ids % 9
+        n = s + 1 + ids % 9
+        wkts = []
+        for wi, si, ei, ni in zip(w, s, e, n):
+            gml = (
+                '<gml:Polygon xmlns:gml="http://www.opengis.net/gml/3.2" '
+                'srsName="urn:ogc:def:crs:EPSG::4326">'
+                "<gml:exterior><gml:LinearRing><gml:posList>"
+                f"{si} {wi} {si} {ei} {ni} {ei} {ni} {wi} {si} {wi}"
+                "</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>"
+            )
+            wkts.append(parse_gml_to_wkt(gml))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "geometry_wkt": pa.array(wkts, pa.string()),
+        })
+
+    return _read(sf_dir, "events.parquet", columns=["event_id"]).map_batches(
+        to_wkt, batch_format="pyarrow")
+
+
 def _bm25_field_index(sf_dir: str) -> str:
     """Contract index with extra ANALYZED fields: path_text (from the
     synthesized path "doc_<id>.txt") and repo_text (from repo=source) —
@@ -1128,7 +1163,10 @@ def q_jaccard_dedup_survivors(sf_dir: str):
 
 
 def q_minhash_dups(sf_dir: str):
-    """MinHash+LSH candidates, exact-verified (rows-only oracle check)."""
+    """MinHash+LSH candidates, exact-verified — VALUE-CHECKED against
+    ``contract_sql.minhash_dups_sql()``, which replays the whole
+    shingle→signature→band→bucket→verify pipeline in DuckDB bit-for-bit
+    (round 4; was rows-only)."""
     from solr_indexer_ray.stages.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -1138,11 +1176,41 @@ def q_minhash_dups(sf_dir: str):
 
 
 def q_simhash_dups(sf_dir: str):
+    """SimHash banded near-dup pairs — VALUE-CHECKED against
+    ``contract_sql.SIMHASH_DUPS_SQL`` (bit votes, band buckets and
+    XOR/popcount hamming all replayed in DuckDB; round 4, was
+    rows-only)."""
     from solr_indexer_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(
         _documents(sf_dir), text_col="text", id_col="doc_id", max_hamming=3
     )
+
+
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog sketch REGISTERS — the mergeable distributed state —
+    value-checked (round 4): the splitmix64 hash, bucket index, rank
+    (rho) and per-bucket max are all replayed in DuckDB
+    (``contract_sql.hll_registers_sql()``; uint64 wraparound emulated
+    with 32-bit split multiplies in HUGEINT).  Only nonzero registers
+    are emitted (zeros are implicit).  The float ESTIMATE stays
+    rows-only in ``q_hll_distinct`` because its 4096-term float
+    reduction is summation-order-sensitive; its accuracy bounds are
+    pinned in tests/test_sketch.py."""
+    from solr_indexer_ray.stages.sketch import hll_sketch
+
+    rows = []
+    for table, col in (("events.parquet", "user_id"),
+                       ("orders.parquet", "o_custkey"),
+                       ("lineitem.parquet", "l_partkey")):
+        ds = _read(sf_dir, table, columns=[col])
+        sk = hll_sketch(ds, col, p=12)
+        name = f"{table.split('.')[0]}.{col}"
+        for i in np.flatnonzero(sk.registers):
+            rows.append({"column": name,
+                         "register_index": int(i),
+                         "register_value": int(sk.registers[i])})
+    return pa.Table.from_pylist(rows)
 
 
 def q_fingerprints(sf_dir: str):

@@ -3021,10 +3021,328 @@ ORDER BY doc_id
 """
 
 
+def minhash_dups_sql(num_perm: int = 128, bands: int = 32, n: int = 3,
+                     threshold: float = 0.5, clique_cap: int = 64) -> str:
+    """Full-value DuckDB oracle for ``q_minhash_dups`` — replays the ENTIRE
+    MinHash+LSH pipeline in SQL, bit-for-bit vs the numpy kernels
+    (upgrades the contract from rows-only):
+
+    - per-token FNV-1a 64 via the recursive byte loop (as FINGERPRINTS_SQL);
+    - positional-polynomial 3-gram shingles with the engine's baked
+      ``_shingle_consts`` (uint64 wraparound emulated as HUGEINT % 2^64 —
+      each ``h·c`` product < 2^127 fits HUGEINT);
+    - exact Mersenne-31 fold (``x % (2^31-1)``), then the 128-permutation
+      ``min (a·x+b) mod M31`` signature in BIGINT (operands < 2^31 so
+      ``a·x+b < 2^62`` never overflows);
+    - LSH band keys: the banded positional mix then the splitmix64
+      multiply, split into 32-bit halves so ``mixed·PHI mod 2^64`` stays
+      inside HUGEINT (``lo·PHI < 2^96``);
+    - bucket candidates grouped by band key with the engine's
+      clique-vs-star rule (``c <= clique_cap`` -> all a<b pairs, else
+      star around the bucket min), distinct across bands;
+    - exact-Jaccard verification over the distinct shingle sets with the
+      identical ``union == 0 -> 1.0`` rule and double division.
+
+    The testdata documents all have >= 3 tokens, so the short-doc
+    full-tuple shingle branch is not exercised here (it is unit-tested in
+    tests/test_functions.py).
+    """
+    import numpy as np
+
+    from solr_indexer_ray.functions.hashing import (
+        _shingle_consts,
+        minhash_params,
+    )
+
+    c3 = _shingle_consts(n)
+    a, b = minhash_params(num_perm, seed=1)
+    rows = num_perm // bands
+    # same construction as hashing._BAND_C for (bands, rows)
+    rng = np.random.default_rng(0xba4d)
+    cw = (rng.integers(1, 1 << 63, size=(bands, rows), dtype=np.uint64)
+          | np.uint64(1))
+    cb = rng.integers(1, 1 << 63, size=bands, dtype=np.uint64)
+
+    perm_vals = ", ".join(
+        f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perm)
+    )
+    bw_vals = ", ".join(
+        f"({bi}, {j}, {int(cw[bi, j])})"
+        for bi in range(bands) for j in range(rows)
+    )
+    cb_vals = ", ".join(f"({bi}, {int(cb[bi])})" for bi in range(bands))
+
+    w64 = "CAST('18446744073709551616' AS HUGEINT)"  # 2^64
+    m31 = 2147483647
+    phi = "CAST('11400714819323198485' AS HUGEINT)"  # 0x9e3779b97f4a7c15
+
+    return f"""
+WITH RECURSIVE arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         generate_subscripts(arr, 1) - 1 AS i
+  FROM arrs
+),
+vocab AS (SELECT DISTINCT tok FROM toks),
+fnv AS (
+  SELECT tok, CAST(1 AS BIGINT) AS j,
+         CAST('14695981039346656037' AS HUGEINT) AS h
+  FROM vocab
+  UNION ALL
+  SELECT tok, j + 1,
+    (CAST(xor(CAST(h AS UBIGINT), CAST(ord(substr(tok, j, 1)) AS UBIGINT))
+          AS HUGEINT) * 1099511628211) % {w64}
+  FROM fnv WHERE j <= length(tok)
+),
+tok_h AS (SELECT tok, h FROM fnv WHERE j = length(tok) + 1),
+win AS (
+  SELECT t0.doc_id,
+    ((f0.h * {int(c3[0])}) % {w64} + (f1.h * {int(c3[1])}) % {w64}
+     + (f2.h * {int(c3[2])}) % {w64}) % {w64} AS sh
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2
+  JOIN tok_h f0 ON f0.tok = t0.tok
+  JOIN tok_h f1 ON f1.tok = t1.tok
+  JOIN tok_h f2 ON f2.tok = t2.tok
+),
+shingles AS (SELECT DISTINCT doc_id, sh FROM win),
+nsh AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+perms(j, pa, pb) AS (VALUES {perm_vals}),
+sigs AS (
+  SELECT s.doc_id, p.j,
+         min((p.pa * CAST(s.sh % {m31} AS BIGINT) + p.pb) % {m31}) AS sig
+  FROM shingles s CROSS JOIN perms p
+  GROUP BY s.doc_id, p.j
+),
+bw(band, jr, cw) AS (VALUES {bw_vals}),
+cbt(band, cb) AS (VALUES {cb_vals}),
+bandmix AS (
+  SELECT g.doc_id, w.band,
+         CAST(sum(CAST(g.sig AS HUGEINT) * w.cw) AS HUGEINT) % {w64} AS mixed
+  FROM sigs g
+  JOIN bw w ON g.j = w.band * {rows} + w.jr
+  GROUP BY g.doc_id, w.band
+),
+keys AS (
+  SELECT doc_id, band,
+    ((mixed % 4294967296) * {phi}
+     + (((mixed // 4294967296) * {phi}) % 4294967296) * 4294967296
+     + (SELECT cb FROM cbt WHERE cbt.band = bandmix.band)) % {w64} AS k
+  FROM bandmix
+),
+bucket_docs AS (SELECT DISTINCT k, doc_id FROM keys),
+bucket_stats AS (
+  SELECT k, count(*) AS c, min(doc_id) AS mn
+  FROM bucket_docs GROUP BY k
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bucket_stats s
+  JOIN bucket_docs x ON x.k = s.k
+  JOIN bucket_docs y ON y.k = s.k AND y.doc_id > x.doc_id
+  WHERE s.c >= 2
+    AND (s.c <= {clique_cap} OR x.doc_id = s.mn)
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i_cnt
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    CASE WHEN coalesce(na.n_sh,0) + coalesce(nb.n_sh,0)
+              - coalesce(i.i_cnt,0) = 0 THEN 1.0
+         ELSE CAST(coalesce(i.i_cnt,0) AS DOUBLE)
+              / (coalesce(na.n_sh,0) + coalesce(nb.n_sh,0)
+                 - coalesce(i.i_cnt,0))
+    END AS similarity
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  LEFT JOIN nsh na ON na.doc_id = c.id_a
+  LEFT JOIN nsh nb ON nb.doc_id = c.id_b
+)
+SELECT id_a, id_b, similarity FROM scored
+WHERE similarity >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def hll_registers_sql(p: int = 12) -> str:
+    """Full-value oracle for ``q_hll_registers``: replays splitmix64
+    (uint64 wrap via 32-bit split multiplies in HUGEINT, XOR through
+    UBIGINT), the top-``p``-bit bucket index, the rank rho = clamped
+    leading-zero count of ``(h << p) | (2^p - 1)`` (highest set bit found
+    exactly with a 64-row power-of-two scan — no float log2), and the
+    per-bucket max — bit-identical to ``stages.sketch.hll_sketch`` for
+    integer columns."""
+    w64 = "CAST('18446744073709551616' AS HUGEINT)"
+    c1 = "CAST('13787848793156543929' AS HUGEINT)"  # 0xBF58476D1CE4E5B9
+    c2 = "CAST('10723151780598845931' AS HUGEINT)"  # 0x94D049BB133111EB
+    phi = "CAST('11400714819323198485' AS HUGEINT)"  # 0x9E3779B97F4A7C15
+
+    def one(table: str, col: str) -> str:
+        return f"""
+SELECT '{table}.{col}' AS "column", idx AS register_index,
+       max(rho) AS register_value
+FROM (
+  SELECT CAST(h // (CAST(1 AS HUGEINT) << {64 - p}) AS BIGINT) AS idx,
+         least({64 - p + 1}, greatest(1, 63 - hb + 1)) AS rho
+  FROM (
+    SELECT h,
+      (SELECT max(i) FROM (SELECT unnest(generate_series(0, 63)) AS i)
+       WHERE rest >= (CAST(1 AS HUGEINT) << i)) AS hb
+    FROM (
+      SELECT h, (h * {1 << p}) % {w64} + {(1 << p) - 1} AS rest
+      FROM (
+        SELECT CAST(xor(CAST(z2 AS UBIGINT),
+                        CAST(z2 // (CAST(1 AS HUGEINT) << 31) AS UBIGINT))
+                    AS HUGEINT) AS h
+        FROM (
+          SELECT ((x2 % 4294967296) * {c2}
+                  + (((x2 // 4294967296) * {c2}) % 4294967296)
+                    * 4294967296) % {w64} AS z2
+          FROM (
+            SELECT CAST(xor(CAST(z1 AS UBIGINT),
+                            CAST(z1 // (CAST(1 AS HUGEINT) << 27)
+                                 AS UBIGINT)) AS HUGEINT) AS x2
+            FROM (
+              SELECT ((x1 % 4294967296) * {c1}
+                      + (((x1 // 4294967296) * {c1}) % 4294967296)
+                        * 4294967296) % {w64} AS z1
+              FROM (
+                SELECT CAST(xor(CAST(z0 AS UBIGINT),
+                                CAST(z0 // (CAST(1 AS HUGEINT) << 30)
+                                     AS UBIGINT)) AS HUGEINT) AS x1
+                FROM (
+                  SELECT (CAST({col} AS HUGEINT) + {phi}) % {w64} AS z0
+                  FROM {table}
+                )
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+)
+GROUP BY idx
+"""
+
+    pairs = [("events", "user_id"), ("orders", "o_custkey"),
+             ("lineitem", "l_partkey")]
+    return (" UNION ALL ".join(f"({one(t, c)})" for t, c in pairs)
+            + ' ORDER BY "column", register_index')
+
+
+#: Full-value oracle for ``q_simhash_dups`` (upgrades it from rows-only,
+#: round 4): per-token FNV-1a (recursive byte loop), per-doc distinct
+#: token-hash weights (== ``np.unique(token_hashes(...),
+#: return_counts=True)``), the 64 bit-votes via a bits(0..63) cross join,
+#: sig reassembly, 4x16-bit band buckets, XOR+``bit_count`` hamming
+#: verification at ``d <= 3`` and ``1 - d/64`` similarity — bit-identical
+#: to ``stages.dedup.simhash_pairs``.  Zero-token docs (sig = 0) are not
+#: represented (none exist in the testdata; the engine path for them is
+#: unit-tested).
+SIMHASH_DUPS_SQL = """
+WITH RECURSIVE arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM arrs),
+vocab AS (SELECT DISTINCT tok FROM toks),
+fnv AS (
+  SELECT tok, CAST(1 AS BIGINT) AS j,
+         CAST('14695981039346656037' AS HUGEINT) AS h
+  FROM vocab
+  UNION ALL
+  SELECT tok, j + 1,
+    (CAST(xor(CAST(h AS UBIGINT), CAST(ord(substr(tok, j, 1)) AS UBIGINT))
+          AS HUGEINT) * 1099511628211)
+      % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv WHERE j <= length(tok)
+),
+tok_h AS (SELECT tok, h FROM fnv WHERE j = length(tok) + 1),
+tw AS (
+  SELECT t.doc_id, f.h, count(*) AS w
+  FROM toks t JOIN tok_h f ON f.tok = t.tok
+  GROUP BY t.doc_id, f.h
+),
+bits(i) AS (SELECT unnest(generate_series(0, 63))),
+votes AS (
+  SELECT tw.doc_id, b.i,
+         sum(CASE WHEN (tw.h // (CAST(1 AS HUGEINT) << b.i)) % 2 = 1
+                  THEN tw.w ELSE -tw.w END) AS v
+  FROM tw CROSS JOIN bits b
+  GROUP BY tw.doc_id, b.i
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0
+                       THEN CAST(1 AS HUGEINT) << i ELSE 0 END)
+              AS HUGEINT) AS s
+  FROM votes GROUP BY doc_id
+),
+bandtab(bi) AS (VALUES (0), (1), (2), (3)),
+buckets AS (
+  SELECT g.doc_id, b.bi,
+         CAST((g.s // (CAST(1 AS HUGEINT) << (b.bi * 16))) % 65536
+              AS BIGINT) AS chunk,
+         g.s
+  FROM sig g CROSS JOIN bandtab b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         bit_count(xor(CAST(x.s AS UBIGINT), CAST(y.s AS UBIGINT))) AS d
+  FROM buckets x
+  JOIN buckets y ON y.bi = x.bi AND y.chunk = x.chunk
+                AND y.doc_id > x.doc_id
+)
+SELECT id_a, id_b, 1.0 - d / 64.0 AS similarity
+FROM cand WHERE d <= 3
+ORDER BY id_a, id_b
+"""
+
+
+GML_EXTENT_WKT_SQL = """
+WITH box AS (
+  SELECT event_id,
+         event_id % 340 - 170 AS w,
+         event_id % 160 - 80  AS s,
+         event_id % 340 - 170 + 1 + event_id % 9 AS e,
+         event_id % 160 - 80  + 1 + event_id % 9 AS n
+  FROM events
+)
+SELECT event_id,
+  'POLYGON ((' ||
+  CAST(w AS VARCHAR) || '.0 ' || CAST(s AS VARCHAR) || '.0, ' ||
+  CAST(e AS VARCHAR) || '.0 ' || CAST(s AS VARCHAR) || '.0, ' ||
+  CAST(e AS VARCHAR) || '.0 ' || CAST(n AS VARCHAR) || '.0, ' ||
+  CAST(w AS VARCHAR) || '.0 ' || CAST(n AS VARCHAR) || '.0, ' ||
+  CAST(w AS VARCHAR) || '.0 ' || CAST(s AS VARCHAR) || '.0))'
+  AS geometry_wkt
+FROM box
+ORDER BY event_id
+"""
+
+
 def oracle_sql_dict() -> dict:
     """name -> SQL for every SQL-expressible query in contract.queries()."""
     return {
         "fl_transformers": FL_TRANSFORMERS_SQL,
+        "gml_extent_wkt": GML_EXTENT_WKT_SQL,
+        "minhash_dups": minhash_dups_sql(),
+        "simhash_dups": SIMHASH_DUPS_SQL,
+        "hll_registers": hll_registers_sql(),
         "fingerprints": FINGERPRINTS_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
         "term_df": TERM_DF_SQL,

@@ -114,9 +114,11 @@ def wkt_to_geojson(wkt: str) -> str:
         )
     m = _WKT_POLY.match(wkt)
     if m:
+        rings = re.split(r"\)\s*,\s*\(", m.group(1))
         return json.dumps(
             {"type": "Polygon",
-             "coordinates": [[list(p) for p in _parse_ring(m.group(1))]]}
+             "coordinates": [[list(p) for p in _parse_ring(r)]
+                             for r in rings]}
         )
     raise SpatialError(f"unsupported WKT: {wkt!r}")
 

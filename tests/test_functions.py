@@ -218,6 +218,13 @@ class TestSpatial:
         assert gj["type"] == "Polygon"
         assert gj["coordinates"][0][0] == [0.0, 0.0]
 
+    def test_wkt_to_geojson_interior_ring(self):
+        gj = json.loads(spatial.wkt_to_geojson(
+            "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))"
+        ))
+        assert len(gj["coordinates"]) == 2
+        assert gj["coordinates"][1][0] == [2.0, 2.0]
+
     def test_gml_errors(self):
         with pytest.raises(spatial.SpatialError):
             spatial.parse_gml_to_wkt("<not xml")

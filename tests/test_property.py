@@ -323,3 +323,64 @@ class TestCollapseCodesProperty:
             for _, r in out.iterrows()
         ]
         assert got == exp
+
+
+class TestGmlProperties:
+    """parse_gml_to_wkt round-trip: serialize arbitrary coordinate rings to
+    GML (both axis orders, both GML versions) and require the parsed WKT to
+    recover the exact lon/lat sequence."""
+
+    coord = st.tuples(
+        st.floats(min_value=-180, max_value=180, allow_nan=False,
+                  allow_infinity=False).map(lambda v: round(v, 6)),
+        st.floats(min_value=-90, max_value=90, allow_nan=False,
+                  allow_infinity=False).map(lambda v: round(v, 6)),
+    )
+
+    @_SETTINGS
+    @given(ring=st.lists(coord, min_size=3, max_size=8, unique=True),
+           latlon=st.booleans(), gml2=st.booleans())
+    def test_polygon_roundtrip(self, ring, latlon, gml2):
+        from solr_indexer_ray.functions import spatial
+
+        closed = ring + [ring[0]]
+        if gml2:
+            # GML2 coordinates are always x,y regardless of srsName swap rule
+            body = " ".join(f"{x},{y}" for x, y in closed)
+            gml = ("<Polygon><outerBoundaryIs><LinearRing>"
+                   f"<coordinates>{body}</coordinates>"
+                   "</LinearRing></outerBoundaryIs></Polygon>")
+        elif latlon:
+            body = " ".join(f"{y} {x}" for x, y in closed)
+            gml = ('<gml:Polygon xmlns:gml="http://www.opengis.net/gml" '
+                   'srsName="urn:ogc:def:crs:EPSG::4326"><gml:exterior>'
+                   f"<gml:LinearRing><gml:posList>{body}</gml:posList>"
+                   "</gml:LinearRing></gml:exterior></gml:Polygon>")
+        else:
+            body = " ".join(f"{x} {y}" for x, y in closed)
+            gml = ("<Polygon><exterior><LinearRing>"
+                   f"<posList>{body}</posList>"
+                   "</LinearRing></exterior></Polygon>")
+        wkt = spatial.parse_gml_to_wkt(gml)
+        m = spatial._WKT_POLY.match(wkt)
+        assert m is not None
+        got = spatial._parse_ring(m.group(1))
+        assert got == [(float(x), float(y)) for x, y in closed]
+
+    @_SETTINGS
+    @given(pts=st.lists(coord, min_size=2, max_size=10, unique=True),
+           latlon=st.booleans())
+    def test_linestring_roundtrip(self, pts, latlon):
+        from solr_indexer_ray.functions import spatial
+
+        if latlon:
+            body = " ".join(f"{y} {x}" for x, y in pts)
+            gml = ('<LineString srsName="EPSG:4326">'
+                   f"<posList>{body}</posList></LineString>")
+        else:
+            body = " ".join(f"{x} {y}" for x, y in pts)
+            gml = f"<LineString><posList>{body}</posList></LineString>"
+        wkt = spatial.parse_gml_to_wkt(gml)
+        m = spatial._WKT_LINE.match(wkt)
+        got = spatial._parse_ring(m.group(1))
+        assert got == [(float(x), float(y)) for x, y in pts]
