@@ -439,16 +439,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from solr_indexer_ray.stages.dedup import minhash_lsh_pairs
 
     n_dedup = min(n_docs, 50_000)
-    dedup_path = os.path.join(BENCH_ROOT, f"dedup-{n_dedup}-{SEED}.parquet")
+    dedup_path = os.path.join(BENCH_ROOT, f"dedup-nd-{n_dedup}-{SEED}.parquet")
     if not os.path.exists(dedup_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         t = pq.read_table(corpus_path, columns=["content"]).slice(0, n_dedup)
+        texts = t["content"].to_pylist()
+        # seed ~4% near-duplicates (every 25th row = its predecessor plus
+        # a short suffix) so banding, candidate extraction AND the
+        # distributed exact-verify pass all do real work — an all-unique
+        # corpus yields zero candidates and skips verify entirely
+        for i in range(1, len(texts), 25):
+            texts[i] = (texts[i - 1] or "") + f" trailer {i % 7} marker"
         pq.write_table(
             pa.table({
-                "doc_id": pa.array(range(t.num_rows), pa.int64()),
-                "text": t["content"],
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
             }),
             dedup_path, row_group_size=max(256, n_dedup // 64),
         )
