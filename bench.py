@@ -166,6 +166,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     query_dist_s = time.perf_counter() - t0
     assert n_out == len(dist_queries)
 
+    # ---- phase 3b: warm-pool steady-state throughput --------------------
+    # The Ray Data number above spawns a FRESH actor pool per job (16 new
+    # worker processes, imports, engine init) — a cold-start artifact of
+    # the per-job measurement; a real serving deployment keeps the pool
+    # resident.  Persistent actors measure the steady-state qps the same
+    # BatchSearcher delivers once warm.
+    searcher_cls = ray.remote(num_cpus=1)(BatchSearcher)
+    actors = [searcher_cls.remote(index_dir=index_dir, k=10)
+              for _ in range(pool)]
+    warm_batch = {"query": np.array(dist_queries[:64], dtype=object)}
+    ray.get([a.__call__.remote(warm_batch) for a in actors])  # untimed warm
+    chunks = [
+        {"query": np.array(dist_queries[i:i + 64], dtype=object)}
+        for i in range(0, len(dist_queries), 64)
+    ]
+    t0 = time.perf_counter()
+    ray.get([actors[i % pool].__call__.remote(c)
+             for i, c in enumerate(chunks)])
+    query_dist_warm_s = time.perf_counter() - t0
+    for a in actors:
+        ray.kill(a)
+
     # ---- phase 4: rank-identity rate vs the brute-force oracle ----------
     # (the BASELINE metric includes "top-k rank-identity rate"; measured on
     # a 2k-doc slice where the O(N·Q) oracle is affordable)
@@ -500,6 +522,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 3),
             "seq_qps": round(len(queries) / query_seq_s, 1),
             "dist_qps": round(len(dist_queries) / query_dist_s, 1),
+            "dist_warm_qps": round(
+                len(dist_queries) / query_dist_warm_s, 1),
             "n_term_rows": stats["n_term_rows"],
             "rank_identity_rate": rank_identity_rate,
             "pos_build_s": round(pos_build_s, 3),
