@@ -249,15 +249,13 @@ def _tokenize_block_bytes(texts, analyzer_name: str):
     tok_ends = np.flatnonzero(end_flag)
     tok_lens = tok_ends - tok_starts + 1
 
-    # gather token bytes: one flat fancy-index over the lowered buffer
+    # gather token bytes: token spans are non-overlapping, ascending, and
+    # tile the ``tokchar`` positions exactly (splits only cut runs, they
+    # never drop bytes), so the concatenated token bytes are ONE boolean
+    # compress — no nvals-sized fancy-index array (which cost 8 bytes of
+    # index per payload byte and dominated this kernel's wall time)
     ntok = int(tok_starts.size)
-    nvals = int(tok_lens.sum())
-    voff = np.cumsum(tok_lens) - tok_lens
-    flat = (
-        np.repeat(tok_starts - voff, tok_lens)
-        + np.arange(nvals, dtype=np.int64)
-    )
-    vals = lowered[flat]
+    vals = lowered[tokchar]
     off32 = np.zeros(ntok + 1, dtype=np.int32)
     np.cumsum(tok_lens, out=off32[1:])
     sa = pa.StringArray.from_buffers(
