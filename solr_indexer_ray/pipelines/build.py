@@ -287,23 +287,30 @@ class UnitIndexer:
         for s_tids, s_dl in streams:  # content first, then analyzed fields
             s_dl64 = s_dl.astype(np.int64)
             s_idx = np.repeat(np.arange(ndocs, dtype=np.int64), s_dl64)
-            s_off = np.concatenate(([0], np.cumsum(s_dl64)))
-            s_pos = (
-                np.arange(s_tids.size, dtype=np.int64)
-                - np.repeat(s_off[:-1], s_dl64)
-            )
             tid_parts.append(s_tids)
             idx_parts.append(s_idx)
-            pos_parts.append(s_pos)
+            if store_pos:  # positions cost two O(tokens) arrays — skip
+                s_off = np.concatenate(([0], np.cumsum(s_dl64)))
+                s_pos = (
+                    np.arange(s_tids.size, dtype=np.int64)
+                    - np.repeat(s_off[:-1], s_dl64)
+                )
+                pos_parts.append(s_pos)
+        pos_in_doc = None
         if len(tid_parts) == 1:
-            tids, docidx, pos_in_doc = tid_parts[0], idx_parts[0], pos_parts[0]
+            tids, docidx = tid_parts[0], idx_parts[0]
+            if store_pos:
+                pos_in_doc = pos_parts[0]
         else:
             tids = np.concatenate(tid_parts)
             docidx = np.concatenate(idx_parts)
-            pos_in_doc = np.concatenate(pos_parts)
+            if store_pos:
+                pos_in_doc = np.concatenate(pos_parts)
         if not valid.all():
             keep = valid[docidx]
-            tids, docidx, pos_in_doc = tids[keep], docidx[keep], pos_in_doc[keep]
+            tids, docidx = tids[keep], docidx[keep]
+            if store_pos:
+                pos_in_doc = pos_in_doc[keep]
 
         key = tids * ndocs + docidx
         order = np.argsort(key, kind="stable")
@@ -324,7 +331,8 @@ class UnitIndexer:
         else:  # posting norm = the norm of the posting's FIELD
             p_norm = norm_matrix[fld_of_tid[p_tid], p_doc].astype(np.int32)
         p_rid = p_docid // dpr
-        positions_flat = pos_in_doc[order].astype(np.int32)  # grouped by posting
+        if store_pos:  # grouped by posting (stable sort keeps pos ascending)
+            positions_flat = pos_in_doc[order].astype(np.int32)
 
         # docs slice (valid rows only; invalid rows live in errors/)
         doc_cols = {
