@@ -313,8 +313,15 @@ class UnitIndexer:
                 pos_in_doc = pos_in_doc[keep]
 
         key = tids * ndocs + docidx
-        order = np.argsort(key, kind="stable")
-        ksort = key[order]
+        if store_pos:
+            # stable argsort: equal (tid, doc) runs keep ascending token
+            # position, and ``order`` gathers the position stream
+            order = np.argsort(key, kind="stable")
+            ksort = key[order]
+        else:
+            # no positions -> only the sorted keys are consumed downstream;
+            # plain sort skips the O(tokens) index array + gather
+            ksort = np.sort(key)
         if ksort.size:
             bnd = np.empty(ksort.size, dtype=bool)
             bnd[0] = True
