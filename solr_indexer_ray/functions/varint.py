@@ -40,7 +40,12 @@ def varint_decode(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    ends = np.flatnonzero((b & 0x80) == 0)
+    cont = b & 0x80
+    if not cont.any():
+        # all-1-byte fast path: dense postings delta to tiny gaps and most
+        # position deltas are < 128, so whole streams decode as one pass
+        return (b & 0x7F).astype(np.uint64)
+    ends = np.flatnonzero(cont == 0)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1
     payload = (b & 0x7F).astype(np.uint64)
