@@ -49,10 +49,17 @@ def varint_decode(buf: bytes) -> np.ndarray:
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1
     payload = (b & 0x7F).astype(np.uint64)
-    out = np.zeros(ends.size, dtype=np.uint64)
-    for j in range(int(lengths.max())):
-        m = lengths > j
-        out[m] |= payload[starts[m] + j] << _SHIFTS[j]
+    # first byte of every value, then assemble ONLY the (rare) multi-byte
+    # values — gap streams are overwhelmingly 1-byte, so the j>=1 passes
+    # should not pay full-stream masked gathers
+    out = payload[starts]
+    multi = np.flatnonzero(lengths > 1)
+    if multi.size:
+        mlen = lengths[multi]
+        mstart = starts[multi]
+        for j in range(1, int(mlen.max())):
+            m = mlen > j
+            out[multi[m]] |= payload[mstart[m] + j] << _SHIFTS[j]
     return out
 
 
