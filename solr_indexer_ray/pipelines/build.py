@@ -876,7 +876,11 @@ def _build_index_locked(input_paths, index_dir, config, registry,
 
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # ray.cluster_resources() raises before init; under lazy auto-init
+    # (RAY_ADDRESS=local, no explicit ray.init yet) estimate from the host
+    # and let the first Dataset job trigger the init
+    cpus = (int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized() else (os.cpu_count() or 4))
     # shard count for the explicit postings shuffle: enough reduce tasks for
     # parallelism, few enough that the map-side spill stays coarse
     # (<= units × shards files total).
