@@ -835,22 +835,41 @@ class SearchEngine:
             pc.invert(pc.match_substring(terms_arr, "\x1f"))
         )
 
+    def _dict_slice(self, lit: str):
+        """Zero-copy Arrow slice of the cached sorted term dictionary
+        covering the terms with literal prefix ``lit`` (whole dictionary
+        when ``lit`` is empty) — replaces per-query parquet term scans."""
+        import bisect
+
+        terms_all, _dfs = self._suggest_state()
+        arr = getattr(self, "_dict_arr", None)
+        if arr is None:
+            arr = self._dict_arr = pa.array(terms_all, pa.string())
+        if not lit:
+            return arr, terms_all, 0
+        hi = lit[:-1] + chr(ord(lit[-1]) + 1)
+        lo_i = bisect.bisect_left(terms_all, lit)
+        hi_i = bisect.bisect_left(terms_all, hi, lo_i)
+        return arr.slice(lo_i, hi_i - lo_i), terms_all, lo_i
+
     def expand_prefix(self, prefix: str) -> list:
-        """Index terms starting with ``prefix`` (term-dictionary range scan;
-        parquet row-group stats on the sorted term column prune the read)."""
+        """Index terms starting with ``prefix`` — two bisects over the
+        cached sorted term dictionary (the suggester's; built once per
+        engine), replacing a per-query parquet term-column scan."""
+        import bisect
+
+        terms_all, _dfs = self._suggest_state()
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        tbl = self._postings_ds.to_table(
-            columns=["term"],
-            filter=(pc.field("term") >= prefix) & (pc.field("term") < hi),
-        )
-        terms = self._default_dict_terms(pc.unique(tbl["term"])).to_pylist()
+        lo_i = bisect.bisect_left(terms_all, prefix)
+        hi_i = bisect.bisect_left(terms_all, hi, lo_i)
+        terms = terms_all[lo_i:hi_i]
         if len(terms) > self.max_expansions:
             # Lucene: TooManyClauses beyond maxClauseCount
             raise ValueError(
                 f"wildcard {prefix}* expands to {len(terms)} terms "
                 f"(> max_expansions={self.max_expansions})"
             )
-        return sorted(terms)
+        return terms
 
     def eval_prefix(self, prefix: str) -> np.ndarray:
         """Docs containing ANY expansion of ``prefix*`` (constant-score:
@@ -868,10 +887,10 @@ class SearchEngine:
     def expand_pattern(self, pattern: str) -> list:
         """Dictionary terms matching a general wildcard (``*`` / ``?``
         anywhere) or a ``/regex/`` clause (Lucene RegexpQuery).  The
-        literal prefix before the first metacharacter prunes the
-        term-dictionary scan via sorted-term row-group stats (same trick as
-        :meth:`expand_prefix`); the pattern itself runs as a vectorized
-        kernel over the surviving terms (``pc.match_like`` for wildcards,
+        literal prefix before the first metacharacter bisects the cached
+        sorted term dictionary (same as :meth:`expand_prefix` — no
+        per-query parquet scan); the pattern itself runs as a vectorized
+        kernel over the surviving slice (``pc.match_like`` for wildcards,
         anchored ``pc.match_substring_regex`` — RE2, the same engine DuckDB
         uses, so the SQL oracle agrees bit-for-bit — for regexes)."""
         hit = self._pattern_cache.get(pattern)
@@ -884,12 +903,7 @@ class SearchEngine:
             lit = re.match(r"^[A-Za-z0-9_]*", inner).group(0)
             if lit and len(lit) < len(inner) and inner[len(lit)] in "*+?{":
                 lit = lit[:-1]
-            flt = None
-            if lit:
-                hi = lit[:-1] + chr(ord(lit[-1]) + 1)
-                flt = (pc.field("term") >= lit) & (pc.field("term") < hi)
-            tbl = self._postings_ds.to_table(columns=["term"], filter=flt)
-            terms = self._default_dict_terms(pc.unique(tbl["term"]))
+            terms, _, _ = self._dict_slice(lit)
             mask = pc.match_substring_regex(terms, f"^(?:{inner})$")
             out = sorted(terms.filter(mask).to_pylist())
             if len(out) > self.max_expansions:
@@ -902,12 +916,7 @@ class SearchEngine:
             self._pattern_cache[pattern] = out
             return out
         lit = re.match(r"^[^*?]*", pattern).group(0)
-        flt = None
-        if lit:
-            hi = lit[:-1] + chr(ord(lit[-1]) + 1)
-            flt = (pc.field("term") >= lit) & (pc.field("term") < hi)
-        tbl = self._postings_ds.to_table(columns=["term"], filter=flt)
-        terms = self._default_dict_terms(pc.unique(tbl["term"]))
+        terms, _, _ = self._dict_slice(lit)
         like = (
             pattern.replace("\\", "\\\\").replace("%", "\\%")
             .replace("_", "\\_").replace("*", "%").replace("?", "_")
