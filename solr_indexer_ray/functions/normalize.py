@@ -232,3 +232,20 @@ def extract_doi(text):
 def clean_warning_message(msg: str) -> str:
     """Strip icon prefixes for summaries (``solrindexer/indexer.py:224-226``)."""
     return re.sub(r"^[\W\s]+", "", msg or "").strip()
+
+
+def darextract(dar_entries) -> dict:
+    """Legacy DAR link-list splitter (``solrindexer/mmd.py:1489-1504``
+    F11): each entry is ``proto:url`` (optionally quoted, optionally
+    bytes); entries containing ``description`` keep only the part before
+    the first comma (the remainder is discarded — reference behavior kept
+    verbatim, quirks included).  Returns ``{proto: url}``."""
+    links: dict = {}
+    for entry in dar_entries or []:
+        s = entry.decode("utf-8") if isinstance(entry, bytes) else entry
+        if "description" in s:
+            s = s.split(",", 1)[0]
+        s = s.replace('"', "")
+        proto, url = s.split(":", 1)
+        links[proto] = url
+    return links

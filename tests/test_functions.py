@@ -142,6 +142,21 @@ class TestSpatial:
         out = spatial.segmentize_wkt("LINESTRING (0 0, 30 0)", max_segment=10.0)
         assert out == "LINESTRING (0.0 0.0, 10.0 0.0, 20.0 0.0, 30.0 0.0)"
 
+    def test_darextract(self):
+        from solr_indexer_ray.functions.normalize import darextract
+
+        got = darextract([
+            'http://data.example.org/file.nc',
+            b'ftp:ftp.example.org/pub/x',
+            '"opendap:dap.example.org/ds",description,Some text',
+        ])
+        assert got == {
+            "http": "//data.example.org/file.nc",
+            "ftp": "ftp.example.org/pub/x",
+            "opendap": "dap.example.org/ds",
+        }
+        assert darextract([]) == {} == darextract(None)
+
     def test_gml_polygon_poslist_latlon(self):
         # GML3 urn EPSG:4326 lists latitude first; WKT must come out lon/lat
         gml = (
