@@ -3248,9 +3248,10 @@ GROUP BY idx
 #: return_counts=True)``), the 64 bit-votes via a bits(0..63) cross join,
 #: sig reassembly, 4x16-bit band buckets, XOR+``bit_count`` hamming
 #: verification at ``d <= 3`` and ``1 - d/64`` similarity — bit-identical
-#: to ``stages.dedup.simhash_pairs``.  Zero-token docs (sig = 0) are not
-#: represented (none exist in the testdata; the engine path for them is
-#: unit-tested).
+#: to ``stages.dedup.simhash_pairs``, including the ``clique_cap=256``
+#: star rule (buckets with >256 distinct docs contribute only
+#: min-doc-hub pairs).  Zero-token docs (sig = 0) are not represented
+#: (none exist in the testdata; the engine path for them is unit-tested).
 SIMHASH_DUPS_SQL = """
 WITH RECURSIVE arrs AS (
   SELECT doc_id,
@@ -3300,12 +3301,21 @@ buckets AS (
          g.s
   FROM sig g CROSS JOIN bandtab b
 ),
+simhash_bucket_stats AS (
+  -- replay simhash_pairs' clique-vs-star rule (clique_cap=256): buckets
+  -- with more than 256 distinct docs emit only hub pairs (min doc x rest)
+  SELECT bi, chunk, count(*) AS c, min(doc_id) AS mn
+  FROM buckets GROUP BY bi, chunk
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
          bit_count(xor(CAST(x.s AS UBIGINT), CAST(y.s AS UBIGINT))) AS d
-  FROM buckets x
-  JOIN buckets y ON y.bi = x.bi AND y.chunk = x.chunk
+  FROM simhash_bucket_stats s
+  JOIN buckets x ON x.bi = s.bi AND x.chunk = s.chunk
+  JOIN buckets y ON y.bi = s.bi AND y.chunk = s.chunk
                 AND y.doc_id > x.doc_id
+  WHERE s.c >= 2
+    AND (s.c <= 256 OR x.doc_id = s.mn)
 )
 SELECT id_a, id_b, 1.0 - d / 64.0 AS similarity
 FROM cand WHERE d <= 3

@@ -239,12 +239,15 @@ def darextract(dar_entries) -> dict:
     F11): each entry is ``proto:url`` (optionally quoted, optionally
     bytes); entries containing ``description`` keep only the part before
     the first comma (the remainder is discarded — reference behavior kept
-    verbatim, quirks included).  Returns ``{proto: url}``."""
+    verbatim, quirks included: a ``description`` entry WITHOUT a comma
+    raises ``ValueError`` from the reference's two-target unpack
+    ``t1, t2 = mystr.split(",", 1)``, mirrored here).  Returns
+    ``{proto: url}``."""
     links: dict = {}
     for entry in dar_entries or []:
         s = entry.decode("utf-8") if isinstance(entry, bytes) else entry
         if "description" in s:
-            s = s.split(",", 1)[0]
+            s, _rest = s.split(",", 1)
         s = s.replace('"', "")
         proto, url = s.split(":", 1)
         links[proto] = url

@@ -218,7 +218,10 @@ def _gml_coords(node, srs: str | None):
                     continue
                 x, y = (float(v) for v in tok.split(cs)[:2])
                 pts.append((x, y))
-            return [(y, x) for x, y in pts] if latlon else pts
+            # GML 2 <coordinates> are x,y (lon/lat) by spec regardless of
+            # srsName — pygml does not swap them either; only the GML 3
+            # posList/pos branch above honours EPSG:4326 lat/lon order.
+            return pts
     raise SpatialError("GML geometry has no posList/pos/coordinates")
 
 
@@ -235,7 +238,9 @@ def parse_gml_to_wkt(gml: str) -> str:
     ``gml:LineString`` (posList), ``gml:Polygon`` (exterior + interior
     LinearRings), GML 2 ``coordinates``, any/no namespace, and EPSG:4326
     lat/lon axis order via ``srsName`` (swapped to WKT lon/lat; ``CRS84``
-    and bare geometries pass through).  Unclosed rings are closed, matching
+    and bare geometries pass through; GML 2 ``coordinates`` are always
+    x,y by spec, so srsName never swaps them).  Unclosed rings are closed,
+    matching
     the reference's downstream ``validate_fix_geometry`` behavior.
     """
     try:

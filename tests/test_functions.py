@@ -156,6 +156,10 @@ class TestSpatial:
             "opendap": "dap.example.org/ds",
         }
         assert darextract([]) == {} == darextract(None)
+        # reference quirk kept verbatim: "description" without a comma
+        # blows the two-target unpack (mmd.py:1497)
+        with pytest.raises(ValueError):
+            darextract(["odata:host/description-only"])
 
     def test_gml_polygon_poslist_latlon(self):
         # GML3 urn EPSG:4326 lists latitude first; WKT must come out lon/lat

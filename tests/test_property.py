@@ -345,9 +345,13 @@ class TestGmlProperties:
 
         closed = ring + [ring[0]]
         if gml2:
-            # GML2 coordinates are always x,y regardless of srsName swap rule
+            # GML2 coordinates are always x,y regardless of srsName: when
+            # latlon is drawn we still write x,y but stamp an EPSG:4326
+            # srsName — the parser must NOT swap (pygml parity).
             body = " ".join(f"{x},{y}" for x, y in closed)
-            gml = ("<Polygon><outerBoundaryIs><LinearRing>"
+            srs = (' srsName="http://www.opengis.net/gml/srs/epsg.xml#4326"'
+                   if latlon else "")
+            gml = (f"<Polygon{srs}><outerBoundaryIs><LinearRing>"
                    f"<coordinates>{body}</coordinates>"
                    "</LinearRing></outerBoundaryIs></Polygon>")
         elif latlon:
