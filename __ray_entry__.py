@@ -24,18 +24,72 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict order matters: the driver's correctness sweep checks the FIRST
-    # ~50 entries (CORRECTNESS_r02 was exactly the first 50 keys).  Queries
-    # without a driver row from rounds 1-2 lead, previously-green ones
-    # follow, so cumulative driver coverage reaches every entry.
+    # ~50 entries.  Round-5 rotation: keys whose underlying code changed
+    # since their last driver check lead (VERDICT r4 item 1), r4-green
+    # keys trail, so cumulative driver coverage stays at every entry.
     from solr_indexer_ray import contract as c
 
     return {
-        # --- new in round 4 (fl transformers; re-check of the reworked
-        # dedup/curation paths comes right after) ---
+        # --- r5 window: re-verify code rewritten since the last driver
+        # check.  gopher_filter/stream_rollup failed hash_match in r2,
+        # were fixed, but sat outside the 50-key window ever since; the
+        # BM25 family's varint/expansion/serving paths were rewritten in
+        # r3-r4 (last driver-green r2). ---
+        "gopher_filter": c.q_gopher_filter,
+        "stream_rollup": c.q_stream_rollup,
+        "bm25_topk": c.q_bm25_topk,
+        "phrase_topk": c.q_phrase_topk,
+        "near_topk": c.q_near_topk,
+        "wildcard_topk": c.q_wildcard_topk,
+        "wildcard_infix_topk": c.q_wildcard_infix_topk,
+        "regex_topk": c.q_regex_topk,
+        "fuzzy_topk": c.q_fuzzy_topk,
+        "stop_topk": c.q_stop_topk,
+        "stem_topk": c.q_stem_topk,
+        "term_df": c.q_term_df,
+        "doc_stats": c.q_doc_stats,
+        "top_terms": c.q_top_terms,
+        "sorted_browse": c.q_sorted_browse,
+        "grouped": c.q_grouped,
+        "collapse_topk": c.q_collapse_topk,
+        "gml_extent_wkt": c.q_gml_extent_wkt,
+        "simhash_dups": c.q_simhash_dups,
+        "minhash_dups": c.q_minhash_dups,
+        # --- search-core-dependent surface, last driver-green r1/r2;
+        # fills the window so the serving-path caches get re-checked ---
+        "mm_topk": c.q_mm_topk,
+        "pf_topk": c.q_pf_topk,
+        "field_topk": c.q_field_topk,
+        "qf_topk": c.q_qf_topk,
+        "bool_topk": c.q_bool_topk,
+        "func_topk": c.q_func_topk,
+        "bq_topk": c.q_bq_topk,
+        "boosted_topk": c.q_boosted_topk,
+        "synonym_topk": c.q_synonym_topk,
+        "facet_stats": c.q_facet_stats,
+        "facets": c.q_facets,
+        "facet_query_counts": c.q_facet_query,
+        "range_topk": c.q_range_topk,
+        "date_range_topk": c.q_date_range_topk,
+        "range_facets": c.q_range_facets,
+        "pivot_facets": c.q_pivot_facets,
+        "sharded_topk": c.q_sharded_topk,
+        "more_like_this": c.q_more_like_this,
+        "terms_component": c.q_terms_component,
+        "field_stats": c.q_field_stats,
+        "stats_percentiles": c.q_stats_percentiles,
+        "analysis_tokens": c.q_analysis_tokens,
+        "significant_terms": c.q_significant_terms,
+        "luke_fields": c.q_luke_fields,
+        "result_clusters": c.q_result_clusters,
+        "ltr_topk": c.q_ltr_topk,
+        "stream_join": c.q_stream_join,
+        "stream_unique": c.q_stream_unique,
+        "stream_nodes": c.q_stream_nodes,
+        "term_vectors": c.q_term_vectors,
+        # --- cumulative driver-green in r4 (outside the r5 window) ---
         "fl_transformers": c.q_fl_transformers,
-        "gml_extent_wkt": c.q_gml_extent_wkt,  # r4: F10 GML->WKT, value-checked
-        "lm_quality": c.q_lm_quality,  # r4: bounded default training caps
-        # --- never driver-checked in rounds 1-2 (verdict r2 item 2) ---
+        "lm_quality": c.q_lm_quality,
         "date_range_facets": c.q_date_range_facets,
         "blockjoin_matches": c.q_blockjoin_matches,
         "rerank_topk": c.q_rerank_topk,
@@ -49,25 +103,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dedup_survivors": c.q_jaccard_dedup_survivors,
         "hybrid_topk": c.q_hybrid_topk,
         "ann_ivf_topk": c.q_ann_ivf_topk,
-        "embedding_dups_ivf": c.q_embedding_dups_ivf,  # rows-only (recall<1)
+        "embedding_dups_ivf": c.q_embedding_dups_ivf,
         "multimodal_decode_meta": c.q_multimodal_decode_meta,
         "kmv_sample": c.q_kmv_sample,
         "heavy_hitters": c.q_heavy_hitters,
         "quantile_sketch": c.q_quantile_sketch,
-        "hll_registers": c.q_hll_registers,  # r4: sketch state value-checked
-        "hll_distinct": c.q_hll_distinct,        # rows-only (pytest bounds)
-        # --- new in round 3 (/sql handler, tree-ensemble LTR) ---
+        "hll_registers": c.q_hll_registers,
+        "hll_distinct": c.q_hll_distinct,
         "sql_group_agg": c.q_sql_group_agg,
         "sql_select_where": c.q_sql_select_where,
         "ltr_trees_topk": c.q_ltr_trees_topk,
-        "multimodal_frames": c.q_multimodal_frames,  # value-checked (r4)
-        # --- checked in round 1 only (fresh re-verify next) ---
+        "multimodal_frames": c.q_multimodal_frames,
         "suggest": c.q_suggest,
-        "boosted_topk": c.q_boosted_topk,
-        "range_facets": c.q_range_facets,
-        "pivot_facets": c.q_pivot_facets,
-        "sharded_topk": c.q_sharded_topk,
-        "synonym_topk": c.q_synonym_topk,
         "delete_by_query_remaining": c.q_delete_by_query_remaining,
         "doc_get": c.q_doc_get,
         "doc_sha256": c.q_doc_sha256,
@@ -76,9 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": c.q_exact_dedup,
         "upsert_latest": c.q_upsert_latest,
         "ngram_jaccard_dups": c.q_ngram_jaccard_dups,
-        "minhash_dups": c.q_minhash_dups,           # rows-only (LSH)
-        "simhash_dups": c.q_simhash_dups,           # rows-only
-        "fingerprints": c.q_fingerprints,       # value-checked (r4)
+        "fingerprints": c.q_fingerprints,
         "ann_topk": c.q_ann_topk,
         "embedding_dups": c.q_embedding_dups,
         "multimodal_decode": c.q_multimodal_decode,
@@ -90,54 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": c.q_events_props,
         "user_sessions": c.q_user_sessions,
         "session_windows": c.q_session_windows,
-        # --- green in round 2 (inverted-index / BM25 family) ---
-        "term_df": c.q_term_df,
-        "doc_stats": c.q_doc_stats,
-        "top_terms": c.q_top_terms,
-        "bm25_topk": c.q_bm25_topk,
-        "stop_topk": c.q_stop_topk,
-        "stem_topk": c.q_stem_topk,           # rows-only (no SQL stemmer)
-        "phrase_topk": c.q_phrase_topk,
-        "near_topk": c.q_near_topk,
-        "wildcard_topk": c.q_wildcard_topk,
-        "fuzzy_topk": c.q_fuzzy_topk,
-        "func_topk": c.q_func_topk,
-        "bq_topk": c.q_bq_topk,
-        "facet_stats": c.q_facet_stats,
-        "term_vectors": c.q_term_vectors,
         "paragraph_dedup": c.q_paragraph_dedup,
-        "gopher_filter": c.q_gopher_filter,
         "packed_sequences": c.q_packed_sequences,
         "train_valid_split": c.q_train_valid_split,
         "shuffled_order": c.q_shuffled_order,
-        "mm_topk": c.q_mm_topk,
-        "pf_topk": c.q_pf_topk,
-        "wildcard_infix_topk": c.q_wildcard_infix_topk,
-        "regex_topk": c.q_regex_topk,
-        "field_topk": c.q_field_topk,
-        "qf_topk": c.q_qf_topk,
-        "bool_topk": c.q_bool_topk,
         "spatial_topk": c.q_spatial_topk,
-        "facets": c.q_facets,
-        "facet_query_counts": c.q_facet_query,
-        "range_topk": c.q_range_topk,
-        "date_range_topk": c.q_date_range_topk,
-        "sorted_browse": c.q_sorted_browse,
-        "more_like_this": c.q_more_like_this,
-        "terms_component": c.q_terms_component,
-        "field_stats": c.q_field_stats,
-        "stats_percentiles": c.q_stats_percentiles,
-        "analysis_tokens": c.q_analysis_tokens,
-        "stream_rollup": c.q_stream_rollup,
-        "significant_terms": c.q_significant_terms,
-        "luke_fields": c.q_luke_fields,
-        "result_clusters": c.q_result_clusters,
-        "ltr_topk": c.q_ltr_topk,
-        "stream_join": c.q_stream_join,
-        "stream_unique": c.q_stream_unique,
-        "stream_nodes": c.q_stream_nodes,
-        "grouped": c.q_grouped,
-        "collapse_topk": c.q_collapse_topk,
         "collations": c.q_collations,
         "autocomplete": c.q_autocomplete,
     }
