@@ -48,18 +48,20 @@ def varint_decode(buf: bytes) -> np.ndarray:
     ends = np.flatnonzero(cont == 0)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1
-    payload = (b & 0x7F).astype(np.uint64)
-    # first byte of every value, then assemble ONLY the (rare) multi-byte
-    # values — gap streams are overwhelmingly 1-byte, so the j>=1 passes
-    # should not pay full-stream masked gathers
-    out = payload[starts]
+    # gather each value's FIRST byte, then mask/widen only the gathered
+    # n_values array (never a full-stream uint64 payload copy); assemble
+    # ONLY the (rare) multi-byte values — gap streams are overwhelmingly
+    # 1-byte, so the j>=1 passes should not pay full-stream masked gathers
+    out = (b[starts] & 0x7F).astype(np.uint64)
     multi = np.flatnonzero(lengths > 1)
     if multi.size:
         mlen = lengths[multi]
         mstart = starts[multi]
         for j in range(1, int(mlen.max())):
             m = mlen > j
-            out[multi[m]] |= payload[mstart[m] + j] << _SHIFTS[j]
+            out[multi[m]] |= (
+                (b[mstart[m] + j] & 0x7F).astype(np.uint64) << _SHIFTS[j]
+            )
     return out
 
 

@@ -62,6 +62,11 @@ from solr_indexer_ray.functions.varint import (
 from solr_indexer_ray.sources.parquet_units import list_units, read_unit
 from solr_indexer_ray.state.manifest import BuildManifest
 
+#: Positional builds pack (shard, tid, doc, pos) into one int64 and plain-
+#: sort it when the key fits 63 bits (tests flip this off to A/B the
+#: general stable-argsort path — outputs must be byte-identical).
+_FUSE_POSITIONAL = True
+
 DOCS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -312,16 +317,54 @@ class UnitIndexer:
             if store_pos:
                 pos_in_doc = pos_in_doc[keep]
 
-        key = tids * ndocs + docidx
-        if store_pos:
-            # stable argsort: equal (tid, doc) runs keep ascending token
-            # position, and ``order`` gathers the position stream
-            order = np.argsort(key, kind="stable")
-            ksort = key[order]
+        # Positional fast path (r4 kernel-cut parity for positions, VERDICT
+        # r4 item 3): pack (shard, tid, doc, pos) into ONE int64 and plain-
+        # sort it — no stable argsort permutation, no position gather, and
+        # the spill-side (shard, tid, range) lexsort + re-gather below
+        # collapse to slicing because the fused sort already emits postings
+        # in shard-major order.  Requires the packed key to fit 63 bits and
+        # unit doc_ids ascending (dense assignment makes them so); both are
+        # checked, with the general argsort path as fallback.
+        n_terms = len(term_list)
+        use_fused = False
+        shards_by_tid = None
+        if _FUSE_POSITIONAL and store_pos and ndocs and n_terms and tids.size:
+            maxpos = int(pos_in_doc.max())
+            bits_pos = max(1, maxpos.bit_length())
+            shards_by_tid = np.fromiter(
+                (term_shard(t, n_shards) for t in term_list),
+                np.int64, n_terms,
+            )
+            key_max = (
+                (int(shards_by_tid.max()) * n_terms + (n_terms - 1))
+                * ndocs + (ndocs - 1)
+            )
+            use_fused = (
+                key_max < (1 << (62 - bits_pos))
+                and bool(np.all(np.diff(doc_ids) >= 0))
+            )
+        if use_fused:
+            fused_tid_key = shards_by_tid * n_terms + np.arange(
+                n_terms, dtype=np.int64
+            )
+            key = (
+                (fused_tid_key[tids] * ndocs + docidx) << bits_pos
+            ) | pos_in_doc
+            key.sort()
+            positions_flat = (key & ((1 << bits_pos) - 1)).astype(np.int32)
+            ksort = key >> bits_pos  # (shard*n_terms + tid)*ndocs + doc
         else:
-            # no positions -> only the sorted keys are consumed downstream;
-            # plain sort skips the O(tokens) index array + gather
-            ksort = np.sort(key)
+            key = tids * ndocs + docidx
+            if store_pos:
+                # stable argsort: equal (tid, doc) runs keep ascending token
+                # position, and ``order`` gathers the position stream
+                order = np.argsort(key, kind="stable")
+                ksort = key[order]
+            else:
+                # no positions -> only the sorted keys are consumed
+                # downstream; plain sort skips the O(tokens) index array
+                # + gather
+                ksort = np.sort(key)
         if ksort.size:
             bnd = np.empty(ksort.size, dtype=bool)
             bnd[0] = True
@@ -330,15 +373,23 @@ class UnitIndexer:
         else:
             pstart = np.empty(0, np.int64)
         p_tf = np.diff(np.append(pstart, ksort.size)).astype(np.int32)
-        p_tid = ksort[pstart] // ndocs if ndocs else ksort[pstart]
-        p_doc = ksort[pstart] % ndocs if ndocs else ksort[pstart]
+        if use_fused:
+            c1 = ksort[pstart]
+            p_doc = c1 % ndocs
+            st = c1 // ndocs
+            p_tid = st % n_terms
+            p_shard_fused = st // n_terms
+        else:
+            p_tid = ksort[pstart] // ndocs if ndocs else ksort[pstart]
+            p_doc = ksort[pstart] % ndocs if ndocs else ksort[pstart]
         p_docid = doc_ids[p_doc].astype(np.int64)
         if norm_matrix is None:
             p_norm = norms[p_doc].astype(np.int32)
         else:  # posting norm = the norm of the posting's FIELD
             p_norm = norm_matrix[fld_of_tid[p_tid], p_doc].astype(np.int32)
         p_rid = p_docid // dpr
-        if store_pos:  # grouped by posting (stable sort keeps pos ascending)
+        if store_pos and not use_fused:
+            # grouped by posting (stable sort keeps pos ascending)
             positions_flat = pos_in_doc[order].astype(np.int32)
 
         # docs slice (valid rows only; invalid rows live in errors/)
@@ -398,32 +449,44 @@ class UnitIndexer:
         post_rels = []
         n_postings = int(p_tid.size)
         if n_postings:
-            # term_list: tid -> term (first-appearance order)
-            shards_by_tid = np.fromiter(
-                (term_shard(t, n_shards) for t in term_list),
-                np.int64, len(term_list),
-            )
-            p_shard = shards_by_tid[p_tid]
-            order2 = np.lexsort((p_rid, p_tid, p_shard))
-            s_tid = p_tid[order2]
-            s_rid = p_rid[order2]
-            s_shard = p_shard[order2]
-            s_tf = p_tf[order2]
-            s_docid = p_docid[order2]
-            s_norm = p_norm[order2]
-            if store_pos:
-                in_off = np.concatenate(
-                    ([0], np.cumsum(p_tf, dtype=np.int64))
+            if use_fused:
+                # fused sort already emitted (shard, tid, doc-asc) order;
+                # doc_ids ascending => range_id ascending within each term.
+                # No lexsort, no gathers — the position stream is final.
+                s_tid, s_rid, s_shard = p_tid, p_rid, p_shard_fused
+                s_tf, s_docid, s_norm = p_tf, p_docid, p_norm
+                s_positions = positions_flat
+                out_off = np.concatenate(
+                    ([0], np.cumsum(s_tf, dtype=np.int64))
                 )
-                lengths = s_tf.astype(np.int64)
-                out_off = np.concatenate(([0], np.cumsum(lengths)))
-                w = (
-                    np.arange(int(lengths.sum()), dtype=np.int64)
-                    - np.repeat(out_off[:-1], lengths)
-                )
-                s_positions = positions_flat[
-                    np.repeat(in_off[order2], lengths) + w
-                ]
+            else:
+                # term_list: tid -> term (first-appearance order)
+                if shards_by_tid is None:
+                    shards_by_tid = np.fromiter(
+                        (term_shard(t, n_shards) for t in term_list),
+                        np.int64, len(term_list),
+                    )
+                p_shard = shards_by_tid[p_tid]
+                order2 = np.lexsort((p_rid, p_tid, p_shard))
+                s_tid = p_tid[order2]
+                s_rid = p_rid[order2]
+                s_shard = p_shard[order2]
+                s_tf = p_tf[order2]
+                s_docid = p_docid[order2]
+                s_norm = p_norm[order2]
+                if store_pos:
+                    in_off = np.concatenate(
+                        ([0], np.cumsum(p_tf, dtype=np.int64))
+                    )
+                    lengths = s_tf.astype(np.int64)
+                    out_off = np.concatenate(([0], np.cumsum(lengths)))
+                    w = (
+                        np.arange(int(lengths.sum()), dtype=np.int64)
+                        - np.repeat(out_off[:-1], lengths)
+                    )
+                    s_positions = positions_flat[
+                        np.repeat(in_off[order2], lengths) + w
+                    ]
             # (shard, term, range) group boundaries over sorted postings
             gb = np.empty(n_postings, dtype=bool)
             gb[0] = True

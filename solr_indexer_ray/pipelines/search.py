@@ -464,11 +464,11 @@ class TermPostings:
 
     __slots__ = ("term", "df", "cf", "doc_ids", "tfs",
                  "block_last", "block_max_tf", "block_min_norm", "score_vec",
-                 "block_ub_vec", "pos_flat", "pos_offsets")
+                 "block_ub_vec", "pos_flat", "pos_offsets", "pos_raw")
 
     def __init__(self, term, df, cf, doc_ids, tfs,
                  block_last, block_max_tf, block_min_norm,
-                 pos_flat=None, pos_offsets=None):
+                 pos_flat=None, pos_offsets=None, pos_raw=None):
         self.term = term
         self.df = df
         self.cf = cf
@@ -484,10 +484,75 @@ class TermPostings:
         #: ``pos_offsets[i]:pos_offsets[i+1]`` slices posting i's positions.
         self.pos_flat = pos_flat
         self.pos_offsets = pos_offsets
+        #: LAZY positions (the hot phrase path): the raw delta-varint blob
+        #: per doc-range, decoded per CANDIDATE posting only — a phrase
+        #: over a common term never pays an O(total positions) decode.
+        #: Entries are ``[n_postings, blob, tfs_in_range, byte_ends]``;
+        #: ``byte_ends`` (len n_postings+1, byte offset of each posting's
+        #: varint segment) is derived on first use from the varint
+        #: continuation bits — one vectorized cumsum over the blob, no
+        #: value materialization.
+        self.pos_raw = pos_raw
 
-    def positions_for(self, idx: int) -> np.ndarray:
-        return self.pos_flat[self.pos_offsets[idx]:self.pos_offsets[idx + 1]]
+    def positions_for(self, ti, lengths):
+        """Flat positions of postings ``ti`` (sorted indices into this
+        term's posting list; ``lengths`` = ``tfs[ti]``), decoding only
+        those postings' varint segments when loaded lazily."""
+        if self.pos_flat is not None:
+            flat, _ = _gather_segments(self.pos_flat, self.pos_offsets[ti],
+                                       lengths)
+            return flat
+        # hybrid: when a call touches most of the postings anyway (common
+        # term in a common phrase), decode the whole stream ONCE and cache
+        # it — repeated queries then gather from pos_flat like the old
+        # eager path, and the lazy path never does worse than it.
+        if ti.size * 2 > self.tfs.size:
+            from solr_indexer_ray.functions.varint import decode_positions
 
+            self.pos_flat = np.concatenate(
+                [decode_positions(e[1], e[2])[0] for e in self.pos_raw]
+            ) if self.pos_raw else np.empty(0, np.int64)
+            self.pos_offsets = np.concatenate(
+                ([0], np.cumsum(self.tfs))
+            )
+            self.pos_raw = None
+            flat, _ = _gather_segments(self.pos_flat, self.pos_offsets[ti],
+                                       lengths)
+            return flat
+        parts = []
+        lo = 0
+        for entry in self.pos_raw:
+            n, blob = entry[0], entry[1]
+            hi = lo + n
+            sel = ti[(ti >= lo) & (ti < hi)] - lo
+            if sel.size:
+                ends = entry[3]
+                if ends is None:
+                    arr = np.frombuffer(blob, np.uint8)
+                    # v-th value ends at the v-th terminal byte (<0x80)
+                    term_count = np.cumsum(arr < 0x80, dtype=np.int32)
+                    voff = np.concatenate(
+                        ([0], np.cumsum(entry[2], dtype=np.int64))
+                    ).astype(np.int32)
+                    ends = np.zeros(n + 1, dtype=np.int64)
+                    ends[1:] = np.searchsorted(
+                        term_count, voff[1:], side="left"
+                    ) + 1
+                    ends[0] = 0
+                    entry[3] = ends
+                arr = np.frombuffer(blob, np.uint8)
+                starts, stops = ends[sel], ends[sel + 1]
+                lens = stops - starts
+                flat_seg, _ = _gather_segments(arr, starts, lens)
+                parts.append(flat_seg)
+            lo = hi
+        if not parts:
+            return np.empty(0, np.int64)
+        buf = np.concatenate(parts).tobytes()
+        from solr_indexer_ray.functions.varint import decode_positions
+
+        flat, _ = decode_positions(buf, np.asarray(lengths, np.int64))
+        return flat
 
 class SearchEngine:
     """Read-side handle on a committed index directory.
@@ -756,6 +821,7 @@ class SearchEngine:
                 with_positions
                 and self._term_cache[t] is not None
                 and self._term_cache[t].pos_flat is None
+                and self._term_cache[t].pos_raw is None
             )
         }
         terms = [t for t in terms if t not in cached]
@@ -787,19 +853,21 @@ class SearchEngine:
                 np.asarray(tbl["block_min_norm"][i].as_py(), dtype=np.int64),
             ]
             if with_positions:
-                row.append(
-                    decode_positions(tbl["positions"][i].as_py() or b"",
-                                     tfs_i)[0]
-                )
+                # LAZY: keep the raw delta-varint blob; positions_for()
+                # decodes only the candidate postings a phrase/near match
+                # actually inspects (a common member term never pays an
+                # O(total positions) decode).
+                row.append(tbl["positions"][i].as_py() or b"")
             by_term.setdefault(term, []).append(tuple(row))
         out = {}
         for term, rows in by_term.items():
             rows.sort(key=lambda r: r[0])  # doc-range order -> global order
             tfs = np.concatenate([r[2] for r in rows])
-            pos_flat = pos_offsets = None
+            pos_raw = None
             if with_positions:
-                pos_flat = np.concatenate([r[6] for r in rows])
-                pos_offsets = np.concatenate(([0], np.cumsum(tfs)))
+                pos_raw = [
+                    [len(r[2]), r[6], r[2], None] for r in rows
+                ]
             out[term] = TermPostings(
                 term,
                 df=int(sum(len(r[1]) for r in rows)),
@@ -809,8 +877,7 @@ class SearchEngine:
                 block_last=np.concatenate([r[3] for r in rows]),
                 block_max_tf=np.concatenate([r[4] for r in rows]),
                 block_min_norm=np.concatenate([r[5] for r in rows]),
-                pos_flat=pos_flat,
-                pos_offsets=pos_offsets,
+                pos_raw=pos_raw,
             )
         # bounded decoded-postings cache (misses cached as None too)
         for t in terms:
@@ -1017,8 +1084,7 @@ class SearchEngine:
             tp = postings[t]
             ti = np.searchsorted(tp.doc_ids, docs)
             lengths = tp.tfs[ti]
-            flat, _ = _gather_segments(tp.pos_flat, tp.pos_offsets[ti],
-                                       lengths)
+            flat = tp.positions_for(ti, lengths)
             segments[t] = (flat, lengths)
         out_docs, freqs = _phrase_freqs(docs, segments, phrase)
         return out_docs, freqs, w
@@ -1049,8 +1115,7 @@ class SearchEngine:
             tp = postings[t]
             ti = np.searchsorted(tp.doc_ids, docs)
             lengths = tp.tfs[ti]
-            flat, _ = _gather_segments(tp.pos_flat, tp.pos_offsets[ti],
-                                       lengths)
+            flat = tp.positions_for(ti, lengths)
             segments[t] = (flat, lengths)
         out_docs, freqs = _near_freqs(docs, segments, terms, slop)
         return out_docs, freqs, w
@@ -1133,8 +1198,7 @@ class SearchEngine:
             tp = postings[t]
             ti = np.searchsorted(tp.doc_ids, docs)
             lengths = tp.tfs[ti]
-            flat, _ = _gather_segments(tp.pos_flat, tp.pos_offsets[ti],
-                                       lengths)
+            flat = tp.positions_for(ti, lengths)
             segments[t] = (flat, lengths)
         out_docs, freqs = _phrase_freqs(docs, segments, pref)
         return out_docs, freqs, w
