@@ -140,6 +140,46 @@ def _atomic_write_table(table: pa.Table, path: str, **kw) -> None:
     os.replace(tmp, path)
 
 
+_EMPTY_SHA = hashlib.sha256(b"").hexdigest()
+
+
+def _sha256_column(col) -> list:
+    """Hex sha256 per row of a UTF-8 string column, hashed directly off
+    the Arrow data buffer (offset slices of one memoryview) — skips the
+    str-decode + re-encode round trip of the ``to_pylist`` path.  Null
+    rows hash as empty string (reference ``(c or "")`` behavior)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        if ch.offset != 0 or not pa.types.is_string(ch.type):
+            out.extend(
+                hashlib.sha256((c or "").encode("utf-8")).hexdigest()
+                for c in ch.to_pylist()
+            )
+            continue
+        bufs = ch.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1)
+        data = memoryview(bufs[2]) if bufs[2] is not None else \
+            memoryview(b"")
+        if ch.null_count:
+            valid = ch.is_valid().to_numpy(zero_copy_only=False)
+        else:
+            valid = None
+        for i in range(n):
+            if valid is not None and not valid[i]:
+                out.append(_EMPTY_SHA)
+            else:
+                out.append(
+                    hashlib.sha256(
+                        data[offsets[i]:offsets[i + 1]]
+                    ).hexdigest()
+                )
+    return out
+
+
 class UnitIndexer:
     """Stage-1 actor: tokenizer state built once per actor (SURVEY.md ST1/ST6).
 
@@ -192,14 +232,15 @@ class UnitIndexer:
             columns=base_cols
             + [s for s in asrcs if s not in base_cols],
         )
-        contents = table["content"].to_pylist()
         langs = table["lang"].to_pylist()
         doc_ids = table["doc_id"].to_numpy()
 
-        # per-row integrity invariant: sha256(content)
-        shas = [
-            hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in contents
-        ]
+        # per-row integrity invariant: sha256(content) — hashed straight
+        # off the Arrow UTF-8 data buffer (offset slices of one
+        # memoryview), skipping the str-decode + re-encode round trip the
+        # to_pylist() path would pay on every byte of the corpus
+        shas = _sha256_column(table["content"])
+        n_rows = table.num_rows
 
         # tokenize the whole unit vectorized: Arrow RE2 kernels + one
         # dictionary_encode do split/lower/intern with zero per-token
@@ -225,7 +266,7 @@ class UnitIndexer:
         # postings stream prefixed "<field>\\x1f", and the posting norms
         # carry the FIELD's SmallFloat length — per-field BM25 falls out
         # of the shared spill/merge machinery untouched.
-        ndocs0 = len(contents)
+        ndocs0 = n_rows
         field_doclens: dict = {}
         field_norms: dict = {}
         streams = [(tids_flat, doclens64)]
@@ -260,7 +301,7 @@ class UnitIndexer:
         # doc-id slot but are routed to the errors side-channel and
         # excluded from docs + postings (reference: warn-don't-block,
         # failures recorded never raised).
-        valid = np.ones(len(contents), dtype=bool)
+        valid = np.ones(n_rows, dtype=bool)
         error_rows: list = []
         if self.config.validate:
             from solr_indexer_ray.stages.validate import validate_row
@@ -268,7 +309,7 @@ class UnitIndexer:
             repos = table["repo"].to_pylist()
             paths = table["path"].to_pylist()
             commits = table["commit"].to_pylist()
-            for i in range(len(contents)):
+            for i in range(n_rows):
                 st, msg = validate_row(
                     repos[i], paths[i], commits[i], int(doclens[i])
                 )
@@ -287,7 +328,7 @@ class UnitIndexer:
         # stream; positions fall out of the same sort (stable -> ascending
         # token position within each run).  No per-posting Python.
         dpr = self.config.docs_per_range
-        ndocs = len(contents)
+        ndocs = n_rows
         tid_parts, idx_parts, pos_parts = [], [], []
         for s_tids, s_dl in streams:  # content first, then analyzed fields
             s_dl64 = s_dl.astype(np.int64)
@@ -575,7 +616,7 @@ class UnitIndexer:
             },
             "outputs": [docs_rel, *post_rels],
             "n_docs": int(valid.sum()),
-            "n_rows": len(contents),
+            "n_rows": n_rows,
             "n_failed": len(error_rows),
             "sum_dl": int(doclens[valid].sum()),
             # per-analyzed-field partials: sumTotalLength + docCount

@@ -4437,6 +4437,8 @@ class RangeScorer:
                     ),
                     excl=(list(batch["excl"][i])
                           if "excl" in batch else ()),
+                    match_all=(bool(batch["match_all"][i])
+                               if "match_all" in batch else False),
                 )
             )
         return pa.Table.from_pylist(
@@ -4455,7 +4457,7 @@ class RangeScorer:
                      field_clauses=(), dismax_clauses=(),
                      field_phrase_groups=(), term_boosts=(),
                      boost_groups=(), func_boosts=(), bq_plans=(),
-                     min_should=0, excl=()):
+                     min_should=0, excl=(), match_all=False):
         cand, scores, lo = self._candidates_range(
             rid, terms, idfs, prohibited, filters, conjunctive,
             phrases, prefix_groups, fuzzy_groups, near_groups, syn_groups,
@@ -4464,6 +4466,7 @@ class RangeScorer:
             spatial_filters, neg_spatial_filters,
             field_clauses, dismax_clauses, field_phrase_groups,
             term_boosts, boost_groups, min_should=min_should,
+            match_all=match_all,
         )
         if len(excl) and cand.size:
             # per-range fq exclusion slice (Solr applies fq on every
@@ -4564,7 +4567,7 @@ class RangeScorer:
                           field_clauses=(), dismax_clauses=(),
                           field_phrase_groups=(), term_boosts=(),
                           boost_groups=(), func_boosts=(), bq_plans=(),
-                          min_should=0):
+                          min_should=0, match_all=False):
         """Range-local match set + scores -> ``(cand_local_ids, scores, lo)``.
 
         ``func_boosts`` and ``bq_plans`` are accepted (the shipped extras
@@ -4608,12 +4611,15 @@ class RangeScorer:
                 "term", "range_id", "doc_ids", "tfs", "positions",
                 "block_last", "block_max_tf", "block_min_norm",
             ]
-        tbl = self._postings.to_table(
-            columns=cols,
-            filter=pc.field("shard").isin(shards)
-            & pc.field("range_id").isin([rid])
-            & pc.field("term").isin(want)
-        )
+        if want:
+            tbl = self._postings.to_table(
+                columns=cols,
+                filter=pc.field("shard").isin(shards)
+                & pc.field("range_id").isin([rid])
+                & pc.field("term").isin(want)
+            )
+        else:  # match-all without prohibited terms: no postings needed
+            tbl = self._postings.schema.empty_table()
         rows = {tbl["term"][i].as_py(): i for i in range(tbl.num_rows)}
 
         width = hi - lo
@@ -4812,7 +4818,12 @@ class RangeScorer:
                 scores[ids] += gw
                 if seen is not None:
                     seen[ids] += 1
-        if seen is not None:
+        if match_all:
+            # match-all / pure-filter shape: every doc present in this
+            # range is a candidate at score 0.0 (Solr *:* semantics);
+            # prohibitions + filters below subtract from it
+            cand = np.sort(dtab["doc_id"].to_numpy() - lo)
+        elif seen is not None:
             # conjunctive: every shipped clause; mm: the driver-resolved
             # optional-clause minimum (same per-range gating — each doc
             # lives in exactly one range, so local counts are global)
@@ -5354,6 +5365,103 @@ def export_matches(index_dir: str, query: str, dest: str, fl=None,
     return {"dest": os.fspath(dest), "n_docs": int(ids.size)}
 
 
+def _search_partitioned_match_all(engine: SearchEngine, parsed,
+                                  index_dir: str, k: int, fq) -> pa.Table:
+    """Distributed match-all / pure-filter query (formerly a single-engine
+    fallback): every range returns its first-k live docs at score 0.0
+    after applying the shipped filter recipe; the driver k-way merges by
+    doc id — the same order the single engine produces for score ties."""
+    import json
+
+    import ray.data as rd
+
+    extras = list(_exclusion_extras(engine, parsed)) + [
+        [], [], [], [], [], [], [],
+    ]
+    dpr = int(engine.stats["docs_per_range"])
+    n_ranges = (engine.doc_space + dpr - 1) // dpr
+    excl_map = _fq_excluded_by_range(engine, fq, dpr)
+    for d_ in engine.tombstones:
+        excl_map.setdefault(d_ // dpr, []).append(int(d_))
+    items = [
+        {
+            "range_id": r,
+            "terms": [],
+            "idfs": [],
+            "prohibited": sorted(set(parsed.prohibited)),
+            "filter_keys": sorted(parsed.filters),
+            "filter_vals": [parsed.filters[f] for f in sorted(parsed.filters)],
+            "conjunctive": False,
+            "min_should": 0,
+            "match_all": True,
+            "extras_json": json.dumps(extras),
+            "excl": sorted(set(excl_map.get(r, ()))),
+        }
+        for r in range(n_ranges)
+    ]
+
+    def run(batch: dict) -> pa.Table:
+        return RangeScorer(index_dir, k)(batch)
+
+    partials = (
+        rd.from_items(items)
+        .map_batches(run, batch_size=1, batch_format="numpy", num_cpus=1)
+        .take_all()
+    )
+    partials.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    top = partials[:k]
+    return pa.Table.from_pylist(
+        top, schema=pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    )
+
+
+def _exclusion_extras(engine: SearchEngine, parsed: ParsedQuery) -> tuple:
+    """The per-range dead-mask recipe (negative / range / spatial filters
+    + prohibited expansion/positional clauses), in the wire shape the
+    ``RangeScorer`` extras bundle carries — shared by the scored
+    distributed path and the distributed match-all path."""
+    for rf in (*parsed.range_filters, *parsed.neg_range_filters):
+        engine._range_expr(rf)  # eager bound validation (driver-side raise)
+    neg_filters = [[f, v] for f, v in sorted(parsed.neg_filters.items())]
+    range_filters = [_rf_to_dict(rf) for rf in parsed.range_filters]
+    neg_range_filters = [_rf_to_dict(rf) for rf in parsed.neg_range_filters]
+    prohibited_groups = []
+    for pre in sorted(set(parsed.prohibited_prefixes)):
+        g = engine.expand_prefix(pre)
+        if g:
+            prohibited_groups.append(g)
+    for pat in sorted(set(parsed.prohibited_wildcards)):
+        g = engine.expand_pattern(pat)
+        if g:
+            prohibited_groups.append(g)
+    for fz in sorted(set(parsed.prohibited_fuzzies)):
+        g = engine.expand_fuzzy(*fz)
+        if g:
+            prohibited_groups.append(g)
+    for fld, term in sorted(set(parsed.prohibited_field_terms)):
+        # field-prefixed terms live in the shared postings structure, so
+        # a singleton exclusion group is the whole recipe
+        prohibited_groups.append([f"{fld}\x1f{term}"])
+    prohibited_pos = [
+        [list(ph), -1] for ph in sorted(map(tuple, parsed.prohibited_phrases))
+    ] + [
+        [list(nt), int(slop)]
+        for nt, slop in sorted(set(parsed.prohibited_near))
+    ] + [
+        # prohibited FIELD phrases: prefixed members, the positional
+        # matcher is field-agnostic (exclusion needs no stats)
+        [[f"{fld}\x1f{t}" for t in ph], -1]
+        for fld, ph in sorted(set(parsed.prohibited_field_phrases))
+    ]
+    for sf in (*parsed.spatial_filters, *parsed.neg_spatial_filters):
+        engine._spatial_expr(sf)  # eager column validation (driver-side)
+    spatial_filters = [_sf_to_list(sf) for sf in parsed.spatial_filters]
+    neg_spatial_filters = [_sf_to_list(sf) for sf in parsed.neg_spatial_filters]
+    return (neg_filters, range_filters, neg_range_filters,
+            prohibited_groups, prohibited_pos,
+            spatial_filters, neg_spatial_filters)
+
+
 def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
                          query: str = ""):
     """Driver-side clause preparation shared by the distributed query and
@@ -5584,44 +5692,11 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         idfs.append(engine.idf(postings[t].df))
         term_boosts.append(float(parsed.boosts.get(t, 1.0)))
     # negative / range filters + prohibited expansion/positional clauses
-    # ship as the per-range dead-mask recipe (extras bundle)
-    for rf in (*parsed.range_filters, *parsed.neg_range_filters):
-        engine._range_expr(rf)  # eager bound validation (driver-side raise)
-    neg_filters = [[f, v] for f, v in sorted(parsed.neg_filters.items())]
-    range_filters = [_rf_to_dict(rf) for rf in parsed.range_filters]
-    neg_range_filters = [_rf_to_dict(rf) for rf in parsed.neg_range_filters]
-    prohibited_groups = []
-    for pre in sorted(set(parsed.prohibited_prefixes)):
-        g = engine.expand_prefix(pre)
-        if g:
-            prohibited_groups.append(g)
-    for pat in sorted(set(parsed.prohibited_wildcards)):
-        g = engine.expand_pattern(pat)
-        if g:
-            prohibited_groups.append(g)
-    for fz in sorted(set(parsed.prohibited_fuzzies)):
-        g = engine.expand_fuzzy(*fz)
-        if g:
-            prohibited_groups.append(g)
-    for fld, term in sorted(set(parsed.prohibited_field_terms)):
-        # field-prefixed terms live in the shared postings structure, so
-        # a singleton exclusion group is the whole recipe
-        prohibited_groups.append([f"{fld}\x1f{term}"])
-    prohibited_pos = [
-        [list(ph), -1] for ph in sorted(map(tuple, parsed.prohibited_phrases))
-    ] + [
-        [list(nt), int(slop)]
-        for nt, slop in sorted(set(parsed.prohibited_near))
-    ] + [
-        # prohibited FIELD phrases: prefixed members, the positional
-        # matcher is field-agnostic (exclusion needs no stats)
-        [[f"{fld}\x1f{t}" for t in ph], -1]
-        for fld, ph in sorted(set(parsed.prohibited_field_phrases))
-    ]
-    for sf in (*parsed.spatial_filters, *parsed.neg_spatial_filters):
-        engine._spatial_expr(sf)  # eager column validation (driver-side)
-    spatial_filters = [_sf_to_list(sf) for sf in parsed.spatial_filters]
-    neg_spatial_filters = [_sf_to_list(sf) for sf in parsed.neg_spatial_filters]
+    # ship as the per-range dead-mask recipe (extras bundle) — shared with
+    # the distributed match-all path
+    (neg_filters, range_filters, neg_range_filters, prohibited_groups,
+     prohibited_pos, spatial_filters, neg_spatial_filters) = \
+        _exclusion_extras(engine, parsed)
     # function-query boosts (bf/boost): the parsed ASTs are JSON-able
     # nested lists; referenced-field overlays (atomic updates) ship along
     # so range tasks score the same values the single engine reads
@@ -5930,22 +6005,23 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
         )
 
     if has_group_syntax(query or ""):
-        if fq is not None:
-            # grouped boolean + fq: single-engine path (the clause-tree
-            # plan has no exclusion slot; fq is a pure restriction, so
-            # semantics are unchanged)
-            return engine.search(query, k=k, fl=["doc_id"], fq=fq)
         ast = engine._parse_bool(query)
         tree = (
             _compile_bool_tree(engine, ast) if ast is not None else None
         )
         if tree is None:
-            return engine.search(query, k=k)
+            return engine.search(query, k=k, fq=fq)
         dpr_b = int(engine.stats["docs_per_range"])
         n_ranges = (engine.doc_space + dpr_b - 1) // dpr_b
         tombs_b: dict = {}
         for d_ in engine.tombstones:
             tombs_b.setdefault(d_ // dpr_b, []).append(d_)
+        # fq rides the same per-range exclusion slot as tombstones (Solr
+        # applies fq on every shard) — the former single-engine fallback
+        for r_, ids_ in _fq_excluded_by_range(engine, fq, dpr_b).items():
+            cur = set(tombs_b.get(r_, ()))
+            cur.update(int(x) for x in ids_)
+            tombs_b[r_] = sorted(cur)
         items = [
             {"range_id": r, "tree_json": json.dumps(tree),
              "excl": sorted(tombs_b.get(r, []))}
@@ -5972,7 +6048,23 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
 
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
-        # match-all / rare negative-clause forms: single-engine path
+        pos_exclusions = (
+            parsed.prohibited_phrases or parsed.prohibited_near
+            or parsed.prohibited_field_phrases
+        )
+        if (
+            parsed.scoring_clauses == 0
+            and (engine.has_positions or not pos_exclusions)
+            and not any((pf, pf2, pf3, bf, boost, bq))
+        ):
+            # match-all / pure-filter: distribute as per-range
+            # first-k at score 0.0 through the same filter machinery
+            return _search_partitioned_match_all(
+                engine, parsed, index_dir, k, fq
+            )
+        # remaining single-engine shapes: positional exclusions on a
+        # non-positional index (the engine raises its clear rebuild
+        # error) and match-all combined with score-shaping params
         return engine.search(query, k=k, mm=mm, pf=pf, ps=ps,
                              pf2=pf2, pf3=pf3, bf=bf, boost=boost,
                              bq=bq, fq=fq)

@@ -907,31 +907,75 @@ def component_dropped_ids(pair_rows) -> set:
 DRIVER_CC_MAX_PAIRS = 200_000
 
 
-def distributed_dropped_ids(pairs, num_partitions: int = 16,
-                            max_rounds: int = 100):
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _fold_sorted_labels(t: pa.Table) -> pa.Table:
+    """Per-block min-fold of a node-SORTED (node, label, is_self) message
+    table: one row per node segment with the new label (min over all
+    messages), the old label (min over self rows), and a ``suspect`` flag
+    on the block's first/last segments — the only segments a block
+    boundary can split (fixed up exactly by the tiny cross-block
+    correction pass in :func:`distributed_dropped_ids`)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "old": pa.array([], pa.int64()),
+                "suspect": pa.array([], pa.bool_()),
+            }
+        )
+    nodes = t["node"].to_numpy()
+    labs = t["label"].to_numpy()
+    selfs = t["is_self"].to_numpy().astype(bool)
+    b = np.empty(nodes.size, dtype=bool)
+    b[0] = True
+    np.not_equal(nodes[1:], nodes[:-1], out=b[1:])
+    st = np.flatnonzero(b)
+    new = np.minimum.reduceat(labs, st)
+    old = np.minimum.reduceat(np.where(selfs, labs, _I64_MAX), st)
+    suspect = np.zeros(st.size, dtype=bool)
+    suspect[0] = True
+    suspect[-1] = True
+    return pa.table(
+        {
+            "node": nodes[st],
+            "label": new,
+            "old": old,
+            "suspect": suspect,
+        }
+    )
+
+
+def distributed_dropped_ids(pairs, max_rounds: int = 100):
     """Distributed connected components over a near-dup pair Dataset:
     iterative min-label propagation, entirely in Ray Data — the pair set
     NEVER materializes on the driver.
 
-    Per round: a hash ``join`` attaches each node's current label to its
+    Per round: an ATTACH pass copies each node's current label onto its
     outgoing (symmetric) edges, producing a (neighbour, label) message
-    per edge; a ``groupby(node).aggregate(Min)`` folds incoming messages
-    with the node's own label.  Labels are monotone non-increasing, so
-    ``changed = (min incoming neighbour label) < (own label)`` summed per
-    round detects the fixpoint with a scalar aggregate — no driver-side
-    graph state, only per-round O(1) control flow.
+    per edge, and a FOLD pass takes the min incoming label per node.
+    Both are ``sort("node")`` + a vectorized per-block segment pass
+    (``np.minimum.reduceat`` / ``np.repeat``) — ~20x faster than
+    ``groupby().aggregate(Min)`` at the same row count, and no
+    ``Dataset.join`` (Ray 2.49's hash join mis-handles empty
+    partitions).  A block boundary can split at most one node segment
+    per block edge, so each pass flags its first/last segments and a
+    driver-side correction folds just those O(blocks) rows — never
+    O(pairs) driver state.
 
-    Convergence is O(component diameter) rounds; LSH dup components are
-    near-cliques / hub stars (``clique_cap`` emits hub pairs), so the
-    diameter is small in practice — ``max_rounds`` is a guard, not a
-    budget.
+    Labels are monotone non-increasing, so ``changed = new < old`` summed
+    per round detects the fixpoint with a scalar aggregate.  Convergence
+    is O(component diameter) rounds; LSH dup components are near-cliques
+    / hub stars (``clique_cap`` emits hub pairs), so the diameter is
+    small in practice — ``max_rounds`` is a guard, not a budget.
 
     Returns a Dataset with one column ``doc_id``: the ids to DROP (every
     component member except the component-min id — the same survivor
     rule as :func:`component_dropped_ids`).
     """
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t["id_a"].combine_chunks()
@@ -949,70 +993,232 @@ def distributed_dropped_ids(pairs, num_partitions: int = 16,
         .materialize()
     )
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        u = np.unique(t["node"].to_numpy())
-        return pa.table({"node": u, "label": u})
+    def _self_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": t["label"],
+                "is_self": pa.array(
+                    np.ones(t.num_rows, dtype=bool)
+                ),
+            }
+        )
 
-    # per-block unique is enough: duplicate (node, node) rows across
-    # blocks fold away under the Min aggregate below
-    labels = edges.map_batches(
-        init_labels, batch_format="pyarrow"
-    ).groupby("node").aggregate(Min("label")).map_batches(
-        lambda t: t.rename_columns(["node", "label"]),
-        batch_format="pyarrow",
-    ).materialize()
+    def _fold(msg_ds):
+        """Exact distributed min-fold -> materialized (node, label,
+        changed) labels dataset; only O(blocks) suspect rows touch the
+        driver."""
+        import ray
 
-    for _ in range(max_rounds):
-        # messages: label(u) -> every neighbour of u, via one hash join
-        msgs = edges.join(
-            labels, "inner", num_partitions, on=("node",)
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t["nbr"],
-                    "nbr_label": t["label"],
-                    "self_label": pa.nulls(t.num_rows, pa.int64()),
-                }
-            ),
+        folded = (
+            msg_ds.sort("node")
+            .map_batches(_fold_sorted_labels, batch_format="pyarrow")
+            .materialize()
+        )
+        clean = folded.map_batches(
+            lambda t: t.filter(pc.invert(t["suspect"])),
             batch_format="pyarrow",
         )
-        own = labels.map_batches(
+        # suspects: <= 2 segments per block — the reference-precedent
+        # scale of driver-collected state (tiny, like the parent-id set)
+        sus = pa.concat_tables(
+            [t for t in ray.get(
+                folded.map_batches(
+                    lambda t: t.filter(t["suspect"]),
+                    batch_format="pyarrow",
+                ).to_arrow_refs()
+            ) if t.num_rows]
+            or [_fold_sorted_labels(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64()),
+                 "is_self": pa.array([], pa.bool_())}))]
+        )
+        out_parts = [clean]
+        if sus.num_rows:
+            n = sus["node"].to_numpy()
+            l = sus["label"].to_numpy()
+            o = sus["old"].to_numpy()
+            order = np.argsort(n, kind="stable")
+            n, l, o = n[order], l[order], o[order]
+            bb = np.empty(n.size, dtype=bool)
+            bb[0] = True
+            np.not_equal(n[1:], n[:-1], out=bb[1:])
+            st = np.flatnonzero(bb)
+            fixed = pa.table(
+                {
+                    "node": n[st],
+                    "label": np.minimum.reduceat(l, st),
+                    "old": np.minimum.reduceat(o, st),
+                    "suspect": np.zeros(st.size, dtype=bool),
+                }
+            )
+            out_parts.append(rd.from_arrow(fixed))
+        labels = out_parts[0] if len(out_parts) == 1 else \
+            out_parts[0].union(*out_parts[1:])
+        return labels.map_batches(
             lambda t: pa.table(
                 {
                     "node": t["node"],
-                    "nbr_label": pa.nulls(t.num_rows, pa.int64()),
-                    "self_label": t["label"],
+                    "label": t["label"],
+                    "changed": pc.cast(
+                        pc.less(t["label"], t["old"]), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    # round 0: label(v) = min(v, neighbours of v)
+    labels = _fold(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "label": t["nbr"],
+                    "is_self": pa.array(
+                        np.zeros(t.num_rows, dtype=bool)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "label": t["node"],
+                        "is_self": pa.array(
+                            np.ones(t.num_rows, dtype=bool)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    )
+
+    def _attach(lab_cols):
+        """Label-attach WITHOUT Dataset.join (Ray 2.49's hash join
+        mis-handles empty partitions): union label rows with edge rows,
+        sort by node, then one vectorized pass per block repeats each
+        node's label onto its edge rows — block-boundary segments are
+        resolved by a tiny O(blocks) driver correction collected in a
+        first pass (the label row of a boundary node may sit in the
+        adjacent block)."""
+        import ray
+
+        edge_rows = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "nbr": t["nbr"],
+                    "label": pa.nulls(t.num_rows, pa.int64()),
                 }
             ),
             batch_format="pyarrow",
         )
-        folded = (
-            msgs.union(own)
-            .groupby("node")
-            .aggregate(Min("nbr_label"), Min("self_label"))
+        lab_rows = lab_cols.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t["label"],
+                }
+            ),
+            batch_format="pyarrow",
         )
+        mixed = edge_rows.union(lab_rows).sort("node").materialize()
 
-        def step(t: pa.Table) -> pa.Table:
-            nbr = t["min(nbr_label)"].to_numpy(zero_copy_only=False)
-            self_ = t["min(self_label)"].to_numpy(zero_copy_only=False)
-            nbr = np.where(np.isnan(nbr), self_, nbr) if \
-                nbr.dtype.kind == "f" else nbr
-            new = np.minimum(nbr, self_).astype(np.int64)
-            changed = (new < self_.astype(np.int64)).astype(np.int64)
+        def boundary_candidates(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64())}
+                )
+            nodes = t["node"].to_numpy()
+            lab = pc.fill_null(t["label"], _I64_MAX).combine_chunks() \
+                .to_numpy()
+            b = np.empty(nodes.size, dtype=bool)
+            b[0] = True
+            np.not_equal(nodes[1:], nodes[:-1], out=b[1:])
+            st = np.flatnonzero(b)
+            mins = np.minimum.reduceat(lab, st)
+            sel = np.unique([0, st.size - 1])
+            return pa.table(
+                {"node": nodes[st[sel]], "label": mins[sel]}
+            )
+
+        bnd = pa.concat_tables(
+            [tb for tb in ray.get(
+                mixed.map_batches(
+                    boundary_candidates, batch_format="pyarrow"
+                ).to_arrow_refs()
+            ) if tb.num_rows]
+            or [pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})]
+        )
+        if bnd.num_rows:
+            bn = bnd["node"].to_numpy()
+            bl = bnd["label"].to_numpy()
+            order = np.argsort(bn, kind="stable")
+            bn, bl = bn[order], bl[order]
+            bb = np.empty(bn.size, dtype=bool)
+            bb[0] = True
+            np.not_equal(bn[1:], bn[:-1], out=bb[1:])
+            bst = np.flatnonzero(bb)
+            corr_nodes = bn[bst]
+            corr_labels = np.minimum.reduceat(bl, bst)
+        else:
+            corr_nodes = np.empty(0, np.int64)
+            corr_labels = np.empty(0, np.int64)
+        corr_ref = ray.put((corr_nodes, corr_labels))
+
+        def emit(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64()),
+                     "is_self": pa.array([], pa.bool_())}
+                )
+            cn, cl = ray.get(corr_ref)
+            nodes = t["node"].to_numpy()
+            lab = pc.fill_null(t["label"], _I64_MAX).combine_chunks() \
+                .to_numpy()
+            nbr_valid = pc.is_valid(t["nbr"]).to_numpy(
+                zero_copy_only=False
+            )
+            nbr = pc.fill_null(t["nbr"], -1).combine_chunks().to_numpy()
+            b = np.empty(nodes.size, dtype=bool)
+            b[0] = True
+            np.not_equal(nodes[1:], nodes[:-1], out=b[1:])
+            st = np.flatnonzero(b)
+            seg_lab = np.minimum.reduceat(lab, st)
+            # first/last segments: label row may live in the next block
+            for si in {0, st.size - 1}:
+                j = np.searchsorted(cn, nodes[st[si]])
+                if j < cn.size and cn[j] == nodes[st[si]]:
+                    seg_lab[si] = min(seg_lab[si], cl[j])
+            seg_len = np.diff(np.append(st, nodes.size))
+            row_lab = np.repeat(seg_lab, seg_len)
+            m = nbr_valid
             return pa.table(
                 {
-                    "node": t["node"],
-                    "label": new,
-                    "changed": changed,
+                    "node": nbr[m],
+                    "label": row_lab[m],
+                    "is_self": np.zeros(int(m.sum()), dtype=bool),
                 }
             )
 
-        labels = folded.map_batches(
-            step, batch_format="pyarrow"
-        ).materialize()
+        return mixed.map_batches(emit, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
         if not labels.sum("changed"):
             break
-        labels = labels.select_columns(["node", "label"])
+        lab_cols = labels.select_columns(["node", "label"])
+        msgs = _attach(lab_cols)
+        labels = _fold(msgs.union(lab_cols.map_batches(
+            _self_rows, batch_format="pyarrow"
+        )))
 
     return labels.map_batches(
         lambda t: pa.table(
@@ -1115,7 +1321,13 @@ def dedup_corpus(
         def keep(batch: pa.Table) -> pa.Table:
             d = ray.get(ref)
             ids = batch[id_col].to_numpy()
-            return batch.filter(pa.array(~np.isin(ids, d)))
+            if d.size:
+                pos = np.searchsorted(d, ids)
+                pos[pos == d.size] = 0
+                mask = d[pos] == ids
+            else:
+                mask = np.zeros(ids.size, dtype=bool)
+            return batch.filter(pa.array(~mask))
 
         out = ds.map_batches(keep, batch_format="pyarrow")
     else:

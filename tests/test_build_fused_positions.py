@@ -75,3 +75,22 @@ def test_fused_positional_build_bit_identical(tmp_path, config):
         assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist(), q
         assert ra["score"].to_pylist() == rb["score"].to_pylist(), q
 
+
+def test_sha256_column_matches_python_hashing():
+    """Buffer-sliced sha256 (stage-1 fusion) must equal the reference
+    (c or "").encode() hashing for nulls, unicode, slices and chunks."""
+    import hashlib
+
+    from solr_indexer_ray.pipelines.build import _sha256_column
+
+    col = pa.chunked_array(
+        [pa.array(["abc", None, "", "héllo ✓"]), pa.array(["x" * 4096])]
+    )
+    expected = [
+        hashlib.sha256((c or "").encode("utf-8")).hexdigest()
+        for c in col.to_pylist()
+    ]
+    assert _sha256_column(col) == expected
+    # sliced array (non-zero offset falls back to the pylist path)
+    sl = col.combine_chunks().slice(1, 3)
+    assert _sha256_column(sl) == expected[1:4]

@@ -171,3 +171,58 @@ class TestDistributedTombstones:
             assert s["score"].to_pylist() == p["score"].to_pylist(), q
             for did in top:
                 assert did not in p["doc_id"].to_pylist()
+
+
+class TestDistributedMatchAllAndTreeFq:
+    """r5: the two former single-engine fallbacks now distribute —
+    match-all / pure-filter queries (per-range first-k at score 0.0) and
+    grouped-boolean queries combined with fq (fq rides the per-range
+    exclusion slot)."""
+
+    MATCH_ALL = [
+        ("", None),                       # bare match-all
+        ("lang:python", None),            # pure metadata filter
+        ("-lang:go", None),               # pure negative filter
+        ("doclen:[30 TO 90]", None),      # pure range filter
+        ("", "lang:python"),              # match-all + fq
+        ("-merge", None),                 # pure prohibited term
+    ]
+
+    def test_match_all_distributed_identity(self, didx):
+        from solr_indexer_ray.pipelines.search import search_partitioned
+
+        eng = SearchEngine(didx)
+        for q, fq in self.MATCH_ALL:
+            a = eng.search(q, k=12, fl=["doc_id"], fq=fq)
+            b = search_partitioned(didx, q, k=12, fq=fq)
+            assert b["doc_id"].to_pylist() == a["doc_id"].to_pylist(), (q, fq)
+            assert b["score"].to_pylist() == a["score"].to_pylist(), (q, fq)
+
+    def test_match_all_respects_tombstones(self, didx, tmp_path):
+        import shutil
+
+        from solr_indexer_ray.pipelines.search import search_partitioned
+
+        idx2 = str(tmp_path / "idx2")
+        shutil.copytree(didx, idx2)
+        eng = SearchEngine(idx2)
+        first = eng.search("", k=3, fl=["doc_id"])["doc_id"].to_pylist()
+        mutate.delete_by_id(idx2, first)
+        eng2 = SearchEngine(idx2)
+        a = eng2.search("", k=10, fl=["doc_id"])
+        b = search_partitioned(idx2, "", k=10)
+        assert b["doc_id"].to_pylist() == a["doc_id"].to_pylist()
+        assert not set(first) & set(b["doc_id"].to_pylist())
+
+    def test_grouped_boolean_with_fq_distributed(self, didx):
+        from solr_indexer_ray.pipelines.search import search_partitioned
+
+        eng = SearchEngine(didx)
+        for q, fq in [
+            ("(def OR merge) AND read", "lang:python"),
+            ("(read AND def) OR parse", "doclen:[20 TO 200]"),
+        ]:
+            a = eng.search(q, k=10, fl=["doc_id"], fq=fq)
+            b = search_partitioned(didx, q, k=10, fq=fq)
+            assert b["doc_id"].to_pylist() == a["doc_id"].to_pylist(), (q, fq)
+            assert b["score"].to_pylist() == a["score"].to_pylist(), (q, fq)

@@ -78,6 +78,73 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list:
     return problems
 
 
+def run_sweep(sf_dir: str, only=None, log=print) -> dict:
+    """Run the full queries()-vs-oracle_sql() sweep; returns a result dict
+    per key: {"status": "ok"|"ok_rows_only"|"fail", "rows": n,
+    "seconds": t, "problems": [...]}.
+
+    Importable so the pytest contract_sweep marker and the CLI entry share
+    one implementation; assumes Ray is already initialised (pytest session
+    fixture) or auto-inits lazily via Ray Data.
+    """
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    results: dict = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            log(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            results[name] = {
+                "status": "fail", "rows": None, "seconds": None,
+                "problems": [f"query raised {type(e).__name__}: {e}"],
+            }
+            continue
+        dt = round(time.time() - t0, 2)
+        if name not in sqls:
+            log(f"ok*   {name}: rows={len(mine)} ({dt:.1f}s, rows-only)")
+            results[name] = {
+                "status": "ok_rows_only", "rows": len(mine),
+                "seconds": dt, "problems": [],
+            }
+            continue
+        try:
+            oracle = con.execute(sqls[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            log(f"FAIL  {name}: oracle SQL raised {type(e).__name__}: {e}")
+            results[name] = {
+                "status": "fail", "rows": len(mine), "seconds": dt,
+                "problems": [f"oracle SQL raised {type(e).__name__}: {e}"],
+            }
+            continue
+        problems = compare(name, mine, oracle)
+        if problems:
+            log(f"FAIL  {name}: rows={len(mine)} ({dt:.1f}s)")
+            for p in problems:
+                log(f"      - {p}")
+        else:
+            log(f"ok    {name}: rows={len(mine)} ({dt:.1f}s)")
+        results[name] = {
+            "status": "fail" if problems else "ok",
+            "rows": len(mine), "seconds": dt, "problems": problems,
+        }
+    return results
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -92,47 +159,8 @@ def main() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-
-    sys.path.insert(0, ".")
-    import __ray_entry__ as entrymod
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
-    qs = entrymod.queries()
-    sqls = entrymod.oracle_sql()
-    n_fail = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            mine = to_pandas(fn(sf_dir))
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        dt = time.time() - t0
-        if name not in sqls:
-            print(f"ok*   {name}: rows={len(mine)} ({dt:.1f}s, rows-only)")
-            continue
-        try:
-            oracle = con.execute(sqls[name]).fetchdf()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: oracle SQL raised {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        problems = compare(name, mine, oracle)
-        if problems:
-            n_fail += 1
-            print(f"FAIL  {name}: rows={len(mine)} ({dt:.1f}s)")
-            for p in problems:
-                print(f"      - {p}")
-        else:
-            print(f"ok    {name}: rows={len(mine)} ({dt:.1f}s)")
+    results = run_sweep(sf_dir, only=only)
+    n_fail = sum(1 for r in results.values() if r["status"] == "fail")
     ray.shutdown()
     print("FAILURES:", n_fail)
     return 1 if n_fail else 0
