@@ -55,6 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gml_extent_wkt": c.q_gml_extent_wkt,
         "simhash_dups": c.q_simhash_dups,
         "minhash_dups": c.q_minhash_dups,
+        # r5: survivor selection through the FORCED distributed
+        # connected-components path (min-label propagation) — same
+        # oracle as jaccard_dedup_survivors, new code under it
+        "dedup_survivors_distcc": c.q_dedup_survivors_distcc,
         # --- search-core-dependent surface, last driver-green r1/r2;
         # fills the window so the serving-path caches get re-checked ---
         "mm_topk": c.q_mm_topk,

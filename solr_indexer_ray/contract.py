@@ -1162,6 +1162,33 @@ def q_jaccard_dedup_survivors(sf_dir: str):
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 
 
+def q_dedup_survivors_distcc(sf_dir: str):
+    """Same cleaned-corpus semantics as ``jaccard_dedup_survivors`` but
+    with the DISTRIBUTED connected-components path FORCED
+    (``max_driver_pairs=0`` -> min-label propagation in Ray Data, the
+    100 TB shape; VERDICT r4 item 2) — the driver value-checks that the
+    distributed survivor rule is bit-identical to the union-find oracle."""
+    from solr_indexer_ray.stages.dedup import (
+        near_dedup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _documents(sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3,
+        threshold=0.5, hot_shingle_cap=None,
+    )
+    survivors = near_dedup_survivors(
+        docs, pairs, id_col="doc_id", max_driver_pairs=0
+    )
+    t = pa.Table.from_pylist(
+        survivors.select_columns(["doc_id"]).take_all()
+    )
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
 def q_minhash_dups(sf_dir: str):
     """MinHash+LSH candidates, exact-verified — VALUE-CHECKED against
     ``contract_sql.minhash_dups_sql()``, which replays the whole

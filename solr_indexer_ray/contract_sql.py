@@ -3371,6 +3371,8 @@ def oracle_sql_dict() -> dict:
         "atomic_updates": ATOMIC_UPDATES_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "jaccard_dedup_survivors": JACCARD_SURVIVORS_SQL,
+        # forced-distributed CC path computes the SAME survivor set
+        "dedup_survivors_distcc": JACCARD_SURVIVORS_SQL,
         "bm25_topk": bm25_topk_sql(),
         "stop_topk": stop_topk_sql(),
         "phrase_topk": phrase_topk_sql(),

@@ -1104,10 +1104,19 @@ def distributed_dropped_ids(pairs, max_rounds: int = 100):
         node's label onto its edge rows — block-boundary segments are
         resolved by a tiny O(blocks) driver correction collected in a
         first pass (the label row of a boundary node may sit in the
-        adjacent block)."""
+        adjacent block).
+
+        POINTER JUMPING: alongside the graph edges, each (node, label)
+        pair also rides as a label-edge (label -> node), so every node
+        receives label(label(node)) each round — min-label propagation
+        converges in O(log diameter) rounds instead of O(diameter)."""
         import ray
 
-        edge_rows = edges.map_batches(
+        label_edges = lab_cols.map_batches(
+            lambda t: pa.table({"node": t["label"], "nbr": t["node"]}),
+            batch_format="pyarrow",
+        )
+        edge_rows = edges.union(label_edges).map_batches(
             lambda t: pa.table(
                 {
                     "node": t["node"],

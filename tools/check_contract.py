@@ -146,8 +146,14 @@ def run_sweep(sf_dir: str, only=None, log=print) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -162,6 +168,22 @@ def main() -> int:
     results = run_sweep(sf_dir, only=only)
     n_fail = sum(1 for r in results.values() if r["status"] == "fail")
     ray.shutdown()
+    if json_out:
+        import json as _json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(results),
+            "ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "ok_rows_only": sum(
+                1 for r in results.values()
+                if r["status"] == "ok_rows_only"
+            ),
+            "fail": n_fail,
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(summary, f, indent=1, sort_keys=True)
     print("FAILURES:", n_fail)
     return 1 if n_fail else 0
 
