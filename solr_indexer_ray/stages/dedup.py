@@ -1220,8 +1220,11 @@ def distributed_dropped_ids(pairs, max_rounds: int = 100):
 
         return mixed.map_batches(emit, batch_format="pyarrow")
 
-    for _ in range(max_rounds):
-        if not labels.sum("changed"):
+    for rnd in range(max_rounds):
+        n_changed = labels.sum("changed")
+        _LOG.debug("distributed_cc round %d: %s labels changed",
+                   rnd, n_changed)
+        if not n_changed:
             break
         lab_cols = labels.select_columns(["node", "label"])
         msgs = _attach(lab_cols)

@@ -12,7 +12,11 @@ import ray.data as rd
 import solr_indexer_ray.stages.dedup as dd
 
 SHAPES = {
-    "chain": [(i, i + 1) for i in range(12)],
+    # a 6-chain needs ~4 pointer-jumping rounds — multi-round coverage
+    # without paying tiny-graph Ray-op fixed overhead 12 times (the
+    # distributed path exists for >200k-pair graphs; below the threshold
+    # production traffic takes the driver union-find anyway)
+    "chain": [(i, i + 1) for i in range(6)],
     "star": [(0, i) for i in range(1, 9)],
     "two_cliques": (
         [(a, b) for a in range(4) for b in range(a + 1, 4)]
