@@ -226,3 +226,23 @@ class TestDistributedMatchAllAndTreeFq:
             b = search_partitioned(didx, q, k=10, fq=fq)
             assert b["doc_id"].to_pylist() == a["doc_id"].to_pylist(), (q, fq)
             assert b["score"].to_pylist() == a["score"].to_pylist(), (q, fq)
+
+    def test_remaining_fallback_is_positional_rebuild_error(self, tmp_path,
+                                                            ray_session):
+        """The one inherently single-engine shape left: a positional
+        exclusion on a NON-positional index — distributed must surface
+        the same clear rebuild error the single engine raises."""
+        import pyarrow.parquet as pq2
+        import pytest as _pytest
+
+        from solr_indexer_ray.pipelines.build import build_index as _bi
+        from solr_indexer_ray.pipelines.search import search_partitioned
+        from solr_indexer_ray.sources.corpus import generate_corpus as _gc
+
+        pq2.write_table(_gc(40, seed=3, mean_tokens=20),
+                        str(tmp_path / "c.parquet"))
+        idx = str(tmp_path / "idx_nopos")
+        _bi(str(tmp_path / "c.parquet"), idx,
+            config=IndexConfig(docs_per_range=64))
+        with _pytest.raises(ValueError, match="store_positions"):
+            search_partitioned(idx, '-"def index"', k=5)
