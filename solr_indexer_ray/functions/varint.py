@@ -21,17 +21,38 @@ def varint_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbits = np.frexp(v.astype(np.float64))[1]  # exact for < 2**53
-    nbytes = np.maximum((nbits + 6) // 7, 1).astype(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
-    max_len = int(nbytes.max())
-    for j in range(max_len):
+    vmax = int(v.max())
+    if vmax < 0x80:
+        # all-1-byte fast path: one cast, no length bookkeeping (dense
+        # gap streams and most position deltas land here)
+        return v.astype(np.uint8).tobytes()
+    # bytes per value by threshold comparisons — only as many passes as
+    # the LARGEST value needs (no float frexp conversion), and uint8
+    # bookkeeping throughout: fresh page-faulted allocations dominate
+    # kernel cost on this class of host, so intermediates stay 1 byte
+    # per value wherever the math allows
+    nbytes = np.ones(v.size, dtype=np.uint8)
+    max_len = 1
+    bound = 0x80
+    while bound <= vmax:
+        nbytes += v >= bound
+        bound <<= 7
+        max_len += 1
+    offsets = np.cumsum(nbytes, dtype=np.int64)
+    total = int(offsets[-1])
+    offsets -= nbytes  # in-place: reuse the cumsum buffer
+    out = np.zeros(total, dtype=np.uint8)
+    # first byte of EVERY value: low-byte cast (== & 0x7F after masking)
+    first = v.astype(np.uint8)
+    first &= 0x7F
+    first |= (nbytes > 1).view(np.uint8) << np.uint8(7)
+    out[offsets] = first
+    for j in range(1, max_len):
         m = nbytes > j
-        chunk = (v[m] >> _SHIFTS[j]) & np.uint64(0x7F)
-        cont = np.where(nbytes[m] - 1 > j, 0x80, 0).astype(np.uint64)
-        out[offsets[m] + j] = (chunk | cont).astype(np.uint8)
+        chunk = (v[m] >> _SHIFTS[j]).astype(np.uint8)
+        chunk &= 0x7F
+        chunk |= (nbytes[m] - np.uint8(1) > j).view(np.uint8) << np.uint8(7)
+        out[offsets[m] + j] = chunk
     return out.tobytes()
 
 
