@@ -423,9 +423,18 @@ class ScoringModel:
     Implementations provide ``idf(n_docs, df)`` and ``impact(tf, K)`` where
     ``K = k1·(1 − b + b·dl/avgdl)`` is precomputed by the engine.  The
     default is Lucene BM25; registry keyed by name.
+
+    ``impact_monotone_in_tf`` declares that ``impact`` is nondecreasing in
+    ``tf`` at fixed ``K`` — the same contract Lucene's impact/block-max
+    machinery assumes of every Similarity.  The phrase/proximity top-k
+    pruner relies on it (phrase tf is bounded by the member tfs, so a
+    monotone impact yields a sound score upper bound); a custom model
+    whose impact can DECREASE as tf grows must set it False to keep
+    rank-exact results (it then scores without pruning).
     """
 
     name = "bm25"
+    impact_monotone_in_tf = True
 
     def idf(self, n_docs: int, df: int) -> float:
         return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -464,7 +473,8 @@ class TermPostings:
 
     __slots__ = ("term", "df", "cf", "doc_ids", "tfs",
                  "block_last", "block_max_tf", "block_min_norm", "score_vec",
-                 "block_ub_vec", "pos_flat", "pos_offsets", "pos_raw")
+                 "block_ub_vec", "pos_flat", "pos_offsets", "pos_raw",
+                 "lazy_decoded")
 
     def __init__(self, term, df, cf, doc_ids, tfs,
                  block_last, block_max_tf, block_min_norm,
@@ -493,6 +503,12 @@ class TermPostings:
         #: continuation bits — one vectorized cumsum over the blob, no
         #: value materialization.
         self.pos_raw = pos_raw
+        #: cumulative count of postings decoded through the lazy path —
+        #: once repeated (chunked) phrase queries have paid for half the
+        #: stream piecemeal, the hybrid flip below decodes the rest once
+        #: and caches, so HOT terms converge to the cheap pos_flat gather
+        #: while rarely-phrased terms never pay a full decode.
+        self.lazy_decoded = 0
 
     def positions_for(self, ti, lengths):
         """Flat positions of postings ``ti`` (sorted indices into this
@@ -503,9 +519,11 @@ class TermPostings:
                                        lengths)
             return flat
         # hybrid: when a call touches most of the postings anyway (common
-        # term in a common phrase), decode the whole stream ONCE and cache
-        # it — repeated queries then gather from pos_flat like the old
-        # eager path, and the lazy path never does worse than it.
+        # term in a common phrase), or the lazy path has cumulatively
+        # re-decoded that much across calls, decode the whole stream ONCE
+        # and cache it — repeated queries then gather from pos_flat like
+        # the old eager path, and the lazy path never does much worse.
+        self.lazy_decoded += ti.size
         if ti.size * 2 > self.tfs.size:
             from solr_indexer_ray.functions.varint import decode_positions
 
@@ -841,24 +859,31 @@ class SearchEngine:
             filter=pc.field("shard").isin(shards) & pc.field("term").isin(terms),
         )
         by_term: dict = {}
+        term_l = tbl["term"].to_pylist()
+        range_l = tbl["range_id"].to_pylist()
+        docids_l = tbl["doc_ids"].to_pylist()
+        tfsb_l = tbl["tfs"].to_pylist()
+        bl_l = tbl["block_last"].to_pylist()
+        bmt_l = tbl["block_max_tf"].to_pylist()
+        bmn_l = tbl["block_min_norm"].to_pylist()
+        pos_l = tbl["positions"].to_pylist() if with_positions else None
         for i in range(tbl.num_rows):
-            term = tbl["term"][i].as_py()
-            tfs_i = varint_decode(tbl["tfs"][i].as_py()).astype(np.int64)
+            tfs_i = varint_decode(tfsb_l[i]).astype(np.int64)
             row = [
-                tbl["range_id"][i].as_py(),
-                decode_doc_ids(tbl["doc_ids"][i].as_py()),
+                range_l[i],
+                decode_doc_ids(docids_l[i]),
                 tfs_i,
-                np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
-                np.asarray(tbl["block_max_tf"][i].as_py(), dtype=np.int64),
-                np.asarray(tbl["block_min_norm"][i].as_py(), dtype=np.int64),
+                np.asarray(bl_l[i], dtype=np.int64),
+                np.asarray(bmt_l[i], dtype=np.int64),
+                np.asarray(bmn_l[i], dtype=np.int64),
             ]
             if with_positions:
                 # LAZY: keep the raw delta-varint blob; positions_for()
                 # decodes only the candidate postings a phrase/near match
                 # actually inspects (a common member term never pays an
                 # O(total positions) decode).
-                row.append(tbl["positions"][i].as_py() or b"")
-            by_term.setdefault(term, []).append(tuple(row))
+                row.append(pos_l[i] or b"")
+            by_term.setdefault(term_l[i], []).append(tuple(row))
         out = {}
         for term, rows in by_term.items():
             rows.sort(key=lambda r: r[0])  # doc-range order -> global order
@@ -2218,6 +2243,9 @@ class SearchEngine:
             )
 
     def _score_taat(self, parsed, postings, excluded, k, after=None):
+        pruned = self._score_phrase_pruned(parsed, excluded, k, after)
+        if pruned is not None:
+            return pruned
         arrays = self._match_score_arrays(parsed, postings, excluded,
                                           after=after)
         if arrays is None:
@@ -2226,6 +2254,124 @@ class SearchEngine:
         if cand.size == 0:
             return []
         return _select_topk(cand, s, k)
+
+    def _score_phrase_pruned(self, parsed, excluded, k, after=None):
+        """Exact top-k for a PURE single-phrase / single-proximity query
+        without decoding positions for most candidates.
+
+        The score of a phrase match is ``w · impact(phrase_tf, K)`` and
+        ``impact`` is nondecreasing in tf (``ScoringModel`` contract), so
+        each candidate doc in the member-term conjunction has a sound
+        upper bound from data already decoded: ``phrase_tf ≤ min(member
+        tfs)`` (every distinct phrase start consumes a distinct position
+        of every member slot) and ``near_tf ≤ tf(first term)`` (match
+        starts are distinct first-term positions; later positions CAN be
+        shared between chains, so the min is NOT a near bound).
+        Candidates verify positions in descending-UB chunks; iteration
+        stops when the running k-th score strictly beats the next chunk's
+        best bound — a remaining doc can then at best tie a kept score
+        while every kept doc with that score stays, so the (-score,
+        doc_id) ranking is bit-identical to the unpruned path (tested
+        A/B).  Returns None when the query shape doesn't qualify (the
+        caller falls through to the dense TAAT scorer).
+        """
+        if (
+            parsed.min_should > 1 or parsed.terms or parsed.prefixes
+            or parsed.wildcards or parsed.fuzzies or parsed.field_terms
+            or parsed.field_phrases or parsed.dismax
+            or parsed.boost_phrases or parsed.boost_funcs
+            or parsed.mult_funcs or parsed.boost_queries
+            or len(parsed.phrases) + len(parsed.near_phrases) != 1
+            or not getattr(type(self.scoring),
+                           "impact_monotone_in_tf", False)
+        ):
+            return None
+        if parsed.phrases:
+            phrase = list(parsed.phrases[0])
+            slop = None
+            boost = parsed.phrase_boosts.get(tuple(phrase))
+        else:
+            near = parsed.near_phrases[0]
+            phrase = list(near[0])
+            slop = int(near[1])
+            boost = parsed.near_boosts.get(near)
+        postings = self.lookup_postings(phrase, with_positions=True)
+        if any(t not in postings for t in phrase):
+            return []
+        w = float(sum(self.idf(postings[t].df) for t in phrase))
+        if boost is not None:
+            w *= boost
+        uniq = list(dict.fromkeys(phrase))
+        docs = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            docs = np.intersect1d(docs, postings[t].doc_ids,
+                                  assume_unique=True)
+            if docs.size == 0:
+                return []
+        if excluded is not None:
+            docs = docs[~excluded[docs]]
+            if docs.size == 0:
+                return []
+        ti = {}
+        ub_tf = None
+        for t in uniq:
+            tp = postings[t]
+            idx = np.searchsorted(tp.doc_ids, docs)
+            ti[t] = idx
+            tfs = tp.tfs[idx]
+            if slop is None:
+                ub_tf = tfs if ub_tf is None else np.minimum(ub_tf, tfs)
+            elif t == phrase[0]:
+                ub_tf = tfs
+        ub = w * self.scoring.impact(
+            ub_tf.astype(np.float64), self._norm_factor(self.norms[docs])
+        )
+        order = np.argsort(-ub, kind="stable")
+        kept_docs = np.empty(0, np.int64)
+        kept_scores = np.empty(0, np.float64)
+        chunk = max(32 * k, 4096)
+        pos = 0
+        n = docs.size
+        while pos < n:
+            if kept_docs.size >= k:
+                kth = -np.partition(-kept_scores, k - 1)[k - 1]
+                if ub[order[pos]] < kth:
+                    break
+                # compact: anything strictly under the k-th score can
+                # never be selected (boundary ties keep every equal)
+                keep = kept_scores >= kth
+                kept_docs, kept_scores = kept_docs[keep], kept_scores[keep]
+            take = order[pos:pos + chunk]
+            pos += take.size
+            chunk *= 4
+            take.sort()  # docs[take] ascending — the matcher's contract
+            sub_docs = docs[take]
+            segments = {}
+            for t in uniq:
+                tp = postings[t]
+                sub_ti = ti[t][take]
+                lengths = tp.tfs[sub_ti]
+                segments[t] = (tp.positions_for(sub_ti, lengths), lengths)
+            if slop is None:
+                out_docs, freqs = _phrase_freqs(sub_docs, segments, phrase)
+            else:
+                out_docs, freqs = _near_freqs(sub_docs, segments, phrase,
+                                              slop)
+            if out_docs.size == 0:
+                continue
+            sc = w * self.scoring.impact(
+                freqs.astype(np.float64),
+                self._norm_factor(self.norms[out_docs]),
+            )
+            if after is not None:
+                cs, cid = after
+                m = (sc < cs) | ((sc == cs) & (out_docs > cid))
+                out_docs, sc = out_docs[m], sc[m]
+                if out_docs.size == 0:
+                    continue
+            kept_docs = np.concatenate([kept_docs, out_docs])
+            kept_scores = np.concatenate([kept_scores, sc])
+        return _select_topk(kept_docs, kept_scores, k)
 
     def _match_score_arrays(self, parsed, postings, excluded,
                             after=None):

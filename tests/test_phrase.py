@@ -437,3 +437,112 @@ class TestPhraseFields:
             e.search("parse read", pf="content^2", sort="doc_id asc")
         with pytest.raises(ValueError, match="dismax"):
             e.search("(parse OR read) merge", pf="content^2")
+
+
+class TestPrunedPhraseTopk:
+    """The single-phrase/near UB-pruned top-k (``_score_phrase_pruned``)
+    must be bit-identical to the dense TAAT path it short-circuits.
+
+    The pruner's soundness argument: ``impact`` is nondecreasing in tf,
+    phrase tf <= min(member tfs), near tf <= tf(first term); iteration
+    stops only when the k-th kept score STRICTLY beats the best remaining
+    upper bound, so boundary ties resolve exactly like ``_select_topk``.
+    """
+
+    def _both(self, idx, q, **kw):
+        from solr_indexer_ray.pipelines import search as S
+
+        eng = SearchEngine(idx)
+        a = eng.search(q, k=kw.pop("k", 10), fl=["doc_id"], **kw)
+        assert S.ScoringModel.impact_monotone_in_tf
+        S.ScoringModel.impact_monotone_in_tf = False
+        try:
+            eng2 = SearchEngine(idx)
+            b = eng2.search(q, k=a.num_rows or 10, fl=["doc_id"], **kw)
+        finally:
+            S.ScoringModel.impact_monotone_in_tf = True
+        return a, b
+
+    def test_bit_identical_pure_phrases(self, pos_index):
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        for q in _phrase_queries(oracle):
+            for k in (3, 10, 200):
+                a, b = self._both(idx, q, k=k)
+                assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+                assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_bit_identical_near(self, pos_index):
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        t = oracle.tokens[3]
+        for q in (f'"{t[5]} {t[7]}"~3', f'"{t[2]} {t[5]}"~5^2.5',
+                  '"the read"~1'):
+            a, b = self._both(idx, q, k=25)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_bit_identical_with_filters_and_boost(self, pos_index):
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        base = _phrase_queries(oracle)[0]
+        for q, kw in [
+            (f"lang:python {base}", {}),
+            (f"-lang:go {base}^3", {}),
+            (base, dict(fq=["lang:python"])),
+        ]:
+            a, b = self._both(idx, q, **kw)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_bit_identical_cursor_paging(self, pos_index):
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        eng = SearchEngine(idx)
+        for q in _phrase_queries(oracle):
+            allr = eng.search(q, k=eng.n_docs, fl=["doc_id"])
+            if allr.num_rows >= 6:
+                break
+        else:
+            pytest.skip("no phrase with enough hits for paging")
+        first = eng.search(q, k=3, fl=["doc_id"])
+        cur = (first["score"][-1].as_py(), first["doc_id"][-1].as_py())
+        a, b = self._both(idx, q, search_after=cur, k=3)
+        assert a["doc_id"].to_pylist() == allr["doc_id"].to_pylist()[3:6]
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_mixed_clause_queries_do_not_prune(self, pos_index):
+        """Shapes outside the pure single-clause form must return None
+        from the pruner (and thus score dense TAAT)."""
+        from solr_indexer_ray.pipelines.search import SearchEngine as SE
+
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        base = _phrase_queries(oracle)[0]
+        eng = SE(idx)
+        for q in (f"{base} read", f"{base} {base}", "read parse"):
+            parsed = eng._parse(q)
+            assert eng._score_phrase_pruned(parsed, None, 10) is None, q
+
+    def test_non_monotone_scorer_falls_back(self, pos_index):
+        """A custom model that declares a non-monotone impact must skip
+        the pruner and still score correctly through dense TAAT."""
+        from solr_indexer_ray.pipelines import search as S
+
+        idx, corpus, _ = pos_index
+        oracle = BruteForceBM25(corpus)
+        q = _phrase_queries(oracle)[0]
+
+        class Weird(S.ScoringModel):
+            name = "weird-nonmono"
+            impact_monotone_in_tf = False
+
+        S.register_scoring_model("weird-nonmono", Weird)
+        eng = SearchEngine(idx)
+        eng.scoring = Weird()
+        parsed = eng._parse(q)
+        assert eng._score_phrase_pruned(parsed, None, 10) is None
+        # bm25 default still prunes
+        eng.scoring = S.ScoringModel()
+        assert eng._score_phrase_pruned(parsed, None, 10) is not None
