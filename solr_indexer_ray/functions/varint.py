@@ -152,8 +152,44 @@ def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.zeros(0, dtype=np.int64)
-    nbits = np.frexp(v.astype(np.float64))[1]
-    return np.maximum((nbits + 6) // 7, 1).astype(np.int64)
+    # threshold comparisons, only as many passes as the LARGEST value
+    # needs — mirrors varint_encode's bookkeeping (the float frexp form
+    # paid an 8-byte conversion pass even when every value was 1 byte)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    vmax = int(v.max())
+    bound = 0x80
+    while bound <= vmax:
+        nbytes += v >= bound
+        bound <<= 7
+    return nbytes
+
+
+def varint_byte_offsets(values: np.ndarray, at: np.ndarray) -> np.ndarray:
+    """Byte offsets into ``varint_encode(values)``'s stream at the given
+    value indices — WITHOUT materializing a per-value byte-length cumsum.
+
+    offset(i) = i + (extra bytes of every multi-byte value before i); the
+    multi-byte values are rare in delta streams, so the extras are summed
+    over just their positions and looked up per boundary by searchsorted.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    at = np.asarray(at, dtype=np.int64)
+    big = np.flatnonzero(v >= 0x80)
+    if big.size == 0:
+        return at.astype(np.int64, copy=True)
+    vb = v[big]
+    extra = np.ones(big.size, dtype=np.int64)  # 2nd byte of every big value
+    vmax = int(vb.max())
+    bound = 0x4000
+    while bound <= vmax:
+        extra += vb >= bound
+        bound <<= 7
+    cum = np.cumsum(extra)
+    pos = np.searchsorted(big, at)
+    out = at.copy()
+    nz = pos > 0
+    out[nz] += cum[pos[nz] - 1]
+    return out
 
 
 def segmented_delta_encode(counts: np.ndarray, flat: np.ndarray) -> np.ndarray:
@@ -169,4 +205,6 @@ def segmented_delta_encode(counts: np.ndarray, flat: np.ndarray) -> np.ndarray:
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     starts = starts[counts > 0]
     deltas[starts] = flat[starts]
-    return deltas.astype(np.uint64)
+    # nonnegative int64 -> uint64 is a bit-identical reinterpret; the
+    # view saves a full-stream copy on the position path
+    return deltas.view(np.uint64)

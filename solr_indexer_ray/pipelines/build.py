@@ -53,10 +53,11 @@ from solr_indexer_ray.functions.hashing import term_shard
 from solr_indexer_ray.functions.smallfloat import encode_lengths
 from solr_indexer_ray.functions.tokenize import AnalyzerRegistry, tokenize_unit
 from solr_indexer_ray.functions.varint import (
+    decode_positions,
     encode_doc_ids,
     encode_positions,
     segmented_delta_encode,
-    varint_byte_lengths,
+    varint_byte_offsets,
     varint_encode,
 )
 from solr_indexer_ray.sources.parquet_units import list_units, read_unit
@@ -90,10 +91,15 @@ RAW_POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
-#: with ``config.store_positions``: per-doc token-position lists ride along
-#: (one inner list per posting; len(inner) == tf, so no separate counts).
+#: with ``config.store_positions``: positions ride along PRE-ENCODED as
+#: one delta-varint blob per (term, doc-range) row — segments restart per
+#: posting (lengths == tfs), i.e. ALREADY the merged-postings position
+#: format.  Stage 2 then merges a term's positions by concatenating its
+#: parts' blobs (no decode, no re-encode), and the spill reads a binary
+#: column instead of a nested list<list<int32>> (~4x smaller on disk
+#: pre-compression, far cheaper to deserialize).
 RAW_POSTINGS_POS_SCHEMA = RAW_POSTINGS_SCHEMA.append(
-    pa.field("positions", pa.list_(pa.list_(pa.int32())))
+    pa.field("positions", pa.binary())
 )
 
 ERRORS_SCHEMA = pa.schema(
@@ -540,6 +546,17 @@ class UnitIndexer:
             gcount = np.diff(np.append(gstart, n_postings))
             post_off = np.concatenate(([0], np.cumsum(gcount)))
             g_tid, g_rid, g_shard = s_tid[gstart], s_rid[gstart], s_shard[gstart]
+            if store_pos:
+                # encode the unit's WHOLE position stream once (deltas
+                # restart per posting), then slice per-row blobs by byte
+                # offsets at the row boundaries
+                pos_deltas = segmented_delta_encode(
+                    s_tf.astype(np.int64), s_positions
+                )
+                pos_blob = varint_encode(pos_deltas)
+                row_boff = varint_byte_offsets(
+                    pos_deltas, out_off[post_off]
+                )
             # shard runs are contiguous (primary sort key)
             sb = np.empty(gstart.size, dtype=bool)
             sb[0] = True
@@ -568,16 +585,12 @@ class UnitIndexer:
                     ),
                 }
                 if store_pos:
-                    vlo, vhi = int(out_off[plo]), int(out_off[phi])
-                    inner = pa.ListArray.from_arrays(
-                        pa.array(
-                            (out_off[plo:phi + 1] - vlo).astype(np.int32),
-                            pa.int32(),
-                        ),
-                        pa.array(s_positions[vlo:vhi], pa.int32()),
-                    )
-                    cols["positions"] = pa.ListArray.from_arrays(
-                        pa.array(offs, pa.int32()), inner
+                    blo, bhi = int(row_boff[a]), int(row_boff[b])
+                    boffs = (row_boff[a:b + 1] - blo).astype(np.int32)
+                    cols["positions"] = pa.Array.from_buffers(
+                        pa.binary(), b - a,
+                        [None, pa.py_buffer(boffs.tobytes()),
+                         pa.py_buffer(pos_blob[blo:bhi])],
                     )
                 post_table = pa.table(
                     cols,
@@ -786,20 +799,37 @@ class ShardMerger:
                      pos_col, rid) -> pa.Table:
         """Merge one doc-range's spill rows [r0, r1) into the packed table.
 
-        FAST PATH (one stream encode per range, no per-term Python): spill
-        rows whose term appears in exactly one part and fits one block are
-        batch-encoded — segment-restart delta streams for doc ids and
-        positions are varint-packed ONCE and sliced into per-term blobs by
-        byte offsets (``varint_byte_lengths``); block metadata reduces via
-        ``np.*.reduceat``.  Multi-part terms (hot terms spilled by several
-        units) and rows spanning blocks take the exact per-term slow path.
-        Large real vocabularies are dominated by single-part rare terms, so
-        this removes the per-term encode overhead where it multiplies.
+        ONE vectorized pass over the whole range, multi-part (hot) terms
+        included: rows are permuted so each term's parts sit contiguously
+        ordered by first doc id (one ``lexsort``), every stream is
+        gathered once, doc-id deltas restart per TERM (parts cover
+        disjoint intervals so the concatenation is already sorted),
+        position deltas restart per POSTING, and the range's streams are
+        varint-packed ONCE then sliced into per-term blobs by byte
+        offsets (``varint_byte_offsets``).  Block metadata reduces via
+        ``np.*.reduceat`` at block boundaries laid out per term.  A term
+        whose concatenated doc ids are NOT strictly increasing (units
+        overlapping a range — shouldn't happen) falls back to the exact
+        per-term ``_merge_term_parts`` path.
         """
         import pyarrow.compute as pc
 
-        # term-run boundaries within the range
-        runs: list = []  # (term, start_row, end_row)
+        nrow = r1 - r0
+        ids_slice = ids_col.slice(r0, nrow)
+        tfs_slice = tfs_col.slice(r0, nrow)
+        norms_slice = norms_col.slice(r0, nrow)
+        counts = np.asarray(pc.list_value_length(ids_slice).to_numpy(),
+                            dtype=np.int64)
+        flat_ids = np.asarray(pc.list_flatten(ids_slice).to_numpy(),
+                              dtype=np.int64)
+        flat_tfs = np.asarray(pc.list_flatten(tfs_slice).to_numpy(),
+                              dtype=np.int64)
+        flat_norms = np.asarray(pc.list_flatten(norms_slice).to_numpy(),
+                                dtype=np.int64)
+        row_starts = np.concatenate(([0], np.cumsum(counts)))
+
+        # term-run boundaries within the range (spill rows sorted by term)
+        runs: list = []  # (term, start_row, end_row) — absolute rows
         j = r0
         while j < r1:
             t0 = terms[j]
@@ -807,93 +837,139 @@ class ShardMerger:
             while j < r1 and terms[j] == t0:
                 j += 1
             runs.append((t0, s, j))
+        run_lens = np.asarray([e - s for _, s, e in runs], dtype=np.int64)
+        row_cum = np.concatenate(([0], np.cumsum(run_lens)))
+        run_id = np.repeat(np.arange(len(runs), dtype=np.int64), run_lens)
 
-        ids_slice = ids_col.slice(r0, r1 - r0)
-        counts_all = pc.list_value_length(ids_slice).to_numpy().astype(np.int64)
-        fast_rows = [
-            ri for ri, (t, s, e) in enumerate(runs)
-            if e - s == 1 and counts_all[s - r0] <= self.block_size
-        ]
-        fast_set = set(fast_rows)
+        # permute rows: term-contiguous, parts ordered by first doc id
+        firsts = (
+            flat_ids[np.minimum(row_starts[:-1], flat_ids.size - 1)]
+            if flat_ids.size else np.zeros(nrow, np.int64)
+        )
+        perm = np.lexsort((firsts, run_id))
+        identity = bool((perm == np.arange(perm.size)).all())
+        if not identity:
+            g_counts = counts[perm]
+            g_starts = np.concatenate(([0], np.cumsum(g_counts)))
+            gidx = (
+                np.repeat(row_starts[perm], g_counts)
+                + np.arange(int(g_counts.sum()), dtype=np.int64)
+                - np.repeat(g_starts[:-1], g_counts)
+            )
+            flat_ids = flat_ids[gidx]
+            flat_tfs = flat_tfs[gidx]
+            flat_norms = flat_norms[gidx]
 
-        fast = {}
-        if fast_rows:
-            take_idx = np.asarray(
-                [runs[ri][1] - r0 for ri in fast_rows], dtype=np.int64
+        # per-term value extents
+        df = np.add.reduceat(counts, np.concatenate(([0], np.cumsum(
+            run_lens)[:-1]))) if len(runs) else np.zeros(0, np.int64)
+        t_starts = np.concatenate(([0], np.cumsum(df)))
+
+        # strict-increase check per term (parts must tile disjointly)
+        ok = np.ones(len(runs), dtype=bool)
+        if flat_ids.size > 1:
+            nondec = np.flatnonzero(np.diff(flat_ids) <= 0) + 1
+            # a break is fine exactly at a term boundary
+            bad = nondec[~np.isin(nondec, t_starts)]
+            if bad.size:
+                ok[np.unique(np.searchsorted(
+                    t_starts, bad, side="right") - 1)] = False
+
+        # doc-id deltas restart per term; positions restart per posting
+        id_deltas = np.empty_like(flat_ids)
+        if flat_ids.size:
+            id_deltas[0] = flat_ids[0]
+            np.subtract(flat_ids[1:], flat_ids[:-1], out=id_deltas[1:])
+            ts = t_starts[:-1][df > 0]
+            id_deltas[ts] = flat_ids[ts]
+        # a bad term's negative deltas would break uint64 packing — mask
+        # them to 0 in the shared stream (its blob is replaced below)
+        if not ok.all():
+            for ri in np.flatnonzero(~ok):
+                id_deltas[t_starts[ri]:t_starts[ri + 1]] = 0
+        id_blob = varint_encode(id_deltas.view(np.uint64))
+        # byte offsets ONLY at term boundaries (multi-byte deltas are
+        # rare, so no per-value byte-length cumsum is materialized)
+        id_boff = varint_byte_offsets(id_deltas, t_starts)
+        tf_blob = varint_encode(flat_tfs.view(np.uint64))
+        tf_boff = varint_byte_offsets(flat_tfs, t_starts)
+        cf = (np.add.reduceat(flat_tfs, t_starts[:-1])
+              if flat_tfs.size else np.zeros(len(runs), np.int64))
+
+        # positions: spill rows carry PRE-ENCODED per-posting delta-varint
+        # blobs (already the merged format), so a term's merged positions
+        # are just its parts' blobs back to back — no decode, no re-encode
+        pos_data = pos_boff = None
+        if pos_col is not None:
+            bufs = pos_col.buffers()
+            if pos_col.offset != 0:
+                raise AssertionError("combined binary column has offset")
+            pos_boff = np.frombuffer(
+                bufs[1], dtype=np.int32, count=len(pos_col) + 1
+            ).astype(np.int64)
+            pos_data = (
+                memoryview(bufs[2]) if bufs[2] is not None
+                else memoryview(b"")
             )
-            f_ids_list = ids_slice.take(take_idx)
-            counts = counts_all[take_idx]
-            flat_ids = pc.list_flatten(f_ids_list).to_numpy().astype(np.int64)
-            flat_tfs = (
-                pc.list_flatten(tfs_col.slice(r0, r1 - r0).take(take_idx))
-                .to_numpy().astype(np.int64)
+
+        # block boundaries laid out per term: ceil(df/bs) blocks each
+        bs = self.block_size
+        nb = (df + bs - 1) // bs
+        b_off = np.concatenate(([0], np.cumsum(nb)))
+        if nb.sum():
+            bstarts = (
+                np.repeat(t_starts[:-1], nb)
+                + (np.arange(int(nb.sum()), dtype=np.int64)
+                   - np.repeat(b_off[:-1], nb)) * bs
             )
-            flat_norms = (
-                pc.list_flatten(norms_col.slice(r0, r1 - r0).take(take_idx))
-                .to_numpy().astype(np.int64)
-            )
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            ends = np.cumsum(counts)
-            # one encode for every doc-id stream; per-row blobs by bytes
-            id_deltas = segmented_delta_encode(counts, flat_ids)
-            id_blob = varint_encode(id_deltas)
-            id_boff = np.concatenate(
-                ([0], np.cumsum(varint_byte_lengths(id_deltas)))
-            )
-            tf_blob = varint_encode(flat_tfs.astype(np.uint64))
-            tf_boff = np.concatenate(
-                ([0], np.cumsum(varint_byte_lengths(flat_tfs)))
-            )
-            cf = np.add.reduceat(flat_tfs, starts)
-            bmax = np.maximum.reduceat(flat_tfs, starts)
-            bmin = np.minimum.reduceat(flat_norms, starts)
-            blast = flat_ids[ends - 1]
-            pos_blob = pos_boff = None
-            if pos_col is not None:
-                inner = pc.list_flatten(
-                    pos_col.slice(r0, r1 - r0).take(take_idx)
-                )
-                flat_pos = pc.list_flatten(inner).to_numpy().astype(np.int64)
-                pos_deltas = segmented_delta_encode(flat_tfs, flat_pos)
-                pos_lens = varint_byte_lengths(pos_deltas)
-                pos_blob = varint_encode(pos_deltas)
-                # per-row byte ranges: value boundaries at cumsum(cf)
-                voff = np.concatenate(([0], np.cumsum(cf)))
-                pb = np.concatenate(([0], np.cumsum(pos_lens)))
-                pos_boff = pb[voff]
-            for k, ri in enumerate(fast_rows):
-                row = {
-                    "df": int(counts[k]),
-                    "cf": int(cf[k]),
-                    "doc_ids": id_blob[id_boff[starts[k]]:id_boff[ends[k]]],
-                    "tfs": tf_blob[tf_boff[starts[k]]:tf_boff[ends[k]]],
-                    "positions": (
-                        pos_blob[pos_boff[k]:pos_boff[k + 1]]
-                        if pos_blob is not None else None
-                    ),
-                    "block_last": [int(blast[k])],
-                    "block_max_tf": [int(bmax[k])],
-                    "block_min_norm": [int(bmin[k])],
-                }
-                fast[ri] = row
+            bends = np.minimum(bstarts + bs, np.repeat(t_starts[1:], nb))
+            bmax = np.maximum.reduceat(flat_tfs, bstarts)
+            bmin = np.minimum.reduceat(flat_norms, bstarts)
+            blast = flat_ids[bends - 1]
+        else:
+            bmax = bmin = blast = np.zeros(0, np.int64)
+        bmax_l = bmax.tolist()
+        bmin_l = bmin.tolist()
+        blast_l = blast.tolist()
 
         rows: list = []
         for ri, (term, s, e) in enumerate(runs):
-            if ri in fast_set:
-                merged = fast[ri]
+            if ok[ri]:
+                if pos_data is None:
+                    pblob = None
+                elif identity or e - s == 1:
+                    pblob = bytes(pos_data[pos_boff[s]:pos_boff[e]])
+                else:
+                    lrows = perm[row_cum[ri]:row_cum[ri + 1]] + r0
+                    pblob = b"".join(
+                        pos_data[pos_boff[x]:pos_boff[x + 1]]
+                        for x in lrows
+                    )
+                merged = {
+                    "df": int(df[ri]),
+                    "cf": int(cf[ri]),
+                    "doc_ids": id_blob[id_boff[ri]:id_boff[ri + 1]],
+                    "tfs": tf_blob[tf_boff[ri]:tf_boff[ri + 1]],
+                    "positions": pblob,
+                    "block_last": blast_l[b_off[ri]:b_off[ri + 1]],
+                    "block_max_tf": bmax_l[b_off[ri]:b_off[ri + 1]],
+                    "block_min_norm": bmin_l[b_off[ri]:b_off[ri + 1]],
+                }
             else:
                 parts = []
                 for x in range(s, e):
+                    tfs_x = np.asarray(tfs_col[x].values)
                     part = (
                         np.asarray(ids_col[x].values),
-                        np.asarray(tfs_col[x].values),
+                        tfs_x,
                         np.asarray(norms_col[x].values),
                     )
-                    if pos_col is not None:
-                        flat = pc.list_flatten(
-                            pc.list_flatten(pos_col.slice(x, 1))
+                    if pos_data is not None:
+                        flat, _ = decode_positions(
+                            bytes(pos_data[pos_boff[x]:pos_boff[x + 1]]),
+                            tfs_x.astype(np.int64),
                         )
-                        part = (*part, np.asarray(flat, dtype=np.int64))
+                        part = (*part, flat)
                     parts.append(part)
                 merged = _merge_term_parts(parts, self.block_size)
             merged["term"] = term

@@ -363,12 +363,58 @@ def _purge_spill_file(path: str, dead_ids) -> bool:
         ),
     }
     if with_pos:
-        # positions: list<list<int32>> — the inner (per-posting) lists
-        # align 1:1 with postings, so one columnar filter on the flattened
-        # outer level drops dead postings' position lists
+        # positions: one delta-varint blob per row, segments restart per
+        # posting — dropping a dead posting's byte segment keeps the
+        # format valid with NO re-encode.  Per-posting byte extents come
+        # from one continuation-bit scan over the file's concatenated
+        # blobs (every row blob ends on a terminal byte, so the global
+        # value counter aligns with the per-posting value boundaries).
         pos_col = tbl["positions"].combine_chunks()
-        inner = pos_col.flatten().filter(kmask)
-        cols["positions"] = pa.ListArray.from_arrays(new_offsets, inner)
+        if pos_col.offset != 0:  # defensive: re-materialize at offset 0
+            pos_col = pos_col.take(
+                pa.array(np.arange(len(pos_col), dtype=np.int64))
+            )
+        bufs = pos_col.buffers()
+        row_boff = np.frombuffer(
+            bufs[1], dtype=np.int32, count=len(pos_col) + 1
+        ).astype(np.int64)
+        base = int(row_boff[0])
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)[base:int(row_boff[-1])]
+            if bufs[2] is not None else np.empty(0, np.uint8)
+        )
+        flat_tfs = (
+            tbl["tfs"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        voff = np.concatenate(([0], np.cumsum(flat_tfs)))
+        term_count = np.cumsum(data < 0x80, dtype=np.int64)
+        pends = np.zeros(voff.size, dtype=np.int64)
+        if data.size:
+            pends[1:] = np.searchsorted(term_count, voff[1:], "left") + 1
+        seg_starts, seg_stops = pends[:-1][keep], pends[1:][keep]
+        seg_lens = seg_stops - seg_starts
+        total = int(seg_lens.sum())
+        gidx = (
+            np.repeat(seg_starts, seg_lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(
+                np.concatenate(([0], np.cumsum(seg_lens)[:-1])), seg_lens
+            )
+        )
+        new_data = data[gidx]
+        # new per-row byte lengths: sum of kept postings' segment bytes
+        seg_all = (pends[1:] - pends[:-1]) * keep
+        scs = np.concatenate(([0], np.cumsum(seg_all, dtype=np.int64)))
+        new_row_len = scs[offsets[1:]] - scs[offsets[:-1]]
+        nboffs = np.concatenate(
+            ([0], np.cumsum(new_row_len[row_keep]))
+        ).astype(np.int32)
+        cols["positions"] = pa.Array.from_buffers(
+            pa.binary(), int(row_keep.sum()),
+            [None, pa.py_buffer(nboffs.tobytes()),
+             pa.py_buffer(new_data.tobytes())],
+        )
     out = pa.table(cols, schema=tbl.schema)
     tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(out, tmp)
