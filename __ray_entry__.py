@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_rollup": c.q_stream_rollup,
         "bm25_topk": c.q_bm25_topk,
         "phrase_topk": c.q_phrase_topk,
+        # r5: same phrase set answered by the next-word (bigram) index
+        # with NO positions stored — must match the same SQL oracle
+        "phrase_bigram_topk": c.q_phrase_bigram_topk,
         "near_topk": c.q_near_topk,
         "wildcard_topk": c.q_wildcard_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

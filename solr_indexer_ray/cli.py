@@ -72,7 +72,8 @@ def cmd_index(args) -> int:
     )
     if (args.validate and not config.validate) or getattr(
         args, "positions", False
-    ) or getattr(args, "store_content", False) or extra or afields \
+    ) or getattr(args, "bigrams", False) \
+            or getattr(args, "store_content", False) or extra or afields \
             or filters:
         import dataclasses
 
@@ -80,6 +81,9 @@ def cmd_index(args) -> int:
             config,
             validate=config.validate or args.validate,
             store_positions=config.store_positions or args.positions,
+            store_bigrams=(
+                config.store_bigrams or getattr(args, "bigrams", False)
+            ),
             store_content=config.store_content or args.store_content,
             extra_stored=tuple(config.extra_stored) + extra,
             analyzed_fields=tuple(config.analyzed_fields) + afields,
@@ -747,6 +751,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run corpus validation and report failures")
     pi.add_argument("--positions", action="store_true",
                     help="store token positions (enables phrase queries)")
+    pi.add_argument("--bigrams", action="store_true",
+                    help="next-word index: adjacent pairs as synthetic "
+                    "terms — 2-term phrases become one postings lookup")
     pi.add_argument("--store-content", action="store_true",
                     help="store raw content (fl=content, highlighting)")
     pi.add_argument("--extra-stored", dest="extra_stored",

@@ -57,6 +57,21 @@ class IndexConfig:
     #: Pinned at build time: extensions inherit it from the committed stats.
     store_positions: bool = False
 
+    #: next-word (adjacent-bigram) index (Williams/Zobel/Bahle, "Fast
+    #: Phrase Querying with Combined Indexes"; Lucene's CommonGrams
+    #: analogue generalized to every pair): each adjacent token pair in
+    #: the analyzed stream is indexed as a synthetic term ``a\\x1eb`` whose
+    #: tf IS the exact phrase frequency, so a two-term exact phrase query
+    #: becomes one postings lookup — no position decode at all — and still
+    #: scores bit-identically to the positional matcher (w = sum of MEMBER
+    #: idfs, tf = pair count).  Costs roughly one extra posting per token;
+    #: intended for common-phrase-heavy workloads where positional
+    #: intersection over frequent terms dominates query latency.  Works
+    #: with or without ``store_positions`` (2-term phrases need no
+    #: positions when bigrams are present; proximity and 3+-term phrases
+    #: still require positions).  Pinned at build time.
+    store_bigrams: bool = False
+
     #: store the raw ``content`` in the docs table (Solr ``stored="true"`` on
     #: the body field; the reference keeps the full source document in Solr,
     #: ``mmd_xml_file``).  Enables ``fl=content`` retrieval and search-time

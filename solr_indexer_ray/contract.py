@@ -1409,6 +1409,63 @@ def _bm25_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _bigram_index(sf_dir: str) -> str:
+    """Index with the next-word (adjacent-bigram) option and NO positions
+    (IndexConfig.store_bigrams; Williams/Zobel/Bahle combined index): the
+    2-term phrase contract queries must produce the identical ranking from
+    one bigram-postings lookup that the positional matcher produces."""
+    key = (sf_dir, "bigram")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    _bm25_index(sf_dir)  # materializes the shared corpus parquet
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    corpus_path = os.path.join(work, "corpus.parquet")
+    index_dir = os.path.join(work, "index_bigram_v1")
+    registry = AnalyzerRegistry("simple", overrides={})
+    config = IndexConfig(concurrency=2, store_bigrams=True)
+    if not BuildManifest(index_dir).is_committed():
+        build_index(corpus_path, index_dir, config=config,
+                    registry=registry, overwrite=True)
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_phrase_bigram_topk(sf_dir: str):
+    """The q_phrase_topk query set answered by the NEXT-WORD index (no
+    positions stored at all): phrase tf comes from the ``a\\x1eb`` bigram
+    postings, weight stays the sum of member idfs, so the ranking must be
+    bit-identical to the positional path — and to the same SQL oracle."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_bigram_index(sf_dir))
+    assert engine.has_bigrams and not engine.has_positions
+    rows = []
+    for q in PHRASE_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
+
+
 def _filtered_index(sf_dir: str, filters: tuple, subdir: str) -> str:
     """Index over the same corpus with a token-filter chain
     (IndexConfig.filters — Solr analysis-chain parity, SURVEY §8 O3ac)."""

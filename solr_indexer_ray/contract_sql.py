@@ -3376,6 +3376,9 @@ def oracle_sql_dict() -> dict:
         "bm25_topk": bm25_topk_sql(),
         "stop_topk": stop_topk_sql(),
         "phrase_topk": phrase_topk_sql(),
+        # the next-word-index contract reuses the positional phrase oracle
+        # verbatim: the ranking contract is identical by construction
+        "phrase_bigram_topk": phrase_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),
         "near_topk": near_topk_sql(),
         "date_range_topk": date_range_topk_sql(),

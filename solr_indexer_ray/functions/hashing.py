@@ -26,6 +26,32 @@ def term_shard(term: str, n_shards: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_shards
 
 
+def term_shards_of_array(arr, n_shards: int) -> np.ndarray:
+    """``term_shard`` over a pyarrow StringArray, crc32'd straight off the
+    Arrow utf-8 data buffer (memoryview slices — no per-term ``bytes``
+    allocation; page-fault-heavy hosts punish 10^4-10^5 tiny allocs per
+    build unit far more than the C calls).  Identical to
+    ``term_shard(t, n_shards)`` per element (tested)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if arr.offset != 0:
+        arr = arr.take(np.arange(n, dtype=np.int64))
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    crc = zlib.crc32
+    out = np.fromiter(
+        (crc(data[off[i]:off[i + 1]]) for i in range(n)),
+        dtype=np.int64, count=n,
+    )
+    return out % n_shards
+
+
 def sha256_hex(text: str) -> str:
     """Per-row content integrity hash (reference analogue: checksum field,
     ``solrindexer/mmd.py:851-858``)."""

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from solr_indexer_ray.config import DEFAULT_CONFIG, IndexConfig
-from solr_indexer_ray.functions.hashing import term_shard
+from solr_indexer_ray.functions.hashing import term_shard, term_shards_of_array
 from solr_indexer_ray.functions.smallfloat import encode_lengths
 from solr_indexer_ray.functions.tokenize import AnalyzerRegistry, tokenize_unit
 from solr_indexer_ray.functions.varint import (
@@ -348,6 +348,44 @@ class UnitIndexer:
                     - np.repeat(s_off[:-1], s_dl64)
                 )
                 pos_parts.append(s_pos)
+        #: the unit's term dictionary as ONE Arrow string array — term
+        #: strings for spills / shard hashing flow through Arrow kernels
+        #: (take, binary_join_element_wise) and buffer-slice crc32, never
+        #: per-term Python objects (page-fault-heavy hosts punish the
+        #: 10^4-10^5 tiny allocations a bigram vocabulary would cost).
+        term_arr = pa.array(term_list, pa.string())
+        if self.config.store_bigrams and tid_parts[0].size:
+            # next-word index (IndexConfig.store_bigrams): a synthetic
+            # ``a\x1eb`` term per adjacent CONTENT-stream pair within a
+            # doc; its tf IS the exact 2-term phrase frequency and its
+            # postings ride the same spill/merge machinery untouched.
+            import pyarrow.compute as _pc
+
+            c_tids, c_idx = tid_parts[0], idx_parts[0]
+            nv = len(term_list)
+            same = c_idx[:-1] == c_idx[1:]
+            pair = c_tids[:-1][same] * nv + c_tids[1:][same]
+            uniq, btids = np.unique(pair, return_inverse=True)
+            bterm_arr = _pc.binary_join_element_wise(
+                term_arr.take(pa.array((uniq // nv).astype(np.int64))),
+                term_arr.take(pa.array((uniq % nv).astype(np.int64))),
+                "\x1e",
+            )
+            term_arr = pa.concat_arrays(
+                [term_arr, bterm_arr.cast(pa.string())]
+            )
+            tid_parts.append(btids.astype(np.int64) + nv)
+            idx_parts.append(c_idx[:-1][same])
+            if store_pos:
+                # bigram position = the pair's first-token position (lets
+                # future n>2 chains verify adjacency over bigram postings)
+                pos_parts.append(pos_parts[0][:-1][same])
+            if norm_matrix is not None:
+                # bigram postings carry the CONTENT field's norms
+                fld_of_tid = np.concatenate(
+                    [fld_of_tid, np.zeros(len(uniq), np.int32)]
+                )
+
         pos_in_doc = None
         if len(tid_parts) == 1:
             tids, docidx = tid_parts[0], idx_parts[0]
@@ -372,16 +410,13 @@ class UnitIndexer:
         # in shard-major order.  Requires the packed key to fit 63 bits and
         # unit doc_ids ascending (dense assignment makes them so); both are
         # checked, with the general argsort path as fallback.
-        n_terms = len(term_list)
+        n_terms = len(term_arr)
         use_fused = False
         shards_by_tid = None
         if _FUSE_POSITIONAL and store_pos and ndocs and n_terms and tids.size:
             maxpos = int(pos_in_doc.max())
             bits_pos = max(1, maxpos.bit_length())
-            shards_by_tid = np.fromiter(
-                (term_shard(t, n_shards) for t in term_list),
-                np.int64, n_terms,
-            )
+            shards_by_tid = term_shards_of_array(term_arr, n_shards)
             key_max = (
                 (int(shards_by_tid.max()) * n_terms + (n_terms - 1))
                 * ndocs + (ndocs - 1)
@@ -507,12 +542,9 @@ class UnitIndexer:
                     ([0], np.cumsum(s_tf, dtype=np.int64))
                 )
             else:
-                # term_list: tid -> term (first-appearance order)
+                # term_arr: tid -> term (first-appearance order)
                 if shards_by_tid is None:
-                    shards_by_tid = np.fromiter(
-                        (term_shard(t, n_shards) for t in term_list),
-                        np.int64, len(term_list),
-                    )
+                    shards_by_tid = term_shards_of_array(term_arr, n_shards)
                 p_shard = shards_by_tid[p_tid]
                 order2 = np.lexsort((p_rid, p_tid, p_shard))
                 s_tid = p_tid[order2]
@@ -567,8 +599,8 @@ class UnitIndexer:
                 plo, phi = int(post_off[a]), int(post_off[b])
                 offs = (post_off[a:b + 1] - plo).astype(np.int32)
                 cols = {
-                    "term": pa.array(
-                        [term_list[t] for t in g_tid[a:b]], pa.string()
+                    "term": term_arr.take(
+                        pa.array(g_tid[a:b], pa.int64())
                     ),
                     "range_id": pa.array(g_rid[a:b], pa.int64()),
                     "doc_ids": pa.ListArray.from_arrays(
@@ -1111,6 +1143,7 @@ def _build_index_locked(input_paths, index_dir, config, registry,
         "docs_per_range": config.docs_per_range,
         "block_size": config.block_size,
         "store_positions": bool(config.store_positions),
+        "store_bigrams": bool(config.store_bigrams),
         "compression": config.compression,
         "generation": 1,  # Solr commit generation; bumped by every commit
         "store_content": bool(config.store_content),
@@ -1191,6 +1224,7 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
         k1=float(old["k1"]),
         b=float(old["b"]),
         store_positions=bool(old.get("store_positions", False)),
+        store_bigrams=bool(old.get("store_bigrams", False)),
         compression=str(old.get("compression", "zstd")),
         store_content=bool(old.get("store_content", False)),
         extra_stored=tuple(old.get("extra_stored", ()) or ()),

@@ -817,6 +817,13 @@ class SearchEngine:
     def has_positions(self) -> bool:
         return bool(self.stats.get("store_positions", False))
 
+    @property
+    def has_bigrams(self) -> bool:
+        """Next-word index present (IndexConfig.store_bigrams): adjacent
+        pairs are indexed as ``a\x1eb`` terms whose tf is the exact
+        2-term phrase frequency."""
+        return bool(self.stats.get("store_bigrams", False))
+
     def lookup_postings(self, terms, with_positions: bool = False) -> dict:
         """Fetch + decode postings for terms (predicate-pushdown read).
 
@@ -921,10 +928,10 @@ class SearchEngine:
         shared dictionary, and multiterm expansion / terms / suggest /
         MLT operate on the default (content) field only — Lucene
         per-field term dictionaries."""
-        if not self.scored_fields:
+        if not (self.scored_fields or self.has_bigrams):
             return terms_arr
         return terms_arr.filter(
-            pc.invert(pc.match_substring(terms_arr, "\x1f"))
+            pc.invert(pc.match_substring_regex(terms_arr, "[\x1e\x1f]"))
         )
 
     def _dict_slice(self, lit: str):
@@ -1093,6 +1100,18 @@ class SearchEngine:
         the term array).
         """
         empty = (np.empty(0, np.int64), np.empty(0, np.int64), 0.0)
+        if len(phrase) == 2 and self.has_bigrams:
+            # next-word index: the pair's postings ARE the phrase match —
+            # tf == exact phrase frequency, no position decode at all.
+            # Weight stays the PhraseQuery sum of MEMBER idfs, so scores
+            # are bit-identical to the positional matcher (tested A/B).
+            key = f"{phrase[0]}\x1e{phrase[1]}"
+            got = self.lookup_postings([key, phrase[0], phrase[1]])
+            tp = got.get(key)
+            if tp is None:
+                return empty
+            w = float(sum(self.idf(got[t].df) for t in phrase))
+            return tp.doc_ids, tp.tfs, w
         postings = self.lookup_postings(list(phrase), with_positions=True)
         if any(t not in postings for t in phrase):
             return empty
@@ -2295,6 +2314,25 @@ class SearchEngine:
             phrase = list(near[0])
             slop = int(near[1])
             boost = parsed.near_boosts.get(near)
+        if slop is None and len(phrase) == 2 and self.has_bigrams:
+            # next-word index: exact match set + freqs from one postings
+            # lookup — no upper bounds, no chunked verification needed
+            docs, freqs, w = self.eval_phrase(phrase)
+            if boost is not None:
+                w *= boost
+            if excluded is not None and docs.size:
+                m = ~excluded[docs]
+                docs, freqs = docs[m], freqs[m]
+            if docs.size == 0:
+                return []
+            sc = w * self.scoring.impact(
+                freqs.astype(np.float64), self._norm_factor(self.norms[docs])
+            )
+            if after is not None:
+                cs, cid = after
+                m = (sc < cs) | ((sc == cs) & (docs > cid))
+                docs, sc = docs[m], sc[m]
+            return _select_topk(docs, sc, k)
         postings = self.lookup_postings(phrase, with_positions=True)
         if any(t not in postings for t in phrase):
             return []
@@ -3593,8 +3631,10 @@ class SearchEngine:
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
             flt = (pc.field("term") >= prefix) & (pc.field("term") < hi)
         t = self._postings_ds.to_table(columns=["term", "df"], filter=flt)
-        if self.scored_fields:
-            t = t.filter(pc.invert(pc.match_substring(t["term"], "\x1f")))
+        if self.scored_fields or self.has_bigrams:
+            t = t.filter(pc.invert(
+                pc.match_substring_regex(t["term"], "[\x1e\x1f]")
+            ))
         agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
         rows = sorted(
             zip(agg["term"].to_pylist(), agg["df_sum"].to_pylist()),
@@ -3610,9 +3650,9 @@ class SearchEngine:
         (``solrindexer/mmd.py:1306-1332`` ``get_status``)."""
         t = self._postings_ds.to_table(columns=["term"])
         terms = t["term"]
-        if self.scored_fields:
+        if self.scored_fields or self.has_bigrams:
             terms = terms.filter(
-                pc.invert(pc.match_substring(terms, "\x1f"))
+                pc.invert(pc.match_substring_regex(terms, "[\x1e\x1f]"))
             )
         n_terms = len(pc.unique(terms))
         docs = self._docs_ds.to_table()
@@ -3841,10 +3881,11 @@ class SearchEngine:
         term order (the sorted array IS the trie)."""
         if getattr(self, "_suggest_cache", None) is None:
             t = self._postings_ds.to_table(columns=["term", "df"])
-            if self.scored_fields:  # default-field dictionary only
-                t = t.filter(
-                    pc.invert(pc.match_substring(t["term"], "\x1f"))
-                )
+            if self.scored_fields or self.has_bigrams:
+                # default-field dictionary only
+                t = t.filter(pc.invert(
+                    pc.match_substring_regex(t["term"], "[\x1e\x1f]")
+                ))
             agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
             agg = agg.sort_by("term")
             terms = agg["term"].to_pylist()
