@@ -249,6 +249,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t = time.perf_counter()
         peng.search(q, k=10, fl=["doc_id"])
         plat[i] = time.perf_counter() - t
+    # ---- phase 5b: next-word (bigram) index ---------------------------
+    # IndexConfig.store_bigrams: 2-term phrases from one postings lookup
+    # (no position decode).  Build cost + the same phrase set's p50.
+    bg_idx = os.path.join(BENCH_ROOT, f"index-bg-{n_files}-{num_cpus}")
+    shutil.rmtree(bg_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(corpus_path, bg_idx, config=IndexConfig(store_bigrams=True))
+    bg_build_s = time.perf_counter() - t0
+    beng = SearchEngine(bg_idx)
+    beng.norms
+    for q in phrases:
+        beng.search(q, k=10, fl=["doc_id"])  # untimed page-cache warm
+    bglat = np.zeros(len(phrases))
+    for i, q in enumerate(phrases):
+        t = time.perf_counter()
+        beng.search(q, k=10, fl=["doc_id"])
+        bglat[i] = time.perf_counter() - t
+
     from solr_indexer_ray.sources.corpus import _IDENT_STEMS
 
     wilds = [f"{s[:4]}*" for s in sorted(_IDENT_STEMS)][:50]
@@ -529,6 +547,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "pos_build_s": round(pos_build_s, 3),
             "pos_build_overhead": round(pos_build_s / build_s, 2),
             "phrase_p50_ms": round(float(np.percentile(plat, 50)) * 1000, 3),
+            "bigram_build_s": round(bg_build_s, 3),
+            "bigram_build_overhead": round(bg_build_s / build_s, 2),
+            "phrase_bigram_p50_ms": round(
+                float(np.percentile(bglat, 50)) * 1000, 3),
             "wildcard_p50_ms": round(float(np.percentile(wlat, 50)) * 1000, 3),
             "facet_2fields_ms": round(facet_s * 1000, 1),
             "sorted_browse_ms": round(sort_s * 1000, 1),
