@@ -4563,6 +4563,15 @@ class SearchEngine:
         return st
 
 
+def _bigram_postings_key(group) -> str | None:
+    """The next-word-index postings term serving an exact-phrase group, or
+    None when the group isn't bigram-servable (not 2 terms, or fielded —
+    bigrams are built from the content stream only)."""
+    if len(group) == 2 and "\x1f" not in group[0] and "\x1f" not in group[1]:
+        return f"{group[0]}\x1e{group[1]}"
+    return None
+
+
 class RangeScorer:
     """Per-doc-range scoring task for the distributed query path.
 
@@ -4586,6 +4595,11 @@ class RangeScorer:
         self.avgdl = float(self.stats["avgdl"])
         self.dpr = int(self.stats["docs_per_range"])
         self.n_shards = int(self.stats["n_shards"])
+        #: next-word index present: eligible 2-term exact-phrase groups
+        #: evaluate from one bigram-postings row per range instead of a
+        #: positional intersection (same scores — the bigram tf IS the
+        #: phrase frequency; see SearchEngine.eval_phrase fast path)
+        self.has_bigrams = bool(self.stats.get("store_bigrams", False))
         self.k = k
         self._postings = pads.dataset(
             os.path.join(self.index_dir, "postings"), partitioning="hive"
@@ -4785,15 +4799,45 @@ class RangeScorer:
                     for _, lt, _, _, _ in sides}
         fph_terms = {t for _, g, _, _ in field_phrase_groups for t in g}
         bg_terms = {t for _, g, _, _, _ in boost_groups for t in g}
+        # next-word index: every eligible 2-term exact-phrase group reads
+        # its single bigram postings row instead of decoding member
+        # positions (prohibited exact phrases and slop-0 content pf groups
+        # are the same shape).  Ineligible groups keep the positional path.
+        bigram_keys: set = set()
+        pos_phrases = pos_ppos = pos_bg = False
+        if self.has_bigrams:
+            for ph, _w in phrases:
+                key = _bigram_postings_key(ph)
+                if key is None:
+                    pos_phrases = True
+                else:
+                    bigram_keys.add(key)
+            for g, slop in prohibited_pos:
+                key = (_bigram_postings_key(g)
+                       if int(slop) < 0 else None)
+                if key is None:
+                    pos_ppos = True
+                else:
+                    bigram_keys.add(key)
+            for fld, g, slop, _w, _a in boost_groups:
+                key = (_bigram_postings_key(g)
+                       if not fld and int(slop) == 0 else None)
+                if key is None:
+                    pos_bg = True
+                else:
+                    bigram_keys.add(key)
+        else:
+            pos_phrases = bool(phrases)
+            pos_ppos = bool(prohibited_pos)
+            pos_bg = bool(boost_groups)
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
             | fuzzy_terms | near_terms | syn_terms | pg_terms | ppos_terms
-            | fld_terms | dm_terms | fph_terms | bg_terms
+            | fld_terms | dm_terms | fph_terms | bg_terms | bigram_keys
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
-        if phrase_terms or near_terms or prohibited_pos or fph_terms \
-                or bg_terms:
+        if pos_phrases or near_terms or pos_ppos or fph_terms or pos_bg:
             cols = [
                 "term", "range_id", "doc_ids", "tfs", "positions",
                 "block_last", "block_max_tf", "block_min_norm",
@@ -5107,10 +5151,21 @@ class RangeScorer:
             cand = cand[~dead[cand]]
         return cand, scores, lo
 
-    @staticmethod
-    def _eval_phrase_local(tbl, rows, phrase, lo):
+    def _eval_phrase_local(self, tbl, rows, phrase, lo):
         """Exact-phrase match within one doc range -> (local ids, freqs)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if self.has_bigrams:
+            key = _bigram_postings_key(list(phrase))
+            if key is not None:
+                # one bigram postings row IS the range's phrase match set
+                # (_candidates_range added the key to the postings read);
+                # absence means no doc in this range contains the pair
+                ri = rows.get(key)
+                if ri is None:
+                    return empty
+                ids = decode_doc_ids(tbl["doc_ids"][ri].as_py())
+                tfs = varint_decode(tbl["tfs"][ri].as_py())
+                return ids - lo, tfs.astype(np.float64)
         decoded = {}
         for t in dict.fromkeys(phrase):
             ri = rows.get(t)
@@ -5670,8 +5725,22 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         or parsed.field_phrases or parsed.prohibited_field_phrases
         or parsed.boost_phrases
     ) and not engine.has_positions:
-        return None  # positional clause on a non-positional index: let
-        #              the single engine raise its clear rebuild error
+        # next-word index: 2-term exact phrases (incl. prohibited ones
+        # and slop-0 content pf groups) ship distributed without
+        # positions — the range tasks read bigram postings rows instead
+        bigram_serves = (
+            engine.has_bigrams
+            and not (parsed.near_phrases or parsed.prohibited_near
+                     or parsed.field_phrases
+                     or parsed.prohibited_field_phrases)
+            and all(len(ph) == 2 for ph in parsed.phrases)
+            and all(len(ph) == 2 for ph in parsed.prohibited_phrases)
+            and all(fld is None and int(slop) == 0 and len(g) == 2
+                    for fld, g, slop, _b in parsed.boost_phrases)
+        )
+        if not bigram_serves:
+            return None  # positional clause on a non-positional index:
+            #              the single engine raises its rebuild error
     # global df -> idf (small driver-side scout over postings df column;
     # phrase member dfs come from the same lookup)
     phrase_members = [t for ph in parsed.phrases for t in ph]
@@ -6239,9 +6308,16 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
             parsed.prohibited_phrases or parsed.prohibited_near
             or parsed.prohibited_field_phrases
         )
+        bigram_excl_ok = (
+            engine.has_bigrams
+            and not (parsed.prohibited_near
+                     or parsed.prohibited_field_phrases)
+            and all(len(ph) == 2 for ph in parsed.prohibited_phrases)
+        )
         if (
             parsed.scoring_clauses == 0
-            and (engine.has_positions or not pos_exclusions)
+            and (engine.has_positions or not pos_exclusions
+                 or bigram_excl_ok)
             and not any((pf, pf2, pf3, bf, boost, bq))
         ):
             # match-all / pure-filter: distribute as per-range

@@ -17,7 +17,7 @@ from solr_indexer_ray.config import IndexConfig
 from solr_indexer_ray.pipelines import mutate
 from solr_indexer_ray.pipelines.build import build_index, extend_index
 from solr_indexer_ray.pipelines.oracle import BruteForceBM25
-from solr_indexer_ray.pipelines.search import SearchEngine
+from solr_indexer_ray.pipelines.search import SearchEngine, search_partitioned
 from solr_indexer_ray.sources.corpus import generate_corpus
 
 CFG_BOTH = IndexConfig(docs_per_range=64, block_size=16,
@@ -143,6 +143,75 @@ class TestBigramDictionaryHygiene:
         b = ep.search("parse read", k=30, fl=["doc_id"])
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
         assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+class TestBigramDistributed:
+    """The per-range protocol serves eligible 2-term phrase shapes from
+    bigram postings rows — distributed works WITHOUT positions and stays
+    bit-identical to the single engine (which is itself positional-path
+    identical, proven above)."""
+
+    def test_partitioned_identical_bigram_only(self, bigram_index):
+        d, corpus = bigram_index
+        eng = SearchEngine(f"{d}/bg")
+        assert not eng.has_positions
+        oracle = BruteForceBM25(corpus)
+        base = _bigram_queries(oracle)
+        mixed = base[:3] + [
+            f"{base[0]} read", f"-{base[1]} parse merge",
+            f"lang:python {base[2]}^2.5",
+        ]
+        for q in mixed:
+            s = eng.search(q, k=10, fl=["doc_id"])
+            p = search_partitioned(f"{d}/bg", q, k=10)
+            assert p["doc_id"].to_pylist() == s["doc_id"].to_pylist(), q
+            assert p["score"].to_pylist() == s["score"].to_pylist(), q
+
+    def test_partitioned_grouped_boolean(self, bigram_index):
+        d, corpus = bigram_index
+        eng = SearchEngine(f"{d}/bg")
+        base = _bigram_queries(BruteForceBM25(corpus))[0]
+        for q in (f"({base} OR parse) AND read", f"(read OR merge) {base}"):
+            s = eng.search(q, k=10, fl=["doc_id"])
+            p = search_partitioned(f"{d}/bg", q, k=10)
+            assert p["doc_id"].to_pylist() == s["doc_id"].to_pylist(), q
+            assert p["score"].to_pylist() == s["score"].to_pylist(), q
+
+    def test_partitioned_match_all_prohibited_phrase(self, bigram_index):
+        d, corpus = bigram_index
+        eng = SearchEngine(f"{d}/bg")
+        base = _bigram_queries(BruteForceBM25(corpus))[0]
+        q = f"-{base}"
+        s = eng.search(q, k=20, fl=["doc_id"])
+        p = search_partitioned(f"{d}/bg", q, k=20)
+        assert p["doc_id"].to_pylist() == s["doc_id"].to_pylist()
+        assert p["score"].to_pylist() == s["score"].to_pylist()
+
+    def test_partitioned_pf_boost(self, bigram_index):
+        d, corpus = bigram_index
+        eng = SearchEngine(f"{d}/bg")
+        s = eng.search("parse read", k=10, fl=["doc_id"],
+                       pf="content^2")
+        p = search_partitioned(f"{d}/bg", "parse read", k=10,
+                               pf="content^2")
+        assert p["doc_id"].to_pylist() == s["doc_id"].to_pylist()
+        assert p["score"].to_pylist() == s["score"].to_pylist()
+
+    def test_partitioned_three_term_error_parity(self, bigram_index):
+        d, corpus = bigram_index
+        t = BruteForceBM25(corpus).tokens[8]
+        q = f'"{t[0]} {t[1]} {t[2]}"'
+        with pytest.raises(ValueError, match="positions"):
+            search_partitioned(f"{d}/bg", q, k=10)
+
+    def test_partitioned_both_index_matches_positional(self, bigram_index):
+        d, corpus = bigram_index
+        oracle = BruteForceBM25(corpus)
+        for q in _bigram_queries(oracle)[:3]:
+            a = search_partitioned(f"{d}/both", q, k=10)
+            b = search_partitioned(f"{d}/pos", q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
 
 class TestBigramLifecycle:
