@@ -1112,6 +1112,34 @@ class SearchEngine:
                 return empty
             w = float(sum(self.idf(got[t].df) for t in phrase))
             return tp.doc_ids, tp.tfs, w
+        chain = (_bigram_chain_keys(list(phrase))
+                 if self.has_bigrams and self.has_positions else None)
+        if chain is not None:
+            # combined index: run the exact matcher over the consecutive
+            # PAIR position streams (first-token positions) — the same
+            # freqs as member-position intersection, decoding far less
+            need = list(dict.fromkeys([*phrase, *chain]))
+            postings = self.lookup_postings(need, with_positions=True)
+            if any(t not in postings for t in phrase):
+                return empty
+            w = float(sum(self.idf(postings[t].df) for t in phrase))
+            uniq = list(dict.fromkeys(chain))
+            if any(k not in postings for k in uniq):
+                return np.empty(0, np.int64), np.empty(0, np.int64), w
+            docs = postings[uniq[0]].doc_ids
+            for t in uniq[1:]:
+                docs = np.intersect1d(docs, postings[t].doc_ids,
+                                      assume_unique=True)
+            if docs.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64), w
+            segments = {}
+            for t in uniq:
+                tp = postings[t]
+                ti = np.searchsorted(tp.doc_ids, docs)
+                lengths = tp.tfs[ti]
+                segments[t] = (tp.positions_for(ti, lengths), lengths)
+            out_docs, freqs = _phrase_freqs(docs, segments, chain)
+            return out_docs, freqs, w
         postings = self.lookup_postings(list(phrase), with_positions=True)
         if any(t not in postings for t in phrase):
             return empty
@@ -2314,9 +2342,14 @@ class SearchEngine:
             phrase = list(near[0])
             slop = int(near[1])
             boost = parsed.near_boosts.get(near)
-        if slop is None and len(phrase) == 2 and self.has_bigrams:
+        if slop is None and self.has_bigrams and (
+            len(phrase) == 2
+            or (self.has_positions
+                and _bigram_chain_keys(phrase) is not None)
+        ):
             # next-word index: exact match set + freqs from one postings
-            # lookup — no upper bounds, no chunked verification needed
+            # lookup (2 terms) or the pair-stream chain matcher (3+) —
+            # no upper bounds, no chunked verification needed
             docs, freqs, w = self.eval_phrase(phrase)
             if boost is not None:
                 w *= boost
@@ -4572,6 +4605,19 @@ def _bigram_postings_key(group) -> str | None:
     return None
 
 
+def _bigram_chain_keys(group) -> list | None:
+    """Consecutive-pair next-word postings terms for a 3+-term exact
+    phrase, or None when any member is fielded.  On an index with BOTH
+    bigrams and positions, a phrase occurs at start ``s`` iff pair ``i``
+    occurs at ``s + i`` for every ``i`` (bigram positions store the
+    pair's FIRST-token position), so the standard ExactPhraseMatcher
+    run over the pair streams — far rarer than common member terms —
+    yields the exact phrase frequency."""
+    if len(group) < 3 or any("\x1f" in t for t in group):
+        return None
+    return [f"{a}\x1e{b}" for a, b in zip(group, group[1:])]
+
+
 class RangeScorer:
     """Per-doc-range scoring task for the distributed query path.
 
@@ -4598,8 +4644,10 @@ class RangeScorer:
         #: next-word index present: eligible 2-term exact-phrase groups
         #: evaluate from one bigram-postings row per range instead of a
         #: positional intersection (same scores — the bigram tf IS the
-        #: phrase frequency; see SearchEngine.eval_phrase fast path)
+        #: phrase frequency; see SearchEngine.eval_phrase fast path), and
+        #: with positions too, 3+-term phrases chain the pair streams
         self.has_bigrams = bool(self.stats.get("store_bigrams", False))
+        self.has_positions = bool(self.stats.get("store_positions", False))
         self.k = k
         self._postings = pads.dataset(
             os.path.join(self.index_dir, "postings"), partitioning="hive"
@@ -4787,53 +4835,48 @@ class RangeScorer:
         boost): per range, tf sums over the members present and scores as
         ONE clause — the fuzzy clause shape, shipped distributed."""
         lo, hi = rid * self.dpr, (rid + 1) * self.dpr
-        phrase_terms = {t for ph, _ in phrases for t in ph}
         group_terms = {t for g, _ in prefix_groups for t in g}
         fuzzy_terms = {t for g, _ in fuzzy_groups for t in g}
         near_terms = {t for g, _, _ in near_groups for t in g}
         syn_terms = {t for _, g, _ in syn_groups for t in g}
         pg_terms = {t for g in prohibited_groups for t in g}
-        ppos_terms = {t for g, _ in prohibited_pos for t in g}
         fld_terms = {pt for _, pt, _, _, _ in field_clauses}
         dm_terms = {lt for _, sides, _ in dismax_clauses
                     for _, lt, _, _, _ in sides}
         fph_terms = {t for _, g, _, _ in field_phrase_groups for t in g}
-        bg_terms = {t for _, g, _, _, _ in boost_groups for t in g}
-        # next-word index: every eligible 2-term exact-phrase group reads
-        # its single bigram postings row instead of decoding member
-        # positions (prohibited exact phrases and slop-0 content pf groups
-        # are the same shape).  Ineligible groups keep the positional path.
-        bigram_keys: set = set()
+        # next-word index: every eligible exact-phrase group reads its
+        # bigram postings row(s) — one row for 2 terms, the chain rows
+        # for 3+ when positions exist — instead of its members'
+        # positional rows (prohibited exact phrases and slop-0 content
+        # pf groups are the same shape).  Members of bigram-served
+        # groups are NOT read (their weights ship from the driver);
+        # ineligible groups keep the positional member path.
+        phrase_terms: set = set()
+        ppos_terms: set = set()
+        bg_terms: set = set()
         pos_phrases = pos_ppos = pos_bg = False
-        if self.has_bigrams:
-            for ph, _w in phrases:
-                key = _bigram_postings_key(ph)
-                if key is None:
-                    pos_phrases = True
-                else:
-                    bigram_keys.add(key)
-            for g, slop in prohibited_pos:
-                key = (_bigram_postings_key(g)
-                       if int(slop) < 0 else None)
-                if key is None:
-                    pos_ppos = True
-                else:
-                    bigram_keys.add(key)
-            for fld, g, slop, _w, _a in boost_groups:
-                key = (_bigram_postings_key(g)
-                       if not fld and int(slop) == 0 else None)
-                if key is None:
-                    pos_bg = True
-                else:
-                    bigram_keys.add(key)
-        else:
-            pos_phrases = bool(phrases)
-            pos_ppos = bool(prohibited_pos)
-            pos_bg = bool(boost_groups)
+        for ph, _w in phrases:
+            t_, needs_pos = self._phrase_fetch_terms(list(ph))
+            phrase_terms.update(t_)
+            pos_phrases |= needs_pos
+        for g, slop in prohibited_pos:
+            t_, needs_pos = (
+                self._phrase_fetch_terms(list(g))
+                if int(slop) < 0 else (list(g), True)
+            )
+            ppos_terms.update(t_)
+            pos_ppos |= needs_pos
+        for _fld, g, slop, _w, _a in boost_groups:
+            t_, needs_pos = (
+                self._phrase_fetch_terms(list(g))
+                if int(slop) == 0 else (list(g), True)
+            )
+            bg_terms.update(t_)
+            pos_bg |= needs_pos
         want = sorted(
             set(terms) | set(prohibited) | phrase_terms | group_terms
             | fuzzy_terms | near_terms | syn_terms | pg_terms | ppos_terms
-            | fld_terms | dm_terms | fph_terms | bg_terms | bigram_keys
+            | fld_terms | dm_terms | fph_terms | bg_terms
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         cols = None
@@ -5151,6 +5194,22 @@ class RangeScorer:
             cand = cand[~dead[cand]]
         return cand, scores, lo
 
+    def _phrase_fetch_terms(self, group):
+        """Postings terms an exact-phrase group reads in this range, and
+        whether it needs the positions column: the single bigram key
+        (2 terms), the bigram chain keys (3+, positions present), or the
+        member terms themselves (positional fallback).  Must stay in
+        lockstep with the routing in :meth:`_eval_phrase_local`."""
+        if self.has_bigrams:
+            key = _bigram_postings_key(group)
+            if key is not None:
+                return [key], False
+            if self.has_positions:
+                chain = _bigram_chain_keys(group)
+                if chain is not None:
+                    return chain, True
+        return list(group), True
+
     def _eval_phrase_local(self, tbl, rows, phrase, lo):
         """Exact-phrase match within one doc range -> (local ids, freqs)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
@@ -5166,6 +5225,13 @@ class RangeScorer:
                 ids = decode_doc_ids(tbl["doc_ids"][ri].as_py())
                 tfs = varint_decode(tbl["tfs"][ri].as_py())
                 return ids - lo, tfs.astype(np.float64)
+            if self.has_positions:
+                chain = _bigram_chain_keys(list(phrase))
+                if chain is not None:
+                    # 3+ terms: the exact matcher below runs over the
+                    # pair streams (first-token positions) — same freqs,
+                    # far rarer rows than the common member terms
+                    phrase = chain
         decoded = {}
         for t in dict.fromkeys(phrase):
             ri = rows.get(t)

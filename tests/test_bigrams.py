@@ -85,14 +85,46 @@ class TestBigramPhraseIdentity:
             assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
             assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
-    def test_three_term_phrase_uses_positions(self, bigram_index):
+    def test_chained_longer_phrases_identical(self, bigram_index):
+        """3+-term phrases on the combined index evaluate by CHAINING the
+        pair position streams — must stay bit-identical to the member
+        positional matcher, including duplicate members and misses."""
+        d, corpus = bigram_index
+        eb = SearchEngine(f"{d}/both")
+        ep = SearchEngine(f"{d}/pos")
+        toks = BruteForceBM25(corpus).tokens
+        qs = []
+        for doc, at, n in [(8, 0, 3), (3, 5, 4), (17, 2, 5), (40, 1, 3)]:
+            t = toks[doc]
+            qs.append('"' + " ".join(t[at:at + n]) + '"')
+        qs += ['"the the the"', '"read parse zzqq"',
+               f'-"{toks[8][0]} {toks[8][1]} {toks[8][2]}" read']
+        for q in qs:
+            a = eb.search(q, k=20, fl=["doc_id"])
+            b = ep.search(q, k=20, fl=["doc_id"])
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_chained_distributed_identical(self, bigram_index):
+        d, corpus = bigram_index
+        toks = BruteForceBM25(corpus).tokens
+        t = toks[8]
+        qs = ['"' + " ".join(t[0:3]) + '"',
+              '"' + " ".join(toks[3][5:9]) + '" read']
+        for q in qs:
+            a = search_partitioned(f"{d}/both", q, k=20)
+            b = search_partitioned(f"{d}/pos", q, k=20)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_chained_pf3_boost_identical(self, bigram_index):
         d, corpus = bigram_index
         eb = SearchEngine(f"{d}/both")
         ep = SearchEngine(f"{d}/pos")
         t = BruteForceBM25(corpus).tokens[8]
-        q = f'"{t[0]} {t[1]} {t[2]}"'
-        a = eb.search(q, k=20, fl=["doc_id"])
-        b = ep.search(q, k=20, fl=["doc_id"])
+        q = " ".join(t[0:3])
+        a = eb.search(q, k=20, fl=["doc_id"], pf3="content^2")
+        b = ep.search(q, k=20, fl=["doc_id"], pf3="content^2")
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
         assert a["score"].to_pylist() == b["score"].to_pylist()
 
