@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5: same phrase set answered by the next-word (bigram) index
         # with NO positions stored — must match the same SQL oracle
         "phrase_bigram_topk": c.q_phrase_bigram_topk,
+        # r5: 3+-term phrases via the bigram-chain matcher on a combined
+        # index — oracle stays the generic positional phrase SQL
+        "phrase_chain_topk": c.q_phrase_chain_topk,
         "near_topk": c.q_near_topk,
         "wildcard_topk": c.q_wildcard_topk,
         "wildcard_infix_topk": c.q_wildcard_infix_topk,

@@ -267,6 +267,41 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         beng.search(q, k=10, fl=["doc_id"])
         bglat[i] = time.perf_counter() - t
 
+    # combined index (positions + bigrams): 3+-term phrases chain the
+    # pair position streams — measure build cost + 3-term p50 vs the
+    # positional index's 3-term p50 on the same query set.
+    cb_idx = os.path.join(BENCH_ROOT, f"index-cb-{n_files}-{num_cpus}")
+    shutil.rmtree(cb_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(corpus_path, cb_idx,
+                config=IndexConfig(store_positions=True, store_bigrams=True))
+    cb_build_s = time.perf_counter() - t0
+    ceng = SearchEngine(cb_idx)
+    ceng.norms
+    # real in-corpus trigrams from the same sampled docs
+    phrases3 = []
+    step = max(1, corpus_tbl.num_rows // 64)
+    for i in range(0, corpus_tbl.num_rows, step):
+        toks = ceng.registry.tokenize(
+            corpus_tbl["content"][i].as_py() or "", None
+        )
+        if len(toks) > 9:
+            phrases3.append(f'"{toks[4]} {toks[5]} {toks[6]}"')
+        if len(phrases3) >= 50:
+            break
+    c3lat = np.zeros(len(phrases3))
+    p3lat = np.zeros(len(phrases3))
+    for q in phrases3:
+        ceng.search(q, k=10, fl=["doc_id"])  # warm
+        peng.search(q, k=10, fl=["doc_id"])
+    for i, q in enumerate(phrases3):
+        t = time.perf_counter()
+        ceng.search(q, k=10, fl=["doc_id"])
+        c3lat[i] = time.perf_counter() - t
+        t = time.perf_counter()
+        peng.search(q, k=10, fl=["doc_id"])
+        p3lat[i] = time.perf_counter() - t
+
     from solr_indexer_ray.sources.corpus import _IDENT_STEMS
 
     wilds = [f"{s[:4]}*" for s in sorted(_IDENT_STEMS)][:50]
@@ -551,6 +586,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "bigram_build_overhead": round(bg_build_s / build_s, 2),
             "phrase_bigram_p50_ms": round(
                 float(np.percentile(bglat, 50)) * 1000, 3),
+            "combined_build_s": round(cb_build_s, 3),
+            "phrase3_chain_p50_ms": round(
+                float(np.percentile(c3lat, 50)) * 1000, 3),
+            "phrase3_pos_p50_ms": round(
+                float(np.percentile(p3lat, 50)) * 1000, 3),
             "wildcard_p50_ms": round(float(np.percentile(wlat, 50)) * 1000, 3),
             "facet_2fields_ms": round(facet_s * 1000, 1),
             "sorted_browse_ms": round(sort_s * 1000, 1),

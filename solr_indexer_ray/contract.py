@@ -58,6 +58,19 @@ PHRASE_QUERIES = [
     '"join stream" OR "key order"',
     '"zz qq"',
 ]
+#: 3+-term phrase set (combined bigram+positions index: the chain
+#: matcher over pair position streams — r5 O3b3): real trigrams of the
+#: documents vocabulary + adversarial forms (4 terms, repeated term,
+#: prohibited chain, filter+chain, no-hit chain)
+PHRASE3_QUERIES = [
+    '"sort merge join"',
+    '"the batch stream"',
+    'spark "data line sort merge"',
+    '"batch batch batch"',
+    '-"sort merge join" window',
+    'lang:en "the data line"',
+    '"zz qq zz"',
+]
 #: wildcard / match-all query set (constant-score prefix rewrite)
 WILDCARD_QUERIES = [
     "win*",
@@ -1434,6 +1447,63 @@ def _bigram_index(sf_dir: str) -> str:
                     registry=registry, overwrite=True)
     _INDEX_CACHE[key] = index_dir
     return index_dir
+
+
+def _combined_index(sf_dir: str) -> str:
+    """Index with BOTH positions and the next-word option: 3+-term phrase
+    queries must produce the identical ranking from the pair-stream chain
+    matcher that the member-position matcher produces."""
+    key = (sf_dir, "combined")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    from solr_indexer_ray.config import IndexConfig
+    from solr_indexer_ray.functions.tokenize import AnalyzerRegistry
+    from solr_indexer_ray.pipelines.build import build_index
+    from solr_indexer_ray.state.manifest import BuildManifest
+
+    _bm25_index(sf_dir)  # materializes the shared corpus parquet
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    work = f"/tmp/solr_indexer_ray/{tag}"
+    corpus_path = os.path.join(work, "corpus.parquet")
+    index_dir = os.path.join(work, "index_combined_v1")
+    registry = AnalyzerRegistry("simple", overrides={})
+    config = IndexConfig(concurrency=2, store_positions=True,
+                         store_bigrams=True)
+    if not BuildManifest(index_dir).is_committed():
+        build_index(corpus_path, index_dir, config=config,
+                    registry=registry, overwrite=True)
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_phrase_chain_topk(sf_dir: str):
+    """PHRASE3_QUERIES (3+-term exact phrases) answered by the COMBINED
+    index's bigram-chain matcher (consecutive pair position streams; the
+    member terms' positions are never decoded) — must match the same
+    positional-semantics SQL oracle as every phrase contract."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    engine = SearchEngine(_combined_index(sf_dir))
+    assert engine.has_bigrams and engine.has_positions
+    rows = []
+    for q in PHRASE3_QUERIES:
+        full = engine.search(q, k=engine.n_docs, fl=["doc_id"], method="taat")
+        ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+        scores = _round_half_away(
+            np.asarray(full["score"].to_pylist(), dtype=np.float64), 4
+        )
+        order = np.lexsort((ids, -scores))[:BM25_K]
+        for i in order:
+            rows.append(
+                {"query": q, "doc_id": int(ids[i]), "score_r": float(scores[i])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("doc_id", pa.int64()),
+             ("score_r", pa.float64())]
+        ),
+    )
 
 
 def q_phrase_bigram_topk(sf_dir: str):

@@ -562,6 +562,18 @@ def phrase_topk_sql() -> str:
     return _BM25_CTES + blocks
 
 
+def phrase_chain_topk_sql() -> str:
+    """3+-term phrases: the oracle stays the generic positional
+    ExactPhraseMatcher SQL — the engine's bigram-chain matcher must be
+    observationally identical to member-position intersection."""
+    from solr_indexer_ray.contract import PHRASE3_QUERIES
+
+    blocks = "\nUNION ALL\n".join(
+        _phrase_query_block(q) for q in PHRASE3_QUERIES
+    )
+    return _BM25_CTES + blocks
+
+
 def range_topk_sql() -> str:
     blocks = "\nUNION ALL\n".join(
         _phrase_query_block(q) for q in RANGE_QUERIES
@@ -3379,6 +3391,7 @@ def oracle_sql_dict() -> dict:
         # the next-word-index contract reuses the positional phrase oracle
         # verbatim: the ranking contract is identical by construction
         "phrase_bigram_topk": phrase_topk_sql(),
+        "phrase_chain_topk": phrase_chain_topk_sql(),
         "wildcard_topk": wildcard_topk_sql(),
         "near_topk": near_topk_sql(),
         "date_range_topk": date_range_topk_sql(),
