@@ -188,6 +188,45 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for a in actors:
         ray.kill(a)
 
+    if os.environ.get("GRAFT_BENCH_LITE") == "1":
+        # --scaling subprocesses: the criterion reads only the headline
+        # build/query numbers (phases 1-3); skipping the feature-surface
+        # phases keeps the per-level runs short and the host quiet.
+        ray.shutdown()
+        total = build_s + query_seq_s + query_dist_s
+        return {
+            "metric": "index_build_plus_query_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {
+                "build": round(build_s, 3),
+                "query_seq": round(query_seq_s, 3),
+                "query_dist": round(query_dist_s, 3),
+            },
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "host": {
+                "loadavg_1m_start": load_start,
+                "loadavg_1m_end": round(os.getloadavg()[0], 2),
+                "cpu_count": os.cpu_count(),
+            },
+            "detail": {
+                "n_docs": int(n_docs),
+                "docs_per_sec": round(n_docs / build_s, 1),
+                "stage1_s": stats["timings"]["stage1_s"],
+                "stage2_s": stats["timings"]["stage2_s"],
+                "query_p50_ms": round(
+                    float(np.percentile(lat, 50)) * 1000, 3),
+                "query_p99_ms": round(
+                    float(np.percentile(lat, 99)) * 1000, 3),
+                "seq_qps": round(len(queries) / query_seq_s, 1),
+                "dist_qps": round(len(dist_queries) / query_dist_s, 1),
+                "dist_warm_qps": round(
+                    len(dist_queries) / query_dist_warm_s, 1),
+                "lite": True,
+            },
+        }
+
     # ---- phase 4: rank-identity rate vs the brute-force oracle ----------
     # (the BASELINE metric includes "top-k rank-identity rate"; measured on
     # a 2k-doc slice where the O(N·Q) oracle is affordable)
@@ -635,7 +674,8 @@ def run_scaling(sf_dir: str) -> dict:
     brings its own memory bandwidth.
     """
     def one_run(ncpu):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_LITE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
