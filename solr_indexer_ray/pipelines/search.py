@@ -919,6 +919,40 @@ class SearchEngine:
         out.update({t: tp for t, tp in cached.items() if tp is not None})
         return out
 
+    def lookup_dfs(self, terms) -> dict:
+        """Global df per term from the postings ``(term, df)`` columns
+        ONLY — no posting-blob reads or varint decodes.  Sums the
+        per-(term, doc-range) row counts, identical to
+        ``lookup_postings(t).df`` (Lucene df: tombstones included until
+        compact; absent terms absent from the dict, like a
+        ``lookup_postings`` miss).  The distributed driver scout and the
+        bigram phrase fast paths need exactly this: at corpus scale,
+        reading a stop-word's doc_ids blob to learn its df is the
+        difference between a metadata column scan and shipping the whole
+        postings list to the driver."""
+        out: dict = {}
+        todo = []
+        for t in sorted(set(terms)):
+            if t in self._term_cache:
+                tp = self._term_cache[t]
+                if tp is not None:
+                    out[t] = int(tp.df)
+            else:
+                todo.append(t)
+        if todo:
+            n_shards = int(self.stats["n_shards"])
+            shards = sorted({term_shard(t, n_shards) for t in todo})
+            tbl = self._postings_ds.to_table(
+                columns=["term", "df"],
+                filter=pc.field("shard").isin(shards)
+                & pc.field("term").isin(todo),
+            )
+            agg = pa.TableGroupBy(tbl, "term").aggregate([("df", "sum")])
+            for t, df in zip(agg["term"].to_pylist(),
+                             agg["df_sum"].to_pylist()):
+                out[t] = int(df)
+        return out
+
     # ------------------------------------------------------------------ #
     # wildcard / prefix (Solr MultiTermQuery CONSTANT_SCORE rewrite)
     # ------------------------------------------------------------------ #
@@ -1106,11 +1140,14 @@ class SearchEngine:
             # Weight stays the PhraseQuery sum of MEMBER idfs, so scores
             # are bit-identical to the positional matcher (tested A/B).
             key = f"{phrase[0]}\x1e{phrase[1]}"
-            got = self.lookup_postings([key, phrase[0], phrase[1]])
-            tp = got.get(key)
+            tp = self.lookup_postings([key]).get(key)
             if tp is None:
                 return empty
-            w = float(sum(self.idf(got[t].df) for t in phrase))
+            # member postings never read: df-only column scan for the
+            # PhraseQuery weight (a pair in the index implies both
+            # members are indexed)
+            dfs = self.lookup_dfs(phrase)
+            w = float(sum(self.idf(dfs[t]) for t in phrase))
             return tp.doc_ids, tp.tfs, w
         chain = (_bigram_chain_keys(list(phrase))
                  if self.has_bigrams and self.has_positions else None)
@@ -1118,12 +1155,12 @@ class SearchEngine:
             # combined index: run the exact matcher over the consecutive
             # PAIR position streams (first-token positions) — the same
             # freqs as member-position intersection, decoding far less
-            need = list(dict.fromkeys([*phrase, *chain]))
-            postings = self.lookup_postings(need, with_positions=True)
-            if any(t not in postings for t in phrase):
+            dfs = self.lookup_dfs(phrase)  # member blobs never read
+            if any(t not in dfs for t in phrase):
                 return empty
-            w = float(sum(self.idf(postings[t].df) for t in phrase))
+            w = float(sum(self.idf(dfs[t]) for t in phrase))
             uniq = list(dict.fromkeys(chain))
+            postings = self.lookup_postings(uniq, with_positions=True)
             if any(k not in postings for k in uniq):
                 return np.empty(0, np.int64), np.empty(0, np.int64), w
             docs = postings[uniq[0]].doc_ids
@@ -5815,7 +5852,10 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         m for t in set(parsed.terms) if t in syn_map
         for m in (t, *syn_map[t])
     ]
-    postings = engine.lookup_postings(
+    # df-only scout (lookup_dfs): the driver computes global idfs from
+    # the (term, df) metadata columns and never reads postings blobs —
+    # ranges read their own slices
+    postings = engine.lookup_dfs(
         list(parsed.terms) + phrase_members + syn_members
     )
     # mapped terms score as blended groups at their sort position; the
@@ -5830,7 +5870,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
                 if parsed.conjunctive:
                     return "zero"
                 continue
-            w = engine.idf(max(postings[m].df for m in members))
+            w = engine.idf(max(postings[m] for m in members))
             b = parsed.boosts.get(t)
             if b is not None:
                 w *= b
@@ -5843,7 +5883,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     phrases = []
     for ph in parsed.phrases:
         if all(t in postings for t in ph):
-            w = float(sum(engine.idf(postings[t].df) for t in ph))
+            w = float(sum(engine.idf(postings[t]) for t in ph))
             b = parsed.phrase_boosts.get(tuple(ph))
             if b is not None:
                 w = w * b
@@ -5878,8 +5918,8 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     fuzzy_groups = []
     for fz in sorted(set(parsed.fuzzies)):
         members = engine.expand_fuzzy(*fz)
-        mpost = engine.lookup_postings(members)
-        dfs = [mpost[m].df for m in members if m in mpost]
+        mpost = engine.lookup_dfs(members)
+        dfs = [mpost[m] for m in members if m in mpost]
         if not dfs:
             if parsed.conjunctive:
                 return "zero"  # AND with an unmatchable fuzzy clause
@@ -5897,13 +5937,13 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         near_members = sorted(
             {t for nt, _ in parsed.near_phrases for t in nt}
         )
-        npost = engine.lookup_postings(near_members)
+        npost = engine.lookup_dfs(near_members)
         for nt, slop in sorted(parsed.near_phrases):
             if any(t not in npost for t in nt):
                 if parsed.conjunctive:
                     return "zero"  # AND with an unmatchable near clause
                 continue
-            w = float(sum(engine.idf(npost[t].df) for t in nt))
+            w = float(sum(engine.idf(npost[t]) for t in nt))
             b = parsed.near_boosts.get((nt, slop))
             if b is not None:
                 w *= b
@@ -5932,14 +5972,14 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     for fp in sorted(set(parsed.field_phrases)):
         fld, ph = fp
         pref = [f"{fld}\x1f{t}" for t in ph]
-        fpost = engine.lookup_postings(pref)
+        fpost = engine.lookup_dfs(pref)
         if any(p not in fpost for p in pref):
             if parsed.conjunctive:
                 return "zero"  # AND with an unmatchable field phrase
             continue
         doc_count, avgdl_f = engine._fstat(fld)
         w = float(
-            sum(engine.scoring.idf(doc_count, fpost[p].df) for p in pref)
+            sum(engine.scoring.idf(doc_count, fpost[p]) for p in pref)
         )
         b = parsed.field_phrase_boosts.get(fp)
         if b is not None:
@@ -5952,11 +5992,11 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         sides = []
         for fld, fboost in fpairs:
             if fld == "content":
-                tpc = engine.lookup_postings([term]).get(term)
+                tpc = engine.lookup_dfs([term]).get(term)
                 if tpc is None:
                     continue
                 sides.append(
-                    ["content", term, float(engine.idf(tpc.df)),
+                    ["content", term, float(engine.idf(tpc)),
                      float(fboost), None]
                 )
             else:
@@ -5983,19 +6023,19 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         parsed.boost_phrases, key=lambda c: (c[0] or "", c[1], c[2], c[3])
     ):
         if fld is None:
-            bpost = engine.lookup_postings(list(g))
+            bpost = engine.lookup_dfs(list(g))
             if any(t not in bpost for t in g):
                 continue
-            w = float(sum(engine.idf(bpost[t].df) for t in g)) * b
+            w = float(sum(engine.idf(bpost[t]) for t in g)) * b
             boost_groups.append(["", list(g), int(slop), float(w), 0.0])
         else:
             pref = [f"{fld}\x1f{t}" for t in g]
-            fpost = engine.lookup_postings(pref)
+            fpost = engine.lookup_dfs(pref)
             if any(p not in fpost for p in pref):
                 continue
             doc_count, avgdl_f = engine._fstat(fld)
             w = float(sum(
-                engine.scoring.idf(doc_count, fpost[p].df) for p in pref
+                engine.scoring.idf(doc_count, fpost[p]) for p in pref
             )) * b
             boost_groups.append(
                 [fld, pref, int(slop), float(w), float(avgdl_f)]
@@ -6011,7 +6051,7 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     idfs = []
     term_boosts = []
     for t in terms:
-        idfs.append(engine.idf(postings[t].df))
+        idfs.append(engine.idf(postings[t]))
         term_boosts.append(float(parsed.boosts.get(t, 1.0)))
     # negative / range filters + prohibited expansion/positional clauses
     # ship as the per-range dead-mask recipe (extras bundle) — shared with
