@@ -4419,14 +4419,12 @@ class SearchEngine:
             if with_positions:
                 pos.setdefault(t, []).append(i)
         terms = sorted(tfm)
-        postings = self.lookup_postings(terms)
+        dfs = self.lookup_dfs(terms)  # df-only: blobs never read
         cols = {
             "term": pa.array(terms, pa.string()),
             "tf": pa.array([tfm[t] for t in terms], pa.int64()),
             "df": pa.array(
-                [int(postings[t].df) if t in postings else 0
-                 for t in terms],
-                pa.int64(),
+                [int(dfs.get(t, 0)) for t in terms], pa.int64(),
             ),
         }
         if with_positions:
@@ -5954,13 +5952,15 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
     field_clauses = []
     for ft in sorted(set(parsed.field_terms)):
         fld, term = ft
-        tp = engine.field_term_postings(fld, term)
-        if tp is None:
+        fdf = engine.lookup_dfs([f"{fld}\x1f{term}"]).get(
+            f"{fld}\x1f{term}"
+        )
+        if fdf is None:
             if parsed.conjunctive:
                 return "zero"  # AND with an unmatchable field term
             continue
         doc_count, avgdl_f = engine._fstat(fld)
-        w = engine.scoring.idf(doc_count, tp.df)
+        w = engine.scoring.idf(doc_count, fdf)
         b = float(parsed.field_term_boosts.get(ft, 1.0))
         field_clauses.append(
             [fld, f"{fld}\x1f{term}", float(w), b, float(avgdl_f)]
@@ -6000,13 +6000,15 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
                      float(fboost), None]
                 )
             else:
-                tpf = engine.field_term_postings(fld, term)
-                if tpf is None:
+                fdf = engine.lookup_dfs(
+                    [f"{fld}\x1f{term}"]
+                ).get(f"{fld}\x1f{term}")
+                if fdf is None:
                     continue
                 doc_count, avgdl_f = engine._fstat(fld)
                 sides.append(
                     [fld, f"{fld}\x1f{term}",
-                     float(engine.scoring.idf(doc_count, tpf.df)),
+                     float(engine.scoring.idf(doc_count, fdf)),
                      float(fboost), float(avgdl_f)]
                 )
         if not sides:
