@@ -4462,18 +4462,22 @@ class SearchEngine:
         for t in toks:
             tfm[t] = tfm.get(t, 0) + 1
         cand = sorted(t for t, c in tfm.items() if c >= min_term_freq)
-        postings = self.lookup_postings(cand)
+        # two-phase: rank candidates from the df metadata columns alone,
+        # then fetch postings ONLY for the <= max_query_terms selected
+        # (a long source doc no longer pulls every term's blob)
+        dfs = self.lookup_dfs(cand)
         scored = []
         for t in cand:
-            tp = postings.get(t)
-            if tp is None or tp.df < min_doc_freq:
+            df = dfs.get(t)
+            if df is None or df < min_doc_freq:
                 continue
-            sc = round(tfm[t] * (1.0 + math.log(self.n_docs / tp.df)), 6)
+            sc = round(tfm[t] * (1.0 + math.log(self.n_docs / df)), 6)
             scored.append((-sc, t))
         scored.sort()
         sel = [t for _, t in scored[:max_query_terms]]
         if not sel:
             return self._resolve([], fl)
+        postings = self.lookup_postings(sel)
         parsed = ParsedQuery(terms=sel)
         hits = self._score_taat(
             parsed, {t: postings[t] for t in sel},
