@@ -5396,9 +5396,11 @@ def search_sharded(index_dirs, query: str, k: int = 10,
         {t for ph in parsed.phrases for t in ph}
         | {t for ph, _ in parsed.near_phrases for t in ph}
     )
-    member_shard = [e.lookup_postings(member_terms) for e in engines]
+    # df-only per shard: phrase/near weights need member dfs, never
+    # member postings (each shard's span match re-reads its own slice)
+    member_shard = [e.lookup_dfs(member_terms) for e in engines]
     mdf_global = {
-        t: sum(p[t].df for p in member_shard if t in p)
+        t: sum(p[t] for p in member_shard if t in p)
         for t in member_terms
     }
 
