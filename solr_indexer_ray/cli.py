@@ -70,9 +70,13 @@ def cmd_index(args) -> int:
     filters = tuple(
         f for f in (getattr(args, "filters", None) or "").split(",") if f
     )
+    bgfirst = tuple(
+        t for t in (getattr(args, "bigram_first", None) or "").split(",")
+        if t
+    )
     if (args.validate and not config.validate) or getattr(
         args, "positions", False
-    ) or getattr(args, "bigrams", False) \
+    ) or getattr(args, "bigrams", False) or bgfirst \
             or getattr(args, "store_content", False) or extra or afields \
             or filters:
         import dataclasses
@@ -83,7 +87,9 @@ def cmd_index(args) -> int:
             store_positions=config.store_positions or args.positions,
             store_bigrams=(
                 config.store_bigrams or getattr(args, "bigrams", False)
+                or bool(bgfirst)
             ),
+            bigram_first=tuple(config.bigram_first) + bgfirst,
             store_content=config.store_content or args.store_content,
             extra_stored=tuple(config.extra_stored) + extra,
             analyzed_fields=tuple(config.analyzed_fields) + afields,
@@ -754,6 +760,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--bigrams", action="store_true",
                     help="next-word index: adjacent pairs as synthetic "
                     "terms — 2-term phrases become one postings lookup")
+    pi.add_argument("--bigram-first", dest="bigram_first",
+                    help="comma-separated common-word list: index only "
+                    "pairs led by these terms (implies --bigrams; "
+                    "uncovered phrases use the positional matcher)")
     pi.add_argument("--store-content", action="store_true",
                     help="store raw content (fl=content, highlighting)")
     pi.add_argument("--extra-stored", dest="extra_stored",

@@ -72,6 +72,18 @@ class IndexConfig:
     #: still require positions).  Pinned at build time.
     store_bigrams: bool = False
 
+    #: restrict the next-word index to pairs whose FIRST token is in this
+    #: set (Williams/Zobel/Bahle's common-word nextword index; Lucene
+    #: CommonGrams proper): at web scale the full pair dictionary is
+    #: O(unique adjacent pairs), while phrase-query cost is dominated by
+    #: common-first pairs — indexing only those caps the dictionary at
+    #: |list| x vocab and keeps the postings overhead proportional to
+    #: stop-word mass.  Empty = index every pair.  The SAME pinned list
+    #: gates query routing (a phrase whose leading pairs aren't covered
+    #: falls back to the positional matcher), so "key absent" always
+    #: means "no occurrences".  Pinned at build time in stats.json.
+    bigram_first: tuple = ()
+
     #: store the raw ``content`` in the docs table (Solr ``stored="true"`` on
     #: the body field; the reference keeps the full source document in Solr,
     #: ``mmd_xml_file``).  Enables ``fl=content`` retrieval and search-time

@@ -364,6 +364,15 @@ class UnitIndexer:
             c_tids, c_idx = tid_parts[0], idx_parts[0]
             nv = len(term_list)
             same = c_idx[:-1] == c_idx[1:]
+            if self.config.bigram_first:
+                # common-word nextword index: only pairs whose FIRST
+                # token is in the pinned list (query routing applies the
+                # same list, so absence still means zero occurrences)
+                first_set = set(self.config.bigram_first)
+                lead_ok = np.fromiter(
+                    (t in first_set for t in term_list), bool, nv
+                )
+                same = same & lead_ok[c_tids[:-1]]
             pair = c_tids[:-1][same] * nv + c_tids[1:][same]
             uniq, btids = np.unique(pair, return_inverse=True)
             bterm_arr = _pc.binary_join_element_wise(
@@ -1144,6 +1153,7 @@ def _build_index_locked(input_paths, index_dir, config, registry,
         "block_size": config.block_size,
         "store_positions": bool(config.store_positions),
         "store_bigrams": bool(config.store_bigrams),
+        "bigram_first": sorted(config.bigram_first or ()),
         "compression": config.compression,
         "generation": 1,  # Solr commit generation; bumped by every commit
         "store_content": bool(config.store_content),
@@ -1225,6 +1235,7 @@ def _extend_index_locked(input_paths, index_dir, config, doc_enricher,
         b=float(old["b"]),
         store_positions=bool(old.get("store_positions", False)),
         store_bigrams=bool(old.get("store_bigrams", False)),
+        bigram_first=tuple(old.get("bigram_first") or ()),
         compression=str(old.get("compression", "zstd")),
         store_content=bool(old.get("store_content", False)),
         extra_stored=tuple(old.get("extra_stored", ()) or ()),

@@ -824,6 +824,18 @@ class SearchEngine:
         2-term phrase frequency."""
         return bool(self.stats.get("store_bigrams", False))
 
+    @property
+    def bigram_first(self) -> frozenset:
+        """Pinned common-word restriction of the next-word index
+        (IndexConfig.bigram_first; empty = every pair indexed).  Query
+        routing MUST apply the same set the build did, so a missing pair
+        key always means zero occurrences."""
+        cached = getattr(self, "_bigram_first", None)
+        if cached is None:
+            cached = frozenset(self.stats.get("bigram_first") or ())
+            self._bigram_first = cached
+        return cached
+
     def lookup_postings(self, terms, with_positions: bool = False) -> dict:
         """Fetch + decode postings for terms (predicate-pushdown read).
 
@@ -1134,12 +1146,13 @@ class SearchEngine:
         the term array).
         """
         empty = (np.empty(0, np.int64), np.empty(0, np.int64), 0.0)
-        if len(phrase) == 2 and self.has_bigrams:
+        key = (_bigram_postings_key(list(phrase), self.bigram_first)
+               if self.has_bigrams else None)
+        if key is not None:
             # next-word index: the pair's postings ARE the phrase match —
             # tf == exact phrase frequency, no position decode at all.
             # Weight stays the PhraseQuery sum of MEMBER idfs, so scores
             # are bit-identical to the positional matcher (tested A/B).
-            key = f"{phrase[0]}\x1e{phrase[1]}"
             tp = self.lookup_postings([key]).get(key)
             if tp is None:
                 return empty
@@ -1149,7 +1162,7 @@ class SearchEngine:
             dfs = self.lookup_dfs(phrase)
             w = float(sum(self.idf(dfs[t]) for t in phrase))
             return tp.doc_ids, tp.tfs, w
-        chain = (_bigram_chain_keys(list(phrase))
+        chain = (_bigram_chain_keys(list(phrase), self.bigram_first)
                  if self.has_bigrams and self.has_positions else None)
         if chain is not None:
             # combined index: run the exact matcher over the consecutive
@@ -2380,9 +2393,10 @@ class SearchEngine:
             slop = int(near[1])
             boost = parsed.near_boosts.get(near)
         if slop is None and self.has_bigrams and (
-            len(phrase) == 2
+            _bigram_postings_key(phrase, self.bigram_first) is not None
             or (self.has_positions
-                and _bigram_chain_keys(phrase) is not None)
+                and _bigram_chain_keys(phrase, self.bigram_first)
+                is not None)
         ):
             # next-word index: exact match set + freqs from one postings
             # lookup (2 terms) or the pair-stream chain matcher (3+) —
@@ -4635,24 +4649,31 @@ class SearchEngine:
         return st
 
 
-def _bigram_postings_key(group) -> str | None:
+def _bigram_postings_key(group, first=()) -> str | None:
     """The next-word-index postings term serving an exact-phrase group, or
-    None when the group isn't bigram-servable (not 2 terms, or fielded —
-    bigrams are built from the content stream only)."""
+    None when the group isn't bigram-servable (not 2 terms; fielded —
+    bigrams are built from the content stream only; or a non-empty
+    ``bigram_first`` list is pinned and the leading token isn't in it —
+    the common-word nextword restriction, IndexConfig.bigram_first)."""
     if len(group) == 2 and "\x1f" not in group[0] and "\x1f" not in group[1]:
+        if first and group[0] not in first:
+            return None
         return f"{group[0]}\x1e{group[1]}"
     return None
 
 
-def _bigram_chain_keys(group) -> list | None:
+def _bigram_chain_keys(group, first=()) -> list | None:
     """Consecutive-pair next-word postings terms for a 3+-term exact
-    phrase, or None when any member is fielded.  On an index with BOTH
-    bigrams and positions, a phrase occurs at start ``s`` iff pair ``i``
-    occurs at ``s + i`` for every ``i`` (bigram positions store the
-    pair's FIRST-token position), so the standard ExactPhraseMatcher
-    run over the pair streams — far rarer than common member terms —
-    yields the exact phrase frequency."""
+    phrase, or None when any member is fielded (or, under a pinned
+    ``bigram_first`` list, any pair's leading token isn't in it).  On an
+    index with BOTH bigrams and positions, a phrase occurs at start
+    ``s`` iff pair ``i`` occurs at ``s + i`` for every ``i`` (bigram
+    positions store the pair's FIRST-token position), so the standard
+    ExactPhraseMatcher run over the pair streams — far rarer than
+    common member terms — yields the exact phrase frequency."""
     if len(group) < 3 or any("\x1f" in t for t in group):
+        return None
+    if first and any(t not in first for t in group[:-1]):
         return None
     return [f"{a}\x1e{b}" for a, b in zip(group, group[1:])]
 
@@ -4686,6 +4707,7 @@ class RangeScorer:
         #: phrase frequency; see SearchEngine.eval_phrase fast path), and
         #: with positions too, 3+-term phrases chain the pair streams
         self.has_bigrams = bool(self.stats.get("store_bigrams", False))
+        self.bigram_first = frozenset(self.stats.get("bigram_first") or ())
         self.has_positions = bool(self.stats.get("store_positions", False))
         self.k = k
         self._postings = pads.dataset(
@@ -5240,11 +5262,11 @@ class RangeScorer:
         member terms themselves (positional fallback).  Must stay in
         lockstep with the routing in :meth:`_eval_phrase_local`."""
         if self.has_bigrams:
-            key = _bigram_postings_key(group)
+            key = _bigram_postings_key(group, self.bigram_first)
             if key is not None:
                 return [key], False
             if self.has_positions:
-                chain = _bigram_chain_keys(group)
+                chain = _bigram_chain_keys(group, self.bigram_first)
                 if chain is not None:
                     return chain, True
         return list(group), True
@@ -5253,7 +5275,7 @@ class RangeScorer:
         """Exact-phrase match within one doc range -> (local ids, freqs)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if self.has_bigrams:
-            key = _bigram_postings_key(list(phrase))
+            key = _bigram_postings_key(list(phrase), self.bigram_first)
             if key is not None:
                 # one bigram postings row IS the range's phrase match set
                 # (_candidates_range added the key to the postings read);
@@ -5265,7 +5287,8 @@ class RangeScorer:
                 tfs = varint_decode(tbl["tfs"][ri].as_py())
                 return ids - lo, tfs.astype(np.float64)
             if self.has_positions:
-                chain = _bigram_chain_keys(list(phrase))
+                chain = _bigram_chain_keys(list(phrase),
+                                           self.bigram_first)
                 if chain is not None:
                     # 3+ terms: the exact matcher below runs over the
                     # pair streams (first-token positions) — same freqs,
@@ -5835,14 +5858,18 @@ def _distributed_clauses(engine: SearchEngine, parsed: ParsedQuery,
         # next-word index: 2-term exact phrases (incl. prohibited ones
         # and slop-0 content pf groups) ship distributed without
         # positions — the range tasks read bigram postings rows instead
+        bf_ = engine.bigram_first
         bigram_serves = (
             engine.has_bigrams
             and not (parsed.near_phrases or parsed.prohibited_near
                      or parsed.field_phrases
                      or parsed.prohibited_field_phrases)
-            and all(len(ph) == 2 for ph in parsed.phrases)
-            and all(len(ph) == 2 for ph in parsed.prohibited_phrases)
-            and all(fld is None and int(slop) == 0 and len(g) == 2
+            and all(_bigram_postings_key(list(ph), bf_) is not None
+                    for ph in parsed.phrases)
+            and all(_bigram_postings_key(list(ph), bf_) is not None
+                    for ph in parsed.prohibited_phrases)
+            and all(fld is None and int(slop) == 0
+                    and _bigram_postings_key(list(g), bf_) is not None
                     for fld, g, slop, _b in parsed.boost_phrases)
         )
         if not bigram_serves:
@@ -6426,7 +6453,10 @@ def search_partitioned(index_dir: str, query: str, k: int = 10,
             engine.has_bigrams
             and not (parsed.prohibited_near
                      or parsed.prohibited_field_phrases)
-            and all(len(ph) == 2 for ph in parsed.prohibited_phrases)
+            and all(
+                _bigram_postings_key(list(ph), engine.bigram_first)
+                is not None for ph in parsed.prohibited_phrases
+            )
         )
         if (
             parsed.scoring_clauses == 0

@@ -246,6 +246,79 @@ class TestBigramDistributed:
             assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
 
+class TestBigramFirstRestriction:
+    """IndexConfig.bigram_first (common-word nextword index): only pairs
+    led by the pinned list are indexed; query routing applies the SAME
+    list, so covered phrases stay bit-identical and uncovered ones fall
+    back to the positional matcher (or its clear rebuild error)."""
+
+    @pytest.fixture(scope="class")
+    def first_index(self, tmp_path_factory, ray_session, bigram_index):
+        d, corpus = bigram_index
+        toks = BruteForceBM25(corpus).tokens
+        covered_lead = toks[3][5]      # a real pair lead
+        out = tmp_path_factory.mktemp("bgfirst")
+        cfg = IndexConfig(docs_per_range=64, block_size=16,
+                          store_positions=True, store_bigrams=True,
+                          bigram_first=("the", "read", covered_lead))
+        pq.write_table(corpus.drop_columns(["doc_id"]),
+                       str(out / "c.parquet"), row_group_size=32)
+        build_index(str(out / "c.parquet"), str(out / "idx"), config=cfg)
+        return str(out / "idx"), corpus, covered_lead
+
+    def test_stats_pin_and_dictionary(self, first_index, bigram_index):
+        idx, corpus, lead = first_index
+        eng = SearchEngine(idx)
+        assert eng.has_bigrams and eng.bigram_first == frozenset(
+            {"the", "read", lead}
+        )
+        # the restricted dictionary is a strict subset of the full one
+        full = SearchEngine(f"{bigram_index[0]}/both")
+        n_restricted = sum(
+            1 for t, _ in eng.terms(prefix="", limit=10**6)
+        )
+        assert n_restricted == sum(
+            1 for t, _ in full.terms(prefix="", limit=10**6)
+        )  # user-facing dictionaries identical (synthetic terms hidden)
+
+    def test_covered_phrases_identical(self, first_index, bigram_index):
+        idx, corpus, lead = first_index
+        eng = SearchEngine(idx)
+        ep = SearchEngine(f"{bigram_index[0]}/pos")
+        toks = BruteForceBM25(corpus).tokens
+        t = toks[3]
+        at = t.index(lead)
+        qs = [f'"{lead} {t[at + 1]}"', f'"read {toks[17][0]}"']
+        for q in qs:
+            a = eng.search(q, k=20, fl=["doc_id"])
+            b = ep.search(q, k=20, fl=["doc_id"])
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_uncovered_phrase_positional_fallback(self, first_index,
+                                                  bigram_index):
+        idx, corpus, _ = first_index
+        eng = SearchEngine(idx)
+        ep = SearchEngine(f"{bigram_index[0]}/pos")
+        oracle = BruteForceBM25(corpus)
+        for q in _bigram_queries(oracle)[:4]:   # arbitrary leads
+            a = eng.search(q, k=20, fl=["doc_id"])
+            b = ep.search(q, k=20, fl=["doc_id"])
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_distributed_parity(self, first_index, bigram_index):
+        idx, corpus, lead = first_index
+        toks = BruteForceBM25(corpus).tokens
+        t = toks[3]
+        at = t.index(lead)
+        for q in (f'"{lead} {t[at + 1]}"', f'"{t[0]} {t[1]}" read'):
+            a = search_partitioned(idx, q, k=20)
+            b = search_partitioned(f"{bigram_index[0]}/pos", q, k=20)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
 class TestBigramLifecycle:
     def test_extend_delete_compact(self, bigram_index, tmp_path):
         d, corpus = bigram_index
