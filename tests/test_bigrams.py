@@ -319,6 +319,62 @@ class TestBigramFirstRestriction:
             assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
 
+class TestBigramComposition:
+    """Bigrams compose with the token-filter chain (pairs form over the
+    POST-filter stream, exactly where positional adjacency lives) and
+    with extra analyzed fields (pairs come from the content stream
+    only)."""
+
+    def test_with_filter_chain(self, tmp_path, ray_session):
+        corpus = generate_corpus(120, seed=7, mean_tokens=40)
+        pq.write_table(corpus, str(tmp_path / "c.parquet"),
+                       row_group_size=32)
+        base = dict(docs_per_range=64, block_size=16,
+                    filters=("stop", "porter"))
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "bg"),
+                    config=IndexConfig(**base, store_positions=True,
+                                       store_bigrams=True))
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "pos"),
+                    config=IndexConfig(**base, store_positions=True))
+        eb = SearchEngine(str(tmp_path / "bg"))
+        ep = SearchEngine(str(tmp_path / "pos"))
+        ids = pa.array(range(corpus.num_rows), pa.int64())
+        # raw adjacent pairs: the engines analyze the query through the
+        # same chain, so post-filter match-or-miss is A/B-identical
+        oracle = BruteForceBM25(corpus.append_column("doc_id", ids))
+        for doc, at in [(3, 5), (17, 2), (40, 9)]:
+            t = oracle.tokens[doc]
+            for q in (f'"{t[at]} {t[at + 1]}"',
+                      f'"{t[at]} {t[at + 1]} {t[at + 2]}"'):
+                a = eb.search(q, k=20, fl=["doc_id"])
+                b = ep.search(q, k=20, fl=["doc_id"])
+                assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+                assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+    def test_with_analyzed_fields(self, tmp_path, ray_session):
+        corpus = generate_corpus(120, seed=9, mean_tokens=40)
+        pq.write_table(corpus, str(tmp_path / "c.parquet"),
+                       row_group_size=32)
+        base = dict(docs_per_range=64, block_size=16,
+                    analyzed_fields=("path_text:path",))
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "bg"),
+                    config=IndexConfig(**base, store_positions=True,
+                                       store_bigrams=True))
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "pos"),
+                    config=IndexConfig(**base, store_positions=True))
+        eb = SearchEngine(str(tmp_path / "bg"))
+        ep = SearchEngine(str(tmp_path / "pos"))
+        ids = pa.array(range(corpus.num_rows), pa.int64())
+        oracle = BruteForceBM25(corpus.append_column("doc_id", ids))
+        t = oracle.tokens[8]
+        for q in (f'"{t[0]} {t[1]}"', f'"{t[0]} {t[1]}" path_text:mod0',
+                  "path_text:mod0 parse"):
+            a = eb.search(q, k=20, fl=["doc_id"])
+            b = ep.search(q, k=20, fl=["doc_id"])
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
 class TestBigramLifecycle:
     def test_extend_delete_compact(self, bigram_index, tmp_path):
         d, corpus = bigram_index
