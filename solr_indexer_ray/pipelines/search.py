@@ -942,10 +942,16 @@ class SearchEngine:
         reading a stop-word's doc_ids blob to learn its df is the
         difference between a metadata column scan and shipping the whole
         postings list to the driver."""
+        if getattr(self, "_df_cache", None) is None:
+            self._df_cache: dict = {}
         out: dict = {}
         todo = []
         for t in sorted(set(terms)):
-            if t in self._term_cache:
+            if t in self._df_cache:
+                df = self._df_cache[t]
+                if df is not None:
+                    out[t] = df
+            elif t in self._term_cache:
                 tp = self._term_cache[t]
                 if tp is not None:
                     out[t] = int(tp.df)
@@ -960,9 +966,15 @@ class SearchEngine:
                 & pc.field("term").isin(todo),
             )
             agg = pa.TableGroupBy(tbl, "term").aggregate([("df", "sum")])
-            for t, df in zip(agg["term"].to_pylist(),
-                             agg["df_sum"].to_pylist()):
-                out[t] = int(df)
+            got = dict(zip(agg["term"].to_pylist(),
+                           agg["df_sum"].to_pylist()))
+            for t in todo:  # misses cached as None too
+                df = got.get(t)
+                self._df_cache[t] = int(df) if df is not None else None
+                if df is not None:
+                    out[t] = int(df)
+            while len(self._df_cache) > self.term_cache_size * 4:
+                self._df_cache.pop(next(iter(self._df_cache)))
         return out
 
     # ------------------------------------------------------------------ #
