@@ -763,7 +763,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--bigram-first", dest="bigram_first",
                     help="comma-separated common-word list: index only "
                     "pairs led by these terms (implies --bigrams; "
-                    "uncovered phrases use the positional matcher)")
+                    "uncovered phrases need --positions to fall back "
+                    "to the positional matcher)")
     pi.add_argument("--store-content", action="store_true",
                     help="store raw content (fl=content, highlighting)")
     pi.add_argument("--extra-stored", dest="extra_stored",

@@ -80,8 +80,10 @@ class IndexConfig:
     #: |list| x vocab and keeps the postings overhead proportional to
     #: stop-word mass.  Empty = index every pair.  The SAME pinned list
     #: gates query routing (a phrase whose leading pairs aren't covered
-    #: falls back to the positional matcher), so "key absent" always
-    #: means "no occurrences".  Pinned at build time in stats.json.
+    #: falls back to the positional matcher — which needs
+    #: ``store_positions=True``, else it raises the clear rebuild
+    #: error), so "key absent" always means "no occurrences".  Pinned at
+    #: build time in stats.json.
     bigram_first: tuple = ()
 
     #: store the raw ``content`` in the docs table (Solr ``stored="true"`` on

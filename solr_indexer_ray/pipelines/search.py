@@ -63,6 +63,12 @@ from solr_indexer_ray.state.manifest import BuildManifest
 
 STORED_FIELDS = ["doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"]
 
+#: terms synthesized into the shared postings dictionary — field-prefixed
+#: terms ("fld\x1fterm") and next-word pairs ("a\x1eb") — excluded from
+#: every user-facing dictionary scan (terms / luke / suggest; wildcard
+#: expansion uses the pre-filtered sorted dictionary)
+_SYNTHETIC_TERM_RE = "[\x1e\x1f]"
+
 #: Solr fl field-transformer entry, ``field:[json]`` / ``field:[xml]``
 #: (reference ``solrindexer/search.py:46-47``).
 _FL_TRANSFORMER_RE = re.compile(r"^([A-Za-z_][\w.]*):\[(json|xml)\]$")
@@ -980,18 +986,6 @@ class SearchEngine:
     # ------------------------------------------------------------------ #
     # wildcard / prefix (Solr MultiTermQuery CONSTANT_SCORE rewrite)
     # ------------------------------------------------------------------ #
-    def _default_dict_terms(self, terms_arr) -> "pa.Array":
-        """Restrict a term-dictionary scan to the DEFAULT field: extra
-        analyzed fields store their terms "<field>\\x1f"-prefixed in the
-        shared dictionary, and multiterm expansion / terms / suggest /
-        MLT operate on the default (content) field only — Lucene
-        per-field term dictionaries."""
-        if not (self.scored_fields or self.has_bigrams):
-            return terms_arr
-        return terms_arr.filter(
-            pc.invert(pc.match_substring_regex(terms_arr, "[\x1e\x1f]"))
-        )
-
     def _dict_slice(self, lit: str):
         """Zero-copy Arrow slice of the cached sorted term dictionary
         covering the terms with literal prefix ``lit`` (whole dictionary
@@ -3729,7 +3723,7 @@ class SearchEngine:
         t = self._postings_ds.to_table(columns=["term", "df"], filter=flt)
         if self.scored_fields or self.has_bigrams:
             t = t.filter(pc.invert(
-                pc.match_substring_regex(t["term"], "[\x1e\x1f]")
+                pc.match_substring_regex(t["term"], _SYNTHETIC_TERM_RE)
             ))
         agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
         rows = sorted(
@@ -3748,7 +3742,7 @@ class SearchEngine:
         terms = t["term"]
         if self.scored_fields or self.has_bigrams:
             terms = terms.filter(
-                pc.invert(pc.match_substring_regex(terms, "[\x1e\x1f]"))
+                pc.invert(pc.match_substring_regex(terms, _SYNTHETIC_TERM_RE))
             )
         n_terms = len(pc.unique(terms))
         docs = self._docs_ds.to_table()
@@ -3980,7 +3974,7 @@ class SearchEngine:
             if self.scored_fields or self.has_bigrams:
                 # default-field dictionary only
                 t = t.filter(pc.invert(
-                    pc.match_substring_regex(t["term"], "[\x1e\x1f]")
+                    pc.match_substring_regex(t["term"], _SYNTHETIC_TERM_RE)
                 ))
             agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
             agg = agg.sort_by("term")
@@ -4952,12 +4946,16 @@ class RangeScorer:
             | fld_terms | dm_terms | fph_terms | bg_terms
         )
         shards = sorted({term_shard(t, self.n_shards) for t in want})
-        cols = None
         if pos_phrases or near_terms or pos_ppos or fph_terms or pos_bg:
             cols = [
                 "term", "range_id", "doc_ids", "tfs", "positions",
                 "block_last", "block_max_tf", "block_min_norm",
             ]
+        else:
+            # no positional matcher runs (terms / bigram-served phrase
+            # groups only): skip the positions blob and df/cf/block
+            # metadata columns entirely
+            cols = ["term", "range_id", "doc_ids", "tfs"]
         if want:
             tbl = self._postings.to_table(
                 columns=cols,
