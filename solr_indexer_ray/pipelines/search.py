@@ -3760,6 +3760,8 @@ class SearchEngine:
             "deleted_docs": int(deleted),
             "n_terms": int(n_terms),
             "has_positions": bool(self.has_positions),
+            "has_bigrams": bool(self.has_bigrams),
+            "bigram_first": sorted(self.bigram_first),
             "store_content": bool(self.stats.get("store_content")),
             "filters": list(self.stats.get("filters", []) or []),
             "fields": fields,
