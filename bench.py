@@ -172,21 +172,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # the per-job measurement; a real serving deployment keeps the pool
     # resident.  Persistent actors measure the steady-state qps the same
     # BatchSearcher delivers once warm.
-    searcher_cls = ray.remote(num_cpus=1)(BatchSearcher)
-    actors = [searcher_cls.remote(index_dir=index_dir, k=10)
-              for _ in range(pool)]
-    warm_batch = {"query": np.array(dist_queries[:64], dtype=object)}
-    ray.get([a.__call__.remote(warm_batch) for a in actors])  # untimed warm
-    chunks = [
-        {"query": np.array(dist_queries[i:i + 64], dtype=object)}
-        for i in range(0, len(dist_queries), 64)
-    ]
-    t0 = time.perf_counter()
-    ray.get([actors[i % pool].__call__.remote(c)
-             for i, c in enumerate(chunks)])
-    query_dist_warm_s = time.perf_counter() - t0
-    for a in actors:
-        ray.kill(a)
+    from solr_indexer_ray.pipelines.serving import SearchService
+
+    with SearchService(index_dir, pool=pool) as svc:
+        # untimed warm: one chunk per actor
+        svc.search_many(dist_queries[:64 * pool], k=10, fl=["doc_id"])
+        t0 = time.perf_counter()
+        out_tables = svc.search_many(dist_queries, k=10, fl=["doc_id"],
+                                     chunk=64)
+        query_dist_warm_s = time.perf_counter() - t0
+        assert len(out_tables) == len(dist_queries)
 
     if os.environ.get("GRAFT_BENCH_LITE") == "1":
         # --scaling subprocesses: the criterion reads only the headline
