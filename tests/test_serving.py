@@ -10,7 +10,11 @@ import pytest
 from solr_indexer_ray.config import IndexConfig
 from solr_indexer_ray.pipelines.build import build_index
 from solr_indexer_ray.pipelines.search import SearchEngine
-from solr_indexer_ray.pipelines.serving import SearchService
+from solr_indexer_ray.pipelines.search import search_partitioned
+from solr_indexer_ray.pipelines.serving import (
+    PartitionedSearchService,
+    SearchService,
+)
 from solr_indexer_ray.sources.corpus import generate_corpus
 
 
@@ -73,3 +77,40 @@ class TestSearchService:
         with pytest.raises(RuntimeError, match="closed"):
             svc.search("read")
         svc.close()  # idempotent
+
+
+class TestPartitionedSearchService:
+    """Resident per-range protocol: each actor owns a FIXED range
+    subset; results must be bit-identical to search_partitioned (which
+    is itself bit-identical to the single engine)."""
+
+    def test_identical_to_partitioned(self, serve_index):
+        with PartitionedSearchService(serve_index, pool=2) as svc:
+            for q in QUERIES:
+                a = svc.search(q, k=10)
+                b = search_partitioned(serve_index, q, k=10)
+                assert a["doc_id"].to_pylist() == \
+                    b["doc_id"].to_pylist(), q
+                assert a["score"].to_pylist() == \
+                    b["score"].to_pylist(), q
+
+    def test_fq_and_zero_and_fallback(self, serve_index):
+        with PartitionedSearchService(serve_index, pool=2) as svc:
+            # fq exclusion ships per range
+            a = svc.search("parse read", k=10, fq=["lang:python"])
+            b = search_partitioned(serve_index, "parse read", k=10,
+                                   fq=["lang:python"])
+            assert a.to_pylist() == b.to_pylist()
+            # conjunction with a missing term -> provably zero
+            assert svc.search("zzqqnotaterm AND read").num_rows == 0
+            # match-all falls back to the per-job path
+            c = svc.search("*:*", k=5)
+            d = search_partitioned(serve_index, "*:*", k=5)
+            assert c.to_pylist() == d.to_pylist()
+
+    def test_more_actors_than_ranges(self, serve_index):
+        # 150 docs / dpr 64 -> 3 ranges; pool clamps to n_ranges
+        with PartitionedSearchService(serve_index, pool=16) as svc:
+            a = svc.search(QUERIES[0], k=10)
+            b = search_partitioned(serve_index, QUERIES[0], k=10)
+            assert a.to_pylist() == b.to_pylist()
