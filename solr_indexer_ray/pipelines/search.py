@@ -4959,18 +4959,32 @@ class RangeScorer:
             # metadata columns entirely
             cols = ["term", "range_id", "doc_ids", "tfs"]
         if want:
-            tbl = self._postings.to_table(
-                columns=cols,
-                filter=pc.field("shard").isin(shards)
-                & pc.field("range_id").isin([rid])
-                & pc.field("term").isin(want)
-            )
+            # bounded read cache: a resident actor serving repeated
+            # queries reuses the (range, term-set) postings slice instead
+            # of re-scanning parquet (read-only downstream; harmless for
+            # one-shot per-job tasks)
+            if getattr(self, "_read_cache", None) is None:
+                self._read_cache: dict = {}
+            rkey = (rid, tuple(want), len(cols))
+            tbl = self._read_cache.get(rkey)
+            if tbl is None:
+                tbl = self._postings.to_table(
+                    columns=cols,
+                    filter=pc.field("shard").isin(shards)
+                    & pc.field("range_id").isin([rid])
+                    & pc.field("term").isin(want)
+                )
+                self._read_cache[rkey] = tbl
+                while len(self._read_cache) > 64:
+                    self._read_cache.pop(next(iter(self._read_cache)))
         else:  # match-all without prohibited terms: no postings needed
             tbl = self._postings.schema.empty_table()
         rows = {tbl["term"][i].as_py(): i for i in range(tbl.num_rows)}
 
         width = hi - lo
-        # range-local norms
+        # range-local norms — static per (range, field set), so resident
+        # actors (PartitionedSearchService) and multi-range batches reuse
+        # them across queries instead of re-reading the docs parquet
         docs_flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi)
         flds = sorted(
             {f for f, _, _, _, _ in field_clauses}
@@ -4979,17 +4993,28 @@ class RangeScorer:
             | {f for f, _, _, _ in field_phrase_groups}
             | {f for f, _, _, _, _ in boost_groups if f}
         )
-        dtab = self._docs.to_table(
-            columns=["doc_id", "norm", *[f"norm_{f}" for f in flds]],
-            filter=docs_flt,
-        )
-        norms = np.zeros(width, dtype=np.uint8)
-        norms[dtab["doc_id"].to_numpy() - lo] = dtab["norm"].to_numpy()
-        fnorms = {}
-        for f in flds:
-            a = np.zeros(width, dtype=np.uint8)
-            a[dtab["doc_id"].to_numpy() - lo] = dtab[f"norm_{f}"].to_numpy()
-            fnorms[f] = a
+        if getattr(self, "_norms_cache", None) is None:
+            self._norms_cache: dict = {}
+        nkey = (rid, tuple(flds))
+        hit = self._norms_cache.get(nkey)
+        if hit is not None:
+            norms, fnorms = hit
+        else:
+            dtab = self._docs.to_table(
+                columns=["doc_id", "norm", *[f"norm_{f}" for f in flds]],
+                filter=docs_flt,
+            )
+            norms = np.zeros(width, dtype=np.uint8)
+            norms[dtab["doc_id"].to_numpy() - lo] = dtab["norm"].to_numpy()
+            fnorms = {}
+            for f in flds:
+                a = np.zeros(width, dtype=np.uint8)
+                a[dtab["doc_id"].to_numpy() - lo] = \
+                    dtab[f"norm_{f}"].to_numpy()
+                fnorms[f] = a
+            self._norms_cache[nkey] = (norms, fnorms)
+            while len(self._norms_cache) > 64:
+                self._norms_cache.pop(next(iter(self._norms_cache)))
 
         scores = np.zeros(width, dtype=np.float64)
         seen = (
