@@ -222,6 +222,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             },
         }
 
+    # ---- phase 3c: resident partitioned protocol -------------------------
+    # PartitionedSearchService: per-range actors hold their partitions
+    # warm (the multi-node serving shape); p50 vs the per-job
+    # search_partitioned number above
+    from solr_indexer_ray.pipelines.serving import PartitionedSearchService
+
+    part_queries = _query_set(50)
+    with PartitionedSearchService(index_dir, pool=pool) as psvc:
+        for q in part_queries[:10]:
+            psvc.search(q, k=10)  # untimed warm
+        plat_r = np.zeros(len(part_queries))
+        for i, q in enumerate(part_queries):
+            t = time.perf_counter()
+            psvc.search(q, k=10)
+            plat_r[i] = time.perf_counter() - t
+    part_resident_p50 = round(float(np.percentile(plat_r, 50)) * 1000, 3)
+
     # ---- phase 4: rank-identity rate vs the brute-force oracle ----------
     # (the BASELINE metric includes "top-k rank-identity rate"; measured on
     # a 2k-doc slice where the O(N·Q) oracle is affordable)
@@ -611,6 +628,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "dist_qps": round(len(dist_queries) / query_dist_s, 1),
             "dist_warm_qps": round(
                 len(dist_queries) / query_dist_warm_s, 1),
+            "partitioned_resident_p50_ms": part_resident_p50,
             "n_term_rows": stats["n_term_rows"],
             "rank_identity_rate": rank_identity_rate,
             "pos_build_s": round(pos_build_s, 3),
