@@ -153,6 +153,11 @@ class PartitionedSearchService:
     match-all, score-shaping params) fall back to the per-job
     ``search_partitioned`` path, which handles them distributed or
     single-engine as documented there.
+
+    Mutations (delete / extend / compact) follow the engine-wide
+    invalidation rule: construct a NEW service after committing them
+    (Solr's searcher-reopen-on-commit discipline) — a resident pool
+    built before a mutation serves the pre-mutation view.
     """
 
     def __init__(self, index_dir: str, pool: int = 8, synonyms=None,

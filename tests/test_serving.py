@@ -108,6 +108,26 @@ class TestPartitionedSearchService:
             d = search_partitioned(serve_index, "*:*", k=5)
             assert c.to_pylist() == d.to_pylist()
 
+    def test_reopen_after_delete(self, serve_index, tmp_path):
+        """Searcher-reopen discipline: a service built AFTER a delete
+        excludes the victim (tombstones ship per query as exclusions)."""
+        import shutil
+
+        from solr_indexer_ray.pipelines import mutate
+
+        idx = str(tmp_path / "idx")
+        shutil.copytree(serve_index, idx)
+        with PartitionedSearchService(idx, pool=2) as svc:
+            before = svc.search("parse read", k=5)
+            assert before.num_rows
+        victim = before["doc_id"][0].as_py()
+        mutate.delete_by_id(idx, [victim])
+        with PartitionedSearchService(idx, pool=2) as svc:
+            after = svc.search("parse read", k=5)
+            assert victim not in after["doc_id"].to_pylist()
+            ref = search_partitioned(idx, "parse read", k=5)
+            assert after.to_pylist() == ref.to_pylist()
+
     def test_more_actors_than_ranges(self, serve_index):
         # 150 docs / dpr 64 -> 3 ranges; pool clamps to n_ranges
         with PartitionedSearchService(serve_index, pool=16) as svc:
