@@ -170,6 +170,7 @@ class PartitionedSearchService:
         #: driver-side engine: query parsing + the df-only clause scout
         #: (never reads postings blobs — lookup_dfs)
         self.engine = SearchEngine(index_dir, synonyms=synonyms)
+        self._synonyms = synonyms
         dpr = int(self.engine.stats["docs_per_range"])
         n_ranges = (self.engine.doc_space + dpr - 1) // dpr
         self._dpr = dpr
@@ -202,7 +203,9 @@ class PartitionedSearchService:
         clauses = _distributed_clauses(engine, parsed, query)
         if clauses is None:
             # tree / match-all / single-engine shapes: per-job path
-            return search_partitioned(self.index_dir, query, k=k, fq=fq)
+            # (same synonym map — fallbacks must not change semantics)
+            return search_partitioned(self.index_dir, query, k=k, fq=fq,
+                                      synonyms=self._synonyms)
         if clauses == "zero":
             return pa.Table.from_pylist(
                 [], schema=pa.schema(
