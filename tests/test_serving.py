@@ -128,6 +128,19 @@ class TestPartitionedSearchService:
             ref = search_partitioned(idx, "parse read", k=5)
             assert after.to_pylist() == ref.to_pylist()
 
+    def test_synonyms_on_both_paths(self, serve_index):
+        """The service's synonym map applies on the resident path AND
+        carries through the per-job fallback (tree shapes)."""
+        syn = {"read": ["parse"]}
+        with PartitionedSearchService(serve_index, pool=2,
+                                      synonyms=syn) as svc:
+            for q in ("read merge",                    # resident
+                      "(read OR sort) AND merge"):     # fallback (tree)
+                a = svc.search(q, k=10)
+                b = search_partitioned(serve_index, q, k=10,
+                                       synonyms=syn)
+                assert a.to_pylist() == b.to_pylist(), q
+
     def test_more_actors_than_ranges(self, serve_index):
         # 150 docs / dpr 64 -> 3 ranges; pool clamps to n_ranges
         with PartitionedSearchService(serve_index, pool=16) as svc:
