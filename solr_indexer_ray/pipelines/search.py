@@ -305,9 +305,23 @@ def _gather_segments(flat, starts, lengths):
     out_offsets = np.concatenate(([0], np.cumsum(lengths)))
     if total == 0:
         return np.empty(0, dtype=flat.dtype), out_offsets
-    w = np.arange(total, dtype=np.int64) - np.repeat(out_offsets[:-1], lengths)
-    idx = np.repeat(np.asarray(starts, dtype=np.int64), lengths) + w
+    # one repeat of the per-segment DELTA (start − output offset) instead
+    # of repeating starts and offsets separately — halves the repeat cost
+    idx = np.arange(total, dtype=np.int64) + np.repeat(
+        np.asarray(starts, dtype=np.int64) - out_offsets[:-1], lengths
+    )
     return flat[idx], out_offsets
+
+
+def _run_lengths(vals):
+    """(unique values, run lengths) of a SORTED int array — grouped
+    counts without a hash table or a doc-space-sized bincount."""
+    if vals.size == 0:
+        return vals, np.empty(0, np.int64)
+    cut = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+    starts = np.concatenate(([0], cut))
+    ends = np.concatenate((cut, [vals.size]))
+    return vals[starts], ends - starts
 
 
 def _sorted_isin(a, b):
@@ -318,6 +332,15 @@ def _sorted_isin(a, b):
     pos = np.searchsorted(b, a)
     pos[pos == b.size] = b.size - 1
     return b[pos] == a
+
+
+def _sorted_intersect(a, b):
+    """Intersection of two SORTED unique int64 arrays — the binary-search
+    form of ``np.intersect1d(assume_unique=True)``: probes the smaller
+    side into the larger, no concatenate-and-resort."""
+    if a.size > b.size:
+        a, b = b, a
+    return a[_sorted_isin(a, b)]
 
 
 def _func_values(col) -> np.ndarray:
@@ -480,7 +503,7 @@ class TermPostings:
     __slots__ = ("term", "df", "cf", "doc_ids", "tfs",
                  "block_last", "block_max_tf", "block_min_norm", "score_vec",
                  "block_ub_vec", "pos_flat", "pos_offsets", "pos_raw",
-                 "lazy_decoded")
+                 "lazy_decoded", "gkeys", "gkeys_stride", "maxpos")
 
     def __init__(self, term, df, cf, doc_ids, tfs,
                  block_last, block_max_tf, block_min_norm,
@@ -515,6 +538,46 @@ class TermPostings:
         #: and caches, so HOT terms converge to the cheap pos_flat gather
         #: while rarely-phrased terms never pay a full decode.
         self.lazy_decoded = 0
+        #: GLOBAL position keys ``doc_id·stride + position`` (ascending) —
+        #: the phrase matcher's per-term stream, encoded once per engine
+        #: lifetime (re-encoded only if the engine's stride grows) and
+        #: evicted with the TermPostings through the term-cache LRU.
+        self.gkeys = None
+        self.gkeys_stride = 0
+        self.maxpos = None
+
+    def ensure_pos_flat(self):
+        """Force the FULL position stream (decode every range once and
+        cache); returns ``pos_flat``."""
+        if self.pos_flat is None:
+            from solr_indexer_ray.functions.varint import decode_positions
+
+            self.pos_flat = np.concatenate(
+                [decode_positions(e[1], e[2])[0] for e in self.pos_raw]
+            ) if self.pos_raw else np.empty(0, np.int64)
+            self.pos_offsets = np.concatenate(([0], np.cumsum(self.tfs)))
+            self.pos_raw = None
+        return self.pos_flat
+
+    def max_position(self) -> int:
+        """Largest token position of any occurrence (0 when empty)."""
+        if self.maxpos is None:
+            flat = self.ensure_pos_flat()
+            self.maxpos = int(flat.max()) if flat.size else 0
+        return self.maxpos
+
+    def global_keys(self, stride: int):
+        """``doc_id·stride + position`` for every occurrence, ascending
+        (doc_ids ascend; positions ascend within a doc).  Cached per
+        stride — the engine's stride only grows, and grows to powers of
+        two, so re-encodes are rare."""
+        if self.gkeys is None or self.gkeys_stride != stride:
+            flat = self.ensure_pos_flat()
+            self.gkeys = np.repeat(
+                self.doc_ids.astype(np.int64) * stride, self.tfs
+            ) + flat
+            self.gkeys_stride = stride
+        return self.gkeys
 
     def positions_for(self, ti, lengths):
         """Flat positions of postings ``ti`` (sorted indices into this
@@ -530,16 +593,8 @@ class TermPostings:
         # and cache it — repeated queries then gather from pos_flat like
         # the old eager path, and the lazy path never does much worse.
         self.lazy_decoded += ti.size
-        if ti.size * 2 > self.tfs.size:
-            from solr_indexer_ray.functions.varint import decode_positions
-
-            self.pos_flat = np.concatenate(
-                [decode_positions(e[1], e[2])[0] for e in self.pos_raw]
-            ) if self.pos_raw else np.empty(0, np.int64)
-            self.pos_offsets = np.concatenate(
-                ([0], np.cumsum(self.tfs))
-            )
-            self.pos_raw = None
+        if ti.size * 2 > self.tfs.size or self.lazy_decoded * 2 > self.tfs.size:
+            self.ensure_pos_flat()
             flat, _ = _gather_segments(self.pos_flat, self.pos_offsets[ti],
                                        lengths)
             return flat
@@ -658,6 +713,11 @@ class SearchEngine:
         self._fuzzy_cache: dict = {}  # (word, edits) -> expansion terms
         self._field_norms: dict = {}  # analyzed field -> dense norm bytes
         self._pattern_cache: dict = {}  # wildcard pattern -> expansion
+        #: stride of the global phrase-key encoding (doc·stride + pos).
+        #: Grows monotonically to the next power of two covering the
+        #: longest position seen (+ query margin), so cached per-term key
+        #: streams stay valid across queries once it stabilizes.
+        self._gkey_stride = 0
         self._bmw_cell_cache: dict = {}  # terms tuple -> cell grid/offsets
         self._func_cols: dict = {}   # field -> dense float64 (bf/boost)
         self._geo_cache: dict = {}   # sfield -> dense lat/lon (or bbox)
@@ -1143,6 +1203,132 @@ class SearchEngine:
     # ------------------------------------------------------------------ #
     # phrase matching (Lucene ExactPhraseMatcher semantics)
     # ------------------------------------------------------------------ #
+    def _phrase_stride(self, tps, margin: int) -> int | None:
+        """Engine stride for global phrase keys covering ``tps`` with
+        ``margin`` headroom (phrase length / slop), or None when the
+        key space would overflow int64 (caller falls back to the
+        per-candidate segment matcher)."""
+        need = max(tp.max_position() for tp in tps) + margin
+        if need > self._gkey_stride:
+            self._gkey_stride = 1 << int(need - 1).bit_length()
+        stride = self._gkey_stride
+        if self.doc_space * stride > (1 << 62):
+            return None
+        return stride
+
+    def _phrase_match_keys(self, phrase, postings):
+        """Exact-phrase ``(docs, freqs)`` via cached GLOBAL position keys.
+
+        Each member term's occurrences are encoded once as
+        ``doc_id·stride + position`` (:meth:`TermPostings.global_keys` —
+        hot terms pay the encode once per engine lifetime), and a phrase
+        start survives when ``anchor_key + offset`` is present in every
+        member's stream.  Per-query work is one binary-search membership
+        pass per non-anchor member sized by the SMALLEST member's stream
+        — no doc intersection, no per-candidate position gather, no
+        score-bound ordering.  Key arithmetic and the doc-boundary guard
+        (stride > max_position + len(phrase) + 1, so a shifted key can
+        never collide with a neighbouring doc's range) are exactly
+        :func:`_phrase_freqs`'s, hence bit-identical freqs (tested A/B).
+        Returns None when int64 keys can't cover the doc space (caller
+        uses the segment matcher).
+        """
+        uniq = list(dict.fromkeys(phrase))
+        stride = self._phrase_stride(
+            [postings[t] for t in uniq], len(phrase) + 2
+        )
+        if stride is None:
+            return None
+        keys = {t: postings[t].global_keys(stride) for t in uniq}
+        order = sorted(range(len(phrase)),
+                       key=lambda i: keys[phrase[i]].size)
+        a = order[0]
+        cand = keys[phrase[a]]
+        for i in order[1:]:
+            cand = cand[_sorted_isin(cand + (i - a), keys[phrase[i]])]
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        return _run_lengths(cand // stride)
+
+    def _near_match_keys(self, terms, slop: int, postings):
+        """Ordered-proximity ``(docs, freqs)`` via global position keys —
+        :func:`_near_freqs`'s greedy earliest-next chain run directly on
+        the cached per-term streams.  First-term starts are pre-filtered
+        to docs containing every member (one membership pass) so chain
+        work matches the segment matcher's candidate set without any
+        position gather.  Returns None on int64 overflow."""
+        uniq = list(dict.fromkeys(terms))
+        stride = self._phrase_stride(
+            [postings[t] for t in uniq], len(terms) + slop + 2
+        )
+        if stride is None:
+            return None
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        docs = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            docs = _sorted_intersect(docs, postings[t].doc_ids)
+            if docs.size == 0:
+                return empty
+        keys = {t: postings[t].global_keys(stride) for t in uniq}
+        starts = keys[terms[0]]
+        if docs.size < postings[terms[0]].df:
+            sdoc = starts // stride
+            starts = starts[_sorted_isin(sdoc, docs)]
+        if starts.size == 0:
+            return empty
+        sdoc = starts // stride
+        cur = starts
+        alive = np.ones(starts.size, dtype=bool)
+        for t in terms[1:]:
+            ks = keys[t]
+            idx = np.searchsorted(ks, cur + 1, side="left")
+            ok = idx < ks.size
+            nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
+            same_doc = ok & (nxt // stride == sdoc)
+            alive &= same_doc
+            cur = np.where(same_doc, nxt, cur)
+        width = (cur - starts) - (len(terms) - 1)
+        alive &= width <= slop
+        surv = sdoc[alive]
+        if surv.size == 0:
+            return empty
+        return _run_lengths(surv)
+
+    def _phrase_match_segments(self, phrase, postings):
+        """Fallback exact-phrase matcher: doc-level conjunction, then
+        per-candidate position segments through :func:`_phrase_freqs`
+        (used when global int64 keys can't cover the doc space)."""
+        uniq = list(dict.fromkeys(phrase))
+        docs = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            docs = _sorted_intersect(docs, postings[t].doc_ids)
+            if docs.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        segments = {}
+        for t in uniq:
+            tp = postings[t]
+            ti = np.searchsorted(tp.doc_ids, docs)
+            lengths = tp.tfs[ti]
+            segments[t] = (tp.positions_for(ti, lengths), lengths)
+        return _phrase_freqs(docs, segments, phrase)
+
+    def _near_match_segments(self, terms, slop, postings):
+        """Fallback proximity matcher (segment form of
+        :meth:`_near_match_keys`)."""
+        uniq = list(dict.fromkeys(terms))
+        docs = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            docs = _sorted_intersect(docs, postings[t].doc_ids)
+            if docs.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        segments = {}
+        for t in uniq:
+            tp = postings[t]
+            ti = np.searchsorted(tp.doc_ids, docs)
+            lengths = tp.tfs[ti]
+            segments[t] = (tp.positions_for(ti, lengths), lengths)
+        return _near_freqs(docs, segments, terms, slop)
+
     def eval_phrase(self, phrase) -> tuple:
         """Docs containing the exact phrase -> ``(doc_ids, freqs, w)``.
 
@@ -1182,40 +1368,18 @@ class SearchEngine:
             postings = self.lookup_postings(uniq, with_positions=True)
             if any(k not in postings for k in uniq):
                 return np.empty(0, np.int64), np.empty(0, np.int64), w
-            docs = postings[uniq[0]].doc_ids
-            for t in uniq[1:]:
-                docs = np.intersect1d(docs, postings[t].doc_ids,
-                                      assume_unique=True)
-            if docs.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64), w
-            segments = {}
-            for t in uniq:
-                tp = postings[t]
-                ti = np.searchsorted(tp.doc_ids, docs)
-                lengths = tp.tfs[ti]
-                segments[t] = (tp.positions_for(ti, lengths), lengths)
-            out_docs, freqs = _phrase_freqs(docs, segments, chain)
-            return out_docs, freqs, w
+            out = self._phrase_match_keys(chain, postings)
+            if out is None:
+                out = self._phrase_match_segments(chain, postings)
+            return out[0], out[1], w
         postings = self.lookup_postings(list(phrase), with_positions=True)
         if any(t not in postings for t in phrase):
             return empty
         w = float(sum(self.idf(postings[t].df) for t in phrase))
-        uniq = list(dict.fromkeys(phrase))
-        docs = postings[uniq[0]].doc_ids
-        for t in uniq[1:]:
-            docs = np.intersect1d(docs, postings[t].doc_ids,
-                                  assume_unique=True)
-            if docs.size == 0:
-                return empty
-        segments = {}
-        for t in uniq:
-            tp = postings[t]
-            ti = np.searchsorted(tp.doc_ids, docs)
-            lengths = tp.tfs[ti]
-            flat = tp.positions_for(ti, lengths)
-            segments[t] = (flat, lengths)
-        out_docs, freqs = _phrase_freqs(docs, segments, phrase)
-        return out_docs, freqs, w
+        out = self._phrase_match_keys(list(phrase), postings)
+        if out is None:
+            out = self._phrase_match_segments(list(phrase), postings)
+        return out[0], out[1], w
 
     def eval_near(self, terms, slop: int) -> tuple:
         """Ordered proximity match ``"a b"~slop`` -> (doc_ids, freqs, w).
@@ -1231,22 +1395,10 @@ class SearchEngine:
         if any(t not in postings for t in terms):
             return empty
         w = float(sum(self.idf(postings[t].df) for t in terms))
-        uniq = list(dict.fromkeys(terms))
-        docs = postings[uniq[0]].doc_ids
-        for t in uniq[1:]:
-            docs = np.intersect1d(docs, postings[t].doc_ids,
-                                  assume_unique=True)
-            if docs.size == 0:
-                return empty
-        segments = {}
-        for t in uniq:
-            tp = postings[t]
-            ti = np.searchsorted(tp.doc_ids, docs)
-            lengths = tp.tfs[ti]
-            flat = tp.positions_for(ti, lengths)
-            segments[t] = (flat, lengths)
-        out_docs, freqs = _near_freqs(docs, segments, terms, slop)
-        return out_docs, freqs, w
+        out = self._near_match_keys(terms, slop, postings)
+        if out is None:
+            out = self._near_match_segments(terms, slop, postings)
+        return out[0], out[1], w
 
     # ------------------------------------------------------------------ #
     # scoring
@@ -1314,22 +1466,10 @@ class SearchEngine:
         w = float(
             sum(self.scoring.idf(doc_count, postings[p].df) for p in pref)
         )
-        uniq = list(dict.fromkeys(pref))
-        docs = postings[uniq[0]].doc_ids
-        for t in uniq[1:]:
-            docs = np.intersect1d(docs, postings[t].doc_ids,
-                                  assume_unique=True)
-            if docs.size == 0:
-                return empty
-        segments = {}
-        for t in uniq:
-            tp = postings[t]
-            ti = np.searchsorted(tp.doc_ids, docs)
-            lengths = tp.tfs[ti]
-            flat = tp.positions_for(ti, lengths)
-            segments[t] = (flat, lengths)
-        out_docs, freqs = _phrase_freqs(docs, segments, pref)
-        return out_docs, freqs, w
+        out = self._phrase_match_keys(pref, postings)
+        if out is None:
+            out = self._phrase_match_segments(pref, postings)
+        return out[0], out[1], w
 
     def _excluded_mask(self, parsed: ParsedQuery) -> np.ndarray | None:
         """Boolean mask of docs excluded by filters/prohibitions/tombstones.
@@ -2429,11 +2569,34 @@ class SearchEngine:
         w = float(sum(self.idf(postings[t].df) for t in phrase))
         if boost is not None:
             w *= boost
+        # global-key matchers: exact freqs for every matching doc from
+        # cached per-term key streams — cheaper than chunked UB
+        # verification (no gather / argsort), so score-and-select
+        # directly like the bigram branch
+        out = (self._phrase_match_keys(phrase, postings) if slop is None
+               else self._near_match_keys(phrase, slop, postings))
+        if out is not None:
+            docs, freqs = out
+            if excluded is not None and docs.size:
+                m = ~excluded[docs]
+                docs, freqs = docs[m], freqs[m]
+            if docs.size == 0:
+                return []
+            sc = w * self.scoring.impact(
+                freqs.astype(np.float64),
+                self._norm_factor(self.norms[docs]),
+            )
+            if after is not None:
+                cs, cid = after
+                m = (sc < cs) | ((sc == cs) & (docs > cid))
+                docs, sc = docs[m], sc[m]
+            return _select_topk(docs, sc, k)
+        # int64 key overflow (enormous doc space · doc length): fall back
+        # to per-candidate segments with chunked upper-bound verification
         uniq = list(dict.fromkeys(phrase))
         docs = postings[uniq[0]].doc_ids
         for t in uniq[1:]:
-            docs = np.intersect1d(docs, postings[t].doc_ids,
-                                  assume_unique=True)
+            docs = _sorted_intersect(docs, postings[t].doc_ids)
             if docs.size == 0:
                 return []
         if excluded is not None:
