@@ -61,12 +61,27 @@ def varint_decode(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    cont = b & 0x80
-    if not cont.any():
+    if int(b.max()) < 0x80:
         # all-1-byte fast path: dense postings delta to tiny gaps and most
         # position deltas are < 128, so whole streams decode as one pass
-        return (b & 0x7F).astype(np.uint64)
-    ends = np.flatnonzero(cont == 0)
+        # (no continuation bits set -> the bytes ARE the values; the max()
+        # reduction avoids materializing a bit-mask temp)
+        return b.astype(np.uint64)
+    cont = b >= 0x80
+    if not (cont[:-1] & cont[1:]).any():
+        # <=2-byte fast path (values < 2^14 — position streams whose
+        # only multi-byte entries are segment-first absolutes): combine
+        # each continuation byte into its terminal neighbour by a sparse
+        # scatter, then compress terminals — uint16 temps throughout, no
+        # per-value int64 index arrays
+        v = (b & 0x7F).astype(np.uint16)
+        idx = np.flatnonzero(cont)
+        if idx.size:
+            # reads hit continuation slots, writes hit terminal slots —
+            # disjoint, so adjacent 2-byte values can't interfere
+            v[idx + 1] = (v[idx + 1] << 7) | v[idx]
+        return v[~cont].astype(np.uint64)
+    ends = np.flatnonzero(~cont)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1
     # gather each value's FIRST byte, then mask/widen only the gathered
@@ -84,6 +99,20 @@ def varint_decode(buf: bytes) -> np.ndarray:
                 (b[mstart[m] + j] & 0x7F).astype(np.uint64) << _SHIFTS[j]
             )
     return out
+
+
+def varint_cumsum(buf: bytes) -> np.ndarray:
+    """Cumulative sum of the decoded varint stream as int64.
+
+    For all-1-byte streams (the common position-delta case) the raw
+    bytes feed ``cumsum`` directly — no intermediate uint64 payload is
+    ever materialized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if int(b.max()) < 0x80:
+        return np.cumsum(b, dtype=np.int64)
+    return np.cumsum(varint_decode(buf), dtype=np.int64)
 
 
 def delta_encode(sorted_values: np.ndarray) -> np.ndarray:

@@ -503,7 +503,8 @@ class TermPostings:
     __slots__ = ("term", "df", "cf", "doc_ids", "tfs",
                  "block_last", "block_max_tf", "block_min_norm", "score_vec",
                  "block_ub_vec", "pos_flat", "pos_offsets", "pos_raw",
-                 "lazy_decoded", "gkeys", "gkeys_stride", "maxpos")
+                 "lazy_decoded", "gkeys", "gkeys_stride", "maxpos",
+                 "_ckparts")
 
     def __init__(self, term, df, cf, doc_ids, tfs,
                  block_last, block_max_tf, block_min_norm,
@@ -545,6 +546,40 @@ class TermPostings:
         self.gkeys = None
         self.gkeys_stride = 0
         self.maxpos = None
+        #: transient per-range (cumsum, rebase, counts) of the delta
+        #: streams — shared by max_position() and the first key build,
+        #: dropped once keys exist (keys re-stride WITHOUT re-decoding).
+        self._ckparts = None
+
+    def _key_parts(self):
+        """Per-range ``(cumsum(deltas), per-segment rebase, counts)`` of
+        the raw position streams — the half-decoded form that
+        :meth:`global_keys` consumes (``positions = cs − repeat(base)``,
+        so ``keys = cs + repeat(doc·stride − base)`` costs ONE repeat and
+        never materializes ``pos_flat``).  Also derives ``maxpos`` for
+        free (``max(cs[segment_ends−1] − base)``)."""
+        if self._ckparts is None:
+            from solr_indexer_ray.functions.varint import varint_cumsum
+
+            parts = []
+            maxp = 0
+            for entry in (self.pos_raw or []):
+                counts = np.asarray(entry[2], dtype=np.int64)
+                cs = varint_cumsum(entry[1])
+                offs = np.cumsum(counts, dtype=np.int64)
+                starts = offs - counts
+                # rebase of segment i = running total before its start;
+                # derived from the cumsum itself, no delta array needed
+                base = np.where(
+                    starts > 0, cs[np.maximum(starts - 1, 0)], 0
+                )
+                if cs.size:
+                    maxp = max(maxp, int((cs[offs - 1] - base).max()))
+                parts.append((cs, base, counts))
+            self._ckparts = parts
+            if self.maxpos is None:
+                self.maxpos = maxp
+        return self._ckparts
 
     def ensure_pos_flat(self):
         """Force the FULL position stream (decode every range once and
@@ -562,22 +597,47 @@ class TermPostings:
     def max_position(self) -> int:
         """Largest token position of any occurrence (0 when empty)."""
         if self.maxpos is None:
-            flat = self.ensure_pos_flat()
-            self.maxpos = int(flat.max()) if flat.size else 0
+            if self.pos_flat is not None:
+                self.maxpos = (
+                    int(self.pos_flat.max()) if self.pos_flat.size else 0
+                )
+            else:
+                self._key_parts()
         return self.maxpos
 
     def global_keys(self, stride: int):
         """``doc_id·stride + position`` for every occurrence, ascending
-        (doc_ids ascend; positions ascend within a doc).  Cached per
-        stride — the engine's stride only grows, and grows to powers of
-        two, so re-encodes are rare."""
-        if self.gkeys is None or self.gkeys_stride != stride:
-            flat = self.ensure_pos_flat()
-            self.gkeys = np.repeat(
-                self.doc_ids.astype(np.int64) * stride, self.tfs
-            ) + flat
-            self.gkeys_stride = stride
-        return self.gkeys
+        (doc_ids ascend; positions ascend within a doc).  Cached; when
+        the engine's stride grows (powers of two, so rarely) the cached
+        keys are RE-BASED in place — one repeat-add, no re-decode."""
+        if self.gkeys is not None:
+            if self.gkeys_stride != stride:
+                self.gkeys += np.repeat(
+                    self.doc_ids.astype(np.int64)
+                    * (stride - self.gkeys_stride),
+                    self.tfs,
+                )
+                self.gkeys_stride = stride
+            return self.gkeys
+        ids = self.doc_ids.astype(np.int64) * stride
+        if self.pos_flat is not None:
+            gk = np.repeat(ids, self.tfs) + self.pos_flat
+        else:
+            out = []
+            lo = 0
+            for cs, base, counts in self._key_parts():
+                n = base.size
+                np.add(cs, np.repeat(ids[lo:lo + n] - base, counts),
+                       out=cs)
+                out.append(cs)
+                lo += n
+            gk = (out[0] if len(out) == 1
+                  else np.concatenate(out) if out
+                  else np.empty(0, np.int64))
+            self._ckparts = None  # consumed (in-place) — re-stride
+            # updates work from gkeys, never from a re-decode
+        self.gkeys, self.gkeys_stride = gk, stride
+        return gk
 
     def positions_for(self, ti, lengths):
         """Flat positions of postings ``ti`` (sorted indices into this
