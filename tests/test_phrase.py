@@ -546,3 +546,79 @@ class TestPrunedPhraseTopk:
         # bm25 default still prunes
         eng.scoring = S.ScoringModel()
         assert eng._score_phrase_pruned(parsed, None, 10) is not None
+
+
+class TestGlobalKeyMatcher:
+    """The global position-key matchers must be value-identical to the
+    per-candidate segment matchers (the int64-overflow fallback), across
+    stride growth and duplicate-term phrases."""
+
+    def _engine_and_tokens(self, pos_index):
+        idx, corpus, _ = pos_index
+        return SearchEngine(idx), BruteForceBM25(corpus).tokens
+
+    def _assert_same(self, a, b, ctx):
+        assert np.array_equal(a[0], b[0]), ctx
+        assert np.array_equal(a[1], b[1]), ctx
+
+    def test_phrase_keys_vs_segments(self, pos_index):
+        eng, tokens = self._engine_and_tokens(pos_index)
+        cases = [
+            [tokens[3][5], tokens[3][6]],
+            [tokens[8][0], tokens[8][1], tokens[8][2]],
+            ["the", "the"],                      # duplicate-term phrase
+            ["zzqq", "read"],                    # nothing matches
+        ]
+        for phrase in cases:
+            postings = eng.lookup_postings(phrase, with_positions=True)
+            if any(t not in postings for t in phrase):
+                continue
+            keys = eng._phrase_match_keys(phrase, postings)
+            segs = eng._phrase_match_segments(phrase, postings)
+            assert keys is not None
+            self._assert_same(keys, segs, phrase)
+
+    def test_near_keys_vs_segments(self, pos_index):
+        eng, tokens = self._engine_and_tokens(pos_index)
+        t = tokens[3]
+        for terms, slop in [([t[5], t[7]], 3), ([t[2], t[5], t[9]], 6),
+                            (["the", "read"], 1)]:
+            postings = eng.lookup_postings(terms, with_positions=True)
+            if any(x not in postings for x in terms):
+                continue
+            keys = eng._near_match_keys(terms, slop, postings)
+            segs = eng._near_match_segments(terms, slop, postings)
+            assert keys is not None
+            self._assert_same(keys, segs, (terms, slop))
+
+    def test_restride_rebases_cached_keys(self, pos_index):
+        """Growing the engine stride must re-base cached key streams in
+        place, yielding the same match set as a fresh encode."""
+        eng, tokens = self._engine_and_tokens(pos_index)
+        phrase = [tokens[3][5], tokens[3][6]]
+        postings = eng.lookup_postings(phrase, with_positions=True)
+        first = eng._phrase_match_keys(phrase, postings)
+        old_stride = eng._gkey_stride
+        # force a growth far beyond any real position
+        eng._gkey_stride = old_stride * 8
+        grown = eng._phrase_match_keys(phrase, postings)
+        self._assert_same(first, grown, "restride")
+        for t in dict.fromkeys(phrase):
+            assert postings[t].gkeys_stride == old_stride * 8
+
+    def test_overflow_guard_falls_back(self, pos_index):
+        """A doc space too large for int64 keys returns None from the
+        keys matcher; the engine still answers through segments."""
+        eng, tokens = self._engine_and_tokens(pos_index)
+        phrase = [tokens[3][5], tokens[3][6]]
+        postings = eng.lookup_postings(phrase, with_positions=True)
+        real_space = eng.doc_space
+        eng.doc_space = 1 << 61
+        try:
+            assert eng._phrase_match_keys(phrase, postings) is None
+            docs, freqs, w = eng.eval_phrase(phrase)
+        finally:
+            eng.doc_space = real_space
+        ref = eng._phrase_match_segments(phrase, postings)
+        assert np.array_equal(docs, ref[0])
+        assert np.array_equal(freqs, ref[1])
