@@ -399,6 +399,122 @@ def _phrase_freqs(docs, segments, phrase):
     return docs[mask], freqs[mask].astype(np.int64)
 
 
+def _decoded_key_streams(decoded, margin):
+    """One-shot global key streams for range-local phrase matching.
+
+    ``decoded`` maps term -> ``(doc_ids, tfs, positions_blob)``; returns
+    ``(keys_by_term, stride)`` built straight from the delta cumsum
+    (rebase = cumsum before segment start — no flat position stream is
+    ever materialized), or None when int64 keys can't cover the range's
+    id space (caller uses the segment matcher)."""
+    from solr_indexer_ray.functions.varint import varint_cumsum
+
+    parts = {}
+    maxp = 0
+    hi_id = 0
+    for t, (ids, tfs, blob) in decoded.items():
+        cs = varint_cumsum(blob)
+        offs = np.cumsum(tfs, dtype=np.int64)
+        starts = offs - tfs
+        base = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+        if cs.size:
+            maxp = max(maxp, int((cs[offs - 1] - base).max()))
+        if ids.size:
+            hi_id = max(hi_id, int(ids[-1]))
+        parts[t] = (cs, base)
+    stride = maxp + margin
+    if (hi_id + 1) * stride > (1 << 62):
+        return None
+    keys = {}
+    for t, (ids, tfs, _blob) in decoded.items():
+        cs, base = parts[t]
+        np.add(
+            cs,
+            np.repeat(ids.astype(np.int64) * stride - base, tfs),
+            out=cs,
+        )
+        keys[t] = cs
+    return keys, stride
+
+
+def _phrase_keys_local(decoded, phrase):
+    """(docs, freqs) of an exact phrase from per-term range-local
+    ``(ids, tfs, blob)`` — the one-shot form of the engine's global-key
+    matcher.  None on int64 overflow."""
+    out = _decoded_key_streams(decoded, len(phrase) + 2)
+    if out is None:
+        return None
+    keys, stride = out
+    order = sorted(range(len(phrase)), key=lambda i: keys[phrase[i]].size)
+    a = order[0]
+    cand = keys[phrase[a]]
+    for i in order[1:]:
+        cand = cand[_sorted_isin(cand + (i - a), keys[phrase[i]])]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    return _run_lengths(cand // stride)
+
+
+def _near_keys_local(decoded, terms, slop):
+    """(docs, freqs) of an ordered span-near from per-term range-local
+    ``(ids, tfs, blob)`` — greedy earliest-next chain over one-shot key
+    streams (docs lacking a member term fail the same-doc check, so no
+    doc-level pre-intersection is needed).  None on int64 overflow."""
+    out = _decoded_key_streams(decoded, len(terms) + slop + 2)
+    if out is None:
+        return None
+    keys, stride = out
+    starts = keys[terms[0]]
+    if starts.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    sdoc = starts // stride
+    cur = starts
+    alive = np.ones(starts.size, dtype=bool)
+    for t in terms[1:]:
+        ks = keys[t]
+        if ks.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        idx = np.searchsorted(ks, cur + 1, side="left")
+        ok = idx < ks.size
+        nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
+        same_doc = ok & (nxt // stride == sdoc)
+        alive &= same_doc
+        cur = np.where(same_doc, nxt, cur)
+    width = (cur - starts) - (len(terms) - 1)
+    alive &= width <= slop
+    surv = sdoc[alive]
+    if surv.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return _run_lengths(surv)
+
+
+def _segments_local(decoded, terms, slop):
+    """Range-local fallback matcher over per-term ``(ids, tfs, blob)``:
+    doc-level conjunction, candidate position segments, then the exact
+    (``slop is None``) or span-near matcher.  Only reached on int64 key
+    overflow."""
+    from solr_indexer_ray.functions.varint import decode_positions
+
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    uniq = list(decoded)
+    docs = decoded[uniq[0]][0]
+    for t in uniq[1:]:
+        docs = _sorted_intersect(docs, decoded[t][0])
+        if docs.size == 0:
+            return empty
+    segments = {}
+    for t in uniq:
+        ids, tfs, blob = decoded[t]
+        flat, offs = decode_positions(blob, tfs)
+        ti = np.searchsorted(ids, docs)
+        lengths = tfs[ti]
+        seg_flat, _ = _gather_segments(flat, offs[ti], lengths)
+        segments[t] = (seg_flat, lengths)
+    if slop is None:
+        return _phrase_freqs(docs, segments, terms)
+    return _near_freqs(docs, segments, terms, slop)
+
+
 def _near_freqs(docs, segments, terms, slop):
     """Vectorized ordered span-near matcher over ALL candidate docs.
 
@@ -5561,24 +5677,11 @@ class RangeScorer:
                 return empty
             ids = decode_doc_ids(tbl["doc_ids"][ri].as_py())
             tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.int64)
-            flat, offs = decode_positions(
-                tbl["positions"][ri].as_py() or b"", tfs
-            )
-            decoded[t] = (ids, tfs, flat, offs)
-        uniq = list(decoded)
-        docs = decoded[uniq[0]][0]
-        for t in uniq[1:]:
-            docs = np.intersect1d(docs, decoded[t][0], assume_unique=True)
-            if docs.size == 0:
-                return empty
-        segments = {}
-        for t in uniq:
-            ids, tfs, flat, offs = decoded[t]
-            ti = np.searchsorted(ids, docs)
-            lengths = tfs[ti]
-            seg_flat, _ = _gather_segments(flat, offs[ti], lengths)
-            segments[t] = (seg_flat, lengths)
-        out_docs, freqs = _phrase_freqs(docs, segments, phrase)
+            decoded[t] = (ids, tfs, tbl["positions"][ri].as_py() or b"")
+        out = _phrase_keys_local(decoded, list(phrase))
+        if out is None:
+            out = _segments_local(decoded, list(phrase), None)
+        out_docs, freqs = out
         return out_docs - lo, freqs.astype(np.float64)
 
     @staticmethod
@@ -5592,24 +5695,11 @@ class RangeScorer:
                 return empty
             ids = decode_doc_ids(tbl["doc_ids"][ri].as_py())
             tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.int64)
-            flat, offs = decode_positions(
-                tbl["positions"][ri].as_py() or b"", tfs
-            )
-            decoded[t] = (ids, tfs, flat, offs)
-        uniq = list(decoded)
-        docs = decoded[uniq[0]][0]
-        for t in uniq[1:]:
-            docs = np.intersect1d(docs, decoded[t][0], assume_unique=True)
-            if docs.size == 0:
-                return empty
-        segments = {}
-        for t in uniq:
-            ids, tfs, flat, offs = decoded[t]
-            ti = np.searchsorted(ids, docs)
-            lengths = tfs[ti]
-            seg_flat, _ = _gather_segments(flat, offs[ti], lengths)
-            segments[t] = (seg_flat, lengths)
-        out_docs, freqs = _near_freqs(docs, segments, list(terms), slop)
+            decoded[t] = (ids, tfs, tbl["positions"][ri].as_py() or b"")
+        out = _near_keys_local(decoded, list(terms), slop)
+        if out is None:
+            out = _segments_local(decoded, list(terms), slop)
+        out_docs, freqs = out
         return out_docs - lo, freqs.astype(np.float64)
 
 
