@@ -7843,6 +7843,32 @@ def _collapse_codes(doc_ids, scores, codes, uniques, k: int,
         codes = codes.copy()
         codes[null_rows] = n_real
     n = doc_ids.size
+    if expand_limit == 0:
+        # heads-only fast path: per-group max score / min doc id by
+        # scatter reduction — no O(n log n) sort of the match set
+        n_codes = int(codes.max()) + 1
+        best = np.full(n_codes, -np.inf)
+        np.maximum.at(best, codes, scores)
+        is_head = scores == best[codes]
+        head_doc = np.full(n_codes, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(head_doc, codes[is_head], doc_ids[is_head])
+        alive = np.flatnonzero(best > -np.inf)
+        # same rank rule as the sorted path: score desc, head id asc
+        top = alive[np.lexsort((head_doc[alive], -best[alive]))[:k]]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(top.size), pa.int64()),
+                "position": pa.array(np.zeros(top.size, np.int64),
+                                     pa.int64()),
+                "doc_id": pa.array(head_doc[top], pa.int64()),
+                "score": pa.array(best[top], pa.float64()),
+                "group": pa.array(
+                    [str(uniques[c]) if c < n_real else None
+                     for c in top],
+                    pa.string(),
+                ),
+            }
+        )
     # rank order (score desc, doc_id asc), then a vectorized per-group
     # cumcount in that order — no pandas groupby machinery in the loop
     order = np.lexsort((doc_ids, -scores))

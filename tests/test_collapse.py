@@ -180,3 +180,32 @@ class TestCollapse:
         assert t.num_rows == 0
         assert t.column_names == ["rank", "position", "doc_id", "score",
                                   "group"]
+
+
+def test_heads_fast_path_matches_sorted_path():
+    """expand_limit=0 takes the scatter-reduction fast path; its heads
+    must equal position-0 rows of the sorted (expand) path under score
+    ties, null policies and every k."""
+    import numpy as np
+
+    from solr_indexer_ray.pipelines.search import _collapse_codes
+
+    rng = np.random.default_rng(11)
+    uniq = [f"g{i}" for i in range(6)]
+    for trial in range(60):
+        n = int(rng.integers(1, 400))
+        ids = rng.permutation(10_000)[:n].astype(np.int64)
+        scores = rng.choice(np.round(rng.random(12), 2), n)
+        codes = rng.integers(-1, 6, n)
+        for npol in ("ignore", "expand", "collapse"):
+            k = int(rng.integers(1, 8))
+            a = _collapse_codes(ids, scores, codes, uniq, k, npol, 0, None)
+            b = _collapse_codes(ids, scores, codes, uniq, k, npol, 3, None)
+            heads = b.filter(
+                np.array([p == 0 for p in b["position"].to_pylist()])
+            )
+            assert a.num_rows == heads.num_rows, (trial, npol)
+            for col in ("rank", "doc_id", "score", "group"):
+                assert a[col].to_pylist() == heads[col].to_pylist(), (
+                    trial, npol, col,
+                )
