@@ -464,6 +464,9 @@ def _near_keys_local(decoded, terms, slop):
     if out is None:
         return None
     keys, stride = out
+    if len(terms) == 2:
+        return _near2_from_keys(keys[terms[0]], keys[terms[1]],
+                                slop, stride)
     starts = keys[terms[0]]
     if starts.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -486,6 +489,41 @@ def _near_keys_local(decoded, terms, slop):
     if surv.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return _run_lengths(surv)
+
+
+def _near2_from_keys(k0, k1, slop, stride):
+    """2-term ordered-near ``(docs, freqs)`` from two global key streams
+    — min-side work, no doc intersection or chain state.
+
+    A start ``p0`` matches iff some ``p1`` lies in ``(p0, p0+slop+1]``;
+    the stride margin (> maxpos + slop + 2) makes an in-bound neighbour
+    same-doc automatically.  Probes the smaller side: either test each
+    ``p0``'s next neighbour directly, or count distinct ``p0`` per
+    ``p1`` via de-overlapped intervals ``[max(p1−slop−1, prev p1),
+    p1)`` (consecutive ``p1`` ascend, so clipping at the previous
+    ``p1`` removes double counting; cross-doc clipping is a no-op by
+    the stride margin)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if k0.size == 0 or k1.size == 0:
+        return empty
+    if k0.size <= 2 * k1.size:
+        idx = np.searchsorted(k1, k0 + 1, side="left")
+        ok = idx < k1.size
+        nxt = k1[np.minimum(idx, k1.size - 1)]
+        matched = ok & (nxt <= k0 + (slop + 1))
+        surv = k0[matched]
+        if surv.size == 0:
+            return empty
+        return _run_lengths(surv // stride)
+    lo = np.maximum(k1 - (slop + 1), np.concatenate(([-1], k1[:-1])))
+    counts = np.searchsorted(k0, k1) - np.searchsorted(k0, lo)
+    d1 = k1 // stride
+    cut = np.flatnonzero(d1[1:] != d1[:-1]) + 1
+    starts = np.concatenate(([0], cut))
+    freqs = np.add.reduceat(counts, starts)
+    docs = d1[starts]
+    pos = freqs > 0
+    return docs[pos], freqs[pos]
 
 
 def _segments_local(decoded, terms, slop):
@@ -1440,12 +1478,15 @@ class SearchEngine:
         if stride is None:
             return None
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        keys = {t: postings[t].global_keys(stride) for t in uniq}
+        if len(terms) == 2:
+            return _near2_from_keys(keys[terms[0]], keys[terms[1]],
+                                    slop, stride)
         docs = postings[uniq[0]].doc_ids
         for t in uniq[1:]:
             docs = _sorted_intersect(docs, postings[t].doc_ids)
             if docs.size == 0:
                 return empty
-        keys = {t: postings[t].global_keys(stride) for t in uniq}
         starts = keys[terms[0]]
         if docs.size < postings[terms[0]].df:
             sdoc = starts // stride

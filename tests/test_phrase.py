@@ -622,3 +622,48 @@ class TestGlobalKeyMatcher:
         ref = eng._phrase_match_segments(phrase, postings)
         assert np.array_equal(docs, ref[0])
         assert np.array_equal(freqs, ref[1])
+
+
+def test_near2_keys_fuzz_vs_segment_matcher():
+    """The 2-term min-side proximity matcher (direct-probe and
+    interval-union branches) must match _near_freqs on randomized
+    per-doc position sets across slops."""
+    from solr_indexer_ray.pipelines.search import (
+        _near2_from_keys,
+        _near_freqs,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(150):
+        n_docs = int(rng.integers(1, 30))
+        slop = int(rng.integers(0, 5))
+        maxpos = int(rng.integers(6, 40))
+        stride = maxpos + 2 + slop + 2
+        seg0, seg1, l0, l1, k0p, k1p = [], [], [], [], [], []
+        for d in range(n_docs):
+            p0 = np.sort(rng.choice(
+                maxpos, size=int(rng.integers(0, 6)), replace=False))
+            p1 = np.sort(rng.choice(
+                maxpos, size=int(rng.integers(0, 6)), replace=False))
+            seg0.append(p0); seg1.append(p1)
+            l0.append(len(p0)); l1.append(len(p1))
+            k0p.append(d * stride + p0); k1p.append(d * stride + p1)
+        k0 = np.concatenate(k0p).astype(np.int64)
+        k1 = np.concatenate(k1p).astype(np.int64)
+        got = _near2_from_keys(k0, k1, slop, stride)
+        docs = np.array(
+            [d for d in range(n_docs) if l0[d] and l1[d]], dtype=np.int64)
+        if docs.size:
+            segs = {
+                "a": (np.concatenate([seg0[d] for d in docs]).astype(
+                    np.int64),
+                    np.array([l0[d] for d in docs], dtype=np.int64)),
+                "b": (np.concatenate([seg1[d] for d in docs]).astype(
+                    np.int64),
+                    np.array([l1[d] for d in docs], dtype=np.int64)),
+            }
+            ref = _near_freqs(docs, segs, ["a", "b"], slop)
+        else:
+            ref = (np.empty(0, np.int64), np.empty(0, np.int64))
+        assert np.array_equal(got[0], ref[0]), trial
+        assert np.array_equal(got[1], ref[1]), trial
