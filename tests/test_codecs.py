@@ -83,3 +83,27 @@ class TestVarint:
     def test_delta_requires_increasing_output_ok(self):
         ids = np.array([5])
         assert (vi.decode_doc_ids(vi.encode_doc_ids(ids)) == ids).all()
+
+
+class TestVarintFastPaths:
+    def test_two_byte_boundaries(self):
+        # the <=2-byte specialization: adjacent 2-byte values, 1/2-byte
+        # interleaves, and the 14-bit boundary that exits it
+        for vals in ([128], [128, 129], [127, 128, 16383],
+                     [16383] * 5, [0, 16383, 1, 128, 127],
+                     [16384], [5, 16384, 130]):
+            arr = np.asarray(vals, dtype=np.uint64)
+            assert np.array_equal(
+                vi.varint_decode(vi.varint_encode(arr)), arr
+            ), vals
+
+    def test_varint_cumsum_matches_decode(self):
+        rng = np.random.default_rng(9)
+        for hi in (127, 300, 16383, 1 << 20):
+            arr = rng.integers(0, hi + 1, 500).astype(np.uint64)
+            buf = vi.varint_encode(arr)
+            assert np.array_equal(
+                vi.varint_cumsum(buf),
+                np.cumsum(vi.varint_decode(buf), dtype=np.int64),
+            ), hi
+        assert vi.varint_cumsum(b"").size == 0
