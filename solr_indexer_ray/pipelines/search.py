@@ -793,6 +793,22 @@ class TermPostings:
         self.gkeys, self.gkeys_stride = gk, stride
         return gk
 
+    def nbytes(self) -> int:
+        """Approximate resident bytes of this decoded posting list
+        (arrays + raw position blobs + cached key streams) — the unit
+        of the engine's byte-aware postings-cache eviction."""
+        n = self.doc_ids.nbytes + self.tfs.nbytes
+        for a in (self.block_last, self.block_max_tf,
+                  self.block_min_norm, self.score_vec, self.block_ub_vec,
+                  self.pos_flat, self.pos_offsets, self.gkeys):
+            if a is not None:
+                n += a.nbytes
+        for e in (self.pos_raw or ()):
+            n += len(e[1])
+            if e[3] is not None:
+                n += e[3].nbytes
+        return n
+
     def positions_for(self, ti, lengths):
         """Flat positions of postings ``ti`` (sorted indices into this
         term's posting list; ``lengths`` = ``tfs[ti]``), decoding only
@@ -920,6 +936,12 @@ class SearchEngine:
         self._overlays = None       # doc_id -> {col: value}
         self._term_cache: dict = {}  # decoded TermPostings LRU (insertion order)
         self.term_cache_size = 1024
+        #: byte budget for the decoded-postings cache — a count-only cap
+        #: lets 1024 stop-word streams (8-9 B/occurrence with positions
+        #: and key streams) blow a worker heap on a big shard; eviction
+        #: drops the least-recently-used entries until under budget,
+        #: never the current query's terms.  0 disables the byte cap.
+        self.term_cache_bytes = 1 << 30
         #: wildcard-expansion cap (Lucene BooleanQuery.maxClauseCount)
         self.max_expansions = 1024
         self._mask_cache: dict = {}  # (filters, prohibited, n_tomb) -> mask
@@ -1141,6 +1163,10 @@ class SearchEngine:
                 and self._term_cache[t].pos_raw is None
             )
         }
+        for t in cached:
+            # LRU touch: re-accessed entries move to the recent end so
+            # byte eviction drops genuinely cold streams first
+            self._term_cache[t] = self._term_cache.pop(t)
         terms = [t for t in terms if t not in cached]
         if not terms:
             return {t: tp for t, tp in cached.items() if tp is not None}
@@ -1208,6 +1234,20 @@ class SearchEngine:
             self._term_cache[t] = out.get(t)
         while len(self._term_cache) > self.term_cache_size:
             self._term_cache.pop(next(iter(self._term_cache)))
+        if self.term_cache_bytes:
+            # byte-aware pass: evict cold entries until under budget,
+            # keeping at least the current query's terms (just touched /
+            # inserted, so they sit at the recent end)
+            total = sum(
+                tp.nbytes() for tp in self._term_cache.values()
+                if tp is not None
+            )
+            floor = len(terms) + len(cached)
+            while (total > self.term_cache_bytes
+                   and len(self._term_cache) > floor):
+                tp = self._term_cache.pop(next(iter(self._term_cache)))
+                if tp is not None:
+                    total -= tp.nbytes()
         out.update({t: tp for t, tp in cached.items() if tp is not None})
         return out
 

@@ -246,3 +246,63 @@ class TestFlTransformers:
         assert "<a>" in out and "  <b>x</b>" in out
         assert _format_xml_display("not <xml") == "not <xml"
         assert _format_xml_display("") == ""
+
+
+class TestPostingsCacheBudget:
+    """Byte-aware eviction of the decoded-postings cache: results stay
+    identical under a tiny budget, the hot (LRU-touched) term survives,
+    and resident bytes stay bounded."""
+
+    def test_byte_budget_bounds_cache_and_keeps_results(
+        self, tmp_path, ray_session
+    ):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.config import IndexConfig
+        from solr_indexer_ray.pipelines.build import build_index
+        from solr_indexer_ray.pipelines.search import SearchEngine
+        from solr_indexer_ray.sources.corpus import generate_corpus
+
+        corpus = generate_corpus(150, seed=2, mean_tokens=40)
+        pq.write_table(corpus, str(tmp_path / "c.parquet"))
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "idx"),
+                    config=IndexConfig(store_positions=True))
+        ref = SearchEngine(str(tmp_path / "idx"))
+        eng = SearchEngine(str(tmp_path / "idx"))
+        eng.term_cache_bytes = 4096  # tiny: force constant eviction
+        qs = ["def read", '"def index"', "parse return^2",
+              "import", '"def index"~2', "write def read"]
+        for q in qs * 2:
+            a = eng.search(q, k=10, fl=["doc_id"])
+            b = ref.search(q, k=10, fl=["doc_id"])
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+            total = sum(
+                tp.nbytes() for tp in eng._term_cache.values()
+                if tp is not None
+            )
+            # bound: budget + the current query's own (kept) terms
+            kept = [tp for tp in eng._term_cache.values()
+                    if tp is not None]
+            assert len(eng._term_cache) <= 8
+            assert total <= 4096 + sum(tp.nbytes() for tp in kept[-6:])
+
+    def test_lru_touch_keeps_hot_term(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.pipelines.build import build_index
+        from solr_indexer_ray.pipelines.search import SearchEngine
+        from solr_indexer_ray.sources.corpus import generate_corpus
+
+        corpus = generate_corpus(80, seed=4, mean_tokens=30)
+        pq.write_table(corpus, str(tmp_path / "c.parquet"))
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "idx"))
+        eng = SearchEngine(str(tmp_path / "idx"))
+        eng.term_cache_size = 3
+        eng.search("def", k=5, fl=["doc_id"])
+        eng.search("read", k=5, fl=["doc_id"])
+        eng.search("def", k=5, fl=["doc_id"])    # touch: def newest
+        eng.search("parse", k=5, fl=["doc_id"])
+        eng.search("import", k=5, fl=["doc_id"])  # evicts oldest
+        assert "def" in eng._term_cache        # touched -> survived
+        assert "read" not in eng._term_cache   # untouched -> evicted
