@@ -2364,6 +2364,56 @@ class SearchEngine:
             scores = full["score"].to_numpy()
         if doc_ids.size == 0:
             return self._resolve([], fl)
+        if len(keys) == 1:
+            # single-key numeric sort: O(n) partition top-(start+k) with
+            # doc-id tie resolution instead of a full mergesort of the
+            # match set (the common browse shape — k ≪ matches)
+            f, asc = keys[0]
+            vals = (scores if f == "score"
+                    else doc_ids if f == "doc_id"
+                    else self._dense_field(f)[doc_ids])
+            if getattr(vals, "dtype", None) is not None \
+                    and vals.dtype.kind in "bif":
+                # int keys stay int64 (no 2^53 float precision loss);
+                # uint is excluded (negation would wrap)
+                key = np.asarray(
+                    vals,
+                    dtype=np.float64 if vals.dtype.kind == "f"
+                    else np.int64,
+                )
+                if not asc:
+                    key = -key
+                nan = (np.isnan(key) if key.dtype.kind == "f"
+                       else np.zeros(key.size, dtype=bool))
+                cand = np.flatnonzero(~nan)
+                need = start + k
+                sel = np.empty(0, np.int64)
+                if cand.size:
+                    if cand.size > need:
+                        part = cand[np.argpartition(key[cand],
+                                                    need - 1)[:need]]
+                        kv = key[part].max()
+                        strict = cand[key[cand] < kv]
+                        ties = cand[key[cand] == kv]
+                        ties = ties[np.argsort(doc_ids[ties],
+                                               kind="stable")]
+                        head = strict[np.lexsort((doc_ids[strict],
+                                                  key[strict]))]
+                        sel = np.concatenate(
+                            [head, ties[:need - head.size]]
+                        )
+                    else:
+                        sel = cand[np.lexsort((doc_ids[cand], key[cand]))]
+                if sel.size < need and nan.any():
+                    # missing values last (sortMissingLast), id ascending
+                    tail = np.flatnonzero(nan)
+                    tail = tail[np.argsort(doc_ids[tail], kind="stable")]
+                    sel = np.concatenate([sel, tail[:need - sel.size]])
+                sel = sel[start:start + k]
+                return self._resolve(
+                    list(zip(doc_ids[sel].tolist(),
+                             scores[sel].tolist())), fl
+                )
         import pandas as pd
 
         df = pd.DataFrame({"doc_id": doc_ids, "score": scores})

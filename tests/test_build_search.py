@@ -306,3 +306,31 @@ class TestPostingsCacheBudget:
         eng.search("import", k=5, fl=["doc_id"])  # evicts oldest
         assert "def" in eng._term_cache        # touched -> survived
         assert "read" not in eng._term_cache   # untouched -> evicted
+
+
+class TestSingleKeySortFastPath:
+    """The partition-based single-numeric-key sort must page identically
+    to the multi-key pandas mergesort path (appending the implicit
+    doc_id tiebreak as an explicit second key forces that path)."""
+
+    def test_fast_path_matches_pandas_path(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq
+
+        from solr_indexer_ray.pipelines.build import build_index
+        from solr_indexer_ray.pipelines.search import SearchEngine
+        from solr_indexer_ray.sources.corpus import generate_corpus
+
+        pq.write_table(generate_corpus(300, seed=6, mean_tokens=35),
+                       str(tmp_path / "c.parquet"))
+        build_index(str(tmp_path / "c.parquet"), str(tmp_path / "idx"))
+        eng = SearchEngine(str(tmp_path / "idx"))
+        for q in ("def read", "read"):
+            for sort in ("doclen desc", "doclen asc", "score desc",
+                         "doc_id asc"):
+                for start in (0, 3, 17):
+                    a = eng.search(q, k=10, start=start, fl=["doc_id"],
+                                   sort=sort)
+                    b = eng.search(q, k=10, start=start, fl=["doc_id"],
+                                   sort=sort + ", doc_id asc")
+                    assert (a["doc_id"].to_pylist()
+                            == b["doc_id"].to_pylist()), (q, sort, start)
