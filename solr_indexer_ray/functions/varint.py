@@ -68,7 +68,9 @@ def varint_decode(buf: bytes) -> np.ndarray:
         # reduction avoids materializing a bit-mask temp)
         return b.astype(np.uint64)
     cont = b >= 0x80
-    if not (cont[:-1] & cont[1:]).any():
+    if not cont[-1] and not (cont[:-1] & cont[1:]).any():
+        # (a trailing continuation byte — truncated stream — falls to the
+        # general path, which drops the partial value like before)
         # <=2-byte fast path (values < 2^14 — position streams whose
         # only multi-byte entries are segment-first absolutes): combine
         # each continuation byte into its terminal neighbour by a sparse

@@ -807,6 +807,8 @@ class TermPostings:
             n += len(e[1])
             if e[3] is not None:
                 n += e[3].nbytes
+        for p in (self._ckparts or ()):
+            n += p[0].nbytes + p[1].nbytes
         return n
 
     def positions_for(self, ti, lengths):
@@ -1229,8 +1231,11 @@ class SearchEngine:
                 block_min_norm=np.concatenate([r[5] for r in rows]),
                 pos_raw=pos_raw,
             )
-        # bounded decoded-postings cache (misses cached as None too)
+        # bounded decoded-postings cache (misses cached as None too);
+        # pop-then-insert so a re-decode (positions upgrade) of an old
+        # entry lands at the recent end like any other fresh entry
         for t in terms:
+            self._term_cache.pop(t, None)
             self._term_cache[t] = out.get(t)
         while len(self._term_cache) > self.term_cache_size:
             self._term_cache.pop(next(iter(self._term_cache)))
@@ -1463,11 +1468,17 @@ class SearchEngine:
         key space would overflow int64 (caller falls back to the
         per-candidate segment matcher)."""
         need = max(tp.max_position() for tp in tps) + margin
-        if need > self._gkey_stride:
-            self._gkey_stride = 1 << int(need - 1).bit_length()
         stride = self._gkey_stride
+        if need > stride:
+            stride = 1 << int(need - 1).bit_length()
         if self.doc_space * stride > (1 << 62):
+            # don't commit the oversized stride: one huge-document term
+            # must not poison the fast path for every later query; drop
+            # the half-decoded parts the key build will never consume
+            for tp in tps:
+                tp._ckparts = None
             return None
+        self._gkey_stride = stride
         return stride
 
     def _phrase_match_keys(self, phrase, postings):
@@ -1538,6 +1549,8 @@ class SearchEngine:
         alive = np.ones(starts.size, dtype=bool)
         for t in terms[1:]:
             ks = keys[t]
+            if ks.size == 0:
+                return empty
             idx = np.searchsorted(ks, cur + 1, side="left")
             ok = idx < ks.size
             nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
@@ -2369,20 +2382,26 @@ class SearchEngine:
             # doc-id tie resolution instead of a full mergesort of the
             # match set (the common browse shape — k ≪ matches)
             f, asc = keys[0]
-            vals = (scores if f == "score"
-                    else doc_ids if f == "doc_id"
-                    else self._dense_field(f)[doc_ids])
-            if getattr(vals, "dtype", None) is not None \
-                    and vals.dtype.kind in "bif":
+            col = (scores if f == "score"
+                   else doc_ids if f == "doc_id"
+                   else self._dense_field(f))
+            # dtype inspected BEFORE any gather so non-numeric sorts
+            # (dates, strings) don't pay a wasted match-set gather
+            if getattr(col, "dtype", None) is not None \
+                    and col.dtype.kind in "bif":
+                vals = col if col is scores or col is doc_ids \
+                    else col[doc_ids]
                 # int keys stay int64 (no 2^53 float precision loss);
-                # uint is excluded (negation would wrap)
+                # uint is excluded (order reversal would wrap)
                 key = np.asarray(
                     vals,
                     dtype=np.float64 if vals.dtype.kind == "f"
                     else np.int64,
                 )
                 if not asc:
-                    key = -key
+                    # ints reverse via bitwise NOT (monotone decreasing,
+                    # int64 min safe); floats via negation
+                    key = -key if key.dtype.kind == "f" else ~key
                 nan = (np.isnan(key) if key.dtype.kind == "f"
                        else np.zeros(key.size, dtype=bool))
                 cand = np.flatnonzero(~nan)
