@@ -343,6 +343,62 @@ def _sorted_intersect(a, b):
     return a[_sorted_isin(a, b)]
 
 
+def _phrase_survivors(keys, phrase):
+    """Surviving anchor-offset keys of an exact phrase over per-term
+    global position-key streams (``doc·stride + position``, sorted).
+
+    Anchors on the member with the FEWEST occurrences so the candidate
+    set is smallest from the start (checks at other offsets only ever
+    shrink it); offsets are taken relative to the anchor, and the
+    per-doc phrase count is offset-invariant.  A start survives when
+    ``anchor_key + (i − a)`` is present in member ``i``'s stream for
+    every offset — plain sorted-membership checks, no per-doc Python.
+    The single shared core of :func:`_phrase_freqs`,
+    :func:`_phrase_keys_local` and ``SearchEngine._phrase_match_keys``
+    (the three layouts differ only in how keys are built and how the
+    surviving keys are reduced to freqs)."""
+    order = sorted(range(len(phrase)), key=lambda i: keys[phrase[i]].size)
+    a = order[0]
+    cand = keys[phrase[a]]
+    for i in order[1:]:
+        cand = cand[_sorted_isin(cand + (i - a), keys[phrase[i]])]
+        if cand.size == 0:
+            break
+    return cand
+
+
+def _chain_survivors(keys, terms, slop, starts, stride):
+    """Surviving START keys of the greedy earliest-next ordered chain
+    (Lucene SpanNearQuery, inOrder=true) over per-term global
+    position-key streams.
+
+    A start p₁ matches when an in-order chain p₁ < p₂ < … < pₙ exists
+    with span width pₙ − p₁ − (n−1) ≤ slop; the greedy earliest-next
+    chain minimizes pₙ, so "exists a chain within slop" reduces to one
+    searchsorted advance per member.  ``starts`` is the first member's
+    (possibly pre-filtered) key stream.  The single shared core of
+    :func:`_near_freqs`, :func:`_near_keys_local` and
+    ``SearchEngine._near_match_keys``."""
+    if starts.size == 0:
+        return starts
+    sdoc = starts // stride
+    cur = starts
+    alive = np.ones(starts.size, dtype=bool)
+    for t in terms[1:]:
+        ks = keys[t]
+        if ks.size == 0:
+            return starts[:0]
+        idx = np.searchsorted(ks, cur + 1, side="left")
+        ok = idx < ks.size
+        nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
+        same_doc = ok & (nxt // stride == sdoc)
+        alive &= same_doc
+        cur = np.where(same_doc, nxt, cur)
+    width = (cur - starts) - (len(terms) - 1)
+    alive &= width <= slop
+    return starts[alive]
+
+
 def _func_values(col) -> np.ndarray:
     """Stored column -> float64 values for function queries: numerics
     cast, timestamps as epoch MILLISECONDS (Solr ``ms()`` convention),
@@ -380,17 +436,9 @@ def _phrase_freqs(docs, segments, phrase):
     for t, (flat, lengths) in segments.items():
         docidx = np.repeat(np.arange(n, dtype=np.int64), lengths)
         keys[t] = docidx * stride + flat  # ascending (docs asc, pos asc)
-    # anchor on the member with the FEWEST occurrences so the candidate
-    # set is smallest from the start (checks at other offsets only ever
-    # shrink it); offsets are taken relative to the anchor, and the
-    # per-doc phrase count is offset-invariant.
-    order = sorted(range(len(phrase)), key=lambda i: keys[phrase[i]].size)
-    a = order[0]
-    cand = keys[phrase[a]]
-    for i in order[1:]:
-        cand = cand[_sorted_isin(cand + (i - a), keys[phrase[i]])]
-        if cand.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+    cand = _phrase_survivors(keys, phrase)
+    if cand.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     # guard: a start near the doc boundary could only false-positive if
     # key arithmetic crossed into the next doc — impossible because
     # stride > max_position + len(phrase) + 1
@@ -445,14 +493,7 @@ def _phrase_keys_local(decoded, phrase):
     if out is None:
         return None
     keys, stride = out
-    order = sorted(range(len(phrase)), key=lambda i: keys[phrase[i]].size)
-    a = order[0]
-    cand = keys[phrase[a]]
-    for i in order[1:]:
-        cand = cand[_sorted_isin(cand + (i - a), keys[phrase[i]])]
-        if cand.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-    return _run_lengths(cand // stride)
+    return _run_lengths(_phrase_survivors(keys, phrase) // stride)
 
 
 def _near_keys_local(decoded, terms, slop):
@@ -467,28 +508,8 @@ def _near_keys_local(decoded, terms, slop):
     if len(terms) == 2:
         return _near2_from_keys(keys[terms[0]], keys[terms[1]],
                                 slop, stride)
-    starts = keys[terms[0]]
-    if starts.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    sdoc = starts // stride
-    cur = starts
-    alive = np.ones(starts.size, dtype=bool)
-    for t in terms[1:]:
-        ks = keys[t]
-        if ks.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        idx = np.searchsorted(ks, cur + 1, side="left")
-        ok = idx < ks.size
-        nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
-        same_doc = ok & (nxt // stride == sdoc)
-        alive &= same_doc
-        cur = np.where(same_doc, nxt, cur)
-    width = (cur - starts) - (len(terms) - 1)
-    alive &= width <= slop
-    surv = sdoc[alive]
-    if surv.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return _run_lengths(surv)
+    surv = _chain_survivors(keys, terms, slop, keys[terms[0]], stride)
+    return _run_lengths(surv // stride)
 
 
 def _near2_from_keys(k0, k1, slop, stride):
@@ -574,23 +595,7 @@ def _near_freqs(docs, segments, terms, slop):
     for t, (flat, lengths) in segments.items():
         docidx = np.repeat(np.arange(n, dtype=np.int64), lengths)
         keys[t] = docidx * stride + flat  # ascending
-    starts = keys[terms[0]]
-    cur = starts
-    alive = np.ones(starts.size, dtype=bool)
-    for t in terms[1:]:
-        ks = keys[t]
-        if ks.size == 0:
-            alive[:] = False
-            break
-        idx = np.searchsorted(ks, cur + 1, side="left")
-        ok = idx < ks.size
-        nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
-        same_doc = ok & (nxt // stride == starts // stride)
-        alive &= same_doc
-        cur = np.where(same_doc, nxt, cur)
-    width = (cur - starts) - (len(terms) - 1)
-    alive &= width <= slop
-    surv = starts[alive]
+    surv = _chain_survivors(keys, terms, slop, keys[terms[0]], stride)
     if surv.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     freqs = np.bincount(surv // stride, minlength=n)
@@ -1505,15 +1510,7 @@ class SearchEngine:
         if stride is None:
             return None
         keys = {t: postings[t].global_keys(stride) for t in uniq}
-        order = sorted(range(len(phrase)),
-                       key=lambda i: keys[phrase[i]].size)
-        a = order[0]
-        cand = keys[phrase[a]]
-        for i in order[1:]:
-            cand = cand[_sorted_isin(cand + (i - a), keys[phrase[i]])]
-            if cand.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
-        return _run_lengths(cand // stride)
+        return _run_lengths(_phrase_survivors(keys, phrase) // stride)
 
     def _near_match_keys(self, terms, slop: int, postings):
         """Ordered-proximity ``(docs, freqs)`` via global position keys —
@@ -1540,63 +1537,46 @@ class SearchEngine:
                 return empty
         starts = keys[terms[0]]
         if docs.size < postings[terms[0]].df:
-            sdoc = starts // stride
-            starts = starts[_sorted_isin(sdoc, docs)]
-        if starts.size == 0:
-            return empty
-        sdoc = starts // stride
-        cur = starts
-        alive = np.ones(starts.size, dtype=bool)
-        for t in terms[1:]:
-            ks = keys[t]
-            if ks.size == 0:
-                return empty
-            idx = np.searchsorted(ks, cur + 1, side="left")
-            ok = idx < ks.size
-            nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
-            same_doc = ok & (nxt // stride == sdoc)
-            alive &= same_doc
-            cur = np.where(same_doc, nxt, cur)
-        width = (cur - starts) - (len(terms) - 1)
-        alive &= width <= slop
-        surv = sdoc[alive]
-        if surv.size == 0:
-            return empty
-        return _run_lengths(surv)
+            starts = starts[_sorted_isin(starts // stride, docs)]
+        surv = _chain_survivors(keys, terms, slop, starts, stride)
+        return _run_lengths(surv // stride)
 
-    def _phrase_match_segments(self, phrase, postings):
-        """Fallback exact-phrase matcher: doc-level conjunction, then
-        per-candidate position segments through :func:`_phrase_freqs`
-        (used when global int64 keys can't cover the doc space)."""
-        uniq = list(dict.fromkeys(phrase))
-        docs = postings[uniq[0]].doc_ids
-        for t in uniq[1:]:
-            docs = _sorted_intersect(docs, postings[t].doc_ids)
-            if docs.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
-        segments = {}
-        for t in uniq:
-            tp = postings[t]
-            ti = np.searchsorted(tp.doc_ids, docs)
-            lengths = tp.tfs[ti]
-            segments[t] = (tp.positions_for(ti, lengths), lengths)
-        return _phrase_freqs(docs, segments, phrase)
-
-    def _near_match_segments(self, terms, slop, postings):
-        """Fallback proximity matcher (segment form of
-        :meth:`_near_match_keys`)."""
+    @staticmethod
+    def _candidate_segments(terms, postings):
+        """Doc-level conjunction of the unique member terms, then each
+        term's candidate position segments aligned with the surviving
+        docs — the shared preamble of both segment-form fallback
+        matchers.  Returns ``(docs, segments)``; ``segments`` is None
+        when the conjunction is empty."""
         uniq = list(dict.fromkeys(terms))
         docs = postings[uniq[0]].doc_ids
         for t in uniq[1:]:
             docs = _sorted_intersect(docs, postings[t].doc_ids)
             if docs.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
+                return np.empty(0, np.int64), None
         segments = {}
         for t in uniq:
             tp = postings[t]
             ti = np.searchsorted(tp.doc_ids, docs)
             lengths = tp.tfs[ti]
             segments[t] = (tp.positions_for(ti, lengths), lengths)
+        return docs, segments
+
+    def _phrase_match_segments(self, phrase, postings):
+        """Fallback exact-phrase matcher: doc-level conjunction, then
+        per-candidate position segments through :func:`_phrase_freqs`
+        (used when global int64 keys can't cover the doc space)."""
+        docs, segments = self._candidate_segments(phrase, postings)
+        if segments is None:
+            return docs, np.empty(0, np.int64)
+        return _phrase_freqs(docs, segments, phrase)
+
+    def _near_match_segments(self, terms, slop, postings):
+        """Fallback proximity matcher (segment form of
+        :meth:`_near_match_keys`)."""
+        docs, segments = self._candidate_segments(terms, postings)
+        if segments is None:
+            return docs, np.empty(0, np.int64)
         return _near_freqs(docs, segments, terms, slop)
 
     def eval_phrase(self, phrase) -> tuple:
