@@ -324,12 +324,49 @@ def _run_lengths(vals):
     return vals[starts], ends - starts
 
 
+_PROBE_POOL = None
+_PROBE_CHUNK = 1 << 18
+
+
+def _par_chunked(fn, arr):
+    """Apply an element-independent array kernel ``fn`` to chunks of
+    ``arr`` on a shared thread pool and concatenate the results.
+
+    numpy's searchsorted / gather / compress kernels release the GIL,
+    and per-probe binary search over a block-cache-missing int64
+    stream is memory-latency-bound, so chunking scales ~3-4× on 8
+    threads (measured).  Small inputs take the plain call — the pool
+    exists for the single-query latency path (phrase/proximity
+    membership over common-term position-key streams), where one pass
+    is tens of megabytes; per-range distributed slices stay under the
+    threshold and never pay the dispatch overhead."""
+    if arr.size < 2 * _PROBE_CHUNK:
+        return fn(arr)
+    global _PROBE_POOL
+    if _PROBE_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        _PROBE_POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
+    k = min(8, -(-arr.size // _PROBE_CHUNK))
+    return np.concatenate(list(
+        _PROBE_POOL.map(fn, np.array_split(arr, k))
+    ))
+
+
+def _par_searchsorted(target, probes, side="left"):
+    """``np.searchsorted`` with a large probe array chunked across the
+    shared thread pool (see :func:`_par_chunked`)."""
+    return _par_chunked(
+        lambda c: np.searchsorted(target, c, side=side), probes
+    )
+
+
 def _sorted_isin(a, b):
     """Membership of ``a`` in SORTED array ``b`` (both int64) — the
     searchsorted form of np.isin, O((|a|+|b|)·log|b|) with no re-sort."""
     if b.size == 0 or a.size == 0:
         return np.zeros(a.size, dtype=bool)
-    pos = np.searchsorted(b, a)
+    pos = _par_searchsorted(b, a)
     pos[pos == b.size] = b.size - 1
     return b[pos] == a
 
@@ -361,7 +398,19 @@ def _phrase_survivors(keys, phrase):
     a = order[0]
     cand = keys[phrase[a]]
     for i in order[1:]:
-        cand = cand[_sorted_isin(cand + (i - a), keys[phrase[i]])]
+        ks, off = keys[phrase[i]], i - a
+
+        def work(c, ks=ks, off=off):
+            # offset + membership + compress fused per chunk so the
+            # whole pass (not just the binary search) runs threaded
+            if ks.size == 0 or c.size == 0:
+                return c[:0]
+            p = c + off
+            pos = np.searchsorted(ks, p)
+            pos[pos == ks.size] = ks.size - 1
+            return c[ks[pos] == p]
+
+        cand = _par_chunked(work, cand)
         if cand.size == 0:
             break
     return cand
@@ -381,22 +430,32 @@ def _chain_survivors(keys, terms, slop, starts, stride):
     ``SearchEngine._near_match_keys``."""
     if starts.size == 0:
         return starts
-    sdoc = starts // stride
-    cur = starts
-    alive = np.ones(starts.size, dtype=bool)
     for t in terms[1:]:
-        ks = keys[t]
-        if ks.size == 0:
+        if keys[t].size == 0:
             return starts[:0]
-        idx = np.searchsorted(ks, cur + 1, side="left")
-        ok = idx < ks.size
-        nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
-        same_doc = ok & (nxt // stride == sdoc)
-        alive &= same_doc
-        cur = np.where(same_doc, nxt, cur)
-    width = (cur - starts) - (len(terms) - 1)
-    alive &= width <= slop
-    return starts[alive]
+
+    def work(st):
+        # each start's chain is independent, so the WHOLE chain runs
+        # per chunk on the shared pool (searchsorted + gathers + masks)
+        if st.size == 0:
+            return st
+        sdoc = st // stride
+        cur = st
+        alive = np.ones(st.size, dtype=bool)
+        for t in terms[1:]:
+            ks = keys[t]
+            # side="right" on cur ≡ side="left" on cur+1 for int keys
+            idx = np.searchsorted(ks, cur, side="right")
+            ok = idx < ks.size
+            nxt = np.where(ok, ks[np.minimum(idx, ks.size - 1)], -1)
+            same_doc = ok & (nxt // stride == sdoc)
+            alive &= same_doc
+            cur = np.where(same_doc, nxt, cur)
+        width = (cur - st) - (len(terms) - 1)
+        alive &= width <= slop
+        return st[alive]
+
+    return _par_chunked(work, starts)
 
 
 def _func_values(col) -> np.ndarray:
@@ -528,16 +587,20 @@ def _near2_from_keys(k0, k1, slop, stride):
     if k0.size == 0 or k1.size == 0:
         return empty
     if k0.size <= 2 * k1.size:
-        idx = np.searchsorted(k1, k0 + 1, side="left")
-        ok = idx < k1.size
-        nxt = k1[np.minimum(idx, k1.size - 1)]
-        matched = ok & (nxt <= k0 + (slop + 1))
-        surv = k0[matched]
+        def work(c):
+            # probe + gather + compress fused per chunk (threaded);
+            # side="right" on c ≡ side="left" on c+1 for int keys
+            idx = np.searchsorted(k1, c, side="right")
+            ok = idx < k1.size
+            nxt = k1[np.minimum(idx, k1.size - 1)]
+            return c[ok & (nxt - c <= slop + 1)]
+
+        surv = _par_chunked(work, k0)
         if surv.size == 0:
             return empty
         return _run_lengths(surv // stride)
     lo = np.maximum(k1 - (slop + 1), np.concatenate(([-1], k1[:-1])))
-    counts = np.searchsorted(k0, k1) - np.searchsorted(k0, lo)
+    counts = _par_searchsorted(k0, k1) - _par_searchsorted(k0, lo)
     d1 = k1 // stride
     cut = np.flatnonzero(d1[1:] != d1[:-1]) + 1
     starts = np.concatenate(([0], cut))
