@@ -1419,8 +1419,7 @@ class SearchEngine:
         postings = self.lookup_postings(terms)
         if not postings:
             return np.empty(0, np.int64)
-        docs = np.unique(np.concatenate([tp.doc_ids for tp in postings.values()]))
-        return docs
+        return self._union_doc_ids(list(postings.values()))
 
     def expand_pattern(self, pattern: str) -> list:
         """Dictionary terms matching a general wildcard (``*`` / ``?``
@@ -1479,8 +1478,26 @@ class SearchEngine:
         postings = self.lookup_postings(terms)
         if not postings:
             return np.empty(0, np.int64)
+        return self._union_doc_ids(list(postings.values()))
+
+    def _union_doc_ids(self, tps) -> np.ndarray:
+        """Sorted union of the postings' doc ids.  Doc ids are dense in
+        ``[0, doc_space)``, so when the id space isn't vastly larger
+        than the input a bool-mask scatter + flatnonzero is O(total)
+        with no sort — multi-term expansions (wildcard/prefix/regex)
+        union dozens of overlapping lists where the sort-based
+        ``np.unique`` was the dominant per-query cost.  Falls back to
+        ``np.unique`` for very sparse unions over a huge id space."""
+        if len(tps) == 1:
+            return tps[0].doc_ids
+        total = sum(tp.doc_ids.size for tp in tps)
+        if self.doc_space <= max(1 << 22, 8 * total):
+            mask = np.zeros(self.doc_space, dtype=bool)
+            for tp in tps:
+                mask[tp.doc_ids] = True
+            return np.flatnonzero(mask)
         return np.unique(
-            np.concatenate([tp.doc_ids for tp in postings.values()])
+            np.concatenate([tp.doc_ids for tp in tps])
         )
 
     # ------------------------------------------------------------------ #
