@@ -2606,9 +2606,7 @@ class SearchEngine:
         # max over its per-field scores + tie * (sum of the rest) — Solr
         # DisjunctionMaxQuery with tiebreaker
         for term, fpairs in parsed.dismax:
-            best = None
-            tot = None
-            matched = None
+            tps = []
             for fld, fboost in fpairs:
                 if fld == "content":
                     tp = postings.get(term) or self.lookup_postings(
@@ -2622,21 +2620,31 @@ class SearchEngine:
                     if tp is None:
                         continue
                     fvec = self._field_score_vec(fld, tp) * fboost
-                dense = np.zeros(self.doc_space, dtype=np.float64)
-                dense[tp.doc_ids] = fvec
-                if best is None:
-                    best, tot = dense, dense.copy()
-                    matched = np.zeros(self.doc_space, dtype=bool)
-                else:
-                    np.maximum(best, dense, out=best)
-                    tot += dense
-                matched[tp.doc_ids] = True
-            if best is None:
+                tps.append((tp, fvec))
+            if not tps:
                 continue
             tie = parsed.dismax_tie
-            contrib = best if tie == 0.0 else best + tie * (tot - best)
-            docs = np.flatnonzero(matched)
-            scores[docs] += contrib[docs]
+            if len(tps) == 1:
+                docs, contrib = tps[0][0].doc_ids, tps[0][1]
+            else:
+                # union-sized max/sum instead of doc_space-dense passes
+                # (identical per-element float op order: scatter per
+                # field in qf order, max, then + tie·(sum − max))
+                docs = self._union_doc_ids([tp for tp, _ in tps])
+                best = np.zeros(docs.size, dtype=np.float64)
+                tot = (np.zeros(docs.size, dtype=np.float64)
+                       if tie != 0.0 else None)
+                buf = np.zeros(docs.size, dtype=np.float64)
+                for tp, fvec in tps:
+                    pos = np.searchsorted(docs, tp.doc_ids)
+                    buf[:] = 0.0
+                    buf[pos] = fvec
+                    np.maximum(best, buf, out=best)
+                    if tot is not None:
+                        tot += buf
+                contrib = (best if tie == 0.0
+                           else best + tie * (tot - best))
+            scores[docs] += contrib
             if seen is not None:
                 seen[docs] += 1
             n_present += 1
@@ -5235,6 +5243,10 @@ def _bigram_chain_keys(group, first=()) -> list | None:
     return [f"{a}\x1e{b}" for a, b in zip(group, group[1:])]
 
 
+#: sentinel distinguishing "not cached" from a cached absent-term None
+_DEC_MISS = object()
+
+
 class RangeScorer:
     """Per-doc-range scoring task for the distributed query path.
 
@@ -5266,11 +5278,93 @@ class RangeScorer:
         self.has_bigrams = bool(self.stats.get("store_bigrams", False))
         self.bigram_first = frozenset(self.stats.get("bigram_first") or ())
         self.has_positions = bool(self.stats.get("store_positions", False))
+        self.doc_space = int(
+            self.stats.get("doc_id_space", self.stats["n_docs"])
+        )
         self.k = k
         self._postings = pads.dataset(
             os.path.join(self.index_dir, "postings"), partitioning="hive"
         )
         self._docs = pads.dataset(os.path.join(self.index_dir, "docs"))
+
+    def _decoded_row(self, tbl, rows, rid, term, lo):
+        """Decoded ``(local doc ids, float64 tfs)`` of one term's
+        postings row in this range, or None when the term has no row —
+        LRU-cached per ``(range, term)`` with a byte budget, so a
+        resident actor (PartitionedSearchService) re-serves hot terms
+        without re-decoding the varint streams every query.  Arrays are
+        read-only downstream, like the raw-table read cache.  Callers
+        only ask for terms in their own ``want`` set, so a missing row
+        really means "term absent from this range" and None is
+        cacheable."""
+        cache = getattr(self, "_dec_cache", None)
+        if cache is None:
+            cache = self._dec_cache = {}
+            self._dec_bytes = 0
+        key = (rid, term)
+        _MISS = _DEC_MISS
+        hit = cache.pop(key, _MISS)
+        if hit is not _MISS:
+            cache[key] = hit  # LRU touch
+            return hit
+        ri = rows.get(term)
+        if ri is None:
+            out = None
+        else:
+            out = (
+                decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo,
+                varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64),
+            )
+            self._dec_bytes += out[0].nbytes + out[1].nbytes
+        cache[key] = out
+        while cache and (len(cache) > 4096
+                         or self._dec_bytes > (256 << 20)):
+            oldest = next(iter(cache))
+            if oldest == key:
+                break  # never evict the entry just built
+            old = cache.pop(oldest)
+            if old is not None:
+                self._dec_bytes -= old[0].nbytes + old[1].nbytes
+        return out
+
+    def _term_vec(self, tbl, rows, rid, term, lo, w, norms):
+        """Unboosted per-term BM25 contribution ``w·tf/(tf+K)`` for one
+        range row -> ``(local ids, float64 vec)`` or None, LRU-cached
+        per ``(range, term)``.  The idf ``w`` ships from the driver and
+        is constant per index snapshot (global df), so resident actors
+        reuse the whole impact product across queries — the range-side
+        analogue of the engine's cached ``_term_score_vec``; query-time
+        boosts multiply AFTER, preserving the pinned float order.  The
+        shipped ``w`` is still compared on every hit as a defensive
+        invalidation (a changed idf recomputes instead of serving a
+        stale product)."""
+        vc = getattr(self, "_vec_cache", None)
+        if vc is None:
+            vc = self._vec_cache = {}
+            self._vec_bytes = 0
+        key = (rid, term)
+        hit = vc.pop(key, None)
+        if hit is not None and hit[0] == w:
+            vc[key] = hit  # LRU touch
+            return hit[1], hit[2]
+        if hit is not None:
+            self._vec_bytes -= hit[2].nbytes
+        dec = self._decoded_row(tbl, rows, rid, term, lo)
+        if dec is None:
+            return None
+        ids, tfs = dec
+        dl = DECODE_TABLE[norms[ids]]
+        K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        vec = w * (tfs / (tfs + K))
+        vc[key] = (w, ids, vec)
+        self._vec_bytes += vec.nbytes  # ids shared with _dec_cache
+        while vc and (len(vc) > 4096 or self._vec_bytes > (256 << 20)):
+            oldest = next(iter(vc))
+            if oldest == key:
+                break
+            old = vc.pop(oldest)
+            self._vec_bytes -= old[2].nbytes
+        return ids, vec
 
     def __call__(self, batch: dict) -> pa.Table:
         import json
@@ -5452,7 +5546,11 @@ class RangeScorer:
         ``[members, weight]`` (weight = idf of the GLOBAL max member df ×
         boost): per range, tf sums over the members present and scores as
         ONE clause — the fuzzy clause shape, shipped distributed."""
-        lo, hi = rid * self.dpr, (rid + 1) * self.dpr
+        lo = rid * self.dpr
+        # clamp to the id space: the tail range's dense accumulators
+        # (scores/seen/dead) need only cover ids that can exist, not the
+        # full docs_per_range width
+        hi = min((rid + 1) * self.dpr, max(self.doc_space, lo))
         group_terms = {t for g, _ in prefix_groups for t in g}
         fuzzy_terms = {t for g, _ in fuzzy_groups for t in g}
         near_terms = {t for g, _, _ in near_groups for t in g}
@@ -5496,6 +5594,16 @@ class RangeScorer:
             | fuzzy_terms | near_terms | syn_terms | pg_terms | ppos_terms
             | fld_terms | dm_terms | fph_terms | bg_terms
         )
+        # positional matchers read their rows from ``tbl`` directly, so
+        # those terms must always be scanned; every other term can skip
+        # the parquet scan when its decoded row is already cached
+        # (_decoded_row short-circuits before consulting ``rows``)
+        pos_need = (phrase_terms | near_terms | ppos_terms | fph_terms
+                    | bg_terms)
+        dec_cache = getattr(self, "_dec_cache", None)
+        if dec_cache:
+            want = [t for t in want
+                    if t in pos_need or (rid, t) not in dec_cache]
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         if pos_phrases or near_terms or pos_ppos or fph_terms or pos_bg:
             cols = [
@@ -5587,28 +5695,24 @@ class RangeScorer:
         for term, members, w, b in sorted(term_clauses, key=lambda c: c[0]):
             n_terms += 1
             if members is None:
-                ri = rows.get(term)
-                if ri is None:
+                tv = self._term_vec(tbl, rows, rid, term, lo, w, norms)
+                if tv is None:
                     continue
-                ids = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
-                tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64)
-                dl = DECODE_TABLE[norms[ids]]
-                K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                ids, vec = tv
                 # boost AFTER the idf*impact product — the engine's
                 # (cached score_vec) * boost float order, bit-identical
-                scores[ids] += (w * (tfs / (tfs + K))) * b
+                # (×1.0 is an IEEE identity, so skipping it is exact)
+                scores[ids] += vec if b == 1.0 else vec * b
                 if seen is not None:
                     seen[ids] += 1
                 continue
             acc = np.zeros(width, dtype=np.int64)
             hit = False
             for t in members:
-                ri = rows.get(t)
-                if ri is not None:
-                    ids_t = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
-                    acc[ids_t] += varint_decode(
-                        tbl["tfs"][ri].as_py()
-                    ).astype(np.int64)
+                dec = self._decoded_row(tbl, rows, rid, t, lo)
+                if dec is not None:
+                    ids_t, tfs_t = dec
+                    acc[ids_t] += tfs_t.astype(np.int64)
                     hit = True
             if hit:
                 ids = np.flatnonzero(acc)
@@ -5624,11 +5728,10 @@ class RangeScorer:
             field_clauses, key=lambda c: (c[0], c[1])
         ):
             n_terms += 1
-            ri = rows.get(pterm)
-            if ri is None:
+            dec = self._decoded_row(tbl, rows, rid, pterm, lo)
+            if dec is None:
                 continue
-            ids = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
-            tfs = varint_decode(tbl["tfs"][ri].as_py()).astype(np.float64)
+            ids, tfs = dec
             dl = DECODE_TABLE[fnorms[fld][ids]]
             K = self.k1 * (1.0 - self.b + self.b * dl / avgdl_f)
             scores[ids] += (w * (tfs / (tfs + K))) * b
@@ -5653,13 +5756,10 @@ class RangeScorer:
             n_terms += 1
             best = tot = matched = None
             for fld, lterm, w, fboost, avgdl_f in sides:
-                ri = rows.get(lterm)
-                if ri is None:
+                dec = self._decoded_row(tbl, rows, rid, lterm, lo)
+                if dec is None:
                     continue
-                ids = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
-                tfs = varint_decode(
-                    tbl["tfs"][ri].as_py()
-                ).astype(np.float64)
+                ids, tfs = dec
                 nsrc = norms if avgdl_f is None else fnorms[fld]
                 adl = self.avgdl if avgdl_f is None else avgdl_f
                 dl = DECODE_TABLE[nsrc[ids]]
@@ -5688,12 +5788,10 @@ class RangeScorer:
             acc = np.zeros(width, dtype=np.int64)
             hit = False
             for t in g:
-                ri = rows.get(t)
-                if ri is not None:
-                    ids_t = decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
-                    acc[ids_t] += varint_decode(
-                        tbl["tfs"][ri].as_py()
-                    ).astype(np.int64)
+                dec = self._decoded_row(tbl, rows, rid, t, lo)
+                if dec is not None:
+                    ids_t, tfs_t = dec
+                    acc[ids_t] += tfs_t.astype(np.int64)
                     hit = True
             if hit:
                 ids = np.flatnonzero(acc)
@@ -5731,9 +5829,9 @@ class RangeScorer:
             n_terms += 1
             hit = []
             for t in g:
-                ri = rows.get(t)
-                if ri is not None:
-                    hit.append(decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo)
+                dec = self._decoded_row(tbl, rows, rid, t, lo)
+                if dec is not None:
+                    hit.append(dec[0])
             if hit:
                 ids = np.unique(np.concatenate(hit))
                 scores[ids] += gw
@@ -5771,18 +5869,16 @@ class RangeScorer:
             # prohibitions + metadata/range filters, range-local
             dead = np.zeros(width, dtype=bool)
             for term in prohibited:
-                ri = rows.get(term)
-                if ri is not None:
-                    dead[decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo] = True
+                dec = self._decoded_row(tbl, rows, rid, term, lo)
+                if dec is not None:
+                    dead[dec[0]] = True
             # prohibited expansion groups (negated prefix/wildcard/fuzzy):
             # union of the members' local postings
             for g in prohibited_groups:
                 for t in g:
-                    ri = rows.get(t)
-                    if ri is not None:
-                        dead[
-                            decode_doc_ids(tbl["doc_ids"][ri].as_py()) - lo
-                        ] = True
+                    dec = self._decoded_row(tbl, rows, rid, t, lo)
+                    if dec is not None:
+                        dead[dec[0]] = True
             # prohibited positional clauses: [members, slop] with slop -1
             # meaning exact phrase
             for g, slop in prohibited_pos:
