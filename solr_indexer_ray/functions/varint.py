@@ -108,7 +108,9 @@ def varint_cumsum(buf: bytes) -> np.ndarray:
 
     For all-1-byte streams (the common position-delta case) the raw
     bytes feed ``cumsum`` directly — no intermediate uint64 payload is
-    ever materialized."""
+    ever materialized.  (A chunked-thread variant was measured and
+    reverted: ``np.cumsum`` holds the GIL, unlike searchsorted/gather,
+    so chunking bought nothing.)"""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.int64)

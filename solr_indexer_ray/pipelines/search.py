@@ -324,13 +324,10 @@ def _run_lengths(vals):
     return vals[starts], ends - starts
 
 
-_PROBE_POOL = None
-_PROBE_CHUNK = 1 << 18
-
-
 def _par_chunked(fn, arr):
     """Apply an element-independent array kernel ``fn`` to chunks of
-    ``arr`` on a shared thread pool and concatenate the results.
+    ``arr`` on the shared thread pool (``functions.parpool``) and
+    concatenate the results.
 
     numpy's searchsorted / gather / compress kernels release the GIL,
     and per-probe binary search over a block-cache-missing int64
@@ -340,16 +337,12 @@ def _par_chunked(fn, arr):
     membership over common-term position-key streams), where one pass
     is tens of megabytes; per-range distributed slices stay under the
     threshold and never pay the dispatch overhead."""
-    if arr.size < 2 * _PROBE_CHUNK:
+    from solr_indexer_ray.functions.parpool import CHUNK, n_chunks, pool
+
+    if arr.size < 2 * CHUNK:
         return fn(arr)
-    global _PROBE_POOL
-    if _PROBE_POOL is None:
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-        _PROBE_POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
-    k = min(8, -(-arr.size // _PROBE_CHUNK))
     return np.concatenate(list(
-        _PROBE_POOL.map(fn, np.array_split(arr, k))
+        pool().map(fn, np.array_split(arr, n_chunks(arr.size)))
     ))
 
 
