@@ -5747,7 +5747,7 @@ class RangeScorer:
         # + tie * rest (ship order = the engine's sorted-term order)
         for term, sides, tie in dismax_clauses:
             n_terms += 1
-            best = tot = matched = None
+            parts = []
             for fld, lterm, w, fboost, avgdl_f in sides:
                 dec = self._decoded_row(tbl, rows, rid, lterm, lo)
                 if dec is None:
@@ -5757,21 +5757,30 @@ class RangeScorer:
                 adl = self.avgdl if avgdl_f is None else avgdl_f
                 dl = DECODE_TABLE[nsrc[ids]]
                 K = self.k1 * (1.0 - self.b + self.b * dl / adl)
-                dense = np.zeros(width, dtype=np.float64)
                 # (idf * impact) * fboost — engine's score_vec * fboost
-                dense[ids] = (w * (tfs / (tfs + K))) * fboost
-                if best is None:
-                    best, tot = dense, dense.copy()
-                    matched = np.zeros(width, dtype=bool)
-                else:
-                    np.maximum(best, dense, out=best)
-                    tot += dense
-                matched[ids] = True
-            if best is None:
+                parts.append((ids, (w * (tfs / (tfs + K))) * fboost))
+            if not parts:
                 continue
-            contrib = best if tie == 0.0 else best + tie * (tot - best)
-            ids = np.flatnonzero(matched)
-            scores[ids] += contrib[ids]
+            if len(parts) == 1:
+                ids, contrib = parts[0]
+            else:
+                # union-sized max/sum instead of width-dense passes —
+                # the engine's sparse dismax shape, same float order
+                ids = np.unique(np.concatenate([p[0] for p in parts]))
+                best = np.zeros(ids.size, dtype=np.float64)
+                tot = (np.zeros(ids.size, dtype=np.float64)
+                       if tie != 0.0 else None)
+                buf = np.zeros(ids.size, dtype=np.float64)
+                for pids, pvec in parts:
+                    pos = np.searchsorted(ids, pids)
+                    buf[:] = 0.0
+                    buf[pos] = pvec
+                    np.maximum(best, buf, out=best)
+                    if tot is not None:
+                        tot += buf
+                contrib = (best if tie == 0.0
+                           else best + tie * (tot - best))
+            scores[ids] += contrib
             if seen is not None:
                 seen[ids] += 1
         # fuzzy groups after terms (the _accumulate clause order): tf
