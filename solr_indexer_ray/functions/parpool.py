@@ -10,7 +10,12 @@ workers are separate processes, so each worker lazily builds its own.
 
 from __future__ import annotations
 
+import os
+import threading
+
 _POOL = None
+_POOL_PID = None
+_POOL_LOCK = threading.Lock()
 
 #: minimum elements per chunk — inputs below 2×CHUNK run inline, so
 #: per-range distributed slices never pay the dispatch overhead
@@ -18,12 +23,19 @@ CHUNK = 1 << 18
 
 
 def pool():
-    global _POOL
-    if _POOL is None:
-        import os
-        from concurrent.futures import ThreadPoolExecutor
+    """The shared executor, rebuilt after fork (a child inheriting the
+    parent's executor object has none of its worker threads — submitting
+    there would hang forever) and built under a lock (two racing first
+    callers must not leak a second pool's threads)."""
+    global _POOL, _POOL_PID
+    pid = os.getpid()
+    if _POOL is None or _POOL_PID != pid:
+        with _POOL_LOCK:
+            if _POOL is None or _POOL_PID != pid:
+                from concurrent.futures import ThreadPoolExecutor
 
-        _POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
+                _POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
+                _POOL_PID = pid
     return _POOL
 
 

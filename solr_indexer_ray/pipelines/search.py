@@ -1482,9 +1482,15 @@ class SearchEngine:
         ``np.unique`` was the dominant per-query cost.  Falls back to
         ``np.unique`` for very sparse unions over a huge id space."""
         if len(tps) == 1:
-            return tps[0].doc_ids
+            # read-only view: callers own "a sorted union", never the
+            # live cached postings array (fail-fast if one mutates it)
+            out = tps[0].doc_ids.view()
+            out.flags.writeable = False
+            return out
         total = sum(tp.doc_ids.size for tp in tps)
-        if self.doc_space <= max(1 << 22, 8 * total):
+        # low floor: a 64 KiB mask scan is noise, but a multi-MB
+        # doc_space must not pay an O(doc_space) pass for a tiny union
+        if self.doc_space <= max(1 << 16, 8 * total):
             mask = np.zeros(self.doc_space, dtype=bool)
             for tp in tps:
                 mask[tp.doc_ids] = True
@@ -5290,11 +5296,17 @@ class RangeScorer:
         only ask for terms in their own ``want`` set, so a missing row
         really means "term absent from this range" and None is
         cacheable."""
+        key = (rid, term)
+        pinned = getattr(self, "_pinned", None)
+        if pinned is not None and key in pinned:
+            # snapshotted at scan-prune time: correct even if the LRU
+            # evicted the entry since (the term was dropped from the
+            # scan, so rows would wrongly report it absent)
+            return pinned[key]
         cache = getattr(self, "_dec_cache", None)
         if cache is None:
             cache = self._dec_cache = {}
             self._dec_bytes = 0
-        key = (rid, term)
         _MISS = _DEC_MISS
         hit = cache.pop(key, _MISS)
         if hit is not _MISS:
@@ -5341,7 +5353,7 @@ class RangeScorer:
             vc[key] = hit  # LRU touch
             return hit[1], hit[2]
         if hit is not None:
-            self._vec_bytes -= hit[2].nbytes
+            self._vec_bytes -= hit[2].nbytes + hit[1].nbytes
         dec = self._decoded_row(tbl, rows, rid, term, lo)
         if dec is None:
             return None
@@ -5350,13 +5362,17 @@ class RangeScorer:
         K = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
         vec = w * (tfs / (tfs + K))
         vc[key] = (w, ids, vec)
-        self._vec_bytes += vec.nbytes  # ids shared with _dec_cache
+        # ids counted too: the tuple pins it even after the _dec_cache
+        # entry that built it is evicted, so "shared" bytes can become
+        # exclusively this cache's (conservative double-count while
+        # both caches hold it — bounds resident memory either way)
+        self._vec_bytes += vec.nbytes + ids.nbytes
         while vc and (len(vc) > 4096 or self._vec_bytes > (256 << 20)):
             oldest = next(iter(vc))
             if oldest == key:
                 break
             old = vc.pop(oldest)
-            self._vec_bytes -= old[2].nbytes
+            self._vec_bytes -= old[2].nbytes + old[1].nbytes
         return ids, vec
 
     def __call__(self, batch: dict) -> pa.Table:
@@ -5589,14 +5605,30 @@ class RangeScorer:
         )
         # positional matchers read their rows from ``tbl`` directly, so
         # those terms must always be scanned; every other term can skip
-        # the parquet scan when its decoded row is already cached
-        # (_decoded_row short-circuits before consulting ``rows``)
+        # the parquet scan when its decoded row is already cached.  The
+        # pruned terms' cached values are SNAPSHOTTED into a per-query
+        # pinned dict (local references survive any mid-query LRU
+        # eviction — without this, an eviction between prune and
+        # consume would make _decoded_row cache a poisoned None for a
+        # term that exists in the range but was pruned from the scan).
         pos_need = (phrase_terms | near_terms | ppos_terms | fph_terms
                     | bg_terms)
         dec_cache = getattr(self, "_dec_cache", None)
+        pinned: dict = {}
         if dec_cache:
-            want = [t for t in want
-                    if t in pos_need or (rid, t) not in dec_cache]
+            keep = []
+            for t in want:
+                if t in pos_need:
+                    keep.append(t)
+                    continue
+                hit = dec_cache.pop((rid, t), _DEC_MISS)
+                if hit is _DEC_MISS:
+                    keep.append(t)
+                else:
+                    dec_cache[(rid, t)] = hit  # LRU touch
+                    pinned[(rid, t)] = hit
+            want = keep
+        self._pinned = pinned
         shards = sorted({term_shard(t, self.n_shards) for t in want})
         if pos_phrases or near_terms or pos_ppos or fph_terms or pos_bg:
             cols = [

@@ -100,6 +100,39 @@ class TestResidentCaches:
         fresh.k = 10
         assert got == fresh(doubled).to_pylist()
 
+    def test_prune_survives_mid_query_eviction(self, idx):
+        """A term pruned from the parquet scan (cached at prune time)
+        must still score correctly when LRU pressure evicts its cache
+        entry before its clause runs — the pinned per-query snapshot.
+        Without it, rows.get() would report the pruned term absent and
+        cache a poisoned None (wrong scores that PERSIST)."""
+        class EvictingScorer(RangeScorer):
+            def _decoded_row(self, tbl, rows, rid, term, lo):
+                out = super()._decoded_row(tbl, rows, rid, term, lo)
+                # simulate extreme byte pressure: every other entry of
+                # the shared cache evicted right after this build/touch
+                for k in list(self._dec_cache):
+                    if k != (rid, term):
+                        old = self._dec_cache.pop(k)
+                        if old is not None:
+                            self._dec_bytes -= (old[0].nbytes
+                                                + old[1].nbytes)
+                return out
+
+        eng = SearchEngine(idx)
+        resident = EvictingScorer(idx)
+        resident.k = 10
+        fresh = RangeScorer(idx)
+        fresh.k = 10
+        # two prohibited terms: both pruned on the repeat, the first
+        # one's cache touch evicts the second before its clause runs —
+        # exactly the shape that poisoned a None pre-fix (verified to
+        # diverge on every repeat with the pinned snapshot disabled)
+        b = _batch(eng, "read -merge -def", 0)
+        resident(b)  # populate (evictions already firing)
+        for _ in range(3):  # repeat: scan-pruned terms + persistence
+            assert resident(b).to_pylist() == fresh(b).to_pylist()
+
     def test_dec_cache_byte_accounting_non_negative(self, idx):
         eng = SearchEngine(idx)
         resident = RangeScorer(idx)
