@@ -108,6 +108,45 @@ class TestPartitionedSearchService:
             d = search_partitioned(serve_index, "*:*", k=5)
             assert c.to_pylist() == d.to_pylist()
 
+    def test_randomized_stream_identity(self, serve_index):
+        """A long shuffled stream of varied query shapes through ONE
+        resident service — repeated, so every query hits the warm
+        decoded/impact caches with arbitrary interleavings — must stay
+        bit-identical to fresh per-job results.  Guards the resident
+        cache interactions (scan pruning, pinned snapshots, vec reuse)
+        beyond the fixed one-shot query list above."""
+        import numpy as np
+
+        eng = SearchEngine(serve_index)
+        terms = [t for t in
+                 eng._dict_slice("")[0].to_pylist()[:200]
+                 if t.isalpha() and len(t) > 2]
+        rng = np.random.default_rng(29)
+        qs = []
+        for _ in range(40):
+            a, b, c = (terms[int(i)] for i in
+                       rng.integers(0, len(terms), 3))
+            shape = int(rng.integers(0, 8))
+            qs.append([
+                f"{a} {b}",
+                f"{a}^2 {b}",
+                f"{a} -{b} -{c}",
+                f"{a} AND {b}",
+                f'"{a} {b}"',
+                f"{a[:3]}* {b}",
+                f"{a}~1 {b}",
+                f"{a} {b} {c}",
+            ][shape])
+        ref = {q: search_partitioned(serve_index, q, k=10).to_pylist()
+               for q in dict.fromkeys(qs)}
+        with PartitionedSearchService(serve_index, pool=2) as svc:
+            for repeat in range(2):
+                order = rng.permutation(len(qs))
+                for i in order:
+                    q = qs[int(i)]
+                    assert svc.search(q, k=10).to_pylist() == ref[q], (
+                        q, repeat)
+
     def test_reopen_after_delete(self, serve_index, tmp_path):
         """Searcher-reopen discipline: a service built AFTER a delete
         excludes the victim (tombstones ship per query as exclusions)."""
