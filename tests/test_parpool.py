@@ -50,6 +50,46 @@ class TestParChunked:
         assert np.array_equal(out, arr * 2)
 
 
+class TestUnionDocIds:
+    """Both union strategies (bitmask scatter vs sort-based np.unique)
+    must agree, and the single-list path must be read-only (it aliases
+    the live postings cache)."""
+
+    class _TP:
+        def __init__(self, ids):
+            self.doc_ids = np.asarray(ids, dtype=np.int64)
+
+    class _Eng:
+        from solr_indexer_ray.pipelines.search import (
+            SearchEngine as _SE,
+        )
+        _union_doc_ids = _SE._union_doc_ids
+
+        def __init__(self, doc_space):
+            self.doc_space = doc_space
+
+    def test_branches_agree(self):
+        rng = np.random.default_rng(17)
+        for _ in range(30):
+            doc_space = int(rng.integers(10, 3_000_000))
+            k = int(rng.integers(2, 6))
+            tps = [self._TP(np.unique(rng.integers(
+                0, doc_space, int(rng.integers(0, 40)))))
+                for _ in range(k)]
+            ref = np.unique(np.concatenate(
+                [tp.doc_ids for tp in tps]))
+            got = self._Eng(doc_space)._union_doc_ids(tps)
+            assert np.array_equal(got, ref), doc_space
+
+    def test_single_list_read_only(self):
+        tp = self._TP([1, 5, 9])
+        out = self._Eng(100)._union_doc_ids([tp])
+        assert np.array_equal(out, tp.doc_ids)
+        with pytest.raises(ValueError):
+            out[0] = 7
+        assert tp.doc_ids[0] == 1  # cache untouched
+
+
 def _random_keyed_streams(rng, n_docs, maxpos, n_terms, stride):
     """Per-term sorted global key streams + aligned per-doc segments."""
     keys, segs, lens = {}, {}, {}
