@@ -314,6 +314,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t = time.perf_counter()
         peng.search(q, k=10, fl=["doc_id"])
         plat[i] = time.perf_counter() - t
+    # warm pass: same phrases with the key streams already built —
+    # the steady-state latency a resident engine serves (the cold
+    # number above pays one-time postings reads + key encodes)
+    plat_w = np.zeros(len(phrases))
+    for i, q in enumerate(phrases):
+        t = time.perf_counter()
+        peng.search(q, k=10, fl=["doc_id"])
+        plat_w[i] = time.perf_counter() - t
     # ---- phase 5b: next-word (bigram) index ---------------------------
     # IndexConfig.store_bigrams: 2-term phrases from one postings lookup
     # (no position decode).  Build cost + the same phrase set's p50.
@@ -420,6 +428,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t = time.perf_counter()
         peng.search(q, k=10, fl=["doc_id"])
         nlat[i] = time.perf_counter() - t
+    nlat_w = np.zeros(len(nears))  # warm pass (key streams built)
+    for i, q in enumerate(nears):
+        t = time.perf_counter()
+        peng.search(q, k=10, fl=["doc_id"])
+        nlat_w[i] = time.perf_counter() - t
     near_p50 = round(float(np.percentile(nlat, 50)) * 1000, 3)
 
     # ---- phase 7: round-2b surface — regex / fields / qf / hybrid -----
@@ -649,6 +662,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "pos_build_overhead": round(pos_build_s / ref_build_s, 2),
             "ref_build_s": round(ref_build_s, 3),
             "phrase_p50_ms": round(float(np.percentile(plat, 50)) * 1000, 3),
+            "phrase_warm_p50_ms": round(float(np.percentile(plat_w, 50)) * 1000, 3),
             "bigram_build_s": round(bg_build_s, 3),
             "bigram_build_overhead": round(bg_build_s / ref_build_s, 2),
             "phrase_bigram_p50_ms": round(
@@ -666,6 +680,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "fuzzy_p50_ms": fuzzy_p50,
             "bool_group_p50_ms": bool_p50,
             "near_p50_ms": near_p50,
+            "near_warm_p50_ms": round(float(np.percentile(nlat_w, 50)) * 1000, 3),
             "regex_p50_ms": regex_p50,
             "field_build_s": round(field_build_s, 3),
             "field_build_overhead": round(field_build_s / ref_build_s, 2),
