@@ -1369,38 +1369,30 @@ class SearchEngine:
     def _dict_slice(self, lit: str):
         """Zero-copy Arrow slice of the cached sorted term dictionary
         covering the terms with literal prefix ``lit`` (whole dictionary
-        when ``lit`` is empty) — replaces per-query parquet term scans."""
-        import bisect
-
-        terms_all, _dfs = self._suggest_state()
-        arr = getattr(self, "_dict_arr", None)
-        if arr is None:
-            arr = self._dict_arr = pa.array(terms_all, pa.string())
+        when ``lit`` is empty) — replaces per-query parquet term scans.
+        Bisects the Arrow array directly (O(log n) scalar probes), so
+        the full dictionary is never materialized as Python strings."""
+        arr, _dfs = self._dict_state()
         if not lit:
-            return arr, terms_all, 0
+            return arr, arr, 0
         hi = lit[:-1] + chr(ord(lit[-1]) + 1)
-        lo_i = bisect.bisect_left(terms_all, lit)
-        hi_i = bisect.bisect_left(terms_all, hi, lo_i)
-        return arr.slice(lo_i, hi_i - lo_i), terms_all, lo_i
+        lo_i = self._arr_bisect_left(arr, lit)
+        hi_i = self._arr_bisect_left(arr, hi, lo_i)
+        return arr.slice(lo_i, hi_i - lo_i), arr, lo_i
 
     def expand_prefix(self, prefix: str) -> list:
         """Index terms starting with ``prefix`` — two bisects over the
-        cached sorted term dictionary (the suggester's; built once per
-        engine), replacing a per-query parquet term-column scan."""
-        import bisect
-
-        terms_all, _dfs = self._suggest_state()
-        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        lo_i = bisect.bisect_left(terms_all, prefix)
-        hi_i = bisect.bisect_left(terms_all, hi, lo_i)
-        terms = terms_all[lo_i:hi_i]
-        if len(terms) > self.max_expansions:
+        cached sorted term dictionary (Arrow-native; built once per
+        engine), replacing a per-query parquet term-column scan; only
+        the matching slice is materialized as Python strings."""
+        sl, _arr, _lo = self._dict_slice(prefix)
+        if len(sl) > self.max_expansions:
             # Lucene: TooManyClauses beyond maxClauseCount
             raise ValueError(
-                f"wildcard {prefix}* expands to {len(terms)} terms "
+                f"wildcard {prefix}* expands to {len(sl)} terms "
                 f"(> max_expansions={self.max_expansions})"
             )
-        return terms
+        return sl.to_pylist()
 
     def eval_prefix(self, prefix: str) -> np.ndarray:
         """Docs containing ANY expansion of ``prefix*`` (constant-score:
@@ -4377,11 +4369,14 @@ class SearchEngine:
         max_df = (max_doc_freq if max_doc_freq > 1
                   else max_doc_freq * bg_size)
         # term dictionary + summed df, cached per engine (the same
-        # sorted dictionary the suggester walks)
-        terms_all, dfs_all = self._suggest_state()
-        keep = (dfs_all >= min_doc_freq) & (dfs_all <= max_df)
-        cand = [(terms_all[i], int(dfs_all[i]))
-                for i in np.flatnonzero(keep)]
+        # sorted dictionary the suggester walks); only the df-surviving
+        # terms materialize as Python strings
+        arr, dfs_all = self._dict_state()
+        keep = np.flatnonzero(
+            (dfs_all >= min_doc_freq) & (dfs_all <= max_df)
+        )
+        cand = list(zip(arr.take(keep).to_pylist(),
+                        (int(x) for x in dfs_all[keep])))
         rows = []
         for i in range(0, len(cand), 256):
             chunk = cand[i:i + 256]
@@ -4523,11 +4518,12 @@ class SearchEngine:
         out.sort()
         return [(term, d, -negdf) for d, negdf, term in out[:count]]
 
-    def _suggest_state(self):
-        """Sorted term dictionary + aligned summed df, built once per
-        engine — the suggester/fuzzy automaton walk requires ascending
-        term order (the sorted array IS the trie)."""
-        if getattr(self, "_suggest_cache", None) is None:
+    def _dict_state(self):
+        """Sorted term dictionary (Arrow) + aligned summed df (numpy),
+        built once per engine.  Arrow-native so prefix/wildcard slicing
+        never pays a full to_pylist; the fuzzy/suggest trie walkers get
+        the Python-list form lazily from :meth:`_suggest_state`."""
+        if getattr(self, "_dict_cache", None) is None:
             t = self._postings_ds.to_table(columns=["term", "df"])
             if self.scored_fields or self.has_bigrams:
                 # default-field dictionary only
@@ -4536,9 +4532,35 @@ class SearchEngine:
                 ))
             agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
             agg = agg.sort_by("term")
-            terms = agg["term"].to_pylist()
-            dfs = np.asarray(agg["df_sum"].to_pylist(), dtype=np.int64)
-            self._suggest_cache = (terms, dfs)
+            arr = agg["term"].combine_chunks()
+            dfs = agg["df_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64, copy=False)
+            self._dict_cache = (arr, dfs)
+        return self._dict_cache
+
+    @staticmethod
+    def _arr_bisect_left(arr, needle: str, lo: int = 0) -> int:
+        """bisect_left over a sorted Arrow string array — O(log n)
+        scalar probes, no list materialization."""
+        hi = len(arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if arr[mid].as_py() < needle:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def _suggest_state(self):
+        """Python-list form of :meth:`_dict_state` for the
+        suggester/fuzzy automaton walk (ascending term order — the
+        sorted list IS the trie).  Materialized lazily: engines that
+        only serve prefix/wildcard queries never pay the full-dictionary
+        to_pylist."""
+        if getattr(self, "_suggest_cache", None) is None:
+            arr, dfs = self._dict_state()
+            self._suggest_cache = (arr.to_pylist(), dfs)
         return self._suggest_cache
 
     def analyze(self, text: str, lang=None) -> pa.Table:
