@@ -214,7 +214,7 @@ def cmd_search(args) -> int:
         facets = engine.facet(
             args.query, args.facet.split(","),
             limit=args.facet_limit, mincount=args.facet_mincount,
-            fq=args.fq,
+            fq=args.fq, prefix=args.facet_prefix, sort=args.facet_sort,
         )
         print(json.dumps({"facets": facets}))
     if args.facet_stats:
@@ -822,6 +822,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--facet", help="comma-separated facet fields")
     ps.add_argument("--facet-limit", type=int, default=100)
     ps.add_argument("--facet-mincount", type=int, default=0)
+    ps.add_argument("--facet-prefix", default="",
+                    help="facet.prefix: restrict buckets to this value prefix")
+    ps.add_argument("--facet-sort", default="count",
+                    choices=["count", "index"],
+                    help="facet.sort: count desc (default) or index order")
     ps.add_argument("--qf",
                     help='dismax fields, e.g. "content^1 path_text^2" '
                          "(free terms score max over fields; Solr qf)")

@@ -4114,12 +4114,16 @@ class SearchEngine:
     # faceting (Solr field facets)
     # ------------------------------------------------------------------ #
     def facet(self, query: str, fields, limit: int = 100,
-              mincount: int = 0, fq=None) -> dict:
+              mincount: int = 0, fq=None, prefix: str = "",
+              sort: str = "count") -> dict:
         """Field facets over the FULL match set of ``query`` (Solr
         semantics: buckets ordered count desc then value asc;
         ``facet.limit`` / ``facet.mincount`` defaults 100 / 0 — with
         mincount 0 every distinct value of the field appears, zero-count
         buckets included, exactly Solr's string-field behavior).
+        ``prefix`` is ``facet.prefix`` (bucket values restricted to the
+        literal prefix); ``sort="index"`` is ``facet.sort=index``
+        (ascending value order instead of the count-desc default).
 
         Reference analogue: the ``*_facet`` copy-fields the reference
         maintains for Solr's faceting UI (``solrindexer/mmd.py:623-627,
@@ -4154,8 +4158,11 @@ class SearchEngine:
                 if has_null:  # true column nulls only, not doc-id holes
                     counts.setdefault("None", 0)
             buckets = sorted(
-                ((v, c) for v, c in counts.items() if c >= mincount),
-                key=lambda b: (-b[1], b[0]),
+                ((v, c) for v, c in counts.items()
+                 if c >= mincount
+                 and (not prefix or str(v).startswith(prefix))),
+                key=(lambda b: (-b[1], b[0])) if sort == "count"
+                else (lambda b: b[0]),
             )[:limit]
             out[fld] = buckets
         return out
@@ -7518,7 +7525,8 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses,
 
 
 def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
-                      mincount: int = 0, fq=None) -> dict:
+                      mincount: int = 0, fq=None, prefix: str = "",
+                      sort: str = "count") -> dict:
     """Distributed field facets: per-range match + partial value counts,
     summed on the driver (identical buckets to ``SearchEngine.facet``,
     tested).  Tombstones are partitioned per range and shipped with the
@@ -7532,7 +7540,7 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         return engine.facet(query, fields, limit=limit, mincount=mincount,
-                            fq=fq)
+                            fq=fq, prefix=prefix, sort=sort)
     totals: dict = {}
     if clauses != "zero":
         items = _range_items(engine, parsed, clauses, fq=fq)
@@ -7556,8 +7564,11 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
             for v in vals.to_pylist():
                 counts.setdefault(str(v), 0)
         out[fld] = sorted(
-            ((v, c) for v, c in counts.items() if c >= mincount),
-            key=lambda b: (-b[1], b[0]),
+            ((v, c) for v, c in counts.items()
+             if c >= mincount
+             and (not prefix or str(v).startswith(prefix))),
+            key=(lambda b: (-b[1], b[0])) if sort == "count"
+            else (lambda b: b[0]),
         )[:limit]
     return out
 

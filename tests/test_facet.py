@@ -81,6 +81,31 @@ class TestFacet:
         keys = [(-c, v) for v, c in buckets]
         assert keys == sorted(keys)
 
+    def test_facet_prefix(self, fidx):
+        """facet.prefix restricts buckets to the value prefix; counts
+        are unchanged for the surviving buckets."""
+        idx, _ = fidx
+        eng = SearchEngine(idx)
+        full = dict(eng.facet("def", ["repo"])["repo"])
+        pfx = sorted({v[:4] for v in full})[0]
+        got = eng.facet("def", ["repo"], prefix=pfx)["repo"]
+        assert got and all(v.startswith(pfx) for v, _ in got)
+        assert all(full[v] == c for v, c in got)
+        assert facet_partitioned(idx, "def", ["repo"], prefix=pfx) == {
+            "repo": got
+        }
+
+    def test_facet_sort_index(self, fidx):
+        """facet.sort=index orders buckets by value ascending."""
+        idx, _ = fidx
+        eng = SearchEngine(idx)
+        got = eng.facet("def", ["repo"], sort="index")["repo"]
+        assert [v for v, _ in got] == sorted(v for v, _ in got)
+        assert dict(got) == dict(eng.facet("def", ["repo"])["repo"])
+        assert facet_partitioned(idx, "def", ["repo"], sort="index") == {
+            "repo": got
+        }
+
 
 def test_facet_respects_tombstones(tmp_path, ray_session):
     corpus = generate_corpus(80, seed=4, mean_tokens=25)
