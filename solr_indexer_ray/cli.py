@@ -160,6 +160,13 @@ def cmd_search(args) -> int:
         t = engine.group_search(args.query, args.group, k_groups=args.k,
                                 group_limit=args.group_limit,
                                 fq=args.fq)
+        # Solr group.ngroups: total distinct group values in the match
+        # set = the field's non-zero facet bucket count over it
+        ngroups = len(engine.facet(
+            args.query, [args.group], mincount=1, limit=1 << 31,
+            fq=args.fq,
+        )[args.group])
+        print(json.dumps({"ngroups": ngroups}))
     elif args.ltr_model:
         with open(args.ltr_model) as f:
             model = json.load(f)
