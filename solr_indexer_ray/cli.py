@@ -415,7 +415,8 @@ def cmd_terms(args) -> int:
     from solr_indexer_ray.pipelines.search import SearchEngine
 
     for term, df in SearchEngine(args.output).terms(
-        prefix=args.prefix, limit=args.limit, mincount=args.mincount
+        prefix=args.prefix, limit=args.limit, mincount=args.mincount,
+        sort=args.sort,
     ):
         print(json.dumps({"term": term, "df": df}))
     return 0
@@ -989,6 +990,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--prefix", default="")
     pt.add_argument("--limit", type=int, default=10)
     pt.add_argument("--mincount", type=int, default=1)
+    pt.add_argument("--sort", default="count", choices=["count", "index"],
+                    help="terms.sort: count desc (default) or term asc")
     pt.set_defaults(fn=cmd_terms)
 
     pac = sub.add_parser(

@@ -4260,11 +4260,12 @@ class SearchEngine:
         return pa.Table.from_pylist(rows, schema=schema)
 
     def terms(self, prefix: str = "", limit: int = 10,
-              mincount: int = 1) -> list:
+              mincount: int = 1, sort: str = "count") -> list:
         """Solr /terms component: enumerate index terms with their df.
 
         Returns ``[(term, df), ...]`` ordered by count desc then term asc
-        (Solr ``terms.sort=count`` default, ascending index order on ties),
+        (Solr ``terms.sort=count`` default, ascending index order on
+        ties; ``sort="index"`` gives plain ascending term order),
         optionally restricted to a prefix (``terms.prefix``) and a minimum
         df (``terms.mincount``).  df sums the term's doc-range rows and
         subtracts nothing for tombstones (Lucene: deleted docs count until
@@ -4283,7 +4284,8 @@ class SearchEngine:
         agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
         rows = sorted(
             zip(agg["term"].to_pylist(), agg["df_sum"].to_pylist()),
-            key=lambda r: (-r[1], r[0]),
+            key=(lambda r: (-r[1], r[0])) if sort == "count"
+            else (lambda r: r[0]),
         )
         return [(t_, int(c)) for t_, c in rows if c >= mincount][:limit]
 

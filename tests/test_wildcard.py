@@ -162,3 +162,16 @@ class TestBoosts:
         assert p.phrase_boosts == {("b", "c"): 3.0}
         assert p.prefix_boosts == {"d": 1.5}
         assert "e" not in p.boosts
+
+
+def test_terms_sort_index(built_index):
+    """terms.sort=index: ascending term order, same (term, df) pairs as
+    the count-sorted default."""
+    from solr_indexer_ray.pipelines.search import SearchEngine
+
+    index_dir, _ = built_index
+    e = SearchEngine(index_dir)
+    by_count = e.terms(prefix="pa", limit=10**6)
+    by_index = e.terms(prefix="pa", limit=10**6, sort="index")
+    assert [t for t, _ in by_index] == sorted(t for t, _ in by_index)
+    assert dict(by_index) == dict(by_count)
