@@ -4115,7 +4115,7 @@ class SearchEngine:
     # ------------------------------------------------------------------ #
     def facet(self, query: str, fields, limit: int = 100,
               mincount: int = 0, fq=None, prefix: str = "",
-              sort: str = "count") -> dict:
+              sort: str = "count", offset: int = 0) -> dict:
         """Field facets over the FULL match set of ``query`` (Solr
         semantics: buckets ordered count desc then value asc;
         ``facet.limit`` / ``facet.mincount`` defaults 100 / 0 — with
@@ -4123,7 +4123,9 @@ class SearchEngine:
         buckets included, exactly Solr's string-field behavior).
         ``prefix`` is ``facet.prefix`` (bucket values restricted to the
         literal prefix); ``sort="index"`` is ``facet.sort=index``
-        (ascending value order instead of the count-desc default).
+        (ascending value order instead of the count-desc default);
+        ``offset`` is ``facet.offset`` (bucket paging — skip the first
+        N buckets of the chosen order before applying ``limit``).
 
         Reference analogue: the ``*_facet`` copy-fields the reference
         maintains for Solr's faceting UI (``solrindexer/mmd.py:623-627,
@@ -4163,7 +4165,7 @@ class SearchEngine:
                  and (not prefix or str(v).startswith(prefix))),
                 key=(lambda b: (-b[1], b[0])) if sort == "count"
                 else (lambda b: b[0]),
-            )[:limit]
+            )[offset:offset + limit]
             out[fld] = buckets
         return out
 
@@ -7528,7 +7530,7 @@ def _range_items(engine: SearchEngine, parsed: ParsedQuery, clauses,
 
 def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
                       mincount: int = 0, fq=None, prefix: str = "",
-                      sort: str = "count") -> dict:
+                      sort: str = "count", offset: int = 0) -> dict:
     """Distributed field facets: per-range match + partial value counts,
     summed on the driver (identical buckets to ``SearchEngine.facet``,
     tested).  Tombstones are partitioned per range and shipped with the
@@ -7542,7 +7544,8 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
     clauses = _distributed_clauses(engine, parsed, query)
     if clauses is None:
         return engine.facet(query, fields, limit=limit, mincount=mincount,
-                            fq=fq, prefix=prefix, sort=sort)
+                            fq=fq, prefix=prefix, sort=sort,
+                            offset=offset)
     totals: dict = {}
     if clauses != "zero":
         items = _range_items(engine, parsed, clauses, fq=fq)
@@ -7571,7 +7574,7 @@ def facet_partitioned(index_dir: str, query: str, fields, limit: int = 100,
              and (not prefix or str(v).startswith(prefix))),
             key=(lambda b: (-b[1], b[0])) if sort == "count"
             else (lambda b: b[0]),
-        )[:limit]
+        )[offset:offset + limit]
     return out
 
 

@@ -173,3 +173,17 @@ class TestRangeAndPivotFacets:
         assert roll == dict(eng.facet("def", ["lang"], mincount=1)["lang"])
         keys = [(-c, a, b) for a, b, c in rows]
         assert keys == sorted(keys)
+
+
+def test_facet_offset_pages_buckets(fidx):
+    """facet.offset skips buckets of the chosen order before limit —
+    engine and distributed paths identical."""
+    from solr_indexer_ray.pipelines.search import facet_partitioned
+
+    idx, _ = fidx
+    eng = SearchEngine(idx)
+    full = eng.facet("def", ["repo"], limit=1 << 31)["repo"]
+    page = eng.facet("def", ["repo"], limit=2, offset=1)["repo"]
+    assert page == full[1:3]
+    assert facet_partitioned(idx, "def", ["repo"], limit=2,
+                             offset=1) == {"repo": page}
