@@ -195,8 +195,13 @@ def cmd_search(args) -> int:
         if args.search_after:
             cs, cid = args.search_after.split(",")
             cursor = (float(cs), int(cid))
+        hl_arg = (
+            {"fragsize": args.hl_fragsize, "snippets": args.hl_snippets,
+             "pre": args.hl_tag_pre, "post": args.hl_tag_post}
+            if args.hl else False
+        )
         t = engine.search(args.query, k=args.k, fl=fl, method=args.method,
-                          sort=args.sort, start=args.start, hl=args.hl,
+                          sort=args.sort, start=args.start, hl=hl_arg,
                           fq=args.fq, search_after=cursor,
                           qf=args.qf, tie=args.tie, mm=args.mm,
                           pf=args.pf, ps=args.ps,
@@ -817,6 +822,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="filter query (repeatable; Solr fq)")
     ps.add_argument("--hl", action="store_true",
                     help="highlight snippets (needs store_content index)")
+    ps.add_argument("--hl-fragsize", type=int, default=160,
+                    help="hl.fragsize: fragment length (default 160)")
+    ps.add_argument("--hl-snippets", type=int, default=1,
+                    help="hl.snippets: fragments per doc (default 1)")
+    ps.add_argument("--hl-tag-pre", default="<em>")
+    ps.add_argument("--hl-tag-post", default="</em>")
     ps.add_argument("--group", help="group results by field (Solr group=true)")
     ps.add_argument("--group-limit", type=int, default=1)
     ps.add_argument("--rerank-query",

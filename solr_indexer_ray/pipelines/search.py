@@ -2135,7 +2135,7 @@ class SearchEngine:
                 if query in self.elevate:
                     hits = self._apply_elevation(query, hits, k)
                 t = self._resolve(hits, fl)
-                return self._add_highlights(parsed, t) if hl else t
+                return self._add_highlights(parsed, t, hl) if hl else t
             want = list(parsed.terms)
             if self.synonyms:
                 for t_ in parsed.terms:
@@ -2168,7 +2168,7 @@ class SearchEngine:
             if query in self.elevate:
                 hits = self._apply_elevation(query, hits, k)
             t = self._resolve(hits, fl)
-        return self._add_highlights(parsed, t) if hl else t
+        return self._add_highlights(parsed, t, hl) if hl else t
 
     def _full_match_arrays(self, query: str, fq=None):
         """``(ids, scores)`` of a plain query's FULL match set, UNRANKED
@@ -2337,13 +2337,23 @@ class SearchEngine:
             excluded = m.copy() if excluded is None else (excluded | m)
         return excluded
 
-    def _add_highlights(self, parsed: ParsedQuery, t: pa.Table) -> pa.Table:
+    def _add_highlights(self, parsed: ParsedQuery, t: pa.Table,
+                        opts=None) -> pa.Table:
         """Append an ``hl`` snippet column (Solr highlighting, best-effort):
-        a ~160-char window around the first query-term occurrence with all
-        occurrences wrapped in ``<em>`` (Solr's default tags).  Matching is
-        case-insensitive on the raw stored content; docs with no literal
-        occurrence (e.g. matched via identifier-splitting) get null."""
+        a window around each of the first ``hl.snippets`` query-term
+        occurrences (default 1, ~``hl.fragsize`` chars, default 160)
+        with all occurrences wrapped in ``hl.tag.pre``/``post``
+        (``<em>`` Solr defaults); multiple snippets join with ``" … "``.
+        Matching is case-insensitive on the raw stored content; docs
+        with no literal occurrence (e.g. matched via
+        identifier-splitting) get null."""
         import re
+
+        opts = opts if isinstance(opts, dict) else {}
+        fragsize = int(opts.get("fragsize", 160))
+        n_snip = max(1, int(opts.get("snippets", 1)))
+        pre = str(opts.get("pre", "<em>"))
+        post = str(opts.get("post", "</em>"))
 
         words = set(parsed.terms) | {
             w for ph in parsed.phrases for w in ph
@@ -2379,18 +2389,22 @@ class SearchEngine:
         )
         content = dict(zip(ct["doc_id"].to_pylist(), ct["content"].to_pylist()))
         snippets = []
+        lead = max(0, (fragsize * 3) // 8)
         for d in ids:
             text = content.get(d) or ""
-            m = pat.search(text)
-            if not m:
-                snippets.append(None)
-                continue
-            lo = max(0, m.start() - 60)
-            hi = min(len(text), m.end() + 100)
-            window = text[lo:hi]
-            snippets.append(
-                pat.sub(lambda mm: f"<em>{mm.group(0)}</em>", window)
-            )
+            frags = []
+            pos = 0
+            while len(frags) < n_snip:
+                m = pat.search(text, pos)
+                if not m:
+                    break
+                lo = max(0, m.start() - lead)
+                hi = min(len(text), lo + fragsize)
+                frags.append(pat.sub(
+                    lambda mm: f"{pre}{mm.group(0)}{post}", text[lo:hi]
+                ))
+                pos = max(hi, m.end())
+            snippets.append(" … ".join(frags) if frags else None)
         return t.append_column("hl", pa.array(snippets, pa.string()))
 
     def _search_sorted(self, parsed, query, k, fl, sort, start: int = 0,
@@ -3242,7 +3256,7 @@ class SearchEngine:
         if ast is not None:
             hits = self._score_ast(ast, fq, k, after=(cs, cid))
             t = self._resolve(hits, fl)
-            return self._add_highlights(parsed, t) if hl else t
+            return self._add_highlights(parsed, t, hl) if hl else t
         excluded = self._merge_fq_mask(self._excluded_mask(parsed), fq)
         if parsed.scoring_clauses == 0:
             # match-all ranking is (score 0, ascending id): after-cursor
@@ -3257,7 +3271,7 @@ class SearchEngine:
             hits = self._score_taat(parsed, postings, excluded, k=k,
                                     after=(cs, cid))
         t = self._resolve(hits, fl)
-        return self._add_highlights(parsed, t) if hl else t
+        return self._add_highlights(parsed, t, hl) if hl else t
 
     # -- Block-Max WAND ------------------------------------------------- #
     def _score_bmw(self, parsed, postings, excluded, k):

@@ -79,3 +79,28 @@ class TestHighlight:
                     config=IndexConfig(docs_per_range=64, block_size=16))
         with pytest.raises(ValueError, match="store_content"):
             SearchEngine(str(tmp_path / "idx")).search("def", hl=True)
+
+
+def test_hl_options_fragsize_snippets_tags(cidx):
+    """hl as an options dict: fragsize bounds fragment length, snippets
+    emits up to N fragments joined by ellipses, custom pre/post tags."""
+    d, _ = cidx
+    eng = SearchEngine(f"{d}/idx")
+    t = eng.search("read", k=5, hl={"fragsize": 40, "snippets": 2,
+                                    "pre": "[", "post": "]"})
+    assert "hl" in t.column_names
+    got = [s for s in t["hl"].to_pylist() if s]
+    assert got, "expected at least one snippet"
+    for s in got:
+        assert "[read" in s.lower()
+        assert "<em>" not in s
+        for frag in s.split(" … "):
+            # fragment body bounded by fragsize plus injected tag chars
+            assert len(frag) <= 40 + s.count("[") * 2 + 8
+
+def test_hl_true_still_default_tags(cidx):
+    d, _ = cidx
+    eng = SearchEngine(f"{d}/idx")
+    t = eng.search("read", k=5, hl=True)
+    got = [s for s in t["hl"].to_pylist() if s]
+    assert any("<em>" in s for s in got)
