@@ -217,6 +217,9 @@ def cmd_search(args) -> int:
             for f in xml_fields:
                 print(_format_xml_display(row.pop(f, None) or ""))
         print(json.dumps(row, default=str))
+    if args.json_facet:
+        print(json.dumps({"json_facet": engine.json_facet(
+            args.query, json.loads(args.json_facet), fq=args.fq)}))
     if args.facet_query:
         print(json.dumps(
             {"facet_queries": engine.facet_query(
@@ -841,6 +844,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--facet", help="comma-separated facet fields")
     ps.add_argument("--facet-limit", type=int, default=100)
     ps.add_argument("--facet-mincount", type=int, default=0)
+    ps.add_argument("--json-facet",
+                    help="JSON Facet API spec (json.facet= JSON string)")
     ps.add_argument("--facet-prefix", default="",
                     help="facet.prefix: restrict buckets to this value prefix")
     ps.add_argument("--facet-sort", default="count",

@@ -4239,6 +4239,85 @@ class SearchEngine:
         )[:limit]
         return self._facet_stats_table(rows, specs)
 
+    def json_facet(self, query: str, spec: dict, fq=None) -> dict:
+        """Solr JSON Facet API subset (``json.facet=...``): RECURSIVE
+        ``terms`` facets with nested stat aggregates and sub-facets.
+
+        ``spec`` maps facet name -> either a stat expression string
+        (``sum(f)`` / ``avg(f)`` / ``min(f)`` / ``max(f)``) or a terms
+        node ``{"type": "terms", "field": F, "limit": 10, "mincount": 1,
+        "sort": "count"|"index", "facet": {<nested spec>}}``.  Returns
+        the Solr response shape: ``{"count": N, <name>: {"buckets":
+        [{"val": v, "count": c, <nested...>}, ...]}}``.  Bucket doc
+        subsets flow down the recursion, so nested stats/terms see only
+        their parent bucket's matches (exactly Solr's domain rule); the
+        flat single-level form is :meth:`facet_stats`."""
+        ids = self.match_ids(query)
+        fqm = self._merge_fq_mask(None, fq)
+        if fqm is not None and ids.size:
+            ids = ids[~fqm[ids]]
+        out = {"count": int(ids.size)}
+        out.update(self._json_facet_level(spec, ids))
+        return out
+
+    def _json_facet_level(self, spec: dict, ids: np.ndarray) -> dict:
+        out: dict = {}
+        for name in sorted(spec):
+            node = spec[name]
+            if isinstance(node, str):
+                m = re.fullmatch(r"(sum|avg|min|max)\((\w+)\)",
+                                 node.strip())
+                if m is None:
+                    raise ValueError(f"bad stat expression {node!r}")
+                op, f = m.group(1), m.group(2)
+                vals = self._dense_field(f)
+                if getattr(vals, "dtype", None) is None or \
+                        vals.dtype.kind not in "if":
+                    raise ValueError(f"stat field {f!r} must be numeric")
+                v = np.asarray(vals[ids], dtype=np.float64)
+                v = v[~np.isnan(v)]
+                if v.size == 0:
+                    out[name] = None
+                elif op == "sum":
+                    out[name] = float(v.sum())
+                elif op == "avg":
+                    out[name] = float(v.mean())
+                elif op == "min":
+                    out[name] = float(v.min())
+                else:
+                    out[name] = float(v.max())
+                continue
+            if not isinstance(node, dict) or \
+                    node.get("type", "terms") != "terms":
+                raise ValueError(
+                    f"facet node {name!r} must be a stat string or a "
+                    f"terms node"
+                )
+            field = node["field"]
+            limit = int(node.get("limit", 10))
+            mincount = int(node.get("mincount", 1))
+            sort_mode = node.get("sort", "count")
+            dense, labels, _hn = self._field_codes(field)
+            codes = dense[ids]
+            real = codes[codes >= 0]
+            cnt = np.bincount(real, minlength=len(labels))
+            order = sorted(
+                (ci for ci in np.flatnonzero(cnt >= max(1, mincount))),
+                key=(lambda c: (-cnt[c], labels[c]))
+                if sort_mode == "count" else (lambda c: labels[c]),
+            )[:limit]
+            sub_spec = node.get("facet", {}) or {}
+            buckets = []
+            for ci in order:
+                b = {"val": labels[ci], "count": int(cnt[ci])}
+                if sub_spec:
+                    b.update(self._json_facet_level(
+                        sub_spec, ids[codes == ci]
+                    ))
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        return out
+
     def _parse_facet_stats(self, by: str, metrics: dict) -> list:
         """Validate + parse ``metrics`` stat expressions into
         ``[(name, (op, field)), ...]`` (sorted by name for a stable

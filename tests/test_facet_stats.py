@@ -140,3 +140,60 @@ class TestDistributedFacetStats:
                                        {"avg_len": "avg(doclen)"})
         assert dist["value"].to_pylist() == single["value"].to_pylist()
         assert dist["avg_len"].to_pylist() == single["avg_len"].to_pylist()
+
+
+class TestJsonFacet:
+    """JSON Facet API subset: recursive terms + nested stats, domains
+    narrowing down the bucket tree (Solr semantics)."""
+
+    def test_flat_level_matches_facet_and_stats(self, engine):
+        eng = engine
+        res = eng.json_facet("def", {
+            "langs": {"type": "terms", "field": "lang", "limit": 100},
+        })
+        flat = eng.facet("def", ["lang"], mincount=1)["lang"]
+        assert [(b["val"], b["count"]) for b in res["langs"]["buckets"]] \
+            == flat
+        assert res["count"] == len(eng.match_ids("def"))
+
+    def test_nested_stats_match_facet_stats(self, engine):
+        eng = engine
+        res = eng.json_facet("def", {
+            "langs": {"type": "terms", "field": "lang", "limit": 100,
+                      "facet": {"avg_len": "avg(doclen)",
+                                "max_len": "max(doclen)"}},
+        })
+        fs = {r["value"]: r for r in eng.facet_stats(
+            "def", "lang", {"avg_len": "avg(doclen)",
+                            "max_len": "max(doclen)"},
+            limit=100).to_pylist()}
+        for b in res["langs"]["buckets"]:
+            ref = fs[b["val"]]
+            assert b["count"] == ref["count"]
+            assert b["avg_len"] == pytest.approx(ref["avg_len"])
+            assert b["max_len"] == ref["max_len"]
+
+    def test_two_level_nesting_narrows_domain(self, engine):
+        eng = engine
+        res = eng.json_facet("def", {
+            "langs": {"type": "terms", "field": "lang", "limit": 2,
+                      "facet": {
+                          "repos": {"type": "terms", "field": "repo",
+                                    "limit": 100},
+                      }},
+        })
+        for b in res["langs"]["buckets"]:
+            # inner buckets must equal faceting repo over the
+            # lang-filtered query (the bucket's domain)
+            inner = eng.facet(f'lang:{b["val"]} def', ["repo"],
+                              mincount=1)["repo"]
+            got = [(x["val"], x["count"]) for x in b["repos"]["buckets"]]
+            assert got == inner, b["val"]
+            assert b["count"] == sum(c for _, c in inner)
+
+    def test_validation(self, engine):
+        eng = engine
+        with pytest.raises(ValueError, match="stat expression"):
+            eng.json_facet("def", {"x": "median(doclen)"})
+        with pytest.raises(ValueError, match="terms node"):
+            eng.json_facet("def", {"x": {"type": "range"}})
