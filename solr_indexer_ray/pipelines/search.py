@@ -4287,8 +4287,58 @@ class SearchEngine:
                 else:
                     out[name] = float(v.max())
                 continue
-            if not isinstance(node, dict) or \
-                    node.get("type", "terms") != "terms":
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"facet node {name!r} must be a stat string or a "
+                    f"terms node"
+                )
+            ntype = node.get("type", "terms")
+            if ntype == "query":
+                # {"type":"query","q":...}: the node's domain is the
+                # parent domain ∩ the query's match set
+                sub = self.match_ids(node["q"])
+                m = np.zeros(self.doc_space, dtype=bool)
+                m[sub] = True
+                dom = ids[m[ids]]
+                b: dict = {"count": int(dom.size)}
+                sub_spec = node.get("facet", {}) or {}
+                if sub_spec:
+                    b.update(self._json_facet_level(sub_spec, dom))
+                out[name] = b
+                continue
+            if ntype == "range":
+                # numeric range facet over the parent domain (date
+                # gaps stay on the dedicated range_facet/DateMath path)
+                f = node["field"]
+                start, end = float(node["start"]), float(node["end"])
+                gap = float(node["gap"])
+                if gap <= 0 or end <= start:
+                    raise ValueError("need gap > 0 and end > start")
+                dvals = self._dense_field(f)
+                if getattr(dvals, "dtype", None) is None or \
+                        dvals.dtype.kind not in "if":
+                    raise ValueError(
+                        f"range facet field {f!r} must be numeric"
+                    )
+                vals = np.asarray(dvals[ids], dtype=np.float64)
+                ok = ~np.isnan(vals)
+                sub_spec = node.get("facet", {}) or {}
+                buckets = []
+                lo = start
+                while lo < end:
+                    hi2 = min(lo + gap, end)
+                    inb = ok & (vals >= lo) & (vals < hi2)
+                    b = {"val": int(lo) if float(lo).is_integer()
+                         else lo, "count": int(inb.sum())}
+                    if sub_spec:
+                        b.update(self._json_facet_level(
+                            sub_spec, ids[inb]
+                        ))
+                    buckets.append(b)
+                    lo += gap
+                out[name] = {"buckets": buckets}
+                continue
+            if ntype != "terms":
                 raise ValueError(
                     f"facet node {name!r} must be a stat string or a "
                     f"terms node"

@@ -196,4 +196,23 @@ class TestJsonFacet:
         with pytest.raises(ValueError, match="stat expression"):
             eng.json_facet("def", {"x": "median(doclen)"})
         with pytest.raises(ValueError, match="terms node"):
-            eng.json_facet("def", {"x": {"type": "range"}})
+            eng.json_facet("def", {"x": {"type": "heatmap"}})
+
+    def test_query_and_range_nodes(self, engine):
+        eng = engine
+        res = eng.json_facet("def", {
+            "py": {"type": "query", "q": "lang:python def",
+                   "facet": {"avg_len": "avg(doclen)"}},
+            "lens": {"type": "range", "field": "doclen",
+                     "start": 0, "end": 100, "gap": 25},
+        })
+        # query node count == the intersected query's match count
+        inter = eng.match_ids("lang:python def")
+        base = set(eng.match_ids("def").tolist())
+        assert res["py"]["count"] == len(
+            [d for d in inter.tolist() if d in base]
+        )
+        # range buckets match the dedicated range_facet histogram
+        rf = eng.range_facet("def", "doclen", 0, 100, 25)
+        assert [(b["val"], b["count"]) for b in res["lens"]["buckets"]] \
+            == [(int(lo), c) for lo, c in rf["buckets"]]
