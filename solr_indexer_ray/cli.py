@@ -157,15 +157,12 @@ def cmd_search(args) -> int:
         t = search_sharded(dirs, args.query, k=args.k,
                            qf=args.qf, tie=args.tie, fq=args.fq)
     elif args.group:
-        t = engine.group_search(args.query, args.group, k_groups=args.k,
-                                group_limit=args.group_limit,
-                                fq=args.fq)
-        # Solr group.ngroups: total distinct group values in the match
-        # set = the field's non-zero facet bucket count over it
-        ngroups = len(engine.facet(
-            args.query, [args.group], mincount=1, limit=1 << 31,
-            fq=args.fq,
-        )[args.group])
+        # Solr group.ngroups comes from the codes group_search already
+        # gathered — one query evaluation, not two
+        t, ngroups = engine.group_search(args.query, args.group,
+                                         k_groups=args.k,
+                                         group_limit=args.group_limit,
+                                         fq=args.fq, with_ngroups=True)
         print(json.dumps({"ngroups": ngroups}))
     elif args.ltr_model:
         with open(args.ltr_model) as f:

@@ -2350,7 +2350,7 @@ class SearchEngine:
         import re
 
         opts = opts if isinstance(opts, dict) else {}
-        fragsize = int(opts.get("fragsize", 160))
+        fragsize = max(1, int(opts.get("fragsize", 160)))
         n_snip = max(1, int(opts.get("snippets", 1)))
         pre = str(opts.get("pre", "<em>"))
         post = str(opts.get("post", "</em>"))
@@ -2394,15 +2394,20 @@ class SearchEngine:
             text = content.get(d) or ""
             frags = []
             pos = 0
+            prev_hi = 0
             while len(frags) < n_snip:
                 m = pat.search(text, pos)
                 if not m:
                     break
-                lo = max(0, m.start() - lead)
-                hi = min(len(text), lo + fragsize)
+                # fragments stay disjoint (clamp at the previous end)
+                # and always cover the full triggering match, even when
+                # fragsize is smaller than the matched term
+                lo = max(prev_hi, 0, m.start() - lead)
+                hi = min(len(text), max(lo + fragsize, m.end()))
                 frags.append(pat.sub(
                     lambda mm: f"{pre}{mm.group(0)}{post}", text[lo:hi]
                 ))
+                prev_hi = hi
                 pos = max(hi, m.end())
             snippets.append(" … ".join(frags) if frags else None)
         return t.append_column("hl", pa.array(snippets, pa.string()))
@@ -4295,11 +4300,12 @@ class SearchEngine:
             ntype = node.get("type", "terms")
             if ntype == "query":
                 # {"type":"query","q":...}: the node's domain is the
-                # parent domain ∩ the query's match set
-                sub = self.match_ids(node["q"])
-                m = np.zeros(self.doc_space, dtype=bool)
-                m[sub] = True
-                dom = ids[m[ids]]
+                # parent domain ∩ the query's match set — via the fq
+                # membership-mask cache (Solr filterCache analogue), so
+                # a query node nested under a 100-bucket terms facet
+                # evaluates its q once, not per bucket
+                fqm = self._merge_fq_mask(None, [node["q"]])
+                dom = ids[~fqm[ids]] if fqm is not None else ids
                 b: dict = {"count": int(dom.size)}
                 sub_spec = node.get("facet", {}) or {}
                 if sub_spec:
@@ -4323,19 +4329,24 @@ class SearchEngine:
                 vals = np.asarray(dvals[ids], dtype=np.float64)
                 ok = ~np.isnan(vals)
                 sub_spec = node.get("facet", {}) or {}
+                # exact edge/index arithmetic (start + i·gap and
+                # floor((v−start)/gap)) — accumulating lo += gap leaks
+                # float error into bucket edges and emits sliver buckets
+                # for fractional gaps
+                n_b = int(np.ceil((end - start) / gap))
+                bidx = np.floor((vals - start) / gap).astype(np.int64)
+                inr = ok & (vals >= start) & (vals < end)
                 buckets = []
-                lo = start
-                while lo < end:
-                    hi2 = min(lo + gap, end)
-                    inb = ok & (vals >= lo) & (vals < hi2)
-                    b = {"val": int(lo) if float(lo).is_integer()
-                         else lo, "count": int(inb.sum())}
+                for i in range(n_b):
+                    edge = start + i * gap
+                    inb = inr & (bidx == i)
+                    b = {"val": int(edge) if float(edge).is_integer()
+                         else edge, "count": int(inb.sum())}
                     if sub_spec:
                         b.update(self._json_facet_level(
                             sub_spec, ids[inb]
                         ))
                     buckets.append(b)
-                    lo += gap
                 out[name] = {"buckets": buckets}
                 continue
             if ntype != "terms":
@@ -4351,8 +4362,12 @@ class SearchEngine:
             codes = dense[ids]
             real = codes[codes >= 0]
             cnt = np.bincount(real, minlength=len(labels))
+            # mincount<=0 emits zero-count buckets (Solr mincount:0),
+            # matching facet()'s dense-codes behavior
+            eligible = (np.flatnonzero(cnt >= mincount) if mincount > 0
+                        else np.arange(len(labels)))
             order = sorted(
-                (ci for ci in np.flatnonzero(cnt >= max(1, mincount))),
+                (int(ci) for ci in eligible),
                 key=(lambda c: (-cnt[c], labels[c]))
                 if sort_mode == "count" else (lambda c: labels[c]),
             )[:limit]
@@ -4816,7 +4831,8 @@ class SearchEngine:
 
     def group_search(self, query: str, group_field: str,
                      k_groups: int = 10, group_limit: int = 1,
-                     round_scores: int | None = None, fq=None) -> pa.Table:
+                     round_scores: int | None = None, fq=None,
+                     with_ngroups: bool = False):
         """Solr result grouping (``group=true&group.field=F``): the top
         ``k_groups`` groups ordered by their best document's relevance
         (Solr default ``group.sort=score desc``; ties by ascending doc id),
@@ -4840,14 +4856,22 @@ class SearchEngine:
             ids = arrays[0].astype(np.int64)
             scores = arrays[1].astype(np.float64)
             dense, uniques, _hn = self._field_codes(group_field)
-            t = _collapse_codes(ids, scores, dense[ids], uniques,
+            codes = dense[ids]
+            t = _collapse_codes(ids, scores, codes, uniques,
                                 k_groups, "collapse", group_limit - 1,
                                 round_scores)
-            return pa.table(
+            out_t = pa.table(
                 {"group": t["group"], "group_rank": t["rank"],
                  "position": t["position"], "doc_id": t["doc_id"],
                  "score": t["score"]}
             )
+            if not with_ngroups:
+                return out_t
+            # group.ngroups from the codes already gathered: distinct
+            # non-null groups + the folded null group if present
+            ng = int(np.unique(codes[codes >= 0]).size
+                     + bool((codes < 0).any()))
+            return out_t, ng
         full = self.search(query, k=self.doc_space, fl=["doc_id"],
                            fq=fq)
         df = pd.DataFrame(
@@ -4855,13 +4879,14 @@ class SearchEngine:
              "score": full["score"].to_numpy()}
         )
         if df.empty:
-            return pa.table(
+            empty_t = pa.table(
                 {"group": pa.array([], pa.string()),
                  "group_rank": pa.array([], pa.int64()),
                  "position": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.int64()),
                  "score": pa.array([], pa.float64())}
             )
+            return (empty_t, 0) if with_ngroups else empty_t
         ids = df["doc_id"].to_numpy()
         t = self._field_table(group_field)
         mask = np.zeros(self.doc_space, dtype=bool)
@@ -4884,7 +4909,7 @@ class SearchEngine:
         ].copy()
         out["group_rank"] = out["_grp"].map(order)
         out = out.sort_values(["group_rank", "position"])
-        return pa.table(
+        out_t = pa.table(
             {
                 "group": pa.array(
                     [None if v == _null else str(v)
@@ -4896,6 +4921,9 @@ class SearchEngine:
                 "score": pa.array(out["score"].astype("float64")),
             }
         )
+        if with_ngroups:
+            return out_t, int(df["_grp"].nunique())
+        return out_t
 
     def collapse_search(self, query: str, field: str, k: int = 10,
                         fq=None, null_policy: str = "ignore",

@@ -216,3 +216,36 @@ class TestJsonFacet:
         rf = eng.range_facet("def", "doclen", 0, 100, 25)
         assert [(b["val"], b["count"]) for b in res["lens"]["buckets"]] \
             == [(int(lo), c) for lo, c in rf["buckets"]]
+
+    def test_range_fractional_gap_exact_edges(self, engine):
+        """Fractional gaps must emit exactly ceil((end-start)/gap)
+        buckets with exact start+i*gap edges (no float-accumulation
+        sliver buckets)."""
+        eng = engine
+        res = eng.json_facet("def", {
+            "r": {"type": "range", "field": "doclen",
+                  "start": 0.0, "end": 1.0, "gap": 0.1},
+        })
+        assert len(res["r"]["buckets"]) == 10
+        vals = [b["val"] for b in res["r"]["buckets"]]
+        assert vals[0] == 0 and abs(vals[3] - 0.3) < 1e-12
+
+    def test_terms_mincount_zero_emits_zero_buckets(self, engine):
+        eng = engine
+        res = eng.json_facet("lang:go def", {
+            "langs": {"type": "terms", "field": "lang", "limit": 100,
+                      "mincount": 0},
+        })
+        got = {b["val"]: b["count"] for b in res["langs"]["buckets"]}
+        ref = dict(eng.facet("lang:go def", ["lang"], mincount=0)["lang"])
+        ref.pop("None", None)  # json facet: missing bucket is opt-in
+        assert got == ref and 0 in got.values()
+
+    def test_group_search_with_ngroups(self, engine):
+        eng = engine
+        t, ng = eng.group_search("def", "lang", 5, 1, with_ngroups=True)
+        ref = len(eng.facet("def", ["lang"], mincount=1,
+                            limit=1 << 31)["lang"])
+        assert ng == ref
+        plain = eng.group_search("def", "lang", 5, 1)
+        assert plain.equals(t)

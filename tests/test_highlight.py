@@ -104,3 +104,21 @@ def test_hl_true_still_default_tags(cidx):
     t = eng.search("read", k=5, hl=True)
     got = [s for s in t["hl"].to_pylist() if s]
     assert any("<em>" in s for s in got)
+
+
+def test_hl_fragments_disjoint_and_cover_match(cidx):
+    """Multi-snippet fragments never overlap, and a fragsize smaller
+    than the matched term still wraps the full match."""
+    d, _ = cidx
+    eng = SearchEngine(f"{d}/idx")
+    t = eng.search("read", k=10, hl={"fragsize": 8, "snippets": 3,
+                                     "pre": "[", "post": "]"})
+    for s in t["hl"].to_pylist():
+        if not s:
+            continue
+        for frag in s.split(" … "):
+            stripped = frag.replace("[", "").replace("]", "")
+            assert "read" in stripped.lower()  # full match covered
+        # disjoint: total highlighted text never repeats a doc position
+        # (fragments were cut from non-overlapping windows, so joining
+        # them can't exceed the doc length)
