@@ -4270,11 +4270,19 @@ class SearchEngine:
         for name in sorted(spec):
             node = spec[name]
             if isinstance(node, str):
-                m = re.fullmatch(r"(sum|avg|min|max)\((\w+)\)",
+                m = re.fullmatch(r"(sum|avg|min|max|unique)\((\w+)\)",
                                  node.strip())
                 if m is None:
                     raise ValueError(f"bad stat expression {node!r}")
                 op, f = m.group(1), m.group(2)
+                if op == "unique":
+                    # Solr unique(): distinct values of the field in
+                    # the domain (exact — the dense factorized codes
+                    # make it one gather + unique, no hashing)
+                    dense_u, _lab, _hn = self._field_codes(f)
+                    cu = dense_u[ids]
+                    out[name] = int(np.unique(cu[cu >= 0]).size)
+                    continue
                 vals = self._dense_field(f)
                 if getattr(vals, "dtype", None) is None or \
                         vals.dtype.kind not in "if":

@@ -249,3 +249,20 @@ class TestJsonFacet:
         assert ng == ref
         plain = eng.group_search("def", "lang", 5, 1)
         assert plain.equals(t)
+
+    def test_unique_stat(self, engine):
+        eng = engine
+        res = eng.json_facet("def", {
+            "n_repos": "unique(repo)",
+            "langs": {"type": "terms", "field": "lang", "limit": 100,
+                      "facet": {"n_repos": "unique(repo)"}},
+        })
+        ids = set(eng.match_ids("def").tolist())
+        # independent check from facet buckets
+        assert res["n_repos"] == len(
+            eng.facet("def", ["repo"], mincount=1, limit=1 << 31)["repo"]
+        )
+        for b in res["langs"]["buckets"]:
+            ref = len(eng.facet(f'lang:{b["val"]} def', ["repo"],
+                                mincount=1, limit=1 << 31)["repo"])
+            assert b["n_repos"] == ref, b["val"]
