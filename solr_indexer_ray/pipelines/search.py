@@ -4270,6 +4270,30 @@ class SearchEngine:
         for name in sorted(spec):
             node = spec[name]
             if isinstance(node, str):
+                mp = re.fullmatch(
+                    r"percentile\((\w+)\s*,\s*([\d.]+(?:\s*,\s*[\d.]+)*)\)",
+                    node.strip(),
+                )
+                if mp is not None:
+                    # Solr percentile(f, p...): exact linear-interp
+                    # (vs Solr's t-digest approximation — exactness
+                    # documented like stats_percentiles)
+                    f = mp.group(1)
+                    ps = [float(x) for x in mp.group(2).split(",")]
+                    dv = self._dense_field(f)
+                    if getattr(dv, "dtype", None) is None or \
+                            dv.dtype.kind not in "if":
+                        raise ValueError(
+                            f"percentile field {f!r} must be numeric"
+                        )
+                    v = np.asarray(dv[ids], dtype=np.float64)
+                    v = v[~np.isnan(v)]
+                    if v.size == 0:
+                        res = [None] * len(ps)
+                    else:
+                        res = [float(x) for x in np.percentile(v, ps)]
+                    out[name] = res[0] if len(res) == 1 else res
+                    continue
                 m = re.fullmatch(r"(sum|avg|min|max|unique)\((\w+)\)",
                                  node.strip())
                 if m is None:

@@ -266,3 +266,19 @@ class TestJsonFacet:
             ref = len(eng.facet(f'lang:{b["val"]} def', ["repo"],
                                 mincount=1, limit=1 << 31)["repo"])
             assert b["n_repos"] == ref, b["val"]
+
+    def test_percentile_stat(self, engine):
+        import numpy as np
+
+        eng = engine
+        res = eng.json_facet("def", {
+            "p50": "percentile(doclen, 50)",
+            "pcts": "percentile(doclen, 25, 75)",
+        })
+        ids = eng.match_ids("def")
+        vals = np.asarray(eng._dense_field("doclen")[ids], dtype=float)
+        vals = vals[~np.isnan(vals)]
+        assert res["p50"] == pytest.approx(float(np.percentile(vals, 50)))
+        assert res["pcts"] == pytest.approx(
+            [float(x) for x in np.percentile(vals, [25, 75])]
+        )
