@@ -4256,7 +4256,14 @@ class SearchEngine:
         [{"val": v, "count": c, <nested...>}, ...]}}``.  Bucket doc
         subsets flow down the recursion, so nested stats/terms see only
         their parent bucket's matches (exactly Solr's domain rule); the
-        flat single-level form is :meth:`facet_stats`."""
+        flat single-level form is :meth:`facet_stats`, whose
+        distributed twin (:func:`facet_stats_partitioned` — per-range
+        partial (count, sum, min, max) rows, small driver merge) is the
+        scale path for each level of the tree; ``unique``/``percentile``
+        leaves are engine-local by nature (exact distinct/quantiles
+        don't merge from partials without sketches — the KMV/quantile
+        sketches in ``stages/sketch.py`` are the approximate distributed
+        route)."""
         ids = self.match_ids(query)
         fqm = self._merge_fq_mask(None, fq)
         if fqm is not None and ids.size:
