@@ -283,12 +283,36 @@ def _fuzzy_scan(word: str, terms: list, cap: int) -> list:
     return out
 
 
+def _scatter_add(dst, ids, val):
+    """``dst[ids] += val`` for UNIQUE ids — chunked across the shared
+    pool for big postings (gather/add/scatter release the GIL, and
+    unique ids make chunk writes disjoint, so the result is bit-exact
+    regardless of chunk order).  ``val`` is an array aligned with
+    ``ids`` or a scalar."""
+    from solr_indexer_ray.functions.parpool import CHUNK, n_chunks, pool
+
+    if ids.size < 2 * CHUNK:
+        dst[ids] += val
+        return
+    k = n_chunks(ids.size)
+    pts = np.linspace(0, ids.size, k + 1).astype(np.int64)
+    scalar = np.ndim(val) == 0
+
+    def work(i):
+        sl = ids[pts[i]:pts[i + 1]]
+        dst[sl] += val if scalar else val[pts[i]:pts[i + 1]]
+
+    list(pool().map(work, range(k)))
+
+
 def _select_topk(cand, s, k):
     """Exact top-k with (-score, doc_id) tie-break: find the k-th score,
     keep everything >= it (boundary ties resolved by doc_id, not by
     argpartition's arbitrary choice), then lexsort."""
     if cand.size > k:
-        kth = -np.partition(-s, k - 1)[k - 1]
+        # ascending partition at n-k = k-th LARGEST without the
+        # negated copy the (-s, k-1) form allocated per query
+        kth = np.partition(s, s.size - k)[s.size - k]
         idx = np.flatnonzero(s >= kth)
         order = np.lexsort((cand[idx], -s[idx]))[:k]
         sel = idx[order]
@@ -2576,9 +2600,10 @@ class SearchEngine:
                 continue
             vec = self._term_score_vec(tp)
             b = parsed.boosts.get(term)  # query-time boost (term^2)
-            scores[tp.doc_ids] += vec if b is None else vec * b
+            _scatter_add(scores, tp.doc_ids,
+                         vec if b is None else vec * b)
             if seen is not None:
-                seen[tp.doc_ids] += 1
+                _scatter_add(seen, tp.doc_ids, 1)
             n_present += 1
         # fielded scored terms after plain terms (pinned float order):
         # per-field BM25 — field df/docCount/avgdl/norms (Lucene fielded
