@@ -2588,11 +2588,11 @@ class SearchEngine:
                 if b is not None:
                     w *= b
                 K = self._norm_factor(self.norms[docs])
-                scores[docs] += w * self.scoring.impact(
+                _scatter_add(scores, docs, w * self.scoring.impact(
                     tfs.astype(np.float64), K
-                )
+                ))
                 if seen is not None:
-                    seen[docs] += 1
+                    _scatter_add(seen, docs, 1)
                 n_present += 1
                 continue
             tp = postings.get(term)
@@ -2679,9 +2679,9 @@ class SearchEngine:
                         tot += buf
                 contrib = (best if tie == 0.0
                            else best + tie * (tot - best))
-            scores[docs] += contrib
+            _scatter_add(scores, docs, contrib)
             if seen is not None:
-                seen[docs] += 1
+                _scatter_add(seen, docs, 1)
             n_present += 1
         # fuzzy clauses after terms: blended SynonymQuery-stats groups
         for fz in sorted(set(parsed.fuzzies)):
@@ -2731,17 +2731,19 @@ class SearchEngine:
         for pre in sorted(parsed.prefixes):
             docs = self.eval_prefix(pre)
             if docs.size:
-                scores[docs] += parsed.prefix_boosts.get(pre, 1.0)
+                _scatter_add(scores, docs,
+                             parsed.prefix_boosts.get(pre, 1.0))
                 if seen is not None:
-                    seen[docs] += 1
+                    _scatter_add(seen, docs, 1)
                 n_present += 1
         # general wildcards: same constant-score union as prefixes
         for pat in sorted(set(parsed.wildcards)):
             docs = self.eval_pattern(pat)
             if docs.size:
-                scores[docs] += parsed.wildcard_boosts.get(pat, 1.0)
+                _scatter_add(scores, docs,
+                             parsed.wildcard_boosts.get(pat, 1.0))
                 if seen is not None:
-                    seen[docs] += 1
+                    _scatter_add(seen, docs, 1)
                 n_present += 1
         return n_present
 

@@ -171,3 +171,24 @@ class TestThreadedMatchersVsSegments:
                               slop)
             assert np.array_equal(got[0], ref[0])
             assert np.array_equal(got[1], ref[1])
+
+
+def test_scatter_add_equivalence(tiny_chunks):
+    """_scatter_add must equal the plain fancy-index add for unique ids,
+    array and scalar values, across the chunked threshold."""
+    from solr_indexer_ray.pipelines.search import _scatter_add
+
+    rng = np.random.default_rng(23)
+    for n in (0, 1, 15, 16, 100, 1000):
+        ids = np.sort(rng.choice(5000, n, replace=False)).astype(np.int64)
+        vec = rng.random(n)
+        a = np.zeros(5000)
+        b = np.zeros(5000)
+        a[ids] += vec
+        _scatter_add(b, ids, vec)
+        assert np.array_equal(a, b), n
+        c = np.zeros(5000, dtype=np.int32)
+        d = np.zeros(5000, dtype=np.int32)
+        c[ids] += 1
+        _scatter_add(d, ids, 1)
+        assert np.array_equal(c, d), n
